@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md) plus the
+  * canonical schema for reference-shaped legal documents
+  * (reference: schema.json:1-22, fetch_legal_docs.py:74-85).
+  *
+  * Scale note: every loader is a plain parquet scan — Catalyst handles
+  * predicate pushdown / column pruning, and at cluster scale the same
+  * call reads a partitioned directory tree; nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    * as a timestamp. Read nanos as LONG and truncate to µs — exactly what
+    * DuckDB does on read, so oracle parity holds (SURVEY §7.3).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Money columns are DOUBLE in the corpus; aggregate on DECIMAL(18,2)
+    * for determinism (SURVEY §7.3) then surface as DOUBLE.
+    */
+  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 2))
+
+  /** Fixed document schema from the reference contract
+    * (reference: schema.json:1-22). Explicit — never inferred.
+    */
+  val legalDocSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("year", StringType),          // "" sentinel, never null
+    StructField("sourceURL", StringType),
+    StructField("dateIngested", StringType),  // ISO yyyy-MM-dd
+    StructField("category", StringType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("content", StringType),
+    StructField("caseFields", StructType(Seq(
+      StructField("issue", StringType),
+      StructField("holding", StringType),
+      StructField("ratio", StringType)))),
+    StructField("legisFields", StructType(Seq(
+      StructField("scope", StringType),
+      StructField("keyArticles", ArrayType(StringType)),
+      StructField("effectiveDate", StringType)))),
+    StructField("templateFields", StructType(Seq(
+      StructField("placeholders", ArrayType(StringType)))))
+  ))
+}

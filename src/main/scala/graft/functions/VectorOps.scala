@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector primitives over ArrayType(FloatType) embedding columns.
+  * Pure higher-order built-ins (zip_with + aggregate) — codegen-resident,
+  * no UDF serialization, and a deterministic left-to-right fold so results
+  * are partition-layout independent (SURVEY §7.3).
+  */
+object VectorOps {
+
+  /** Dot product in double precision (floats are widened first; each
+    * float*float product is exact in double).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (for IVF-style bucketing). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dx = x.cast(DoubleType) - y.cast(DoubleType); dx * dx
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: the sign bits of
+    * `planes.length` fixed random projections packed into a BIGINT. Vectors
+    * with high cosine land in the same bucket with high probability —
+    * the scale path for ANN: shuffle by bucket, search within buckets.
+    */
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(v, array(p.map(lit): _*), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << (planes.length - 1 - i))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (splitmix64-derived,
+    * fixed seed) — stable across runs and JVMs.
+    */
+  def fixedPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nPlanes)(Array.fill(dim)(next().toDouble / Long.MaxValue))
+  }
+}

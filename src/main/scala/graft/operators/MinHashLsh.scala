@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+
+/** MinHash + banded LSH near-duplicate detection — the 100 TB path for
+  * Jaccard dedup. The exact inverted-index join (Llm.q31) is O(Σ shingle
+  * pair lists); MinHash-LSH replaces it with a fixed-width signature per
+  * document and a shuffle on (band, bandKey) only, so the candidate join
+  * cost is independent of document length and near-linear in corpus size.
+  *
+  * Hash family: h_i(x) = (a_i * x + b_i) mod p over a 28-bit md5-derived
+  * shingle hash, p = 2^31 - 1 (Mersenne prime), a_i/b_i from a fixed seed —
+  * deterministic across runs, JVMs and partition layouts.
+  */
+object MinHashLsh {
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) parameter pairs for the hash family. */
+  def params(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(k)((Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P)))
+  }
+
+  /** 28-bit shingle hash (first 7 hex digits of md5) — keeps a*h + b within
+    * a long for the universal-hash family above.
+    */
+  def shingleHash28(s: Column): Column =
+    conv(substring(md5(s.cast(BinaryType)), 1, 7), 16, 10).cast(LongType)
+
+  /** MinHash signature (array of k minima) of a distinct-shingle-hash array. */
+  def signature(hashes: Column, k: Int, seed: Long = 42L): Column =
+    array(params(k, seed).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+    }: _*)
+
+  /** Documents (docId, text) → candidate near-duplicate pairs (i < j) via
+    * banded LSH on the MinHash signature, then exact-Jaccard verified at
+    * `threshold` over `w`-word shingles. With rows-per-band r and bands b,
+    * P(candidate) = 1 - (1 - j^r)^b; defaults (r=2, b=24) give ≥ 0.999
+    * recall at j = 0.5 while pruning low-similarity pairs before the
+    * exact verify join.
+    */
+  def nearDupPairs(docs: DataFrame, docId: String, text: String,
+                   threshold: Double, w: Int = 3,
+                   bands: Int = 24, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val withShingles = docs
+      .select(col(docId).as("doc_id"),
+              array_distinct(TextOps.shingles(TextOps.tokens(col(text)), w)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hashes", transform(col("sh"), shingleHash28(_)))
+      .withColumn("sig", signature(col("hashes"), k))
+
+    // band key = the signature slice for that band; explode to (doc, band, key).
+    // Only (doc_id, band, key) travels through the candidate shuffle — the
+    // shingle sets are joined back for the verify step, so the LSH join
+    // payload stays a few dozen bytes per row regardless of document size.
+    val banded = withShingles
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+    val l = banded.select(col("doc_id").as("i"), col("band"), col("band_key"))
+    val r = banded.select(col("doc_id").as("j"), col("band"), col("band_key"))
+    val candidates = l.join(r, Seq("band", "band_key"))
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+      .dropDuplicates("i", "j")
+
+    // exact verify on the candidate set only
+    val shSets = withShingles.select(col("doc_id"), col("sh"))
+    val verified = candidates
+      .join(shSets.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(shSets.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType)
+    val uni = (size(col("sh_i")) + size(col("sh_j"))).cast(DoubleType) - inter
+    verified
+      .withColumn("jaccard", inter / uni)
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("i", "j")
+  }
+}

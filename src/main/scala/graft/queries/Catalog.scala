@@ -1,0 +1,13 @@
+package graft.queries
+
+/** The full declared query catalog (SURVEY §2.2): relational Q1–Q27 plus
+  * the LLM-pipeline extensions Q28–Q38. Names are unique and stable — the
+  * driver keys CORRECTNESS/BENCH artifacts on them.
+  */
+object Catalog {
+  val all: Seq[Q] = Relational.qs ++ Llm.qs
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+
+  val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.MinHashLsh
+
+/** LLM-data-pipeline catalog (SURVEY §2.2 Q28–Q30 + the north-star
+  * extensions): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding near-dup), similarity search, sessionization and text analysis.
+  * Spark side is higher-order-function based (no UDFs) so everything stays
+  * in whole-stage codegen and the DuckDB oracle can reproduce each value.
+  */
+object Llm {
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q28_dedup_exact",
+      """Q28 — exact dedup by content hash keeping the smallest doc_id.
+        |row_number over the hash partition is the determinism-safe form of
+        |dropDuplicates; at 100 TB the shuffle carries (hash, doc_id) only.""".stripMargin,
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(md5(col("text").cast(BinaryType))).orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    Q("q29_ann_topk",
+      """Q29 — brute-force cosine top-k: the 5 nearest neighbours of
+        |vec_id = 0. The probe row is broadcast, so the scan side streams
+        |once with no shuffle; top-k is TakeOrderedAndProject. The 100 TB
+        |path (hyperplane-LSH bucketing) is AnnSpec's subject.""".stripMargin,
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pe AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(p.pe AS DOUBLE[]), CAST(p.pe AS DOUBLE[])))), 4) AS score
+        |FROM embeddings e, p WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+                round(VectorOps.cosine(col("embedding"), col("pe")), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    },
+
+    Q("q30_sessionize",
+      """Q30 — batch sessionization: a new session starts when the per-user
+        |gap exceeds 30 minutes. lag + cumulative-sum windows, one shuffle on
+        |user_id; the streaming twin (session_window) lives in Streams.""".stripMargin,
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |per_session AS (SELECT user_id, session_id, count(*) AS n
+        |  FROM sid GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(max(n) AS BIGINT) AS max_session_events,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+               > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             max(col("n")).cast(LongType).as("max_session_events"),
+             sum(col("n")).cast(LongType).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    Q("q30b_text_stats",
+      """Q30b — per-language corpus stats with an n_chars-vs-length(text)
+        |consistency check (SURVEY §2.2 Q30 second half).""".stripMargin,
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast(LongType).as("total_chars"),
+             sum(when(col("n_chars") === length(col("text")), 1).otherwise(0))
+               .cast(LongType).as("n_consistent"),
+             min(col("n_chars")).cast(LongType).as("min_chars"),
+             max(col("n_chars")).cast(LongType).as("max_chars"))
+        .orderBy("lang")
+    },
+
+    Q("q31_jaccard_pairs",
+      """Q31 — exact 3-word-shingle Jaccard near-dup pairs (j >= 0.5) via an
+        |inverted-index join: docs sharing a shingle are the only candidate
+        |pairs, so no O(n²) cross join; any pair with j > 0 shares a shingle,
+        |so the method is exact (no false negatives). MinHash-LSH (q32) is
+        |the constant-width-signature scale path.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, round(k * 1.0 / (ca.n + cb.n - k), 4) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)))
+            .as("s"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("i"), col("s"))
+        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("k"))
+      inter
+        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+        .withColumn("jaccard", col("k") * 1.0 / (col("ni") + col("nj") - col("k")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("i", "j")
+    },
+
+    Q.cap("q32_minhash_lsh",
+      """Q32 — MinHash + banded LSH near-dup pairs, exact-verified at the
+        |same 0.5 threshold as q31. No DuckDB oracle (LSH is probabilistic by
+        |design); MinHashLshSpec asserts recall vs q31's exact pairs.""".stripMargin) {
+      (s, d) =>
+        MinHashLsh.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+    },
+
+    Q("q33_embedding_neardup",
+      """Q33 — embedding-cosine near-dup pairs (cos > 0.4), brute force with
+        |i < j pruning at oracle scale; the hyperplane-LSH bucketing in
+        |VectorOps is the 100 TB path (shuffle by bucket, compare within).""".stripMargin,
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.4
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      val a = Tables.embeddings(s, d)
+        .select(col("vec_id").as("i"), col("embedding").as("ea"))
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id").as("j"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("i") < col("j"))
+        .withColumn("cs", VectorOps.cosine(col("ea"), col("eb")))
+        .filter(col("cs") > 0.4)
+        .select(col("i"), col("j"), round(col("cs"), 4).as("score"))
+        .orderBy("i", "j")
+    },
+
+    Q("q34_simhash",
+      """Q34 — 32-bit md5-based SimHash fingerprint per document, computed in
+        |one higher-order-function pass (no explode, no extra shuffle). The
+        |oracle reproduces it bit-for-bit via the explode formulation.""".stripMargin,
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |bits AS (SELECT doc_id, t, b,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), (b // 4) + 1, 1)) - 1)
+        |             & (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) > 0
+        |       THEN 1 ELSE -1 END AS v
+        |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS b) bb),
+        |s AS (SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    Q("q35_quality",
+      """Q35 — document quality scoring: token count, mean token length,
+        |stopword ratio and a blended score. All ratios derive from exact
+        |integer counts, so double arithmetic is engine-identical.""".stripMargin,
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+        |            FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round((nc - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_token_len,
+        |  round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+        |        * 1.0 / len(toks), 4) AS stop_ratio,
+        |  round(0.5 * (len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+        |               * 1.0 / len(toks))
+        |      + 0.5 * least(1.0, len(toks) / 200.0), 4) AS score
+        |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val toks = col("toks")
+      val n = size(toks)
+      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val stopRatio = hits * 1.0 / n
+      Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+                n.cast(LongType).as("n_tokens"),
+                round((length(col("text")) - (n - 1)) * 1.0 / n, 4).as("mean_token_len"),
+                round(stopRatio, 4).as("stop_ratio"),
+                round(stopRatio * 0.5 + least(lit(1.0), n / 200.0) * 0.5, 4).as("score"))
+        .orderBy("doc_id")
+    },
+
+    Q("q36_token_count",
+      """Q36 — token counting two ways: whitespace split and a BPE-ish
+        |regex ([a-z0-9]+ runs), per document.""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+                expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))")
+                  .cast(LongType).as("re_tokens"),
+                length(col("text")).cast(LongType).as("n_chars_txt"))
+        .orderBy("doc_id")
+    },
+
+    Q("q37_fingerprint",
+      """Q37 — bottom-k sketch fingerprint: the 4 smallest md5 hashes of the
+        |document's distinct 3-shingles, concatenated. A fixed-width
+        |order-independent fingerprint suitable for 100 TB dedup joins.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, md5(a.t || ' ' || b.t || ' ' || c.t) AS h
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |fp AS (SELECT doc_id, array_to_string(list_sort(list(h))[1:4], '|') AS fp
+        |  FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(fp.fp, '') AS fp
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(
+            slice(array_sort(array_distinct(
+              transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+                sh => md5(sh.cast(BinaryType))))), 1, 4), "|").as("fp"))
+        .orderBy("doc_id")
+    },
+
+    Q("q38_langid",
+      """Q38 — heuristic language ID: argmax of fixed stopword-list hit
+        |counts (tie → smallest code, none → 'und'). A single narrow map —
+        |no shuffle — so it scales with the scan.""".stripMargin,
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','y','es','un','en'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','dans'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS s_zh
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,656 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.Tables.money
+
+/** Relational catalog Q1–Q27 (SURVEY §2.2): scans, predicates, the full join
+  * family, aggregation/rollup/cube, window functions, sort/limit, set ops and
+  * the scalar-function surface. Spark side is DataFrame-API first so Catalyst
+  * owns pushdown, pruning, join selection and AQE; oracle SQL (DuckDB
+  * dialect) is semantically identical under the §7.3 canonicalization.
+  */
+object Relational {
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+  /** decimal-safe money sum surfaced as double (§7.3). */
+  private def sumMoney(c: Column): Column = dbl(sum(money(c)))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- scans
+    Q("q01_scan_agg",
+      """Q1 — parquet scan + filter + projection, aggregated to a checksum
+        |row. At scale the filter and the 3-column projection both reach the
+        |parquet reader (PushedFilters / ReadSchema), so a 100 TB scan reads
+        |only the needed column chunks and row groups.""".stripMargin,
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") < to_timestamp(lit("1998-09-03")))
+          .select("l_orderkey", "l_quantity", "l_shipdate")
+          .agg(count(lit(1)).as("cnt"),
+               sum("l_orderkey").as("sum_key"),
+               sumMoney(col("l_quantity")).as("sum_qty"))
+    },
+
+    Q("q02_docs_scan",
+      """Q2 — fixed-schema scan of the documents table with pushdown-friendly
+        |IN/BETWEEN predicates. (The reference-shaped JSON source with its
+        |explicit StructType is exercised in EtlPipelineSpec; this is its
+        |relational twin on the driver corpus.)""".stripMargin,
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en','fr') AND n_chars BETWEEN 100 AND 5000
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang").isin("en", "fr") && col("n_chars").between(100, 5000))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ----------------------------------------------------------- predicates
+    Q("q03_predicates",
+      """Q3 — conjunctive/disjunctive/NOT predicates, IN, BETWEEN, LIKE and
+        |null-safe equality. All are codegen'd comparisons the parquet reader
+        |can use for row-group skipping at scale.""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderstatus IS NOT DISTINCT FROM 'F' OR o_orderpriority LIKE '1%')
+        |  AND o_totalprice BETWEEN 10000 AND 200000
+        |  AND NOT (o_orderkey % 5 = 0)
+        |  AND o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter((col("o_orderstatus") <=> "F" || col("o_orderpriority").like("1%"))
+          && col("o_totalprice").between(10000, 200000)
+          && !(col("o_orderkey") % 5 === 0)
+          && col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- joins
+    Q("q04_join_multiway",
+      """Q4 — multi-way inner equi-join: customer ⋈ orders ⋈ nation ⋈ region,
+        |revenue per (region, nation). The big side (orders⋈customer) is a
+        |shuffle join on the key; nation/region are tiny and AQE converts them
+        |to broadcasts at runtime — no hint needed, survives 100× scale-up.""".stripMargin,
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sumMoney(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    },
+
+    Q("q05_broadcast_join",
+      """Q5 — Q4 with explicit broadcast() hints on the dimension tables plus
+        |a region filter. At 100 TB the fact side streams once; the broadcast
+        |eliminates the dimension shuffle entirely.""".stripMargin,
+      """SELECT n_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    Q("q06_left_outer",
+      """Q6 — left outer join with null handling: every customer with its
+        |count of big orders, zero included. Pre-aggregating the right side
+        |before the join keeps the shuffled payload one row per key.""".stripMargin,
+      """SELECT c_custkey, CAST(coalesce(cnt, 0) AS BIGINT) AS n_big_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders
+        |  WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+                coalesce(col("cnt"), lit(0L)).cast(LongType).as("n_big_orders"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q07_semi_join",
+      """Q7 — left semi join (EXISTS): customers with at least one purchase
+        |event. Semi join shuffles only the key column of the probe side and
+        |never duplicates matches.""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val purchasers = Tables.events(s, d)
+        .filter(col("event_type") === "purchase").select(col("user_id"))
+      Tables.customer(s, d)
+        .join(purchasers, col("c_custkey") === col("user_id"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q("q08_anti_join",
+      """Q8 — left anti join (NOT EXISTS), the reference's S5 idempotency
+        |filter (fetch_legal_docs.py:41-43) generalized: documents whose id is
+        |not in a processed set. The anti join is the scalable exactly-once
+        |incremental core at 100 TB — no driver-side membership checks.""".stripMargin,
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val processed = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0).select(col("doc_id").as("p_id"))
+      Tables.documents(s, d)
+        .join(processed, col("doc_id") === col("p_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    Q("q09_full_outer",
+      """Q9 — full outer join with both/left_only/right_only tagging over two
+        |derived key sets.""".stripMargin,
+      """WITH l AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+        |     r AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT coalesce(l.k, r.k) AS custkey,
+        |       CASE WHEN l.k IS NULL THEN 'right_only'
+        |            WHEN r.k IS NULL THEN 'left_only' ELSE 'both' END AS tag
+        |FROM l FULL OUTER JOIN r ON l.k = r.k
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val l = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("lk"))
+      val r = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+        .select(col("o_custkey").as("rk")).distinct()
+      l.join(r, col("lk") === col("rk"), "full_outer")
+        .select(coalesce(col("lk"), col("rk")).as("custkey"),
+                when(col("lk").isNull, "right_only")
+                  .when(col("rk").isNull, "left_only")
+                  .otherwise("both").as("tag"))
+        .orderBy("custkey")
+    },
+
+    Q("q10_theta_join",
+      """Q10 — equi join with a theta residual: lineitem ⋈ part on partkey
+        |where l_extendedprice > p_retailprice, counted per brand. The equi
+        |key drives the shuffle; the inequality is a cheap residual filter,
+        |so the plan stays a hash/sort-merge join (never a nested loop).""".stripMargin,
+      """SELECT p_brand, count(*) AS cnt
+        |FROM lineitem JOIN part
+        |ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+              col("l_partkey") === col("p_partkey") &&
+              col("l_extendedprice") > col("p_retailprice"))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    },
+
+    Q("q11_range_join",
+      """Q11 — band/range self-join: pairs of events of the same user within
+        |5 minutes. The equi key (user_id) carries the shuffle; the time band
+        |is a residual. Scale path: co-partition by (user_id, time-bucket) so
+        |each bucket joins locally; implemented here as the Catalyst-friendly
+        |equi+residual form, which AQE skew-splits if a user is hot.""".stripMargin,
+      """SELECT e1.user_id AS user_id, count(*) AS pairs
+        |FROM events e1 JOIN events e2
+        |ON e1.user_id = e2.user_id
+        |AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |GROUP BY e1.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e1 = Tables.events(s, d).select(col("user_id"), col("ts").as("ts1"))
+      val e2 = Tables.events(s, d).select(col("user_id").as("uid2"), col("ts").as("ts2"))
+      e1.join(e2, col("user_id") === col("uid2") &&
+                  col("ts2") > col("ts1") &&
+                  col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+        .orderBy("user_id")
+    },
+
+    Q("q12_asof",
+      """Q12 — as-of: for each purchase event, the same user's latest
+        |strictly-earlier signup timestamp. Declared via an ordered-frame
+        |window so the identical SQL runs on the oracle; a dedicated
+        |range-partitioned as-of SparkStrategy is the §4 scale option.""".stripMargin,
+      """WITH se AS (SELECT * FROM events WHERE event_type IN ('signup','purchase')),
+        |w AS (SELECT event_id, user_id, ts, event_type,
+        |  max(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup
+        |  FROM se)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(last_signup) AS signup_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("last_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("ts_us"),
+                unix_micros(col("last_signup")).as("signup_us"))
+        .orderBy("event_id")
+    },
+
+    // ----------------------------------------------------------- aggregates
+    Q("q13_tpch_q1",
+      """Q13 — TPC-H Q1 shape: grouped sums/avg/count by return flag and line
+        |status. Hash aggregation with map-side partials; decimal-safe sums
+        |(§7.3) keep the result independent of partition count.""".stripMargin,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dbl(sum(money(col("l_quantity")))).as("sum_qty"),
+             dbl(sum(money(col("l_extendedprice")))).as("sum_price"),
+             round(dbl(sum(col("l_discount").cast(DecimalType(18, 4)))) / count(lit(1)), 4)
+               .as("avg_disc"),
+             count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q14_count_distinct",
+      """Q14 — exact distinct count per group. Spark expands to a two-phase
+        |partial-distinct aggregate; no driver-side state.""".stripMargin,
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")
+    },
+
+    Q("q15_rollup",
+      """Q15 — rollup with an explicit grouping-bit key. gid is computed from
+        |grouping() bits identically on both engines (grouping_id numbering is
+        |engine-specific, the bit formula is not).""".stripMargin,
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       CAST(grouping(o_orderpriority)*2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, prio, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg((grouping(col("o_orderpriority")) * 2 + grouping(col("o_orderstatus")))
+               .cast(LongType).as("gid"),
+             count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+                coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                col("gid"), col("cnt"))
+        .orderBy("gid", "prio", "status")
+    },
+
+    Q("q15b_cube",
+      """Q15b — cube over a joined dimension (region name × order status).""".stripMargin,
+      """SELECT coalesce(r_name, 'ALL') AS rname,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       CAST(grouping(r_name)*2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+        |       count(*) AS cnt
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, o_orderstatus)
+        |ORDER BY gid, rname, status""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rn"), col("o_orderstatus").as("st"))
+        .createOrReplaceTempView("q15b_base")
+      s.sql(
+        """SELECT coalesce(rn, 'ALL') AS rname,
+          |       coalesce(st, 'ALL') AS status,
+          |       CAST(grouping(rn)*2 + grouping(st) AS BIGINT) AS gid,
+          |       count(*) AS cnt
+          |FROM q15b_base GROUP BY CUBE (rn, st)
+          |ORDER BY gid, rname, status""".stripMargin)
+    },
+
+    Q("q16_argmax",
+      """Q16 — deterministic argmax via struct-max: each customer's top order
+        |(highest price, ties broken by highest orderkey). max(struct(price,
+        |key)) is a single hash-agg pass — no window shuffle-and-sort. Oracle
+        |states the same semantics with a row_number window.""".stripMargin,
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+        |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+                col("m.o_orderkey").as("top_orderkey"),
+                col("m.o_totalprice").as("top_price"))
+        .orderBy("o_custkey")
+    },
+
+    Q.cap("q16b_approx_distinct",
+      """Q16b — approx_count_distinct (HLL++) alongside the exact count.
+        |No DuckDB oracle: approx sketches differ across engines by design;
+        |the 5% tolerance vs the exact column is asserted in CatalogSpec.""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    Q("q16c_ordered_concat",
+      """Q16c — the reference's S10 ordered page reassembly
+        |(fetch_legal_docs.py:64) as an aggregation: per-user event ids
+        |joined in timestamp order. sort_array(collect_list(struct(...)))
+        |makes the order explicit — bare collect_list is partition-order
+        |nondeterministic (SURVEY §7.3).""".stripMargin,
+      """SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ','
+        |         ORDER BY ts, event_id) AS id_concat
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .groupBy("user_id")
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(ts, event_id))), x -> cast(x.event_id as string))"),
+          ",").as("id_concat"))
+        .orderBy("user_id")
+    },
+
+    // -------------------------------------------------------------- windows
+    Q("q17_ranking",
+      """Q17 — row_number / rank / dense_rank over a per-customer price
+        |ordering with a unique tie-break; top-3 per customer. The window
+        |shuffles once on the partition key; all three functions share the
+        |same sort.""".stripMargin,
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER win AS BIGINT) AS rn,
+        |  CAST(rank()       OVER win AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER win AS BIGINT) AS drk
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_custkey, o_orderkey, rn, rk, drk FROM w WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                row_number().over(w).cast(LongType).as("rn"),
+                rank().over(w).cast(LongType).as("rk"),
+                dense_rank().over(w).cast(LongType).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    Q("q18_lag_lead",
+      """Q18 — lag over event time: per-user inter-event gap in microseconds.
+        |Epoch-micros keeps the output engine-neutral (§7.3).""".stripMargin,
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+                (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+                  .as("delta_us"))
+        .orderBy("event_id")
+    },
+
+    Q("q19_running_sum",
+      """Q19 — explicit-frame running sum: cumulative decimal revenue per
+        |customer in order-date order. rowsBetween(unboundedPreceding,
+        |currentRow) over a DECIMAL column is exact regardless of partition
+        |layout.""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                dbl(sum(money(col("o_totalprice"))).over(w)).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q20_ntile",
+      """Q20 — ntile(4) + percent_rank over a global ordering with unique
+        |tie-break. Scale note: a single unpartitioned window is a driver of
+        |skew at 100 TB — the scalable variant pre-aggregates quantile
+        |boundaries (approx_percentile) and joins them; declared here in the
+        |exact global form the oracle can check.""".stripMargin,
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS tile,
+        |  round(percent_rank() OVER win, 6) AS pr
+        |FROM customer
+        |WINDOW win AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+                ntile(4).over(w).cast(LongType).as("tile"),
+                round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("c_custkey")
+    },
+
+    // --------------------------------------------------------- sort / limit
+    Q("q21_topk",
+      """Q21 — global top-10 by aggregated revenue with full tie-break.
+        |Spark plans TakeOrderedAndProject: each partition keeps its local
+        |top-10, the driver merges — no global sort materialization.""".stripMargin,
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer c JOIN orders o ON c_custkey = o_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------- setops
+    Q("q22_setops",
+      """Q22 — union / intersect / except (distinct semantics) over two
+        |customer key sets, tagged into one result. Spark's union is
+        |UNION ALL; .distinct() restores SQL UNION semantics.""".stripMargin,
+      """WITH big AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |     recent AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |                WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT 'union' AS op, k FROM (SELECT k FROM big UNION SELECT k FROM recent)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (SELECT k FROM big INTERSECT SELECT k FROM recent)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (SELECT k FROM big EXCEPT SELECT k FROM recent)
+        |ORDER BY op, k""".stripMargin) { (s, d) =>
+      val big = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+        .select(col("o_custkey").as("k")).distinct()
+      val u = big.union(recent).distinct().select(lit("union").as("op"), col("k"))
+      val i = big.intersect(recent).select(lit("intersect").as("op"), col("k"))
+      val e = big.except(recent).select(lit("except").as("op"), col("k"))
+      u.union(i).union(e).orderBy("op", "k")
+    },
+
+    // ------------------------------------------------------ scalar functions
+    Q("q23_strings",
+      """Q23 — the reference's string surface (S12 year regex
+        |fetch_legal_docs.py:21-30, S13 filename derivation :35-36,75) over a
+        |synthesized URL column: basename, %20→_, extension strip, _→space
+        |title, plus the year regex over the first 1000 chars (returns the
+        |reference's "" sentinel when absent).""".stripMargin,
+      """WITH u AS (SELECT doc_id, lang, text,
+        |  'https://ex.org/archive/Vol%20' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |     || '_' || lang || '.pdf' AS url FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_extract(url, '[^/]+$', 0), '%20', '_'),
+        |                 '\.pdf$', '') AS base_name,
+        |  replace(regexp_replace(regexp_replace(regexp_extract(url, '[^/]+$', 0),
+        |                 '%20', '_'), '\.pdf$', ''), '_', ' ') AS title,
+        |  regexp_extract(substr(text, 1, 1000), '\b(19[5-9]\d|20\d{2})\b', 1) AS yr,
+        |  upper(lang) AS lang_upper,
+        |  CAST(length(text) AS BIGINT) AS n_len,
+        |  substr(text, 1, 20) AS head
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = regexp_replace(
+        regexp_replace(regexp_extract(col("url"), "[^/]+$", 0), "%20", "_"),
+        "\\.pdf$", "")
+      Tables.documents(s, d)
+        .withColumn("url",
+          concat(lit("https://ex.org/archive/Vol%20"),
+                 lpad(col("doc_id").cast(StringType), 4, "0"),
+                 lit("_"), col("lang"), lit(".pdf")))
+        .select(col("doc_id"),
+                base.as("base_name"),
+                regexp_replace(base, "_", " ").as("title"),
+                regexp_extract(substring(col("text"), 1, 1000),
+                               "\\b(19[5-9]\\d|20\\d{2})\\b", 1).as("yr"),
+                upper(col("lang")).as("lang_upper"),
+                length(col("text")).cast(LongType).as("n_len"),
+                substring(col("text"), 1, 20).as("head"))
+        .orderBy("doc_id")
+    },
+
+    Q("q24_datetime",
+      """Q24 — datetime surface: month truncation, extraction, datediff and
+        |interval arithmetic, all surfaced as strings/ints (§7.3). Session TZ
+        |pinned UTC on both engines.""".stripMargin,
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+        |  count(*) AS cnt,
+        |  CAST(min(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS min_days,
+        |  CAST(max(day(o_orderdate)) AS BIGINT) AS max_dom,
+        |  CAST(min(year(o_orderdate)) AS BIGINT) AS yr
+        |FROM orders GROUP BY date_trunc('month', o_orderdate) ORDER BY month""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"),
+             min(datediff(col("o_orderdate"), to_date(lit("1995-01-01"))))
+               .cast(LongType).as("min_days"),
+             max(dayofmonth(col("o_orderdate"))).cast(LongType).as("max_dom"),
+             min(year(col("o_orderdate"))).cast(LongType).as("yr"))
+        .select(date_format(col("m"), "yyyy-MM-dd").as("month"),
+                date_format(add_months(col("m"), 1), "yyyy-MM-dd").as("next_month"),
+                col("cnt"), col("min_days"), col("max_dom"), col("yr"))
+        .orderBy("month")
+    },
+
+    Q("q25_math",
+      """Q25 — math surface per-row on a keyed sample: floor/ceil/abs/pow/
+        |ln/sqrt, rounded per §7.3 (libm last-ulp differences across engines
+        |are absorbed by round(_,4)).""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |  CAST(ceil(l_quantity * 1.5) AS BIGINT) AS cl,
+        |  round(abs(l_discount - 0.05), 4) AS ad,
+        |  round(pow(1.0 + l_discount, 3.0), 4) AS pw,
+        |  round(ln(1.0 + l_extendedprice), 4) AS lg,
+        |  round(sqrt(l_extendedprice), 4) AS sq
+        |FROM lineitem WHERE l_orderkey % 600 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 600 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                floor(col("l_quantity")).cast(LongType).as("fl"),
+                ceil(col("l_quantity") * 1.5).cast(LongType).as("cl"),
+                round(abs(col("l_discount") - 0.05), 4).as("ad"),
+                round(pow(lit(1.0) + col("l_discount"), 3.0), 4).as("pw"),
+                round(log(lit(1.0) + col("l_extendedprice")), 4).as("lg"),
+                round(sqrt(col("l_extendedprice")), 4).as("sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q26_token_topk",
+      """Q26 — tokenize → explode → top-20 token frequencies (the S19
+        |"index for search" capability). At scale the explode is map-side and
+        |the count is a partial-agg shuffle of (token, count) pairs only;
+        |top-k is TakeOrderedAndProject.""".stripMargin,
+      """SELECT t AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    },
+
+    Q("q26b_array_ops",
+      """Q26b — array function surface over tokenized text: size, distinct,
+        |contains, slice of sorted prefix, posexplode-equivalent join key.""".stripMargin,
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT)                AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_contains(toks, 'data')              AS has_data,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3
+        |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+                size(col("toks")).cast(LongType).as("n_tokens"),
+                size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+                array_contains(col("toks"), "data").as("has_data"),
+                array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), "|")
+                  .as("first3"))
+        .orderBy("doc_id")
+    },
+
+    Q("q27_json",
+      """Q27 — JSON-in-string surface over events.props: extraction, cast,
+        |modular grouping, decimal-safe value sum. from_json with an explicit
+        |schema (never inference) is the 100 TB-safe path.""".stripMargin,
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS BIGINT) AS kmod,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+        .groupBy((col("k") % 10).cast(LongType).as("kmod"))
+        .agg(count(lit(1)).as("cnt"),
+             sumMoney(col("value")).as("sum_value"))
+        .orderBy("kmod")
+    }
+  )
+}
