@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The reference's batch ingestion pipeline (E1/E2, SURVEY §3) re-expressed
+  * as composable DataFrame stages. Shape at scale: the per-document section
+  * (S9–S15) is one narrow projection chain — a single whole-stage-codegen
+  * span over however many executors hold the binary partitions; the only
+  * wide operations are the S5 incremental anti-join (shuffle on base_name)
+  * and any file-per-doc sink repartition.
+  *
+  * Error containment (S16, fetch_legal_docs.py:93-96): extraction failures
+  * become quarantine rows, never task failures — `process` returns both
+  * channels and the caller picks sinks for each.
+  */
+object Pipeline {
+
+  /** S1–S3: hrefs scraped from a listing page → absolute PDF URLs.
+    * (The HTTP fetch itself is driver-side / pre-staged — SURVEY §2.1 S1.)
+    */
+  def linksFromHrefs(hrefs: DataFrame, base: String = DocOps.DefaultBase): DataFrame =
+    hrefs
+      .filter(DocOps.isPdfLink(col("href")))
+      .select(DocOps.absolutize(col("href"), base).as("url"))
+
+  /** S5 — incremental anti-join: keep only URLs whose base_name has no
+    * already-processed output (reference: fetch_legal_docs.py:41-43, the
+    * file-exists check — generalized to a distributed anti-join so the
+    * "processed set" can be 10^10 rows without a driver-side lookup).
+    */
+  def incremental(links: DataFrame, processedBaseNames: DataFrame): DataFrame = {
+    val withBase = links.withColumn("base_name", DocOps.baseNameOf(col("url")))
+    withBase.join(processedBaseNames.select(col("base_name")),
+                  Seq("base_name"), "left_anti")
+  }
+
+  /** Result channels of the per-document stage (S16 quarantine pattern). */
+  final case class Processed(docs: DataFrame, quarantine: DataFrame)
+
+  /** S9–S14 over staged binaries: (url, content: BINARY) → document records
+    * + quarantine channel. `extractor` runs inside a deserializing map — the
+    * page *dataflow* (explode → order-preserving reassembly) is plain Spark.
+    *
+    * @param keepEmptyPages mcp_server.py:27-28 keeps empty pages as "";
+    *                       the CLI pipeline drops them (fetch_legal_docs.py:63).
+    * @param ingestDate     injected run date (reference uses today();
+    *                       injection keeps runs reproducible).
+    */
+  def process(binaries: DataFrame, extractor: PageExtractor,
+              ingestDate: String, keepEmptyPages: Boolean = false): Processed = {
+    val spark = binaries.sparkSession
+    val extractUdf = udf((bytes: Array[Byte]) =>
+      if (bytes == null) Seq.empty[String]
+      else try extractor.extractPages(bytes)
+      catch { case _: Exception => Seq.empty[String] })
+
+    // S9: binary → pages with position (posexplode keeps page order explicit)
+    val pages = binaries
+      .select(col("url"), posexplode_outer(extractUdf(col("content")))
+        .as(Seq("pos", "page")))
+    val kept = if (keepEmptyPages) pages
+               else pages.filter(col("page").isNull || DocOps.nonEmptyPage(col("page")))
+
+    // S10: ordered reassembly — sort_array(collect_list(struct)) per §7.3.
+    // Left-join back to the URL set: a doc whose pages were ALL dropped
+    // (or whose extraction failed) must surface in quarantine, not vanish.
+    val reassembled = binaries.select("url").distinct()
+      .join(
+        kept.filter(col("page").isNotNull)
+          .groupBy("url")
+          .agg(DocOps.joinPages(
+            collect_list(struct(col("pos"), col("page").as("txt"))))
+            .as("content")),
+        Seq("url"), "left")
+      .withColumn("content", coalesce(col("content"), lit("")))
+
+    // S11 gate splits good docs from quarantine (S16): whitespace-only text
+    // means a failed/garbage parse — the reference logs and skips
+    // (fetch_legal_docs.py:66-68) and the consolidated variant deletes the
+    // bad PDF (import requests.py:84); here the row lands in `quarantine`
+    // for the caller's compensating action.
+    val good = reassembled
+      .filter(DocOps.nonEmptyDoc(col("content")))
+      .select(DocOps.docRecord(col("url"), col("content"), lit(ingestDate))
+        .as("doc"))
+      .select("doc.*")
+    val quarantine = reassembled
+      .filter(!DocOps.nonEmptyDoc(col("content")))
+      .select(col("url"), lit("empty_or_unparseable").as("reason"))
+    Processed(good, quarantine)
+  }
+
+  /** S15 — document sink: UTF-8 JSON, non-ASCII preserved (Spark writes
+    * unescaped UTF-8 by default, matching ensure_ascii=False at
+    * fetch_legal_docs.py:89). `filePerDoc` repartitions by title so each
+    * document lands in its own file, preserving the reference's
+    * one-file-per-doc contract when required; the analytic default is plain
+    * part-files (no extra shuffle).
+    */
+  def writeDocs(docs: DataFrame, path: String, filePerDoc: Boolean = false): Unit = {
+    val out = if (filePerDoc) docs.repartition(col("title")) else docs
+    out.write.mode("overwrite").json(path)
+  }
+
+  /** Read back reference-shaped documents with the fixed contract schema —
+    * explicit, never inferred (SURVEY §1.2).
+    */
+  def readDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Tables.legalDocSchema).json(path)
+}

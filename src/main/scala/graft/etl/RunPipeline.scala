@@ -1,0 +1,48 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI twin of the reference's consolidated batch pipeline
+  * (E1, `python "import requests.py"` — SURVEY §3): staged PDF binaries in,
+  * reference-shaped JSON documents + quarantine report out.
+  *
+  * Usage: runMain graft.etl.RunPipeline <binaryDir> <outDir> [processedDir]
+  *   binaryDir    directory of *.pdf blobs (binaryFile source)
+  *   outDir       writes documents/ (JSON) and quarantine/ (JSON)
+  *   processedDir optional existing documents dir — its base names are
+  *                skipped (S5 incremental anti-join)
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(binaryDir, outDir) = args.take(2)
+    val processedDir = args.lift(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val staged = spark.read.format("binaryFile").load(binaryDir)
+      .select(col("path").as("url"), col("content"))
+    val links = processedDir match {
+      case Some(dir) =>
+        val processed = Pipeline.readDocs(spark, dir)
+          .select(regexp_replace(col("title"), " ", "_").as("base_name"))
+        Pipeline.incremental(staged.select("url"), processed)
+          .join(staged, Seq("url"))
+      case None => staged
+    }
+    val ingestDate = java.time.LocalDate.now().toString
+    val out = Pipeline.process(links, RawPdfExtractor, ingestDate)
+    Pipeline.writeDocs(out.docs, s"$outDir/documents")
+    out.quarantine.write.mode("overwrite").json(s"$outDir/quarantine")
+    val nDocs = Pipeline.readDocs(spark, s"$outDir/documents").count()
+    val nQuar = spark.read.json(s"$outDir/quarantine").count()
+    println(s"""{"documents":$nDocs,"quarantined":$nQuar}""")
+    spark.stop()
+  }
+}

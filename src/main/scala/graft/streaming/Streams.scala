@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming twins of the reference's push-triggered incremental
+  * ingest (SURVEY §2.1 S5/S8 → §2.2 streaming caps). Every transform here
+  * takes a streaming OR batch DataFrame — the same code path is asserted
+  * batch-equivalent in StreamingSpec via Trigger.AvailableNow, which is the
+  * contract that makes the operators trustworthy at scale: state stores and
+  * watermarks behave identically on a 1000-executor cluster, only the
+  * checkpoint location changes.
+  */
+object Streams {
+
+  /** Incremental file source over a parquet directory — the streaming form
+    * of the reference's "process only new files" semantics (S5+S8,
+    * auto_ingest.yml push trigger). Exactly-once across restarts comes from
+    * the checkpoint, not from file-exists checks.
+    */
+  def parquetStream(spark: SparkSession, dir: String,
+                    schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+
+  /** Tumbling 1 h counts per event_type (cap: tumbling window). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** Sliding 1 h window every 15 min (cap: sliding window). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+
+  /** 30-min-gap session windows per user (cap: session window; the
+    * streaming twin of batch q30_sessionize).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("n_events"))
+
+  /** Streaming dedup by event_id within the watermark (cap: streaming dedup —
+    * S5 semantics on streams).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------- custom state
+  final case class ErrorEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class ErrorCount(user_id: Long, n_errors: Long)
+
+  /** Per-user running error count (cap: stateful custom op via
+    * mapGroupsWithState). State is one long per key — the smallest possible
+    * store. With `evictAfter` set, a processing-time timeout evicts idle
+    * users so the store size tracks the active-key working set, not the
+    * all-time key count; leave it None for finite AvailableNow runs
+    * (processing-time timeouts keep the query alive waiting for wall-clock
+    * time, which never terminates under AvailableNow).
+    */
+  def errorCounts(events: Dataset[ErrorEvent],
+                  evictAfter: Option[String] = None): Dataset[ErrorCount] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (evictAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, ErrorCount](timeoutConf) {
+        (user: Long, rows: Iterator[ErrorEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            ErrorCount(user, n)
+          } else {
+            val n = state.getOption.getOrElse(0L) +
+              rows.count(_.event_type == "error")
+            state.update(n)
+            evictAfter.foreach(state.setTimeoutDuration)
+            ErrorCount(user, n)
+          }
+      }
+  }
+
+  /** Run any of the above to a memory sink with Trigger.AvailableNow and
+    * return the materialized result — the batch-equivalence harness used by
+    * StreamingSpec (SURVEY §5.4).
+    */
+  def runAvailableNow(out: DataFrame, name: String, checkpoint: String,
+                      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** End-to-end ETL pipeline tests (SURVEY §3 E1/E2): incremental anti-join,
+  * quarantine channel, ordered reassembly through a real (fake-codec)
+  * binary → document run, JSON round-trip under the fixed schema, and the
+  * non-ASCII (Amharic) byte-level contract.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def binDf(rows: (String, String)*) =
+    rows.toDF("url", "raw")
+      .select($"url", $"raw".cast("binary").as("content"))
+
+  test("S5 — incremental anti-join skips processed base names") {
+    val links = Seq("https://x/Vol%2001.pdf", "https://x/Vol%2002.pdf",
+                    "https://x/Vol%2003.pdf").toDF("url")
+    val processed = Seq("Vol_01", "Vol_03").toDF("base_name")
+    val todo = Pipeline.incremental(links, processed)
+      .select("url").as[String].collect()
+    assert(todo === Array("https://x/Vol%2002.pdf"))
+  }
+
+  test("E1 — binaries → documents with quarantine (S9-S16)") {
+    val bins = binDf(
+      "https://x/good%20doc.pdf" -> "Decided 1998 page one\f\fpage three",
+      "https://x/empty.pdf" -> "\f  \f\t")
+    val out = Pipeline.process(bins, FormFeedExtractor, "2026-08-12")
+    val docs = out.docs.collect()
+    assert(docs.length === 1)
+    val doc = docs.head
+    assert(doc.getAs[String]("title") === "good doc")
+    assert(doc.getAs[String]("year") === "1998")
+    // CLI semantics: empty middle page dropped, not joined as ""
+    assert(doc.getAs[String]("content") === "Decided 1998 page one\npage three")
+    val quarantined = out.quarantine.collect()
+    assert(quarantined.length === 1)
+    assert(quarantined.head.getAs[String]("url") === "https://x/empty.pdf")
+  }
+
+  test("E3 variant — keepEmptyPages preserves \"\" pages (mcp_server.py:27-28)") {
+    val bins = binDf("https://x/d.pdf" -> "a\f\fb")
+    val out = Pipeline.process(bins, FormFeedExtractor, "2026-08-12",
+                               keepEmptyPages = true)
+    assert(out.docs.select("content").as[String].head() === "a\n\nb")
+  }
+
+  test("S15 — JSON round-trip: fixed schema, UTF-8 Amharic preserved") {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    val amharic = "የፌደራል ጠቅላይ ፍርድ ቤት ሰበር ውሳኔ 1998"
+    val bins = binDf("https://x/Amharic%20Vol.pdf" -> amharic)
+    val out = Pipeline.process(bins, FormFeedExtractor, "2026-08-12")
+    Pipeline.writeDocs(out.docs, dir)
+    val back = Pipeline.readDocs(spark, dir)
+    assert(back.schema === graft.Tables.legalDocSchema)
+    assert(back.select("content").as[String].head() === amharic)
+    // byte-level: the json on disk must carry raw UTF-8 (ensure_ascii=False
+    // contract, fetch_legal_docs.py:89), not \u escapes
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    val rawText = files.map(f => new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)).mkString
+    assert(rawText.contains("የፌደራል"))
+  }
+
+  test("file-per-doc sink writes one json file per title") {
+    val dir = Files.createTempDirectory("graft_perdoc").toString
+    val bins = binDf(
+      "https://x/A.pdf" -> "alpha 1998",
+      "https://x/B.pdf" -> "beta 1999",
+      "https://x/C.pdf" -> "gamma 2000")
+    val out = Pipeline.process(bins, FormFeedExtractor, "2026-08-12")
+    Pipeline.writeDocs(out.docs, dir, filePerDoc = true)
+    val back = Pipeline.readDocs(spark, dir)
+    assert(back.count() === 3)
+  }
+
+  test("RawPdfExtractor — uncompressed-stream fixture + garbage input") {
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\n" +
+      "BT (Hello) Tj (World) Tj ET\nendstream\nendobj\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(RawPdfExtractor.extractPages(pdf) === Seq("Hello World"))
+    assert(RawPdfExtractor.extractPages("not a pdf".getBytes) === Nil)
+    assert(RawPdfExtractor.extractPages(Array[Byte](0, 1, 2)) === Nil)
+  }
+
+  test("reference fixture PDFs parse without error (parser-gated, SURVEY §7.4)") {
+    val vol01 = Files.readAllBytes(java.nio.file.Paths.get("/root/reference/vol01.pdf"))
+    // vol01 uses compressed streams — the raw extractor must degrade to
+    // empty, never throw; the S16 channel handles it downstream.
+    val pages = RawPdfExtractor.extractPages(vol01)
+    assert(pages != null)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Multimodal plumbing tests: binaryFile ingest, per-partition feature
+  * extraction (schema/batch shape/laziness), frame-sample fan-out, and
+  * phash near-dup banding — all against the deterministic FakeCodec
+  * (the real codec is out-of-container, SURVEY §7.4-style stub).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val mediaDir: String = {
+    val dir = Files.createTempDirectory("graft_media")
+    Seq("imgA" -> "media-bytes-alpha", "imgB" -> "media-bytes-alpha",
+        "imgC" -> "completely different payload").foreach { case (name, body) =>
+      Files.write(dir.resolve(s"$name.bin"), body.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
+  test("binaryFile ingest — (path, kind, length, content) contract") {
+    val media = Multimodal.ingest(spark, mediaDir, "image")
+    val rows = media.collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.kind == "image"))
+    assert(rows.forall(r => r.length == r.content.length))
+  }
+
+  test("image features — deterministic per content, partition-layout independent") {
+    val media = Multimodal.ingest(spark, mediaDir, "image")
+    val f1 = Multimodal.imageFeatures(media, Multimodal.FakeCodec).collect()
+      .map(f => f.path -> f).toMap
+    val f2 = Multimodal.imageFeatures(media.repartition(3), Multimodal.FakeCodec)
+      .collect().map(f => f.path -> f).toMap
+    assert(f1 === f2)
+    // identical bytes → identical features; different bytes → different phash
+    val byName = f1.map { case (p, f) => Paths.get(p.stripPrefix("file:")).getFileName.toString -> f }
+    assert(byName("imgA.bin").phash === byName("imgB.bin").phash)
+    assert(byName("imgA.bin").phash !== byName("imgC.bin").phash)
+    assert(byName.values.forall(f => f.width >= 64 && f.height >= 64 &&
+      (1 to 4).contains(f.channels)))
+  }
+
+  test("frame sampling — one row per sampled frame, offsets spaced by everyMs") {
+    val media = Multimodal.ingest(spark, mediaDir, "video")
+    val frames = Multimodal.sampleFrames(media, Multimodal.FakeCodec, everyMs = 500)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.path).values.foreach { fs =>
+      val sorted = fs.sortBy(_.frameIdx)
+      sorted.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frameIdx === i)
+        assert(f.offsetMs === i * 500L)
+      }
+    }
+  }
+
+  test("phash near-dups — identical media pair found, distinct media not") {
+    val media = Multimodal.ingest(spark, mediaDir, "image")
+    val features = Multimodal.imageFeatures(media, Multimodal.FakeCodec).toDF()
+    val dups = Multimodal.phashNearDups(features, maxDist = 4).collect()
+    assert(dups.length === 1) // imgA ≈ imgB only
+    assert(dups.head.getAs[Int]("dist") === 0)
+  }
+
+  test("resize — binary passthrough preserves row count and metadata") {
+    val media = Multimodal.ingest(spark, mediaDir, "image")
+    val resized = Multimodal.resizeAll(media, Multimodal.FakeCodec, 8, 8).collect()
+    assert(resized.length === 3)
+    assert(resized.forall(r => r.length == r.content.length))
+  }
+}

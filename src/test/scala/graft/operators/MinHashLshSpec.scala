@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH near-dup detection vs the exact inverted-index Jaccard
+  * (q31) — the probabilistic scale path must recover the exact pairs at the
+  * declared threshold (SURVEY §2.2 q32; r=2, b=24 → P(candidate) ≥ 0.999 at
+  * j = 0.5).
+  */
+class MinHashLshSpec extends SparkSpec {
+
+  test("LSH pairs == exact Jaccard pairs at threshold 0.5 (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = graft.queries.Catalog.byName("q31_jaccard_pairs")
+      .build(spark, sf0001).select("i", "j")
+    val lsh = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("i", "j")
+    // exact verify step makes precision 1.0 by construction; recall is the
+    // probabilistic part — assert full recovery on this corpus
+    assert(lsh.exceptAll(exact).count() === 0, "LSH produced a non-exact pair")
+    assert(exact.exceptAll(lsh).count() === 0, "LSH missed an exact pair")
+  }
+
+  test("signature determinism across partition layouts") {
+    val docs = Tables.documents(spark, sf0001)
+    def sigs(parts: Int) = docs.repartition(parts)
+      .select(col("doc_id"),
+        MinHashLsh.signature(
+          transform(array_distinct(
+            graft.functions.TextOps.shingles(
+              graft.functions.TextOps.tokens(col("text")), 3)),
+            MinHashLsh.shingleHash28(_)), 8).as("sig"))
+    val a = sigs(2)
+    val b = sigs(7)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("hash params are deterministic and in range") {
+    val p1 = MinHashLsh.params(48)
+    val p2 = MinHashLsh.params(48)
+    assert(p1 === p2)
+    assert(p1.forall { case (a, b) =>
+      a >= 1 && a < 2147483647L && b >= 0 && b < 2147483647L })
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming caps verified by batch-equivalence (SURVEY §5.4): each
+  * streaming transform run with Trigger.AvailableNow over the events corpus
+  * must equal its batch twin on the same data. This pins watermark/window
+  * semantics before anything relies on them.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Stage the sf0.001 events as a micro-batch-able parquet dir (µs
+  // timestamps — the streaming source can't read the raw ns parquet either,
+  // so the staged dir is the shared input for both sides).
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events").toString
+    Tables.events(spark, sf0001).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val batchEvents = spark.read.parquet(eventsDir)
+
+  private def ckpt() = Files.createTempDirectory("graft_ckpt").toString
+
+  test("tumbling window — AvailableNow equals batch") {
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+    // Complete mode: append-mode windows close only when a LATER batch
+    // advances the watermark past them — under AvailableNow there is no
+    // later batch, so append emits nothing for a finite corpus.
+    val got = Streams.runAvailableNow(
+      Streams.tumblingCounts(stream), "t_tumble", ckpt(),
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val want = Streams.tumblingCounts(batchEvents)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("sliding window — AvailableNow equals batch") {
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+    val got = Streams.runAvailableNow(
+      Streams.slidingCounts(stream), "t_slide", ckpt(),
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val want = Streams.slidingCounts(batchEvents)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("session window — AvailableNow equals batch, and matches q30 totals") {
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+    val got = Streams.runAvailableNow(
+      Streams.sessionCounts(stream), "t_sess", ckpt(),
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val want = Streams.sessionCounts(batchEvents)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // cross-check against the batch lag+cumsum sessionizer (q30): same
+    // per-user session counts
+    val q30 = graft.queries.Catalog.byName("q30_sessionize").build(spark, sf0001)
+      .select($"user_id", $"n_sessions")
+    val fromWindows = got.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    assert(fromWindows.exceptAll(q30).isEmpty && q30.exceptAll(fromWindows).isEmpty)
+  }
+
+  test("streaming dedup within watermark — duplicates collapse") {
+    val dupDir = Files.createTempDirectory("graft_dup").toString
+    val dup = batchEvents.union(batchEvents.limit(100))
+    dup.repartition(3).write.mode("overwrite").parquet(dupDir)
+    val stream = Streams.parquetStream(spark, dupDir, batchEvents)
+    val got = Streams.runAvailableNow(Streams.dedupEvents(stream), "t_dedup", ckpt())
+    assert(got.count() === batchEvents.count())
+    assert(got.select("event_id").distinct().count() === got.count())
+  }
+
+  test("stateful error counts (mapGroupsWithState) — totals match batch") {
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+      .select($"user_id", $"ts", $"event_type").as[Streams.ErrorEvent]
+    val got = Streams.runAvailableNow(
+      Streams.errorCounts(stream).toDF(), "t_errs", ckpt(),
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // Update mode: last emission per user carries the final running count
+    val finals = got.groupBy("user_id").agg(max("n_errors").as("n_errors"))
+    val want = batchEvents.filter($"event_type" === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("n_errors"))
+    val diff = finals.join(want, Seq("user_id"))
+      .filter(finals("n_errors") =!= want("n_errors"))
+    assert(diff.count() === 0)
+  }
+
+  test("incremental file ingest — exactly-once across restarts (S5/S8)") {
+    // file sink, not memory: only durable sinks support checkpoint recovery
+    val srcDir = Files.createTempDirectory("graft_incr").toString
+    val outDir = Files.createTempDirectory("graft_incr_out").toString
+    val checkpoint = ckpt()
+    def runOnce(): Unit = {
+      val q = Streams.parquetStream(spark, srcDir, batchEvents)
+        .select("event_id")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    batchEvents.limit(200).write.mode("overwrite").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 200)
+    // "push" more files, restart from the same checkpoint: only new rows flow
+    batchEvents.limit(300).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 500) // 200 kept + 300 new, no reprocess
+  }
+}
