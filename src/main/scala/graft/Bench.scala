@@ -6,18 +6,37 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // the bench corpus is single-digit-MB parquet files; the default 128MB
+      // split size would scan each table in ONE task. 1MB splits spread the
+      // scan+partial-agg across cores. (Cluster deployments at real scale
+      // keep the default — this is per-corpus sizing, SURVEY guidance.)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: absorb JVM/codegen/classloader init on a tiny-SF query so the
+    // first timed query doesn't carry ~4s of one-time cost
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    // Median of 3 runs per query — the same methodology as the DuckDB
+    // baseline harness (dev/baseline.py), so the comparison measures
+    // steady-state execution, not per-query codegen/JIT warmup.
     // noop sink materializes every output column (count() would let Catalyst
-    // prune the query down to row counting — not an honest measurement)
+    // prune the query down to row counting — not an honest measurement).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        spark.catalog.clearCache() // operators may persist intermediates
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -15,9 +15,14 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** w-word shingles of a token array, e.g. shingles(tokens($"text"), 3).
-    * Empty array when the doc has fewer than w tokens.
+    * Empty array when the doc has fewer than w tokens. Native one-pass
+    * evaluation; [[shinglesHof]] is the value-semantics reference.
     */
-  def shingles(toks: Column, w: Int): Column = {
+  def shingles(toks: Column, w: Int): Column =
+    graft.functions.expressions.NativeExprs.shingles(toks, w)
+
+  /** Higher-order-function formulation of [[shingles]] — value-identical. */
+  def shinglesHof(toks: Column, w: Int): Column = {
     val n = size(toks)
     when(n >= w,
       transform(sequence(lit(1), n - lit(w - 1)),
@@ -34,9 +39,15 @@ object TextOps {
   /** 32-bit SimHash over the distinct tokens of a document, md5-based so the
     * oracle can reproduce it bit-for-bit. Bit b (b=0 is the MSB of the first
     * hex digit) is set iff Σ_tokens(2*bit_b(md5(token))-1) >= 0.
-    * Higher-order functions only — one pass per document, no explode/shuffle.
+    * One pass per document, no explode/shuffle; evaluation is the native
+    * expression (one md5 per token — the HOF twin below recomputes md5 per
+    * nibble and exists as the value-semantics reference for tests).
     */
-  def simhash32(toks: Column): Column = {
+  def simhash32(toks: Column): Column =
+    graft.functions.expressions.NativeExprs.simhash32(toks)
+
+  /** Higher-order-function formulation of [[simhash32]] — value-identical. */
+  def simhash32Hof(toks: Column): Column = {
     // per-token 32 bits (0/1) from the first 8 hex digits of md5(token)
     def bitsOf(t: Column): Column =
       flatten(transform(sequence(lit(1), lit(8)), i => {

@@ -12,17 +12,32 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   /** Dot product in double precision (floats are widened first; each
-    * float*float product is exact in double).
+    * float*float product is exact in double). Higher-order-function
+    * formulation — kept as the value-semantics reference; the hot paths use
+    * the codegen'd [[graft.functions.expressions.NativeExprs.dotF32]],
+    * which computes the identical left-to-right double sum.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product — same values as [[dotHof]], ~50× faster inside
+    * O(n²) similarity joins.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.NativeExprs.dotF32(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine with precomputed norms — for self-join shapes where norms are
+    * computed once per row instead of once per pair.
+    */
+  def cosinePrenorm(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
 
   /** Squared L2 distance (for IVF-style bucketing). */
   def l2sq(a: Column, b: Column): Column =

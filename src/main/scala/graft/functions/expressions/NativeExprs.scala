@@ -1,0 +1,329 @@
+// Hosted under org.apache.spark.sql so the expressions can use the
+// private[sql] Catalyst surface (AbstractDataType, ExpressionUtils) — the
+// standard packaging for out-of-tree Spark extensions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector/hash hot paths. The built-in
+  * higher-order functions (zip_with/aggregate/transform) evaluate their
+  * lambda per element through interpreted NamedLambdaVariables — fine for
+  * per-document work, ruinous inside an O(n²) similarity join. These
+  * expressions produce identical VALUES to their higher-order formulations
+  * (same double arithmetic order, same md5-derived bits — asserted in
+  * NativeExprsSpec) so the DuckDB oracles are unchanged; only the evaluation
+  * strategy differs.
+  */
+object NativeExprs {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Codegen'd dot product over ARRAY<FLOAT> in double precision —
+    * element-for-element identical to
+    * aggregate(zip_with(a,b,(x,y)=>double(x)*double(y)),0.0,+).
+    */
+  def dotF32(a: Column, b: Column): Column = col(DotF32(ex(a), ex(b)))
+
+  /** 32-bit md5 SimHash over a (distinct-ified by caller) token array —
+    * value-identical to TextOps.simhash32 (one md5 per token instead of 8).
+    */
+  def simhash32(toks: Column): Column = col(Simhash32Expr(ex(toks)))
+
+  /** MinHash signature: k minima of (a_i*h+b_i) mod P over a LONG hash
+    * array, one pass — value-identical to MinHashLsh.signature.
+    */
+  def minhashSig(hashes: Column, k: Int, seed: Long = 42L): Column =
+    col(MinHashSigExpr(ex(hashes), k, seed))
+
+  /** First `hexDigits` hex chars of md5(input) as a non-negative LONG —
+    * value-identical to conv(substring(md5(x),1,n),16,10).
+    */
+  def md5PrefixLong(c: Column, hexDigits: Int): Column =
+    col(Md5PrefixLong(ex(c), hexDigits))
+
+  /** md5 hex digest of every element of ARRAY<STRING> in one pass —
+    * value-identical to transform(arr, x => md5(cast(x as binary))).
+    */
+  def md5HexAll(arr: Column): Column = col(Md5HexAll(ex(arr)))
+
+  /** w-token shingles of a token array in one pass — value-identical to
+    * TextOps.shinglesHof: transform(sequence(1, n-w+1),
+    * i => concat_ws(" ", slice(toks, i, w))), empty when n < w.
+    */
+  def shingles(toks: Column, w: Int): Column = col(ShinglesExpr(ex(toks), w))
+
+  /** First `hexDigits` hex chars of md5 of every element of ARRAY<STRING>
+    * as ARRAY<LONG>, one pass — value-identical to
+    * transform(arr, x => md5PrefixLong(x, hexDigits)).
+    */
+  def md5PrefixAll(arr: Column, hexDigits: Int): Column =
+    col(Md5PrefixAll(ex(arr), hexDigits))
+}
+
+case class ShinglesExpr(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      // concat_ws semantics: null tokens are skipped by concat_ws; split()
+      // never yields nulls so the plain join is value-identical here
+      val parts = new Array[UTF8String](2 * w - 1)
+      var j = 0
+      while (j < w) {
+        parts(2 * j) = arr.getUTF8String(i + j)
+        if (j < w - 1) parts(2 * j + 1) = SPACE
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+case class Md5PrefixAll(child: Expression, hexDigits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(hexDigits >= 1 && hexDigits <= 15, "long holds at most 15 hex digits")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_prefix_all"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = Md5.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < hexDigits) {
+        val nibble =
+          if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf
+          else d(j >> 1) & 0xf
+        v = (v << 4) | nibble
+        j += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixAll =
+    copy(child = newChild)
+}
+
+case class DotF32(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared md5 helper (thread-local digest — expressions evaluate on many
+  * task threads concurrently).
+  */
+private[graft] object Md5 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = md.get(); d.reset(); d.digest(bytes)
+  }
+}
+
+case class Simhash32Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](32)
+    // distinct tokens, preserving the HOF's array_distinct first-seen order
+    // (order is irrelevant to the sum, dedup is what matters)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null && seen.add(t)) {
+        val d = Md5.digest(t.getBytes)
+        var b = 0
+        while (b < 32) {
+          val bit = (d(b >> 3) >> (7 - (b & 7))) & 1
+          sums(b) += bit * 2 - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) >= 0) out |= 1L << (31 - b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  private val P = 2147483647L
+  // (a_i, b_i) pairs — same splitmix derivation as MinHashLsh.params
+  private lazy val ab: Array[(Long, Long)] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(k)((Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P)))
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val minima = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val (a, b) = ab(j)
+        val v = Math.floorMod(h * a + b, P)
+        if (v < minima(j)) minima(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(minima)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class Md5HexAll(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "md5_hex_all"
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      out(i) = if (t == null) null else {
+        val d = Md5.digest(t.getBytes)
+        val cs = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          cs(2 * j) = HEX((d(j) >> 4) & 0xf)
+          cs(2 * j + 1) = HEX(d(j) & 0xf)
+          j += 1
+        }
+        UTF8String.fromString(new String(cs))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5HexAll =
+    copy(child = newChild)
+}
+
+case class Md5PrefixLong(child: Expression, hexDigits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(hexDigits >= 1 && hexDigits <= 15, "long holds at most 15 hex digits")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = Md5.digest(input.asInstanceOf[UTF8String].getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexDigits) {
+      val nibble =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
+        else d(i >> 1) & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+}

@@ -32,13 +32,21 @@ object MinHashLsh {
   }
 
   /** 28-bit shingle hash (first 7 hex digits of md5) — keeps a*h + b within
-    * a long for the universal-hash family above.
+    * a long for the universal-hash family above. Native evaluation;
+    * value-identical to conv(substring(md5(s),1,7),16,10).
     */
   def shingleHash28(s: Column): Column =
-    conv(substring(md5(s.cast(BinaryType)), 1, 7), 16, 10).cast(LongType)
+    graft.functions.expressions.NativeExprs.md5PrefixLong(s, 7)
 
-  /** MinHash signature (array of k minima) of a distinct-shingle-hash array. */
+  /** MinHash signature (array of k minima) of a distinct-shingle-hash array.
+    * Native one-pass evaluation; the HOF twin (k interpreted array scans per
+    * document) is [[signatureHof]], kept as the value-semantics reference.
+    */
   def signature(hashes: Column, k: Int, seed: Long = 42L): Column =
+    graft.functions.expressions.NativeExprs.minhashSig(hashes, k, seed)
+
+  /** Higher-order-function formulation of [[signature]] — value-identical. */
+  def signatureHof(hashes: Column, k: Int, seed: Long = 42L): Column =
     array(params(k, seed).map { case (a, b) =>
       array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
     }: _*)
@@ -54,18 +62,28 @@ object MinHashLsh {
                    threshold: Double, w: Int = 3,
                    bands: Int = 24, rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    val withShingles = docs
+    // One pass computes (doc_id, hash-set, signature); persisted because the
+    // plan below consumes it FOUR times (both sides of the banded self-join
+    // + both verify joins) — without the persist, Spark recomputes the
+    // tokenize→shingle→md5→minhash subtree per consumer. The persisted
+    // payload is ~50 longs + 48 longs per doc — far smaller than the text.
+    // Verification runs on the 28-bit hashed shingle sets, not strings:
+    // intersect/union over longs, with cross-doc collision odds ~|A||B|/2^28
+    // (≈1e-5 per pair at typical doc sizes).
+    val sigs = docs
       .select(col(docId).as("doc_id"),
-              array_distinct(TextOps.shingles(TextOps.tokens(col(text)), w)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hashes", transform(col("sh"), shingleHash28(_)))
+        array_distinct(graft.functions.expressions.NativeExprs
+          .md5PrefixAll(TextOps.shingles(TextOps.tokens(col(text)), w), 7))
+          .as("hashes"))
+      .filter(size(col("hashes")) > 0)
       .withColumn("sig", signature(col("hashes"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = the signature slice for that band; explode to (doc, band, key).
-    // Only (doc_id, band, key) travels through the candidate shuffle — the
-    // shingle sets are joined back for the verify step, so the LSH join
-    // payload stays a few dozen bytes per row regardless of document size.
-    val banded = withShingles
+    // Only (doc_id, band, key) travels through the candidate shuffle, so the
+    // LSH join payload stays a few dozen bytes per row regardless of
+    // document size.
+    val banded = sigs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -80,10 +98,10 @@ object MinHashLsh {
       .dropDuplicates("i", "j")
 
     // exact verify on the candidate set only
-    val shSets = withShingles.select(col("doc_id"), col("sh"))
+    val shSets = sigs.select(col("doc_id"), col("hashes"))
     val verified = candidates
-      .join(shSets.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
-      .join(shSets.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .join(shSets.select(col("doc_id").as("i"), col("hashes").as("sh_i")), Seq("i"))
+      .join(shSets.select(col("doc_id").as("j"), col("hashes").as("sh_j")), Seq("j"))
     val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType)
     val uni = (size(col("sh_i")) + size(col("sh_j"))).cast(DoubleType) - inter
     verified

@@ -131,10 +131,20 @@ object Llm {
         |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5
         |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // shingles are hashed to 60-bit longs before the inverted-index join:
+      // the shuffle carries 8-byte keys instead of ~20-byte strings and the
+      // join compares longs. Counts are unchanged barring md5-prefix
+      // collisions (~n²/2^61 ≈ 1e-8 at sf0.1), which the oracle's
+      // string-keyed join would surface as a hash mismatch.
+      // persisted: the inverted-index plan consumes sh four times (both join
+      // sides + the two per-doc count lookups) — recomputing tokenize+md5
+      // per consumer would quadruple the scan cost
       val sh = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)))
+          explode(array_distinct(graft.functions.expressions.NativeExprs
+            .md5PrefixAll(TextOps.shingles(TextOps.tokens(col("text")), 3), 15)))
             .as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("i"), col("s"))
         .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
@@ -171,12 +181,18 @@ object Llm {
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.4
         |ORDER BY i, j""".stripMargin) { (s, d) =>
-      val a = Tables.embeddings(s, d)
-        .select(col("vec_id").as("i"), col("embedding").as("ea"))
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id").as("j"), col("embedding").as("eb"))
+      // norms precomputed once per row (5k sqrts), not once per pair (12.5M);
+      // the dot is the codegen'd DotF32 expression, so the O(n²) inner loop
+      // stays inside whole-stage codegen with zero boxing
+      val base = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(VectorOps.dot(col("embedding"), col("embedding"))))
+      val a = base.select(col("vec_id").as("i"), col("embedding").as("ea"),
+                          col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("j"), col("embedding").as("eb"),
+                          col("nrm").as("nb"))
       a.join(broadcast(b), col("i") < col("j"))
-        .withColumn("cs", VectorOps.cosine(col("ea"), col("eb")))
+        .withColumn("cs", VectorOps.cosinePrenorm(
+          VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))
         .filter(col("cs") > 0.4)
         .select(col("i"), col("j"), round(col("cs"), 4).as("score"))
         .orderBy("i", "j")
@@ -267,8 +283,9 @@ object Llm {
         .select(col("doc_id"),
           array_join(
             slice(array_sort(array_distinct(
-              transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
-                sh => md5(sh.cast(BinaryType))))), 1, 4), "|").as("fp"))
+              graft.functions.expressions.NativeExprs.md5HexAll(
+                TextOps.shingles(TextOps.tokens(col("text")), 3)))), 1, 4), "|")
+            .as("fp"))
         .orderBy("doc_id")
     },
 

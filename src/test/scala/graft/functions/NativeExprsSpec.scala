@@ -1,0 +1,107 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import graft.functions.expressions.NativeExprs
+import graft.operators.MinHashLsh
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The native expressions must produce bit-identical values to their
+  * higher-order-function twins — that equivalence is what keeps the DuckDB
+  * oracles valid after the hot paths switched to codegen'd evaluation.
+  */
+class NativeExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotF32 == HOF dot, element-exact, on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(broadcast(
+        e.select(col("vec_id").as("j"), col("embedding").as("b")).limit(20)))
+    val diff = pairs.select(
+        VectorOps.dot(col("a"), col("b")).as("fast"),
+        VectorOps.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof")) // exact double equality required
+    assert(diff.count() === 0)
+  }
+
+  test("dotF32 — nulls and length mismatch") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
+      (None, Some(Seq(1f))),
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(2f)))) // min-length semantics
+      .toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) === 11.0)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) === 2.0)
+  }
+
+  test("simhash32 native == HOF on corpus text") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val diff = docs.select(
+        TextOps.simhash32(TextOps.tokens(col("text"))).as("fast"),
+        TextOps.simhash32Hof(TextOps.tokens(col("text"))).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("minhashSig native == HOF on corpus shingle hashes") {
+    val hashes = Tables.documents(spark, sf0001).limit(100)
+      .select(array_distinct(transform(
+        TextOps.shingles(TextOps.tokens(col("text")), 3),
+        MinHashLsh.shingleHash28(_))).as("h"))
+      .filter(size(col("h")) > 0)
+    val diff = hashes.select(
+        MinHashLsh.signature(col("h"), 48).as("fast"),
+        MinHashLsh.signatureHof(col("h"), 48).as("hof"))
+      .filter(to_json(col("fast")) =!= to_json(col("hof")))
+    assert(diff.count() === 0)
+  }
+
+  test("shingles native == HOF on corpus text") {
+    val docs = Tables.documents(spark, sf0001).limit(150)
+    val diff = docs.select(
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("fast"),
+        TextOps.shinglesHof(TextOps.tokens(col("text")), 3).as("hof"))
+      .filter(to_json(col("fast")) =!= to_json(col("hof")))
+    assert(diff.count() === 0)
+  }
+
+  test("md5PrefixAll == per-element md5PrefixLong, and md5HexAll == transform(md5)") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val diff = docs.select(
+        NativeExprs.md5PrefixAll(col("sh"), 7).as("fastp"),
+        transform(col("sh"), s => NativeExprs.md5PrefixLong(s, 7)).as("hofp"),
+        NativeExprs.md5HexAll(col("sh")).as("fasth"),
+        transform(col("sh"), s => md5(s.cast(BinaryType))).as("hofh"))
+      .filter(to_json(col("fastp")) =!= to_json(col("hofp")) ||
+              to_json(col("fasth")) =!= to_json(col("hofh")))
+    assert(diff.count() === 0)
+  }
+
+  test("md5PrefixLong == conv(substring(md5(x),1,n),16,10) for n=7 and 15") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+      .select(substring(col("text"), 1, 40).as("s"))
+    val diff = docs.select(
+        NativeExprs.md5PrefixLong(col("s"), 7).as("f7"),
+        conv(substring(md5(col("s").cast(BinaryType)), 1, 7), 16, 10)
+          .cast(LongType).as("h7"),
+        NativeExprs.md5PrefixLong(col("s"), 15).as("f15"),
+        conv(substring(md5(col("s").cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).as("h15"))
+      .filter(col("f7") =!= col("h7") || col("f15") =!= col("h15"))
+    assert(diff.count() === 0)
+  }
+
+  test("dotF32 survives whole-stage codegen (plan sanity)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val plan = e.select(VectorOps.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
