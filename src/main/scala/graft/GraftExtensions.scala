@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft._
+
+/** SparkSessionExtensions entry point: registers the native expressions as
+  * SQL functions so `spark.sql("SELECT dot_f32(a, b) ...")` works anywhere
+  * the DataFrame helpers do. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
+  * Verify/Bench/tests) or `--conf spark.sql.extensions=graft.GraftExtensions`
+  * on a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), b))
+
+    register("dot_f32", "dot_f32(a, b) - double dot product of float arrays") {
+      args => DotF32(args(0), args(1))
+    }
+    register("simhash32", "simhash32(tokens) - 32-bit md5 simhash") {
+      args => Simhash32Expr(args(0))
+    }
+    register("minhash_sig",
+      "minhash_sig(hashes, k[, seed]) - k-minima minhash signature") { args =>
+      MinHashSigExpr(args(0), intArg(args(1), "k"),
+        args.lift(2).map(longArg(_, "seed")).getOrElse(42L))
+    }
+    register("md5_prefix_long",
+      "md5_prefix_long(s, hexDigits) - md5 prefix as long") { args =>
+      Md5PrefixLong(args(0), intArg(args(1), "hexDigits"))
+    }
+    register("md5_prefix_all",
+      "md5_prefix_all(arr, hexDigits) - md5 prefixes of a string array") { args =>
+      Md5PrefixAll(args(0), intArg(args(1), "hexDigits"))
+    }
+    register("md5_hex_all", "md5_hex_all(arr) - md5 hex of every element") {
+      args => Md5HexAll(args(0))
+    }
+    register("shingles", "shingles(tokens, w) - w-token shingles") { args =>
+      ShinglesExpr(args(0), intArg(args(1), "w"))
+    }
+  }
+}

@@ -449,6 +449,29 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    Q("q19b_range_frame",
+      """Q19b — RANGE frame (rangeBetween cap made oracled): per customer,
+        |count and decimal sum of orders in the trailing 30-day window of
+        |each order, ordered by an integer day index so both engines frame
+        |identically.""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d
+        |FROM (SELECT *, date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS d
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("d", datediff(col("o_orderdate"), to_date(lit("1990-01-01"))))
+        .select(col("o_custkey"), col("o_orderkey"),
+                count(lit(1)).over(w).cast(LongType).as("n_30d"),
+                dbl(sum(money(col("o_totalprice"))).over(w)).as("rev_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     Q("q20_ntile",
       """Q20 — ntile(4) + percent_rank over a global ordering with unique
         |tie-break. Scale note: a single unpartitioned window is a driver of
@@ -510,6 +533,21 @@ object Relational {
       val i = big.intersect(recent).select(lit("intersect").as("op"), col("k"))
       val e = big.except(recent).select(lit("except").as("op"), col("k"))
       u.union(i).union(e).orderBy("op", "k")
+    },
+
+    Q("q22b_crossjoin",
+      """Q22b — guarded cartesian product (nested-loop cap made oracled):
+        |region × nation with a computed pairing flag. Tiny×tiny only —
+        |the engine's guard is that crossJoin must be explicit.""".stripMargin,
+      """SELECT r_name, n_name,
+        |  CASE WHEN r_regionkey = n_regionkey THEN 1 ELSE 0 END AS home
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"),
+                when(col("r_regionkey") === col("n_regionkey"), 1).otherwise(0)
+                  .as("home"))
+        .orderBy("r_name", "n_name")
     },
 
     // ------------------------------------------------------ scalar functions

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.Aggs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The SQL surface of the native expressions (registered via
+  * GraftExtensions) and the typed Aggregator demo.
+  */
+class ExtensionsAndAggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native functions callable from SQL via spark.sql.extensions") {
+    val r = spark.sql(
+      """SELECT dot_f32(array(cast(1.0 as float), cast(2.0 as float)),
+        |               array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       simhash32(array('a','b')) AS sh,
+        |       md5_prefix_long('a', 7) AS p7,
+        |       size(minhash_sig(array(1L, 2L, 3L), 8)) AS k,
+        |       shingles(array('x','y','z'), 2) AS sg,
+        |       md5_hex_all(array('a')) AS hx
+      """.stripMargin).head()
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Long]("sh") >= 0L)
+    // md5('a') = 0cc175b9... → first 7 hex digits
+    assert(r.getAs[Long]("p7") === java.lang.Long.parseLong("0cc175b", 16))
+    assert(r.getAs[Int]("k") === 8)
+    assert(r.getAs[Seq[String]]("sg") === Seq("x y", "y z"))
+    assert(r.getAs[Seq[String]]("hx").head.startsWith("0cc175b9"))
+  }
+
+  test("SQL function values match the Column API") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    docs.createOrReplaceTempView("t_ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash32(split(text, ' ')) AS h FROM t_ext_docs")
+    val viaApi = docs.select($"doc_id",
+      graft.functions.TextOps.simhash32(split($"text", " ")).as("h"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("WeightedAvg aggregator — decimal-safe, partition-independent") {
+    val data = Tables.lineitem(spark, sf0001)
+      .select($"l_extendedprice".as("value"), $"l_quantity".as("weight"))
+      .as[Aggs.ValueWeight]
+    val a = data.repartition(1).select(Aggs.WeightedAvg.toColumn).head()
+    val b = data.repartition(13).select(Aggs.WeightedAvg.toColumn).head()
+    assert(a === b) // merge-order independence, exact
+    // cross-check vs the SQL decimal formula
+    val sql = Tables.lineitem(spark, sf0001)
+      .agg((sum(($"l_extendedprice".cast(DecimalType(28, 6)) *
+                 $"l_quantity".cast(DecimalType(28, 6)))) /
+            sum($"l_quantity".cast(DecimalType(28, 6))))
+        .cast(DoubleType)).head().getDouble(0)
+    assert(math.abs(a - sql) < 1e-3, s"$a vs $sql")
+  }
+
+  test("WeightedAvg — empty input yields NaN") {
+    val empty = spark.emptyDataset[Aggs.ValueWeight]
+    assert(empty.select(Aggs.WeightedAvg.toColumn).head().isNaN)
+  }
+}

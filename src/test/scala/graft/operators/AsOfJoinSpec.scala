@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** As-of join operator: strict/non-strict semantics on hand-built rows, and
+  * equivalence with the q12 window formulation on the real events corpus.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("strict vs non-strict at equal timestamps") {
+    val left = Seq((1L, ts("2026-01-01 10:00:00"), "p1"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 100L),
+      (1L, ts("2026-01-01 10:00:00"), 200L), // same instant as the probe
+      (1L, ts("2026-01-01 11:00:00"), 300L))
+      .toDF("user_id", "ts", "v")
+    val strict = AsOfJoin.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("v"), strict = true).select("tag", "asof_v").as[(String, Long)].head()
+    val loose = AsOfJoin.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("v"), strict = false).select("tag", "asof_v").as[(String, Long)].head()
+    assert(strict === ("p1", 100L)) // strictly earlier
+    assert(loose === ("p1", 200L))  // equal timestamp admitted
+  }
+
+  test("no earlier right row → null attach; keys never cross") {
+    val left = Seq((1L, ts("2026-01-01 08:00:00"), "early"),
+                   (2L, ts("2026-01-01 12:00:00"), "other-key"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2026-01-01 09:00:00"), 1L))
+      .toDF("user_id", "ts", "v")
+    val out = AsOfJoin.join(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("tag", "asof_v").collect()
+    assert(out.forall(_.isNullAt(1))) // key 1 too early, key 2 has no rights
+  }
+
+  test("operator equals the q12 window formulation on events (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"ts".as("signup_ts"))
+    val viaOp = AsOfJoin.join(purchases, signups, Seq("user_id"), "ts", "ts",
+        Seq("signup_ts"), strict = true)
+      .select($"event_id", unix_micros($"asof_signup_ts").as("signup_us"))
+    val viaWindow = graft.queries.Catalog.byName("q12_asof").build(spark, sf0001)
+      .select($"event_id", $"signup_us")
+    assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty)
+  }
+}

@@ -39,33 +39,28 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("q29 — ANN hyperplane-LSH bucketing recovers brute-force top-5") {
-    // the 100 TB path: bucket by random-hyperplane signature, search the
-    // probe's bucket ring; assert it finds the exact top-k on this corpus
+  test("q29 — ANN LSH operator recovers brute-force top-5 while pruning") {
+    // the 100 TB path (operators.Ann): hyperplane buckets + hamming-ring
+    // multi-probe. Ring=3 of 8 planes because this corpus's true top-5 sit
+    // at cosine ≈ 0.30-0.33 (measured) — low-similarity neighbours flip
+    // more sign bits.
     val e = Tables.embeddings(spark, sf0001)
-    val planes = VectorOps.fixedPlanes(8, 64)
-    val bucketed = e.withColumn("bucket",
-      VectorOps.hyperplaneBucket(col("embedding"), planes))
-    val probe = bucketed.filter(col("vec_id") === 0)
-      .select(col("embedding").as("pe"), col("bucket").as("pb"))
-    // search buckets within hamming distance 3 of the probe's bucket — this
-    // corpus's true top-5 sit at cosine ≈ 0.30-0.33, so their sign patterns
-    // differ from the probe's in up to 3 of 8 planes (measured); real
-    // deployments multi-probe the ring the same way
-    val cands = bucketed.crossJoin(broadcast(probe))
-      .filter(col("vec_id") =!= 0)
-      .filter(bit_count(col("bucket").bitwiseXOR(col("pb"))) <= 3)
-    val annTop = cands
-      .select(col("vec_id"),
-              round(VectorOps.cosine(col("embedding"), col("pe")), 4).as("score"))
-      .orderBy(col("score").desc, col("vec_id")).limit(5)
+    val annTop = graft.operators.Ann.lshTopK(e, "vec_id", "embedding",
+      probeId = 0, k = 5, nPlanes = 8, dim = 64, ring = 3)
     val bruteTop = Catalog.byName("q29_ann_topk").build(spark, sf0001)
     val missed = bruteTop.select("vec_id")
       .exceptAll(annTop.select("vec_id")).count()
-    // 8 planes / hamming ≤ 2 keeps ≥ the true neighbours on this corpus
     assert(missed === 0, s"ANN missed $missed of the true top-5")
-    // and the candidate set must be a real subset, not a full scan
-    assert(cands.count() < e.count() - 1)
+    // brute operator must agree with the declared q29 exactly
+    val brute2 = graft.operators.Ann.bruteTopK(e, "vec_id", "embedding", 0, 5)
+    assert(brute2.exceptAll(bruteTop).isEmpty && bruteTop.exceptAll(brute2).isEmpty)
+    // and the LSH candidate ring must prune, not scan: count candidates
+    val bucketed = graft.operators.Ann.withBucket(e, "embedding")
+    val pb = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket").as("pb"))
+    val candN = bucketed.crossJoin(broadcast(pb))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("pb"))) <= 3).count()
+    assert(candN < e.count() / 2)
   }
 
   test("q28 dedup idempotence — deduping twice equals deduping once") {
