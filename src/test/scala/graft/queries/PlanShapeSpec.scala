@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+
+/** Physical-plan audits (the "explain and iterate" discipline): these pin
+  * the plan shapes that matter at 100 TB — pushdown reaching the scan,
+  * dimension broadcasts, top-k short-circuits, map-side partial aggregation,
+  * and the absence of accidental nested-loop joins. A regression here is a
+  * scale bug even when sf0.01 results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Catalog.byName(name).build(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01 — filter and projection reach the parquet reader") {
+    val p = plan("q01_scan_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate,"), p)
+    // parquet isAdjustedToUTC=false → Spark 4 reads TIMESTAMP_NTZ (UTC
+    // session TZ keeps literal comparisons oracle-consistent)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("q05 — explicit broadcasts produce BroadcastHashJoin, no shuffle of dims") {
+    val p = plan("q05_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13 — hash aggregation with map-side partials") {
+    val p = plan("q13_tpch_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q21 — top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q21_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q07/q08 — semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan("q07_semi_join").contains("LeftSemi"), "semi")
+    assert(plan("q08_anti_join").contains("LeftAnti"), "anti")
+  }
+
+  test("q10/q11 — theta residuals ride the equi join; no nested loop") {
+    Seq("q10_theta_join", "q11_range_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to a nested loop:\n$p")
+    }
+  }
+
+  test("q28 — dedup window partitions by the hash, no global sort before rn") {
+    val p = plan("q28_dedup_exact")
+    assert(p.contains("row_number"), p)
+    // the md5 key is projected to _w0 and the exchange hashes on it
+    assert(p.contains("hashpartitioning(_w0"), p)
+  }
+
+  test("q33 — embedding near-dup broadcasts the build side once") {
+    val p = plan("q33_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // intentional: i<j band, tiny build
+    assert(p.contains("dot_f32"), p)                 // native expression in the plan
+  }
+}
