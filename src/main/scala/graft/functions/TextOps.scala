@@ -83,23 +83,26 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "dans"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
 
-  /** Stopword-hit count for one language over a token array. */
+  /** Stopword-hit count for one language over a token array (occurrence
+    * count, native set-membership pass — value-identical to
+    * size(filter(toks, _.isInCollection(words)))).
+    */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+    graft.functions.expressions.NativeExprs.countInSet(toks, words)
 
   /** Language-ID by argmax stopword-hit count, ties broken toward the
-    * smallest language code; 'und' when no list scores > 0.
+    * smallest language code; 'und' when no list scores > 0. The CASE chain
+    * checks languages in code order, which IS the smallest-code tie-break —
+    * same shape as the oracle SQL, all codegen'd comparisons.
     */
   def langId(toks: Column): Column = {
-    val scored = array(langStopwords.map { case (lang, words) =>
-      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
-    }: _*)
-    val best = element_at(array_sort(scored,
-      (l, r) => when(l.getField("hits") > r.getField("hits"), -1)
-        .when(l.getField("hits") < r.getField("hits"), 1)
-        .when(l.getField("lang") < r.getField("lang"), -1)
-        .when(l.getField("lang") > r.getField("lang"), 1)
-        .otherwise(0)), 1)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val scores = langStopwords.sortBy(_._1).map { case (lang, words) =>
+      lang -> stopwordHits(toks, words)
+    }
+    val top = greatest(scores.map(_._2): _*)
+    val cases = scores.foldLeft(when(top === 0, "und")) {
+      case (acc, (lang, score)) => acc.when(score === top, lang)
+    }
+    cases.otherwise("und")
   }
 }

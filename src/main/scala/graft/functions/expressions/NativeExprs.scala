@@ -65,6 +65,41 @@ object NativeExprs {
     */
   def md5PrefixAll(arr: Column, hexDigits: Int): Column =
     col(Md5PrefixAll(ex(arr), hexDigits))
+
+  /** Occurrence count of tokens belonging to a fixed word set —
+    * value-identical to size(filter(toks, t => t.isInCollection(words))).
+    */
+  def countInSet(toks: Column, words: Seq[String]): Column =
+    col(CountInSetExpr(ex(toks), words))
+}
+
+case class CountInSetExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null && set.contains(t)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSetExpr =
+    copy(child = newChild)
 }
 
 case class ShinglesExpr(child: Expression, w: Int)

@@ -236,7 +236,7 @@ object Llm {
       val stop = Seq("the", "a", "of", "and", "to", "in", "is")
       val toks = col("toks")
       val n = size(toks)
-      val hits = size(filter(toks, t => t.isInCollection(stop)))
+      val hits = TextOps.stopwordHits(toks, stop)
       val stopRatio = hits * 1.0 / n
       Tables.documents(s, d)
         .withColumn("toks", TextOps.tokens(col("text")))

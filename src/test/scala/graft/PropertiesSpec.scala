@@ -1,0 +1,67 @@
+package graft
+
+import graft.etl.DocOps
+import org.apache.spark.sql.functions._
+
+/** Remaining property tests from SURVEY §5.3: S13 filename derivation total
+  * on arbitrary URLs, Q22 set-operation algebraic laws, and CountInSet vs
+  * the HOF filter formulation.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S13 — baseNameOf/titleOf total on arbitrary URL shapes (never null/throw)") {
+    val rnd = new scala.util.Random(11)
+    val parts = Seq("https://x.org", "http://a", "", "/", "//", "a b", "%20",
+      "ፍርድ", "v.pdf", ".pdf", "dir/", "?q=1", "#f", "v%20%20x.pdf", "..", "%%")
+    val urls = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(5)).map(_ => parts(rnd.nextInt(parts.size))).mkString)
+    val df = urls.toDF("url")
+      .select($"url", DocOps.baseNameOf($"url").as("base"))
+      .withColumn("title", DocOps.titleOf($"base"))
+    assert(df.filter($"base".isNull || $"title".isNull).count() === 0)
+    // reference semantics spot-rule: base never contains '/' or '%20'
+    assert(df.filter($"base".contains("/") || $"base".contains("%20")).count() === 0)
+  }
+
+  test("Q22 — set algebra laws on real key sets") {
+    val a = Tables.customer(spark, sf0001).filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("k"))
+    val b = Tables.orders(spark, sf0001)
+      .select($"o_custkey".as("k")).distinct()
+    val aD = a.distinct()
+    // |A ∪ B| = |A| + |B| - |A ∩ B|
+    val union = a.union(b).distinct().count()
+    val inter = a.intersect(b).count()
+    assert(union === aD.count() + b.count() - inter)
+    // A \ B and A ∩ B partition A
+    val except = a.except(b).count()
+    assert(except + inter === aD.count())
+    // idempotence and commutativity
+    assert(a.intersect(b).count() === b.intersect(a).count())
+    assert(a.union(a).distinct().count() === aD.count())
+  }
+
+  test("S10 — ordered concat invariant under input partition shuffling") {
+    val events = Tables.events(spark, sf0001).filter($"event_type" === "error")
+    def runWith(parts: Int) = events.repartition(parts)
+      .groupBy("user_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts, event_id))), x -> cast(x.event_id as string))"),
+        ",").as("c"))
+    val a = runWith(1)
+    val b = runWith(17)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("countInSet == size(filter(isInCollection)) on corpus tokens") {
+    val words = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = Tables.documents(spark, sf0001)
+      .select(split($"text", " ").as("toks"))
+    val diff = docs.select(
+        graft.functions.TextOps.stopwordHits($"toks", words).as("fast"),
+        size(filter($"toks", t => t.isInCollection(words))).as("hof"))
+      .filter($"fast" =!= $"hof")
+    assert(diff.count() === 0)
+  }
+}
