@@ -88,6 +88,48 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("watermark — rows later than 1h behind the max seen ts are dropped") {
+    import java.sql.Timestamp
+    val srcDir = Files.createTempDirectory("graft_late").toString
+    val checkpoint = ckpt()
+    def ts(s: String) = Timestamp.valueOf(s)
+    def writeRows(rows: Seq[(Long, Timestamp, String)]): Unit =
+      rows.toDF("event_id", "ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val emissions = new java.util.concurrent.CopyOnWriteArrayList[(Timestamp, Long)]()
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(srcDir)
+      val counts = spark.readStream.schema(schema.schema).parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select($"w.start".as("w_start"), $"cnt")
+      val q = counts.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            emissions.add((r.getTimestamp(0), r.getLong(1))))
+        }
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: window 10:00 gets 2 rows and a 14:00 row commits watermark 13:00
+    writeRows(Seq((1L, ts("2026-01-01 10:05:00"), "a"),
+                  (2L, ts("2026-01-01 10:10:00"), "a"),
+                  (3L, ts("2026-01-01 14:00:00"), "a")))
+    runOnce()
+    // run 2 (same checkpoint → watermark restored): a LATE row back in the
+    // closed 10:00 window must be dropped, not re-emitted
+    writeRows(Seq((4L, ts("2026-01-01 10:20:00"), "a")))
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val w10 = emissions.asScala.filter(_._1 == ts("2026-01-01 10:00:00")).map(_._2)
+    assert(w10.nonEmpty && w10.max === 2,
+      s"late row was not dropped: emissions for 10:00 window = $w10")
+  }
+
   test("incremental file ingest — exactly-once across restarts (S5/S8)") {
     // file sink, not memory: only durable sinks support checkpoint recovery
     val srcDir = Files.createTempDirectory("graft_incr").toString
