@@ -96,6 +96,37 @@ object Streams {
       }
   }
 
+  /** transformWithState twin of [[errorCounts]] — the Spark 4 arbitrary-state
+    * API (typed state handles, RocksDB-backed store). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on the session running the stream.
+    */
+  class ErrorCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ErrorEvent, ErrorCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[ErrorEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ErrorCount] = {
+      val n = (if (count.exists()) count.get() else 0L) +
+        rows.count(_.event_type == "error")
+      count.update(n)
+      Iterator.single(ErrorCount(user, n))
+    }
+  }
+
+  /** [[errorCounts]] via transformWithState (see [[ErrorCountProcessor]]). */
+  def errorCountsTws(events: Dataset[ErrorEvent]): Dataset[ErrorCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ErrorCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run any of the above to a memory sink with Trigger.AvailableNow and
     * return the materialized result — the batch-equivalence harness used by
     * StreamingSpec (SURVEY §5.4).

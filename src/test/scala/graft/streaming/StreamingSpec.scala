@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("transformWithState error counts — totals match batch (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+        .select($"user_id", $"ts", $"event_type").as[Streams.ErrorEvent]
+      val got = Streams.runAvailableNow(
+        Streams.errorCountsTws(stream).toDF(), "t_errs_tws", ckpt(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val finals = got.groupBy("user_id").agg(max("n_errors").as("n_errors"))
+      val want = batchEvents.filter($"event_type" === "error")
+        .groupBy("user_id").agg(count(lit(1)).as("n_errors"))
+      val diff = finals.join(want, Seq("user_id"))
+        .filter(finals("n_errors") =!= want("n_errors"))
+      assert(diff.count() === 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark — rows later than 1h behind the max seen ts are dropped") {
     import java.sql.Timestamp
     val srcDir = Files.createTempDirectory("graft_late").toString
