@@ -36,6 +36,46 @@ object Ann {
     embeddings.withColumn("bucket",
       VectorOps.hyperplaneBucket(col(vecCol), VectorOps.fixedPlanes(nPlanes, dim, seed)))
 
+  /** IVF (inverted-file) variant: a KMeans coarse quantizer over the
+    * L2-NORMALIZED vectors (so L2 cells == cosine cells) partitions the
+    * corpus into `nCentroids` cells; a query scans only the `nProbe` cells
+    * whose centroids are nearest the probe. At 100 TB the assignment is a
+    * one-time write (partitionBy cell), the model is trained on a sample,
+    * and each query reads nProbe/nCentroids of the data.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              probeId: Long, k: Int, nCentroids: Int = 8,
+              nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = embeddings.withColumn("_unit",
+      transform(col(vecCol), x =>
+        x.cast("double") / sqrt(VectorOps.dot(col(vecCol), col(vecCol)))))
+      .withColumn("_features", array_to_vector(col("_unit")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("_cell")
+      .fit(unit)
+    val assigned = model.transform(unit)
+    val probeVec = assigned.filter(col(idCol) === probeId)
+      .select("_unit").head().getSeq[Double](0).toArray
+    // nProbe nearest cells to the probe, by centroid distance (driver-side:
+    // centroids are tiny)
+    val cells = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(probeVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val probe = assigned.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("_probe_vec"))
+    assigned.filter(col(idCol) =!= probeId)
+      .filter(col("_cell").isin(cells.toSeq: _*))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+              round(VectorOps.cosine(col(vecCol), col("_probe_vec")), 4)
+                .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate cosine top-k: search only vectors whose bucket is within
     * `ring` hamming distance of the probe's bucket (multi-probe LSH).
     * Recall/ cost trade-off is (nPlanes, ring); on low-cosine corpora use a

@@ -140,6 +140,20 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    Q("q06b_scalar_subquery",
+      """Q6b — scalar subquery: customers above the global average balance.
+        |Catalyst plans the subquery once and broadcasts the scalar; no
+        |per-row re-evaluation.""".stripMargin,
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.createOrReplaceTempView("q06b_customer")
+      s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS bal FROM q06b_customer
+              |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM q06b_customer)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+
     Q("q07_semi_join",
       """Q7 — left semi join (EXISTS): customers with at least one purchase
         |event. Semi join shuffles only the key column of the probe side and
@@ -312,6 +326,46 @@ object Relational {
                 coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
                 col("gid"), col("cnt"))
         .orderBy("gid", "prio", "status")
+    },
+
+    Q("q14b_pivot",
+      """Q14b — pivot: order counts by priority, statuses as columns. Spark's
+        |pivot is a single hash-agg with a known column set (always declare
+        |the values — an undeclared pivot scans twice to discover them);
+        |the oracle states the same result as conditional aggregation.""".stripMargin,
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("o_orderpriority")
+    },
+
+    Q("q14c_unpivot",
+      """Q14c — unpivot/melt: customer balance and a derived column melted to
+        |(key, metric, value) rows via the unpivot API (stack on the oracle
+        |side as UNION ALL).""".stripMargin,
+      """SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value
+        |FROM customer WHERE c_custkey <= 200
+        |UNION ALL
+        |SELECT c_custkey, 'acctbal_x2' AS metric, round(c_acctbal * 2, 2) AS value
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_custkey, metric""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+                round(col("c_acctbal"), 2).as("acctbal"),
+                round(col("c_acctbal") * 2, 2).as("acctbal_x2"))
+        .unpivot(Array(col("c_custkey")),
+                 Array(col("acctbal"), col("acctbal_x2")),
+                 "metric", "value")
+        .orderBy("c_custkey", "metric")
     },
 
     Q("q15b_cube",

@@ -63,6 +63,16 @@ class CatalogSpec extends SparkSpec {
     assert(candN < e.count() / 2)
   }
 
+  test("IVF ANN — KMeans cells recover brute-force top-5 at nProbe=4/8") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivfTop = graft.operators.Ann.ivfTopK(e, "vec_id", "embedding",
+      probeId = 0, k = 5, nCentroids = 8, nProbe = 4)
+    val bruteTop = Catalog.byName("q29_ann_topk").build(spark, sf0001)
+    val missed = bruteTop.select("vec_id")
+      .exceptAll(ivfTop.select("vec_id")).count()
+    assert(missed === 0, s"IVF missed $missed of the true top-5")
+  }
+
   test("q28 dedup idempotence — deduping twice equals deduping once") {
     val once = Catalog.byName("q28_dedup_exact").build(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)
