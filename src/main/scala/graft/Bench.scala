@@ -37,6 +37,9 @@ object Bench {
         spark.catalog.clearCache() // operators may persist intermediates
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // untimed: let the ContextCleaner reap stale broadcasts/shuffles now,
+      // not as a GC pause inside a later query's timed section
+      System.gc()
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
