@@ -38,7 +38,7 @@ object RunPipeline {
       case None => staged
     }
     val ingestDate = java.time.LocalDate.now().toString
-    val out = Pipeline.process(links, RawPdfExtractor, ingestDate)
+    val out = Pipeline.process(links, FlatePdfExtractor, ingestDate)
     Pipeline.writeDocs(out.docs, s"$outDir/documents")
     out.quarantine.write.mode("overwrite").json(s"$outDir/quarantine")
     val nDocs = Pipeline.readDocs(spark, s"$outDir/documents").count()

@@ -95,4 +95,31 @@ class PipelineSpec extends SparkSpec {
     val pages = RawPdfExtractor.extractPages(vol01)
     assert(pages != null)
   }
+
+  test("FlatePdfExtractor — real Amharic text from the reference volumes") {
+    val vol01 = Files.readAllBytes(java.nio.file.Paths.get("/root/reference/vol01.pdf"))
+    val pages = FlatePdfExtractor.extractPages(vol01)
+    assert(pages.nonEmpty, "no pages extracted from vol01.pdf")
+    val text = pages.mkString("\n")
+    // Ethiopic block U+1200–U+137F — the actual cassation-decision script
+    assert(text.exists(c => c >= 'ሀ' && c <= '፿'),
+      s"no Ethiopic characters decoded; got: ${text.take(120)}")
+    val vol02 = Files.readAllBytes(java.nio.file.Paths.get("/root/reference/vol02.pdf"))
+    assert(FlatePdfExtractor.extractPages(vol02).nonEmpty)
+    // garbage stays containable
+    assert(FlatePdfExtractor.extractPages("junk".getBytes) === Nil)
+    assert(FlatePdfExtractor.extractPages(Array[Byte](1, 2, 3)) === Nil)
+  }
+
+  test("E1 with FlatePdfExtractor — full pipeline over a real reference PDF") {
+    import org.apache.spark.sql.functions._
+    val vol01 = Files.readAllBytes(java.nio.file.Paths.get("/root/reference/vol01.pdf"))
+    val bins = Seq(("https://x/Cassation%20Vol%2001.pdf", vol01))
+      .toDF("url", "content")
+    val out = Pipeline.process(bins, FlatePdfExtractor, "2026-08-12")
+    val doc = out.docs.head()
+    assert(doc.getAs[String]("title") === "Cassation Vol 01")
+    assert(doc.getAs[String]("content").exists(c => c >= 'ሀ' && c <= '፿'))
+    assert(out.quarantine.count() === 0)
+  }
 }
