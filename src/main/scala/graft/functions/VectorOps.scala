@@ -51,8 +51,16 @@ object VectorOps {
     * `planes.length` fixed random projections packed into a BIGINT. Vectors
     * with high cosine land in the same bucket with high probability —
     * the scale path for ANN: shuffle by bucket, search within buckets.
+    * Native evaluation (this runs over EVERY vector at corpus scale);
+    * [[hyperplaneBucketHof]] is the value-semantics reference.
     */
-  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column = {
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    graft.functions.expressions.NativeExprs.hyperplaneBucket(v, planes)
+
+  /** Higher-order-function formulation of [[hyperplaneBucket]] —
+    * value-identical.
+    */
+  def hyperplaneBucketHof(v: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val proj = aggregate(
         zip_with(v, array(p.map(lit): _*), (x, w) => x.cast(DoubleType) * w),

@@ -71,6 +71,43 @@ object NativeExprs {
     */
   def countInSet(toks: Column, words: Seq[String]): Column =
     col(CountInSetExpr(ex(toks), words))
+
+  /** Random-hyperplane LSH bucket id: sign bits of the fixed projections
+    * packed MSB-first into a LONG — value-identical to
+    * VectorOps.hyperplaneBucketHof (same left-to-right double dot).
+    */
+  def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    col(HyperplaneBucketExpr(ex(vec), planes.map(_.toSeq)))
+}
+
+case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nBits = planeArr.length
+    var bucket = 0L
+    var p = 0
+    while (p < nBits) {
+      val plane = planeArr(p)
+      val n = math.min(v.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (s >= 0) bucket |= 1L << (nBits - 1 - p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
 }
 
 case class CountInSetExpr(child: Expression, words: Seq[String])

@@ -118,8 +118,10 @@ object Multimodal {
                 w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => r.copy(content = codec.resize(r.content, w, h),
-                           length = codec.resize(r.content, w, h).length.toLong))
+      rows.map { r =>
+        val resized = codec.resize(r.content, w, h)
+        r.copy(content = resized, length = resized.length.toLong)
+      }
     }
   }
 

@@ -96,6 +96,35 @@ object Streams {
       }
   }
 
+  /** Stream ⋈ static dimension enrichment (the ingest-side join every
+    * pipeline needs): per micro-batch hash join against the static side —
+    * no state store, broadcast when small.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+             dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+                col(eventKey) === col(dimKey), "left")
+
+  /** Stream-stream inner join within a time bound: purchases matched to the
+    * same user's signups at most 30 days earlier. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * state store retains only the bounded window — the 100 TB-safe shape
+    * (an unbounded stream-stream join would accrete state forever).
+    */
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 30 DAYS"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** transformWithState twin of [[errorCounts]] — the Spark 4 arbitrary-state
     * API (typed state handles, RocksDB-backed store). Requires
     * `spark.sql.streaming.stateStore.providerClass =

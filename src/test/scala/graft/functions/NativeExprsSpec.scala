@@ -97,6 +97,16 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("hyperplaneBucket native == HOF on real embeddings") {
+    val planes = VectorOps.fixedPlanes(8, 64)
+    val e = Tables.embeddings(spark, sf0001)
+    val diff = e.select(
+        VectorOps.hyperplaneBucket(col("embedding"), planes).as("fast"),
+        VectorOps.hyperplaneBucketHof(col("embedding"), planes).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("dotF32 survives whole-stage codegen (plan sanity)") {
     val e = Tables.embeddings(spark, sf0001)
     val plan = e.select(VectorOps.dot(col("embedding"), col("embedding")))

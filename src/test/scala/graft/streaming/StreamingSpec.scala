@@ -88,6 +88,27 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("stream ⋈ static enrichment — equals the batch join") {
+    val dim = Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name")
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+    val got = Streams.runAvailableNow(
+      Streams.enrich(stream, dim, "user_id", "c_custkey")
+        .select("event_id", "c_name"), "t_enrich", ckpt())
+    val want = Streams.enrich(batchEvents, dim, "user_id", "c_custkey")
+      .select("event_id", "c_name")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stream-stream time-bounded join — equals the batch join") {
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+    val got = Streams.runAvailableNow(
+      Streams.purchasesWithRecentSignup(stream), "t_ss_join", ckpt())
+    val want = Streams.purchasesWithRecentSignup(batchEvents)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("transformWithState error counts — totals match batch (RocksDB store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
