@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+
+/** The dedup family as one operator API (SURVEY north-star: exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup). Each method
+  * states its scale shape; the probabilistic paths name their guarantees.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash, keeping the smallest id — the
+    * determinism-safe dropDuplicates (q28 semantics). Shuffles (hash, id)
+    * pairs only.
+    */
+  def exactKeepMin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast(BinaryType))).orderBy(idCol)
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming over the
+    * 32-bit fingerprint. Banding is pigeonhole-EXACT: the fingerprint is
+    * split into `maxHamming + 1` bands, and any pair within the radius must
+    * agree exactly on at least one band — so the band-equality join has no
+    * false negatives, and the final hamming filter removes false positives.
+    * The candidate shuffle carries (band, 8-bit key) pairs only.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 32 / nBands
+    val fp = docs.select(col(idCol).as("id"),
+      TextOps.simhash32(TextOps.tokens(col(textCol))).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+               shiftright(col("fp"), b * bandBits)
+                 .bitwiseAND((1L << bandBits) - 1).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("fp"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("id").as("i"), col("fp").as("fp_i"),
+                          col("band"), col("key"))
+    val r = banded.select(col("id").as("j"), col("fp").as("fp_j"),
+                          col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("i") < col("j"))
+      .select("i", "j", "fp_i", "fp_j").distinct()
+      .withColumn("hamming", bit_count(col("fp_i").bitwiseXOR(col("fp_j"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming").cast(IntegerType).as("hamming"))
+      .orderBy("i", "j")
+  }
+
+  /** Jaccard near-dup pairs — delegates to the MinHash-LSH operator
+    * (fixed-width signatures, exact-verified candidates).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame =
+    MinHashLsh.nearDupPairs(docs, idCol, textCol, threshold)
+
+  /** Embedding-cosine near-dup pairs above a threshold — hyperplane-LSH
+    * bucketed so candidates shuffle by bucket, then exact-verified (so
+    * precision is always 1.0). RECALL depends on the threshold: a pair at
+    * cosine c disagrees on each of the nPlanes sign bits with probability
+    * arccos(c)/π, so expected hamming ≈ nPlanes·arccos(c)/π — at c ≥ 0.9
+    * that is ≤ 1.2 of 8 and ring 3 has ~total recall, while at c ≈ 0.4 the
+    * expected hamming is ~2.9 and no useful ring is selective. This is the
+    * near-DUPLICATE detector; exhaustive low-threshold similarity is
+    * queries.Llm q33 (brute force) / Ann.ivfTopK (cell-pruned).
+    */
+  def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, nPlanes: Int = 8, dim: Int = 64,
+                     ring: Int = 3): DataFrame = {
+    import graft.functions.VectorOps
+    val bucketed = Ann.withBucket(embeddings, vecCol, nPlanes, dim)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("bucket"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val l = bucketed.select(col("id").as("i"), col("vec").as("va"),
+      col("nrm").as("na"), col("bucket").as("ba"))
+    val r = bucketed.select(col("id").as("j"), col("vec").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    l.join(r, col("i") < col("j") &&
+        bit_count(col("ba").bitwiseXOR(col("bb"))) <= ring)
+      .withColumn("cs", VectorOps.cosinePrenorm(
+        VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cs") > minCosine)
+      .select(col("i"), col("j"), round(col("cs"), 4).as("score"))
+      .orderBy("i", "j")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator family: exact facade vs q28, SimHash banding's pigeonhole
+  * exactness vs a brute-force hamming join, and embedding pairs' recall vs
+  * the exhaustive q33.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactKeepMin == q28 oracle semantics") {
+    val docs = Tables.documents(spark, sf0001)
+    val op = Dedup.exactKeepMin(docs, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+    val q28 = graft.queries.Catalog.byName("q28_dedup_exact").build(spark, sf0001)
+    assert(op.exceptAll(q28).isEmpty && q28.exceptAll(op).isEmpty)
+  }
+
+  test("simhashPairs == brute-force hamming join (pigeonhole exactness)") {
+    val docs = Tables.documents(spark, sf0001)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    // brute force over all fingerprint pairs
+    val fp = docs.select($"doc_id",
+      graft.functions.TextOps.simhash32(
+        graft.functions.TextOps.tokens($"text")).as("fp"))
+    val l = fp.select($"doc_id".as("i"), $"fp".as("a"))
+    val r = fp.select($"doc_id".as("j"), $"fp".as("b"))
+    val brute = l.join(broadcast(r), $"i" < $"j")
+      .withColumn("hamming", bit_count($"a".bitwiseXOR($"b")).cast("int"))
+      .filter($"hamming" <= 3)
+      .select("i", "j", "hamming")
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+    assert(banded.count() > 0) // the corpus does contain near-dups
+  }
+
+  test("embeddingPairs — total recall in its regime (true near-dups), pruned") {
+    // synthetic corpus: 200 random vectors + 10 jittered copies (cosine
+    // > 0.98 to their originals) — the near-duplicate regime the operator
+    // documents. All 10 planted pairs must surface; candidate generation
+    // must prune, not scan.
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = base.take(10).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding",
+      minCosine = 0.9, ring = 3)
+    val found = pairs.select("i", "j").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach { i =>
+      assert(found.contains((i, 1000L + i)), s"planted dup $i not found")
+    }
+    // exact-verify step guarantees precision: every pair really is ≥ 0.9
+    assert(pairs.filter($"score" < 0.9).count() === 0)
+    // subset sanity at the low-threshold setting: LSH never invents pairs
+    val e = Tables.embeddings(spark, sf0001)
+    val lshLow = Dedup.embeddingPairs(e, "vec_id", "embedding",
+      minCosine = 0.4, ring = 4).select("i", "j")
+    val exact = graft.queries.Catalog.byName("q33_embedding_neardup")
+      .build(spark, sf0001).select("i", "j")
+    assert(lshLow.exceptAll(exact).isEmpty)
+  }
+}
