@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: idiomatic HOF shapes → native expressions
+    ext.injectOptimizerRule(_ => NativizeHofRule)
+
     def register(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), b))

@@ -107,6 +107,41 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("NativizeHofRule — idiomatic HOF shapes rewrite to native expressions") {
+    val words = Seq("the", "a", "of")
+    // users write the canonical HOF forms…
+    val hofCount = Tables.documents(spark, sf0001)
+      .select(size(filter(split(col("text"), " "),
+        t => t.isInCollection(words))).as("c"))
+    val hofDot = Tables.embeddings(spark, sf0001)
+      .select(VectorOps.dotHof(col("embedding"), col("embedding")).as("d"))
+    // …and the optimized plan runs the native kernels
+    assert(hofCount.queryExecution.optimizedPlan.toString.contains("count_in_set"),
+      hofCount.queryExecution.optimizedPlan.toString)
+    assert(hofDot.queryExecution.optimizedPlan.toString.contains("dot_f32"),
+      hofDot.queryExecution.optimizedPlan.toString)
+    // values are the native ones (already asserted equal to HOF above) —
+    // spot-check against a driver-side recompute
+    val row = Tables.documents(spark, sf0001).select("text").as[String].head()
+    val want = row.split(" ", -1).count(words.contains)
+    assert(hofCount.as[Int].head() === want)
+  }
+
+  test("NativizeHofRule — non-matching shapes are left alone") {
+    // filter on a non-literal set and a non-zero seed must NOT rewrite
+    val p1 = Tables.documents(spark, sf0001)
+      .select(size(filter(split(col("text"), " "), t => t =!= "x")).as("c"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p1.contains("count_in_set"), p1)
+    val p2 = Tables.embeddings(spark, sf0001)
+      .select(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (acc, v) => acc + v).as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p2.contains("dot_f32"), p2)
+  }
+
   test("dotF32 survives whole-stage codegen (plan sanity)") {
     val e = Tables.embeddings(spark, sf0001)
     val plan = e.select(VectorOps.dot(col("embedding"), col("embedding")))
