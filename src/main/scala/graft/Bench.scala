@@ -29,10 +29,12 @@ object Bench {
     // prune the query down to row counting — not an honest measurement).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         spark.catalog.clearCache() // operators may persist intermediates
         (System.nanoTime() - t0) / 1e9
@@ -40,11 +42,13 @@ object Bench {
       // untimed: let the ContextCleaner reap stale broadcasts/shuffles now,
       // not as a GC pause inside a later query's timed section
       System.gc()
-      name -> times(times.size / 2)
+      // -1 keeps failures machine-detectable in the JSON (a failure's wall
+      // time would otherwise read as a suspiciously fast success)
+      name -> (if (failed) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

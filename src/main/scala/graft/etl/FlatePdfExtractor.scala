@@ -158,9 +158,16 @@ object FlatePdfExtractor extends PageExtractor {
       case (_, "Tf", name) => cmap = fonts.getOrElse(name, Map.empty)
       case (_, "Tj", lit) => sb.append(unescape(lit))
       case (_, "TJ", arr) =>
-        HexRe.findAllMatchIn(arr).foreach(m => emitHex(m.group(1)))
-        if (!arr.contains("<")) // literal-string TJ array
-          LitRe.findAllMatchIn(arr).foreach(m => sb.append(unescape(m.group(1))))
+        // hex and literal elements interleave in one TJ array — emit both
+        // in positional order (dropping literals when any hex is present
+        // would silently lose mixed-font text)
+        val elems =
+          HexRe.findAllMatchIn(arr).map(m => (m.start, "hex", m.group(1))) ++
+          LitRe.findAllMatchIn(arr).map(m => (m.start, "lit", m.group(1)))
+        elems.toSeq.sortBy(_._1).foreach {
+          case (_, "hex", h) => emitHex(h)
+          case (_, _, lit) => sb.append(unescape(lit))
+        }
       case _ => ()
     }
     sb.toString.replaceAll("\\s+", " ").trim

@@ -100,10 +100,14 @@ object Pipeline {
     * one-file-per-doc contract when required; the analytic default is plain
     * part-files (no extra shuffle).
     */
-  def writeDocs(docs: DataFrame, path: String, filePerDoc: Boolean = false): Unit = {
-    val out = if (filePerDoc) docs.repartition(col("title")) else docs
-    out.write.mode("overwrite").json(path)
-  }
+  def writeDocs(docs: DataFrame, path: String, filePerDoc: Boolean = false): Unit =
+    if (filePerDoc) {
+      // maxRecordsPerFile=1 is what actually guarantees one document per
+      // file — repartition(col) alone hash-collides titles into shared
+      // part-files once docs outnumber shuffle partitions
+      docs.repartition(col("title"))
+        .write.mode("overwrite").option("maxRecordsPerFile", "1").json(path)
+    } else docs.write.mode("overwrite").json(path)
 
   /** Read back reference-shaped documents with the fixed contract schema —
     * explicit, never inferred (SURVEY §1.2).

@@ -42,7 +42,10 @@ object RunPipeline {
     Pipeline.writeDocs(out.docs, s"$outDir/documents")
     out.quarantine.write.mode("overwrite").json(s"$outDir/quarantine")
     val nDocs = Pipeline.readDocs(spark, s"$outDir/documents").count()
-    val nQuar = spark.read.json(s"$outDir/quarantine").count()
+    // count the DataFrame, not a schema-inferring re-read — an empty
+    // quarantine JSON dir has no inferable schema and would crash the CLI
+    // on the all-parsed success path
+    val nQuar = out.quarantine.count()
     println(s"""{"documents":$nDocs,"quarantined":$nQuar}""")
     spark.stop()
   }

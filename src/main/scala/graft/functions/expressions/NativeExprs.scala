@@ -155,16 +155,18 @@ case class ShinglesExpr(child: Expression, w: Int)
     val out = new Array[Any](n - w + 1)
     var i = 0
     while (i <= n - w) {
-      // concat_ws semantics: null tokens are skipped by concat_ws; split()
-      // never yields nulls so the plain join is value-identical here
-      val parts = new Array[UTF8String](2 * w - 1)
+      // concat_ws semantics: null tokens are SKIPPED (not emitted as null)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
       var j = 0
       while (j < w) {
-        parts(2 * j) = arr.getUTF8String(i + j)
-        if (j < w - 1) parts(2 * j + 1) = SPACE
+        val t = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        if (t != null) {
+          if (parts.nonEmpty) parts += SPACE
+          parts += t
+        }
         j += 1
       }
-      out(i) = UTF8String.concat(parts: _*)
+      out(i) = UTF8String.concat(parts.toSeq: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -178,26 +180,29 @@ case class Md5PrefixAll(child: Expression, hexDigits: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(hexDigits >= 1 && hexDigits <= 15, "long holds at most 15 hex digits")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "md5_prefix_all"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val d = Md5.digest(arr.getUTF8String(i).getBytes)
-      var v = 0L
-      var j = 0
-      while (j < hexDigits) {
-        val nibble =
-          if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf
-          else d(j >> 1) & 0xf
-        v = (v << 4) | nibble
-        j += 1
+      // null element -> null element, matching transform(arr, md5PrefixLong)
+      out(i) = if (arr.isNullAt(i)) null else {
+        val d = Md5.digest(arr.getUTF8String(i).getBytes)
+        var v = 0L
+        var j = 0
+        while (j < hexDigits) {
+          val nibble =
+            if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf
+            else d(j >> 1) & 0xf
+          v = (v << 4) | nibble
+          j += 1
+        }
+        v
       }
-      out(i) = v
       i += 1
     }
     new GenericArrayData(out)
@@ -214,30 +219,55 @@ case class DotF32(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  // Semantics are EXACTLY aggregate(zip_with(a,b,(x,y)=>dbl(x)*dbl(y)),0.0,+):
+  // unequal lengths (zip_with null-pads) or a null element poison the sum to
+  // NULL. This is what makes the NativizeHofRule rewrite unconditionally safe.
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val ok = ctx.freshName("ok")
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${l.isNull} && !${r.isNull} &&
+          ${l.value}.numElements() == ${r.value}.numElements()) {
+        int $n = ${l.value}.numElements();
+        double $s = 0.0;
+        boolean $ok = true;
+        for (int $i = 0; $i < $n; $i++) {
+          if (${l.value}.isNullAt($i) || ${r.value}.isNullAt($i)) { $ok = false; break; }
+          $s += (double) ${l.value}.getFloat($i) * (double) ${r.value}.getFloat($i);
+        }
+        if ($ok) { ${ev.isNull} = false; ${ev.value} = $s; }
+      }""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF32 =
@@ -323,13 +353,15 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
     val minima = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < k) {
-        val (a, b) = ab(j)
-        val v = Math.floorMod(h * a + b, P)
-        if (v < minima(j)) minima(j) = v
-        j += 1
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < k) {
+          val (a, b) = ab(j)
+          val v = Math.floorMod(h * a + b, P)
+          if (v < minima(j)) minima(j) = v
+          j += 1
+        }
       }
       i += 1
     }

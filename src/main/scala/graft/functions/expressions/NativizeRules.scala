@@ -34,8 +34,11 @@ object NativizeHofRule extends Rule[LogicalPlan] {
       case Size(ArrayFilter(arr,
             LambdaFunction(InSet(v: NamedLambdaVariable, hset), Seq(arg), _)), _)
           if v.exprId == arg.exprId && isStringArray(arr) =>
+        // a null IN-list entry can never satisfy the filter — drop it
+        // (mapping it would NPE during optimization)
         CountInSetExpr(arr,
-          hset.toSeq.map(_.asInstanceOf[UTF8String].toString).sorted)
+          hset.toSeq.filter(_ != null)
+            .map(_.asInstanceOf[UTF8String].toString).sorted)
 
       // aggregate(zip_with(a, b, (x,y) -> dbl(x)*dbl(y)), 0.0, (acc,v) -> acc+v)
       //   →  dot_f32(a, b)

@@ -48,9 +48,11 @@ object Ann {
               nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val unit = embeddings.withColumn("_unit",
-      transform(col(vecCol), x =>
-        x.cast("double") / sqrt(VectorOps.dot(col(vecCol), col(vecCol)))))
+    // hoist the norm into a column: a dot inside the transform lambda would
+    // recompute the full self-product per ELEMENT (O(d²) per row)
+    val unit = embeddings
+      .withColumn("_nrm", sqrt(VectorOps.dot(col(vecCol), col(vecCol))))
+      .withColumn("_unit", transform(col(vecCol), x => x.cast("double") / col("_nrm")))
       .withColumn("_features", array_to_vector(col("_unit")))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("_cell")

@@ -36,17 +36,22 @@ object AsOfJoin {
            leftTime: String, rightTime: String, rightVals: Seq[String],
            strict: Boolean = true): DataFrame = {
     val leftCols = left.columns
-    // union schema: keys ++ ts ++ side ++ seq ++ left payload ++ right vals
+    // The attached right values travel as ONE struct so the window picks a
+    // whole right ROW atomically — attaching columns individually with
+    // last(ignoreNulls) would fall back to an OLDER right row for any
+    // column whose latest value is null, mixing values across rows.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v)))
     val l = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("_asof_ts"), lit(1).as("_asof_side"),
-            struct(leftCols.map(col): _*).as("_asof_left")) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"asof_$v")): _*)
+            struct(leftCols.map(col): _*).as("_asof_left"),
+            lit(null).cast(payloadType).as("_asof_payload")): _*)
     val r = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("_asof_ts"), lit(0).as("_asof_side"),
-            lit(null).cast(l.schema("_asof_left").dataType).as("_asof_left")) ++
-        rightVals.map(v => col(v).as(s"asof_$v")): _*)
+            lit(null).cast(l.schema("_asof_left").dataType).as("_asof_left"),
+            struct(rightVals.map(col): _*).as("_asof_payload")): _*)
 
     // Strictness is encoded in the tie order at equal timestamps, with the
     // frame always ending at -1 (exclude current row):
@@ -58,15 +63,12 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_asof_ts").asc, sideOrder.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // last right value in the frame; left rows contribute nulls → ignored
+    // last right PAYLOAD in the frame; left rows carry null payloads → ignored
     val attached = l.unionByName(r)
-      .select(
-        col("_asof_side") +: col("_asof_left") +:
-          rightVals.map(v =>
-            last(when(col("_asof_side") === 0, col(s"asof_$v")), ignoreNulls = true)
-              .over(w).as(s"asof_$v")): _*)
+      .select(col("_asof_side"), col("_asof_left"),
+        last(col("_asof_payload"), ignoreNulls = true).over(w).as("_asof_hit"))
       .filter(col("_asof_side") === 1)
     attached.select(leftCols.map(c => col(s"_asof_left.$c").as(c)) ++
-      rightVals.map(v => col(s"asof_$v")): _*)
+      rightVals.map(v => col(s"_asof_hit.$v").as(s"asof_$v")): _*)
   }
 }

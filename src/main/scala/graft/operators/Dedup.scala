@@ -76,15 +76,25 @@ object Dedup {
                      minCosine: Double, nPlanes: Int = 8, dim: Int = 64,
                      ring: Int = 3): DataFrame = {
     import graft.functions.VectorOps
+    // Multi-probe as an EQUI-join: the left side explodes to every bucket
+    // within `ring` hamming of its own (Σ C(nPlanes, 0..ring) keys per
+    // row), the right side keeps its bucket, and the join key is plain
+    // equality — so Catalyst plans a hash/sort-merge join that shuffles by
+    // bucket. A raw bit_count(a^b)<=ring condition has no equi-key and
+    // degenerates to a nested loop over all n² pairs.
+    val masks: Seq[Long] = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= ring)
     val bucketed = Ann.withBucket(embeddings, vecCol, nPlanes, dim)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("bucket"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
     val l = bucketed.select(col("id").as("i"), col("vec").as("va"),
-      col("nrm").as("na"), col("bucket").as("ba"))
+        col("nrm").as("na"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("probe_bucket"))
     val r = bucketed.select(col("id").as("j"), col("vec").as("vb"),
-      col("nrm").as("nb"), col("bucket").as("bb"))
-    l.join(r, col("i") < col("j") &&
-        bit_count(col("ba").bitwiseXOR(col("bb"))) <= ring)
+      col("nrm").as("nb"), col("bucket").as("probe_bucket"))
+    l.join(r, Seq("probe_bucket"))
+      .filter(col("i") < col("j"))
       .withColumn("cs", VectorOps.cosinePrenorm(
         VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cs") > minCosine)

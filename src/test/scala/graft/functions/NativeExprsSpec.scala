@@ -25,17 +25,21 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
-  test("dotF32 — nulls and length mismatch") {
+  test("dotF32 — nulls and length mismatch match the HOF exactly") {
+    // contract: identical to aggregate(zip_with(...)) — unequal lengths
+    // (zip_with null-pads) and null elements both yield NULL, which is what
+    // makes the NativizeHofRule rewrite unconditionally safe
     val df = Seq(
       (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
       (None, Some(Seq(1f))),
-      (Some(Seq(1f, 2f, 3f)), Some(Seq(2f)))) // min-length semantics
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(2f)))) // length mismatch → null
       .toDF("a", "b")
-      .select(VectorOps.dot(col("a"), col("b")).as("d"))
+      .select(VectorOps.dot(col("a"), col("b")).as("fast"),
+              VectorOps.dotHof(col("a"), col("b")).as("hof"))
     val rows = df.collect()
-    assert(rows(0).getDouble(0) === 11.0)
-    assert(rows(1).isNullAt(0))
-    assert(rows(2).getDouble(0) === 2.0)
+    assert(rows(0).getDouble(0) === 11.0 && rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
   test("simhash32 native == HOF on corpus text") {
