@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+
+/** End-to-end training-data curation: the composed form of the LLM-pipeline
+  * operators (the north-star user story — what a 100 TB pre-training data
+  * job actually runs). Stages:
+  *
+  *   1. exact dedup (content hash, keep min id)
+  *   2. near-dup removal (MinHash-LSH Jaccard pairs → drop the larger id of
+  *      each pair, so one representative per duplicate cluster survives
+  *      transitively)
+  *   3. annotation: language id, token count, quality score
+  *   4. quality gate: configurable thresholds
+  *
+  * Everything is one lazy plan per stage boundary; the only shuffles are the
+  * dedup hash, the LSH candidate join, and the pair anti-join. Survivors
+  * carry their annotations so downstream sampling/packing can stratify.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      jaccardThreshold: Double = 0.8,
+      minTokens: Long = 10,
+      maxTokens: Long = 1000000,
+      minQuality: Double = 0.2)
+
+  final case class Result(corpus: DataFrame, droppedExact: Long,
+                          droppedNearDup: Long, droppedQuality: Long)
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             config: Config = Config()): Result = {
+    val n0 = docs.count()
+
+    // 1 — exact dedup
+    val exact = Dedup.exactKeepMin(docs, idCol, textCol)
+    val n1 = exact.count()
+
+    // 2 — near-dup removal: drop the larger id of every surviving pair.
+    // Dropping max(id) per pair removes one endpoint of every edge, which
+    // leaves exactly the min-id representative of each connected cluster
+    // when clusters are cliques (near-identical docs), and at least one
+    // representative otherwise.
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.jaccardThreshold)
+    val losers = pairs.select(col("j").as(idCol)).distinct()
+    val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")
+    val n2 = nearDeduped.count()
+
+    // 3 — annotations (single narrow projection, no shuffle)
+    val toks = TextOps.tokens(col(textCol))
+    val stop = TextOps.langStopwords.toMap.apply("en")
+    val nTok = size(toks).cast(LongType)
+    val stopRatio = TextOps.stopwordHits(toks, stop) * 1.0 / size(toks)
+    val annotated = nearDeduped
+      .withColumn("lang_pred", TextOps.langId(toks))
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality",
+        round(stopRatio * 0.5 + least(lit(1.0), nTok / 200.0) * 0.5, 4))
+
+    // 4 — quality gate
+    val kept = annotated
+      .filter(col("n_tokens").between(config.minTokens, config.maxTokens) &&
+              col("quality") >= config.minQuality)
+    val n3 = kept.count()
+
+    Result(kept, droppedExact = n0 - n1, droppedNearDup = n1 - n2,
+           droppedQuality = n2 - n3)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline on the real documents corpus: stage
+  * accounting adds up, survivors are unique, near-dup clusters keep exactly
+  * their min-id representative, and annotations are present.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate — stage accounting, uniqueness, representatives, annotations") {
+    val docs = Tables.documents(spark, sf0001)
+    val n0 = docs.count()
+    val r = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(jaccardThreshold = 0.5, minTokens = 5,
+        maxTokens = 100000, minQuality = 0.0))
+    // accounting
+    assert(r.corpus.count() ===
+      n0 - r.droppedExact - r.droppedNearDup - r.droppedQuality)
+    assert(r.droppedExact >= 0 && r.droppedNearDup > 0) // corpus has near-dups
+    // survivors unique by id and by content hash
+    assert(r.corpus.select("doc_id").distinct().count() === r.corpus.count())
+    assert(r.corpus.select(md5($"text".cast("binary"))).distinct().count()
+      === r.corpus.count())
+    // no surviving pair is still a near-dup at the threshold
+    val residualPairs = Dedup.jaccardPairs(r.corpus, "doc_id", "text", 0.5)
+    assert(residualPairs.count() === 0)
+    // every q31 near-dup pair (threshold 0.5) lost its larger member
+    val q31 = graft.queries.Catalog.byName("q31_jaccard_pairs")
+      .build(spark, sf0001)
+    val survivingLosers = r.corpus.select($"doc_id".as("j"))
+      .join(q31.select("j").distinct(), Seq("j"), "left_semi")
+    assert(survivingLosers.count() === 0)
+    // annotations present and sane
+    val row = r.corpus.select("lang_pred", "n_tokens", "quality").head()
+    assert(row.getString(0).nonEmpty)
+    assert(row.getLong(1) >= 5)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
+
+  test("curate — quality gate drops short docs") {
+    val docs = Seq(
+      (1L, "one two"),                                     // too short
+      (2L, ("the quick brown fox " * 20).trim))            // fine
+      .toDF("doc_id", "text")
+    val r = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 10, minQuality = 0.0))
+    assert(r.corpus.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(r.droppedQuality === 1)
+  }
+}
