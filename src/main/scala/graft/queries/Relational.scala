@@ -19,6 +19,15 @@ object Relational {
   /** decimal-safe money sum surfaced as double (§7.3). */
   private def sumMoney(c: Column): Column = dbl(sum(money(c)))
 
+  /** Global sort for BOUNDED-cardinality results (output rows ≤ a small
+    * group cardinality, independent of input size — e.g. 25 nations, 12
+    * months, 5 statuses). A single-partition sort is then the right plan at
+    * ANY input scale, and it skips the range-partitioner's sampling job
+    * that a general orderBy pays. Never use on per-row outputs.
+    */
+  private[queries] def smallSort(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   val qs: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- scans
@@ -95,7 +104,7 @@ object Relational {
         .groupBy("r_name", "n_name")
         .agg(sumMoney(col("o_totalprice")).as("revenue"),
              count(lit(1)).as("n_orders"))
-        .orderBy("r_name", "n_name")
+        .transform(smallSort(_, "r_name", "n_name"))
     },
 
     Q("q05_broadcast_join",
@@ -117,7 +126,7 @@ object Relational {
               col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sumMoney(col("o_totalprice")).as("revenue"))
-        .orderBy("n_name")
+        .transform(smallSort(_, "n_name"))
     },
 
     Q("q06_left_outer",
@@ -293,7 +302,7 @@ object Relational {
              round(dbl(sum(col("l_discount").cast(DecimalType(18, 4)))) / count(lit(1)), 4)
                .as("avg_disc"),
              count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(smallSort(_, "l_returnflag", "l_linestatus"))
     },
 
     Q("q14_count_distinct",
@@ -304,7 +313,7 @@ object Relational {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
         .agg(countDistinct(col("o_custkey")).as("n_cust"))
-        .orderBy("o_orderstatus")
+        .transform(smallSort(_, "o_orderstatus"))
     },
 
     Q("q15_rollup",
@@ -325,7 +334,7 @@ object Relational {
         .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
                 coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
                 col("gid"), col("cnt"))
-        .orderBy("gid", "prio", "status")
+        .transform(smallSort(_, "gid", "prio", "status"))
     },
 
     Q("q14b_pivot",
@@ -344,7 +353,7 @@ object Relational {
           .pivot("o_orderstatus", Seq("F", "O", "P"))
           .agg(count(lit(1)))
           .na.fill(0L)
-          .orderBy("o_orderpriority")
+          .transform(smallSort(_, "o_orderpriority"))
     },
 
     Q("q14c_unpivot",
@@ -601,7 +610,7 @@ object Relational {
         .select(col("r_name"), col("n_name"),
                 when(col("r_regionkey") === col("n_regionkey"), 1).otherwise(0)
                   .as("home"))
-        .orderBy("r_name", "n_name")
+        .transform(smallSort(_, "r_name", "n_name"))
     },
 
     // ------------------------------------------------------ scalar functions
@@ -664,7 +673,7 @@ object Relational {
         .select(date_format(col("m"), "yyyy-MM-dd").as("month"),
                 date_format(add_months(col("m"), 1), "yyyy-MM-dd").as("next_month"),
                 col("cnt"), col("min_days"), col("max_dom"), col("yr"))
-        .orderBy("month")
+        .transform(smallSort(_, "month"))
     },
 
     Q("q25_math",
@@ -742,7 +751,7 @@ object Relational {
         .groupBy((col("k") % 10).cast(LongType).as("kmod"))
         .agg(count(lit(1)).as("cnt"),
              sumMoney(col("value")).as("sum_value"))
-        .orderBy("kmod")
+        .transform(smallSort(_, "kmod"))
     }
   )
 }

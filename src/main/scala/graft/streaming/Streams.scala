@@ -96,6 +96,43 @@ object Streams {
       }
   }
 
+  /** The reference's push-triggered PDF ingest as a stream (S5+S8,
+    * auto_ingest.yml): a binaryFile source watches a directory, and each
+    * micro-batch runs the SAME batch document pipeline via foreachBatch —
+    * exactly-once across restarts from the checkpoint, no file-exists
+    * checks. Returns after all currently-available files are processed.
+    */
+  def ingestPdfStream(spark: SparkSession, watchDir: String, outDir: String,
+                      checkpoint: String,
+                      extractor: graft.etl.PageExtractor,
+                      ingestDate: String): Unit = {
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.pdf")
+      .load(watchDir)
+      .select(col("path").as("url"), col("content"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.etl.Pipeline.process(batch, extractor, ingestDate)
+        out.docs.write.mode("append").json(s"$outDir/documents")
+        out.quarantine.write.mode("append").json(s"$outDir/quarantine")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream ⋈ static dimension enrichment (the ingest-side join every
     * pipeline needs): per micro-batch hash join against the static side —
     * no state store, broadcast when small.

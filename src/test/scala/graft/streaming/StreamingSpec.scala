@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("binaryFile PDF ingest stream — incremental, exactly-once (S5+S8)") {
+    val watch = Files.createTempDirectory("graft_pdfwatch").toString
+    val out = Files.createTempDirectory("graft_pdfout").toString
+    val checkpoint = ckpt()
+    def pdf(text: String): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\n" +
+       s"BT ($text) Tj ET\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(s"$watch/Vol%2001.pdf"), pdf("Decided 1998 alpha"))
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FlatePdfExtractor, "2026-08-12")
+    val docs1 = graft.etl.Pipeline.readDocs(spark, s"$out/documents")
+    assert(docs1.count() === 1)
+    assert(docs1.select("year").as[String].head() === "1998")
+    // push a second file; restart from the same checkpoint — only the new
+    // file is processed (appended once, no reprocessing of Vol 01)
+    Files.write(java.nio.file.Paths.get(s"$watch/Vol%2002.pdf"), pdf("Decided 2003 beta"))
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FlatePdfExtractor, "2026-08-12")
+    val docs2 = graft.etl.Pipeline.readDocs(spark, s"$out/documents")
+    assert(docs2.count() === 2)
+    assert(docs2.select("title").as[String].collect().sorted === Array("Vol 01", "Vol 02"))
+  }
+
   test("stream ⋈ static enrichment — equals the batch join") {
     val dim = Tables.customer(spark, sf0001)
       .select($"c_custkey", $"c_name")
