@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("shingles", "shingles(tokens, w) - w-token shingles") { args =>
       ShinglesExpr(args(0), intArg(args(1), "w"))
     }
+    register("rolling_hashes",
+      "rolling_hashes(s, w) - Rabin-Karp hashes of every w-byte window") { args =>
+      RollingHashExpr(args(0), intArg(args(1), "w"))
+    }
   }
 }

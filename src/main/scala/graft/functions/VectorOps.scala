@@ -63,7 +63,7 @@ object VectorOps {
   def hyperplaneBucketHof(v: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val proj = aggregate(
-        zip_with(v, array(p.map(lit): _*), (x, w) => x.cast(DoubleType) * w),
+        zip_with(v, array(p.toIndexedSeq.map(lit): _*), (x, w) => x.cast(DoubleType) * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << (planes.length - 1 - i))).otherwise(lit(0L))
     }

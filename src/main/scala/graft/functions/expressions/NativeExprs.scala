@@ -72,12 +72,59 @@ object NativeExprs {
   def countInSet(toks: Column, words: Seq[String]): Column =
     col(CountInSetExpr(ex(toks), words))
 
+  /** Rabin-Karp rolling hashes over the UTF-8 bytes of a string: one
+    * 31-bit polynomial hash per window of `w` bytes, computed in O(n) with
+    * the rolling update (the "document fingerprinting (rolling hash)"
+    * north-star item). Bottom-k of the result is a content-defined
+    * fingerprint robust to insertions outside the window.
+    */
+  def rollingHashes(text: Column, w: Int): Column =
+    col(RollingHashExpr(ex(text), w))
+
   /** Random-hyperplane LSH bucket id: sign bits of the fixed projections
     * packed MSB-first into a LONG — value-identical to
     * VectorOps.hyperplaneBucketHof (same left-to-right double dot).
     */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     col(HyperplaneBucketExpr(ex(vec), planes.map(_.toSeq)))
+}
+
+case class RollingHashExpr(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1)
+  private val P = 2147483647L // 2^31 - 1
+  private val B = 257L
+  // B^(w-1) mod P for the rolling eviction
+  private val bPow: Long = {
+    var r = 1L; var i = 1
+    while (i < w) { r = r * B % P; i += 1 }
+    r
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+    out(0) = h
+    while (i < n) {
+      h = ((h - (bytes(i - w) & 0xffL) * bPow % P + P) % P * B +
+        (bytes(i) & 0xffL)) % P
+      out(i - w + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
 }
 
 case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])

@@ -45,7 +45,7 @@ object AsOfJoin {
     val l = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("_asof_ts"), lit(1).as("_asof_side"),
-            struct(leftCols.map(col): _*).as("_asof_left"),
+            struct(leftCols.toIndexedSeq.map(col): _*).as("_asof_left"),
             lit(null).cast(payloadType).as("_asof_payload")): _*)
     val r = right.select(
       keyCols.map(col) ++
@@ -68,7 +68,7 @@ object AsOfJoin {
       .select(col("_asof_side"), col("_asof_left"),
         last(col("_asof_payload"), ignoreNulls = true).over(w).as("_asof_hit"))
       .filter(col("_asof_side") === 1)
-    attached.select(leftCols.map(c => col(s"_asof_left.$c").as(c)) ++
+    attached.select(leftCols.toIndexedSeq.map(c => col(s"_asof_left.$c").as(c)) ++
       rightVals.map(v => col(s"_asof_hit.$v").as(s"asof_$v")): _*)
   }
 }

@@ -30,7 +30,7 @@ object SkewJoin {
     // rows evenly; identical rows collide on salt, which is correct (same
     // reducer, same result)
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(leftCols: _*), lit(nSalts)).cast("int"))
+      pmod(xxhash64(leftCols.toIndexedSeq: _*), lit(nSalts)).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

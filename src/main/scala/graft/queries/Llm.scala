@@ -289,6 +289,22 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    Q.cap("q39_rolling_fingerprint",
+      """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
+        |Rabin-Karp hashes of each document, computed in O(n) per doc with
+        |the rolling update. No DuckDB oracle (custom hash function by
+        |design); RollingHashSpec pins the rolling recurrence against a
+        |direct per-window recompute.""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(transform(
+            slice(array_sort(array_distinct(
+              graft.functions.expressions.NativeExprs
+                .rollingHashes(col("text"), 48))), 1, 4),
+            h => h.cast(StringType)), "|").as("fp"))
+        .orderBy("doc_id")
+    },
+
     Q("q38_langid",
       """Q38 — heuristic language ID: argmax of fixed stopword-list hit
         |counts (tie → smallest code, none → 'und'). A single narrow map —

@@ -101,6 +101,27 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("rollingHashes — recurrence equals direct per-window recompute") {
+    val P = 2147483647L; val B = 257L; val w = 16
+    def direct(s: String): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.length < w) Seq.empty
+      else (0 to bytes.length - w).map { i =>
+        bytes.slice(i, i + w).foldLeft(0L)((h, b) => (h * B + (b & 0xffL)) % P)
+      }
+    }
+    val texts = Tables.documents(spark, sf0001).limit(50)
+      .select(substring(col("text"), 1, 300).as("t"))
+    val got = texts.select(col("t"),
+        NativeExprs.rollingHashes(col("t"), w).as("h"))
+      .as[(String, Seq[Long])].collect()
+    got.foreach { case (t, hs) =>
+      assert(hs === direct(t), s"mismatch for '${t.take(40)}…'")
+    }
+    // short-input and SQL-surface behavior
+    assert(spark.sql(s"SELECT rolling_hashes('abc', $w)").head().getSeq[Long](0).isEmpty)
+  }
+
   test("hyperplaneBucket native == HOF on real embeddings") {
     val planes = VectorOps.fixedPlanes(8, 64)
     val e = Tables.embeddings(spark, sf0001)

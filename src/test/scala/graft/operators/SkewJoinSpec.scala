@@ -17,8 +17,9 @@ class SkewJoinSpec extends SparkSpec {
     val plain = orders.join(cust, Seq("k"))
     val salted = SkewJoin.saltedInnerJoin(orders, cust, "k", nSalts = 7)
     assert(salted.count() === plain.count())
-    assert(salted.select(plain.columns.map(col): _*).exceptAll(plain).isEmpty &&
-           plain.exceptAll(salted.select(plain.columns.map(col): _*)).isEmpty)
+    val cols = plain.columns.toIndexedSeq.map(col)
+    assert(salted.select(cols: _*).exceptAll(plain).isEmpty &&
+           plain.exceptAll(salted.select(cols: _*)).isEmpty)
   }
 
   test("hybridJoin == plain join when some keys are treated as hot") {
@@ -31,7 +32,7 @@ class SkewJoinSpec extends SparkSpec {
     val plain = orders.join(cust, Seq("k"))
     val hybrid = SkewJoin.hybridJoin(orders, cust, "k", hot, nSalts = 5)
     assert(hybrid.count() === plain.count())
-    assert(hybrid.select(plain.columns.map(col): _*).exceptAll(plain).isEmpty)
+    assert(hybrid.select(plain.columns.toIndexedSeq.map(col): _*).exceptAll(plain).isEmpty)
   }
 
   test("salt spreads a pathological key across distinct salt values") {
