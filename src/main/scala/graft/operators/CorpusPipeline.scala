@@ -33,10 +33,12 @@ object CorpusPipeline {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
              config: Config = Config()): Result = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val n0 = docs.count()
 
-    // 1 — exact dedup
-    val exact = Dedup.exactKeepMin(docs, idCol, textCol)
+    // 1 — exact dedup. Persisted: stages 2-4 and their counts would
+    // otherwise re-execute the dedup window per downstream action.
+    val exact = Dedup.exactKeepMin(docs, idCol, textCol).persist(MEMORY_AND_DISK)
     val n1 = exact.count()
 
     // 2 — near-dup removal: drop the larger id of every surviving pair.
@@ -44,27 +46,42 @@ object CorpusPipeline {
     // leaves exactly the min-id representative of each connected cluster
     // when clusters are cliques (near-identical docs), and at least one
     // representative otherwise.
-    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.jaccardThreshold)
-    val losers = pairs.select(col("j").as(idCol)).distinct()
+    val (pairs, releaseLsh) = MinHashLsh.nearDupPairsDetached(
+      exact, idCol, textCol, config.jaccardThreshold)
+    val losers = pairs.select(col("j").as(idCol)).distinct().persist(MEMORY_AND_DISK)
+    losers.count() // materialize, then drop the LSH signature cache
+    releaseLsh()
     val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")
     val n2 = nearDeduped.count()
 
-    // 3 — annotations (single narrow projection, no shuffle)
+    // 3 — annotations (single narrow projection, no shuffle). The quality
+    // stop-ratio uses the PREDICTED language's stopword list — scoring
+    // every doc against English would gate out short non-English docs as
+    // "low quality" regardless of content.
     val toks = TextOps.tokens(col(textCol))
-    val stop = TextOps.langStopwords.toMap.apply("en")
     val nTok = size(toks).cast(LongType)
-    val stopRatio = TextOps.stopwordHits(toks, stop) * 1.0 / size(toks)
+    val langHits = TextOps.langStopwords.foldLeft(lit(0)) {
+      case (acc, (lang, words)) =>
+        when(col("lang_pred") === lang, TextOps.stopwordHits(toks, words))
+          .otherwise(acc)
+    }
     val annotated = nearDeduped
       .withColumn("lang_pred", TextOps.langId(toks))
       .withColumn("n_tokens", nTok)
       .withColumn("quality",
-        round(stopRatio * 0.5 + least(lit(1.0), nTok / 200.0) * 0.5, 4))
+        round((langHits * 1.0 / size(toks)) * 0.5 +
+              least(lit(1.0), nTok / 200.0) * 0.5, 4))
 
-    // 4 — quality gate
+    // 4 — quality gate. Persisted — it is the returned corpus, and the
+    // caller's actions must not re-run the whole curation.
     val kept = annotated
       .filter(col("n_tokens").between(config.minTokens, config.maxTokens) &&
               col("quality") >= config.minQuality)
+      .persist(MEMORY_AND_DISK)
     val n3 = kept.count()
+    // kept is materialized; its parents' caches are no longer needed
+    exact.unpersist()
+    losers.unpersist()
 
     Result(kept, droppedExact = n0 - n1, droppedNearDup = n1 - n2,
            droppedQuality = n2 - n3)

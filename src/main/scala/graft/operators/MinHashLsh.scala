@@ -60,7 +60,17 @@ object MinHashLsh {
     */
   def nearDupPairs(docs: DataFrame, docId: String, text: String,
                    threshold: Double, w: Int = 3,
-                   bands: Int = 24, rowsPerBand: Int = 2): DataFrame = {
+                   bands: Int = 24, rowsPerBand: Int = 2): DataFrame =
+    nearDupPairsDetached(docs, docId, text, threshold, w, bands, rowsPerBand)._1
+
+  /** [[nearDupPairs]] plus a release handle that unpersists the internal
+    * signature cache — call it after the pairs have been materialized (and
+    * any dependent frame persisted) to avoid accumulating dead cache
+    * entries in long-lived sessions that dedup many corpora.
+    */
+  def nearDupPairsDetached(docs: DataFrame, docId: String, text: String,
+                   threshold: Double, w: Int = 3,
+                   bands: Int = 24, rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
     val k = bands * rowsPerBand
     // One pass computes (doc_id, hash-set, signature); persisted because the
     // plan below consumes it FOUR times (both sides of the banded self-join
@@ -104,10 +114,11 @@ object MinHashLsh {
       .join(shSets.select(col("doc_id").as("j"), col("hashes").as("sh_j")), Seq("j"))
     val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType)
     val uni = (size(col("sh_i")) + size(col("sh_j"))).cast(DoubleType) - inter
-    verified
+    val pairs = verified
       .withColumn("jaccard", inter / uni)
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("i", "j")
+    (pairs, () => { sigs.unpersist(); () })
   }
 }

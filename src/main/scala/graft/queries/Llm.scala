@@ -293,7 +293,7 @@ object Llm {
       """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
         |Rabin-Karp hashes of each document, computed in O(n) per doc with
         |the rolling update. No DuckDB oracle (custom hash function by
-        |design); RollingHashSpec pins the rolling recurrence against a
+        |design); NativeExprsSpec pins the rolling recurrence against a
         |direct per-window recompute.""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),

@@ -123,9 +123,20 @@ object Streams {
       .select(col("path").as("url"), col("content"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = graft.etl.Pipeline.process(batch, extractor, ingestDate)
-        out.docs.write.mode("append").json(s"$outDir/documents")
-        out.quarantine.write.mode("append").json(s"$outDir/quarantine")
+        // persist: Pipeline.process consumes the binaries twice (pages +
+        // url anchor) and we write two sinks — without this the PDF
+        // extraction would run ~4x per batch
+        batch.persist()
+        try {
+          val out = graft.etl.Pipeline.process(batch, extractor, ingestDate)
+          // batchId-keyed overwrite makes the write IDEMPOTENT: a replayed
+          // micro-batch (sink write succeeded but checkpoint commit didn't)
+          // overwrites its own directory instead of appending duplicates —
+          // this is what makes the exactly-once claim true end-to-end
+          out.docs.write.mode("overwrite").json(s"$outDir/documents/$batchId")
+          out.quarantine.write.mode("overwrite")
+            .json(s"$outDir/quarantine/$batchId")
+        } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

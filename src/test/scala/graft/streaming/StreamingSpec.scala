@@ -98,7 +98,7 @@ class StreamingSpec extends SparkSpec {
     Files.write(java.nio.file.Paths.get(s"$watch/Vol%2001.pdf"), pdf("Decided 1998 alpha"))
     Streams.ingestPdfStream(spark, watch, out, checkpoint,
       graft.etl.FlatePdfExtractor, "2026-08-12")
-    val docs1 = graft.etl.Pipeline.readDocs(spark, s"$out/documents")
+    val docs1 = graft.etl.Pipeline.readDocs(spark, s"$out/documents/*")
     assert(docs1.count() === 1)
     assert(docs1.select("year").as[String].head() === "1998")
     // push a second file; restart from the same checkpoint — only the new
@@ -106,7 +106,7 @@ class StreamingSpec extends SparkSpec {
     Files.write(java.nio.file.Paths.get(s"$watch/Vol%2002.pdf"), pdf("Decided 2003 beta"))
     Streams.ingestPdfStream(spark, watch, out, checkpoint,
       graft.etl.FlatePdfExtractor, "2026-08-12")
-    val docs2 = graft.etl.Pipeline.readDocs(spark, s"$out/documents")
+    val docs2 = graft.etl.Pipeline.readDocs(spark, s"$out/documents/*")
     assert(docs2.count() === 2)
     assert(docs2.select("title").as[String].collect().sorted === Array("Vol 01", "Vol 02"))
   }
