@@ -28,6 +28,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(loose === ("p1", 200L))  // equal timestamp admitted
   }
 
+  test("latest right row with a null value attaches as null, not a stale row") {
+    // regression: per-column attachment with last(ignoreNulls) used to fall
+    // back to an OLDER right row when the latest value was null — the
+    // struct payload must keep the right ROW atomic
+    val left = Seq((1L, ts("2026-01-01 12:00:00"), "p"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:00:00"), Some(5L), Some("old")),
+      (1L, ts("2026-01-01 10:00:00"), None, Some("new"))) // latest: v is null
+      .toDF("user_id", "ts", "v", "w")
+    val out = AsOfJoin.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("v", "w")).select("asof_v", "asof_w").head()
+    assert(out.isNullAt(0), "stale v from the older row leaked through")
+    assert(out.getString(1) === "new") // both columns from the SAME (latest) row
+  }
+
   test("no earlier right row → null attach; keys never cross") {
     val left = Seq((1L, ts("2026-01-01 08:00:00"), "early"),
                    (2L, ts("2026-01-01 12:00:00"), "other-key"))
