@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness (driver contract: print ONE JSON line with per-query
+  * seconds at SPARK_GRAFT_SF_DIR).
+  *
+  * Methodology — stated explicitly so the numbers are interpretable:
+  *  - An UNTIMED full warmup pass runs every catalog query once first. It
+  *    absorbs one-time JVM/classloader/whole-stage-codegen compilation and
+  *    file-index resolution, so the timed pass measures steady-state
+  *    execution — the same thing the DuckDB baseline harness
+  *    (dev/baseline.py, median of 3) measures. The warmup pass durations
+  *    are still REPORTED verbatim in the JSON as "cold_queries"/"cold_total"
+  *    so both cold-single-shot and warm numbers are on the record
+  *    (VERDICT r1 item 7).
+  *  - The timed pass takes the median of SPARK_GRAFT_BENCH_REPS (default 3)
+  *    runs per query.
+  *  - Results go through a noop sink, which materializes every output
+  *    column (count() would let Catalyst prune the query down to row
+  *    counting — not an honest measurement).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,30 +33,43 @@ object Bench {
       // keep the default — this is per-corpus sizing, SURVEY guidance.)
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "64k")
+      // AQE's default 64MB advisory size coalesces every post-shuffle stage
+      // of this single-digit-MB corpus to ONE task; 1MB keeps reduce-side
+      // parallelism proportional to data (same per-corpus sizing rationale
+      // as maxPartitionBytes above — cluster deployments keep the default)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb JVM/codegen/classloader init on a tiny-SF query so the
-    // first timed query doesn't carry ~4s of one-time cost
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    // Median of 3 runs per query — the same methodology as the DuckDB
-    // baseline harness (dev/baseline.py), so the comparison measures
-    // steady-state execution, not per-query codegen/JIT warmup.
-    // noop sink materializes every output column (count() would let Catalyst
-    // prune the query down to row counting — not an honest measurement).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // untimed: operators may persist intermediates
+      (sec, ok)
+    }
+
+    // ---- warmup pass (untimed, but recorded as the cold single-shot run)
+    val cold = ordered.map { case (name, fn) =>
+      val (sec, ok) = runOnce(name, fn)
+      System.gc()
+      name -> (if (ok) sec else -1.0)
+    }
+
+    // ---- timed pass: median of `reps` steady-state runs per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       var failed = false
       val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        spark.catalog.clearCache() // operators may persist intermediates
-        (System.nanoTime() - t0) / 1e9
+        val (sec, ok) = runOnce(name, fn)
+        if (!ok) failed = true
+        sec
       }.sorted
       // untimed: let the ContextCleaner reap stale broadcasts/shuffles now,
       // not as a GC pause inside a later query's timed section
@@ -46,10 +78,11 @@ object Bench {
       // time would otherwise read as a suspiciously fast success)
       name -> (if (failed) -1.0 else times(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold_total":$coldTotal,"cold_queries":${jmap(cold)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,5 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_hashes(s, w) - Rabin-Karp hashes of every w-byte window") { args =>
       RollingHashExpr(args(0), intArg(args(1), "w"))
     }
+    register("rolling_bottom_k",
+      "rolling_bottom_k(s, w, k) - k smallest distinct rolling hashes, ascending") { args =>
+      RollingBottomKExpr(args(0), intArg(args(1), "w"), intArg(args(2), "k"))
+    }
   }
 }

@@ -114,4 +114,34 @@ object Pipeline {
     */
   def readDocs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Tables.legalDocSchema).json(path)
+
+  /** S16 compensating action (reference: import requests.py:84 — the
+    * consolidated pipeline DELETES the PDF it could not extract). Takes the
+    * quarantine channel with a `pathCol` column naming each staged binary
+    * and removes those files, executor-side, partition-parallel.
+    *
+    * foreachBatch-shaped via [[compensatingDeleteBatch]] and IDEMPOTENT:
+    * `deleteIfExists` is a no-op on absent files, so when streaming
+    * recovery replays a micro-batch the second pass converges to the same
+    * state instead of failing — the property PipelineSpec pins. (Local/NFS
+    * staging; an object-store staging area would swap its client in here.)
+    */
+  def compensatingDelete(quarantine: DataFrame, pathCol: String = "path"): Unit =
+    quarantine.select(pathCol).distinct()
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        while (rows.hasNext) {
+          val p = rows.next().getString(0)
+          if (p != null)
+            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+              java.net.URI.create(p).getPath match {
+                case null => p
+                case path => path
+              }))
+        }
+      }
+
+  /** [[compensatingDelete]] curried for `writeStream.foreachBatch`. */
+  def compensatingDeleteBatch(pathCol: String = "path")(
+      quarantine: DataFrame, batchId: Long): Unit =
+    compensatingDelete(quarantine, pathCol)
 }

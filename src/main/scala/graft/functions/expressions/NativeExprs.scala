@@ -81,6 +81,15 @@ object NativeExprs {
   def rollingHashes(text: Column, w: Int): Column =
     col(RollingHashExpr(ex(text), w))
 
+  /** Bottom-k DISTINCT rolling hashes, ascending — value-identical to
+    * slice(array_sort(array_distinct(rollingHashes(text, w))), 1, k) but
+    * one O(n·log k) pass with a bounded insertion buffer instead of
+    * materializing and sorting all n-w+1 boxed hashes per document (the
+    * right shape at corpus scale: output is k longs however long the doc).
+    */
+  def rollingBottomK(text: Column, w: Int, k: Int): Column =
+    col(RollingBottomKExpr(ex(text), w, k))
+
   /** Random-hyperplane LSH bucket id: sign bits of the fixed projections
     * packed MSB-first into a LONG — value-identical to
     * VectorOps.hyperplaneBucketHof (same left-to-right double dot).
@@ -127,6 +136,60 @@ case class RollingHashExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+case class RollingBottomKExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1 && k >= 1)
+  private val P = 2147483647L // 2^31 - 1 (same family as RollingHashExpr)
+  private val B = 257L
+  private val bPow: Long = {
+    var r = 1L; var i = 1
+    while (i < w) { r = r * B % P; i += 1 }
+    r
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_bottom_k"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    // sorted insertion buffer of at most k distinct minima
+    val buf = new Array[Long](k)
+    var size = 0
+    def offer(h: Long): Unit = {
+      if (size == k && h >= buf(size - 1)) return
+      // binary search for insertion point; skip duplicates
+      var lo = 0; var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < size && buf(lo) == h) return
+      val end = math.min(size, k - 1)
+      var i = end
+      while (i > lo) { buf(i) = buf(i - 1); i -= 1 }
+      buf(lo) = h
+      if (size < k) size += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
+    offer(h)
+    while (i < n) {
+      h = ((h - (bytes(i - w) & 0xffL) * bPow % P + P) % P * B +
+        (bytes(i) & 0xffL)) % P
+      offer(h)
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, size))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingBottomKExpr =
+    copy(child = newChild)
+}
+
 case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -139,15 +202,24 @@ case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val nBits = planeArr.length
+    // HOF parity (ADVICE r1): zip_with null-pads a length mismatch and a
+    // null element null-poisons the whole fold, so the HOF projection is
+    // NULL and `when(proj >= 0, bit)` emits bit 0. Match that exactly:
+    // ragged or null-element vectors project to 0 for every plane.
+    var poisoned = false
+    var i = 0
+    val vn = v.numElements()
+    while (i < vn && !poisoned) { if (v.isNullAt(i)) poisoned = true; i += 1 }
     var bucket = 0L
     var p = 0
     while (p < nBits) {
       val plane = planeArr(p)
-      val n = math.min(v.numElements(), plane.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += v.getFloat(i).toDouble * plane(i); i += 1 }
-      if (s >= 0) bucket |= 1L << (nBits - 1 - p)
+      if (!poisoned && vn == plane.length) {
+        var s = 0.0
+        var j = 0
+        while (j < vn) { s += v.getFloat(j).toDouble * plane(j); j += 1 }
+        if (s >= 0) bucket |= 1L << (nBits - 1 - p)
+      }
       p += 1
     }
     bucket
@@ -194,6 +266,14 @@ case class ShinglesExpr(child: Expression, w: Int)
   override def prettyName: String = "shingles"
 
   private val SPACE = UTF8String.fromString(" ")
+
+  // HOF parity (ADVICE r1): shinglesHof's `when(size(null) >= w, …)` falls
+  // through to the empty-array branch on a NULL token array — so does this.
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -391,16 +471,21 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
   }
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any = {
     val hashes = input.asInstanceOf[ArrayData]
     val n = hashes.numElements()
     val minima = Array.fill(k)(Long.MaxValue)
+    // HOF parity (ADVICE r1): array_min over an empty/all-null transform
+    // yields NULL, so signatureHof emits null elements — match that instead
+    // of leaking Long.MaxValue sentinels into band keys.
+    var contributed = false
     var i = 0
     while (i < n) {
       if (!hashes.isNullAt(i)) {
+        contributed = true
         val h = hashes.getLong(i)
         var j = 0
         while (j < k) {
@@ -412,7 +497,8 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
       }
       i += 1
     }
-    new GenericArrayData(minima)
+    if (!contributed) new GenericArrayData(Array.fill[Any](k)(null))
+    else new GenericArrayData(minima)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

@@ -24,15 +24,17 @@ object NativizeHofRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // size(filter(arr, x -> x IN (lit, lit, …)))  →  count_in_set(arr)
+      // legacySizeOfNull=true makes size(null)=-1 while CountInSetExpr
+      // returns NULL — rewrite only under the (default) false flag (ADVICE r1)
       case Size(ArrayFilter(arr,
-            LambdaFunction(In(v: NamedLambdaVariable, list), Seq(arg), _)), _)
+            LambdaFunction(In(v: NamedLambdaVariable, list), Seq(arg), _)), false)
           if v.exprId == arg.exprId && isStringArray(arr) &&
              list.nonEmpty && list.forall(isStringLit) =>
         CountInSetExpr(arr, list.map(litString))
 
       // size(filter(arr, x -> x INSET set))  →  count_in_set(arr)
       case Size(ArrayFilter(arr,
-            LambdaFunction(InSet(v: NamedLambdaVariable, hset), Seq(arg), _)), _)
+            LambdaFunction(InSet(v: NamedLambdaVariable, hset), Seq(arg), _)), false)
           if v.exprId == arg.exprId && isStringArray(arr) =>
         // a null IN-list entry can never satisfy the filter — drop it
         // (mapping it would NPE during optimization)
@@ -85,11 +87,23 @@ object NativizeHofRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The variable widened to double by an EXPLICIT cast. A bare float
+    * variable must NOT match here: a float*float Multiply rounds each
+    * product to float precision, while DotF32 computes double(x)*double(y)
+    * — rewriting the bare form would silently change the optimized plan's
+    * values (ADVICE r1). The bare arm stays in [[sameVar]] for the Add/acc
+    * check, where both operands are already double.
+    */
+  private def castedVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case Cast(n: NamedLambdaVariable, DoubleType, _, _) => n.exprId == v.exprId
+    case _ => false
+  }
+
   /** mul == cast(x as double) * cast(y as double), in either order. */
   private def isDoubleProductOf(mul: Multiply, x: NamedLambdaVariable,
                                 y: NamedLambdaVariable): Boolean =
-    (sameVar(mul.left, x) && sameVar(mul.right, y)) ||
-    (sameVar(mul.left, y) && sameVar(mul.right, x))
+    (castedVar(mul.left, x) && castedVar(mul.right, y)) ||
+    (castedVar(mul.left, y) && castedVar(mul.right, x))
 
   private def isSumOf(add: Add, acc: NamedLambdaVariable,
                       v: NamedLambdaVariable): Boolean =

@@ -78,24 +78,82 @@ object Ann {
       .limit(k)
   }
 
+  /** All bucket ids within `ring` hamming distance of `center` — the
+    * multi-probe candidate set, enumerable because it depends only on
+    * (nPlanes, ring), never on the data.
+    */
+  def ringBuckets(center: Long, nPlanes: Int, ring: Int): Seq[Long] =
+    (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= ring)
+      .map(center ^ _)
+
+  private def scoreTopK(candidates: DataFrame, probe: DataFrame, idCol: String,
+                        vecCol: String, probeId: Long, k: Int): DataFrame =
+    candidates.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+              round(VectorOps.cosine(col(vecCol), col("_probe_vec")), 4)
+                .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
   /** Approximate cosine top-k: search only vectors whose bucket is within
-    * `ring` hamming distance of the probe's bucket (multi-probe LSH).
-    * Recall/ cost trade-off is (nPlanes, ring); on low-cosine corpora use a
+    * `ring` hamming distance of the probe's bucket (multi-probe LSH). The
+    * ring's bucket ids are enumerated up front and pushed as
+    * `bucket.isin(...)` — a plain pushable predicate, so over in-memory
+    * frames it short-circuits per row, and over bucket-partitioned storage
+    * ([[lshTopKBucketed]]) it prunes whole partitions before any IO.
+    * Recall/cost trade-off is (nPlanes, ring); on low-cosine corpora use a
     * wider ring — the neighbour's sign pattern differs on more planes.
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               probeId: Long, k: Int, nPlanes: Int = 8, dim: Int = 64,
               ring: Int = 3): DataFrame = {
     val bucketed = withBucket(embeddings, vecCol, nPlanes, dim)
+    // one driver-side row to anchor the candidate set (same legitimacy as
+    // ivfTopK's probe lookup — a probe is a scalar by nature)
+    val probeBucket = bucketed.filter(col(idCol) === probeId)
+      .select(col("bucket")).head().getLong(0)
+    val candidates = ringBuckets(probeBucket, nPlanes, ring)
     val probe = bucketed.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("_probe_vec"), col("bucket").as("_probe_bucket"))
-    bucketed.filter(col(idCol) =!= probeId)
-      .crossJoin(broadcast(probe))
-      .filter(bit_count(col("bucket").bitwiseXOR(col("_probe_bucket"))) <= ring)
-      .select(col(idCol),
-              round(VectorOps.cosine(col(vecCol), col("_probe_vec")), 4)
-                .as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+      .select(col(vecCol).as("_probe_vec"))
+    scoreTopK(bucketed.filter(col("bucket").isin(candidates: _*)),
+              probe, idCol, vecCol, probeId, k)
+  }
+
+  /** One-time ingest-side write of the corpus partitioned by LSH bucket —
+    * the storage layout that makes ANN queries PRUNE at the source. At
+    * 100 TB this is the difference between "read 2^nPlanes-ths of the
+    * corpus per query" and "read everything, filter later".
+    */
+  def writeBucketed(embeddings: DataFrame, vecCol: String, path: String,
+                    nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): Unit =
+    withBucket(embeddings, vecCol, nPlanes, dim, seed)
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** [[lshTopK]] against a [[writeBucketed]] corpus: the enumerated ring ids
+    * become PartitionFilters on the parquet scan (asserted in AnnSpec), so
+    * only candidate bucket directories are listed and read. The probe lookup
+    * itself is pruned to the probe's own bucket once known.
+    */
+  def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String, probeId: Long, k: Int,
+                      nPlanes: Int = 8, ring: Int = 3): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    // partition-column values of small integers are inferred IntegerType on
+    // read — match the literal type so isin stays a partition filter
+    val isInt = corpus.schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType
+    def lits(bs: Seq[Long]): Seq[Any] =
+      if (isInt) bs.map(_.toInt) else bs
+    val probeBucket = corpus.filter(col(idCol) === probeId)
+      .select(col("bucket").cast("long")).head().getLong(0)
+    val candidates = ringBuckets(probeBucket, nPlanes, ring)
+    val probe = corpus
+      .filter(col("bucket").isin(lits(Seq(probeBucket)): _*) &&
+              col(idCol) === probeId)
+      .select(col(vecCol).as("_probe_vec"))
+    scoreTopK(corpus.filter(col("bucket").isin(lits(candidates): _*)),
+              probe, idCol, vecCol, probeId, k)
   }
 }

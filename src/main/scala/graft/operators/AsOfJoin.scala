@@ -60,8 +60,14 @@ object AsOfJoin {
     //   non-strict (right.ts <= left.ts): right rows sort first and are
     //     inside the frame.
     val sideOrder = if (strict) -col("_asof_side") else col("_asof_side")
+    // Final tie-break: the payload struct itself (ADVICE r1). When several
+    // right rows share (key, ts), "last" would otherwise pick a
+    // partition-sort-dependent row; ordering by the payload pins the winner
+    // to the greatest payload under struct ordering — deterministic across
+    // runs and layouts (§7.3). Requires orderable payload column types
+    // (no maps), which is also what makes them attachable values.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_asof_ts").asc, sideOrder.asc)
+      .orderBy(col("_asof_ts").asc, sideOrder.asc, col("_asof_payload").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // last right PAYLOAD in the frame; left rows carry null payloads → ignored
     val attached = l.unionByName(r)

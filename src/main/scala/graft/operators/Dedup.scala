@@ -55,6 +55,60 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Connected components of the undirected near-dup pair graph, so cluster
+    * collapse is TRANSITIVE: a chain A~B~C (A≁C) is one cluster with
+    * representative min(A,B,C). Iterative min-label propagation with
+    * pointer jumping — each round every node adopts the smallest label among
+    * itself and its neighbors, then jumps to its label's label, so
+    * convergence is O(log diameter) rounds, not O(diameter). Per round: one
+    * equi-join shuffle on the edge key + one on the label key; labels only
+    * ever DECREASE, so a fixpoint is detected by an unchanged decimal label
+    * sum (one scalar agg per round, no extra join).
+    *
+    * Returns (u, lbl) for every node appearing in `pairs`, lbl = component
+    * min id. The result is persisted (the loop is iterative; callers always
+    * consume it at least twice) — unpersist() it when done.
+    */
+  def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(iCol).as("u"), col(jCol).as("v"))
+      .union(pairs.select(col(jCol).as("u"), col(iCol).as("v")))
+      .persist(MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("lbl"))
+      .persist(MEMORY_AND_DISK)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val prop = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy("u").agg(min(col("vlbl")).as("plbl"))
+      val stepped = labels.join(prop, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+      val next = stepped
+        .join(stepped.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes `next` into its cache
+      labels.unpersist()
+      labels = next
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Jaccard near-dup pairs — delegates to the MinHash-LSH operator
     * (fixed-width signatures, exact-verified candidates).
     */

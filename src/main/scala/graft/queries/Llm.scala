@@ -136,23 +136,26 @@ object Llm {
       // join compares longs. Counts are unchanged barring md5-prefix
       // collisions (~n²/2^61 ≈ 1e-8 at sf0.1), which the oracle's
       // string-keyed join would surface as a hash mismatch.
-      // persisted: the inverted-index plan consumes sh four times (both join
-      // sides + the two per-doc count lookups) — recomputing tokenize+md5
-      // per consumer would quadruple the scan cost
+      // The per-doc shingle count n rides each exploded row, so the sizes
+      // needed for |A∪B| arrive WITH the join rows (min/max in the pair
+      // aggregate) — no separate count pass and no count-attach joins: the
+      // whole query is one equi-join shuffle on the shingle + one pair
+      // aggregate. persisted: both join sides consume the same
+      // tokenize+md5 subtree.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(array_distinct(graft.functions.expressions.NativeExprs
-            .md5PrefixAll(TextOps.shingles(TextOps.tokens(col("text")), 3), 15)))
-            .as("s"))
+          array_distinct(graft.functions.expressions.NativeExprs
+            .md5PrefixAll(TextOps.shingles(TextOps.tokens(col("text")), 3), 15))
+            .as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("i"), col("s"))
-        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+      sh.select(col("doc_id").as("i"), col("n").as("ni"), col("s"))
+        .join(sh.select(col("doc_id").as("j"), col("n").as("nj"), col("s")),
+              Seq("s"))
         .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("k"))
-      inter
-        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
-        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("k"), first(col("ni")).as("ni"),
+             first(col("nj")).as("nj"))
         .withColumn("jaccard", col("k") * 1.0 / (col("ni") + col("nj") - col("k")))
         .filter(col("jaccard") >= 0.5)
         .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
@@ -169,9 +172,16 @@ object Llm {
     },
 
     Q("q33_embedding_neardup",
-      """Q33 — embedding-cosine near-dup pairs (cos > 0.4), brute force with
-        |i < j pruning at oracle scale; the hyperplane-LSH bucketing in
-        |VectorOps is the 100 TB path (shuffle by bucket, compare within).""".stripMargin,
+      """Q33 — embedding-cosine near-dup pairs (cos > 0.4) as a BLOCKED
+        |self-join: block = vec_id div B gives K ≈ n/B blocks; the left side
+        |replicates each row to keys (blk, q) for q in blk..K-1, the right to
+        |(p, blk) for p in 0..blk, so every ordered block pair meets on
+        |exactly one (p, q) equi key. That makes the all-pairs comparison a
+        |shuffled equi-join with a uniform B² comparisons per key — no
+        |BroadcastNestedLoopJoin, no skew, and B tunes task size at any
+        |scale. i < j residual keeps exactly the oracle's pairs. When
+        |approximate recall is acceptable the hyperplane-LSH path
+        |(Dedup.embeddingPairs) skips the O(n²) work entirely.""".stripMargin,
       """SELECT a.vec_id AS i, b.vec_id AS j,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -184,13 +194,25 @@ object Llm {
       // norms precomputed once per row (5k sqrts), not once per pair (12.5M);
       // the dot is the codegen'd DotF32 expression, so the O(n²) inner loop
       // stays inside whole-stage codegen with zero boxing
+      val B = 512
+      // one scalar max() over a single int column to size the block grid —
+      // a metadata-cheap pass (parquet row-group stats) even at corpus scale
+      val kmaxRow = Tables.embeddings(s, d)
+        .agg(max(expr(s"vec_id div $B").cast(IntegerType))).collect()(0)
+      val kmax = if (kmaxRow.isNullAt(0)) 0 else kmaxRow.getInt(0)
       val base = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(VectorOps.dot(col("embedding"), col("embedding"))))
-      val a = base.select(col("vec_id").as("i"), col("embedding").as("ea"),
-                          col("nrm").as("na"))
-      val b = base.select(col("vec_id").as("j"), col("embedding").as("eb"),
-                          col("nrm").as("nb"))
-      a.join(broadcast(b), col("i") < col("j"))
+        .withColumn("blk", expr(s"vec_id div $B").cast(IntegerType))
+      val a = base
+        .withColumn("q", explode(sequence(col("blk"), lit(kmax))))
+        .select(col("vec_id").as("i"), col("embedding").as("ea"),
+                col("nrm").as("na"), col("blk").as("p"), col("q"))
+      val b = base
+        .withColumn("p", explode(sequence(lit(0), col("blk"))))
+        .select(col("vec_id").as("j"), col("embedding").as("eb"),
+                col("nrm").as("nb"), col("p"), col("blk").as("q"))
+      a.join(b, Seq("p", "q"))
+        .filter(col("i") < col("j"))
         .withColumn("cs", VectorOps.cosinePrenorm(
           VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))
         .filter(col("cs") > 0.4)
@@ -298,9 +320,8 @@ object Llm {
       Tables.documents(s, d)
         .select(col("doc_id"),
           array_join(transform(
-            slice(array_sort(array_distinct(
-              graft.functions.expressions.NativeExprs
-                .rollingHashes(col("text"), 48))), 1, 4),
+            graft.functions.expressions.NativeExprs
+              .rollingBottomK(col("text"), 48, 4),
             h => h.cast(StringType)), "|").as("fp"))
         .orderBy("doc_id")
     },

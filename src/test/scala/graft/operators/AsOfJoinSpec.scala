@@ -55,6 +55,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(1))) // key 1 too early, key 2 has no rights
   }
 
+  test("duplicate right (key, ts) rows attach deterministically (ADVICE r1)") {
+    // two right rows at the identical key+timestamp: the winner must be
+    // pinned by the payload tie-break (greatest payload struct), not by
+    // partition layout. Run over several input layouts and demand one answer.
+    val left = Seq((1L, ts("2026-01-01 12:00:00"), "p"))
+      .toDF("user_id", "ts", "tag")
+    val dupes = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L, "b"),
+      (1L, ts("2026-01-01 10:00:00"), 7L, "a"),
+      (1L, ts("2026-01-01 10:00:00"), 3L, "z"))
+    val winners = (1 to 4).map { n =>
+      val right = dupes.toDF("user_id", "ts", "v", "w").repartition(n)
+      AsOfJoin.join(left, right, Seq("user_id"), "ts", "ts", Seq("v", "w"))
+        .select("asof_v", "asof_w").as[(Long, String)].head()
+    }.toSet
+    assert(winners === Set((7L, "b"))) // greatest (v, w) payload, every layout
+  }
+
   test("operator equals the q12 window formulation on events (sf0.001)") {
     val events = Tables.events(spark, sf0001)
     val purchases = events.filter($"event_type" === "purchase")

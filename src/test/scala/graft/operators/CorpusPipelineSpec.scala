@@ -40,6 +40,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("curate — chain cluster A~B~C with A≁C keeps exactly min-id (transitive)") {
+    // B shares half its shingles with A and half with C; A and C share none.
+    // jaccard(A,B) = jaccard(B,C) ≈ 0.47, jaccard(A,C) = 0 — a 3-node chain
+    // at threshold 0.4. Round-1's drop-max-per-pair would keep only A but by
+    // accident of pair orientation; the connected-components pass must keep
+    // exactly min-id per CLUSTER by construction.
+    val xs = (1 to 20).map(i => s"x$i").mkString(" ")
+    val ys = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (10L, xs),              // A
+      (20L, s"$xs $ys"),      // B — bridges A and C
+      (30L, ys),              // C
+      (99L, "entirely unrelated words zebra quark lattice"))
+      .toDF("doc_id", "text")
+    val r = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(jaccardThreshold = 0.4, minTokens = 1,
+        minQuality = 0.0))
+    assert(r.corpus.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 99L))
+    assert(r.droppedNearDup === 2) // B and C collapse into A's cluster
+  }
+
   test("curate — quality gate drops short docs") {
     val docs = Seq(
       (1L, "one two"),                                     // too short

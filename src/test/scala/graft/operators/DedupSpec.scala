@@ -18,6 +18,23 @@ class DedupSpec extends SparkSpec {
     assert(op.exceptAll(q28).isEmpty && q28.exceptAll(op).isEmpty)
   }
 
+  test("connectedComponents — chains, cliques, and deep paths get min labels") {
+    // two nontrivial components (a 3-chain and a triangle) plus a 41-node
+    // path — the deep path converges only because of pointer jumping
+    // (plain propagation moves labels one hop per round)
+    val chain = Seq((1L, 2L), (2L, 3L))
+    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val path = (100L until 140L).map(i => (i, i + 1))
+    val pairs = (chain ++ clique ++ path).toDF("i", "j")
+    val comp = Dedup.connectedComponents(pairs, "i", "j")
+    val got = comp.as[(Long, Long)].collect().toMap
+    comp.unpersist()
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert((100L to 140L).forall(got(_) == 100L))
+    assert(got.size === 3 + 3 + 41)
+  }
+
   test("simhashPairs == brute-force hamming join (pigeonhole exactness)") {
     val docs = Tables.documents(spark, sf0001)
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)

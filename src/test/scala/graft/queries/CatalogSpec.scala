@@ -73,6 +73,23 @@ class CatalogSpec extends SparkSpec {
     assert(missed === 0, s"IVF missed $missed of the true top-5")
   }
 
+  test("q20b — approx tiles agree with exact ntile away from boundaries") {
+    val exact = Catalog.byName("q20_ntile").build(spark, sf0001)
+      .select("c_custkey", "tile")
+    val approx = Catalog.byName("q20b_ntile_scalable").build(spark, sf0001)
+    val joined = exact.withColumnRenamed("tile", "t_exact")
+      .join(approx.withColumnRenamed("tile", "t_approx"), Seq("c_custkey"))
+    val n = joined.count()
+    val mismatched = joined.filter(col("t_exact") =!= col("t_approx")).count()
+    // percentile_approx at accuracy 10000 bounds rank error well under 1%
+    // of rows per boundary; allow 1% total disagreement
+    assert(mismatched.toDouble / n <= 0.01,
+      s"$mismatched of $n rows tiled differently")
+    // same domain, tiles 1..4 only
+    assert(approx.count() === n)
+    assert(approx.filter(col("tile") < 1 || col("tile") > 4).count() === 0)
+  }
+
   test("q28 dedup idempotence — deduping twice equals deduping once") {
     val once = Catalog.byName("q28_dedup_exact").build(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)

@@ -59,9 +59,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_w0"), p)
   }
 
-  test("q33 — embedding near-dup broadcasts the build side once") {
+  test("q33 — blocked self-join: equi join on block pairs, no nested loop") {
     val p = plan("q33_embedding_neardup")
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // intentional: i<j band, tiny build
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q33 degenerated to a nested loop:\n$p")
     assert(p.contains("dot_f32"), p)                 // native expression in the plan
+  }
+
+  test("q20b — scalable ntile has NO window operator (no single-partition stage)") {
+    val p = plan("q20b_ntile_scalable")
+    assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
+  }
+
+  test("q11 — band join carries (user_id, time-bucket) as the equi key") {
+    val p = plan("q11_range_join")
+    // both the user id and the 5-min bucket must be join keys — the bucket
+    // is what spreads a hot user across tasks at scale
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("bkt"), p)
   }
 }
