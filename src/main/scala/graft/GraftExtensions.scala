@@ -63,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_hashes(s, w) - Rabin-Karp hashes of every w-byte window") { args =>
       RollingHashExpr(args(0), intArg(args(1), "w"))
     }
+    register("shingle_md5_prefixes",
+      "shingle_md5_prefixes(toks, w, hexDigits) - distinct md5 prefixes of w-token shingles") { args =>
+      ShingleMd5PrefixExpr(args(0), intArg(args(1), "w"), intArg(args(2), "hexDigits"))
+    }
+    register("shingle_md5_bottom_k",
+      "shingle_md5_bottom_k(toks, w, k) - k smallest distinct shingle md5 hexes") { args =>
+      ShingleMd5BottomKExpr(args(0), intArg(args(1), "w"), intArg(args(2), "k"))
+    }
+    register("md5_bottom_k",
+      "md5_bottom_k(arr, k) - k smallest distinct md5 hex digests, ascending") { args =>
+      Md5BottomKExpr(args(0), intArg(args(1), "k"))
+    }
     register("rolling_bottom_k",
       "rolling_bottom_k(s, w, k) - k smallest distinct rolling hashes, ascending") { args =>
       RollingBottomKExpr(args(0), intArg(args(1), "w"), intArg(args(2), "k"))

@@ -1,0 +1,91 @@
+package graft.etl
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.SparkSession
+
+/** E3 — the reference's REST ingest entry point (mcp_server.py:17-43,
+  * openapi.json POST /ingest) as a thin shim over the engine's S6→S14
+  * operator chain. Zero new dependencies: the JDK's HttpServer fronting a
+  * long-running SparkSession, exactly the "driver service holding a
+  * session" shape SURVEY §3 E3 describes.
+  *
+  * Contract differences from the reference, both deliberate:
+  *  - The PDF arrives as the request BODY (the zero-egress engine does not
+  *    fetch `pdf_url` itself; the reference's CI flow already POSTs the file
+  *    — auto_ingest.yml:24-32). `pdf_url` rides as a query param so the
+  *    emitted document's sourceURL matches the reference's.
+  *  - Responses mirror mcp_server.py: the document as JSON on success,
+  *    `{"error": ...}` as an HTTP-200 row on failure (S16 error-as-row),
+  *    and empty pages are KEPT (mcp keeps "" pages; the CLI drops them).
+  *
+  * Request:  POST /ingest?volume=<name>[&pdf_url=<url>] with the PDF bytes
+  *           as body, Content-Type application/pdf (S7 gate).
+  * Response: the S14 document record as a JSON object.
+  */
+final class IngestServer(spark: SparkSession, extractor: PageExtractor,
+                         port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/ingest", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try respond(ex, 200, handleIngest(ex))
+      catch { case e: Exception =>
+        respond(ex, 200, errorJson(e.getMessage)) // mcp_server.py:23-24 shape
+      } finally ex.close()
+  })
+  server.setExecutor(null) // synchronous, one doc per call — E3 semantics
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def handleIngest(ex: HttpExchange): String = {
+    if (ex.getRequestMethod != "POST") return errorJson("POST only")
+    val params = query(ex)
+    val volume = params.getOrElse("volume", "volume")
+    // S7 Content-Type gate (fetch_legal_docs.py:52-54)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (!ct.contains("application/pdf"))
+      return errorJson(s"not a PDF (Content-Type: $ct)")
+    val bytes = ex.getRequestBody.readAllBytes()
+    val url = params.getOrElse("pdf_url", s"$volume.pdf")
+
+    import spark.implicits._
+    val binaries = Seq((url, bytes)).toDF("url", "content")
+    val out = Pipeline.process(binaries, extractor,
+      ingestDate = java.time.LocalDate.now.toString,
+      keepEmptyPages = true) // mcp_server.py:27-28 keeps empties
+    // single-row plan; toJSON gives the contract-correct escaping
+    out.docs.toJSON.collect().headOption.getOrElse {
+      val reason = out.quarantine.select("reason").collect()
+        .headOption.map(_.getString(0)).getOrElse("no output")
+      errorJson(reason)
+    }
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+
+  private def errorJson(msg: String): String = {
+    // minimal JSON string escape for the error channel
+    val esc = msg.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"error": "$esc"}"""
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, b.length.toLong)
+    ex.getResponseBody.write(b)
+  }
+}

@@ -66,6 +66,31 @@ object NativeExprs {
   def md5PrefixAll(arr: Column, hexDigits: Int): Column =
     col(Md5PrefixAll(ex(arr), hexDigits))
 
+  /** Fused shingle+md5 prefix pass: value-identical to
+    * array_distinct(md5PrefixAll(shingles(toks, w), hexDigits)) without
+    * ever materializing the shingle STRINGS — the digest is fed the token
+    * bytes and separator directly, and token bytes are extracted once per
+    * row instead of once per window. This is the hot path of the
+    * Jaccard/MinHash family (millions of shingles per partition at scale).
+    */
+  def shingleMd5Prefixes(toks: Column, w: Int, hexDigits: Int): Column =
+    col(ShingleMd5PrefixExpr(ex(toks), w, hexDigits))
+
+  /** Fused shingle+md5 bottom-k: value-identical to
+    * md5BottomK(shingles(toks, w), k) — the q37 fingerprint in one pass,
+    * no intermediate shingle strings.
+    */
+  def shingleMd5BottomK(toks: Column, w: Int, k: Int): Column =
+    col(ShingleMd5BottomKExpr(ex(toks), w, k))
+
+  /** Bottom-k DISTINCT md5 hex digests of a string array, ascending —
+    * value-identical to slice(array_sort(array_distinct(md5HexAll(arr))),
+    * 1, k), in one pass over 16-byte digests (hex encoding is monotone in
+    * digest bytes, so unsigned digest comparison IS hex-string order) with
+    * a bounded insertion buffer instead of sorting every boxed hex string.
+    */
+  def md5BottomK(arr: Column, k: Int): Column = col(Md5BottomKExpr(ex(arr), k))
+
   /** Occurrence count of tokens belonging to a fixed word set —
     * value-identical to size(filter(toks, t => t.isInCollection(words))).
     */
@@ -412,6 +437,158 @@ private[graft] object Md5 {
   def digest(bytes: Array[Byte]): Array[Byte] = {
     val d = md.get(); d.reset(); d.digest(bytes)
   }
+  /** The raw thread-local digest, for incremental update() feeding. */
+  def raw(): java.security.MessageDigest = md.get()
+  /** First `hexDigits` hex chars of a digest as a non-negative long. */
+  def prefixLong(d: Array[Byte], hexDigits: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < hexDigits) {
+      val nibble =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
+        else d(i >> 1) & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+}
+
+/** Fused shingle→md5 iteration shared by the ShingleMd5* expressions:
+  * token bytes are extracted ONCE per row, then each w-token window is fed
+  * straight into a reused MessageDigest with the `concat_ws(" ", …)`
+  * separator semantics (null tokens skipped) — byte-for-byte the digest of
+  * the shingle STRING, with no shingle string ever built.
+  */
+private[graft] object ShingleMd5 {
+  private val SP = ' '.toByte
+  def foreachDigest(arr: ArrayData, w: Int)(f: Array[Byte] => Unit): Unit = {
+    val n = arr.numElements()
+    if (n < w) return
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = if (arr.isNullAt(i)) null else {
+        val t = arr.getUTF8String(i)
+        if (t == null) null else t.getBytes
+      }
+      i += 1
+    }
+    val md = Md5.raw()
+    i = 0
+    while (i <= n - w) {
+      md.reset()
+      var first = true
+      var j = 0
+      while (j < w) {
+        val b = bytes(i + j)
+        if (b != null) {
+          if (!first) md.update(SP)
+          md.update(b)
+          first = false
+        }
+        j += 1
+      }
+      f(md.digest())
+      i += 1
+    }
+  }
+}
+
+case class ShingleMd5PrefixExpr(child: Expression, w: Int, hexDigits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1 && hexDigits >= 1 && hexDigits <= 15)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_md5_prefixes"
+
+  // shinglesHof parity: a NULL token array yields an EMPTY shingle set
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    // first-seen-order dedup == array_distinct semantics
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ShingleMd5.foreachDigest(arr, w) { d =>
+      val v = Md5.prefixLong(d, hexDigits)
+      if (seen.add(v)) out += v
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5PrefixExpr =
+    copy(child = newChild)
+}
+
+case class ShingleMd5BottomKExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1 && k >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5_bottom_k"
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val buf = new Array[Array[Byte]](k)
+    var size = 0
+    ShingleMd5.foreachDigest(arr, w) { d =>
+      if (size < k || cmp(d, buf(size - 1)) < 0) {
+        var lo = 0; var hi = size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(buf(mid), d) < 0) lo = mid + 1 else hi = mid
+        }
+        if (!(lo < size && cmp(buf(lo), d) == 0)) {
+          val end = math.min(size, k - 1)
+          var j = end
+          while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+          buf(lo) = d
+          if (size < k) size += 1
+        }
+      }
+    }
+    val out = new Array[Any](size)
+    var j = 0
+    while (j < size) {
+      val d = buf(j)
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = HEX((d(b) >> 4) & 0xf)
+        cs(2 * b + 1) = HEX(d(b) & 0xf)
+        b += 1
+      }
+      out(j) = UTF8String.fromString(new String(cs))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5BottomKExpr =
+    copy(child = newChild)
 }
 
 case class Simhash32Expr(child: Expression)
@@ -502,6 +679,78 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class Md5BottomKExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "md5_bottom_k"
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  // unsigned lexicographic digest compare == hex-string compare (monotone)
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new Array[Array[Byte]](k)
+    var size = 0
+    var sawNull = false
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t == null) sawNull = true
+      else {
+        val d = Md5.digest(t.getBytes)
+        if (size < k || cmp(d, buf(size - 1)) < 0) {
+          var lo = 0; var hi = size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmp(buf(mid), d) < 0) lo = mid + 1 else hi = mid
+          }
+          if (!(lo < size && cmp(buf(lo), d) == 0)) {
+            val end = math.min(size, k - 1)
+            var j = end
+            while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+            buf(lo) = d
+            if (size < k) size += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](if (sawNull && size < k) size + 1 else size)
+    var j = 0
+    while (j < size) {
+      val d = buf(j)
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = HEX((d(b) >> 4) & 0xf)
+        cs(2 * b + 1) = HEX(d(b) & 0xf)
+        b += 1
+      }
+      out(j) = UTF8String.fromString(new String(cs))
+      j += 1
+    }
+    // array_distinct keeps ONE null and array_sort places it LAST; it only
+    // survives the slice when fewer than k distinct non-null digests exist
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BottomKExpr =
     copy(child = newChild)
 }
 

@@ -82,8 +82,8 @@ object MinHashLsh {
     // (≈1e-5 per pair at typical doc sizes).
     val sigs = docs
       .select(col(docId).as("doc_id"),
-        array_distinct(graft.functions.expressions.NativeExprs
-          .md5PrefixAll(TextOps.shingles(TextOps.tokens(col(text)), w), 7))
+        graft.functions.expressions.NativeExprs
+          .shingleMd5Prefixes(TextOps.tokens(col(text)), w, 7)
           .as("hashes"))
       .filter(size(col("hashes")) > 0)
       .withColumn("sig", signature(col("hashes"), k))

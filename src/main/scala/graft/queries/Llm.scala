@@ -136,26 +136,28 @@ object Llm {
       // join compares longs. Counts are unchanged barring md5-prefix
       // collisions (~n²/2^61 ≈ 1e-8 at sf0.1), which the oracle's
       // string-keyed join would surface as a hash mismatch.
-      // The per-doc shingle count n rides each exploded row, so the sizes
-      // needed for |A∪B| arrive WITH the join rows (min/max in the pair
-      // aggregate) — no separate count pass and no count-attach joins: the
-      // whole query is one equi-join shuffle on the shingle + one pair
-      // aggregate. persisted: both join sides consume the same
-      // tokenize+md5 subtree.
+      // persisted: the inverted-index plan consumes sh four times (both join
+      // sides + the two per-doc count lookups). NOTE (r2, measured): carrying
+      // the per-doc count THROUGH the exploded join instead (first(ni/nj) in
+      // the pair aggregate) is ~2× slower — the wide posting-match stream
+      // pays for every extra byte; attaching counts to the SMALL pair set
+      // after aggregation is the right order.
+      // shingleMd5Prefixes fuses shingle construction + md5 + distinct into
+      // one pass (value-identical to the composed form — NativeExprsSpec)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"),
-          array_distinct(graft.functions.expressions.NativeExprs
-            .md5PrefixAll(TextOps.shingles(TextOps.tokens(col("text")), 3), 15))
-            .as("hs"))
-        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
+            .as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.select(col("doc_id").as("i"), col("n").as("ni"), col("s"))
-        .join(sh.select(col("doc_id").as("j"), col("n").as("nj"), col("s")),
-              Seq("s"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("i"), col("s"))
+        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
         .filter(col("i") < col("j"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("k"), first(col("ni")).as("ni"),
-             first(col("nj")).as("nj"))
+        .groupBy("i", "j").agg(count(lit(1)).as("k"))
+      inter
+        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
         .withColumn("jaccard", col("k") * 1.0 / (col("ni") + col("nj") - col("k")))
         .filter(col("jaccard") >= 0.5)
         .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
@@ -303,10 +305,8 @@ object Llm {
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          array_join(
-            slice(array_sort(array_distinct(
-              graft.functions.expressions.NativeExprs.md5HexAll(
-                TextOps.shingles(TextOps.tokens(col("text")), 3)))), 1, 4), "|")
+          array_join(graft.functions.expressions.NativeExprs.shingleMd5BottomK(
+            TextOps.tokens(col("text")), 3, 4), "|")
             .as("fp"))
         .orderBy("doc_id")
     },

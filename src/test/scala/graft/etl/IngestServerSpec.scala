@@ -1,0 +1,54 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** E3 integration: POST a fixture "PDF" to the /ingest shim and get the
+  * S14 document record back — the reference's mcp_server.py contract
+  * (error-as-row on bad input, empty pages kept).
+  */
+class IngestServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def post(port: Int, path: String, body: Array[Byte],
+                   contentType: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+      .build()
+    HttpClient.newHttpClient()
+      .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      .body()
+  }
+
+  test("POST /ingest returns the S14 document JSON; gates and errors match mcp") {
+    val server = new IngestServer(spark, FormFeedExtractor)
+    val port = server.start()
+    try {
+      // happy path: form-feed fixture through the real S9-S14 chain
+      val body = "Decided 1998 first page\f\fthird page".getBytes("UTF-8")
+      val resp = post(port,
+        "/ingest?volume=Vol%2001&pdf_url=https%3A%2F%2Fx%2FVol%2001.pdf",
+        body, "application/pdf")
+      val doc = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(doc.getAs[String]("title") === "Vol 01")
+      assert(doc.getAs[String]("year") === "1998")
+      assert(doc.getAs[String]("category") === "CassationDecision")
+      // mcp keeps empty pages: the "" middle page joins as a blank line
+      assert(doc.getAs[String]("content")
+        === "Decided 1998 first page\n\nthird page")
+
+      // S7 gate: wrong content type → error-as-row (HTTP 200, mcp shape)
+      val bad = post(port, "/ingest?volume=x", body, "text/html")
+      assert(bad.contains("\"error\""))
+
+      // whitespace-only doc → quarantine reason surfaces as the error
+      val empty = post(port, "/ingest?volume=e", "\f \f".getBytes,
+        "application/pdf")
+      assert(empty.contains("\"error\""))
+    } finally server.stop()
+  }
+}

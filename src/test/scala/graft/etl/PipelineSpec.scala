@@ -43,6 +43,26 @@ class PipelineSpec extends SparkSpec {
     assert(quarantined.head.getAs[String]("url") === "https://x/empty.pdf")
   }
 
+  test("S16 — compensating delete removes staged binaries exactly once (replay-safe)") {
+    // reference: import requests.py:84 deletes the PDF whose text came back
+    // empty. The utility must remove each quarantined row's staged file and
+    // be a no-op on replay (streaming recovery re-runs foreachBatch).
+    val stage = Files.createTempDirectory("graft_stage")
+    val bad = stage.resolve("bad.pdf"); Files.write(bad, "\f \f".getBytes)
+    val good = stage.resolve("good.pdf"); Files.write(good, "some text".getBytes)
+    val bins = binDf(
+      bad.toUri.toString -> "\f \f",
+      good.toUri.toString -> "some text")
+    val out = Pipeline.process(bins, FormFeedExtractor, "2026-08-12")
+    val q = out.quarantine.withColumn("path", col("url"))
+    assert(q.count() === 1)
+    Pipeline.compensatingDeleteBatch("path")(q, batchId = 0L)
+    assert(!Files.exists(bad) && Files.exists(good))
+    // replayed batch: already-deleted file is a no-op, not a failure
+    Pipeline.compensatingDeleteBatch("path")(q, batchId = 0L)
+    assert(!Files.exists(bad) && Files.exists(good))
+  }
+
   test("E3 variant — keepEmptyPages preserves \"\" pages (mcp_server.py:27-28)") {
     val bins = binDf("https://x/d.pdf" -> "a\f\fb")
     val out = Pipeline.process(bins, FormFeedExtractor, "2026-08-12",

@@ -140,6 +140,51 @@ class NativeExprsSpec extends SparkSpec {
     assert(edge.count() === 0)
   }
 
+  test("fused shingle-md5 expressions == their composed forms") {
+    val toks = split(col("text"), " ")
+    val sh = NativeExprs.shingles(toks, 3)
+    val diff = Tables.documents(spark, sf0001)
+      .select(
+        NativeExprs.shingleMd5Prefixes(toks, 3, 15).as("fp"),
+        array_distinct(NativeExprs.md5PrefixAll(sh, 15)).as("fp_ref"),
+        NativeExprs.shingleMd5BottomK(toks, 3, 4).as("bk"),
+        NativeExprs.md5BottomK(sh, 4).as("bk_ref"))
+      .filter(col("fp") =!= col("fp_ref") || col("bk") =!= col("bk_ref"))
+    assert(diff.count() === 0)
+    // null tokens are skipped with concat_ws semantics; short arrays empty
+    val edge = Seq(
+      (Seq("a", null, "b", "c"): Seq[String]),
+      (Seq("x", "y"): Seq[String]))
+      .toDF("arr")
+      .select(
+        NativeExprs.shingleMd5Prefixes(col("arr"), 3, 15).as("fp"),
+        array_distinct(NativeExprs.md5PrefixAll(
+          NativeExprs.shingles(col("arr"), 3), 15)).as("fp_ref"))
+      .filter(col("fp") =!= col("fp_ref"))
+    assert(edge.count() === 0)
+  }
+
+  test("md5BottomK == slice(array_sort(array_distinct(md5HexAll)))") {
+    val sh = NativeExprs.shingles(split(col("text"), " "), 3)
+    val diff = Tables.documents(spark, sf0001)
+      .select(NativeExprs.md5BottomK(sh, 4).as("fast"),
+              slice(array_sort(array_distinct(NativeExprs.md5HexAll(sh))),
+                    1, 4).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // duplicates, fewer-than-k, and null-element parity
+    val edge = Seq(
+      (Seq("a", "a", "b"): Seq[String]),
+      (Seq("x"): Seq[String]),
+      (Seq.empty[String]))
+      .toDF("arr")
+      .select(NativeExprs.md5BottomK(col("arr"), 4).as("fast"),
+              slice(array_sort(array_distinct(NativeExprs.md5HexAll(col("arr")))),
+                    1, 4).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(edge.count() === 0)
+  }
+
   test("hyperplaneBucket native == HOF on real embeddings") {
     val planes = VectorOps.fixedPlanes(8, 64)
     val e = Tables.embeddings(spark, sf0001)
