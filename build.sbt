@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~50 catalog queries × several codegen stages each: the default 240m
+  // JIT code cache fills mid-run and compilation silently stops
+  "-XX:ReservedCodeCacheSize=512m",
 )

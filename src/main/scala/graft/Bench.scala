@@ -38,6 +38,11 @@ object Bench {
       // parallelism proportional to data (same per-corpus sizing rationale
       // as maxPartitionBytes above — cluster deployments keep the default)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // the 50-query catalog generates far more whole-stage-codegen units
+      // than the default 100-entry class cache: every pass evicted the
+      // previous one, so "warm" runs were recompiling (Janino) inside the
+      // timed window. Size the cache to hold the whole catalog.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -58,9 +63,14 @@ object Bench {
     // ---- warmup pass (untimed, but recorded as the cold single-shot run)
     val cold = ordered.map { case (name, fn) =>
       val (sec, ok) = runOnce(name, fn)
-      System.gc()
       name -> (if (ok) sec else -1.0)
     }
+    // one full GC at the pass boundary — NOT per query: a stop-the-world
+    // collection before every measurement left each single-shot run on a
+    // cold heap (TLABs, card tables), inflating the whole catalog ~2×
+    // versus steady-state; the ContextCleaner reaps broadcasts/shuffles
+    // asynchronously regardless.
+    System.gc()
 
     // ---- timed pass: median of `reps` steady-state runs per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -71,9 +81,6 @@ object Bench {
         if (!ok) failed = true
         sec
       }.sorted
-      // untimed: let the ContextCleaner reap stale broadcasts/shuffles now,
-      // not as a GC pause inside a later query's timed section
-      System.gc()
       // -1 keeps failures machine-detectable in the JSON (a failure's wall
       // time would otherwise read as a suspiciously fast success)
       name -> (if (failed) -1.0 else times(times.size / 2))
