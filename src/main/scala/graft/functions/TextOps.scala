@@ -91,11 +91,18 @@ object TextOps {
     graft.functions.expressions.NativeExprs.countInSet(toks, words)
 
   /** Language-ID by argmax stopword-hit count, ties broken toward the
-    * smallest language code; 'und' when no list scores > 0. The CASE chain
-    * checks languages in code order, which IS the smallest-code tie-break —
-    * same shape as the oracle SQL, all codegen'd comparisons.
+    * smallest language code; 'und' when no list scores > 0. Native
+    * single-pass evaluation (one word→language-bitmask walk);
+    * [[langIdComposed]] is the value-semantics reference.
     */
-  def langId(toks: Column): Column = {
+  def langId(toks: Column): Column =
+    graft.functions.expressions.NativeExprs.langId(toks, langStopwords)
+
+  /** Composed formulation of [[langId]] — value-identical: the CASE chain
+    * checks languages in code order, which IS the smallest-code tie-break —
+    * same shape as the oracle SQL.
+    */
+  def langIdComposed(toks: Column): Column = {
     val scores = langStopwords.sortBy(_._1).map { case (lang, words) =>
       lang -> stopwordHits(toks, words)
     }

@@ -97,6 +97,16 @@ object NativeExprs {
   def countInSet(toks: Column, words: Seq[String]): Column =
     col(CountInSetExpr(ex(toks), words))
 
+  /** Single-pass language ID over fixed per-language stopword lists —
+    * value-identical to the composed form (score each language with
+    * countInSet, argmax with ties to the smallest code, 'und' when no list
+    * scores > 0) but ONE token walk against a word→language-bitmask map
+    * instead of |langs| countInSet evaluations plus the greatest/CASE
+    * re-evaluations.
+    */
+  def langId(toks: Column, langs: Seq[(String, Seq[String])]): Column =
+    col(LangIdExpr(ex(toks), langs))
+
   /** Rabin-Karp rolling hashes over the UTF-8 bytes of a string: one
     * 31-bit polynomial hash per window of `w` bytes, computed in O(n) with
     * the rolling update (the "document fingerprinting (rolling hash)"
@@ -280,6 +290,67 @@ case class CountInSetExpr(child: Expression, words: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountInSetExpr =
+    copy(child = newChild)
+}
+
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(langs.nonEmpty && langs.size <= 30)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  // code order = tie-break order (smallest code wins), same as the CASE
+  // chain in the composed formulation
+  @transient private lazy val sortedLangs = langs.sortBy(_._1)
+  @transient private lazy val names: Array[UTF8String] =
+    sortedLangs.map(l => UTF8String.fromString(l._1)).toArray
+  // word → bitmask of languages whose stopword list contains it (words can
+  // be shared across languages, e.g. "de"/"la"/"un" in es+fr)
+  @transient private lazy val mask: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    sortedLangs.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.merge(k, Integer.valueOf(1 << i), (a, b) => Integer.valueOf(a | b))
+      }
+    }
+    m
+  }
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](names.length)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val m = mask.get(t)
+        if (m != null) {
+          var bits = m.intValue()
+          while (bits != 0) {
+            val b = java.lang.Integer.numberOfTrailingZeros(bits)
+            counts(b) += 1
+            bits &= bits - 1
+          }
+        }
+      }
+      i += 1
+    }
+    var top = 0
+    var j = 0
+    while (j < counts.length) { if (counts(j) > top) top = counts(j); j += 1 }
+    if (top == 0) und
+    else {
+      var k = 0
+      while (counts(k) != top) k += 1
+      names(k)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }
 

@@ -44,6 +44,7 @@ object Dedup {
       .select(col("id"), col("fp"), col("bk.band"), col("bk.key"))
     val l = banded.select(col("id").as("i"), col("fp").as("fp_i"),
                           col("band"), col("key"))
+      .hint("shuffle_hash") // no downstream sort order → skip SMJ's sorts
     val r = banded.select(col("id").as("j"), col("fp").as("fp_j"),
                           col("band"), col("key"))
     l.join(r, Seq("band", "key"))

@@ -101,6 +101,7 @@ object MinHashLsh {
       .withColumnRenamed("col", "band_key")
 
     val l = banded.select(col("doc_id").as("i"), col("band"), col("band_key"))
+      .hint("shuffle_hash") // no downstream sort order → skip SMJ's sorts
     val r = banded.select(col("doc_id").as("j"), col("band"), col("band_key"))
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("i") < col("j"))

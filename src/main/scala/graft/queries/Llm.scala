@@ -151,7 +151,10 @@ object Llm {
             .as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("i"), col("s"))
+      // shuffle-hash hint: the posting join keys are 60-bit longs with no
+      // useful sort order downstream — a hash join skips both sides'
+      // O(n log n) sorts that sort-merge would pay
+      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
         .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
         .filter(col("i") < col("j"))
         .groupBy("i", "j").agg(count(lit(1)).as("k"))
@@ -213,7 +216,8 @@ object Llm {
         .withColumn("p", explode(sequence(lit(0), col("blk"))))
         .select(col("vec_id").as("j"), col("embedding").as("eb"),
                 col("nrm").as("nb"), col("p"), col("blk").as("q"))
-      a.join(b, Seq("p", "q"))
+      a.hint("shuffle_hash") // block-pair keys need no sort order
+        .join(b, Seq("p", "q"))
         .filter(col("i") < col("j"))
         .withColumn("cs", VectorOps.cosinePrenorm(
           VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))

@@ -56,6 +56,15 @@ class TextOpsSpec extends SparkSpec {
     assert(df.filter($"got" =!= $"want").count() === 0)
   }
 
+  test("langId native == composed CASE-chain formulation on the corpus") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val diff = docs.select(
+        TextOps.langId(TextOps.tokens($"text")).as("fast"),
+        TextOps.langIdComposed(TextOps.tokens($"text")).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.count() === 0)
+  }
+
   test("md5Prefix60 — stable and non-negative") {
     val df = Seq("a", "b", "a").toDF("s")
       .select($"s", TextOps.md5Prefix60($"s").as("h"))
