@@ -66,6 +66,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dot_f32"), p)                 // native expression in the plan
   }
 
+  test("q31/q33 — hash-keyed self-joins plan ShuffledHashJoin, not sort-merge") {
+    // posting/block keys are hash-derived with no downstream sort order; a
+    // sort-merge join would pay two useless O(n log n) sorts (r2 bench: 2×)
+    Seq("q31_jaccard_pairs", "q33_embedding_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q lost its hash join:\n$p")
+    }
+  }
+
   test("q20b — scalable ntile has NO window operator (no single-partition stage)") {
     val p = plan("q20b_ntile_scalable")
     assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
