@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S6 — partition-parallel URL fetch (reference: fetch_legal_docs.py:49-50,
+  * one sequential GET per URL; `import requests.py:118` reuses one Session
+  * for the whole loop). The engine shape: `mapPartitions` with ONE client
+  * per partition — connection reuse like the reference's Session, but
+  * partition-parallel across executors, and every outcome contained
+  * per-record (S16): a failure becomes an error row, never a task failure.
+  *
+  * The HTTP client is pluggable ([[UrlFetcher]]) for the same reason the
+  * PDF codec is ([[PageExtractor]]): this container is zero-egress, so
+  * specs drive the full dataflow with a deterministic in-memory fetcher;
+  * [[HttpUrlFetcher]] is the real-world default (JDK HttpURLConnection —
+  * no new dependencies).
+  *
+  * At 100 TB-scale ingest the URL list is repartitioned to the desired
+  * fetch parallelism first; each partition holds its client for its whole
+  * lifetime, and the output is immediately a binary-column DataFrame the
+  * S7 gate and S9 pipeline consume.
+  */
+object Fetch {
+
+  /** One fetch attempt: either (contentType, bytes) or a failure message. */
+  trait UrlFetcher extends java.io.Closeable {
+    def fetch(url: String): Either[String, (String, Array[Byte])]
+    override def close(): Unit = ()
+  }
+
+  /** Factory shipped to executors — must be Serializable; the CLIENT it
+    * creates need not be (it never leaves its partition).
+    */
+  trait FetcherFactory extends Serializable {
+    def open(): UrlFetcher
+  }
+
+  /** Real-world default: JDK HttpURLConnection with the reference's
+    * timeout discipline (fetch_legal_docs.py:49 → 30 s).
+    */
+  final class HttpUrlFetcher(timeoutMs: Int) extends UrlFetcher {
+    def fetch(url: String): Either[String, (String, Array[Byte])] =
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        try {
+          val code = conn.getResponseCode
+          if (code >= 400) Left(s"HTTP $code")
+          else {
+            val ct = Option(conn.getContentType).getOrElse("")
+            val in = conn.getInputStream
+            try Right((ct, in.readAllBytes())) finally in.close()
+          }
+        } finally conn.disconnect()
+      } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+  }
+
+  object HttpFactory extends FetcherFactory {
+    def open(): UrlFetcher = new HttpUrlFetcher(30000)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("contentType", StringType),
+    StructField("content", BinaryType),
+    StructField("error", StringType)))
+
+  /** links(url) → (url, contentType, content, error): exactly one output
+    * row per input URL; `error` null on success, `content` null on failure
+    * — split downstream with [[partition]]. `parallelism` > 0 repartitions
+    * the URL list first (the fetch is the bottleneck, not the shuffle).
+    */
+  def fetchAll(links: DataFrame, factory: FetcherFactory,
+               parallelism: Int = 0): DataFrame = {
+    val spark = links.sparkSession
+    val in = if (parallelism > 0) links.repartition(parallelism) else links
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.select(col("url").cast(StringType)).mapPartitions { rows =>
+      // ONE client per partition, closed when the iterator drains —
+      // iterator-to-iterator so no partition-wide buffering
+      val client = factory.open()
+      var closed = false
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !closed) { client.close(); closed = true }
+          h
+        }
+        def next(): Row = {
+          val url = rows.next().getString(0)
+          client.fetch(url) match {
+            case Right((ct, bytes)) => Row(url, ct, bytes, null)
+            case Left(err)          => Row(url, null, null, err)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Split fetch results into the S7-gated binary channel and the S16
+    * quarantine channel (failures + non-PDF content types).
+    */
+  def partition(fetched: DataFrame): Pipeline.Processed = {
+    // null-safe gate: a success row always has a contentType, but coalesce
+    // keeps the two channels a PARTITION (no row can vanish from both)
+    val isPdf = DocOps.isPdfContentType(coalesce(col("contentType"), lit("")))
+    val ok = fetched.filter(col("error").isNull && isPdf)
+      .select(col("url"), col("content"))
+    val quarantine = fetched.filter(col("error").isNotNull || !isPdf)
+      .select(col("url"),
+        coalesce(col("error"),
+          concat(lit("not_pdf:"), coalesce(col("contentType"), lit(""))))
+          .as("reason"))
+    Pipeline.Processed(ok, quarantine)
+  }
+}

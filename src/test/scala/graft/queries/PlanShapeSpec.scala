@@ -59,6 +59,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_w0"), p)
   }
 
+  test("catalog-wide audit — nested loops and global windows only where declared") {
+    // Queries ALLOWED a nested-loop/cartesian node: q22b is the declared
+    // guarded cross join; q20b/q29 broadcast a literal single-row frame
+    // (quantile boundaries / the probe vector) — a 1-row BNLJ is a scalar
+    // attach, not an O(n²) hazard. Everything else joining without an equi
+    // key is a scale bug, caught here before any bench regresses.
+    val nestedLoopOk = Set("q22b_crossjoin", "q20b_ntile_scalable",
+      "q29_ann_topk")
+    // q20 is the DECLARED exact global ntile (oracle form; q20b is its
+    // scale twin) — the only query allowed an unpartitioned window.
+    val globalWindowOk = Set("q20_ntile")
+    val offendersNl = scala.collection.mutable.ArrayBuffer.empty[String]
+    val offendersWin = scala.collection.mutable.ArrayBuffer.empty[String]
+    Catalog.all.foreach { q =>
+      val qe = q.build(spark, sf0001).queryExecution
+      val physical = qe.executedPlan.toString
+      if ((physical.contains("BroadcastNestedLoopJoin") ||
+           physical.contains("CartesianProduct")) &&
+          !nestedLoopOk(q.name)) offendersNl += q.name
+      val hasGlobalWindow = qe.optimizedPlan.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobalWindow && !globalWindowOk(q.name)) offendersWin += q.name
+    }
+    assert(offendersNl.isEmpty, s"undeclared nested-loop joins in: $offendersNl")
+    assert(offendersWin.isEmpty, s"undeclared global windows in: $offendersWin")
+  }
+
   test("q33 — blocked self-join: equi join on block pairs, no nested loop") {
     val p = plan("q33_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
