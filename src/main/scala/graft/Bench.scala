@@ -25,8 +25,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Effective shuffle width is cpu-count: AQE shuffles START at
+      // initialPartitionNum=32 (below) and coalesce by data size. The
+      // static value 8 only governs the rare non-AQE paths — measured
+      // best at sf0.1 (tiny final sorts schedule 8 tasks, not 32).
       .config("spark.sql.shuffle.partitions",
-              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       // the bench corpus is single-digit-MB parquet files; the default 128MB
       // split size would scan each table in ONE task. 1MB splits spread the
       // scan+partial-agg across cores. (Cluster deployments at real scale
@@ -38,6 +42,10 @@ object Bench {
       // parallelism proportional to data (same per-corpus sizing rationale
       // as maxPartitionBytes above — cluster deployments keep the default)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // AQE-managed shuffles always START at 32-way (full core count) and
+      // coalesce down by the advisory size; this pins that even if the
+      // static shuffle.partitions is tuned lower for non-AQE paths
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32")
       // the 50-query catalog generates far more whole-stage-codegen units
       // than the default 100-entry class cache: every pass evicted the
       // previous one, so "warm" runs were recompiling (Janino) inside the
