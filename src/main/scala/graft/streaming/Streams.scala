@@ -102,10 +102,17 @@ object Streams {
     * exactly-once across restarts from the checkpoint, no file-exists
     * checks. Returns after all currently-available files are processed.
     */
+  /** @param deleteQuarantined true = after recording a quarantine row,
+    *        remove its staged binary (the reference's compensating delete,
+    *        import requests.py:84) via the replay-idempotent
+    *        Pipeline.compensatingDelete — safe under micro-batch replay
+    *        because deletion of an absent file is a no-op.
+    */
   def ingestPdfStream(spark: SparkSession, watchDir: String, outDir: String,
                       checkpoint: String,
                       extractor: graft.etl.PageExtractor,
-                      ingestDate: String): Unit = {
+                      ingestDate: String,
+                      deleteQuarantined: Boolean = false): Unit = {
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -136,6 +143,11 @@ object Streams {
           out.docs.write.mode("overwrite").json(s"$outDir/documents/$batchId")
           out.quarantine.write.mode("overwrite")
             .json(s"$outDir/quarantine/$batchId")
+          // compensating action AFTER the quarantine record is durable —
+          // the audit row survives even if the delete pass is replayed
+          if (deleteQuarantined)
+            graft.etl.Pipeline.compensatingDelete(
+              out.quarantine.withColumn("path", col("url")), "path")
         } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpoint)

@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     assert(docs2.select("title").as[String].collect().sorted === Array("Vol 01", "Vol 02"))
   }
 
+  test("ingest stream with compensating delete — quarantined PDF removed, good kept") {
+    val watch = Files.createTempDirectory("graft_pdfwatch2").toString
+    val out = Files.createTempDirectory("graft_pdfout2").toString
+    val checkpoint = ckpt()
+    def pdf(text: String): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\n" +
+       s"BT ($text) Tj ET\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    val good = java.nio.file.Paths.get(s"$watch/good.pdf")
+    val bad = java.nio.file.Paths.get(s"$watch/bad.pdf")
+    Files.write(good, pdf("Decided 1998 alpha"))
+    Files.write(bad, "not a pdf at all".getBytes) // unparseable → quarantine
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FlatePdfExtractor, "2026-08-12", deleteQuarantined = true)
+    // the audit row is durable, the staged binary is gone, the good one stays
+    val q = spark.read.json(s"$out/quarantine/*")
+    assert(q.count() === 1)
+    assert(q.select("reason").as[String].head() === "empty_or_unparseable")
+    assert(!Files.exists(bad), "quarantined binary should be deleted (S11/S16)")
+    assert(Files.exists(good))
+    // restart on the same checkpoint with nothing new: no replay, no error
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FlatePdfExtractor, "2026-08-12", deleteQuarantined = true)
+    assert(Files.exists(good))
+  }
+
   test("stream ⋈ static enrichment — equals the batch join") {
     val dim = Tables.customer(spark, sf0001)
       .select($"c_custkey", $"c_name")
