@@ -66,6 +66,24 @@ object NativeExprs {
   def md5PrefixAll(arr: Column, hexDigits: Int): Column =
     col(Md5PrefixAll(ex(arr), hexDigits))
 
+  /** Exact minor units of a DOUBLE money value: value-identical to
+    * (cast(x AS DECIMAL(18,2)) * 100) CAST AS LONG for every in-range
+    * value — the same shortest-representation HALF_UP rounding Spark's
+    * double→decimal cast performs (BigDecimal.valueOf) — in ONE codegen'd
+    * expression instead of a three-op decimal chain. Out-of-range/NaN
+    * input yields NULL (the non-ANSI cast result; ANSI mode's cast throws
+    * there — keeping this total makes it safe in aggregates over dirty
+    * data, and no corpus money column is out of range).
+    */
+  def doubleCents(x: Column): Column = col(DoubleCentsExpr(ex(x), 2))
+
+  /** [[doubleCents]] at an arbitrary decimal scale (minor units = x·10^scale,
+    * HALF_UP at that scale) — value-identical to
+    * (cast(x AS DECIMAL(18,scale)) * 10^scale) CAST AS LONG.
+    */
+  def doubleMinorUnits(x: Column, scale: Int): Column =
+    col(DoubleCentsExpr(ex(x), scale))
+
   /** Fused shingle+md5 prefix pass: value-identical to
     * array_distinct(md5PrefixAll(shingles(toks, w), hexDigits)) without
     * ever materializing the shingle STRINGS — the digest is fed the token
@@ -432,6 +450,67 @@ case class Md5PrefixAll(child: Expression, hexDigits: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixAll =
+    copy(child = newChild)
+}
+
+/** Static helper the generated code calls — keeps doGenCode a one-liner
+  * and the semantics in exactly one place.
+  */
+object DoubleCents {
+  private val MAX_UNSCALED = 999999999999999999L // 18 nines = DECIMAL(18,s) bound
+  private val POW = Array.tabulate(9)(i => math.pow(10, i))
+
+  /** @return minor units at `scale`, or Long.MinValue as the NULL sentinel */
+  def cents(d: Double, scale: Int): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      return Long.MinValue
+    // Fast path, Double.toString-free: when d IS exactly c·10^-scale for
+    // some integer c, its shortest representation has ≤ `scale` decimals
+    // and HALF_UP at that scale returns c. The reconstruction check
+    // (c / pow == d, exact) proves we are in that case — every boundary
+    // that could round differently (true .5 halves, shorter-repr
+    // ambiguity) fails the check and falls through to the exact slow
+    // path. Magnitude guard keeps pow·ulp(d) < 1 so the integer c is
+    // unambiguous. Real money corpora are 100% fast-path.
+    val pow = POW(scale)
+    if (math.abs(d) < 4.0e15 / pow) {
+      val c = Math.round(d * pow)
+      if (c.toDouble / pow == d) return c
+    }
+    // BigDecimal.valueOf = new BigDecimal(Double.toString(d)) — the same
+    // shortest-representation path Spark's Cast(double → decimal) takes
+    val bd = java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+    val unscaled = bd.unscaledValue()
+    if (unscaled.bitLength() > 62) return Long.MinValue // fast reject
+    val v = unscaled.longValueExact()
+    if (v > MAX_UNSCALED || v < -MAX_UNSCALED) Long.MinValue else v
+  }
+}
+
+case class DoubleCentsExpr(child: Expression, scale: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(scale >= 0 && scale <= 8)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "double_cents"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = DoubleCents.cents(input.asInstanceOf[Double], scale)
+    if (v == Long.MinValue) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = DoubleCents.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+        ${ev.value} = $helper.cents($c, $scale);
+        if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; ${ev.value} = 0L; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleCentsExpr =
     copy(child = newChild)
 }
 

@@ -27,7 +27,8 @@ object Relational {
     * Decimal(28,2).toDouble); for sums past that bound use
     * `sum(money(c))` directly.
     */
-  private def cents(c: Column): Column = (money(c) * 100).cast(LongType)
+  private def cents(c: Column): Column =
+    graft.functions.expressions.NativeExprs.doubleCents(c)
   /** decimal-safe money sum surfaced as double (§7.3): exact long-cents
     * accumulation, divided back in double (one correctly-rounded step —
     * identical to Decimal(28,2).toDouble).
@@ -327,8 +328,9 @@ object Relational {
         .agg(sumMoney(col("l_quantity")).as("sum_qty"),
              sumMoney(col("l_extendedprice")).as("sum_price"),
              // same long-minor-unit trick at scale 4 for the discount sum
-             round((dbl(sum((col("l_discount").cast(DecimalType(18, 4)) * 10000)
-               .cast(LongType))) / 10000.0) / count(lit(1)), 4).as("avg_disc"),
+             round((dbl(sum(graft.functions.expressions.NativeExprs
+               .doubleMinorUnits(col("l_discount"), 4))) / 10000.0)
+               / count(lit(1)), 4).as("avg_disc"),
              count(lit(1)).as("cnt"))
         .transform(smallSort(_, "l_returnflag", "l_linestatus"))
     },

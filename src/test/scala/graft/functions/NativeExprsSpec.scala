@@ -140,6 +140,49 @@ class NativeExprsSpec extends SparkSpec {
     assert(edge.count() === 0)
   }
 
+  test("doubleCents == (cast to DECIMAL(18,s) * 10^s) cast long, incl. edges") {
+    // real money columns at both scales
+    val li = Tables.lineitem(spark, sf0001)
+    val diff = li.select(
+        NativeExprs.doubleCents(col("l_extendedprice")).as("fast"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("ref"),
+        NativeExprs.doubleMinorUnits(col("l_discount"), 4).as("fast4"),
+        (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+          .cast("long").as("ref4"))
+      .filter(!(col("fast") <=> col("ref")) || !(col("fast4") <=> col("ref4")))
+    assert(diff.count() === 0)
+    // the classic shortest-repr HALF_UP cases and negatives
+    val edge = Seq(2.675, -2.675, 0.005, -0.005, 0.0, 123.456, -99.994)
+      .toDF("x")
+      .select(NativeExprs.doubleCents(col("x")).as("fast"),
+              (col("x").cast(DecimalType(18, 2)) * 100).cast("long").as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(edge.count() === 0)
+    // out of DECIMAL(18,2) range → NULL (the non-ANSI cast result; the
+    // ANSI-mode cast throws instead, and no oracled money column is ever
+    // out of range — this pins the documented total-function behavior)
+    val over = Seq(1e17, -1e17, Double.NaN,
+        Double.PositiveInfinity).toDF("x")
+      .select(NativeExprs.doubleCents(col("x")).as("fast"))
+    assert(over.filter(col("fast").isNotNull).count() === 0)
+    // seeded fuzz across magnitudes: the toString-free fast path must agree
+    // with the BigDecimal reference everywhere the cast chain is defined
+    val rnd = new scala.util.Random(42)
+    val fuzz = (1 to 5000).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => rnd.nextLong(2000000000L).toDouble / 100.0 * (if (rnd.nextBoolean()) 1 else -1)
+        case 1 => rnd.nextLong(1000000L).toDouble / 7.0
+        case 2 => (rnd.nextDouble() - 0.5) * 2e15
+        case _ => rnd.nextLong(1000L).toDouble / 1000.0 // 3-decimal halves
+      }
+    }.toDF("x")
+      .select(NativeExprs.doubleCents(col("x")).as("fast"),
+              (col("x").cast(DecimalType(18, 2)) * 100).cast("long").as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(fuzz.count() === 0)
+  }
+
   test("fused shingle-md5 expressions == their composed forms") {
     val toks = split(col("text"), " ")
     val sh = NativeExprs.shingles(toks, 3)
