@@ -24,6 +24,37 @@ class PropertiesSpec extends SparkSpec {
     assert(df.filter($"base".contains("/") || $"base".contains("%20")).count() === 0)
   }
 
+  test("connectedComponents == union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val edges = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (i, j) => i != j }.distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val nodes = edges.flatMap { case (i, j) => Seq(i, j) }.distinct
+      val want = nodes.map { u =>
+        // representative = component minimum, by min-union above
+        u -> find(u)
+      }.toMap
+      val comp = graft.operators.Dedup.connectedComponents(
+        edges.toDF("i", "j"), "i", "j")
+      val got = comp.as[(Long, Long)].collect().toMap
+      comp.unpersist()
+      assert(got === want, s"trial $trial: components diverge from union-find")
+    }
+  }
+
   test("Q22 — set algebra laws on real key sets") {
     val a = Tables.customer(spark, sf0001).filter($"c_acctbal" > 5000)
       .select($"c_custkey".as("k"))
