@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.MinHashLsh
+import graft.operators.{MinHashLsh, Sampling}
 
 /** LLM-data-pipeline catalog (SURVEY §2.2 Q28–Q30 + the north-star
   * extensions): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
@@ -312,6 +312,23 @@ object Llm {
           array_join(graft.functions.expressions.NativeExprs.shingleMd5BottomK(
             TextOps.tokens(col("text")), 3, 4), "|")
             .as("fp"))
+        .orderBy("doc_id")
+    },
+
+    Q("q40_stratified_sample",
+      """Q40 — deterministic stratified sampling (training-data mix
+        |control): membership = content-hash score < per-stratum threshold,
+        |so the sample is identical across runs, partitionings and engines —
+        |the DuckDB oracle recomputes the exact same md5-derived score.
+        |Downsamples en to 25% and de to 50%, keeps the rest.""".stripMargin,
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))::UBIGINT
+        |      % 1000000
+        |  < CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000 ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.stratified(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.25, "de" -> 0.5), default = 1.0)
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 
