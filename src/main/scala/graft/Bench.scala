@@ -41,6 +41,8 @@ object Bench {
       // of this single-digit-MB corpus to ONE task; 1MB keeps reduce-side
       // parallelism proportional to data (same per-corpus sizing rationale
       // as maxPartitionBytes above — cluster deployments keep the default)
+      .config("spark.sql.adaptive.enabled",
+              sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       // AQE-managed shuffles always START at 32-way (full core count) and
       // coalesce down by the advisory size; this pins that even if the
