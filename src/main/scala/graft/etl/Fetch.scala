@@ -80,22 +80,18 @@ object Fetch {
     val in = if (parallelism > 0) links.repartition(parallelism) else links
     val enc = org.apache.spark.sql.Encoders.row(schema)
     in.select(col("url").cast(StringType)).mapPartitions { rows =>
-      // ONE client per partition, closed when the iterator drains —
-      // iterator-to-iterator so no partition-wide buffering
+      // ONE client per partition, iterator-to-iterator (no partition-wide
+      // buffering). Closed by a task-completion listener, which fires on
+      // EVERY exit path — full drain, downstream limit() that stops early,
+      // or a task failure — so the client can never leak.
       val client = factory.open()
-      var closed = false
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h && !closed) { client.close(); closed = true }
-          h
-        }
-        def next(): Row = {
-          val url = rows.next().getString(0)
-          client.fetch(url) match {
-            case Right((ct, bytes)) => Row(url, ct, bytes, null)
-            case Left(err)          => Row(url, null, null, err)
-          }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => client.close()))
+      rows.map { r =>
+        val url = r.getString(0)
+        client.fetch(url) match {
+          case Right((ct, bytes)) => Row(url, ct, bytes, null)
+          case Left(err)          => Row(url, null, null, err)
         }
       }
     }(enc)

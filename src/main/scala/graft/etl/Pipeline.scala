@@ -131,12 +131,17 @@ object Pipeline {
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
         while (rows.hasNext) {
           val p = rows.next().getString(0)
-          if (p != null)
-            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
-              java.net.URI.create(p).getPath match {
-                case null => p
-                case path => path
-              }))
+          // per-record containment (S16): a malformed path must not fail
+          // the task — binaryFile paths like 'file:/x/Vol 01.pdf' (spaces,
+          // the reference's natural naming) are not valid URIs, so URI
+          // parsing is best-effort with the raw string as fallback
+          if (p != null) try {
+            val fsPath =
+              try Option(new java.net.URI(p).getPath).getOrElse(p)
+              catch { case _: java.net.URISyntaxException =>
+                if (p.startsWith("file:")) p.stripPrefix("file:") else p }
+            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fsPath))
+          } catch { case _: Exception => () }
         }
       }
 

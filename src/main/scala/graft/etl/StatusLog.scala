@@ -31,21 +31,32 @@ object StatusLog {
 
   private val GenPrefix = "gen_"
 
-  private def generations(dir: String): Seq[Long] = {
+  /** All generation numbers; `completeOnly` keeps the ones whose Spark
+    * `_SUCCESS` marker exists — a crash mid-write leaves a torn directory
+    * without the marker, and readers/rotators must skip it.
+    */
+  private def generations(dir: String, completeOnly: Boolean = false): Seq[Long] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(GenPrefix))
-      .map(_.stripPrefix(GenPrefix).toLong)
-      .toSeq.sorted
+    else {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(GenPrefix))
+        .map(_.stripPrefix(GenPrefix).toLong)
+        .filter(g => !completeOnly ||
+          Files.exists(Paths.get(s"$dir/$GenPrefix$g/_SUCCESS")))
+        .toSeq.sorted
+      finally stream.close()
+    }
   }
 
   /** The current log contents (empty frame with the right schema when no
-    * log exists yet), newest first.
+    * complete log generation exists), newest first. Torn generations from
+    * a crashed writer are ignored.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    generations(dir).lastOption match {
+    generations(dir, completeOnly = true).lastOption match {
       case Some(g) => spark.read.schema(schema).parquet(s"$dir/$GenPrefix$g")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -54,6 +65,11 @@ object StatusLog {
   /** Append `entries` (ts, level, message) and rotate to the newest
     * `retain` rows. Tie-break (level, message) keeps rotation deterministic
     * for equal timestamps (§7.3).
+    *
+    * Single-writer contract (like the reference's one bootstrap script
+    * appending to one log): concurrent appenders would race on the next
+    * generation number. Readers are always safe — they only ever see
+    * `_SUCCESS`-complete generations.
     */
   def append(spark: SparkSession, dir: String, entries: DataFrame,
              retain: Int = 50): Unit = {
@@ -62,15 +78,18 @@ object StatusLog {
         col("level").cast(StringType), col("message").cast(StringType)))
       .orderBy(col("ts").desc, col("level"), col("message"))
       .limit(retain)
+    // a torn generation from a crashed writer may hold the highest number;
+    // overwrite-mode makes retrying over it safe
     val newGen = generations(dir).lastOption.getOrElse(0L) + 1
     // bounded output (≤ retain rows): one file per generation
     next.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$GenPrefix$newGen")
-    // prune AFTER the new generation is durable
+    // prune AFTER the new generation is durable (incl. any older torn dirs)
     generations(dir).filter(_ < newGen).foreach { g =>
       val genDir = Paths.get(s"$dir/$GenPrefix$g")
-      Files.walk(genDir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val walk = Files.walk(genDir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 }

@@ -431,19 +431,8 @@ case class Md5PrefixAll(child: Expression, hexDigits: Int)
     var i = 0
     while (i < n) {
       // null element -> null element, matching transform(arr, md5PrefixLong)
-      out(i) = if (arr.isNullAt(i)) null else {
-        val d = Md5.digest(arr.getUTF8String(i).getBytes)
-        var v = 0L
-        var j = 0
-        while (j < hexDigits) {
-          val nibble =
-            if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf
-            else d(j >> 1) & 0xf
-          v = (v << 4) | nibble
-          j += 1
-        }
-        v
-      }
+      out(i) = if (arr.isNullAt(i)) null
+      else Md5.prefixLong(Md5.digest(arr.getUTF8String(i).getBytes), hexDigits)
       i += 1
     }
     new GenericArrayData(out)
@@ -589,6 +578,31 @@ private[graft] object Md5 {
   }
   /** The raw thread-local digest, for incremental update() feeding. */
   def raw(): java.security.MessageDigest = md.get()
+
+  private val HEX = "0123456789abcdef".toCharArray
+  /** Lower-case hex encoding of a 16-byte digest. */
+  def hex(d: Array[Byte]): UTF8String = {
+    val cs = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      cs(2 * j) = HEX((d(j) >> 4) & 0xf)
+      cs(2 * j + 1) = HEX(d(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(cs))
+  }
+  /** Unsigned lexicographic digest compare — identical ordering to the hex
+    * string compare, since hex encoding is monotone in the digest bytes.
+    */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
   /** First `hexDigits` hex chars of a digest as a non-negative long. */
   def prefixLong(d: Array[Byte], hexDigits: Int): Long = {
     var v = 0L
@@ -601,6 +615,41 @@ private[graft] object Md5 {
       i += 1
     }
     v
+  }
+}
+
+/** Bounded ascending buffer of DISTINCT digests — the shared core of the
+  * bottom-k fingerprint expressions (one insertion-sort buffer of ≤ k
+  * entries instead of sorting every boxed hex string per document).
+  */
+private[graft] final class DigestBottomK(k: Int) {
+  private val buf = new Array[Array[Byte]](k)
+  private var size = 0
+
+  def offer(d: Array[Byte]): Unit = {
+    if (size == k && Md5.cmp(d, buf(size - 1)) >= 0) return
+    var lo = 0; var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (Md5.cmp(buf(mid), d) < 0) lo = mid + 1 else hi = mid
+    }
+    if (lo < size && Md5.cmp(buf(lo), d) == 0) return
+    val end = math.min(size, k - 1)
+    var j = end
+    while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+    buf(lo) = d
+    if (size < k) size += 1
+  }
+
+  /** Hex-encoded contents, ascending; `trailingNull` appends one null slot
+    * (array_distinct-keeps-one-null parity) when there is room.
+    */
+  def toHexArray(trailingNull: Boolean = false): GenericArrayData = {
+    val extra = if (trailingNull && size < k) 1 else 0
+    val out = new Array[Any](size + extra)
+    var j = 0
+    while (j < size) { out(j) = Md5.hex(buf(j)); j += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -682,18 +731,6 @@ case class ShingleMd5BottomKExpr(child: Expression, w: Int, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_md5_bottom_k"
 
-  private val HEX = "0123456789abcdef".toCharArray
-
-  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    while (i < 16) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    0
-  }
-
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -702,39 +739,9 @@ case class ShingleMd5BottomKExpr(child: Expression, w: Int, k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val buf = new Array[Array[Byte]](k)
-    var size = 0
-    ShingleMd5.foreachDigest(arr, w) { d =>
-      if (size < k || cmp(d, buf(size - 1)) < 0) {
-        var lo = 0; var hi = size
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (cmp(buf(mid), d) < 0) lo = mid + 1 else hi = mid
-        }
-        if (!(lo < size && cmp(buf(lo), d) == 0)) {
-          val end = math.min(size, k - 1)
-          var j = end
-          while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
-          buf(lo) = d
-          if (size < k) size += 1
-        }
-      }
-    }
-    val out = new Array[Any](size)
-    var j = 0
-    while (j < size) {
-      val d = buf(j)
-      val cs = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        cs(2 * b) = HEX((d(b) >> 4) & 0xf)
-        cs(2 * b + 1) = HEX(d(b) & 0xf)
-        b += 1
-      }
-      out(j) = UTF8String.fromString(new String(cs))
-      j += 1
-    }
-    new GenericArrayData(out)
+    val bottom = new DigestBottomK(k)
+    ShingleMd5.foreachDigest(arr, w)(bottom.offer)
+    bottom.toHexArray()
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5BottomKExpr =
@@ -839,65 +846,21 @@ case class Md5BottomKExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "md5_bottom_k"
 
-  private val HEX = "0123456789abcdef".toCharArray
-
-  // unsigned lexicographic digest compare == hex-string compare (monotone)
-  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    while (i < 16) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    0
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val buf = new Array[Array[Byte]](k)
-    var size = 0
+    val bottom = new DigestBottomK(k)
     var sawNull = false
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
       if (t == null) sawNull = true
-      else {
-        val d = Md5.digest(t.getBytes)
-        if (size < k || cmp(d, buf(size - 1)) < 0) {
-          var lo = 0; var hi = size
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (cmp(buf(mid), d) < 0) lo = mid + 1 else hi = mid
-          }
-          if (!(lo < size && cmp(buf(lo), d) == 0)) {
-            val end = math.min(size, k - 1)
-            var j = end
-            while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
-            buf(lo) = d
-            if (size < k) size += 1
-          }
-        }
-      }
+      else bottom.offer(Md5.digest(t.getBytes))
       i += 1
-    }
-    val out = new Array[Any](if (sawNull && size < k) size + 1 else size)
-    var j = 0
-    while (j < size) {
-      val d = buf(j)
-      val cs = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        cs(2 * b) = HEX((d(b) >> 4) & 0xf)
-        cs(2 * b + 1) = HEX(d(b) & 0xf)
-        b += 1
-      }
-      out(j) = UTF8String.fromString(new String(cs))
-      j += 1
     }
     // array_distinct keeps ONE null and array_sort places it LAST; it only
     // survives the slice when fewer than k distinct non-null digests exist
-    new GenericArrayData(out)
+    bottom.toHexArray(trailingNull = sawNull)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5BottomKExpr =
@@ -910,8 +873,6 @@ case class Md5HexAll(child: Expression)
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "md5_hex_all"
 
-  private val HEX = "0123456789abcdef".toCharArray
-
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -919,17 +880,7 @@ case class Md5HexAll(child: Expression)
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
-      out(i) = if (t == null) null else {
-        val d = Md5.digest(t.getBytes)
-        val cs = new Array[Char](32)
-        var j = 0
-        while (j < 16) {
-          cs(2 * j) = HEX((d(j) >> 4) & 0xf)
-          cs(2 * j + 1) = HEX(d(j) & 0xf)
-          j += 1
-        }
-        UTF8String.fromString(new String(cs))
-      }
+      out(i) = if (t == null) null else Md5.hex(Md5.digest(t.getBytes))
       i += 1
     }
     new GenericArrayData(out)
@@ -946,19 +897,9 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix_long"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val d = Md5.digest(input.asInstanceOf[UTF8String].getBytes)
-    var v = 0L
-    var i = 0
-    while (i < hexDigits) {
-      val nibble =
-        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
-        else d(i >> 1) & 0xf
-      v = (v << 4) | nibble
-      i += 1
-    }
-    v
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    Md5.prefixLong(
+      Md5.digest(input.asInstanceOf[UTF8String].getBytes), hexDigits)
 
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
     copy(child = newChild)

@@ -111,14 +111,20 @@ object Ann {
               ring: Int = 3): DataFrame = {
     val bucketed = withBucket(embeddings, vecCol, nPlanes, dim)
     // one driver-side row to anchor the candidate set (same legitimacy as
-    // ivfTopK's probe lookup — a probe is a scalar by nature)
-    val probeBucket = bucketed.filter(col(idCol) === probeId)
-      .select(col("bucket")).head().getLong(0)
-    val candidates = ringBuckets(probeBucket, nPlanes, ring)
-    val probe = bucketed.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("_probe_vec"))
-    scoreTopK(bucketed.filter(col("bucket").isin(candidates: _*)),
-              probe, idCol, vecCol, probeId, k)
+    // ivfTopK's probe lookup — a probe is a scalar by nature). An absent
+    // probe id returns an empty top-k, same as bruteTopK.
+    bucketed.filter(col(idCol) === probeId)
+      .select(col("bucket")).limit(1).collect().headOption match {
+      case None => scoreTopK(bucketed.limit(0),
+        bucketed.limit(0).select(col(vecCol).as("_probe_vec")),
+        idCol, vecCol, probeId, k)
+      case Some(row) =>
+        val candidates = ringBuckets(row.getLong(0), nPlanes, ring)
+        val probe = bucketed.filter(col(idCol) === probeId)
+          .select(col(vecCol).as("_probe_vec"))
+        scoreTopK(bucketed.filter(col("bucket").isin(candidates: _*)),
+                  probe, idCol, vecCol, probeId, k)
+    }
   }
 
   /** One-time ingest-side write of the corpus partitioned by LSH bucket —
@@ -139,6 +145,7 @@ object Ann {
   def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String, vecCol: String, probeId: Long, k: Int,
                       nPlanes: Int = 8, ring: Int = 3): DataFrame = {
+    import spark.implicits._
     val corpus = spark.read.parquet(path)
     // partition-column values of small integers are inferred IntegerType on
     // read — match the literal type so isin stays a partition filter
@@ -146,14 +153,23 @@ object Ann {
       org.apache.spark.sql.types.IntegerType
     def lits(bs: Seq[Long]): Seq[Any] =
       if (isInt) bs.map(_.toInt) else bs
-    val probeBucket = corpus.filter(col(idCol) === probeId)
-      .select(col("bucket").cast("long")).head().getLong(0)
-    val candidates = ringBuckets(probeBucket, nPlanes, ring)
-    val probe = corpus
-      .filter(col("bucket").isin(lits(Seq(probeBucket)): _*) &&
-              col(idCol) === probeId)
-      .select(col(vecCol).as("_probe_vec"))
-    scoreTopK(corpus.filter(col("bucket").isin(lits(candidates): _*)),
-              probe, idCol, vecCol, probeId, k)
+    // ONE unpruned id lookup fetches bucket AND vector together (the
+    // bucket cannot be known before this lookup, so one full-index scan
+    // is the floor — but only one); the candidate scan below is pruned.
+    // Absent probe id → empty top-k, same as bruteTopK.
+    corpus.filter(col(idCol) === probeId)
+      .select(col("bucket").cast("long"), col(vecCol).cast("array<float>"))
+      .limit(1).collect().headOption match {
+      case None => scoreTopK(corpus.limit(0),
+        corpus.limit(0).select(col(vecCol).as("_probe_vec")),
+        idCol, vecCol, probeId, k)
+      case Some(row) =>
+        val candidates = ringBuckets(row.getLong(0), nPlanes, ring)
+        val probe = Seq(row.getSeq[Float](1))
+          .toDF("_probe_vec")
+          .select(col("_probe_vec").cast("array<float>"))
+        scoreTopK(corpus.filter(col("bucket").isin(lits(candidates): _*)),
+                  probe, idCol, vecCol, probeId, k)
+    }
   }
 }

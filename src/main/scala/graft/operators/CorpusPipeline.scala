@@ -22,6 +22,15 @@ import graft.functions.TextOps
   */
 object CorpusPipeline {
 
+  /** Daemon-thread pool for awaiting Observation results — see metricOr. */
+  private lazy val obsEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-observation-wait")
+        t.setDaemon(true)
+        t
+      }))
+
   final case class Config(
       jaccardThreshold: Double = 0.8,
       minTokens: Long = 10,
@@ -93,22 +102,26 @@ object CorpusPipeline {
     val n3 = kept.count()
 
     // Observed metrics normally arrive with the actions above (async
-    // listener delivery — poll briefly). When AQE's empty-relation
-    // propagation replaces a subtree whose stage came back empty, the
-    // CollectMetrics node can be optimized OUT of the executed plan and the
-    // observation never fires; fall back to a count() on the (still
-    // persisted) frame so accounting stays correct on degenerate corpora.
-    def metricOr(o: Observation, fallback: => Long): Long = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration._
-      scala.util.Try(Await.result(Future(o.get), 2.seconds))
+    // listener delivery). When AQE's empty-relation propagation replaces a
+    // subtree whose stage came back empty, the CollectMetrics node can be
+    // optimized OUT of the executed plan and the observation never fires;
+    // fall back to a count() on the (still persisted) frame so accounting
+    // stays correct on degenerate corpora. The blocking gets run in
+    // PARALLEL on daemon threads (one shared 2s deadline, not 2s each);
+    // a never-firing observation parks its daemon thread — bounded at 3
+    // per degenerate curate() and invisible to JVM shutdown.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val futures = Seq(obsIn, obsExact, obsNear)
+      .map(o => Future(o.get)(CorpusPipeline.obsEc))
+    val deadline = 2.seconds.fromNow
+    def metricOr(f: Future[Map[String, Any]], fallback: => Long): Long =
+      scala.util.Try(Await.result(f, deadline.timeLeft max Duration.Zero))
         .toOption.flatMap(_.get("n")).map(_.asInstanceOf[Long])
         .getOrElse(fallback)
-    }
-    val n0 = metricOr(obsIn, docs.count())
-    val n1 = metricOr(obsExact, exact.count())
-    val n2 = metricOr(obsNear, nearDeduped.count())
+    val n0 = metricOr(futures(0), docs.count())
+    val n1 = metricOr(futures(1), exact.count())
+    val n2 = metricOr(futures(2), nearDeduped.count())
     // kept is materialized; its parents' caches are no longer needed
     exact.unpersist()
     losers.unpersist()

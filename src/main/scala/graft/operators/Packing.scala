@@ -25,13 +25,18 @@ object Packing {
 
   final case class PackedDoc(doc_id: Long, n_tokens: Long, pack_id: Long)
 
+  /** @param groups number of value-keyed pack groups. The default is a
+    *        CONSTANT (not spark.sql.shuffle.partitions) precisely so the
+    *        same corpus packs identically on a laptop and a 1000-executor
+    *        cluster; raise it when one group's docs exceed a task's
+    *        comfortable scan size.
+    */
   def packGreedy(docs: DataFrame, idCol: String, nTokensCol: String,
-                 capacity: Long, groups: Int = 0): DataFrame = {
-    require(capacity > 0)
+                 capacity: Long, groups: Int = 64): DataFrame = {
+    require(capacity > 0 && groups > 0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val n = if (groups > 0) groups
-            else spark.sessionState.conf.numShufflePartitions
+    val n = groups
     docs
       .select(col(idCol).cast(LongType).as("doc_id"),
               col(nTokensCol).cast(LongType).as("n_tokens"),

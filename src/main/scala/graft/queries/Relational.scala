@@ -640,15 +640,15 @@ object Relational {
         |UNION ALL
         |SELECT 'except' AS op, k FROM (SELECT k FROM big EXCEPT SELECT k FROM recent)
         |ORDER BY op, k""".stripMargin) { (s, d) =>
-      // both key sets feed all three set operators — persist them so the
-      // union/intersect/except branches read a few thousand cached longs
-      // instead of re-scanning customer/orders three times each
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // NOT persisted: the ~0.05 s the cache saved at sf0.1 is not worth a
+      // leak — a query builder has no release hook, so persists here would
+      // accumulate per invocation in any long-lived session that is not
+      // the bench harness (which clearCache()s between runs)
       val big = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
-        .select(col("c_custkey").as("k")).persist(MEMORY_AND_DISK)
+        .select(col("c_custkey").as("k"))
       val recent = Tables.orders(s, d)
         .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
-        .select(col("o_custkey").as("k")).distinct().persist(MEMORY_AND_DISK)
+        .select(col("o_custkey").as("k")).distinct()
       val u = big.union(recent).distinct().select(lit("union").as("op"), col("k"))
       val i = big.intersect(recent).select(lit("intersect").as("op"), col("k"))
       val e = big.except(recent).select(lit("except").as("op"), col("k"))
