@@ -332,6 +332,62 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    Q("q41_chunking",
+      """Q41 — document chunking: split each document into 32-token windows
+        |with a 16-token stride (context-window preparation — the inverse of
+        |q-packing). One narrow pass: compute window starts with sequence(),
+        |explode, slice the token array — no shuffle until the final sort,
+        |chunk count ∝ document length. Also the S9/S10 page-dataflow shape
+        |generalized to token windows.""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        generate_series(1, greatest(len(toks) - 16, 1), 16) AS starts
+        |      FROM t),
+        |c AS (SELECT doc_id, unnest(starts) AS start, toks FROM s)
+        |SELECT doc_id, CAST((start - 1) / 16 AS BIGINT) AS chunk_id,
+        |       array_to_string(toks[start : start + 31], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // window starts 1, 17, 33, … up to max(n-16, 1): the final window is
+      // the only one allowed shorter than 32 tokens, and every token is
+      // covered by ≥1 chunk. DuckDB's toks[a:b] slice is INCLUSIVE of b, so
+      // the Spark side slices exactly 32 elements (slice(toks, start, 32)).
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("start", explode(sequence(lit(1),
+          greatest(size(col("toks")) - 16, lit(1)), lit(16))))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 16).cast(LongType).as("chunk_id"),
+          array_join(slice(col("toks"), col("start"), lit(32)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    Q("q42_redaction",
+      """Q42 — PII-style redaction pass: scrub email addresses and long
+        |digit runs from every document, and count what was redacted. A
+        |narrow regexp map — the text-cleaning stage every training corpus
+        |runs before tokenization; codegen'd, scales with the scan.""".stripMargin,
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_nums
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>").as("redacted"),
+          expr("size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0))")
+            .cast(LongType).as("n_emails"),
+          expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))")
+            .cast(LongType).as("n_nums"))
+        .orderBy("doc_id")
+    },
+
     Q.cap("q39_rolling_fingerprint",
       """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
         |Rabin-Karp hashes of each document, computed in O(n) per doc with
