@@ -381,9 +381,11 @@ object Llm {
           regexp_replace(regexp_replace(col("text"),
               "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
             "[0-9]{6,}", "<NUM>").as("redacted"),
-          expr("size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0))")
+          // regexp_count counts matches without materializing the match
+          // array; same value as the oracle's len(regexp_extract_all(...))
+          expr("regexp_count(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')")
             .cast(LongType).as("n_emails"),
-          expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))")
+          expr("regexp_count(text, '[0-9]{6,}')")
             .cast(LongType).as("n_nums"))
         .orderBy("doc_id")
     },
