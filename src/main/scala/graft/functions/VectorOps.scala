@@ -70,6 +70,30 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
+  /** Symmetric int8 quantization of an ARRAY<FLOAT> embedding: a struct of
+    * (scale, ARRAY<TINYINT>) where scale = max|x| / 127 and each value is
+    * round(x / scale). 4× smaller at rest and on the shuffle wire than
+    * float32 — the storage form for 100 TB embedding corpora; similarity
+    * search dequantizes on the fly ([[dequantizeInt8]]) with ~1e-2 cosine
+    * error at 64 dims (QuantizeSpec bounds it). All-zero vectors keep
+    * scale 0 and dequantize to zeros.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0f),
+      (acc, x) => greatest(acc, abs(x))) / 127.0f
+    struct(
+      scale.cast(FloatType).as("scale"),
+      when(scale === 0f,
+          transform(v, _ => lit(0).cast(ByteType)))
+        .otherwise(transform(v, x => round(x / scale).cast(ByteType)))
+        .as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: ARRAY<FLOAT> ≈ the original vector. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"),
+      b => (b.cast(FloatType) * qv.getField("scale")).cast(FloatType))
+
   /** Deterministic pseudo-random unit-ish hyperplanes (splitmix64-derived,
     * fixed seed) — stable across runs and JVMs.
     */
