@@ -127,6 +127,26 @@ object Ann {
     }
   }
 
+  /** Exact-arithmetic top-k over the int8-QUANTIZED storage form
+    * (VectorOps.quantizeInt8): vectors dequantize on the fly inside the
+    * scan, so the corpus at rest and on the wire is 4× smaller while the
+    * scoring path is unchanged. Recall vs float32 brute force is bounded
+    * by the quantization's cosine drift (<2%, QuantizeSpec) — AnnSpec
+    * asserts the top-k overlap.
+    */
+  def bruteTopKQuantized(quantized: DataFrame, idCol: String, qvCol: String,
+                         probeId: Long, k: Int): DataFrame = {
+    val deq = VectorOps.dequantizeInt8(col(qvCol))
+    val probe = quantized.filter(col(idCol) === probeId)
+      .select(VectorOps.dequantizeInt8(col(qvCol)).as("_probe_vec"))
+    quantized.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+              round(VectorOps.cosine(deq, col("_probe_vec")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** One-time ingest-side write of the corpus partitioned by LSH bucket —
     * the storage layout that makes ANN queries PRUNE at the source. At
     * 100 TB this is the difference between "read 2^nPlanes-ths of the

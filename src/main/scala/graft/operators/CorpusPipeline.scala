@@ -40,6 +40,23 @@ object CorpusPipeline {
   final case class Result(corpus: DataFrame, droppedExact: Long,
                           droppedNearDup: Long, droppedQuality: Long)
 
+  /** The post-curation half of the training-data story: deterministic
+    * per-language downsampling to a target mix, then next-fit packing into
+    * context-window-sized groups. Composes [[Sampling.stratified]] (same
+    * sample across runs/clusters) with [[Packing.packGreedy]]; returns
+    * (doc columns…, pack_id). Run on [[curate]]'s corpus — survivors carry
+    * `lang_pred` and `n_tokens` already.
+    */
+  def prepare(corpus: DataFrame, idCol: String, capacity: Long,
+              mix: Map[String, Double], defaultFrac: Double = 1.0,
+              salt: Long = 42L): DataFrame = {
+    val sampled = Sampling.stratified(corpus, "lang_pred", idCol, mix,
+      defaultFrac, salt)
+    val packs = Packing.packGreedy(sampled, idCol, "n_tokens", capacity)
+    sampled.join(packs.select(col("doc_id").as(idCol), col("pack_id")),
+                 Seq(idCol))
+  }
+
   def curate(docs: DataFrame, idCol: String, textCol: String,
              config: Config = Config()): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -10,6 +10,18 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 class AnnSpec extends SparkSpec {
 
+  test("bruteTopKQuantized — int8 storage recovers the float32 top-5") {
+    val e = Tables.embeddings(spark, sf0001)
+    val quantized = e.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.functions.VectorOps.quantizeInt8(
+        org.apache.spark.sql.functions.col("embedding")).as("qv"))
+    val qTop = Ann.bruteTopKQuantized(quantized, "vec_id", "qv", 0, 5)
+    val exact = Ann.bruteTopK(e, "vec_id", "embedding", 0, 5)
+    // <2% cosine drift must keep at least 4 of the true top-5
+    val missed = exact.select("vec_id").exceptAll(qTop.select("vec_id")).count()
+    assert(missed <= 1, s"quantized search missed $missed of the top-5")
+  }
+
   test("lshTopKBucketed — ring ids prune partitions; results == in-memory ring") {
     val e = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("ann_bucketed").toString

@@ -62,6 +62,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.droppedNearDup === 2) // B and C collapse into A's cluster
   }
 
+  test("prepare — curated corpus samples to mix and packs within capacity") {
+    val docs = Tables.documents(spark, sf0001)
+    val r = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(jaccardThreshold = 0.5, minTokens = 5,
+        maxTokens = 100000, minQuality = 0.0))
+    val capacity = 512L
+    val packed = CorpusPipeline.prepare(r.corpus, "doc_id", capacity,
+      mix = Map("en" -> 0.5))
+    // every surviving sampled doc is packed exactly once
+    assert(packed.select("doc_id").distinct().count() === packed.count())
+    // capacity bound (oversized singletons excepted)
+    val over = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > capacity && col("n") > 1)
+    assert(over.count() === 0)
+    // 'en' was downsampled, other languages kept whole
+    val before = r.corpus.groupBy("lang_pred").count()
+      .as[(String, Long)].collect().toMap
+    val after = packed.groupBy("lang_pred").count()
+      .as[(String, Long)].collect().toMap
+    assert(after("en") < before("en"))
+    before.keys.filterNot(_ == "en").foreach { l =>
+      assert(after.getOrElse(l, 0L) === before(l), s"$l should be kept whole")
+    }
+    r.corpus.unpersist()
+  }
+
   test("curate — quality gate drops short docs") {
     val docs = Seq(
       (1L, "one two"),                                     // too short
