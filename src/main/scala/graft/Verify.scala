@@ -11,6 +11,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same per-corpus sizing as Bench: without these the 52-query dump
+      // pays single-task post-shuffle stages and per-query codegen
+      // recompilation (cache default is 100 entries — too small)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
