@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through UNPREFIXED (no "[info] " from sbt's
+// logger): the bench driver parses Bench's one-line JSON from stdout, and
+// the log prefix made every line unparseable JSON in rounds 1-2
+// (BENCH_r0{1,2}.json "parsed": null).
+outputStrategy := Some(StdoutOutput)
+// Drop the trailing "[success] Total time: ..." line so the bench JSON is
+// the last meaningful stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,9 +10,8 @@ import org.apache.spark.sql.SparkSession
   *    file-index resolution, so the timed pass measures steady-state
   *    execution — the same thing the DuckDB baseline harness
   *    (dev/baseline.py, median of 3) measures. The warmup pass durations
-  *    are still REPORTED verbatim in the JSON as "cold_queries"/"cold_total"
-  *    so both cold-single-shot and warm numbers are on the record
-  *    (VERDICT r1 item 7).
+  *    are still on the record (VERDICT r1 item 7): per-query on stderr,
+  *    and the cold total inside the stdout JSON ("totals" key).
   *  - The timed pass takes the median of SPARK_GRAFT_BENCH_REPS (default 3)
   *    runs per query.
   *  - Results go through a noop sink, which materializes every output
@@ -75,6 +74,10 @@ object Bench {
       val (sec, ok) = runOnce(name, fn)
       name -> (if (ok) sec else -1.0)
     }
+    // cold per-query detail on the record via stderr (the stdout JSON line
+    // must stay within the driver's tail window; see below)
+    System.err.println("[bench] cold_queries " + cold.map {
+      case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     // one full GC at the pass boundary — NOT per query: a stop-the-world
     // collection before every measurement left each single-shot run on a
     // cold heap (TLABs, card tables), inflating the whole catalog ~2×
@@ -95,11 +98,20 @@ object Bench {
       // time would otherwise read as a suspiciously fast success)
       name -> (if (failed) -1.0 else times(times.size / 2))
     }
+    // One compact line: the driver keeps only the LAST ~2000 chars of the
+    // run's output as the on-record tail, and round 2's line (full-precision
+    // doubles + an inline cold_queries map) outgrew that window — the
+    // headline warm total was truncated out of the record. Per-query values
+    // are therefore rounded to 1 ms and the cold per-query detail goes to
+    // stderr (still on the record per VERDICT r1 item 7, just not inside
+    // the size-budgeted stdout line), and the two totals are REPEATED in a
+    // trailing "totals" key so they survive even a clipped line head.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
     def jmap(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold_total":$coldTotal,"cold_queries":${jmap(cold)},"reps":$reps,"sf":"$sfDir"}""")
+      xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val coldTotal = r3(cold.map(_._2).filter(_ >= 0).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"reps":$reps,"sf":"$sfDir","totals":{"warm_median":$total,"cold_single_shot":$coldTotal}}""")
     spark.stop()
   }
 }
