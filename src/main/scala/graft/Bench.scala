@@ -30,18 +30,23 @@ object Bench {
       // best at sf0.1 (tiny final sorts schedule 8 tasks, not 32).
       .config("spark.sql.shuffle.partitions",
               sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
-      // the bench corpus is single-digit-MB parquet files; the default 128MB
-      // split size would scan each table in ONE task. 1MB splits spread the
-      // scan+partial-agg across cores. (Cluster deployments at real scale
-      // keep the default — this is per-corpus sizing, SURVEY guidance.)
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      // Input split size, swept empirically per-corpus (graft.DevSweep):
+      // with AQE off, 16m splits beat 1m on every heavy query — at this
+      // corpus size task-launch overhead outweighs extra scan parallelism.
+      // (Cluster deployments at real scale keep the 128m default — this is
+      // per-corpus sizing, SURVEY guidance.)
+      .config("spark.sql.files.maxPartitionBytes",
+              sys.env.getOrElse("SPARK_GRAFT_MPB", "16m"))
       .config("spark.sql.files.openCostInBytes", "64k")
-      // AQE's default 64MB advisory size coalesces every post-shuffle stage
-      // of this single-digit-MB corpus to ONE task; 1MB keeps reduce-side
-      // parallelism proportional to data (same per-corpus sizing rationale
-      // as maxPartitionBytes above — cluster deployments keep the default)
+      // AQE defaults OFF for the bench corpus (same per-corpus sizing
+      // rationale as maxPartitionBytes): its value — runtime coalescing,
+      // skew splits, join re-planning — grows with data, but its cost is a
+      // scheduler barrier + re-optimization per shuffle stage, which is
+      // ~flat per query. Swept at sf0.1 (graft.DevSweep): AQE-on is
+      // 25-40 % slower across both trivial and heavy queries at this
+      // corpus size. Cluster deployments at real scale keep it ON.
       .config("spark.sql.adaptive.enabled",
-              sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+              sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       // AQE-managed shuffles always START at 32-way (full core count) and
       // coalesce down by the advisory size; this pins that even if the

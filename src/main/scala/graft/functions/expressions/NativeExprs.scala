@@ -149,6 +149,166 @@ object NativeExprs {
     */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     col(HyperplaneBucketExpr(ex(vec), planes.map(_.toSeq)))
+
+  /** One-pass PII redaction: STRUCT(redacted, n_emails, n_nums) —
+    * value-identical to the four-regex formulation
+    *   regexp_replace(regexp_replace(text, EMAIL_RE, '<EMAIL>'), NUM_RE, '<NUM>'),
+    *   regexp_count(text, EMAIL_RE), regexp_count(text, NUM_RE)
+    * with EMAIL_RE = [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+ and NUM_RE = [0-9]{6,}
+    * (asserted exhaustively in NativeExprsSpec), but in two branch-cheap
+    * byte scans instead of four java.util.regex passes over every document.
+    */
+  def redact(text: Column): Column = col(RedactExpr(ex(text)))
+
+  /** Count of maximal `[a-z0-9]+` runs — value-identical to
+    * size(regexp_extract_all(text, '[a-z0-9]+', 0)): a greedy
+    * single-class `+` match is exactly a maximal run, and the class is
+    * ASCII so a UTF-8 byte scan is equivalent to a char scan. One pass,
+    * no match-array materialization (the q36 BPE-ish token count).
+    */
+  def lowerAlnumRunCount(text: Column): Column =
+    col(CharClassRunCountExpr(ex(text)))
+}
+
+/** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both
+  * java.util.regex and DuckDB's RE2 resolve `L+@R+` (L = [A-Za-z0-9._%+-],
+  * R = [A-Za-z0-9.-]) identically — '@' belongs to neither class, so at any
+  * start position the only viable '@' is the one terminating the maximal
+  * L-run, making the leftmost match "maximal L-run, '@', maximal R-run" with
+  * the search resuming at the domain end; greedy `[0-9]{6,}` is simply every
+  * maximal digit run of length ≥ 6. All classes are ASCII, so a UTF-8 byte
+  * scan is equivalent to a char scan (multibyte sequences have the high bit
+  * set and never match), and splices stay on UTF-8 boundaries.
+  *
+  * Replacement-order subtlety: the composed form counts BOTH patterns on
+  * the ORIGINAL text but applies the digit replacement to the email-redacted
+  * text. Digit runs can never straddle an email-match boundary (a digit
+  * adjacent to the local part is IN the local part since [0-9] ⊂ L, and
+  * likewise for the domain since [0-9] ⊂ R), so "digit runs of the
+  * email-redacted text" = "digit runs of the original text lying outside
+  * email matches" — which is what the segment-wise scan emits.
+  */
+case class RedactExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_nums", IntegerType, nullable = false)))
+  override def prettyName: String = "redact"
+
+  private val EMAIL = "<EMAIL>".getBytes("US-ASCII")
+  private val NUM = "<NUM>".getBytes("US-ASCII")
+
+  // ASCII class membership tables ([A-Za-z0-9._%+-] / [A-Za-z0-9.-])
+  private def mkClass(extra: Seq[Char]): Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ extra).foreach(c => t(c) = true)
+    t
+  }
+  private val isL = mkClass(Seq('.', '_', '%', '+', '-'))
+  private val isR = mkClass(Seq('.', '-'))
+  @inline private def inL(b: Byte): Boolean = b >= 0 && isL(b)
+  @inline private def inR(b: Byte): Boolean = b >= 0 && isR(b)
+  @inline private def digit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    var out = new Array[Byte](n + 16)
+    var len = 0
+    def ensure(extra: Int): Unit =
+      if (len + extra > out.length)
+        out = java.util.Arrays.copyOf(out, math.max(out.length * 2, len + extra))
+    def emitRaw(from: Int, until: Int): Unit = {
+      ensure(until - from)
+      System.arraycopy(bytes, from, out, len, until - from)
+      len += until - from
+    }
+    def emitLit(lit: Array[Byte]): Unit = {
+      ensure(lit.length)
+      System.arraycopy(lit, 0, out, len, lit.length)
+      len += lit.length
+    }
+    // copy [from, until) replacing maximal digit runs >= 6 with <NUM>
+    def emitSegment(from: Int, until: Int): Unit = {
+      var i = from
+      var flushed = from
+      while (i < until) {
+        if (digit(bytes(i))) {
+          var j = i + 1
+          while (j < until && digit(bytes(j))) j += 1
+          if (j - i >= 6) { emitRaw(flushed, i); emitLit(NUM); flushed = j }
+          i = j
+        } else i += 1
+      }
+      emitRaw(flushed, until)
+    }
+
+    var nEmails = 0
+    var segStart = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == '@' && i > segStart && inL(bytes(i - 1)) &&
+          i + 1 < n && inR(bytes(i + 1))) {
+        var ls = i - 1
+        while (ls > segStart && inL(bytes(ls - 1))) ls -= 1
+        emitSegment(segStart, ls)
+        emitLit(EMAIL)
+        nEmails += 1
+        var de = i + 1
+        while (de < n && inR(bytes(de))) de += 1
+        i = de; segStart = de
+      } else i += 1
+    }
+    emitSegment(segStart, n)
+
+    // digit runs of the ORIGINAL text (email interiors included)
+    var nNums = 0
+    var run = 0
+    i = 0
+    while (i < n) {
+      if (digit(bytes(i))) run += 1
+      else { if (run >= 6) nNums += 1; run = 0 }
+      i += 1
+    }
+    if (run >= 6) nNums += 1
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(java.util.Arrays.copyOf(out, len)),
+                 nEmails, nNums))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RedactExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.lowerAlnumRunCount]]. */
+case class CharClassRunCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lower_alnum_run_count"
+
+  @inline private def in(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var c = 0
+    var prev = false
+    var i = 0
+    while (i < bytes.length) {
+      val cur = in(bytes(i))
+      if (cur && !prev) c += 1
+      prev = cur
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassRunCountExpr =
+    copy(child = newChild)
 }
 
 case class RollingHashExpr(child: Expression, w: Int)

@@ -287,7 +287,11 @@ object Llm {
       Tables.documents(s, d)
         .select(col("doc_id"),
                 size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
-                expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))")
+                // native single-pass run count — value-identical to
+                // size(regexp_extract_all(text, '[a-z0-9]+', 0)), proven in
+                // NativeExprsSpec
+                graft.functions.expressions.NativeExprs
+                  .lowerAlnumRunCount(col("text"))
                   .cast(LongType).as("re_tokens"),
                 length(col("text")).cast(LongType).as("n_chars_txt"))
         .orderBy("doc_id")
@@ -376,17 +380,16 @@ object Llm {
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_nums
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // One-pass native scanner (struct of all three outputs): the four
+      // java-regex passes of the composed form were the single largest
+      // absolute gap vs the oracle in BENCH_r02. Value-identity to the
+      // regexp formulation is proven in NativeExprsSpec.
       Tables.documents(s, d)
+        .withColumn("r", graft.functions.expressions.NativeExprs.redact(col("text")))
         .select(col("doc_id"),
-          regexp_replace(regexp_replace(col("text"),
-              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-            "[0-9]{6,}", "<NUM>").as("redacted"),
-          // regexp_count counts matches without materializing the match
-          // array; same value as the oracle's len(regexp_extract_all(...))
-          expr("regexp_count(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')")
-            .cast(LongType).as("n_emails"),
-          expr("regexp_count(text, '[0-9]{6,}')")
-            .cast(LongType).as("n_nums"))
+          col("r.redacted").as("redacted"),
+          col("r.n_emails").cast(LongType).as("n_emails"),
+          col("r.n_nums").cast(LongType).as("n_nums"))
         .orderBy("doc_id")
     },
 

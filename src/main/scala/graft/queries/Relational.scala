@@ -640,19 +640,30 @@ object Relational {
         |UNION ALL
         |SELECT 'except' AS op, k FROM (SELECT k FROM big EXCEPT SELECT k FROM recent)
         |ORDER BY op, k""".stripMargin) { (s, d) =>
-      // NOT persisted: the ~0.05 s the cache saved at sf0.1 is not worth a
-      // leak — a query builder has no release hook, so persists here would
-      // accumulate per invocation in any long-lived session that is not
-      // the bench harness (which clearCache()s between runs)
+      // All three set ops from ONE shuffle: tag each source, aggregate
+      // per-key membership flags, then derive (union = every key,
+      // intersect = both flags, except = big only). The naive
+      // union.distinct + intersect + except form shuffles the same inputs
+      // three times and re-reads each side twice; this reads each side
+      // once and shuffles once — the shape that matters at 100 TB, where
+      // each extra pass is a full re-scan.
       val big = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
-        .select(col("c_custkey").as("k"))
+        .select(col("c_custkey").as("k"), lit(1).as("src"))
       val recent = Tables.orders(s, d)
         .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
-        .select(col("o_custkey").as("k")).distinct()
-      val u = big.union(recent).distinct().select(lit("union").as("op"), col("k"))
-      val i = big.intersect(recent).select(lit("intersect").as("op"), col("k"))
-      val e = big.except(recent).select(lit("except").as("op"), col("k"))
-      u.union(i).union(e).orderBy("op", "k")
+        .select(col("o_custkey").as("k"), lit(2).as("src"))
+      big.union(recent)
+        .groupBy("k")
+        .agg(max(col("src") === 1).as("in_big"),
+             max(col("src") === 2).as("in_recent"))
+        .select(col("k"), explode(concat(
+          array(lit("union")),
+          when(col("in_big") && col("in_recent"), array(lit("intersect")))
+            .otherwise(array().cast(ArrayType(StringType))),
+          when(col("in_big") && !col("in_recent"), array(lit("except")))
+            .otherwise(array().cast(ArrayType(StringType))))).as("op"))
+        .select(col("op"), col("k"))
+        .orderBy("op", "k")
     },
 
     Q("q22b_crossjoin",

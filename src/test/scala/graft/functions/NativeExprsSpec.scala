@@ -280,4 +280,84 @@ class NativeExprsSpec extends SparkSpec {
     // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  // ------------------------------------------------------------- redaction
+
+  /** The q42 four-regex formulation the native scanner must be value-
+    * identical to (same patterns the DuckDB oracle runs).
+    */
+  private def regexRedaction(text: org.apache.spark.sql.Column) = Seq(
+    regexp_replace(regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>").as("re_redacted"),
+    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"))
+      .as("re_emails"),
+    regexp_count(text, lit("[0-9]{6,}")).as("re_nums"))
+
+  test("redact == four-regex formulation on corpus text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01") // all 500 docs
+      .withColumn("r", NativeExprs.redact(col("text")))
+    val diff = docs.select(Seq(col("r.redacted"), col("r.n_emails"),
+        col("r.n_nums")) ++ regexRedaction(col("text")): _*)
+      .filter(col("redacted") =!= col("re_redacted") ||
+              col("n_emails") =!= col("re_emails") ||
+              col("n_nums") =!= col("re_nums"))
+    assert(diff.count() === 0)
+  }
+
+  test("redact — boundary semantics match java regex exactly") {
+    val cases = Seq(
+      "",                         // empty
+      "no matches here",
+      "a@b",                      // minimal email
+      "a@@b",                     // no R after '@'
+      "x@y@z",                    // greedy domain stops at second '@'
+      "a@b.c@d",                  // '@' inside consumed domain — one match
+      "a@b_c@d",                  // '_' ends domain, starts next local
+      "@a@b",                     // leading '@' unmatched, then match
+      "123456@abc.com",           // digit run IS the local part
+      "999999888888@x.com tail 123456", // run in email + run outside
+      "12345",                    // 5 digits: below threshold
+      "123456",                   // exactly 6
+      "1234567890123",            // one long run, one match
+      "12345a123456b1234567",     // mixed runs
+      "user@domain",              // email at end of string
+      "%+-@.-",                   // class punctuation only
+      "ends with at@",            // '@' at end, no domain
+      "አማርኛ 123456 አማርኛ a@b አማርኛ", // multibyte UTF-8 around matches
+      "x" * 10 + "@" + "y" * 10,  // longer runs
+      "a@b c@d e@f",              // several matches
+      "..@..",                    // dots are L and R members
+      "a@-", "-@a", "a@b-", "-a@b-")
+    val df = cases.toDF("text")
+      .withColumn("r", NativeExprs.redact(col("text")))
+      .select(Seq(col("text"), col("r.redacted"), col("r.n_emails"),
+        col("r.n_nums")) ++ regexRedaction(col("text")): _*)
+    df.collect().foreach { row =>
+      assert(row.getString(1) === row.getString(4),
+        s"redacted mismatch for ${row.getString(0)}")
+      assert(row.getInt(2) === row.getInt(5),
+        s"n_emails mismatch for ${row.getString(0)}")
+      assert(row.getInt(3) === row.getInt(6),
+        s"n_nums mismatch for ${row.getString(0)}")
+    }
+    // null text propagates
+    val nr = Seq(Option.empty[String]).toDF("text")
+      .select(NativeExprs.redact(col("text")).as("r")).collect()
+    assert(nr(0).isNullAt(0))
+  }
+
+  test("lowerAlnumRunCount == size(regexp_extract_all) on corpus + edges") {
+    val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(NativeExprs.lowerAlnumRunCount(col("text")).as("fast"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re"))
+      .filter(col("fast") =!= col("re"))
+    assert(onCorpus.count() === 0)
+    val edges = Seq("", "ABC", "abc", "a1b2", "A1a", "ab CD ef", "አማ a1 አማ",
+        "1", "-a-", "a" * 100)
+      .toDF("text")
+      .select(NativeExprs.lowerAlnumRunCount(col("text")).as("fast"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re"))
+    edges.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
 }
