@@ -168,6 +168,27 @@ object NativeExprs {
     */
   def lowerAlnumRunCount(text: Column): Column =
     col(CharClassRunCountExpr(ex(text)))
+
+  /** STRUCT(n_distinct, prefix): distinct-element count plus the k smallest
+    * distinct elements ascending — value-identical to
+    *   struct(size(array_distinct(arr)),
+    *          slice(array_sort(array_distinct(arr)), 1, k))
+    * including null handling (array_distinct keeps one null; array_sort
+    * places it last, so it reaches the prefix only when fewer than k
+    * distinct non-null elements exist). One hash+bounded-buffer pass
+    * instead of distinct-ing twice and sorting the whole distinct set.
+    */
+  def distinctSortedPrefix(arr: Column, k: Int): Column =
+    col(DistinctSortedPrefixExpr(ex(arr), k))
+
+  /** Leftmost match of the reference's S12 year regex
+    * \b(19[5-9]\d|20\d{2})\b (fetch_legal_docs.py:21-30), '' when absent —
+    * value-identical to regexp_extract(text, ..., 1): the pattern is
+    * fixed-width with ASCII word-boundaries, so a byte scan reproduces
+    * java.util.regex and RE2 exactly (\w is ASCII [A-Za-z0-9_] in both
+    * engines' default mode).
+    */
+  def yearExtract(text: Column): Column = col(YearExtractExpr(ex(text)))
 }
 
 /** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both
@@ -280,6 +301,111 @@ case class RedactExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RedactExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.distinctSortedPrefix]]. */
+case class DistinctSortedPrefixExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("prefix", ArrayType(StringType))))
+  override def prettyName: String = "distinct_sorted_prefix"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String](math.min(n * 2, 1 << 16))
+    var sawNull = false
+    // bounded ascending buffer of the k smallest DISTINCT non-null elements
+    val buf = new Array[UTF8String](k)
+    var size = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) sawNull = true
+      else {
+        val t = arr.getUTF8String(i)
+        if (seen.add(t)) {
+          if (size < k || t.compareTo(buf(size - 1)) < 0) {
+            var lo = 0; var hi = size
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (buf(mid).compareTo(t) < 0) lo = mid + 1 else hi = mid
+            }
+            val end = math.min(size, k - 1)
+            var j = end
+            while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+            buf(lo) = t
+            if (size < k) size += 1
+          }
+        }
+      }
+      i += 1
+    }
+    // array_distinct keeps one null; array_sort places it LAST
+    val extra = if (sawNull && size < k) 1 else 0
+    val prefix = new Array[Any](size + extra)
+    var j = 0
+    while (j < size) { prefix(j) = buf(j); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size + (if (sawNull) 1 else 0),
+                 new GenericArrayData(prefix)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctSortedPrefixExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.yearExtract]]. Java's \b is Unicode-aware even without
+  * UNICODE_CHARACTER_CLASS (a non-ASCII letter is a word char for boundary
+  * purposes), so the ASCII byte scan is exact only while every candidate's
+  * neighbours are ASCII; the first candidate that abuts a non-ASCII byte
+  * delegates the whole row to java.util.regex — bit-for-bit parity with
+  * regexp_extract at every input, fast path on ASCII-neighboured text.
+  */
+case class YearExtractExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "year_extract"
+
+  @inline private def digit(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def word(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || digit(b) || b == '_'
+  private val EMPTY = UTF8String.EMPTY_UTF8
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile("\\b(19[5-9]\\d|20\\d{2})\\b")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    var i = 0
+    while (i + 4 <= n) {
+      val hit =
+        (bytes(i) == '1' && bytes(i + 1) == '9' &&
+          bytes(i + 2) >= '5' && bytes(i + 2) <= '9' && digit(bytes(i + 3))) ||
+        (bytes(i) == '2' && bytes(i + 1) == '0' &&
+          digit(bytes(i + 2)) && digit(bytes(i + 3)))
+      if (hit) {
+        if ((i > 0 && bytes(i - 1) < 0) || (i + 4 < n && bytes(i + 4) < 0)) {
+          // non-ASCII neighbour: only java regex knows its word-ness
+          val m = pattern.matcher(input.asInstanceOf[UTF8String].toString)
+          return if (m.find()) UTF8String.fromString(m.group(1)) else EMPTY
+        }
+        if ((i == 0 || !word(bytes(i - 1))) &&
+            (i + 4 == n || !word(bytes(i + 4)))) {
+          return UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, i, i + 4))
+        }
+      }
+      i += 1
+    }
+    EMPTY
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): YearExtractExpr =
     copy(child = newChild)
 }
 

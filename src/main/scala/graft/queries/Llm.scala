@@ -393,6 +393,42 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    Q("q43_repetition",
+      """Q43 — repetition-ratio quality signal: the fraction of duplicate
+        |3-shingles per document (the Gopher/RefinedWeb-style repetition
+        |filter that gates boilerplate and looped text out of training
+        |corpora). A single narrow map — shingle counts come from the native
+        |one-pass shingle kernel, no shuffle before the final sort — so it
+        |scales with the scan.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |        generate_subscripts(string_split(text,' '), 1) AS i
+        |      FROM documents),
+        |sh AS (SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |ag AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT s) AS n_uniq
+        |  FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_sh, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(n_uniq, 0) AS BIGINT) AS n_uniq_shingles,
+        |  round(CASE WHEN coalesce(n_sh, 0) > 0
+        |             THEN 1.0 - n_uniq * 1.0 / n_sh ELSE 0.0 END, 4) AS rep_ratio
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = graft.functions.expressions.NativeExprs
+        .shingles(TextOps.tokens(col("text")), 3)
+      val nSh = size(col("sh"))
+      val nUniq = size(array_distinct(col("sh")))
+      Tables.documents(s, d)
+        .withColumn("sh", sh)
+        .select(col("doc_id"),
+          nSh.cast(LongType).as("n_shingles"),
+          nUniq.cast(LongType).as("n_uniq_shingles"),
+          round(when(nSh > 0, lit(1.0) - nUniq * 1.0 / nSh).otherwise(0.0), 4)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     Q.cap("q39_rolling_fingerprint",
       """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
         |Rabin-Karp hashes of each document, computed in O(n) per doc with

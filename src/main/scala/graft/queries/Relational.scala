@@ -712,8 +712,11 @@ object Relational {
         .select(col("doc_id"),
                 base.as("base_name"),
                 regexp_replace(base, "_", " ").as("title"),
-                regexp_extract(substring(col("text"), 1, 1000),
-                               "\\b(19[5-9]\\d|20\\d{2})\\b", 1).as("yr"),
+                // native scanner for the S12 year regex (the one regex here
+                // that runs over document TEXT, not a short url) — value-
+                // identical to regexp_extract(…, 1), NativeExprsSpec
+                graft.functions.expressions.NativeExprs
+                  .yearExtract(substring(col("text"), 1, 1000)).as("yr"),
                 upper(col("lang")).as("lang_upper"),
                 length(col("text")).cast(LongType).as("n_len"),
                 substring(col("text"), 1, 20).as("head"))
@@ -794,14 +797,18 @@ object Relational {
         |  list_contains(toks, 'data')              AS has_data,
         |  array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3
         |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // distinct-count and sorted prefix fused into one native pass
+      // (value-identical to size(array_distinct(.)) +
+      // slice(array_sort(array_distinct(.)), 1, 3) — NativeExprsSpec)
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
+        .withColumn("ds", graft.functions.expressions.NativeExprs
+          .distinctSortedPrefix(col("toks"), 3))
         .select(col("doc_id"),
                 size(col("toks")).cast(LongType).as("n_tokens"),
-                size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+                col("ds.n_distinct").cast(LongType).as("n_distinct"),
                 array_contains(col("toks"), "data").as("has_data"),
-                array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), "|")
-                  .as("first3"))
+                array_join(col("ds.prefix"), "|").as("first3"))
         .orderBy("doc_id")
     },
 

@@ -360,4 +360,56 @@ class NativeExprsSpec extends SparkSpec {
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re"))
     edges.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
+
+  test("distinctSortedPrefix == composed distinct/sort/slice form") {
+    def composed(c: org.apache.spark.sql.Column) = Seq(
+      size(array_distinct(c)).as("c_n"),
+      slice(array_sort(array_distinct(c)), 1, 3).as("c_p"))
+    // corpus tokens
+    val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ds", NativeExprs.distinctSortedPrefix(col("toks"), 3))
+      .select(Seq(col("ds.n_distinct").as("n"), col("ds.prefix").as("p"))
+        ++ composed(col("toks")): _*)
+      .filter(col("n") =!= col("c_n") || col("p") =!= col("c_p"))
+    assert(onCorpus.count() === 0)
+    // nulls, duplicates, short arrays
+    val edges: Seq[Option[Seq[Option[String]]]] = Seq(
+      Some(Seq(Some("b"), Some("a"), Some("b"), None, Some("c"), None)),
+      Some(Seq(None)),             // null only: distinct keeps it, sorts last
+      Some(Seq(Some("z"))),        // fewer than k
+      Some(Seq()),                 // empty
+      Some(Seq(Some("a"), Some("a"))),
+      None)                        // null array -> null struct
+    val df = edges.toDF("arr")
+      .withColumn("ds", NativeExprs.distinctSortedPrefix(col("arr"), 3))
+      .select(Seq(col("ds.n_distinct").as("n"), col("ds.prefix").as("p"))
+        ++ composed(col("arr")): _*)
+    df.collect().foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(0) && r.isNullAt(1))
+      else {
+        assert(r.getInt(0) === r.getInt(2), s"count mismatch: $r")
+        assert(r.getSeq[String](1) === r.getSeq[String](3), s"prefix mismatch: $r")
+      }
+    }
+  }
+
+  test("yearExtract == regexp_extract on corpus and boundaries") {
+    val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
+    val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(NativeExprs.yearExtract(col("text")).as("fast"),
+        regexp_extract(col("text"), re, 1).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(onCorpus.count() === 0)
+    val edges = Seq(
+      "", "1999", "x1999", "1999x", " 1999 ", "1949 1950", "19495 2020",
+      "12019", "a2020b 2021", "20 19 2019", "year_2020", "2020_",
+      "አማ2020አማ",   // multibyte neighbours are non-word in both engines
+      "1950", "2099", "19999", "x 1899 2100 1950")
+      .toDF("text")
+      .select(col("text"), NativeExprs.yearExtract(col("text")).as("fast"),
+        regexp_extract(col("text"), re, 1).as("slow"))
+    edges.collect().foreach(r =>
+      assert(r.getString(1) === r.getString(2), s"mismatch on '${r.getString(0)}'"))
+  }
 }
