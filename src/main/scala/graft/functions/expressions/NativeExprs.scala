@@ -189,6 +189,18 @@ object NativeExprs {
     * engines' default mode).
     */
   def yearExtract(text: Column): Column = col(YearExtractExpr(ex(text)))
+
+  /** STRUCT(n_shingles, n_uniq): window count and DISTINCT count of the
+    * w-token shingles, in one fused pass with no shingle strings ever
+    * materialized — value-identical to
+    *   struct(size(shingles(toks, w)),
+    *          size(array_distinct(shingles(toks, w))))
+    * up to md5-prefix collisions (~n²/2^61 per document — the same declared
+    * tolerance as the q31 inverted index; the DuckDB oracle's string-keyed
+    * distinct would surface any collision as a hash mismatch).
+    */
+  def shingleStats(toks: Column, w: Int): Column =
+    col(ShingleStatsExpr(ex(toks), w))
 }
 
 /** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both
@@ -301,6 +313,40 @@ case class RedactExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RedactExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.shingleStats]]. */
+case class ShingleStatsExpr(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false)))
+  override def prettyName: String = "shingle_stats"
+
+  // shinglesHof parity: NULL token array -> empty shingle set -> (0, 0)
+  override def nullable: Boolean = false
+  private def zero =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0, 0))
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) zero else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return zero
+    val seen = new java.util.HashSet[java.lang.Long](1 << 10)
+    ShingleMd5.foreachDigest(arr, w)(d => seen.add(Md5.prefixLong(d, 15)))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n - w + 1, seen.size))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStatsExpr =
     copy(child = newChild)
 }
 

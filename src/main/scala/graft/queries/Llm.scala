@@ -415,12 +415,13 @@ object Llm {
         |             THEN 1.0 - n_uniq * 1.0 / n_sh ELSE 0.0 END, 4) AS rep_ratio
         |FROM documents d LEFT JOIN ag USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val sh = graft.functions.expressions.NativeExprs
-        .shingles(TextOps.tokens(col("text")), 3)
-      val nSh = size(col("sh"))
-      val nUniq = size(array_distinct(col("sh")))
+      // fused digest-set pass (no shingle strings) — NativeExprsSpec proves
+      // value-identity to the size/array_distinct composition
+      val nSh = col("st.n_shingles")
+      val nUniq = col("st.n_uniq")
       Tables.documents(s, d)
-        .withColumn("sh", sh)
+        .withColumn("st", graft.functions.expressions.NativeExprs
+          .shingleStats(TextOps.tokens(col("text")), 3))
         .select(col("doc_id"),
           nSh.cast(LongType).as("n_shingles"),
           nUniq.cast(LongType).as("n_uniq_shingles"),

@@ -394,6 +394,31 @@ class NativeExprsSpec extends SparkSpec {
     }
   }
 
+  test("shingleStats == size/array_distinct over native shingles") {
+    val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", NativeExprs.shingles(col("toks"), 3))
+      .withColumn("st", NativeExprs.shingleStats(col("toks"), 3))
+      .select(col("st.n_shingles").as("n"), col("st.n_uniq").as("u"),
+        size(col("sh")).as("c_n"), size(array_distinct(col("sh"))).as("c_u"))
+      .filter(col("n") =!= col("c_n") || col("u") =!= col("c_u"))
+    assert(onCorpus.count() === 0)
+    // short/empty/null token arrays -> (0, 0); repeated shingles dedup
+    val edges = Seq(
+      Some(Seq("a", "b")),                        // n < w
+      Some(Seq.empty[String]),
+      None,
+      Some(Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"))) // repeats
+      .toDF("toks")
+      .select(NativeExprs.shingleStats(col("toks"), 3).as("st"))
+      .select(col("st.n_shingles"), col("st.n_uniq")).collect()
+    assert(edges(0).getInt(0) === 0 && edges(0).getInt(1) === 0)
+    assert(edges(1).getInt(0) === 0 && edges(1).getInt(1) === 0)
+    assert(edges(2).getInt(0) === 0 && edges(2).getInt(1) === 0)
+    // 7 windows, distinct = {abc,bca,cab} = 3
+    assert(edges(3).getInt(0) === 7 && edges(3).getInt(1) === 3)
+  }
+
   test("yearExtract == regexp_extract on corpus and boundaries") {
     val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
     val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
