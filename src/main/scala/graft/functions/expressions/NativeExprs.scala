@@ -201,6 +201,19 @@ object NativeExprs {
     */
   def shingleStats(toks: Column, w: Int): Column =
     col(ShingleStatsExpr(ex(toks), w))
+
+
+  /** Top-level INT field of a JSON object string — value-identical to
+    * from_json(s, STRUCT<key: INT>).key (PERMISSIVE mode) for every input
+    * except objects whose KEY NAMES use \\u escapes (a "\\u006b" key is not
+    * recognized as "k"; string VALUES with escapes, nested objects/arrays
+    * and duplicate keys all behave identically — NativeExprsSpec pins the
+    * parity set). Malformed JSON, a missing/null/float/string/overflowing
+    * field all yield NULL exactly as the PERMISSIVE null-row does. One byte
+    * scan, no Jackson tokenizer allocation per row.
+    */
+  def jsonIntField(s: Column, key: String): Column =
+    col(JsonIntFieldExpr(ex(s), key))
 }
 
 /** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both
@@ -313,6 +326,160 @@ case class RedactExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RedactExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.jsonIntField]]. */
+case class JsonIntFieldExpr(child: Expression, key: String)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_int_field"
+
+  @transient private lazy val keyBytes = key.getBytes("UTF-8")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    val n = b.length
+    var i = 0
+    @inline def ws(): Unit = {
+      while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+    }
+    // skip a string body (opening quote consumed); false on malformed
+    def skipString(): Boolean = {
+      while (i < n) {
+        val c = b(i)
+        if (c == '\\') i += 2
+        else if (c == '"') { i += 1; return true }
+        else i += 1
+      }
+      false
+    }
+    // skip any JSON value; false on malformed. Depth-counts containers,
+    // string-aware so braces inside strings don't count.
+    def skipValue(): Boolean = {
+      if (i >= n) return false
+      b(i) match {
+        case '"' => i += 1; skipString()
+        case '{' | '[' =>
+          var depth = 0
+          while (i < n) {
+            b(i) match {
+              case '{' | '[' => depth += 1; i += 1
+              case '}' | ']' => depth -= 1; i += 1; if (depth == 0) return true
+              case '"' => i += 1; if (!skipString()) return false
+              case _ => i += 1
+            }
+          }
+          false
+        case 't' => if (n - i >= 4 && b(i+1)=='r' && b(i+2)=='u' && b(i+3)=='e') { i += 4; true } else false
+        case 'f' => if (n - i >= 5 && b(i+1)=='a' && b(i+2)=='l' && b(i+3)=='s' && b(i+4)=='e') { i += 5; true } else false
+        case 'n' => if (n - i >= 4 && b(i+1)=='u' && b(i+2)=='l' && b(i+3)=='l') { i += 4; true } else false
+        case c if c == '-' || (c >= '0' && c <= '9') =>
+          // STRICT JSON number grammar — a malformed number (e.g. leading
+          // zeros) is a tokenizer error in Jackson and nulls the whole row
+          if (b(i) == '-') i += 1
+          if (i >= n || b(i) < '0' || b(i) > '9') return false
+          if (b(i) == '0') i += 1
+          else while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+          if (i < n && b(i) >= '0' && b(i) <= '9') return false // 0 then digit
+          if (i < n && b(i) == '.') {
+            i += 1
+            if (i >= n || b(i) < '0' || b(i) > '9') return false
+            while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+          }
+          if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+            i += 1
+            if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+            if (i >= n || b(i) < '0' || b(i) > '9') return false
+            while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+          }
+          true
+        case _ => false
+      }
+    }
+    // parse an INT value at the cursor: Some(v) on a pure in-range integer,
+    // None otherwise (caller yields NULL — the PERMISSIVE outcome for
+    // null/float/string/overflow) — but the VALUE must still be skipped by
+    // the caller via the returned new position having consumed it.
+    def parseInt(): (Boolean, Int) = { // (isPureInt, value)
+      val start = i
+      var neg = false
+      if (i < n && b(i) == '-') { neg = true; i += 1 }
+      val dStart = i
+      var v = 0L
+      while (i < n && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue.toLong + 1) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      val more = i < n && ((b(i) >= '0' && b(i) <= '9') || b(i) == '.' ||
+        b(i) == 'e' || b(i) == 'E')
+      val nd = i - dStart
+      // leading zeros (invalid JSON) and empty digit runs fall to not-pure;
+      // the caller then treats the document as malformed/unsupported → null
+      val leadingZero = nd > 1 && b(dStart) == '0'
+      val signed = if (neg) -v else v
+      if (!more && nd > 0 && !leadingZero &&
+          signed >= Int.MinValue.toLong && signed <= Int.MaxValue.toLong)
+        (true, signed.toInt)
+      else { i = start; (false, 0) }
+    }
+
+    // PERMISSIVE-parity error model (pinned empirically in NativeExprsSpec):
+    // - STRUCTURAL malformedness inside the object (bad token, missing
+    //   ':'/',', invalid number form like 007) nulls the WHOLE row.
+    // - A field-level CONVERSION failure (string/float/bool/container/
+    //   overflow where an int is expected) skips just that assignment —
+    //   parsing continues and the previously-set value survives.
+    // - A `null` literal sets the field null and parsing continues.
+    // - Bytes after the root object's '}' are never read.
+    ws()
+    if (i >= n || b(i) != '{') return null
+    i += 1
+    var result: Any = null
+    ws()
+    if (i < n && b(i) == '}') return result
+    var done = false
+    while (!done) {
+      ws()
+      if (i >= n || b(i) != '"') return null
+      i += 1
+      val kStart = i
+      var escaped = false
+      while (i < n && b(i) != '"') {
+        if (b(i) == '\\') { escaped = true; i += 2 } else i += 1
+      }
+      if (i >= n) return null
+      val isKey = !escaped && i - kStart == keyBytes.length && {
+        var j = 0; var eq = true
+        while (eq && j < keyBytes.length) {
+          if (b(kStart + j) != keyBytes(j)) eq = false; j += 1
+        }
+        eq
+      }
+      i += 1 // closing quote
+      ws()
+      if (i >= n || b(i) != ':') return null
+      i += 1; ws()
+      if (isKey) {
+        val (pure, v) = parseInt()
+        if (pure) result = v
+        else if (i + 3 < n && b(i) == 'n' && b(i + 1) == 'u' &&
+                 b(i + 2) == 'l' && b(i + 3) == 'l') {
+          result = null; i += 4 // explicit null: field null, parse continues
+        }
+        // conversion failure: value must still be structurally valid JSON
+        else if (!skipValue()) return null
+      } else if (!skipValue()) return null
+      ws()
+      if (i < n && b(i) == ',') i += 1
+      else if (i < n && b(i) == '}') done = true
+      else return null
+    }
+    result
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonIntFieldExpr =
     copy(child = newChild)
 }
 

@@ -153,13 +153,19 @@ object Llm {
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // shuffle-hash hint: the posting join keys are 60-bit longs with no
       // useful sort order downstream — a hash join skips both sides'
-      // O(n log n) sorts that sort-merge would pay
+      // O(n log n) sorts that sort-merge would pay.
+      // NOTE (r3, measured): aggregating posting lists instead
+      // (collect_list per shingle + native ordered-pair expansion, one
+      // shuffle instead of two) is ~1.5× SLOWER at sf0.1 — millions of
+      // singleton-shingle arrays cost more than the join's second shuffle.
       val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
         .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
         .filter(col("i") < col("j"))
         .groupBy("i", "j").agg(count(lit(1)).as("k"))
       inter
+        .hint("shuffle_hash") // id keys, no downstream sort order → hash join
         .join(cnt.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+        .hint("shuffle_hash")
         .join(cnt.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
         .withColumn("jaccard", col("k") * 1.0 / (col("ni") + col("nj") - col("k")))
         .filter(col("jaccard") >= 0.5)

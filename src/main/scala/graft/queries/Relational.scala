@@ -820,9 +820,12 @@ object Relational {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin) { (s, d) =>
+      // native one-scan field extraction — value-identical to
+      // from_json(props, STRUCT<k: INT>).k (parity set in NativeExprsSpec);
+      // from_json with an explicit schema remains the general-schema path
       Tables.events(s, d)
-        .withColumn("k", from_json(col("props"),
-          StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+        .withColumn("k", graft.functions.expressions.NativeExprs
+          .jsonIntField(col("props"), "k"))
         .groupBy((col("k") % 10).cast(LongType).as("kmod"))
         .agg(count(lit(1)).as("cnt"),
              sumMoney(col("value")).as("sum_value"))

@@ -419,6 +419,40 @@ class NativeExprsSpec extends SparkSpec {
     assert(edges(3).getInt(0) === 7 && edges(3).getInt(1) === 3)
   }
 
+  test("jsonIntField == from_json on corpus events and the parity set") {
+    def fj(c: org.apache.spark.sql.Column) =
+      from_json(c, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k")
+    val onCorpus = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(NativeExprs.jsonIntField(col("props"), "k").as("fast"),
+        fj(col("props")).as("slow"))
+      .filter(not(col("fast") <=> col("slow")))
+    assert(onCorpus.count() === 0)
+    val edges = Seq(
+      """{"k": 76}""", """{"k":-5}""", """{"k": 2147483647}""",
+      """{"k": -2147483648}""", """{"k": 2147483648}""",   // overflow -> null
+      """{"k": 1.5}""", """{"k": "7"}""", """{"k": null}""",
+      """{"k": true}""", """{"x": 1}""", """{}""", """""",
+      """{"a": {"k": 9}}""",          // nested k is NOT the top-level field
+      """{"a": [1, {"b": 2}], "k": 3}""",
+      """{"s": "brace { quote \" inside", "k": 4}""",
+      """{"k": 1, "k": 2}""",         // duplicate: last wins
+      """{"k": 1, "k": "x"}""",       // dup conversion error: keep first
+      """{"k": "x", "k": 1}""",       // error stops parse: null
+      """{"k": null, "k": 2}""",      // null is not an error: continue
+      """{"k": true, "k": 1}""", """{"k": {"a": 1}}""",
+      """{"k": 1, "x" y}""",          // later malformed field: keep k
+      """{"k": 007}""", """{"k": +1}""", """{"k": 1} """, """{"k": 1}x""",
+      """[1, 2]""", """5""", """garbage""", """{"k"1}""", """{"k": }""")
+    val df = edges.toDF("s")
+      .select(col("s"), NativeExprs.jsonIntField(col("s"), "k").as("fast"),
+        fj(col("s")).as("slow"))
+      .filter(not(col("fast") <=> col("slow")))
+    val bad = df.collect()
+    assert(bad.isEmpty, bad.map(_.toString).mkString("\n"))
+  }
+
   test("yearExtract == regexp_extract on corpus and boundaries") {
     val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
     val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
