@@ -42,6 +42,21 @@ object NativizeHofRule extends Rule[LogicalPlan] {
           hset.toSeq.filter(_ != null)
             .map(_.asInstanceOf[UTF8String].toString).sorted)
 
+      // regexp_extract(s, '\b(19[5-9]\d|20\d{2})\b', 1)  →  year_extract(s)
+      // (the reference's S12 year pattern — byte scan with java-\b-parity
+      // fallback, NativeExprsSpec)
+      case RegExpExtract(subject, Literal(p: UTF8String, StringType),
+            Literal(1, IntegerType))
+          if p.toString == "\\b(19[5-9]\\d|20\\d{2})\\b" =>
+        YearExtractExpr(subject)
+
+      // size(regexp_extract_all(s, '[a-z0-9]+', 0))  →  run count byte scan
+      // (same legacySizeOfNull guard as the count_in_set rewrite above)
+      case Size(RegExpExtractAll(subject, Literal(p: UTF8String, StringType),
+            Literal(0, IntegerType)), false)
+          if p.toString == "[a-z0-9]+" =>
+        CharClassRunCountExpr(subject)
+
       // aggregate(zip_with(a, b, (x,y) -> dbl(x)*dbl(y)), 0.0, (acc,v) -> acc+v)
       //   →  dot_f32(a, b)
       case ArrayAggregate(

@@ -258,6 +258,27 @@ class NativeExprsSpec extends SparkSpec {
     assert(hofCount.as[Int].head() === want)
   }
 
+  test("NativizeHofRule — regex shapes rewrite to the scanner kernels") {
+    val yr = Tables.documents(spark, sf0001)
+      .select(regexp_extract(col("text"),
+        "\\b(19[5-9]\\d|20\\d{2})\\b", 1).as("yr"))
+    assert(yr.queryExecution.optimizedPlan.toString.contains("year_extract"),
+      yr.queryExecution.optimizedPlan.toString)
+    val rc = Tables.documents(spark, sf0001)
+      .select(size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("c"))
+    assert(rc.queryExecution.optimizedPlan.toString.contains("lower_alnum_run_count"),
+      rc.queryExecution.optimizedPlan.toString)
+    // …and a DIFFERENT pattern or group index is left alone
+    val other1 = Tables.documents(spark, sf0001)
+      .select(regexp_extract(col("text"), "\\b(19[5-9]\\d|20\\d{2})\\b", 0))
+      .queryExecution.optimizedPlan.toString
+    assert(!other1.contains("year_extract"), other1)
+    val other2 = Tables.documents(spark, sf0001)
+      .select(size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+      .queryExecution.optimizedPlan.toString
+    assert(!other2.contains("lower_alnum_run_count"), other2)
+  }
+
   test("NativizeHofRule — non-matching shapes are left alone") {
     // filter on a non-literal set and a non-zero seed must NOT rewrite
     val p1 = Tables.documents(spark, sf0001)
