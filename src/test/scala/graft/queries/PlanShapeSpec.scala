@@ -104,6 +104,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text kernels — q27/q36/q42/q43 are narrow maps: one exchange (final sort), no join") {
+    // the per-document text queries must scale with the scan: their only
+    // shuffle is the final deterministic ORDER BY (q27 additionally
+    // aggregates, giving it one more exchange), and no join appears
+    Seq("q36_token_count", "q42_redaction", "q43_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q shuffles more than the final sort:\n$p")
+    }
+    val p27 = plan("q27_json")
+    assert(!p27.contains("Join"), s"q27 grew a join:\n$p27")
+  }
+
   test("q20b — scalable ntile has NO window operator (no single-partition stage)") {
     val p = plan("q20b_ntile_scalable")
     assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
