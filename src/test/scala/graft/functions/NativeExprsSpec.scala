@@ -474,6 +474,62 @@ class NativeExprsSpec extends SparkSpec {
     assert(bad.isEmpty, bad.map(_.toString).mkString("\n"))
   }
 
+  test("redact — seeded fuzz equivalence vs the four-regex form") {
+    // the corpus exercises only natural text; this drives the scanner with
+    // adversarial random strings dense in class-boundary characters
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab1209@._%+- \t\nXY@@..--__" + "አ汉é"
+    val cases = (1 to 3000).map { _ =>
+      val len = rnd.nextInt(40)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val df = cases.toDF("text")
+      .withColumn("r", NativeExprs.redact(col("text")))
+      .select(Seq(col("text"), col("r.redacted"), col("r.n_emails"),
+        col("r.n_nums")) ++ regexRedaction(col("text")): _*)
+      .filter(col("redacted") =!= col("re_redacted") ||
+              col("n_emails") =!= col("re_emails") ||
+              col("n_nums") =!= col("re_nums"))
+    val bad = df.collect()
+    assert(bad.isEmpty, bad.take(5).map(_.toString).mkString("\n"))
+  }
+
+  test("jsonIntField — seeded fuzz equivalence vs from_json") {
+    def fj(c: org.apache.spark.sql.Column) =
+      from_json(c, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k")
+    val rnd = new scala.util.Random(2424)
+    val frag = Seq("{", "}", "[", "]", "\"k\"", "\"x\"", ":", ",", " ",
+      "1", "-2", "0", "007", "1.5", "2e3", "null", "true", "\"v\"",
+      "\"a b\"", "2147483648", "{\"k\":9}")
+    val cases = (1 to 3000).map { _ =>
+      (1 to rnd.nextInt(8)).map(_ => frag(rnd.nextInt(frag.length))).mkString
+    }.distinct
+    val df = cases.toDF("s")
+      .select(col("s"), NativeExprs.jsonIntField(col("s"), "k").as("fast"),
+        fj(col("s")).as("slow"))
+      .filter(not(col("fast") <=> col("slow")))
+    val bad = df.collect()
+    assert(bad.isEmpty, bad.take(10).map(_.toString).mkString("\n"))
+  }
+
+  test("yearExtract — seeded fuzz equivalence vs regexp_extract") {
+    val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
+    val rnd = new scala.util.Random(1717)
+    val frag = Seq("19", "20", "1950", "2020", "1949", "2100", "9", "5",
+      "x", "_", " ", "አ", "-", "a2020", "2020a", "19999")
+    val cases = (1 to 3000).map { _ =>
+      (1 to rnd.nextInt(6)).map(_ => frag(rnd.nextInt(frag.length))).mkString
+    }.distinct
+    val df = cases.toDF("text")
+      .select(col("text"), NativeExprs.yearExtract(col("text")).as("fast"),
+        regexp_extract(col("text"), re, 1).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    val bad = df.collect()
+    assert(bad.isEmpty, bad.take(10).map(_.toString).mkString("\n"))
+  }
+
   test("yearExtract == regexp_extract on corpus and boundaries") {
     val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
     val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
