@@ -331,7 +331,7 @@ case class RedactExpr(child: Expression)
 
 /** See [[NativeExprs.jsonIntField]]. */
 case class JsonIntFieldExpr(child: Expression, key: String)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -339,8 +339,24 @@ case class JsonIntFieldExpr(child: Expression, key: String)
 
   @transient private lazy val keyBytes = key.getBytes("UTF-8")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    scan(input.asInstanceOf[UTF8String])
+
+  // generated code calls this directly (boxed Integer or null), keeping the
+  // projection inside whole-stage codegen instead of a CodegenFallback row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("jsonIntField", this)
+      val r = ctx.freshName("r")
+      s"""
+        Object $r = $ref.scan($c);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Integer) $r).intValue(); }
+      """
+    })
+
+  def scan(input: UTF8String): Any = {
+    val b = input.getBytes
     val n = b.length
     var i = 0
     @inline def ws(): Unit = {
@@ -579,20 +595,35 @@ case class DistinctSortedPrefixExpr(child: Expression, k: Int)
   * regexp_extract at every input, fast path on ASCII-neighboured text.
   */
 case class YearExtractExpr(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "year_extract"
 
+  override protected def nullSafeEval(input: Any): Any =
+    YearScan.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = YearScan.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.extract($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): YearExtractExpr =
+    copy(child = newChild)
+}
+
+/** Static scan core of [[YearExtractExpr]] — called from generated code. */
+object YearScan {
   @inline private def digit(b: Byte): Boolean = b >= '0' && b <= '9'
   @inline private def word(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || digit(b) || b == '_'
   private val EMPTY = UTF8String.EMPTY_UTF8
-  @transient private lazy val pattern =
+  private val pattern =
     java.util.regex.Pattern.compile("\\b(19[5-9]\\d|20\\d{2})\\b")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def extract(input: UTF8String): UTF8String = {
+    val bytes = input.getBytes
     val n = bytes.length
     var i = 0
     while (i + 4 <= n) {
@@ -604,7 +635,7 @@ case class YearExtractExpr(child: Expression)
       if (hit) {
         if ((i > 0 && bytes(i - 1) < 0) || (i + 4 < n && bytes(i + 4) < 0)) {
           // non-ASCII neighbour: only java regex knows its word-ness
-          val m = pattern.matcher(input.asInstanceOf[UTF8String].toString)
+          val m = pattern.matcher(input.toString)
           return if (m.find()) UTF8String.fromString(m.group(1)) else EMPTY
         }
         if ((i == 0 || !word(bytes(i - 1))) &&
@@ -617,23 +648,35 @@ case class YearExtractExpr(child: Expression)
     }
     EMPTY
   }
-
-  override protected def withNewChildInternal(newChild: Expression): YearExtractExpr =
-    copy(child = newChild)
 }
 
 /** See [[NativeExprs.lowerAlnumRunCount]]. */
 case class CharClassRunCountExpr(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lower_alnum_run_count"
 
+  override protected def nullSafeEval(input: Any): Any =
+    CharClassRunCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = CharClassRunCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.count($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassRunCountExpr =
+    copy(child = newChild)
+}
+
+/** Static scan core of [[CharClassRunCountExpr]] — called from generated code. */
+object CharClassRunCount {
   @inline private def in(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def count(input: UTF8String): Int = {
+    val bytes = input.getBytes
     var c = 0
     var prev = false
     var i = 0
@@ -645,9 +688,6 @@ case class CharClassRunCountExpr(child: Expression)
     }
     c
   }
-
-  override protected def withNewChildInternal(newChild: Expression): CharClassRunCountExpr =
-    copy(child = newChild)
 }
 
 case class RollingHashExpr(child: Expression, w: Int)

@@ -302,6 +302,16 @@ class NativeExprsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("scalar scanners survive whole-stage codegen (plan sanity)") {
+    val d = Tables.documents(spark, sf0001)
+    val plan = d.select(
+        NativeExprs.yearExtract(col("text")),
+        NativeExprs.lowerAlnumRunCount(col("text")),
+        NativeExprs.jsonIntField(col("text"), "k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   // ------------------------------------------------------------- redaction
 
   /** The q42 four-regex formulation the native scanner must be value-
