@@ -83,5 +83,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_bottom_k(s, w, k) - k smallest distinct rolling hashes, ascending") { args =>
       RollingBottomKExpr(args(0), intArg(args(1), "w"), intArg(args(2), "k"))
     }
+    register("redact",
+      "redact(s) - STRUCT(redacted, n_emails, n_nums): one-pass email/digit-run PII scrub") {
+      args => RedactExpr(args(0))
+    }
+    register("year_extract",
+      "year_extract(s) - leftmost \\b(19[5-9]\\d|20\\d{2})\\b match, '' when absent") {
+      args => YearExtractExpr(args(0))
+    }
+    register("lower_alnum_run_count",
+      "lower_alnum_run_count(s) - count of maximal [a-z0-9]+ runs") {
+      args => CharClassRunCountExpr(args(0))
+    }
+    register("json_int_field",
+      "json_int_field(s, key) - top-level INT field of a JSON object (from_json parity)") { args =>
+      args(1) match {
+        case Literal(k: org.apache.spark.unsafe.types.UTF8String, _) =>
+          JsonIntFieldExpr(args(0), k.toString)
+        case other => throw new IllegalArgumentException(
+          s"key must be a string literal, got $other")
+      }
+    }
+    register("shingle_stats",
+      "shingle_stats(toks, w) - STRUCT(n_shingles, n_uniq) of w-token shingles") { args =>
+      ShingleStatsExpr(args(0), intArg(args(1), "w"))
+    }
+    register("distinct_sorted_prefix",
+      "distinct_sorted_prefix(arr, k) - STRUCT(n_distinct, prefix): distinct count + k smallest") { args =>
+      DistinctSortedPrefixExpr(args(0), intArg(args(1), "k"))
+    }
   }
 }

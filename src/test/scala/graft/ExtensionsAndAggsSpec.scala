@@ -29,6 +29,25 @@ class ExtensionsAndAggsSpec extends SparkSpec {
     assert(r.getAs[Seq[String]]("hx").head.startsWith("0cc175b9"))
   }
 
+  test("round-3 scanner kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT redact('mail a@b.com num 1234567').redacted AS red,
+        |       redact('mail a@b.com num 1234567').n_emails AS ne,
+        |       year_extract('signed in 1997 x') AS yr,
+        |       lower_alnum_run_count('ab1 CD ef2') AS rc,
+        |       json_int_field('{"k": 42}', 'k') AS jk,
+        |       shingle_stats(array('a','b','c','a','b','c'), 3).n_uniq AS su,
+        |       distinct_sorted_prefix(array('c','a','b','a'), 2).prefix AS dp
+      """.stripMargin).head()
+    assert(r.getAs[String]("red") === "mail <EMAIL> num <NUM>")
+    assert(r.getAs[Int]("ne") === 1)
+    assert(r.getAs[String]("yr") === "1997")
+    assert(r.getAs[Int]("rc") === 2)
+    assert(r.getAs[Int]("jk") === 42)
+    assert(r.getAs[Int]("su") === 3)
+    assert(r.getAs[Seq[String]]("dp") === Seq("a", "b"))
+  }
+
   test("SQL function values match the Column API") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     docs.createOrReplaceTempView("t_ext_docs")
