@@ -57,6 +57,25 @@ object NativizeHofRule extends Rule[LogicalPlan] {
           if p.toString == "[a-z0-9]+" =>
         CharClassRunCountExpr(subject)
 
+      // The q42 redaction chain: each of the three composed regex forms
+      // rewrites to a field of the one-pass redact struct. When a
+      // projection computes several of them over the same text, Spark's
+      // subexpression elimination unifies the (deterministic, equal)
+      // RedactExpr instances into a single scan.
+      //   regexp_replace(regexp_replace(s, EMAIL, '<EMAIL>'), NUM, '<NUM>')
+      case RegExpReplace(RegExpReplace(s,
+            StrLit(EmailRe), StrLit("<EMAIL>"), Literal(1, IntegerType)),
+            StrLit(NumRe), StrLit("<NUM>"), Literal(1, IntegerType)) =>
+        GetStructField(RedactExpr(s), 0, Some("redacted"))
+      //   regexp_count(s, EMAIL) / regexp_count(s, NUM) — regexp_count is
+      //   RuntimeReplaceable, so by optimization time it is already
+      //   size(regexp_extract_all(s, re, 0)); match that form (same
+      //   legacySizeOfNull guard as the other Size rewrites)
+      case Size(RegExpExtractAll(s, StrLit(EmailRe), Literal(0, IntegerType)), false) =>
+        GetStructField(RedactExpr(s), 1, Some("n_emails"))
+      case Size(RegExpExtractAll(s, StrLit(NumRe), Literal(0, IntegerType)), false) =>
+        GetStructField(RedactExpr(s), 2, Some("n_nums"))
+
       // aggregate(zip_with(a, b, (x,y) -> dbl(x)*dbl(y)), 0.0, (acc,v) -> acc+v)
       //   →  dot_f32(a, b)
       case ArrayAggregate(
@@ -75,6 +94,15 @@ object NativizeHofRule extends Rule[LogicalPlan] {
   private object DoubleLit {
     def unapply(e: Expression): Option[Double] = e match {
       case Literal(d: Double, DoubleType) => Some(d)
+      case _ => None
+    }
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val NumRe = "[0-9]{6,}"
+  private object StrLit {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
       case _ => None
     }
   }

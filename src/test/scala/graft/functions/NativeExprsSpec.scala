@@ -279,6 +279,25 @@ class NativeExprsSpec extends SparkSpec {
     assert(!other2.contains("lower_alnum_run_count"), other2)
   }
 
+  test("NativizeHofRule — q42 redaction chain rewrites to redact struct fields") {
+    val d = Tables.documents(spark, sf0001)
+    val chain = d.select(
+      regexp_replace(regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>").as("red"),
+      regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).as("ne"),
+      regexp_count(col("text"), lit("[0-9]{6,}")).as("nn"))
+    val p = chain.queryExecution.optimizedPlan.toString
+    assert(p.contains("redact"), p)
+    assert(!p.contains("regexp_replace"), p) // fully rewritten
+    // and the exclusion switch used by the equivalence tests really works
+    withoutNativize {
+      val p2 = d.select(regexp_count(col("text"), lit("[0-9]{6,}")))
+        .queryExecution.optimizedPlan.toString
+      assert(!p2.contains("redact"), p2)
+    }
+  }
+
   test("NativizeHofRule — non-matching shapes are left alone") {
     // filter on a non-literal set and a non-zero seed must NOT rewrite
     val p1 = Tables.documents(spark, sf0001)
@@ -314,6 +333,17 @@ class NativeExprsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- redaction
 
+  /** Run with NativizeHofRule excluded: the scanner-equivalence tests must
+    * execute the REAL regex/Size reference forms — with the rule active the
+    * optimizer would rewrite the reference side to the very kernel under
+    * test, making the comparison tautological.
+    */
+  private def withoutNativize[T](f: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.graft.NativizeHofRule")
+    try f finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   /** The q42 four-regex formulation the native scanner must be value-
     * identical to (same patterns the DuckDB oracle runs).
     */
@@ -325,7 +355,7 @@ class NativeExprsSpec extends SparkSpec {
       .as("re_emails"),
     regexp_count(text, lit("[0-9]{6,}")).as("re_nums"))
 
-  test("redact == four-regex formulation on corpus text") {
+  test("redact == four-regex formulation on corpus text") { withoutNativize {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01") // all 500 docs
       .withColumn("r", NativeExprs.redact(col("text")))
     val diff = docs.select(Seq(col("r.redacted"), col("r.n_emails"),
@@ -334,9 +364,9 @@ class NativeExprsSpec extends SparkSpec {
               col("n_emails") =!= col("re_emails") ||
               col("n_nums") =!= col("re_nums"))
     assert(diff.count() === 0)
-  }
+  } }
 
-  test("redact — boundary semantics match java regex exactly") {
+  test("redact — boundary semantics match java regex exactly") { withoutNativize {
     val cases = Seq(
       "",                         // empty
       "no matches here",
@@ -376,9 +406,9 @@ class NativeExprsSpec extends SparkSpec {
     val nr = Seq(Option.empty[String]).toDF("text")
       .select(NativeExprs.redact(col("text")).as("r")).collect()
     assert(nr(0).isNullAt(0))
-  }
+  } }
 
-  test("lowerAlnumRunCount == size(regexp_extract_all) on corpus + edges") {
+  test("lowerAlnumRunCount == size(regexp_extract_all) on corpus + edges") { withoutNativize {
     val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
       .select(NativeExprs.lowerAlnumRunCount(col("text")).as("fast"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re"))
@@ -390,7 +420,7 @@ class NativeExprsSpec extends SparkSpec {
       .select(NativeExprs.lowerAlnumRunCount(col("text")).as("fast"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re"))
     edges.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
-  }
+  } }
 
   test("distinctSortedPrefix == composed distinct/sort/slice form") {
     def composed(c: org.apache.spark.sql.Column) = Seq(
@@ -484,7 +514,7 @@ class NativeExprsSpec extends SparkSpec {
     assert(bad.isEmpty, bad.map(_.toString).mkString("\n"))
   }
 
-  test("redact — seeded fuzz equivalence vs the four-regex form") {
+  test("redact — seeded fuzz equivalence vs the four-regex form") { withoutNativize {
     // the corpus exercises only natural text; this drives the scanner with
     // adversarial random strings dense in class-boundary characters
     val rnd = new scala.util.Random(4242)
@@ -502,7 +532,7 @@ class NativeExprsSpec extends SparkSpec {
               col("n_nums") =!= col("re_nums"))
     val bad = df.collect()
     assert(bad.isEmpty, bad.take(5).map(_.toString).mkString("\n"))
-  }
+  } }
 
   test("jsonIntField — seeded fuzz equivalence vs from_json") {
     def fj(c: org.apache.spark.sql.Column) =
@@ -524,7 +554,7 @@ class NativeExprsSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(10).map(_.toString).mkString("\n"))
   }
 
-  test("yearExtract — seeded fuzz equivalence vs regexp_extract") {
+  test("yearExtract — seeded fuzz equivalence vs regexp_extract") { withoutNativize {
     val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
     val rnd = new scala.util.Random(1717)
     val frag = Seq("19", "20", "1950", "2020", "1949", "2100", "9", "5",
@@ -538,9 +568,9 @@ class NativeExprsSpec extends SparkSpec {
       .filter(col("fast") =!= col("slow"))
     val bad = df.collect()
     assert(bad.isEmpty, bad.take(10).map(_.toString).mkString("\n"))
-  }
+  } }
 
-  test("yearExtract == regexp_extract on corpus and boundaries") {
+  test("yearExtract == regexp_extract on corpus and boundaries") { withoutNativize {
     val re = "\\b(19[5-9]\\d|20\\d{2})\\b"
     val onCorpus = Tables.documents(spark, "/root/testdata/sf0.01")
       .select(NativeExprs.yearExtract(col("text")).as("fast"),
@@ -557,5 +587,5 @@ class NativeExprsSpec extends SparkSpec {
         regexp_extract(col("text"), re, 1).as("slow"))
     edges.collect().foreach(r =>
       assert(r.getString(1) === r.getString(2), s"mismatch on '${r.getString(0)}'"))
-  }
+  } }
 }
