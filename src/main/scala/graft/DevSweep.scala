@@ -35,8 +35,11 @@ object DevSweep {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // unpersist OUTSIDE the timed window (its cost varies by query and
+        // would bias the sweep — r3 review finding)
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        sec
       }.sorted
       ts(1)
     }

@@ -214,6 +214,18 @@ object NativeExprs {
     */
   def jsonIntField(s: Column, key: String): Column =
     col(JsonIntFieldExpr(ex(s), key))
+
+  /** Count of q42-pattern email matches — value-identical to
+    * regexp_count(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+') in one byte scan
+    * with ZERO allocation (unlike [[redact]], which builds the redacted
+    * string). The count-only form of the redaction kernel.
+    */
+  def piiEmailCount(s: Column): Column = col(PiiCountExpr(ex(s), 0))
+
+  /** Count of maximal digit runs of length ≥ 6 — value-identical to
+    * regexp_count(s, '[0-9]{6,}'), allocation-free.
+    */
+  def piiDigitRunCount(s: Column): Column = col(PiiCountExpr(ex(s), 1))
 }
 
 /** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both
@@ -246,17 +258,7 @@ case class RedactExpr(child: Expression)
   private val EMAIL = "<EMAIL>".getBytes("US-ASCII")
   private val NUM = "<NUM>".getBytes("US-ASCII")
 
-  // ASCII class membership tables ([A-Za-z0-9._%+-] / [A-Za-z0-9.-])
-  private def mkClass(extra: Seq[Char]): Array[Boolean] = {
-    val t = new Array[Boolean](128)
-    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ extra).foreach(c => t(c) = true)
-    t
-  }
-  private val isL = mkClass(Seq('.', '_', '%', '+', '-'))
-  private val isR = mkClass(Seq('.', '-'))
-  @inline private def inL(b: Byte): Boolean = b >= 0 && isL(b)
-  @inline private def inR(b: Byte): Boolean = b >= 0 && isR(b)
-  @inline private def digit(b: Byte): Boolean = b >= '0' && b <= '9'
+  import PiiScan.{inL, inR, digit}
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
@@ -310,15 +312,7 @@ case class RedactExpr(child: Expression)
     emitSegment(segStart, n)
 
     // digit runs of the ORIGINAL text (email interiors included)
-    var nNums = 0
-    var run = 0
-    i = 0
-    while (i < n) {
-      if (digit(bytes(i))) run += 1
-      else { if (run >= 6) nNums += 1; run = 0 }
-      i += 1
-    }
-    if (run >= 6) nNums += 1
+    val nNums = PiiScan.countDigitRuns(bytes)
 
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromBytes(java.util.Arrays.copyOf(out, len)),
@@ -326,6 +320,88 @@ case class RedactExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RedactExpr =
+    copy(child = newChild)
+}
+
+/** Shared ASCII-class tables and the count-only scans of the redaction
+  * kernel — same match semantics as [[RedactExpr]] (see its Scaladoc for
+  * the exactness argument), without building any output.
+  */
+private[graft] object PiiScan {
+  private def mkClass(extra: Seq[Char]): Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ extra).foreach(c => t(c) = true)
+    t
+  }
+  // [A-Za-z0-9._%+-] / [A-Za-z0-9.-]
+  private val isL = mkClass(Seq('.', '_', '%', '+', '-'))
+  private val isR = mkClass(Seq('.', '-'))
+  @inline def inL(b: Byte): Boolean = b >= 0 && isL(b)
+  @inline def inR(b: Byte): Boolean = b >= 0 && isR(b)
+  @inline def digit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** == regexp_count(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+') */
+  def countEmails(input: UTF8String): Int = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    var c = 0
+    var segStart = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == '@' && i > segStart && inL(bytes(i - 1)) &&
+          i + 1 < n && inR(bytes(i + 1))) {
+        c += 1
+        var de = i + 1
+        while (de < n && inR(bytes(de))) de += 1
+        i = de; segStart = de
+      } else i += 1
+    }
+    c
+  }
+
+  /** == regexp_count(s, '[0-9]{6,}') */
+  def countDigitRuns(input: UTF8String): Int = countDigitRuns(input.getBytes)
+
+  def countDigitRuns(bytes: Array[Byte]): Int = {
+    var c = 0
+    var run = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (digit(bytes(i))) run += 1
+      else { if (run >= 6) c += 1; run = 0 }
+      i += 1
+    }
+    if (run >= 6) c += 1
+    c
+  }
+}
+
+/** Count-only form of the redaction kernel (kind 0 = email matches,
+  * kind 1 = ≥6-digit runs) — what the NativizeHofRule regexp_count
+  * rewrites target, so a count-only query never pays for building the
+  * redacted string.
+  */
+case class PiiCountExpr(child: Expression, kind: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(kind == 0 || kind == 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String =
+    if (kind == 0) "pii_email_count" else "pii_digit_run_count"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (kind == 0) PiiScan.countEmails(s) else PiiScan.countDigitRuns(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = PiiScan.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val m = if (kind == 0) "countEmails" else "countDigitRuns"
+      s"${ev.value} = $helper.$m($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PiiCountExpr =
     copy(child = newChild)
 }
 

@@ -70,11 +70,13 @@ object NativizeHofRule extends Rule[LogicalPlan] {
       //   regexp_count(s, EMAIL) / regexp_count(s, NUM) — regexp_count is
       //   RuntimeReplaceable, so by optimization time it is already
       //   size(regexp_extract_all(s, re, 0)); match that form (same
-      //   legacySizeOfNull guard as the other Size rewrites)
+      //   legacySizeOfNull guard as the other Size rewrites). Targets the
+      //   COUNT-ONLY kernel: a count query must not pay for building the
+      //   redacted string (r3 review finding).
       case Size(RegExpExtractAll(s, StrLit(EmailRe), Literal(0, IntegerType)), false) =>
-        GetStructField(RedactExpr(s), 1, Some("n_emails"))
+        PiiCountExpr(s, 0)
       case Size(RegExpExtractAll(s, StrLit(NumRe), Literal(0, IntegerType)), false) =>
-        GetStructField(RedactExpr(s), 2, Some("n_nums"))
+        PiiCountExpr(s, 1)
 
       // aggregate(zip_with(a, b, (x,y) -> dbl(x)*dbl(y)), 0.0, (acc,v) -> acc+v)
       //   →  dot_f32(a, b)

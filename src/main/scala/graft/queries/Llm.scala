@@ -162,11 +162,15 @@ object Llm {
         .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
         .filter(col("i") < col("j"))
         .groupBy("i", "j").agg(count(lit(1)).as("k"))
+      // hash-join the count attachments too (id keys, no downstream sort
+      // order) — hint the CNT side so it is the build side: one row per
+      // document vs one per co-shingled pair, and ShuffledHashJoin's build
+      // map must fit in memory (r3 review finding)
       inter
-        .hint("shuffle_hash") // id keys, no downstream sort order → hash join
-        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
-        .hint("shuffle_hash")
-        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
+          .hint("shuffle_hash"), Seq("i"))
+        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
+          .hint("shuffle_hash"), Seq("j"))
         .withColumn("jaccard", col("k") * 1.0 / (col("ni") + col("nj") - col("k")))
         .filter(col("jaccard") >= 0.5)
         .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))

@@ -279,7 +279,7 @@ class NativeExprsSpec extends SparkSpec {
     assert(!other2.contains("lower_alnum_run_count"), other2)
   }
 
-  test("NativizeHofRule — q42 redaction chain rewrites to redact struct fields") {
+  test("NativizeHofRule — q42 redaction chain rewrites to scanner kernels") {
     val d = Tables.documents(spark, sf0001)
     val chain = d.select(
       regexp_replace(regexp_replace(col("text"),
@@ -290,13 +290,32 @@ class NativeExprsSpec extends SparkSpec {
     val p = chain.queryExecution.optimizedPlan.toString
     assert(p.contains("redact"), p)
     assert(!p.contains("regexp_replace"), p) // fully rewritten
+    // the count-only forms use the allocation-free count kernel, NOT the
+    // string-building redact struct
+    assert(p.contains("pii_email_count") && p.contains("pii_digit_run_count"), p)
     // and the exclusion switch used by the equivalence tests really works
     withoutNativize {
       val p2 = d.select(regexp_count(col("text"), lit("[0-9]{6,}")))
         .queryExecution.optimizedPlan.toString
-      assert(!p2.contains("redact"), p2)
+      assert(!p2.contains("pii_digit_run_count"), p2)
     }
   }
+
+  test("pii count kernels == regexp_count (corpus + fuzz)") { withoutNativize {
+    val rnd = new scala.util.Random(777)
+    val alphabet = "ab1209@._%+- \t\nXY@@..--__" + "አ汉é"
+    val cases = (1 to 2000).map { _ =>
+      (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val corpus = Tables.documents(spark, sf0001).select(col("text"))
+    val all = corpus.union(cases.toDF("text"))
+      .select(NativeExprs.piiEmailCount(col("text")).as("fe"),
+        NativeExprs.piiDigitRunCount(col("text")).as("fn"),
+        regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).as("re"),
+        regexp_count(col("text"), lit("[0-9]{6,}")).as("rn"))
+      .filter(col("fe") =!= col("re") || col("fn") =!= col("rn"))
+    assert(all.count() === 0)
+  } }
 
   test("NativizeHofRule — non-matching shapes are left alone") {
     // filter on a non-literal set and a non-zero seed must NOT rewrite
@@ -499,9 +518,9 @@ class NativeExprsSpec extends SparkSpec {
       """{"a": [1, {"b": 2}], "k": 3}""",
       """{"s": "brace { quote \" inside", "k": 4}""",
       """{"k": 1, "k": 2}""",         // duplicate: last wins
-      """{"k": 1, "k": "x"}""",       // dup conversion error: keep first
-      """{"k": "x", "k": 1}""",       // error stops parse: null
-      """{"k": null, "k": 2}""",      // null is not an error: continue
+      """{"k": 1, "k": "x"}""",       // dup conversion error skipped: keep 1
+      """{"k": "x", "k": 1}""",       // conversion error skipped: second wins (1)
+      """{"k": null, "k": 2}""",      // null is not an error: continue (2)
       """{"k": true, "k": 1}""", """{"k": {"a": 1}}""",
       """{"k": 1, "x" y}""",          // later malformed field: keep k
       """{"k": 007}""", """{"k": +1}""", """{"k": 1} """, """{"k": 1}x""",
