@@ -440,6 +440,44 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    Q("q44_decontaminate",
+      """Q44 — benchmark decontamination: per-document count of distinct
+        |3-shingles shared with a benchmark set (here: doc_id < 5), the
+        |n-gram-overlap contamination check every pre-training corpus runs
+        |against its eval suites. Scale shape: the benchmark's shingle set
+        |is SMALL by nature (eval suites), so it broadcasts — the corpus
+        |side stays a narrow scan + broadcast semi-aggregation, no
+        |corpus-sized shuffle before the final sort. Shingles are compared
+        |as 60-bit md5 prefixes (same declared collision tolerance as the
+        |q31 inverted index; the string-keyed oracle would surface any
+        |collision).""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i,
+        |        toks FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS s FROM s),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s)
+        |       WHERE sh.doc_id >= 5 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
+        |       coalesce(n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15)).as("sh"))
+      val bench = shingled.filter(col("doc_id") < 5).select("sh").distinct()
+      val overlap = shingled.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      Tables.documents(s, d).filter(col("doc_id") >= 5).select("doc_id")
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast(LongType).as("n_overlap"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     Q.cap("q39_rolling_fingerprint",
       """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
         |Rabin-Karp hashes of each document, computed in O(n) per doc with

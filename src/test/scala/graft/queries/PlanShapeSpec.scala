@@ -118,6 +118,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p27.contains("Join"), s"q27 grew a join:\n$p27")
   }
 
+  test("q44 — the benchmark shingle set broadcasts; corpus side never shuffles whole") {
+    val p = plan("q44_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"q44 lost the benchmark broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q20b — scalable ntile has NO window operator (no single-partition stage)") {
     val p = plan("q20b_ntile_scalable")
     assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
