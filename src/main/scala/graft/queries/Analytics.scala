@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextOps
+
+/** Corpus/behavioral analytics catalog (SURVEY §2.4 round-3 additions):
+  * search-relevance scoring, funnel analysis, dataset profiling,
+  * distribution histograms and collocation mining. Each query states its
+  * 100 TB scale shape in the doc; every entry is DuckDB-oracled.
+  */
+object Analytics {
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q45_tfidf",
+      """Q45 — TF-IDF top-3 terms per document: the S19 "index for search"
+        |capability given a real relevance score. Scale shape: term
+        |frequencies shuffle on (doc_id, token); document frequencies on
+        |token (vocabulary-bounded — broadcastable when the vocab is small,
+        |a keyed shuffle join otherwise); the corpus-size scalar rides a
+        |1-row broadcast; final top-3 is a per-doc window, partitioned by
+        |doc_id. Ranking happens on the ROUNDED score with a token
+        |tie-break, so the cut is identical across engines.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, token, round(tf * ln(n.n * 1.0 / df), 4) AS score
+        |       FROM tf JOIN df USING (token) CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                    ORDER BY score DESC, token) AS rnk
+        |       FROM sc)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, score
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sc = tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      sc.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    Q("q46_funnel",
+      """Q46 — behavioral funnel over the event stream: users who signed
+        |up, then clicked within 24 h of first signup, then purchased
+        |within 24 h of that first click (each stage strictly later than
+        |the previous stage's anchor). Scale shape: one keyed aggregation
+        |per stage, all shuffling on user_id — the first shuffle
+        |establishes the partitioning and each later stage joins
+        |co-partitioned on the same key; stage populations only shrink.
+        |Output is the 3-row stage × count funnel.""".stripMargin,
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+        |           FROM events),
+        |s AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > s.t1
+        |        AND e.ts <= s.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT stage, depth, n FROM (
+        |  SELECT 'signup' AS stage, 1 AS depth, count(*) AS n FROM s
+        |  UNION ALL SELECT 'click', 2, count(*) FROM c
+        |  UNION ALL SELECT 'purchase', 3, count(*) FROM p)
+        |ORDER BY depth""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val day = expr("INTERVAL 24 HOURS")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c1 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p1 = e.filter(col("event_type") === "purchase").join(c1, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, depth: Int) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(name).as("stage"), lit(depth).as("depth"), col("n"))
+      stage(s1, "signup", 1)
+        .unionAll(stage(c1, "click", 2))
+        .unionAll(stage(p1, "purchase", 3))
+        .orderBy("depth")
+    },
+
+    Q("q47_profile",
+      """Q47 — dataset profiling: per-column count / null-count / min /
+        |max / mean / sample-stddev over lineitem's numeric columns, the
+        |schema-quality pass a pipeline runs before training on new data.
+        |Scale shape: unpivot is a narrow 4× row expansion (no shuffle),
+        |then ONE hash aggregation keyed by column name — 4 groups, so the
+        |final agg is a broadcast-sized reduce regardless of input size.
+        |Mean runs on DECIMAL(18,2) (§7.3); stddev is rounded to 2 dp,
+        |which absorbs double partial-agg ordering differences.""".stripMargin,
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT col_name, count(*) AS n, count(*) - count(v) AS n_null,
+        |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v,
+        |       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v), 2) AS avg_v,
+        |       round(stddev_samp(v), 2) AS std_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"),
+                col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty,
+                 Array(col("l_quantity"), col("l_extendedprice"),
+                       col("l_discount"), col("l_tax")),
+                 "col_name", "v")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+             (count(lit(1)) - count(col("v"))).as("n_null"),
+             round(min(col("v")), 2).as("min_v"),
+             round(max(col("v")), 2).as("max_v"),
+             round(sum(Tables.money(col("v"))).cast(DoubleType) / count(col("v")), 2)
+               .as("avg_v"),
+             round(stddev_samp(col("v")), 2).as("std_v"))
+        .transform(Relational.smallSort(_, "col_name"))
+    },
+
+    Q("q48_histogram",
+      """Q48 — deterministic equal-width histogram of customer balances:
+        |values are converted to exact integer cents (§7.3 HALF_UP), the
+        |[min, max] range splits into 10 buckets with INTEGER arithmetic
+        |(`div`, never float division — a float boundary can bucket
+        |identical values differently across engines). Scale shape: the
+        |min/max pass is a 1-row broadcast; bucketing is a narrow map; the
+        |final agg has 10 groups.""".stripMargin,
+      """WITH c AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM c)
+        |SELECT CAST((v - lo) * 10 // (hi - lo + 1) AS INT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(v) / 100.0, 2) AS lo_v,
+        |       round(max(v) / 100.0, 2) AS hi_v
+        |FROM c CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(round(col("c_acctbal") * 100).cast(LongType).as("v"))
+      val b = c.agg(min("v").as("lo"), max("v").as("hi"))
+      c.crossJoin(broadcast(b))
+        .select(expr("(v - lo) * 10 div (hi - lo + 1)").cast(IntegerType)
+                  .as("bucket"),
+                col("v"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+             round(min(col("v")) / 100.0, 2).as("lo_v"),
+             round(max(col("v")) / 100.0, 2).as("hi_v"))
+        .transform(Relational.smallSort(_, "bucket"))
+    },
+
+    Q("q49_pmi_bigrams",
+      """Q49 — collocation mining: top-20 bigrams by pointwise mutual
+        |information (min support 5), the phrase-mining signal used to
+        |build tokenizer merge tables and stop-phrase lists. Scale shape:
+        |bigram extraction is NARROW (each token array zipped with its own
+        |tail — no positional self-join, unlike the oracle's formulation);
+        |bigram and unigram counts are keyed shuffles; the two totals ride
+        |a 1-row broadcast; vocabulary-keyed count joins broadcast when
+        |small. PMI is ranked on the rounded value with a (w1, w2)
+        |tie-break, so the top-20 cut is engine-stable.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+        |       FROM tok),
+        |bi AS (SELECT a.t AS w1, b.t AS w2 FROM ix a JOIN ix b
+        |       ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT t AS w, count(*) AS c_w FROM ix GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM bi) AS t_bi,
+        |               (SELECT count(*) FROM ix) AS t_u)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |       round(ln((c_xy * 1.0 / t_bi) /
+        |                ((u1.c_w * 1.0 / t_u) * (u2.c_w * 1.0 / t_u))), 4) AS pmi
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN tot
+        |WHERE c_xy >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // narrow bigram extraction: zip the token array with its own tail
+      val bi = toks.select(explode(arrays_zip(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+      val tot = bi.agg(count(lit(1)).as("t_bi"))
+        .crossJoin(uni.agg(count(lit(1)).as("t_u")))
+      bc.join(uc.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"), "w1")
+        .join(uc.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c2"), "w2")
+        .crossJoin(broadcast(tot))
+        .filter(col("c_xy") >= 5)
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round(log((col("c_xy") * lit(1.0) / col("t_bi")) /
+                    ((col("c1") * lit(1.0) / col("t_u")) *
+                     (col("c2") * lit(1.0) / col("t_u")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }
+  )
+}

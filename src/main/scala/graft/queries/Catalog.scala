@@ -5,7 +5,7 @@ package graft.queries
   * driver keys CORRECTNESS/BENCH artifacts on them.
   */
 object Catalog {
-  val all: Seq[Q] = Relational.qs ++ Llm.qs
+  val all: Seq[Q] = Relational.qs ++ Llm.qs ++ Analytics.qs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 
