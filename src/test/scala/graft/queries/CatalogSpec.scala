@@ -90,6 +90,31 @@ class CatalogSpec extends SparkSpec {
     assert(approx.filter(col("tile") < 1 || col("tile") > 4).count() === 0)
   }
 
+  test("q45/q46/q48 — analytics invariants (ranks, funnel monotone, partition)") {
+    // TF-IDF: ranks are exactly 1..3 per doc, scores non-increasing in rank
+    val tfidf = Catalog.byName("q45_tfidf").build(spark, sf0001)
+    val byDoc = tfidf.groupBy("doc_id")
+      .agg(collect_list(struct(col("rnk"), col("score"))).as("rs"))
+      .select(col("doc_id"), sort_array(col("rs")).as("rs"))
+      .collect()
+    byDoc.foreach { r =>
+      val rs = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(rs.map(_.getInt(0)) === (1 to rs.size))
+      val scores = rs.map(_.getDouble(1))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // funnel: stage populations can only shrink with depth
+    val funnel = Catalog.byName("q46_funnel").build(spark, sf0001)
+      .orderBy("depth").select("n").collect().map(_.getLong(0))
+    assert(funnel.size === 3)
+    assert(funnel.zip(funnel.drop(1)).forall { case (a, b) => a >= b })
+    // histogram: buckets within 0..9 and counts partition the table
+    val hist = Catalog.byName("q48_histogram").build(spark, sf0001)
+    assert(hist.filter(col("bucket") < 0 || col("bucket") > 9).count() === 0)
+    val total = hist.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === Tables.customer(spark, sf0001).count())
+  }
+
   test("q28 dedup idempotence — deduping twice equals deduping once") {
     val once = Catalog.byName("q28_dedup_exact").build(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)
