@@ -17,12 +17,12 @@ object Analytics {
 
     Q("q45_tfidf",
       """Q45 — TF-IDF top-3 terms per document: the S19 "index for search"
-        |capability given a real relevance score. Scale shape: term
-        |frequencies shuffle on (doc_id, token); document frequencies on
-        |token (vocabulary-bounded — broadcastable when the vocab is small,
-        |a keyed shuffle join otherwise); the corpus-size scalar rides a
-        |1-row broadcast; final top-3 is a per-doc window, partitioned by
-        |doc_id. Ranking happens on the ROUNDED score with a token
+        |capability given a real relevance score. Scale shape: ONE
+        |corpus-sized shuffle (term frequencies on (doc_id, token));
+        |document frequencies reduce the tf aggregate itself — never the
+        |raw token stream — to a vocabulary-bounded table that broadcasts
+        |back; the corpus-size scalar rides a 1-row broadcast; final top-3
+        |is a per-doc window. Ranking happens on the ROUNDED score with a token
         |tie-break, so the cut is identical across engines.""".stripMargin,
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -39,9 +39,11 @@ object Analytics {
       val tok = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      // document frequency falls out of tf (one row per (doc, token)) — no
+      // second explode/shuffle over the raw token stream
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val sc = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      val sc = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
@@ -55,10 +57,11 @@ object Analytics {
       """Q46 — behavioral funnel over the event stream: users who signed
         |up, then clicked within 24 h of first signup, then purchased
         |within 24 h of that first click (each stage strictly later than
-        |the previous stage's anchor). Scale shape: one keyed aggregation
-        |per stage, all shuffling on user_id — the first shuffle
-        |establishes the partitioning and each later stage joins
-        |co-partitioned on the same key; stage populations only shrink.
+        |the previous stage's anchor). Scale shape: ONE user_id-keyed
+        |shuffle collects each user's per-type timestamps (per-user event
+        |counts are bounded in practice — the standard sessionization
+        |assumption); the stage anchors then resolve in a narrow array
+        |fold per user, and the final 3-row funnel is a keyless reduce.
         |Output is the 3-row stage × count funnel.""".stripMargin,
       """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
         |           FROM events),
@@ -75,22 +78,38 @@ object Analytics {
         |  UNION ALL SELECT 'click', 2, count(*) FROM c
         |  UNION ALL SELECT 'purchase', 3, count(*) FROM p)
         |ORDER BY depth""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
       val day = expr("INTERVAL 24 HOURS")
-      val s1 = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c1 = e.filter(col("event_type") === "click").join(s1, "user_id")
-        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p1 = e.filter(col("event_type") === "purchase").join(c1, "user_id")
-        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + day)
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      def stage(df: org.apache.spark.sql.DataFrame, name: String, depth: Int) =
-        df.agg(count(lit(1)).as("n"))
-          .select(lit(name).as("stage"), lit(depth).as("depth"), col("n"))
-      stage(s1, "signup", 1)
-        .unionAll(stage(c1, "click", 2))
-        .unionAll(stage(p1, "purchase", 3))
+      // one shuffle: per user, the first signup plus the (sorted, bounded)
+      // click/purchase timestamp arrays; collect_list drops the nulls the
+      // when() leaves on other event types
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", col("ts")))).as("cl"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("ts")))).as("pu"))
+      // narrow per-user folds: first click in (t1, t1+24h], then first
+      // purchase in (t2, t2+24h] — arrays are sorted so element 1 is min
+      val staged = perUser
+        .withColumn("t2", element_at(filter(col("cl"),
+          c => c > col("t1") && c <= col("t1") + day), 1))
+        .withColumn("t3", element_at(filter(col("pu"),
+          p => p > col("t2") && p <= col("t2") + day), 1))
+      staged
+        .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+             count(col("t3")).as("c3"))
+        .select(explode(array(
+          struct(lit("signup").as("stage"), lit(1).as("depth"),
+                 col("c1").as("n")),
+          struct(lit("click").as("stage"), lit(2).as("depth"),
+                 col("c2").as("n")),
+          struct(lit("purchase").as("stage"), lit(3).as("depth"),
+                 col("c3").as("n")))).as("s"))
+        .select(col("s.stage").as("stage"), col("s.depth").as("depth"),
+                col("s.n").as("n"))
         .orderBy("depth")
     },
 
@@ -98,11 +117,12 @@ object Analytics {
       """Q47 — dataset profiling: per-column count / null-count / min /
         |max / mean / sample-stddev over lineitem's numeric columns, the
         |schema-quality pass a pipeline runs before training on new data.
-        |Scale shape: unpivot is a narrow 4× row expansion (no shuffle),
-        |then ONE hash aggregation keyed by column name — 4 groups, so the
-        |final agg is a broadcast-sized reduce regardless of input size.
-        |Mean runs on DECIMAL(18,2) (§7.3); stddev is rounded to 2 dp,
-        |which absorbs double partial-agg ordering differences.""".stripMargin,
+        |Scale shape: ONE keyless aggregation pass computes all 4×6 stats
+        |(no row expansion, no keyed shuffle — the oracle's UNION ALL /
+        |an unpivot would scan-and-shuffle 4× the rows); the 1-row result
+        |reshapes to the 4-row profile with a narrow explode. Mean runs on
+        |DECIMAL(18,2) (§7.3); stddev is rounded to 2 dp, which absorbs
+        |double partial-agg ordering differences.""".stripMargin,
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
@@ -113,21 +133,24 @@ object Analytics {
         |       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v), 2) AS avg_v,
         |       round(stddev_samp(v), 2) AS std_v
         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, d) =>
+      def stats(c: String) = struct(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        round(min(col(c)), 2).as("min_v"),
+        round(max(col(c)), 2).as("max_v"),
+        round(sum(Tables.money(col(c))).cast(DoubleType) / count(col(c)), 2)
+          .as("avg_v"),
+        round(stddev_samp(col(c)), 2).as("std_v"))
       Tables.lineitem(s, d)
-        .select(col("l_quantity"), col("l_extendedprice"),
-                col("l_discount"), col("l_tax"))
-        .unpivot(Array.empty,
-                 Array(col("l_quantity"), col("l_extendedprice"),
-                       col("l_discount"), col("l_tax")),
-                 "col_name", "v")
-        .groupBy("col_name")
-        .agg(count(lit(1)).as("n"),
-             (count(lit(1)) - count(col("v"))).as("n_null"),
-             round(min(col("v")), 2).as("min_v"),
-             round(max(col("v")), 2).as("max_v"),
-             round(sum(Tables.money(col("v"))).cast(DoubleType) / count(col("v")), 2)
-               .as("avg_v"),
-             round(stddev_samp(col("v")), 2).as("std_v"))
+        .agg(stats("l_discount").as("s1"), stats("l_extendedprice").as("s2"),
+             stats("l_quantity").as("s3"), stats("l_tax").as("s4"))
+        .select(explode(array(col("s1"), col("s2"), col("s3"), col("s4")))
+          .as("s"))
+        .select(col("s.col_name").as("col_name"), col("s.n").as("n"),
+                col("s.n_null").as("n_null"), col("s.min_v").as("min_v"),
+                col("s.max_v").as("max_v"), col("s.avg_v").as("avg_v"),
+                col("s.std_v").as("std_v"))
         .transform(Relational.smallSort(_, "col_name"))
     },
 
