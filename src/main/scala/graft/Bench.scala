@@ -116,7 +116,14 @@ object Bench {
       xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val coldTotal = r3(cold.map(_._2).filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"reps":$reps,"sf":"$sfDir","totals":{"warm_median":$total,"cold_single_shot":$coldTotal}}""")
+    // failures are EXPLICIT at the top level: the totals above sum only
+    // non-failed queries, so without this a crashing query would make the
+    // headline look BETTER — a skimmed record must not read a partial
+    // total as a healthy run (failed queries also carry -1 in "queries")
+    val failed = (results.filter(_._2 < 0).map(_._1) ++
+      cold.filter(_._2 < 0).map(_._1)).distinct.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":${jmap(results)},"reps":$reps,"sf":"$sfDir","totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size}}}""")
     spark.stop()
   }
 }

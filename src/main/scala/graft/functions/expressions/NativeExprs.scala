@@ -448,18 +448,28 @@ case class JsonIntFieldExpr(child: Expression, key: String)
       }
       false
     }
-    // skip any JSON value; false on malformed. Depth-counts containers,
-    // string-aware so braces inside strings don't count.
+    // skip any JSON value; false on malformed. Tracks the EXPECTED CLOSER
+    // per container level (not a bare depth count — `{]` must be rejected,
+    // as Jackson's tokenizer does), string-aware so braces inside strings
+    // don't count.
     def skipValue(): Boolean = {
       if (i >= n) return false
       b(i) match {
         case '"' => i += 1; skipString()
         case '{' | '[' =>
+          var closers = new Array[Byte](16) // expected closer per level
           var depth = 0
           while (i < n) {
             b(i) match {
-              case '{' | '[' => depth += 1; i += 1
-              case '}' | ']' => depth -= 1; i += 1; if (depth == 0) return true
+              case c @ ('{' | '[') =>
+                if (depth == closers.length)
+                  closers = java.util.Arrays.copyOf(closers, depth * 2)
+                closers(depth) = if (c == '{') '}' else ']'
+                depth += 1; i += 1
+              case c @ ('}' | ']') =>
+                depth -= 1
+                if (depth < 0 || closers(depth) != c) return false
+                i += 1; if (depth == 0) return true
               case '"' => i += 1; if (!skipString()) return false
               case _ => i += 1
             }

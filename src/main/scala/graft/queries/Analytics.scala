@@ -92,12 +92,14 @@ object Analytics {
         sort_array(collect_list(
           when(col("event_type") === "purchase", col("ts")))).as("pu"))
       // narrow per-user folds: first click in (t1, t1+24h], then first
-      // purchase in (t2, t2+24h] — arrays are sorted so element 1 is min
+      // purchase in (t2, t2+24h] — arrays are sorted so the head is the min.
+      // `get` (0-based) returns NULL past the end; element_at(.., 1) would
+      // RAISE on an empty filter result under ANSI mode (Spark 4 default)
       val staged = perUser
-        .withColumn("t2", element_at(filter(col("cl"),
-          c => c > col("t1") && c <= col("t1") + day), 1))
-        .withColumn("t3", element_at(filter(col("pu"),
-          p => p > col("t2") && p <= col("t2") + day), 1))
+        .withColumn("t2", get(filter(col("cl"),
+          c => c > col("t1") && c <= col("t1") + day), lit(0)))
+        .withColumn("t3", get(filter(col("pu"),
+          p => p > col("t2") && p <= col("t2") + day), lit(0)))
       staged
         .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
              count(col("t3")).as("c3"))

@@ -524,7 +524,12 @@ class NativeExprsSpec extends SparkSpec {
       """{"k": true, "k": 1}""", """{"k": {"a": 1}}""",
       """{"k": 1, "x" y}""",          // later malformed field: keep k
       """{"k": 007}""", """{"k": +1}""", """{"k": 1} """, """{"k": 1}x""",
-      """[1, 2]""", """5""", """garbage""", """{"k"1}""", """{"k": }""")
+      """[1, 2]""", """5""", """garbage""", """{"k"1}""", """{"k": }""",
+      // mismatched-bracket containers: a depth counter would accept these;
+      // Jackson's tokenizer errors and nulls the whole row
+      """{"k": 1, "x": {]}""", """{"k": 1, "x": [}]}""",
+      """{"x": [{]], "k": 2}""", """{"x": {"a": [1}}, "k": 3}""",
+      """{"k": 4, "x": [[{}]]}""")    // well-formed deep nesting still fine
     val df = edges.toDF("s")
       .select(col("s"), NativeExprs.jsonIntField(col("s"), "k").as("fast"),
         fj(col("s")).as("slow"))
