@@ -19,8 +19,11 @@ object Ann {
   /** Exact cosine top-k neighbours of `probeId`. */
   def bruteTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                 probeId: Long, k: Int): DataFrame = {
+    // limit(1) is a no-op (ids are unique) that makes the 1-row bound
+    // PROVABLE (maxRows==1), so the plan audit can tell this scalar attach
+    // from a genuine unbounded nested loop
     val probe = embeddings.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("_probe_vec"))
+      .select(col(vecCol).as("_probe_vec")).limit(1)
     embeddings.filter(col(idCol) =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col(idCol),
@@ -67,7 +70,7 @@ object Ann {
       (i, d)
     }.sortBy(_._2).take(nProbe).map(_._1)
     val probe = assigned.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("_probe_vec"))
+      .select(col(vecCol).as("_probe_vec")).limit(1)
     assigned.filter(col(idCol) =!= probeId)
       .filter(col("_cell").isin(cells.toSeq: _*))
       .crossJoin(broadcast(probe))
@@ -121,7 +124,7 @@ object Ann {
       case Some(row) =>
         val candidates = ringBuckets(row.getLong(0), nPlanes, ring)
         val probe = bucketed.filter(col(idCol) === probeId)
-          .select(col(vecCol).as("_probe_vec"))
+          .select(col(vecCol).as("_probe_vec")).limit(1)
         scoreTopK(bucketed.filter(col("bucket").isin(candidates: _*)),
                   probe, idCol, vecCol, probeId, k)
     }
@@ -138,7 +141,7 @@ object Ann {
                          probeId: Long, k: Int): DataFrame = {
     val deq = VectorOps.dequantizeInt8(col(qvCol))
     val probe = quantized.filter(col(idCol) === probeId)
-      .select(VectorOps.dequantizeInt8(col(qvCol)).as("_probe_vec"))
+      .select(VectorOps.dequantizeInt8(col(qvCol)).as("_probe_vec")).limit(1)
     quantized.filter(col(idCol) =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col(idCol),

@@ -20,8 +20,10 @@ object Analytics {
         |capability given a real relevance score. Scale shape: ONE
         |corpus-sized shuffle (term frequencies on (doc_id, token));
         |document frequencies reduce the tf aggregate itself — never the
-        |raw token stream — to a vocabulary-bounded table that broadcasts
-        |back; the corpus-size scalar rides a 1-row broadcast; final top-3
+        |raw token stream — and join back UNHINTED: a web-scale vocabulary
+        |is heavy-tailed (typos/URLs/numbers), so the df table is NOT
+        |provably broadcast-safe — AQE sizes that join at runtime
+        |instead; the corpus-size scalar rides a 1-row broadcast; final top-3
         |is a per-doc window. Ranking happens on the ROUNDED score with a token
         |tie-break, so the cut is identical across engines.""".stripMargin,
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
@@ -43,7 +45,7 @@ object Analytics {
       // second explode/shuffle over the raw token stream
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val sc = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+      val sc = tf.join(dfreq, "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))

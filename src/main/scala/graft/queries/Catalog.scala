@@ -1,8 +1,9 @@
 package graft.queries
 
-/** The full declared query catalog (SURVEY §2.2): relational Q1–Q27 plus
-  * the LLM-pipeline extensions Q28–Q38. Names are unique and stable — the
-  * driver keys CORRECTNESS/BENCH artifacts on them.
+/** The full declared query catalog (SURVEY §2.2–§2.4): relational Q1–Q27,
+  * the LLM-pipeline extensions Q28–Q44, and the corpus/behavioral
+  * analytics queries Q45–Q49. Names are unique and stable — the driver
+  * keys CORRECTNESS/BENCH artifacts on them.
   */
 object Catalog {
   val all: Seq[Q] = Relational.qs ++ Llm.qs ++ Analytics.qs

@@ -49,7 +49,10 @@ object Llm {
         |FROM embeddings e, p WHERE e.vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+      // limit(1) is a no-op (vec_id unique) making the 1-row bound provable
+      // to the plan audit (maxRows==1 → declared scalar attach, not a BNLJ)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe")).limit(1)
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"),

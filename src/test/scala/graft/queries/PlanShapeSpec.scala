@@ -60,13 +60,22 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("catalog-wide audit — nested loops and global windows only where declared") {
-    // Queries ALLOWED a nested-loop/cartesian node: q22b is the declared
-    // guarded cross join; q20b/q29 broadcast a literal single-row frame
-    // (quantile boundaries / the probe vector) — a 1-row BNLJ is a scalar
-    // attach, not an O(n²) hazard. Everything else joining without an equi
-    // key is a scale bug, caught here before any bench regresses.
-    val nestedLoopOk = Set("q22b_crossjoin", "q20b_ntile_scalable",
-      "q29_ann_topk")
+    // q22b is the single declared GENUINE cross join (guarded, 5×5×5
+    // bounded). Any OTHER nested-loop/cartesian physical node must be a
+    // scalar attach: every non-equi join in the optimized logical plan has
+    // a side the optimizer PROVES is ≤1 row (keyless aggregate / literal
+    // single-row frame → maxRows == 1). This is structural, not a name
+    // allowlist — a future 1-row scalar attach (quantile boundaries, probe
+    // vector, corpus totals …) passes automatically, while a real unkeyed
+    // join of two unbounded relations still fails here before any bench
+    // regresses.
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val genuineCrossOk = Set("q22b_crossjoin")
+    def hasEquiKeys(j: Join): Boolean = j.condition.exists(_.exists {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    })
     // q20 is the DECLARED exact global ntile (oracle form; q20b is its
     // scale twin) — the only query allowed an unpartitioned window.
     val globalWindowOk = Set("q20_ntile")
@@ -77,7 +86,15 @@ class PlanShapeSpec extends SparkSpec {
       val physical = qe.executedPlan.toString
       if ((physical.contains("BroadcastNestedLoopJoin") ||
            physical.contains("CartesianProduct")) &&
-          !nestedLoopOk(q.name)) offendersNl += q.name
+          !genuineCrossOk(q.name)) {
+        val unbounded = qe.optimizedPlan.collect {
+          case j: Join if !hasEquiKeys(j) &&
+              !j.left.maxRows.exists(_ <= 1L) &&
+              !j.right.maxRows.exists(_ <= 1L) => j
+        }
+        if (unbounded.nonEmpty)
+          offendersNl += s"${q.name} (${unbounded.size} non-scalar nested loop(s))"
+      }
       val hasGlobalWindow = qe.optimizedPlan.collectFirst {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
@@ -86,6 +103,24 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offendersNl.isEmpty, s"undeclared nested-loop joins in: $offendersNl")
     assert(offendersWin.isEmpty, s"undeclared global windows in: $offendersWin")
+  }
+
+  test("q45 — the document-frequency join is never a FORCED broadcast") {
+    // a web-scale token vocabulary is heavy-tailed and effectively
+    // unbounded, so a broadcast() hint on the df side would OOM at 100 TB.
+    // Only provably-1-row sides (the corpus-size scalar) may carry a
+    // broadcast hint; the tf⋈df join must be left to AQE's runtime sizing.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val qe = Catalog.byName("q45_tfidf").build(spark, sf0001).queryExecution
+    val forced = qe.optimizedPlan.collect {
+      case j: Join =>
+        Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right)).collect {
+          case (Some(h), side)
+              if h.strategy.contains(BROADCAST) &&
+                !side.maxRows.exists(_ <= 1L) => j.simpleString(40)
+        }
+    }.flatten
+    assert(forced.isEmpty, s"forced broadcast of an unbounded side: $forced")
   }
 
   test("q33 — blocked self-join: equi join on block pairs, no nested loop") {
