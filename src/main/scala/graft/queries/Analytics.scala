@@ -17,12 +17,14 @@ object Analytics {
 
     Q("q45_tfidf",
       """Q45 — TF-IDF top-3 terms per document: the S19 "index for search"
-        |capability given a real relevance score. Scale shape: ONE
-        |corpus-sized shuffle (term frequencies on (doc_id, token));
-        |document frequencies reduce the tf aggregate itself — never the
-        |raw token stream — and join back UNHINTED: a web-scale vocabulary
-        |is heavy-tailed (typos/URLs/numbers), so the df table is NOT
-        |provably broadcast-safe — AQE sizes that join at runtime
+        |capability given a real relevance score. Scale shape: the RAW
+        |token stream never shuffles — per-doc term frequencies are
+        |computed in one pass inside the scan projection (a doc's tokens
+        |live in its own row), so only the already-reduced (doc, token,
+        |tf) pairs move; document frequencies fall out of tf with map-side
+        |partial combine, and the tf⋈df join is UNHINTED: a web-scale
+        |vocabulary is heavy-tailed (typos/URLs/numbers), so the df table
+        |is NOT provably broadcast-safe — AQE sizes that join at runtime
         |instead; the corpus-size scalar rides a 1-row broadcast; final top-3
         |is a per-doc window. Ranking happens on the ROUNDED score with a token
         |tie-break, so the cut is identical across engines.""".stripMargin,
@@ -38,9 +40,14 @@ object Analytics {
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, score
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // narrow tf: one-pass per-doc token counting (multiset-identical to
+      // explode + groupBy(doc_id, token).count, NativeExprsSpec) — the
+      // widest shuffle of the composed form never happens
+      val tf = docs.select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .tokenCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.token").as("token"),
+                col("tc.tf").cast(LongType).as("tf"))
       // document frequency falls out of tf (one row per (doc, token)) — no
       // second explode/shuffle over the raw token stream
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -137,13 +144,18 @@ object Analytics {
         |       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v), 2) AS avg_v,
         |       round(stddev_samp(v), 2) AS std_v
         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, d) =>
+      // mean via the exact long-cents kernel (§7.3): value-identical to a
+      // DECIMAL(18,2) sum while |Σ| < 2^53 cents, but the accumulation is
+      // primitive long arithmetic instead of per-row BigDecimal (the same
+      // measured ~2× that motivated Relational.cents on the money queries)
       def stats(c: String) = struct(
         lit(c).as("col_name"),
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col(c))).as("n_null"),
         round(min(col(c)), 2).as("min_v"),
         round(max(col(c)), 2).as("max_v"),
-        round(sum(Tables.money(col(c))).cast(DoubleType) / count(col(c)), 2)
+        round(sum(graft.functions.expressions.NativeExprs.doubleCents(col(c)))
+                .cast(DoubleType) / 100.0 / count(col(c)), 2)
           .as("avg_v"),
         round(stddev_samp(col(c)), 2).as("std_v"))
       Tables.lineitem(s, d)

@@ -96,6 +96,85 @@ object Streams {
       }
   }
 
+  // ----------------------------------------------------- streaming funnel
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(signup: Option[Timestamp],
+                               clicks: Seq[Timestamp],
+                               purchases: Seq[Timestamp], seq: Long)
+  final case class FunnelUpdate(user_id: Long, seq: Long, depth: Int)
+
+  private val DayMicros = 24L * 3600L * 1000000L
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming twin of batch q46_funnel: per-user funnel depth
+    * (1 = signed up, 2 = + clicked within 24 h of first signup,
+    * 3 = + purchased within 24 h of that first click), re-emitted in
+    * Update mode whenever a user's state changes; the reader keeps the
+    * row with the highest `seq` per user. State is the user's per-type
+    * timestamp lists — the SAME bounded-per-user assumption the batch
+    * query's collect_list makes — retained in full because a late-arriving
+    * earlier signup legally re-anchors the whole funnel (a min-only state
+    * could never revise t2/t3). At scale add an event-time watermark +
+    * EventTimeTimeout to evict settled users; NoTimeout keeps finite
+    * AvailableNow runs terminating (same trade as [[errorCounts]]).
+    */
+  def funnelDepths(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L))
+          var signup = st.signup
+          var clicks = st.clicks
+          var purchases = st.purchases
+          rows.foreach { e =>
+            e.event_type match {
+              case "signup" =>
+                if (signup.forall(s => micros(e.ts) < micros(s))) signup = Some(e.ts)
+              case "click"    => clicks = clicks :+ e.ts
+              case "purchase" => purchases = purchases :+ e.ts
+              case _          => ()
+            }
+          }
+          val next = FunnelState(signup, clicks, purchases, st.seq + 1L)
+          state.update(next)
+          // resolve anchors exactly as the batch fold: first click in
+          // (t1, t1+24h], then first purchase in (t2, t2+24h]
+          val t1 = signup.map(micros)
+          val t2 = t1.flatMap(a =>
+            clicks.map(micros).filter(c => c > a && c <= a + DayMicros)
+              .sorted.headOption)
+          val t3 = t2.flatMap(a =>
+            purchases.map(micros).filter(p => p > a && p <= a + DayMicros)
+              .sorted.headOption)
+          val depth = if (t3.isDefined) 3 else if (t2.isDefined) 2
+                      else if (t1.isDefined) 1 else 0
+          FunnelUpdate(user, next.seq, depth)
+      }
+  }
+
+  /** The 3-row stage×count funnel from [[funnelDepths]] output: keep each
+    * user's LATEST update (max seq), then count users reaching each stage —
+    * the batch-q46-equivalent reading of the update stream.
+    */
+  def funnelCounts(updates: DataFrame): DataFrame = {
+    val latest = updates.groupBy("user_id")
+      .agg(max_by(col("depth"), col("seq")).as("depth"))
+    latest.agg(
+        sum(when(col("depth") >= 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("depth") >= 3, 1L).otherwise(0L)).as("c3"))
+      .select(explode(array(
+        struct(lit("signup").as("stage"), lit(1).as("depth"), col("c1").as("n")),
+        struct(lit("click").as("stage"), lit(2).as("depth"), col("c2").as("n")),
+        struct(lit("purchase").as("stage"), lit(3).as("depth"), col("c3").as("n")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.depth").as("depth"),
+              col("s.n").as("n"))
+      .orderBy("depth")
+  }
+
   /** The reference's push-triggered PDF ingest as a stream (S5+S8,
     * auto_ingest.yml): a binaryFile source watches a directory, and each
     * micro-batch runs the SAME batch document pipeline via foreachBatch —

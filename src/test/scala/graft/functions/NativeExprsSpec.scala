@@ -612,4 +612,29 @@ class NativeExprsSpec extends SparkSpec {
     edges.collect().foreach(r =>
       assert(r.getString(1) === r.getString(2), s"mismatch on '${r.getString(0)}'"))
   } }
+
+  test("tokenCounts == explode(split).groupBy.count on corpus and edges") {
+    // multiset equality: exploded (doc, token, tf) triples must match the
+    // composed per-doc token counts exactly (q45's narrow-tf contract)
+    def viaExpr(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(NativeExprs.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"),
+              col("tc.tf").cast(LongType).as("tf"))
+    def viaComposed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val corpus = Tables.documents(spark, sf0001)
+    assert(viaExpr(corpus).exceptAll(viaComposed(corpus)).isEmpty &&
+           viaComposed(corpus).exceptAll(viaExpr(corpus)).isEmpty)
+    // split-parity edges: leading/trailing/adjacent spaces all keep their
+    // empty tokens; "" is one empty token; multibyte text splits on 0x20
+    val edges = Seq((1L, ""), (2L, " "), (3L, "a"), (4L, "a "), (5L, " a"),
+      (6L, "a  b"), (7L, "a b a b b"), (8L, "ኢትዮጵያ ህግ ህግ"),
+      (9L, "  "), (10L, "x " * 1000 + "x")).toDF("doc_id", "text")
+    assert(viaExpr(edges).exceptAll(viaComposed(edges)).isEmpty &&
+           viaComposed(edges).exceptAll(viaExpr(edges)).isEmpty)
+    // null text behaves like split: null array, explode drops the row
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(viaExpr(nulls).count() === 0)
+  }
 }

@@ -88,6 +88,22 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("streaming funnel (mapGroupsWithState) — stage counts match batch q46") {
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+      .filter($"event_type".isin("signup", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_type").as[Streams.FunnelEvent]
+    val updates = Streams.runAvailableNow(
+      Streams.funnelDepths(stream).toDF(), "t_funnel", ckpt(),
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = Streams.funnelCounts(updates)
+    val want = graft.queries.Catalog.byName("q46_funnel").build(spark, sf0001)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"streaming funnel ${got.collect().toSeq} != batch ${want.collect().toSeq}")
+    // and the funnel is monotone by construction
+    val ns = got.orderBy("depth").select("n").as[Long].collect()
+    assert(ns.sorted.reverse.sameElements(ns), s"non-monotone funnel: ${ns.toSeq}")
+  }
+
   test("binaryFile PDF ingest stream — incremental, exactly-once (S5+S8)") {
     val watch = Files.createTempDirectory("graft_pdfwatch").toString
     val out = Files.createTempDirectory("graft_pdfout").toString
