@@ -1,0 +1,23 @@
+#!/usr/bin/env python3
+"""Emit the BASELINE.md per-query table from bench windows + duck json.
+Usage: mk_baseline_table.py duck.json med.json cold_stderr_file
+(cold values parsed from the '[bench] cold_queries' stderr line)."""
+import sys, json, re
+duck = json.load(open(sys.argv[1]))
+med = json.load(open(sys.argv[2]))
+cold = {}
+for line in open(sys.argv[3]):
+    if 'cold_queries' in line:
+        for m in re.finditer(r'(q\w+)=([0-9.]+|-1.000)', line):
+            cold[m.group(1)] = float(m.group(2))
+print("| query | duckdb med3 | spark warm med3 | spark cold | warm ratio |")
+print("|---|---|---|---|---|")
+ss = ds = 0.0
+for q in sorted(med):
+    if q not in duck:
+        print(f"| {q} | — (no oracle) | {med[q]*1000:.0f} | {cold.get(q,0)*1000:.0f} | — |")
+        continue
+    ss += med[q]; ds += duck[q]
+    print(f"| {q} | {duck[q]*1000:.0f} | {med[q]*1000:.0f} | {cold.get(q,0)*1000:.0f} | {med[q]/duck[q]:.1f}× |")
+allsum = sum(med.values())
+print(f"| **total ({len([q for q in med if q in duck])} oracled / {len(med)} all)** | **{ds*1000:.0f}** (oracled) | **{allsum*1000:.0f}** (all) / **{ss*1000:.0f}** (oracled) | **{sum(cold.values())*1000:.0f}** | **{ss/ds:.2f}× (oracled subset)** |")
