@@ -237,6 +237,13 @@ object NativeExprs {
     * has to shuffle; only the already-reduced (token, tf) pairs do.
     */
   def tokenCounts(text: Column): Column = col(TokenCountsExpr(ex(text)))
+
+  /** Exact top-k (score DESC, tag ASC) aggregate — see [[TopKByScore]].
+    * The scale path for "top k per group": bounded partial buffers with
+    * map-side combine instead of a window's full shuffle-and-sort.
+    */
+  def topKByScore(score: Column, tag: Column, k: Int): Column =
+    col(TopKByScore(ex(score), ex(tag), k).toAggregateExpression())
 }
 
 /** See [[NativeExprs.redact]]. Why a hand-rolled scanner can be exact: both

@@ -130,6 +130,37 @@ object Ann {
     }
   }
 
+  /** All-queries-at-once multi-probe LSH top-k — the production shape of
+    * similarity search (a training pipeline matches MILLIONS of probes,
+    * not one). Every query row explodes to its hamming-ring bucket ids
+    * and equi-joins the bucketed corpus on the bucket, so ONE shuffled
+    * join serves the whole query set instead of a driver-side loop of
+    * per-probe jobs; the per-query top-k cut then happens in the
+    * bounded-buffer [[TopK]] aggregate, so the map side already reduces
+    * each (mapper, query) to ≤ k candidates before the final shuffle.
+    * Score and tie-break semantics match [[lshTopK]] exactly
+    * (round(cosine, 4) DESC, id ASC, self-matches excluded) — asserted
+    * probe-by-probe in TopKSpec. Output: (qid, rnk, cid, score).
+    */
+  def lshTopKBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+                   ring: Int = 3): DataFrame = {
+    val masks: Seq[Long] = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= ring)
+    val c = withBucket(corpus, vecCol, nPlanes, dim)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("bucket"))
+    val q = withBucket(queries, vecCol, nPlanes, dim)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+              // same arg order as scoreTopK: cosine(corpus vec, probe vec)
+              round(VectorOps.cosine(col("cvec"), col("qvec")), 4).as("score"))
+    TopK.perGroup(scored, Seq("qid"), "score", "cid", k)
+  }
+
   /** Exact-arithmetic top-k over the int8-QUANTIZED storage form
     * (VectorOps.quantizeInt8): vectors dequantize on the fly inside the
     * scan, so the corpus at rest and on the wire is 4× smaller while the

@@ -55,9 +55,11 @@ object Analytics {
       val sc = tf.join(dfreq, "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-      sc.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      // top-3 cut via the bounded-buffer aggregate (row-identical to
+      // row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token),
+      // TopKSpec): the map side ships ≤3 rows per (mapper, doc) instead of
+      // window-sorting every scored row
+      graft.operators.TopK.perGroup(sc, Seq("doc_id"), "score", "token", 3)
         .select(col("doc_id"), col("rnk"), col("token"), col("score"))
         .orderBy("doc_id", "rnk")
     },
