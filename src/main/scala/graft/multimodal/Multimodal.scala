@@ -72,6 +72,41 @@ object Multimodal {
       bytes.take(math.max(1, math.min(bytes.length, w * h / 64)))
   }
 
+  /** Text-bearing document decode — the codec face of the ETL extractor
+    * family (PDF today; same seam for epub/docx). Unlike [[MediaCodec]]
+    * this one has a REAL in-container implementation: [[FlatePdfCodec]].
+    */
+  trait DocumentCodec extends Serializable {
+    /** Decoded pages, in document order; Nil for undecodable bytes. */
+    def extractPages(bytes: Array[Byte]): Seq[String]
+  }
+
+  /** Real PDF codec — the pure-JVM FlateDecode/CID extractor that decodes
+    * the reference corpus's own Amharic volumes (graft.etl.FlatePdfExtractor,
+    * PipelineSpec). This retires the fake-codec stub for the PDF case: the
+    * multimodal decode path is end-to-end real for text-bearing documents.
+    */
+  object FlatePdfCodec extends DocumentCodec {
+    def extractPages(bytes: Array[Byte]): Seq[String] =
+      graft.etl.FlatePdfExtractor.extractPages(bytes)
+  }
+
+  final case class DocText(path: String, nPages: Int, text: String)
+
+  /** Per-partition document text extraction via a [[DocumentCodec]] — same
+    * iterator-to-iterator shape as [[imageFeatures]], one codec per
+    * partition, binary in / (path, page count, joined text) out.
+    */
+  def extractText(media: Dataset[MediaRow], codec: DocumentCodec): Dataset[DocText] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pages = codec.extractPages(r.content)
+        DocText(r.path, pages.size, pages.mkString("\n"))
+      }
+    }
+  }
+
   /** Ingest a directory of media blobs via the binaryFile source —
     * (path, modificationTime, length, content) — the S8 binary source at
     * cluster scale (splittable listing, no driver-side file walks).

@@ -141,10 +141,17 @@ object Ann {
     * Score and tie-break semantics match [[lshTopK]] exactly
     * (round(cosine, 4) DESC, id ASC, self-matches excluded) — asserted
     * probe-by-probe in TopKSpec. Output: (qid, rnk, cid, score).
+    *
+    * `excludeSelf = true` (the default) assumes queries and corpus share
+    * ONE id space — probes drawn from the corpus, as in [[lshTopK]] — and
+    * drops qid == cid matches as self-pairs. When the query set is an
+    * EXTERNAL table whose ids may coincidentally collide with corpus ids,
+    * pass `excludeSelf = false` so an id collision doesn't silently drop
+    * a valid nearest neighbour.
     */
   def lshTopKBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
-                   ring: Int = 3): DataFrame = {
+                   ring: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     val masks: Seq[Long] = (0L until (1L << nPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= ring)
     val c = withBucket(corpus, vecCol, nPlanes, dim)
@@ -154,7 +161,7 @@ object Ann {
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket"))
     val scored = q.join(c, Seq("bucket"))
-      .filter(col("qid") =!= col("cid"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
               // same arg order as scoreTopK: cosine(corpus vec, probe vec)
               round(VectorOps.cosine(col("cvec"), col("qvec")), 4).as("score"))

@@ -79,10 +79,26 @@ object Dedup {
     * 4-row chain corpus spent ~380 s purely in the optimizer). Truncating
     * to a LogicalRDD keeps every round's plan — and the driver's planning
     * cost — constant-size; the executors were never the bottleneck.
+    *
+    * FAULT-TOLERANCE TRADE: localCheckpoint truncates lineage into
+    * NON-reliable executor storage, so losing an executor (or a
+    * dynamic-allocation reclaim) mid-loop fails the job unrecoverably —
+    * run with dynamic allocation off, or set a
+    * `spark.sparkContext.setCheckpointDir(...)` first: when a checkpoint
+    * dir is configured this loop automatically switches to RELIABLE
+    * `checkpoint(eager = true)` (HDFS/object-store backed, survives
+    * executor loss) at the same O(1)-plan benefit, paying one distributed
+    * write per round. Superseded rounds' blocks are freed by the
+    * ContextCleaner once unreferenced (reliable checkpoint files by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
   def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val edges = pairs.select(col(iCol).as("u"), col(jCol).as("v"))
       .union(pairs.select(col(jCol).as("u"), col(iCol).as("v")))
       .persist(MEMORY_AND_DISK)
@@ -92,7 +108,7 @@ object Dedup {
     }
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+      .transform(ckpt)
     var prevSum = labelSum(labels)
     var it = 0
     var done = false
@@ -105,13 +121,13 @@ object Dedup {
       val stepped = labels.join(prop, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       val next = stepped
         .join(stepped.select(col("u").as("lbl"), col("lbl").as("lbl2")),
               Seq("lbl"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       val s = labelSum(next)
       labels = next
       done = s.compareTo(prevSum) == 0

@@ -17,6 +17,13 @@ import graft.functions.expressions.NativeExprs
   *
   * Output columns: groupCols…, rnk (1-based, dense by construction — one
   * row per rank), tag, score.
+  *
+  * PRECONDITION: `scoreCol` and `tagCol` must be non-null. The aggregate
+  * ignores null entries (standard aggregate null semantics, pinned in
+  * TopKSpec), and a group whose rows are ALL null disappears entirely —
+  * whereas `row_number() OVER (...)` would rank null-score rows last and
+  * keep the group. Callers with nullable scores must coalesce/filter
+  * first or they silently lose rows relative to the window form.
   */
 object TopK {
 

@@ -68,12 +68,16 @@ object Analytics {
       """Q46 — behavioral funnel over the event stream: users who signed
         |up, then clicked within 24 h of first signup, then purchased
         |within 24 h of that first click (each stage strictly later than
-        |the previous stage's anchor). Scale shape: ONE user_id-keyed
-        |shuffle collects each user's per-type timestamps (per-user event
-        |counts are bounded in practice — the standard sessionization
-        |assumption); the stage anchors then resolve in a narrow array
-        |fold per user, and the final 3-row funnel is a keyless reduce.
-        |Output is the 3-row stage × count funnel.""".stripMargin,
+        |the previous stage's anchor). Scale shape: three stage-anchored
+        |min-aggregations, each keyed on user_id with MAP-SIDE partial
+        |min — per-user state is ONE timestamp per stage, never an event
+        |array, so a pathological user with millions of events costs the
+        |same as any other (the collect_list form this replaced carried a
+        |bounded-per-user assumption; PlanShapeSpec now asserts no
+        |unbounded per-key collection survives in the plan). The three
+        |user_id exchanges are same-keyed, so the anchor joins reuse the
+        |aggregation partitioning; the final 3-row funnel is a keyless
+        |reduce per stage. Output is the 3-row stage × count funnel.""".stripMargin,
       """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
         |           FROM events),
         |s AS (SELECT user_id, min(ts) AS t1 FROM e
@@ -93,36 +97,28 @@ object Analytics {
         .filter(col("event_type").isin("signup", "click", "purchase"))
         .select("user_id", "event_type", "ts")
       val day = expr("INTERVAL 24 HOURS")
-      // one shuffle: per user, the first signup plus the (sorted, bounded)
-      // click/purchase timestamp arrays; collect_list drops the nulls the
-      // when() leaves on other event types
-      val perUser = e.groupBy("user_id").agg(
-        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
-        sort_array(collect_list(
-          when(col("event_type") === "click", col("ts")))).as("cl"),
-        sort_array(collect_list(
-          when(col("event_type") === "purchase", col("ts")))).as("pu"))
-      // narrow per-user folds: first click in (t1, t1+24h], then first
-      // purchase in (t2, t2+24h] — arrays are sorted so the head is the min.
-      // `get` (0-based) returns NULL past the end; element_at(.., 1) would
-      // RAISE on an empty filter result under ANSI mode (Spark 4 default)
-      val staged = perUser
-        .withColumn("t2", get(filter(col("cl"),
-          c => c > col("t1") && c <= col("t1") + day), lit(0)))
-        .withColumn("t3", get(filter(col("pu"),
-          p => p > col("t2") && p <= col("t2") + day), lit(0)))
-      staged
-        .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
-             count(col("t3")).as("c3"))
-        .select(explode(array(
-          struct(lit("signup").as("stage"), lit(1).as("depth"),
-                 col("c1").as("n")),
-          struct(lit("click").as("stage"), lit(2).as("depth"),
-                 col("c2").as("n")),
-          struct(lit("purchase").as("stage"), lit(3).as("depth"),
-                 col("c3").as("n")))).as("s"))
-        .select(col("s.stage").as("stage"), col("s.depth").as("depth"),
-                col("s.n").as("n"))
+      // stage 1: first signup per user — min() partial-aggregates map-side,
+      // so each mapper ships one row per user it saw
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      // stage 2: first click strictly inside (t1, t1+24h]. The join keys
+      // and the following groupBy share the user_id partitioning, so the
+      // anchor filter + min is a narrow continuation of the join stage.
+      val c1 = e.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      // stage 3: first purchase strictly inside (t2, t2+24h]
+      val p1 = e.filter(col("event_type") === "purchase")
+        .join(c1, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, depth: Int) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(name).as("stage"), lit(depth).as("depth"), col("n"))
+      stage(s1, "signup", 1)
+        .union(stage(c1, "click", 2))
+        .union(stage(p1, "purchase", 3))
         .orderBy("depth")
     },
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{MinHashLsh, Sampling}
+import graft.operators.{Ann, MinHashLsh, Sampling}
 
 /** LLM-data-pipeline catalog (SURVEY §2.2 Q28–Q30 + the north-star
   * extensions): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
@@ -520,6 +520,27 @@ object Llm {
         .select(col("doc_id"),
                 TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
         .orderBy("doc_id")
+    },
+
+    Q.cap("q50_batch_ann",
+      """Q50 — batch ANN: EVERY probe in the query set resolved in one
+        |shuffled bucket join + bounded top-5 aggregate (the production
+        |multi-probe similarity-search shape — a training pipeline matches
+        |millions of probes, not one driver-looped probe at a time). Each
+        |probe explodes to its 93 hamming-ring-≤3 bucket ids and equi-joins
+        |the hyperplane-bucketed corpus on the bucket key; the per-probe
+        |top-5 cut is the bounded-buffer TopK aggregate, so the map side
+        |ships ≤5 candidates per (mapper, probe) — no window sort, no
+        |per-probe driver jobs. Query set: every 10th vector (probes drawn
+        |from the corpus, so self-matches are excluded). No DuckDB oracle
+        |(LSH is probabilistic by design); TopKSpec asserts probe-by-probe
+        |row-identity to the single-probe q29-family operator, and
+        |CatalogSpec asserts brute-force top-5 recall over all probes.""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter(col("vec_id") % 10 === 0)
+        Ann.lshTopKBatch(e, queries, "vec_id", "embedding", k = 5)
+          .orderBy("qid", "rnk")
     }
   )
 }

@@ -112,46 +112,101 @@ object Streams {
     * 3 = + purchased within 24 h of that first click), re-emitted in
     * Update mode whenever a user's state changes; the reader keeps the
     * row with the highest `seq` per user. State is the user's per-type
-    * timestamp lists — the SAME bounded-per-user assumption the batch
-    * query's collect_list makes — retained in full because a late-arriving
-    * earlier signup legally re-anchors the whole funnel (a min-only state
-    * could never revise t2/t3). At scale add an event-time watermark +
-    * EventTimeTimeout to evict settled users; NoTimeout keeps finite
-    * AvailableNow runs terminating (same trade as [[errorCounts]]).
+    * timestamp lists — retained in full because a late-arriving earlier
+    * signup legally re-anchors the whole funnel (a min-only state could
+    * never revise t2/t3). NoTimeout keeps finite AvailableNow runs
+    * terminating (same trade as [[errorCounts]]); at scale use
+    * [[funnelDepthsEvicting]], whose event-time timeout evicts settled
+    * users so state tracks the active working set.
     */
+  /** Fold a micro-batch of events into the funnel state (shared by both
+    * funnel variants — identical semantics to the batch q46 anchors).
+    */
+  private def foldFunnel(st: FunnelState,
+                         rows: Iterator[FunnelEvent]): FunnelState = {
+    var signup = st.signup
+    var clicks = st.clicks
+    var purchases = st.purchases
+    rows.foreach { e =>
+      e.event_type match {
+        case "signup" =>
+          if (signup.forall(s => micros(e.ts) < micros(s))) signup = Some(e.ts)
+        case "click"    => clicks = clicks :+ e.ts
+        case "purchase" => purchases = purchases :+ e.ts
+        case _          => ()
+      }
+    }
+    FunnelState(signup, clicks, purchases, st.seq + 1L)
+  }
+
+  /** Resolve the stage anchors exactly as the batch fold: first click in
+    * (t1, t1+24h], then first purchase in (t2, t2+24h].
+    */
+  private def funnelDepth(st: FunnelState): Int = {
+    val t1 = st.signup.map(micros)
+    val t2 = t1.flatMap(a =>
+      st.clicks.map(micros).filter(c => c > a && c <= a + DayMicros)
+        .sorted.headOption)
+    val t3 = t2.flatMap(a =>
+      st.purchases.map(micros).filter(p => p > a && p <= a + DayMicros)
+        .sorted.headOption)
+    if (t3.isDefined) 3 else if (t2.isDefined) 2
+    else if (t1.isDefined) 1 else 0
+  }
+
   def funnelDepths(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val st = state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L))
-          var signup = st.signup
-          var clicks = st.clicks
-          var purchases = st.purchases
-          rows.foreach { e =>
-            e.event_type match {
-              case "signup" =>
-                if (signup.forall(s => micros(e.ts) < micros(s))) signup = Some(e.ts)
-              case "click"    => clicks = clicks :+ e.ts
-              case "purchase" => purchases = purchases :+ e.ts
-              case _          => ()
-            }
-          }
-          val next = FunnelState(signup, clicks, purchases, st.seq + 1L)
+          val next = foldFunnel(
+            state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L)), rows)
           state.update(next)
-          // resolve anchors exactly as the batch fold: first click in
-          // (t1, t1+24h], then first purchase in (t2, t2+24h]
-          val t1 = signup.map(micros)
-          val t2 = t1.flatMap(a =>
-            clicks.map(micros).filter(c => c > a && c <= a + DayMicros)
-              .sorted.headOption)
-          val t3 = t2.flatMap(a =>
-            purchases.map(micros).filter(p => p > a && p <= a + DayMicros)
-              .sorted.headOption)
-          val depth = if (t3.isDefined) 3 else if (t2.isDefined) 2
-                      else if (t1.isDefined) 1 else 0
-          FunnelUpdate(user, next.seq, depth)
+          FunnelUpdate(user, next.seq, funnelDepth(next))
+      }
+  }
+
+  /** [[funnelDepths]] with WATERMARK-driven state eviction — the 100 TB
+    * form, where the state store must track the ACTIVE user working set
+    * instead of growing with all-time users. Callers apply
+    * `withWatermark("ts", …)` upstream (EventTimeTimeout requires it);
+    * a user's state is dropped once the event-time watermark passes the
+    * user's newest funnel event + `settleAfterMs`, at which point the
+    * settled depth is re-emitted one final time (same max-seq-wins
+    * contract [[funnelCounts]] already reads). The trade vs NoTimeout is
+    * explicit: an event arriving AFTER its user settled restarts that
+    * user's funnel from empty state — the same event would also be beyond
+    * any watermarked batch-recomputation window, so streaming and batch
+    * agree on what "too late" means.
+    */
+  def funnelDepthsEvicting(events: Dataset[FunnelEvent],
+                           settleAfterMs: Long = 48L * 3600L * 1000L)
+      : Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L))
+            state.remove()
+            // final re-emission of the settled depth; funnelCounts keeps
+            // max-seq per user, so this idempotently confirms the last value
+            FunnelUpdate(user, st.seq + 1L, funnelDepth(st))
+          } else {
+            val next = foldFunnel(
+              state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L)), rows)
+            state.update(next)
+            // settle once the watermark passes the user's newest event +
+            // slack; timeout timestamps must sit strictly beyond the
+            // current watermark, so clamp against it
+            val newestMs = (next.signup.toSeq ++ next.clicks ++ next.purchases)
+              .map(t => micros(t) / 1000L).max
+            state.setTimeoutTimestamp(math.max(
+              newestMs + settleAfterMs, state.getCurrentWatermarkMs() + 1L))
+            FunnelUpdate(user, next.seq, funnelDepth(next))
+          }
       }
   }
 

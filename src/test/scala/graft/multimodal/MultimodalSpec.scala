@@ -5,8 +5,9 @@ import java.nio.file.{Files, Paths}
 
 /** Multimodal plumbing tests: binaryFile ingest, per-partition feature
   * extraction (schema/batch shape/laziness), frame-sample fan-out, and
-  * phash near-dup banding — all against the deterministic FakeCodec
-  * (the real codec is out-of-container, SURVEY §7.4-style stub).
+  * phash near-dup banding — against the deterministic FakeCodec for
+  * image/audio (real codec out-of-container, SURVEY §7.4-style stub), and
+  * against the REAL FlatePdfCodec for text-bearing PDFs.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -40,6 +41,27 @@ class MultimodalSpec extends SparkSpec {
     assert(byName("imgA.bin").phash !== byName("imgC.bin").phash)
     assert(byName.values.forall(f => f.width >= 64 && f.height >= 64 &&
       (1 to 4).contains(f.channels)))
+  }
+
+  test("PDF text via the REAL codec — Ethiopic text from reference vol01 bytes") {
+    // binaryFile ingest of a real reference volume → per-partition decode
+    // through the DocumentCodec seam — no stub anywhere on this path
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "vol01.pdf").load("/root/reference")
+      .selectExpr("path", "'pdf' as kind", "length", "content")
+      .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product)
+    val docs = Multimodal.extractText(media, Multimodal.FlatePdfCodec).collect()
+    assert(docs.length === 1)
+    assert(docs.head.nPages > 0, "no pages decoded from vol01.pdf")
+    // Ethiopic block U+1200–U+137F — the actual cassation-decision script
+    assert(docs.head.text.exists(c => c >= 'ሀ' && c <= '፿'),
+      s"no Ethiopic characters decoded; got: ${docs.head.text.take(120)}")
+    // garbage bytes flow through as empty docs, never throw
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow("junk", "pdf", 4L,
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val jr = Multimodal.extractText(junk, Multimodal.FlatePdfCodec).collect()
+    assert(jr.head.nPages === 0 && jr.head.text.isEmpty)
   }
 
   test("frame sampling — one row per sampled frame, offsets spaced by everyMs") {

@@ -63,6 +63,61 @@ class CatalogSpec extends SparkSpec {
     assert(candN < e.count() / 2)
   }
 
+  test("q50 — batch ANN recall vs brute-force top-5 over ALL probes") {
+    // the declared catalog entry (every 10th vector as probe). Brute truth
+    // for every probe comes from ONE plan — corpus × broadcast(probes) +
+    // per-probe window cut — not a driver loop of per-probe jobs.
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val bruteTop = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("cv"), col("qv")), 4).as("score"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("cid"))))
+      .filter(col("rnk") <= 5)
+    val truth = bruteTop.select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Catalog.byName("q50_batch_ann").build(spark, sf0001)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    // this synthetic corpus is ADVERSARIAL for sign-LSH: its true top-5
+    // sit at cosine ≈ 0.3 (expected hamming 8·arccos(.3)/π ≈ 3.2 of 8
+    // planes, right at the ring-3 horizon), so aggregate recall is the
+    // measured ~0.58 — pin a floor so regressions surface, and assert the
+    // high-similarity regime (what LSH is FOR) exactly below
+    assert(recall >= 0.5, s"batch-ANN recall $recall < 0.5")
+    // every probe must be present with exactly 5 ranked rows
+    val counts = Catalog.byName("q50_batch_ann").build(spark, sf0001)
+      .groupBy("qid").count().collect().map(_.getLong(1)).toSet
+    assert(counts === Set(5L), s"per-probe row counts: $counts")
+  }
+
+  test("batch ANN — high-similarity regime: planted twins found at rank 1, all probes") {
+    // EXTERNAL query table (ids re-used from a disjoint range) whose
+    // vectors are exact copies of corpus vectors: every probe's true
+    // nearest neighbour is its twin at cosine 1.0, hamming 0 — recall
+    // must be total at ANY ring. excludeSelf=false is the documented
+    // external-id-space mode (qid == cid would here be a coincidence,
+    // not a self-match).
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val top1 = graft.operators.Ann.lshTopKBatch(
+        e, queries, "vec_id", "embedding", k = 1, excludeSelf = false)
+      .select("qid", "cid", "score").collect()
+    assert(top1.length === queries.count())
+    top1.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 100000L,
+        s"probe ${r.getLong(0)}: twin not at rank 1 (got ${r.getLong(1)})")
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
   test("IVF ANN — KMeans cells recover brute-force top-5 at nProbe=4/8") {
     val e = Tables.embeddings(spark, sf0001)
     val ivfTop = graft.operators.Ann.ivfTopK(e, "vec_id", "embedding",

@@ -69,13 +69,32 @@ class PlanShapeSpec extends SparkSpec {
     // vector, corpus totals …) passes automatically, while a real unkeyed
     // join of two unbounded relations still fails here before any bench
     // regresses.
-    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val genuineCrossOk = Set("q22b_crossjoin")
-    def hasEquiKeys(j: Join): Boolean = j.condition.exists(_.exists {
-      case _: EqualTo | _: EqualNullSafe => true
-      case _ => false
-    })
+    // mirrors ExtractEquiJoinKeys: only a TOP-LEVEL conjunct of the form
+    // leftSideExpr = rightSideExpr yields a hash key. An EqualTo under an
+    // Or (a.x=b.y OR a.z=b.w) or a same-side equality gives Catalyst
+    // nothing to hash on — counting those would let a genuine unbounded
+    // nested loop slip past this audit.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other     => Seq(other)
+    }
+    def hasEquiKeys(j: Join): Boolean = {
+      def oneSideEach(l: Expression, r: Expression): Boolean = {
+        val (ll, lr) = (l.references.subsetOf(j.left.outputSet),
+                        l.references.subsetOf(j.right.outputSet))
+        val (rl, rr) = (r.references.subsetOf(j.left.outputSet),
+                        r.references.subsetOf(j.right.outputSet))
+        (ll && rr) || (lr && rl)
+      }
+      j.condition.exists(conjuncts(_).exists {
+        case EqualTo(l, r)       => oneSideEach(l, r)
+        case EqualNullSafe(l, r) => oneSideEach(l, r)
+        case _ => false
+      })
+    }
     // q20 is the DECLARED exact global ntile (oracle form; q20b is its
     // scale twin) — the only query allowed an unpartitioned window.
     val globalWindowOk = Set("q20_ntile")
@@ -151,6 +170,18 @@ class PlanShapeSpec extends SparkSpec {
     }
     val p27 = plan("q27_json")
     assert(!p27.contains("Join"), s"q27 grew a join:\n$p27")
+  }
+
+  test("q46 — per-user state is bounded: min anchors only, no per-key collection") {
+    // the funnel must survive a pathological user with millions of events:
+    // every per-user aggregate has to be a bounded partial (min/count),
+    // never an unbounded collect_list/collect_set array build
+    val p = plan("q46_funnel")
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      s"q46 builds unbounded per-user arrays:\n$p")
+    // min() partial-aggregates map-side, so the user-keyed exchanges only
+    // carry one row per (mapper, user)
+    assert(p.contains("partial_min"), p)
   }
 
   test("q44 — the benchmark shingle set broadcasts; corpus side never shuffles whole") {

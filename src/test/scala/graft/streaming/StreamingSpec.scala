@@ -104,6 +104,73 @@ class StreamingSpec extends SparkSpec {
     assert(ns.sorted.reverse.sameElements(ns), s"non-monotone funnel: ${ns.toSeq}")
   }
 
+  test("evicting funnel — batch-equivalent when no user settles mid-run") {
+    // wide watermark + settle window: no event is late and no user settles
+    // before end-of-input, so the evicting variant must reproduce the
+    // NoTimeout variant's (= batch q46's) counts exactly
+    val stream = Streams.parquetStream(spark, eventsDir, batchEvents)
+      .filter($"event_type".isin("signup", "click", "purchase"))
+      .withWatermark("ts", "3650 days")
+      .select($"user_id", $"ts", $"event_type").as[Streams.FunnelEvent]
+    val updates = Streams.runAvailableNow(
+      Streams.funnelDepthsEvicting(stream,
+        settleAfterMs = 3650L * 24 * 3600 * 1000).toDF(),
+      "t_funnel_evict", ckpt(),
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = Streams.funnelCounts(updates)
+    val want = graft.queries.Catalog.byName("q46_funnel").build(spark, sf0001)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"evicting funnel ${got.collect().toSeq} != batch ${want.collect().toSeq}")
+  }
+
+  test("evicting funnel — watermark evicts settled users; post-settle data restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600_000L)
+    val src = MemoryStream[Streams.FunnelEvent]
+    val updates = Streams.funnelDepthsEvicting(
+      src.toDS().withWatermark("ts", "1 hour").as[Streams.FunnelEvent],
+      settleAfterMs = 24L * 3600 * 1000)
+    val q = updates.toDF().writeStream.format("memory")
+      .queryName("t_funnel_wm").outputMode("update")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      // batch 1: user 1 completes the funnel (depth 3)
+      src.addData(
+        Streams.FunnelEvent(1L, at(0), "signup"),
+        Streams.FunnelEvent(1L, at(1), "click"),
+        Streams.FunnelEvent(1L, at(2), "purchase"))
+      q.processAllAvailable()
+      // batch 2: a far-future event advances the watermark to t0+99h —
+      // beyond user 1's newest event (t0+2h) + 24h settle, so user 1's
+      // state is evicted in the watermark-commit batch that follows
+      src.addData(Streams.FunnelEvent(2L, at(100), "signup"))
+      q.processAllAvailable()
+      // batch 3: a fresh event keeps the query moving so the timeout fires
+      src.addData(Streams.FunnelEvent(2L, at(101), "click"))
+      q.processAllAvailable()
+      val after = spark.table("t_funnel_wm")
+        .filter($"user_id" === 1L)
+        .select("seq", "depth").as[(Long, Int)].collect().toSet
+      // batch 1 emitted (seq 1, depth 3); the timeout re-emits the settled
+      // depth with the incremented seq — (2, 3) proves the eviction fired
+      assert(after === Set((1L, 3), (2L, 3)),
+        s"settled user 1 should re-emit depth 3 on eviction: $after")
+      // batch 4: user 1 events arriving AFTER eviction fold from EMPTY
+      // state — a lone click yields (seq 1, depth 0), proving the state was
+      // dropped (retained state would extend the old depth-3 funnel, and a
+      // fresh fold restarts the seq counter at 1)
+      src.addData(Streams.FunnelEvent(1L, at(102), "click"))
+      q.processAllAvailable()
+      val restarted = spark.table("t_funnel_wm")
+        .filter($"user_id" === 1L)
+        .select("seq", "depth").as[(Long, Int)].collect().toSet -- after
+      assert(restarted === Set((1L, 0)),
+        s"post-eviction click must restart from empty state: $restarted")
+    } finally q.stop()
+  }
+
   test("binaryFile PDF ingest stream — incremental, exactly-once (S5+S8)") {
     val watch = Files.createTempDirectory("graft_pdfwatch").toString
     val out = Files.createTempDirectory("graft_pdfout").toString
