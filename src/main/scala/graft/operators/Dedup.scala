@@ -87,8 +87,10 @@ object Dedup {
     * `spark.sparkContext.setCheckpointDir(...)` first: when a checkpoint
     * dir is configured this loop automatically switches to RELIABLE
     * `checkpoint(eager = true)` (HDFS/object-store backed, survives
-    * executor loss) at the same O(1)-plan benefit, paying one distributed
-    * write per round. Superseded rounds' blocks are freed by the
+    * executor loss) at the same O(1)-plan benefit, paying two eager
+    * distributed writes per iteration (the propagated and pointer-jumped
+    * frames) plus the initial labels write — up to 2·maxIter + 1 in
+    * total. Superseded rounds' blocks are freed by the
     * ContextCleaner once unreferenced (reliable checkpoint files by
     * `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */

@@ -101,7 +101,25 @@ object Streams {
   final case class FunnelState(signup: Option[Timestamp],
                                clicks: Seq[Timestamp],
                                purchases: Seq[Timestamp], seq: Long)
-  final case class FunnelUpdate(user_id: Long, seq: Long, depth: Int)
+  /** Reader-ordering contract. [[funnelDepthsEvicting]] resets a user's
+    * `seq` counter to 1 when post-eviction events restart the funnel from
+    * empty state, so seq alone cannot rank updates across an eviction —
+    * the settled emission's higher seq would shadow the genuinely newer
+    * restart forever. Recency is `(wm, live, seq)` lexicographically:
+    *
+    *  - `wm` — the event-time watermark (ms) at emission, 0 when the
+    *    query has none. A timeout fires only because the watermark
+    *    ADVANCED past its timestamp, so an eviction emission's wm is
+    *    strictly greater than every update of the lineage it closes; and
+    *    any restart emits in a later batch, so its wm is ≥ the eviction's.
+    *  - `live` — true for updates from live state, false for the
+    *    eviction's final emission. Breaks the wm tie between an eviction
+    *    and a restart that the watermark has not yet moved past: the
+    *    restart (live) wins.
+    *  - `seq` — orders updates within one live lineage (same wm).
+    */
+  final case class FunnelUpdate(user_id: Long, seq: Long, depth: Int,
+                                wm: Long, live: Boolean)
 
   private val DayMicros = 24L * 3600L * 1000000L
   private def micros(t: Timestamp): Long =
@@ -154,6 +172,14 @@ object Streams {
     else if (t1.isDefined) 1 else 0
   }
 
+  /** Watermark at emission, tolerating queries that define none (batch
+    * runs / unwatermarked NoTimeout streams report 0 — recency then falls
+    * back to the seq counter alone, the pre-eviction contract).
+    */
+  private def wmMs(state: GroupState[_]): Long =
+    try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => 0L }
+
   def funnelDepths(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     events
@@ -163,7 +189,8 @@ object Streams {
           val next = foldFunnel(
             state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L)), rows)
           state.update(next)
-          FunnelUpdate(user, next.seq, funnelDepth(next))
+          FunnelUpdate(user, next.seq, funnelDepth(next), wmMs(state),
+            live = true)
       }
   }
 
@@ -173,8 +200,10 @@ object Streams {
     * `withWatermark("ts", …)` upstream (EventTimeTimeout requires it);
     * a user's state is dropped once the event-time watermark passes the
     * user's newest funnel event + `settleAfterMs`, at which point the
-    * settled depth is re-emitted one final time (same max-seq-wins
-    * contract [[funnelCounts]] already reads). The trade vs NoTimeout is
+    * settled depth is re-emitted one final time (readers rank updates by
+    * the (wm, seq) recency [[funnelCounts]] uses — see [[FunnelUpdate]]
+    * for why seq alone cannot order across an eviction). The trade vs
+    * NoTimeout is
     * explicit: an event arriving AFTER its user settled restarts that
     * user's funnel from empty state — the same event would also be beyond
     * any watermarked batch-recomputation window, so streaming and batch
@@ -191,21 +220,28 @@ object Streams {
           if (state.hasTimedOut) {
             val st = state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L))
             state.remove()
-            // final re-emission of the settled depth; funnelCounts keeps
-            // max-seq per user, so this idempotently confirms the last value
-            FunnelUpdate(user, st.seq + 1L, funnelDepth(st))
+            // final re-emission of the settled depth; recency for readers
+            // is (wm, seq) — see FunnelUpdate — so a post-eviction restart
+            // (whose seq counter resets to 1) still wins once the
+            // watermark advances past this batch's
+            FunnelUpdate(user, st.seq + 1L, funnelDepth(st), wmMs(state),
+              live = false)
           } else {
             val next = foldFunnel(
               state.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L)), rows)
             state.update(next)
             // settle once the watermark passes the user's newest event +
             // slack; timeout timestamps must sit strictly beyond the
-            // current watermark, so clamp against it
+            // current watermark, so clamp against it. A batch carrying
+            // only unrecognized event types anchors nothing (maxOption
+            // None) — the clamp alone schedules the next possible settle.
             val newestMs = (next.signup.toSeq ++ next.clicks ++ next.purchases)
-              .map(t => micros(t) / 1000L).max
+              .map(t => micros(t) / 1000L).maxOption
             state.setTimeoutTimestamp(math.max(
-              newestMs + settleAfterMs, state.getCurrentWatermarkMs() + 1L))
-            FunnelUpdate(user, next.seq, funnelDepth(next))
+              newestMs.map(_ + settleAfterMs).getOrElse(0L),
+              state.getCurrentWatermarkMs() + 1L))
+            FunnelUpdate(user, next.seq, funnelDepth(next), wmMs(state),
+              live = true)
           }
       }
   }
@@ -215,8 +251,14 @@ object Streams {
     * the batch-q46-equivalent reading of the update stream.
     */
   def funnelCounts(updates: DataFrame): DataFrame = {
+    // recency = (wm, live, seq) — see FunnelUpdate: seq alone would let a
+    // settled user's eviction emission shadow the restarted (seq-reset)
+    // funnel, and wm alone cannot split an eviction from a restart the
+    // watermark has not yet moved past (booleans order false < true, so
+    // live updates outrank the final emission at equal wm)
     val latest = updates.groupBy("user_id")
-      .agg(max_by(col("depth"), col("seq")).as("depth"))
+      .agg(max_by(col("depth"),
+        struct(col("wm"), col("live"), col("seq"))).as("depth"))
     latest.agg(
         sum(when(col("depth") >= 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("c2"),

@@ -35,6 +35,34 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 3 + 3 + 41)
   }
 
+  test("connectedComponents — RELIABLE checkpoint path when a checkpoint dir is set") {
+    // same labels as the localCheckpoint path, and checkpoint files must
+    // actually land in the configured dir. The shared SparkContext has no
+    // public checkpoint-dir unset, so restore the private field afterwards
+    // — otherwise every later connectedComponents call in the JVM silently
+    // switches to the reliable path.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val pairs = (Seq((1L, 2L), (2L, 3L)) ++ (100L until 120L).map(i => (i, i + 1)))
+        .toDF("i", "j")
+      val got = Dedup.connectedComponents(pairs, "i", "j")
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+      assert((100L to 120L).forall(got(_) == 100L))
+      val nCkptFiles = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(nCkptFiles > 0, s"no reliable checkpoint files under $dir")
+    } finally {
+      val f = sc.getClass.getDeclaredFields
+        .find(_.getName.contains("checkpointDir"))
+        .getOrElse(fail("SparkContext.checkpointDir field not found"))
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
   test("simhashPairs == brute-force hamming join (pigeonhole exactness)") {
     val docs = Tables.documents(spark, sf0001)
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)

@@ -81,9 +81,10 @@ class CatalogSpec extends SparkSpec {
       .filter(col("rnk") <= 5)
     val truth = bruteTop.select("qid", "cid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = Catalog.byName("q50_batch_ann").build(spark, sf0001)
+    val batchRows = Catalog.byName("q50_batch_ann").build(spark, sf0001)
       .select("qid", "cid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = batchRows.toSet
     val recall = (truth & got).size.toDouble / truth.size
     // this synthetic corpus is ADVERSARIAL for sign-LSH: its true top-5
     // sit at cosine ≈ 0.3 (expected hamming 8·arccos(.3)/π ≈ 3.2 of 8
@@ -92,9 +93,8 @@ class CatalogSpec extends SparkSpec {
     // high-similarity regime (what LSH is FOR) exactly below
     assert(recall >= 0.5, s"batch-ANN recall $recall < 0.5")
     // every probe must be present with exactly 5 ranked rows
-    val counts = Catalog.byName("q50_batch_ann").build(spark, sf0001)
-      .groupBy("qid").count().collect().map(_.getLong(1)).toSet
-    assert(counts === Set(5L), s"per-probe row counts: $counts")
+    val counts = batchRows.groupBy(_._1).values.map(_.length).toSet
+    assert(counts === Set(5), s"per-probe row counts: $counts")
   }
 
   test("batch ANN — high-similarity regime: planted twins found at rank 1, all probes") {

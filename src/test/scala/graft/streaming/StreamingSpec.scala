@@ -163,11 +163,28 @@ class StreamingSpec extends SparkSpec {
       // fresh fold restarts the seq counter at 1)
       src.addData(Streams.FunnelEvent(1L, at(102), "click"))
       q.processAllAvailable()
+      // advance the watermark past the restart batch so the (wm, seq)
+      // recency can rank the restart above the eviction emission
+      src.addData(Streams.FunnelEvent(2L, at(200), "purchase"))
+      q.processAllAvailable()
+      src.addData(Streams.FunnelEvent(1L, at(201), "signup"))
+      q.processAllAvailable()
       val restarted = spark.table("t_funnel_wm")
         .filter($"user_id" === 1L)
         .select("seq", "depth").as[(Long, Int)].collect().toSet -- after
-      assert(restarted === Set((1L, 0)),
+      assert(restarted.contains((1L, 0)),
         s"post-eviction click must restart from empty state: $restarted")
+      // and the funnelCounts reader must rank the restarted funnel (seq
+      // reset to 1) ABOVE the settled depth-3 eviction emissions — the
+      // (wm, live, seq) recency contract. User 1's latest state is the
+      // lone post-restart signup → depth 1; user 2 reached depth 2
+      // (signup+click; the purchase@200h is outside its 24 h window). So
+      // signup counts both users, click only user 2, purchase nobody —
+      // user 1's old depth-3 funnel must be gone from the purchase stage.
+      val counts = Streams.funnelCounts(spark.table("t_funnel_wm"))
+        .orderBy("depth").select("n").as[Long].collect().toSeq
+      assert(counts === Seq(2L, 1L, 0L),
+        s"funnelCounts must follow the restarted user, got $counts")
     } finally q.stop()
   }
 
