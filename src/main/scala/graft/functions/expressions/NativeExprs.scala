@@ -101,6 +101,16 @@ object NativeExprs {
   def shingleMd5BottomK(toks: Column, w: Int, k: Int): Column =
     col(ShingleMd5BottomKExpr(ex(toks), w, k))
 
+  /** Codegen'd `might_contain(filter, value)` over a LongType column using
+    * Spark's own BloomFilterMightContain (the expression InjectRuntimeFilter
+    * plants); `filterBytes` embeds as the constant-binary form it requires
+    * outside a scalar subquery. Facade: graft.functions.BloomOps.
+    */
+  def bloomMightContainLong(filterBytes: Array[Byte], value: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(filterBytes, BinaryType),
+      ex(value)))
+
   /** Bottom-k DISTINCT md5 hex digests of a string array, ascending —
     * value-identical to slice(array_sort(array_distinct(md5HexAll(arr))),
     * 1, k), in one pass over 16-byte digests (hex encoding is monotone in

@@ -245,6 +245,39 @@ object Analytics {
                      (col("c2") * lit(1.0) / col("t_u")))), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    Q("q52_dist_stats",
+      """Q52 — per-language distribution statistics: exact interpolated
+        |median and p90 of per-document token counts, sample stddev, and
+        |the Pearson correlation of token count vs character count — the
+        |moment/quantile/corr aggregate surface a dataset-profiling pass
+        |runs before training. Scale shape: token counts are computed in
+        |the scan projection (narrow), then ONE hash aggregation by lang —
+        |stddev/corr reduce via their moment sketches with map-side
+        |partials; the exact percentile aggregates per-group value buffers,
+        |which is safe at the declared group cardinality (languages —
+        |bounded and small); an unbounded group domain would swap in
+        |approx_percentile, the declared q20b-style trade.""".stripMargin,
+      """WITH t AS (SELECT lang, n_chars, len(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  round(quantile_cont(toks, 0.5), 4) AS med_toks,
+        |  round(quantile_cont(toks, 0.9), 4) AS p90_toks,
+        |  round(stddev_samp(toks), 4) AS sd_toks,
+        |  round(corr(toks, n_chars), 4) AS corr_toks_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(col("toks"), lit(0.5)), 4).as("med_toks"),
+          round(percentile(col("toks"), lit(0.9)), 4).as("p90_toks"),
+          round(stddev_samp(col("toks")), 4).as("sd_toks"),
+          round(corr(col("toks"), col("n_chars")), 4).as("corr_toks_chars"))
+        .orderBy("lang")
     }
   )
 }

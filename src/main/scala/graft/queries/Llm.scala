@@ -481,6 +481,57 @@ object Llm {
         .orderBy("doc_id")
     },
 
+    Q("q51_bloom_decontaminate",
+      """Q51 — bloom-prefiltered decontamination: q44's semantics (distinct
+        |3-shingle overlap with the doc_id<5 benchmark set) re-expressed for
+        |the case where the eval-suite shingle set is too large to broadcast
+        |as an EXACT set. Shape: (1) distributed-build a bloom filter over
+        |the benchmark shingles (~9.6 bits/key at 1 % fpp vs ≥64 bits + table
+        |overhead for a broadcast hash set — a 100M-shingle suite is ~120 MB
+        |of filter, not multi-GB of set); (2) pre-cut the corpus shingle
+        |stream with the codegen'd might_contain probe INSIDE the scan
+        |projection — survivors are true overlaps + ~1 % false positives;
+        |(3) exact-verify ONLY the survivors with a shuffled hash join
+        |against the benchmark set, which now shuffles ~1 % of the corpus
+        |stream instead of all of it. False positives die in step 3, so the
+        |result is EXACT — same DuckDB oracle as q44. The filter build is a
+        |per-partition-merge action on the driver (scalar-sized anchor, the
+        |same class as the ANN probe lookups); it is sized from the measured
+        |benchmark cardinality (the suite size is known in production), so
+        |the plan-embedded literal stays proportional to the suite — the
+        |bench set is persisted across the count/build/verify reuses.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i,
+        |        toks FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS s FROM s),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s)
+        |       WHERE sh.doc_id >= 5 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
+        |       coalesce(n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15)).as("sh"))
+      val bench = shingled.filter(col("doc_id") < 5).select("sh")
+        .distinct().persist()
+      val bloom = graft.functions.BloomOps
+        .buildLongFilter(bench, "sh", math.max(bench.count(), 1L), 0.01)
+      val survivors = shingled.filter(col("doc_id") >= 5)
+        .filter(graft.functions.BloomOps.mightContainLong(bloom, col("sh")))
+      val overlap = survivors
+        .join(bench.hint("shuffle_hash"), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      Tables.documents(s, d).filter(col("doc_id") >= 5).select("doc_id")
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast(LongType).as("n_overlap"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     Q.cap("q39_rolling_fingerprint",
       """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
         |Rabin-Karp hashes of each document, computed in O(n) per doc with
@@ -541,6 +592,34 @@ object Llm {
         val queries = e.filter(col("vec_id") % 10 === 0)
         Ann.lshTopKBatch(e, queries, "vec_id", "embedding", k = 5)
           .orderBy("qid", "rnk")
+    },
+
+    Q("q53_per_source_cap",
+      """Q53 — per-source document caps: keep the top-10 documents per
+        |source by (n_chars DESC, doc_id ASC) — the data-mixing cap every
+        |corpus recipe applies so one domain can't dominate the training
+        |mix. Scale shape: the window form (`row_number() OVER (PARTITION
+        |BY source ...)`) must shuffle and sort EVERY document row into its
+        |source's partition before cutting; this runs the bounded top-k
+        |aggregate (TopKAgg) instead — each mapper reduces its slice to
+        |≤10 entries per source before anything shuffles, so the exchange
+        |carries ≤10·sources·mappers tiny structs, not the corpus. Same
+        |rank semantics as the window form (TopKSpec row-identity), and
+        |the DuckDB oracle IS the window formulation.""".stripMargin,
+      """SELECT source, rnk, doc_id, sc FROM (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS sc,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      import graft.operators.TopK
+      TopK.perGroup(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              col("n_chars").cast(DoubleType).as("sc")),
+          Seq("source"), "sc", "doc_id", 10)
+        .select(col("source"), col("rnk"), col("doc_id"), col("sc"))
+        .orderBy("source", "rnk")
     }
   )
 }

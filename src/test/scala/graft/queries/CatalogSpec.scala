@@ -39,6 +39,15 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q51 — bloom-prefiltered decontamination is row-identical to q44") {
+    // the bloom prefilter admits false positives; the exact-verify join
+    // must remove every one of them — q51 and q44 declare the SAME result
+    // (and share the DuckDB oracle), only the distribution shape differs
+    val q44 = Catalog.byName("q44_decontaminate").build(spark, sf0001)
+    val q51 = Catalog.byName("q51_bloom_decontaminate").build(spark, sf0001)
+    assert(q44.exceptAll(q51).isEmpty && q51.exceptAll(q44).isEmpty)
+  }
+
   test("q29 — ANN LSH operator recovers brute-force top-5 while pruning") {
     // the 100 TB path (operators.Ann): hyperplane buckets + hamming-ring
     // multi-probe. Ring=3 of 8 planes because this corpus's true top-5 sit

@@ -190,6 +190,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q51 — bloom probe precedes the verify join; exact set never broadcasts") {
+    val p = plan("q51_bloom_decontaminate")
+    // the codegen'd might_contain prefilter sits on the corpus side
+    assert(p.contains("might_contain"), s"q51 lost the bloom prefilter:\n$p")
+    // the exact-verify join of survivors vs the benchmark set is SHUFFLED —
+    // the whole point is that no exact benchmark set is ever broadcast
+    // (the bloom literal replaces it); the only broadcast is the final
+    // small overlap-counts attach onto the doc spine
+    assert(p.contains("ShuffledHashJoin"), s"q51 verify join not shuffled:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q20b — scalable ntile has NO window operator (no single-partition stage)") {
     val p = plan("q20b_ntile_scalable")
     assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
