@@ -392,6 +392,65 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** State-API-v2 twin of [[funnelDepthsEvicting]]: the same
+    * watermark-driven settle/evict/restart semantics expressed as a
+    * `StatefulProcessor` with EVENT-TIME TIMERS — the Spark-4-native form
+    * of the 100 TB shape (typed state handles on the RocksDB store;
+    * timers are an explicit per-key SET here rather than GroupState's
+    * single timeout slot, so each input batch replaces the key's pending
+    * timer). Kept semantically identical to the v1 operator — same fold,
+    * same depth resolution, same (wm, live, seq) recency contract — and
+    * StreamingSpec asserts the same eviction/restart scenario on it.
+    */
+  class FunnelProcessor(settleAfterMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState,
+      TimerValues, ExpiredTimerInfo}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        timers: TimerValues): Iterator[FunnelUpdate] = {
+      val next = foldFunnel(
+        if (st.exists()) st.get() else FunnelState(None, Nil, Nil, 0L), rows)
+      st.update(next)
+      // one pending settle timer per key: replace, don't accumulate
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val newestMs = (next.signup.toSeq ++ next.clicks ++ next.purchases)
+        .map(t => micros(t) / 1000L).maxOption
+      getHandle.registerTimer(math.max(
+        newestMs.map(_ + settleAfterMs).getOrElse(0L),
+        timers.getCurrentWatermarkInMs() + 1L))
+      Iterator.single(FunnelUpdate(user, next.seq, funnelDepth(next),
+        timers.getCurrentWatermarkInMs(), live = true))
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[FunnelUpdate] = {
+      val cur = if (st.exists()) st.get() else FunnelState(None, Nil, Nil, 0L)
+      st.clear()
+      Iterator.single(FunnelUpdate(user, cur.seq + 1L, funnelDepth(cur),
+        timers.getCurrentWatermarkInMs(), live = false))
+    }
+  }
+
+  /** [[funnelDepthsEvicting]] via transformWithState (see
+    * [[FunnelProcessor]]). Callers apply `withWatermark("ts", …)` upstream
+    * (TimeMode.EventTime requires it) and run on the RocksDB state store
+    * provider.
+    */
+  def funnelDepthsTws(events: Dataset[FunnelEvent],
+                      settleAfterMs: Long = 48L * 3600L * 1000L)
+      : Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(settleAfterMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Run any of the above to a memory sink with Trigger.AvailableNow and
     * return the materialized result — the batch-equivalence harness used by
     * StreamingSpec (SURVEY §5.4).

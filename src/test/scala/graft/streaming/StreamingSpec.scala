@@ -188,6 +188,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState funnel — event-time timers evict and restart (v2 twin)") {
+    // the SAME eviction/restart scenario as the GroupState variant above,
+    // run through the state-API-v2 processor (RocksDB store, explicit
+    // per-key timer set) — semantics must be indistinguishable
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600_000L)
+    val src = MemoryStream[Streams.FunnelEvent]
+    val updates = Streams.funnelDepthsTws(
+      src.toDS().withWatermark("ts", "1 hour").as[Streams.FunnelEvent],
+      settleAfterMs = 24L * 3600 * 1000)
+    val q = updates.toDF().writeStream.format("memory")
+      .queryName("t_funnel_tws").outputMode("update")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      src.addData(
+        Streams.FunnelEvent(1L, at(0), "signup"),
+        Streams.FunnelEvent(1L, at(1), "click"),
+        Streams.FunnelEvent(1L, at(2), "purchase"))
+      q.processAllAvailable()
+      src.addData(Streams.FunnelEvent(2L, at(100), "signup"))
+      q.processAllAvailable()
+      src.addData(Streams.FunnelEvent(2L, at(101), "click"))
+      q.processAllAvailable()
+      val after = spark.table("t_funnel_tws")
+        .filter($"user_id" === 1L)
+        .select("seq", "depth").as[(Long, Int)].collect().toSet
+      assert(after === Set((1L, 3), (2L, 3)),
+        s"settled user 1 should re-emit depth 3 on timer expiry: $after")
+      // post-eviction events must fold from EMPTY state (seq restarts at 1)
+      src.addData(Streams.FunnelEvent(1L, at(102), "click"))
+      q.processAllAvailable()
+      src.addData(Streams.FunnelEvent(2L, at(200), "purchase"))
+      q.processAllAvailable()
+      src.addData(Streams.FunnelEvent(1L, at(201), "signup"))
+      q.processAllAvailable()
+      val restarted = spark.table("t_funnel_tws")
+        .filter($"user_id" === 1L)
+        .select("seq", "depth").as[(Long, Int)].collect().toSet -- after
+      assert(restarted.contains((1L, 0)),
+        s"post-eviction click must restart from empty state: $restarted")
+      // the (wm, live, seq) reader contract holds across the v2 operator too
+      val counts = Streams.funnelCounts(spark.table("t_funnel_tws"))
+        .orderBy("depth").select("n").as[Long].collect().toSeq
+      assert(counts === Seq(2L, 1L, 0L),
+        s"funnelCounts must follow the restarted user, got $counts")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("binaryFile PDF ingest stream — incremental, exactly-once (S5+S8)") {
     val watch = Files.createTempDirectory("graft_pdfwatch").toString
     val out = Files.createTempDirectory("graft_pdfout").toString
