@@ -465,19 +465,14 @@ object Llm {
         |       coalesce(n, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov USING (doc_id)
         |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val shingled = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.expressions.NativeExprs
-            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15)).as("sh"))
-      val bench = shingled.filter(col("doc_id") < 5).select("sh").distinct()
-      val overlap = shingled.filter(col("doc_id") >= 5)
-        .join(broadcast(bench), Seq("sh"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      Tables.documents(s, d).filter(col("doc_id") >= 5).select("doc_id")
-        .join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n"), lit(0L)).cast(LongType).as("n_overlap"),
-          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      import graft.operators.Decontaminate
+      val shingled = Decontaminate.shingleSet(
+        Tables.documents(s, d), "doc_id", "text")
+      Decontaminate.overlap(
+          shingled.filter(col("doc_id") >= 5),
+          shingled.filter(col("doc_id") < 5),
+          Tables.documents(s, d).filter(col("doc_id") >= 5).select("doc_id"),
+          "doc_id")
         .orderBy("doc_id")
     },
 
@@ -511,24 +506,14 @@ object Llm {
         |       coalesce(n, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov USING (doc_id)
         |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val shingled = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.expressions.NativeExprs
-            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15)).as("sh"))
-      val bench = shingled.filter(col("doc_id") < 5).select("sh")
-        .distinct().persist()
-      val bloom = graft.functions.BloomOps
-        .buildLongFilter(bench, "sh", math.max(bench.count(), 1L), 0.01)
-      val survivors = shingled.filter(col("doc_id") >= 5)
-        .filter(graft.functions.BloomOps.mightContainLong(bloom, col("sh")))
-      val overlap = survivors
-        .join(bench.hint("shuffle_hash"), Seq("sh"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      Tables.documents(s, d).filter(col("doc_id") >= 5).select("doc_id")
-        .join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n"), lit(0L)).cast(LongType).as("n_overlap"),
-          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      import graft.operators.Decontaminate
+      val shingled = Decontaminate.shingleSet(
+        Tables.documents(s, d), "doc_id", "text")
+      Decontaminate.overlapBloom(
+          shingled.filter(col("doc_id") >= 5),
+          shingled.filter(col("doc_id") < 5),
+          Tables.documents(s, d).filter(col("doc_id") >= 5).select("doc_id"),
+          "doc_id")
         .orderBy("doc_id")
     },
 
