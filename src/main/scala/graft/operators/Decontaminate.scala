@@ -66,15 +66,23 @@ object Decontaminate {
 
   /** Bloom-prefiltered form (q51 shape). The filter is sized from the
     * measured benchmark cardinality (known a priori in production), so
-    * the plan-embedded literal stays proportional to the suite; the
-    * benchmark set is persisted across the count/build/verify reuses.
+    * the plan-embedded literal stays proportional to the suite. The
+    * benchmark set is cached only across the count/build pair and
+    * RELEASED before returning — the facade leaks nothing into the
+    * session's cache; the exact-verify join recomputes the bench
+    * distinct once more, a narrow scan + small shuffle of the eval
+    * suite (small by declaration), which is the price of a
+    * self-contained operator.
     */
   def overlapBloom(corpusShingled: DataFrame, benchShingled: DataFrame,
                    corpusIds: DataFrame, idCol: String,
                    fpp: Double = 0.01): DataFrame = {
-    val bench = benchShingled.select("sh").distinct().persist()
-    val bloom = BloomOps.buildLongFilter(
-      bench, "sh", math.max(bench.count(), 1L), fpp)
+    val bench = benchShingled.select("sh").distinct()
+    bench.persist()
+    val bloom =
+      try BloomOps.buildLongFilter(
+        bench, "sh", math.max(bench.count(), 1L), fpp)
+      finally bench.unpersist(blocking = false)
     val survivors = corpusShingled
       .filter(BloomOps.mightContainLong(bloom, col("sh")))
     val counts = survivors

@@ -18,6 +18,25 @@ object Llm {
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
+  /** ONE oracle for both decontamination strategies: q44 (broadcast-exact)
+    * and q51 (bloom-prefiltered) declare byte-identical results, and
+    * sharing the SQL makes that identity structural — an edit to the
+    * oracle cannot leave a stale copy behind (CatalogSpec additionally
+    * asserts q44 ≡ q51 row-for-row on the Spark side).
+    */
+  private val decontaminateOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i,
+      |        toks FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS s FROM s),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+      |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s)
+      |       WHERE sh.doc_id >= 5 GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
+      |       coalesce(n, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN ov USING (doc_id)
+      |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     Q("q28_dedup_exact",
@@ -454,17 +473,7 @@ object Llm {
         |as 60-bit md5 prefixes (same declared collision tolerance as the
         |q31 inverted index; the string-keyed oracle would surface any
         |collision).""".stripMargin,
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i,
-        |        toks FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS s FROM s),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
-        |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s)
-        |       WHERE sh.doc_id >= 5 GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
-        |       coalesce(n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN ov USING (doc_id)
-        |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      decontaminateOracle) { (s, d) =>
       import graft.operators.Decontaminate
       val shingled = Decontaminate.shingleSet(
         Tables.documents(s, d), "doc_id", "text")
@@ -495,17 +504,7 @@ object Llm {
         |benchmark cardinality (the suite size is known in production), so
         |the plan-embedded literal stays proportional to the suite — the
         |bench set is persisted across the count/build/verify reuses.""".stripMargin,
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i,
-        |        toks FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS s FROM s),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
-        |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s)
-        |       WHERE sh.doc_id >= 5 GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_overlap,
-        |       coalesce(n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN ov USING (doc_id)
-        |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      decontaminateOracle) { (s, d) =>
       import graft.operators.Decontaminate
       val shingled = Decontaminate.shingleSet(
         Tables.documents(s, d), "doc_id", "text")

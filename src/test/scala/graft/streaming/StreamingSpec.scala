@@ -195,6 +195,8 @@ class StreamingSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { // everything after the conf set — a start()/scenario failure must
+          // not leak the provider override into later tests
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -238,8 +240,8 @@ class StreamingSpec extends SparkSpec {
         .orderBy("depth").select("n").as[Long].collect().toSeq
       assert(counts === Seq(2L, 1L, 0L),
         s"funnelCounts must follow the restarted user, got $counts")
+    } finally q.stop()
     } finally {
-      q.stop()
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
