@@ -604,6 +604,61 @@ object Llm {
           Seq("source"), "sc", "doc_id", 10)
         .select(col("source"), col("rnk"), col("doc_id"), col("sc"))
         .orderBy("source", "rnk")
+    },
+
+    Q("q54_dup_spans",
+      """Q54 — cross-document duplicated-span profile: for each document,
+        |how many of its distinct 5-token spans also appear in at least one
+        |OTHER document (the exact-substring duplication signal corpus
+        |curation uses to find boilerplate/copy-paste shared across pages —
+        |distinct from q31's near-dup PAIRS and q43's within-doc
+        |repetition). Scale shape: the span stream exchanges twice on the
+        |span key, but column pruning makes both exchanges key-narrow —
+        |the shared-span aggregate shuffles ONLY the 8-byte digests
+        |(doc_id pruned), the membership join shuffles (doc_id, digest)
+        |pairs, and the aggregate output co-partitions straight into the
+        |join with no third exchange (forcing ReuseExchange instead would
+        |widen the aggregate's shuffle to the same total bytes — Catalyst's
+        |pruned plan is the right one and PlanShapeSpec pins it); the
+        |per-doc span totals come from the narrow one-pass shingleStats
+        |kernel, not another shuffle. Spans compare as 60-bit md5 prefixes
+        |(q31/q44 collision tolerance; the string-keyed oracle would
+        |surface collisions).""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i,
+        |        toks FROM tok),
+        |sp AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s FROM s),
+        |d AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+        |pd AS (SELECT sp.doc_id, count(*) AS nd FROM sp JOIN d USING (s) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS nt FROM sp GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(nt, 0) AS BIGINT) AS n_spans,
+        |  round(CASE WHEN coalesce(nt, 0) > 0
+        |             THEN coalesce(nd, 0) * 1.0 / nt ELSE 0.0 END, 4) AS dup_frac
+        |FROM documents LEFT JOIN pd USING (doc_id) LEFT JOIN tot USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 5, 15)).as("sh"))
+      // spans appearing in >= 2 documents (the kernel emits DISTINCT spans
+      // per doc, so count(*) counts documents)
+      val shared = spans.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select("sh")
+      val perDoc = spans.join(shared.hint("shuffle_hash"), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      val nd = coalesce(col("nd"), lit(0L))
+      val nt = col("st.n_uniq")
+      Tables.documents(s, d)
+        .withColumn("st", graft.functions.expressions.NativeExprs
+          .shingleStats(TextOps.tokens(col("text")), 5))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          nd.cast(LongType).as("n_dup_spans"),
+          nt.cast(LongType).as("n_spans"),
+          round(when(nt > 0, nd * 1.0 / nt).otherwise(0.0), 4).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }

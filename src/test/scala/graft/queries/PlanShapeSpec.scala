@@ -202,6 +202,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q54 — shared-span aggregate shuffles pruned keys; membership join shuffled") {
+    val p = plan("q54_dup_spans")
+    // the dup-span membership is a shuffled hash join (the shared-span set
+    // is corpus-sized at scale — never broadcast), and the shared-span
+    // aggregate's Generate is column-pruned to the text column only
+    // (doc_id must NOT ride its shuffle — key-narrow exchange)
+    assert(p.contains("ShuffledHashJoin"), s"q54 membership join not shuffled:\n$p")
+    assert(p.contains("Input [1]: [text#"), s"q54 aggregate branch lost doc_id pruning:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q20b — scalable ntile has NO window operator (no single-partition stage)") {
     val p = plan("q20b_ntile_scalable")
     assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
