@@ -13,12 +13,17 @@ import graft.functions.TextOps
   *   2. near-dup removal (MinHash-LSH Jaccard pairs → drop the larger id of
   *      each pair, so one representative per duplicate cluster survives
   *      transitively)
+  *   2b. (optional) benchmark decontamination: drop documents whose
+  *      distinct-3-shingle overlap with the supplied eval suite exceeds
+  *      `Config.maxBenchOverlap` ([[Decontaminate.overlap]] — the eval
+  *      set broadcasts; q44 semantics)
   *   3. annotation: language id, token count, quality score
   *   4. quality gate: configurable thresholds
   *
   * Everything is one lazy plan per stage boundary; the only shuffles are the
-  * dedup hash, the LSH candidate join, and the pair anti-join. Survivors
-  * carry their annotations so downstream sampling/packing can stratify.
+  * dedup hash, the LSH candidate join, and the pair/decontamination
+  * anti-joins. Survivors carry their annotations so downstream
+  * sampling/packing can stratify.
   */
 object CorpusPipeline {
 
@@ -35,10 +40,14 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.8,
       minTokens: Long = 10,
       maxTokens: Long = 1000000,
-      minQuality: Double = 0.2)
+      minQuality: Double = 0.2,
+      // stage 2b tolerance: a doc survives while its distinct-shingle
+      // overlap with the benchmark stays at or below this count
+      maxBenchOverlap: Long = 0L)
 
   final case class Result(corpus: DataFrame, droppedExact: Long,
-                          droppedNearDup: Long, droppedQuality: Long)
+                          droppedNearDup: Long, droppedQuality: Long,
+                          droppedContaminated: Long = 0L)
 
   /** The post-curation half of the training-data story: deterministic
     * per-language downsampling to a target mix, then next-fit packing into
@@ -57,8 +66,13 @@ object CorpusPipeline {
                  Seq(idCol))
   }
 
+  /** @param bench optional eval-suite documents (same idCol/textCol
+    *   schema) for stage 2b decontamination; None skips the stage with
+    *   zero plan change.
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             config: Config = Config()): Result = {
+             config: Config = Config(),
+             bench: Option[DataFrame] = None): Result = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import org.apache.spark.sql.Observation
     // Drop accounting rides the passes that already run (observe() metrics,
@@ -92,6 +106,23 @@ object CorpusPipeline {
     val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")
       .observe(obsNear, count(lit(1)).as("n"))
 
+    // 2b — benchmark decontamination (optional): q44 semantics via the
+    // Decontaminate facade — the eval-suite shingle set broadcasts, docs
+    // over the overlap tolerance anti-join out. None = stage absent.
+    val obsDecon = Observation()
+    val decontaminated = bench match {
+      case Some(b) =>
+        val contaminatedIds = Decontaminate.overlap(
+            Decontaminate.shingleSet(nearDeduped, idCol, textCol),
+            Decontaminate.shingleSet(b, idCol, textCol),
+            nearDeduped.select(idCol), idCol)
+          .filter(col("n_overlap") > config.maxBenchOverlap)
+          .select(idCol)
+        nearDeduped.join(contaminatedIds, Seq(idCol), "left_anti")
+          .observe(obsDecon, count(lit(1)).as("n"))
+      case None => nearDeduped
+    }
+
     // 3 — annotations (single narrow projection, no shuffle). The quality
     // stop-ratio uses the PREDICTED language's stopword list — scoring
     // every doc against English would gate out short non-English docs as
@@ -103,7 +134,7 @@ object CorpusPipeline {
         when(col("lang_pred") === lang, TextOps.stopwordHits(toks, words))
           .otherwise(acc)
     }
-    val annotated = nearDeduped
+    val annotated = decontaminated
       .withColumn("lang_pred", TextOps.langId(toks))
       .withColumn("n_tokens", nTok)
       .withColumn("quality",
@@ -129,7 +160,8 @@ object CorpusPipeline {
     // per degenerate curate() and invisible to JVM shutdown.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val futures = Seq(obsIn, obsExact, obsNear)
+    val futures = (Seq(obsIn, obsExact, obsNear) ++
+        (if (bench.isDefined) Seq(obsDecon) else Nil))
       .map(o => Future(o.get)(CorpusPipeline.obsEc))
     val deadline = 2.seconds.fromNow
     def metricOr(f: Future[Map[String, Any]], fallback: => Long): Long =
@@ -139,10 +171,12 @@ object CorpusPipeline {
     val n0 = metricOr(futures(0), docs.count())
     val n1 = metricOr(futures(1), exact.count())
     val n2 = metricOr(futures(2), nearDeduped.count())
+    val n2b = if (bench.isDefined) metricOr(futures(3), decontaminated.count())
+              else n2
     // kept is materialized; its parents' caches are no longer needed
     exact.unpersist()
     losers.unpersist()
     Result(kept, droppedExact = n0 - n1, droppedNearDup = n1 - n2,
-           droppedQuality = n2 - n3)
+           droppedQuality = n2b - n3, droppedContaminated = n2 - n2b)
   }
 }

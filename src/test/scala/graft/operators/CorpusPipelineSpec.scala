@@ -40,6 +40,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("curate — stage 2b drops benchmark-contaminated docs, accounting adds up") {
+    // doc 20 shares a full 3-shingle run with the "benchmark" doc; docs 10
+    // and 30 share nothing with it. maxBenchOverlap = 0 → only 20 drops.
+    val contaminatedSpan = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (10L, (1 to 15).map(i => s"x$i").mkString(" ")),
+      (20L, s"prefix words here $contaminatedSpan trailing tail tokens"),
+      (30L, (1 to 15).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, contaminatedSpan)).toDF("doc_id", "text")
+    val r = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(jaccardThreshold = 0.9, minTokens = 1,
+        minQuality = 0.0),
+      bench = Some(bench))
+    assert(r.droppedContaminated === 1L, s"expected doc 20 dropped: $r")
+    assert(r.corpus.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 30L))
+    assert(r.corpus.count() === 3L - r.droppedExact - r.droppedNearDup -
+      r.droppedContaminated - r.droppedQuality)
+    // and with a tolerance above the overlap count, nothing drops
+    val r2 = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(jaccardThreshold = 0.9, minTokens = 1,
+        minQuality = 0.0, maxBenchOverlap = 1000L),
+      bench = Some(bench))
+    assert(r2.droppedContaminated === 0L)
+    assert(r2.corpus.count() === 3L)
+  }
+
   test("curate — chain cluster A~B~C with A≁C keeps exactly min-id (transitive)") {
     // B shares half its shingles with A and half with C; A and C share none.
     // jaccard(A,B) = jaccard(B,C) ≈ 0.47, jaccard(A,C) = 0 — a 3-node chain
