@@ -26,6 +26,21 @@ object Pipeline {
       .filter(DocOps.isPdfLink(col("href")))
       .select(DocOps.absolutize(col("href"), base).as("url"))
 
+  /** S1 parse + S2/S3, fully distributed: staged listing PAGES (any frame
+    * with an HTML string column — e.g. `spark.read.text`/`binaryFile` over
+    * fetched listings) → absolute PDF URLs. Only the network GET remains
+    * driver-side (zero-egress); the HTML→href tokenization runs inside the
+    * scan via the one-pass hrefs kernel, so a million listing pages parse
+    * with executor parallelism (reference: scrape_pdf_links.py:12-14 does
+    * this single-threaded per page).
+    */
+  def linksFromListingHtml(pages: DataFrame, htmlCol: String = "html",
+                           base: String = DocOps.DefaultBase): DataFrame =
+    linksFromHrefs(
+      pages.select(explode(graft.functions.expressions.NativeExprs
+        .hrefs(col(htmlCol))).as("href")),
+      base)
+
   /** S5 — incremental anti-join: keep only URLs whose base_name has no
     * already-processed output (reference: fetch_legal_docs.py:41-43, the
     * file-exists check — generalized to a distributed anti-join so the

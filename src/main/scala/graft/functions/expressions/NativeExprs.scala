@@ -101,6 +101,20 @@ object NativeExprs {
   def shingleMd5BottomK(toks: Column, w: Int, k: Int): Column =
     col(ShingleMd5BottomKExpr(ex(toks), w, k))
 
+  /** All anchor-tag href attribute values of an HTML document, in document
+    * order — the S1/S2 listing parse (reference: scrape_pdf_links.py:12,
+    * BeautifulSoup `a[href]` + the `.pdf` filter applied downstream) as a
+    * distributed one-pass column function. Tokenizer-faithful: skips
+    * comments and script/style CDATA, handles single/double/unquoted
+    * attribute values and case-insensitive tag/attribute names, and
+    * unescapes the common character references in values (semicolon-
+    * terminated named amp/lt/gt/quot/apos/nbsp + numeric forms; exotic
+    * named entities pass through verbatim — divergence documented and
+    * irrelevant to URLs). Parity pinned against a stdlib-HTML-tokenizer
+    * golden over the reference's own pages (TextOpsSpec).
+    */
+  def hrefs(html: Column): Column = col(HrefsExpr(ex(html)))
+
   /** Codegen'd `might_contain(filter, value)` over a LongType column using
     * Spark's own BloomFilterMightContain (the expression InjectRuntimeFilter
     * plants); `filterBytes` embeds as the constant-binary form it requires
@@ -1612,5 +1626,164 @@ case class TokenCountsExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.hrefs]]. One pass over the document: anchor tags are
+  * located with an HTML-tokenizer's skip rules (comments, script/style
+  * CDATA, declarations), then the tag's FIRST href attribute value is
+  * emitted (the reference's BeautifulSoup `a["href"]` reads the first too).
+  * NULL html → empty array (a missing listing page yields no links, it
+  * does not poison the scan).
+  */
+case class HrefsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hrefs"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  // case-insensitive region match against a lowercase needle
+  private def matchesLower(s: String, from: Int, needle: String): Boolean = {
+    if (from + needle.length > s.length) return false
+    var k = 0
+    while (k < needle.length) {
+      if (Character.toLowerCase(s.charAt(from + k)) != needle.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Unescape the semicolon-terminated references that occur in URLs:
+    * amp/lt/gt/quot/apos/nbsp and numeric (dec/hex). Unknown entities pass
+    * through verbatim (documented divergence from a full HTML5 table).
+    */
+  private def unescape(v: String): String = {
+    var amp = v.indexOf('&')
+    if (amp < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        val semi = v.indexOf(';', i + 1)
+        val handled =
+          if (semi > i && semi - i <= 10) {
+            val name = v.substring(i + 1, semi)
+            name match {
+              case "amp"  => sb.append('&'); true
+              case "lt"   => sb.append('<'); true
+              case "gt"   => sb.append('>'); true
+              case "quot" => sb.append('"'); true
+              case "apos" => sb.append('\''); true
+              case "nbsp" => sb.append(' '); true
+              case _ if name.length > 1 && name.charAt(0) == '#' =>
+                try {
+                  val code =
+                    if (name.length > 2 && (name.charAt(1) == 'x' || name.charAt(1) == 'X'))
+                      Integer.parseInt(name.substring(2), 16)
+                    else Integer.parseInt(name.substring(1), 10)
+                  sb.appendCodePoint(code); true
+                } catch { case _: NumberFormatException => false }
+              case _ => false
+            }
+          } else false
+        if (handled) i = semi + 1
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse one anchor tag starting at `from` (index of '<'); returns
+    * (hrefOrNull, index just past the tag's '>').
+    */
+  private def parseAnchor(s: String, from: Int): (String, Int) = {
+    val n = s.length
+    var j = from + 2 // past "<a"
+    var href: String = null
+    while (j < n && s.charAt(j) != '>') {
+      // skip whitespace and the self-closing slash
+      if (isWs(s.charAt(j)) || s.charAt(j) == '/') { j += 1 }
+      else {
+        // attribute name
+        val nameStart = j
+        while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '=' &&
+               s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+        val isHref = (j - nameStart == 4) && matchesLower(s, nameStart, "href")
+        while (j < n && isWs(s.charAt(j))) j += 1
+        var value: String = null
+        if (j < n && s.charAt(j) == '=') {
+          j += 1
+          while (j < n && isWs(s.charAt(j))) j += 1
+          if (j < n) {
+            val q = s.charAt(j)
+            if (q == '"' || q == '\'') {
+              val end = s.indexOf(q, j + 1)
+              val stop = if (end < 0) n else end
+              value = s.substring(j + 1, stop)
+              j = if (end < 0) n else end + 1
+            } else {
+              val start = j
+              while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '>') j += 1
+              value = s.substring(start, j)
+            }
+          }
+        } // attribute without '=' keeps value null: a valueless `href`
+          // carries no URL and is skipped (tokenizer-golden semantics)
+        if (isHref && href == null && value != null) href = unescape(value)
+      }
+    }
+    (href, if (j < n) j + 1 else n)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (matchesLower(s, i, "<!--")) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (matchesLower(s, i, "<script") &&
+                   (i + 7 >= n || !Character.isLetterOrDigit(s.charAt(i + 7)))) {
+          // CDATA content: everything until the close tag is NOT markup
+          var end = i + 7
+          while (end < n && !matchesLower(s, end, "</script")) end += 1
+          val gt = s.indexOf('>', end)
+          i = if (gt < 0) n else gt + 1
+        } else if (matchesLower(s, i, "<style") &&
+                   (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6)))) {
+          var end = i + 6
+          while (end < n && !matchesLower(s, end, "</style")) end += 1
+          val gt = s.indexOf('>', end)
+          i = if (gt < 0) n else gt + 1
+        } else if (i + 1 < n && (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
+                   (i + 2 >= n || isWs(s.charAt(i + 2)) || s.charAt(i + 2) == '>' ||
+                    s.charAt(i + 2) == '/')) {
+          val (href, next) = parseAnchor(s, i)
+          if (href != null) out += UTF8String.fromString(href)
+          i = next
+        } else if (matchesLower(s, i, "<!") || matchesLower(s, i, "<?")) {
+          // declaration / processing instruction: skip to its '>'
+          val gt = s.indexOf('>', i + 2)
+          i = if (gt < 0) n else gt + 1
+        } else i += 1
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HrefsExpr =
     copy(child = newChild)
 }

@@ -20,6 +20,25 @@ class DocOpsSpec extends SparkSpec {
       "https://x.org/v.pdf"))
   }
 
+  test("S1 parse + S2/S3 — staged listing HTML → absolute PDF URLs (distributed)") {
+    // the reference's scrape_pdf_links.py flow with the GET pre-staged:
+    // a[href$='.pdf'] out of raw listing HTML, then absolutize
+    val page =
+      """<html><body>
+        |<a href="/files/vol01.pdf">Vol 1</a>
+        |<a href='https://x.org/v.pdf'>ext</a>
+        |<a href="/about.html">about</a>
+        |<!-- <a href="/commented-out.pdf"> -->
+        |<a href="/files/Vol%2026.pdf">Vol 26</a>
+        |</body></html>""".stripMargin
+    val out = Pipeline.linksFromListingHtml(Seq(page).toDF("html"))
+      .as[String].collect().sorted
+    assert(out === Array(
+      "https://www.fsc.gov.et/files/Vol%2026.pdf",
+      "https://www.fsc.gov.et/files/vol01.pdf",
+      "https://x.org/v.pdf"))
+  }
+
   test("S13 — base name and title derivation (%20 → _ → space)") {
     val df = Seq("https://ex.org/a/Cassation%20Vol%2026.pdf").toDF("url")
       .select(DocOps.baseNameOf($"url").as("base"))
