@@ -1662,12 +1662,25 @@ case class HrefsExpr(child: Expression)
     true
   }
 
+  // HTML5 numeric-charref remap for the C1 range 0x80-0x9F (windows-1252,
+  // the same table html.unescape applies); holes (0x81/0x8D/0x8F/0x90/0x9D)
+  // stay the raw control character
+  private val Cp1252: Array[Int] = Array(
+    0x20AC, 0x81, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x8D, 0x017D, 0x8F,
+    0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
+
   /** Unescape the semicolon-terminated references that occur in URLs:
-    * amp/lt/gt/quot/apos/nbsp and numeric (dec/hex). Unknown entities pass
-    * through verbatim (documented divergence from a full HTML5 table).
+    * amp/lt/gt/quot/apos/nbsp and numeric (dec/hex) with the HTML5
+    * invalid-charref rules (0 and out-of-range -> U+FFFD, C1 range ->
+    * windows-1252 remap, surrogates removed -- verified against
+    * html.unescape). Unknown NAMED entities pass through verbatim
+    * (documented divergence from the full 2000-entry HTML5 table;
+    * noncharacter codepoints are kept rather than removed).
     */
   private def unescape(v: String): String = {
-    var amp = v.indexOf('&')
+    val amp = v.indexOf('&')
     if (amp < 0) return v
     val sb = new java.lang.StringBuilder(v.length)
     var i = 0
@@ -1684,15 +1697,9 @@ case class HrefsExpr(child: Expression)
               case "gt"   => sb.append('>'); true
               case "quot" => sb.append('"'); true
               case "apos" => sb.append('\''); true
-              case "nbsp" => sb.append(' '); true
+              case "nbsp" => sb.append(' '); true
               case _ if name.length > 1 && name.charAt(0) == '#' =>
-                try {
-                  val code =
-                    if (name.length > 2 && (name.charAt(1) == 'x' || name.charAt(1) == 'X'))
-                      Integer.parseInt(name.substring(2), 16)
-                    else Integer.parseInt(name.substring(1), 10)
-                  sb.appendCodePoint(code); true
-                } catch { case _: NumberFormatException => false }
+                appendCharref(sb, name)
               case _ => false
             }
           } else false
@@ -1701,6 +1708,26 @@ case class HrefsExpr(child: Expression)
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** `name` is the `#...` between '&' and ';'. Returns false (passthrough
+    * verbatim) for malformed digit runs -- html.unescape's charref regex
+    * would not match those either, e.g. `&#-5;`.
+    */
+  private def appendCharref(sb: java.lang.StringBuilder, name: String): Boolean = {
+    val hex = name.length > 2 && (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+    val digits = name.substring(if (hex) 2 else 1)
+    if (digits.isEmpty ||
+        !digits.forall(d => Character.digit(d, if (hex) 16 else 10) >= 0))
+      return false
+    val code =
+      try Integer.parseInt(digits, if (hex) 16 else 10)
+      catch { case _: NumberFormatException => 0x110000 } // overflow = out of range
+    if (code == 0 || code > 0x10FFFF) sb.append('\uFFFD')
+    else if (code >= 0x80 && code <= 0x9F) sb.appendCodePoint(Cp1252(code - 0x80))
+    else if (code >= 0xD800 && code <= 0xDFFF) () // surrogate: removed
+    else sb.appendCodePoint(code)
+    true
   }
 
   /** Parse one anchor tag starting at `from` (index of '<'); returns
@@ -1745,6 +1772,22 @@ case class HrefsExpr(child: Expression)
     (href, if (j < n) j + 1 else n)
   }
 
+  /** Consume a non-anchor tag from `from` (index of '<') to just past its
+    * '>', treating quoted attribute values as opaque.
+    */
+  private def skipTag(s: String, from: Int): Int = {
+    val n = s.length
+    var j = from + 1
+    while (j < n && s.charAt(j) != '>') {
+      val c = s.charAt(j)
+      if (c == '"' || c == '\'') {
+        val end = s.indexOf(c, j + 1)
+        j = if (end < 0) n else end + 1
+      } else j += 1
+    }
+    if (j < n) j + 1 else n
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val n = s.length
@@ -1752,25 +1795,26 @@ case class HrefsExpr(child: Expression)
     var i = 0
     while (i < n) {
       if (s.charAt(i) == '<') {
+        // a tag NAME ends at whitespace, '/', or '>' — `<script-loader>` is
+        // a custom element, not script CDATA (tokenizer semantics)
+        def nameEndsAt(k: Int): Boolean =
+          k >= n || isWs(s.charAt(k)) || s.charAt(k) == '>' || s.charAt(k) == '/'
         if (matchesLower(s, i, "<!--")) {
           val end = s.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
-        } else if (matchesLower(s, i, "<script") &&
-                   (i + 7 >= n || !Character.isLetterOrDigit(s.charAt(i + 7)))) {
+        } else if (matchesLower(s, i, "<script") && nameEndsAt(i + 7)) {
           // CDATA content: everything until the close tag is NOT markup
           var end = i + 7
           while (end < n && !matchesLower(s, end, "</script")) end += 1
           val gt = s.indexOf('>', end)
           i = if (gt < 0) n else gt + 1
-        } else if (matchesLower(s, i, "<style") &&
-                   (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6)))) {
+        } else if (matchesLower(s, i, "<style") && nameEndsAt(i + 6)) {
           var end = i + 6
           while (end < n && !matchesLower(s, end, "</style")) end += 1
           val gt = s.indexOf('>', end)
           i = if (gt < 0) n else gt + 1
         } else if (i + 1 < n && (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
-                   (i + 2 >= n || isWs(s.charAt(i + 2)) || s.charAt(i + 2) == '>' ||
-                    s.charAt(i + 2) == '/')) {
+                   nameEndsAt(i + 2)) {
           val (href, next) = parseAnchor(s, i)
           if (href != null) out += UTF8String.fromString(href)
           i = next
@@ -1778,6 +1822,12 @@ case class HrefsExpr(child: Expression)
           // declaration / processing instruction: skip to its '>'
           val gt = s.indexOf('>', i + 2)
           i = if (gt < 0) n else gt + 1
+        } else if (i + 1 < n &&
+                   (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/')) {
+          // any OTHER tag (open or close) is consumed as a tag, honoring
+          // quoted attribute values — anchor-looking text inside an
+          // attribute (e.g. <img data-html="<a href='x'>") is not markup
+          i = skipTag(s, i)
         } else i += 1
       } else i += 1
     }

@@ -112,11 +112,13 @@ object CorpusPipeline {
     val obsDecon = Observation()
     val decontaminated = bench match {
       case Some(b) =>
-        val contaminatedIds = Decontaminate.overlap(
+        // sparse counts (docs with >= 1 shared shingle only) — the full
+        // overlap() spine join would resurrect zero-overlap rows just for
+        // the tolerance filter to discard them again
+        val contaminatedIds = Decontaminate.overlapCounts(
             Decontaminate.shingleSet(nearDeduped, idCol, textCol),
-            Decontaminate.shingleSet(b, idCol, textCol),
-            nearDeduped.select(idCol), idCol)
-          .filter(col("n_overlap") > config.maxBenchOverlap)
+            Decontaminate.shingleSet(b, idCol, textCol), idCol)
+          .filter(col("n") > config.maxBenchOverlap)
           .select(idCol)
         nearDeduped.join(contaminatedIds, Seq(idCol), "left_anti")
           .observe(obsDecon, count(lit(1)).as("n"))
@@ -157,7 +159,8 @@ object CorpusPipeline {
     // stays correct on degenerate corpora. The blocking gets run in
     // PARALLEL on daemon threads (one shared 2s deadline, not 2s each);
     // a never-firing observation parks its daemon thread — bounded at 3
-    // per degenerate curate() and invisible to JVM shutdown.
+    // (4 with a bench set) per degenerate curate() and invisible to JVM
+    // shutdown.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val futures = (Seq(obsIn, obsExact, obsNear) ++

@@ -51,18 +51,28 @@ object Decontaminate {
         coalesce(col("n"), lit(0L)).cast(LongType).as("n_overlap"),
         (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
 
-  /** Broadcast-exact form (q44 shape). `corpusShingled`/`benchShingled`
-    * are [[shingleSet]] outputs; `corpusIds` is the one-column id spine
-    * the counts attach to.
+  /** Sparse overlap counts, broadcast-exact form: (idCol, n) for docs with
+    * n ≥ 1 shared shingles ONLY — callers that just need the contaminated
+    * ids (e.g. [[CorpusPipeline]]'s stage 2b) filter this directly instead
+    * of paying [[overlap]]'s corpus-spine left join to resurrect the
+    * zero-overlap rows they would immediately discard.
     */
-  def overlap(corpusShingled: DataFrame, benchShingled: DataFrame,
-              corpusIds: DataFrame, idCol: String): DataFrame = {
+  def overlapCounts(corpusShingled: DataFrame,
+                    benchShingled: DataFrame, idCol: String): DataFrame = {
     val bench = benchShingled.select("sh").distinct()
-    val counts = corpusShingled
+    corpusShingled
       .join(broadcast(bench), Seq("sh"))
       .groupBy(idCol).agg(count(lit(1)).as("n"))
-    attach(corpusIds, counts, idCol)
   }
+
+  /** Broadcast-exact form (q44 shape). `corpusShingled`/`benchShingled`
+    * are [[shingleSet]] outputs; `corpusIds` is the one-column id spine
+    * the counts attach to (zero-overlap docs kept with n_overlap = 0).
+    */
+  def overlap(corpusShingled: DataFrame, benchShingled: DataFrame,
+              corpusIds: DataFrame, idCol: String): DataFrame =
+    attach(corpusIds,
+      overlapCounts(corpusShingled, benchShingled, idCol), idCol)
 
   /** Bloom-prefiltered form (q51 shape). The filter is sized from the
     * measured benchmark cardinality (known a priori in production), so
