@@ -112,5 +112,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "distinct_sorted_prefix(arr, k) - STRUCT(n_distinct, prefix): distinct count + k smallest") { args =>
       DistinctSortedPrefixExpr(args(0), intArg(args(1), "k"))
     }
+    register("hrefs",
+      "hrefs(html) - anchor-tag href values in document order (S1 listing parse)") {
+      args => HrefsExpr(args(0))
+    }
   }
 }

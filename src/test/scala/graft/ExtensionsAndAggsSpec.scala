@@ -46,6 +46,10 @@ class ExtensionsAndAggsSpec extends SparkSpec {
     assert(r.getAs[Int]("jk") === 42)
     assert(r.getAs[Int]("su") === 3)
     assert(r.getAs[Seq[String]]("dp") === Seq("a", "b"))
+    val h = spark.sql(
+      """SELECT hrefs('<a href="/x.pdf">x</a><p><a href=/y>y</a></p>') AS hs"""
+    ).head()
+    assert(h.getAs[Seq[String]]("hs") === Seq("/x.pdf", "/y"))
   }
 
   test("SQL function values match the Column API") {
