@@ -417,7 +417,9 @@ object Streams {
         if (st.exists()) st.get() else FunnelState(None, Nil, Nil, 0L), rows)
       st.update(next)
       // one pending settle timer per key: replace, don't accumulate
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // (materialize before deleting — don't mutate under a live state-
+      // store iterator; the list is ≤1 element by this same invariant)
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
       val newestMs = (next.signup.toSeq ++ next.clicks ++ next.purchases)
         .map(t => micros(t) / 1000L).maxOption
       getHandle.registerTimer(math.max(
