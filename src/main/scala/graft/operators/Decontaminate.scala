@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.functions.{BloomOps, TextOps}
@@ -64,6 +64,22 @@ object Decontaminate {
       .join(broadcast(bench), Seq("sh"))
       .groupBy(idCol).agg(count(lit(1)).as("n"))
   }
+
+  /** Streaming-safe contamination predicate: TRUE when any distinct
+    * w-shingle of `textCol` probes the bloom filter — a pure per-row
+    * scalar (shingle kernel + `exists` over the codegen'd might_contain),
+    * no explode, no join, no state, so it works as-is under
+    * `readStream`/`writeStream` (the batch strategies need a join the
+    * streaming planner would reject without watermark machinery).
+    * CONSERVATIVE by the filter's fpp: ~fpp of clean documents false-
+    * positive into the gate — acceptable for an ingest quarantine, use
+    * the exact batch forms for the training-set cut.
+    */
+  def bloomContaminated(textCol: Column, filterBytes: Array[Byte],
+                        w: Int = 3, hexDigits: Int = 15): Column =
+    exists(
+      NativeExprs.shingleMd5Prefixes(TextOps.tokens(textCol), w, hexDigits),
+      sh => BloomOps.mightContainLong(filterBytes, sh))
 
   /** Broadcast-exact form (q44 shape). `corpusShingled`/`benchShingled`
     * are [[shingleSet]] outputs; `corpusIds` is the one-column id spine

@@ -249,6 +249,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination gate — bloom predicate filters a live stream") {
+    // the per-row bloom predicate needs no join/state, so it runs under
+    // writeStream as-is; batch-equivalence: the same predicate over the
+    // same rows as a batch filter
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val docsRows = Seq(
+      (1L, (1 to 15).map(i => s"clean$i").mkString(" ")),
+      (2L, s"some prefix $benchText suffix words"),
+      (3L, (1 to 15).map(i => s"other$i").mkString(" ")))
+    val benchSh = graft.operators.Decontaminate.shingleSet(
+      Seq((9L, benchText)).toDF("doc_id", "text"), "doc_id", "text")
+    val bloom = graft.functions.BloomOps.buildLongFilter(
+      benchSh.select("sh").distinct(), "sh", 1000L, 0.01)
+    val src = MemoryStream[(Long, String)]
+    val gated = src.toDS().toDF("doc_id", "text")
+      .filter(!graft.operators.Decontaminate.bloomContaminated($"text", bloom))
+    val q = gated.writeStream.format("memory").queryName("t_decon_gate")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      src.addData(docsRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("t_decon_gate").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 3L), s"contaminated doc 2 must be gated: $got")
+      // batch twin of the same predicate agrees row-for-row
+      val batch = docsRows.toDF("doc_id", "text")
+        .filter(!graft.operators.Decontaminate.bloomContaminated($"text", bloom))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("binaryFile PDF ingest stream — incremental, exactly-once (S5+S8)") {
     val watch = Files.createTempDirectory("graft_pdfwatch").toString
     val out = Files.createTempDirectory("graft_pdfout").toString
