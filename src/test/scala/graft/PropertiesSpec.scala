@@ -85,6 +85,27 @@ class PropertiesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("decontamination — broadcast-exact == bloom-prefiltered on seeded corpora") {
+    // the two strategies declare byte-identical results; pin it on random
+    // corpora with engineered overlap (shared spans of varying length),
+    // not just the real-corpus q44≡q51 check in CatalogSpec
+    import graft.operators.Decontaminate
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(words: Int): String =
+      (0 until words).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 60L).map(id => (id, doc(5 + rnd.nextInt(30)))).toDF("doc_id", "text")
+    val shingled = Decontaminate.shingleSet(docs, "doc_id", "text")
+    val benchSh = shingled.filter($"doc_id" < 6)
+    val corpusSh = shingled.filter($"doc_id" >= 6)
+    val spine = docs.filter($"doc_id" >= 6).select("doc_id")
+    val exact = Decontaminate.overlap(corpusSh, benchSh, spine, "doc_id")
+    val bloomed = Decontaminate.overlapBloom(corpusSh, benchSh, spine, "doc_id")
+    assert(exact.exceptAll(bloomed).isEmpty && bloomed.exceptAll(exact).isEmpty)
+    // small vocab + short docs → overlap is actually exercised
+    assert(exact.filter($"contaminated").count() > 0)
+  }
+
   test("countInSet == size(filter(isInCollection)) on corpus tokens") {
     val words = Seq("the", "a", "of", "and", "to", "in", "is")
     val docs = Tables.documents(spark, sf0001)
