@@ -122,4 +122,64 @@ object MinHashLsh {
       .orderBy("i", "j")
     (pairs, () => { sigs.unpersist(); () })
   }
+
+  /** Incremental ingest form: near-dup pairs BETWEEN a new batch and the
+    * existing corpus ONLY — (i = new id, j = corpus id). The banded join
+    * puts the NEW side (small) against the corpus's band buckets, so
+    * corpus×corpus candidates never form: per ingest batch the work is
+    * O(new·bands) probe rows against the bucket table instead of
+    * re-pairing the whole corpus ([[nearDupPairs]] on the union would).
+    * New-batch-internal duplicates are the cheap small-side
+    * [[nearDupPairs]] call the caller composes. Assumes the id spaces are
+    * disjoint (ingest assigns fresh ids); a shared id appearing on both
+    * sides would pair with itself at jaccard 1.
+    */
+  def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                        docId: String, text: String, threshold: Double,
+                        w: Int = 3, bands: Int = 24,
+                        rowsPerBand: Int = 2): DataFrame =
+    crossNearDupPairsDetached(newDocs, corpus, docId, text, threshold,
+      w, bands, rowsPerBand)._1
+
+  /** [[crossNearDupPairs]] plus the signature-cache release handle (same
+    * contract as [[nearDupPairsDetached]]).
+    */
+  def crossNearDupPairsDetached(newDocs: DataFrame, corpus: DataFrame,
+                                docId: String, text: String, threshold: Double,
+                                w: Int = 3, bands: Int = 24,
+                                rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(docId).as("doc_id"),
+        graft.functions.expressions.NativeExprs
+          .shingleMd5Prefixes(TextOps.tokens(col(text)), w, 7)
+          .as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("sig", signature(col("hashes"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sigs: DataFrame, as: String): DataFrame = sigs
+      .select(col("doc_id").as(as),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val newSigs = prep(newDocs)
+    val corpSigs = prep(corpus)
+    val candidates = banded(newSigs, "i")
+      .hint("shuffle_hash")
+      .join(banded(corpSigs, "j"), Seq("band", "band_key"))
+      .select("i", "j")
+      .dropDuplicates("i", "j")
+    val verified = candidates
+      .join(newSigs.select(col("doc_id").as("i"), col("hashes").as("sh_i")), Seq("i"))
+      .join(corpSigs.select(col("doc_id").as("j"), col("hashes").as("sh_j")), Seq("j"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType)
+    val uni = (size(col("sh_i")) + size(col("sh_j"))).cast(DoubleType) - inter
+    val pairs = verified
+      .withColumn("jaccard", inter / uni)
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("i", "j")
+    (pairs, () => { newSigs.unpersist(); corpSigs.unpersist(); () })
+  }
 }

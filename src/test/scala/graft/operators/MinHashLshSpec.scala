@@ -22,6 +22,29 @@ class MinHashLshSpec extends SparkSpec {
     assert(exact.exceptAll(lsh).count() === 0, "LSH missed an exact pair")
   }
 
+  test("crossNearDupPairs == union nearDupPairs restricted to cross pairs") {
+    import spark.implicits._
+    // split the real corpus into a "corpus" (doc_id < 400) and a "new
+    // batch" (doc_id >= 400); incremental cross pairs must equal the
+    // full union run filtered to pairs straddling the split — and must
+    // contain NO corpus-internal pair
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" < 400)
+    val fresh = docs.filter($"doc_id" >= 400)
+    val cross = MinHashLsh.crossNearDupPairs(fresh, corpus,
+      "doc_id", "text", threshold = 0.5)
+    val full = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    // nearDupPairs emits i < j, so a straddling pair surfaces as
+    // (i = corpus id, j = new id); normalize to (new, corpus)
+    val want = full.filter($"i" < 400 && $"j" >= 400)
+      .select($"j".as("i"), $"i".as("j"), $"jaccard")
+    assert(cross.exceptAll(want).isEmpty && want.exceptAll(cross).isEmpty,
+      s"cross=${cross.collect().toSeq} want=${want.collect().toSeq}")
+    assert(cross.count() > 0, "split corpus should straddle at least one near-dup")
+    val corpusInternal = cross.filter($"i" < 400 || $"j" >= 400)
+    assert(corpusInternal.count() === 0)
+  }
+
   test("signature determinism across partition layouts") {
     val docs = Tables.documents(spark, sf0001)
     def sigs(parts: Int) = docs.repartition(parts)
