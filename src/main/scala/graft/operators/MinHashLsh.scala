@@ -71,7 +71,6 @@ object MinHashLsh {
   def nearDupPairsDetached(docs: DataFrame, docId: String, text: String,
                    threshold: Double, w: Int = 3,
                    bands: Int = 24, rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
-    val k = bands * rowsPerBand
     // One pass computes (doc_id, hash-set, signature); persisted because the
     // plan below consumes it FOUR times (both sides of the banded self-join
     // + both verify joins) — without the persist, Spark recomputes the
@@ -80,59 +79,82 @@ object MinHashLsh {
     // Verification runs on the 28-bit hashed shingle sets, not strings:
     // intersect/union over longs, with cross-doc collision odds ~|A||B|/2^28
     // (≈1e-5 per pair at typical doc sizes).
-    val sigs = docs
-      .select(col(docId).as("doc_id"),
-        graft.functions.expressions.NativeExprs
-          .shingleMd5Prefixes(TextOps.tokens(col(text)), w, 7)
-          .as("hashes"))
-      .filter(size(col("hashes")) > 0)
-      .withColumn("sig", signature(col("hashes"), k))
+    val sigs = signatures(docs, docId, text, w, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = the signature slice for that band; explode to (doc, band, key).
-    // Only (doc_id, band, key) travels through the candidate shuffle, so the
-    // LSH join payload stays a few dozen bytes per row regardless of
-    // document size.
-    val banded = sigs
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-
-    val l = banded.select(col("doc_id").as("i"), col("band"), col("band_key"))
+    // band key = the signature slice for that band; explode to (doc, band,
+    // key). Only (doc_id, band, key) travels through the candidate shuffle,
+    // so the LSH join payload stays a few dozen bytes per row regardless
+    // of document size.
+    val l = bandExplode(sigs, "i", bands, rowsPerBand)
       .hint("shuffle_hash") // no downstream sort order → skip SMJ's sorts
-    val r = banded.select(col("doc_id").as("j"), col("band"), col("band_key"))
+    val r = bandExplode(sigs, "j", bands, rowsPerBand)
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("i") < col("j"))
       .select("i", "j")
       .dropDuplicates("i", "j")
 
     // exact verify on the candidate set only
-    val shSets = sigs.select(col("doc_id"), col("hashes"))
-    val verified = candidates
-      .join(shSets.select(col("doc_id").as("i"), col("hashes").as("sh_i")), Seq("i"))
-      .join(shSets.select(col("doc_id").as("j"), col("hashes").as("sh_j")), Seq("j"))
+    val pairs = verifyPairs(candidates, sigs, sigs, threshold)
+    (pairs, () => { sigs.unpersist(); () })
+  }
+
+  /** (doc_id, hashes, sig) — the reusable LSH state for a document set.
+    * For incremental ingest this is THE amortization unit: compute it once
+    * for the corpus, persist it (or write it to a table) and hand it to
+    * [[crossNearDupPairsPrepared]] per batch, so the corpus text is never
+    * re-scanned per ingest. The signature payload is ~50 + 48 longs per
+    * doc -- orders of magnitude smaller than the text.
+    */
+  def signatures(docs: DataFrame, docId: String, text: String, w: Int = 3,
+                 bands: Int = 24, rowsPerBand: Int = 2): DataFrame =
+    docs
+      .select(col(docId).as("doc_id"),
+        graft.functions.expressions.NativeExprs
+          .shingleMd5Prefixes(TextOps.tokens(col(text)), w, 7)
+          .as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("sig", signature(col("hashes"), bands * rowsPerBand))
+
+  /** Band-key explosion of a [[signatures]] frame: (as, band, band_key). */
+  private def bandExplode(sigs: DataFrame, as: String,
+                          bands: Int, rowsPerBand: Int): DataFrame = sigs
+    .select(col("doc_id").as(as),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    .withColumnRenamed("pos", "band")
+    .withColumnRenamed("col", "band_key")
+
+  /** Exact-Jaccard verification of a candidate (i, j) set against the two
+    * signature frames; `broadcastCandidates` keeps the right (corpus) side
+    * un-shuffled when the candidate set is batch-bounded.
+    */
+  private def verifyPairs(candidates: DataFrame, leftSigs: DataFrame,
+                          rightSigs: DataFrame, threshold: Double,
+                          broadcastCandidates: Boolean = false): DataFrame = {
+    val withLeft = candidates
+      .join(leftSigs.select(col("doc_id").as("i"), col("hashes").as("sh_i")), Seq("i"))
+    val verified = (if (broadcastCandidates) withLeft.hint("broadcast") else withLeft)
+      .join(rightSigs.select(col("doc_id").as("j"), col("hashes").as("sh_j")), Seq("j"))
     val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType)
     val uni = (size(col("sh_i")) + size(col("sh_j"))).cast(DoubleType) - inter
-    val pairs = verified
+    verified
       .withColumn("jaccard", inter / uni)
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("i", "j")
-    (pairs, () => { sigs.unpersist(); () })
   }
 
   /** Incremental ingest form: near-dup pairs BETWEEN a new batch and the
-    * existing corpus ONLY — (i = new id, j = corpus id). The banded join
-    * puts the NEW side (small) against the corpus's band buckets, so
-    * corpus×corpus candidates never form: per ingest batch the work is
-    * O(new·bands) probe rows against the bucket table instead of
-    * re-pairing the whole corpus ([[nearDupPairs]] on the union would).
-    * New-batch-internal duplicates are the cheap small-side
-    * [[nearDupPairs]] call the caller composes. Assumes the id spaces are
-    * disjoint (ingest assigns fresh ids); a shared id appearing on both
-    * sides would pair with itself at jaccard 1.
+    * existing corpus ONLY -- (i = new id, j = corpus id), so corpus x
+    * corpus candidates never form. This convenience form still SCANS the
+    * corpus once per call to build its signatures; the amortized path is
+    * [[signatures]] (persist/write once) + [[crossNearDupPairsPrepared]]
+    * per batch, which also keeps the corpus un-shuffled by broadcasting
+    * the batch's band probes. New-batch-internal duplicates are the cheap
+    * small-side [[nearDupPairs]] call the caller composes. Assumes the id
+    * spaces are disjoint (ingest assigns fresh ids); a shared id appearing
+    * on both sides would pair with itself at jaccard 1.
     */
   def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
                         docId: String, text: String, threshold: Double,
@@ -148,38 +170,37 @@ object MinHashLsh {
                                 docId: String, text: String, threshold: Double,
                                 w: Int = 3, bands: Int = 24,
                                 rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
-    val k = bands * rowsPerBand
-    def prep(df: DataFrame): DataFrame = df
-      .select(col(docId).as("doc_id"),
-        graft.functions.expressions.NativeExprs
-          .shingleMd5Prefixes(TextOps.tokens(col(text)), w, 7)
-          .as("hashes"))
-      .filter(size(col("hashes")) > 0)
-      .withColumn("sig", signature(col("hashes"), k))
+    val corpSigs = signatures(corpus, docId, text, w, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(sigs: DataFrame, as: String): DataFrame = sigs
-      .select(col("doc_id").as(as),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    val newSigs = prep(newDocs)
-    val corpSigs = prep(corpus)
-    val candidates = banded(newSigs, "i")
-      .hint("shuffle_hash")
-      .join(banded(corpSigs, "j"), Seq("band", "band_key"))
+    val (pairs, releaseNew) = crossNearDupPairsPrepared(newDocs, corpSigs,
+      docId, text, threshold, w, bands, rowsPerBand)
+    (pairs, () => { releaseNew(); corpSigs.unpersist(); () })
+  }
+
+  /** The amortized per-batch form: `corpusSigs` is a (persisted or stored)
+    * [[signatures]] frame computed ONCE for the corpus. Per batch the plan
+    * is: signature the batch, BROADCAST its band probes against the
+    * corpus's band stream (the corpus is never shuffled -- broadcast-hash
+    * on both the candidate and verify joins), exact-verify the candidates.
+    * Work per ingest is one corpus-signature pass (from cache/table, no
+    * text re-scan) + O(batch) broadcast state; the broadcast assumes the
+    * batch and its candidate set are ingest-batch-sized (bounded by
+    * construction -- size batches accordingly).
+    */
+  def crossNearDupPairsPrepared(newDocs: DataFrame, corpusSigs: DataFrame,
+                                docId: String, text: String, threshold: Double,
+                                w: Int = 3, bands: Int = 24,
+                                rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
+    val newSigs = signatures(newDocs, docId, text, w, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bandExplode(newSigs, "i", bands, rowsPerBand)
+      .hint("broadcast")
+      .join(bandExplode(corpusSigs, "j", bands, rowsPerBand),
+        Seq("band", "band_key"))
       .select("i", "j")
       .dropDuplicates("i", "j")
-    val verified = candidates
-      .join(newSigs.select(col("doc_id").as("i"), col("hashes").as("sh_i")), Seq("i"))
-      .join(corpSigs.select(col("doc_id").as("j"), col("hashes").as("sh_j")), Seq("j"))
-    val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType)
-    val uni = (size(col("sh_i")) + size(col("sh_j"))).cast(DoubleType) - inter
-    val pairs = verified
-      .withColumn("jaccard", inter / uni)
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("i", "j")
-    (pairs, () => { newSigs.unpersist(); corpSigs.unpersist(); () })
+    val pairs = verifyPairs(candidates, newSigs, corpusSigs, threshold,
+      broadcastCandidates = true)
+    (pairs, () => { newSigs.unpersist(); () })
   }
 }

@@ -87,14 +87,31 @@ class PropertiesSpec extends SparkSpec {
 
   test("decontamination — broadcast-exact == bloom-prefiltered on seeded corpora") {
     // the two strategies declare byte-identical results; pin it on random
-    // corpora with engineered overlap (shared spans of varying length),
-    // not just the real-corpus q44≡q51 check in CatalogSpec
+    // corpora with ENGINEERED overlap: every third corpus doc embeds a
+    // span (of varying length 3..10 words) copied from a bench doc, so
+    // multi-shingle n_overlap counts and the false-positive-removal path
+    // are exercised deterministically — not left to chance collisions
     import graft.operators.Decontaminate
     val rnd = new scala.util.Random(23)
-    val vocab = (0 until 40).map(i => s"w$i")
-    def doc(words: Int): String =
-      (0 until words).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
-    val docs = (0L until 60L).map(id => (id, doc(5 + rnd.nextInt(30)))).toDF("doc_id", "text")
+    val vocab = (0 until 4000).map(i => s"w$i") // big vocab: no chance overlap
+    def words(n: Int): Seq[String] =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val benchDocs = (0L until 6L).map(id => (id, words(20).mkString(" ")))
+    val corpusDocs = (6L until 60L).map { id =>
+      val base = words(5 + rnd.nextInt(25))
+      val text =
+        if (id % 3 == 0) {
+          // splice a 3..10-word span from a random bench doc mid-document
+          val bench = benchDocs(rnd.nextInt(benchDocs.size))._2.split(" ")
+          val spanLen = 3 + rnd.nextInt(8)
+          val from = rnd.nextInt(bench.length - spanLen + 1)
+          val at = rnd.nextInt(base.length + 1)
+          (base.take(at) ++ bench.slice(from, from + spanLen) ++ base.drop(at))
+            .mkString(" ")
+        } else base.mkString(" ")
+      (id, text)
+    }
+    val docs = (benchDocs ++ corpusDocs).toDF("doc_id", "text")
     val shingled = Decontaminate.shingleSet(docs, "doc_id", "text")
     val benchSh = shingled.filter($"doc_id" < 6)
     val corpusSh = shingled.filter($"doc_id" >= 6)
@@ -102,8 +119,11 @@ class PropertiesSpec extends SparkSpec {
     val exact = Decontaminate.overlap(corpusSh, benchSh, spine, "doc_id")
     val bloomed = Decontaminate.overlapBloom(corpusSh, benchSh, spine, "doc_id")
     assert(exact.exceptAll(bloomed).isEmpty && bloomed.exceptAll(exact).isEmpty)
-    // small vocab + short docs → overlap is actually exercised
-    assert(exact.filter($"contaminated").count() > 0)
+    // every spliced doc with a span of >= 3 words carries >= 1 full
+    // 3-shingle from its bench doc; spans of 5+ words exercise
+    // multi-shingle counts
+    assert(exact.filter($"contaminated").count() >= 10)
+    assert(exact.filter($"n_overlap" > 1).count() > 0)
   }
 
   test("countInSet == size(filter(isInCollection)) on corpus tokens") {

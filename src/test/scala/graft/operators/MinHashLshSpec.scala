@@ -27,22 +27,39 @@ class MinHashLshSpec extends SparkSpec {
     // split the real corpus into a "corpus" (doc_id < 400) and a "new
     // batch" (doc_id >= 400); incremental cross pairs must equal the
     // full union run filtered to pairs straddling the split — and must
-    // contain NO corpus-internal pair
+    // contain NO corpus-internal pair. Detached forms + release: the
+    // shared session must not accumulate signature caches (the same leak
+    // class the Decontaminate review fixed).
     val docs = Tables.documents(spark, sf0001)
     val corpus = docs.filter($"doc_id" < 400)
     val fresh = docs.filter($"doc_id" >= 400)
-    val cross = MinHashLsh.crossNearDupPairs(fresh, corpus,
-      "doc_id", "text", threshold = 0.5)
-    val full = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
-    // nearDupPairs emits i < j, so a straddling pair surfaces as
-    // (i = corpus id, j = new id); normalize to (new, corpus)
-    val want = full.filter($"i" < 400 && $"j" >= 400)
-      .select($"j".as("i"), $"i".as("j"), $"jaccard")
-    assert(cross.exceptAll(want).isEmpty && want.exceptAll(cross).isEmpty,
-      s"cross=${cross.collect().toSeq} want=${want.collect().toSeq}")
-    assert(cross.count() > 0, "split corpus should straddle at least one near-dup")
-    val corpusInternal = cross.filter($"i" < 400 || $"j" >= 400)
-    assert(corpusInternal.count() === 0)
+    val (cross, releaseCross) = MinHashLsh.crossNearDupPairsDetached(
+      fresh, corpus, "doc_id", "text", threshold = 0.5)
+    val (full, releaseFull) = MinHashLsh.nearDupPairsDetached(
+      docs, "doc_id", "text", threshold = 0.5)
+    try {
+      // nearDupPairs emits i < j, so a straddling pair surfaces as
+      // (i = corpus id, j = new id); normalize to (new, corpus)
+      val want = full.filter($"i" < 400 && $"j" >= 400)
+        .select($"j".as("i"), $"i".as("j"), $"jaccard")
+      // compute the diffs once; the failure clue must not re-run jobs on
+      // the green path
+      val missed = want.exceptAll(cross).count()
+      val spurious = cross.exceptAll(want).count()
+      assert(missed === 0 && spurious === 0,
+        s"$missed straddling pairs missed, $spurious spurious")
+      assert(cross.count() > 0, "split should straddle at least one near-dup")
+      assert(cross.filter($"i" < 400 || $"j" >= 400).count() === 0)
+
+      // amortized path: a precomputed persisted corpus signature table
+      // yields the identical pair set
+      val corpSigs = MinHashLsh.signatures(corpus, "doc_id", "text").persist()
+      val (prepared, releaseNew) = MinHashLsh.crossNearDupPairsPrepared(
+        fresh, corpSigs, "doc_id", "text", threshold = 0.5)
+      try {
+        assert(prepared.exceptAll(cross).isEmpty && cross.exceptAll(prepared).isEmpty)
+      } finally { releaseNew(); corpSigs.unpersist() }
+    } finally { releaseCross(); releaseFull() }
   }
 
   test("signature determinism across partition layouts") {
