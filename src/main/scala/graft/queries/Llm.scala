@@ -612,18 +612,21 @@ object Llm {
         |OTHER document (the exact-substring duplication signal corpus
         |curation uses to find boilerplate/copy-paste shared across pages —
         |distinct from q31's near-dup PAIRS and q43's within-doc
-        |repetition). Scale shape: the span stream exchanges twice on the
-        |span key, but column pruning makes both exchanges key-narrow —
-        |the shared-span aggregate shuffles ONLY the 8-byte digests
-        |(doc_id pruned), the membership join shuffles (doc_id, digest)
-        |pairs, and the aggregate output co-partitions straight into the
-        |join with no third exchange (forcing ReuseExchange instead would
-        |widen the aggregate's shuffle to the same total bytes — Catalyst's
-        |pruned plan is the right one and PlanShapeSpec pins it); the
-        |per-doc span totals come from the narrow one-pass shingleStats
-        |kernel, not another shuffle. Spans compare as 60-bit md5 prefixes
-        |(q31/q44 collision tolerance; the string-keyed oracle would
-        |surface collisions).""".stripMargin,
+        |repetition). Scale shape (round 7 — measured, DevQ54): the span
+        |stream is evaluated ONCE — count(*) over (partition by sh)
+        |attaches each span's global document frequency in the same
+        |exchange that a membership join would need for its probe side
+        |anyway, then one per-doc hash aggregate folds shared/total counts
+        |together. The prior aggregate+join form evaluated the
+        |tokenize→shingle→md5 scan twice (agg branch + probe) plus a third
+        |shingleStats pass for totals — 3× the dominant per-byte work for
+        |one fewer sort; measured 0.81–0.97 s vs 0.55 s at sf0.1. A hot
+        |boilerplate span concentrates one window group exactly as it
+        |would concentrate one join-probe partition (same bound, and
+        |WindowExec's group buffer spills); per-doc totals ride the same
+        |aggregate instead of a separate kernel pass. Spans compare as
+        |60-bit md5 prefixes (q31/q44 collision tolerance; the
+        |string-keyed oracle would surface collisions).""".stripMargin,
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i,
         |        toks FROM tok),
@@ -642,17 +645,19 @@ object Llm {
         .select(col("doc_id"),
           explode(graft.functions.expressions.NativeExprs
             .shingleMd5Prefixes(TextOps.tokens(col("text")), 5, 15)).as("sh"))
-      // spans appearing in >= 2 documents (the kernel emits DISTINCT spans
-      // per doc, so count(*) counts documents)
-      val shared = spans.groupBy("sh").agg(count(lit(1)).as("ndocs"))
-        .filter(col("ndocs") >= 2).select("sh")
-      val perDoc = spans.join(shared.hint("shuffle_hash"), Seq("sh"))
-        .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      // the kernel emits DISTINCT spans per doc, so count(*) over the span
+      // partition counts DOCUMENTS containing the span, and count(*) per
+      // doc is exactly shingleStats.n_uniq — no second kernel pass needed
+      val perDoc = spans
+        .withColumn("ndocs", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"),
+             sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("nd"))
       val nd = coalesce(col("nd"), lit(0L))
-      val nt = col("st.n_uniq")
+      val nt = coalesce(col("nt"), lit(0L))
       Tables.documents(s, d)
-        .withColumn("st", graft.functions.expressions.NativeExprs
-          .shingleStats(TextOps.tokens(col("text")), 5))
+        .select("doc_id")
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           nd.cast(LongType).as("n_dup_spans"),

@@ -202,14 +202,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q54 — shared-span aggregate shuffles pruned keys; membership join shuffled") {
+  test("q54 — span stream evaluated once; frequency attached via sh-partitioned window") {
     val p = plan("q54_dup_spans")
-    // the dup-span membership is a shuffled hash join (the shared-span set
-    // is corpus-sized at scale — never broadcast), and the shared-span
-    // aggregate's Generate is column-pruned to the text column only
-    // (doc_id must NOT ride its shuffle — key-narrow exchange)
-    assert(p.contains("ShuffledHashJoin"), s"q54 membership join not shuffled:\n$p")
-    assert(p.contains("Input [1]: [text#"), s"q54 aggregate branch lost doc_id pruning:\n$p")
+    // round 7: the expensive tokenize→shingle→md5 scan must appear exactly
+    // ONCE — the span frequency rides a window over the same sh exchange a
+    // membership join would shuffle anyway (DevQ54: the 2-scan join form is
+    // ~1.6x slower), and the window is sh-PARTITIONED (never global)
+    val generates = "shingle_md5_prefixes".r.findAllIn(p).length
+    assert(generates == 1, s"q54 span scan evaluated $generates times (want 1):\n$p")
+    assert(p.contains("Window"), s"q54 lost the frequency window:\n$p")
+    assert(p.contains("windowspecdefinition(sh#"), s"q54 window not partitioned by sh:\n$p")
+    // per-doc fold keeps map-side partials; no nested loop anywhere
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
