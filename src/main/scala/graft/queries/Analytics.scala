@@ -21,11 +21,16 @@ object Analytics {
         |token stream never shuffles — per-doc term frequencies are
         |computed in one pass inside the scan projection (a doc's tokens
         |live in its own row), so only the already-reduced (doc, token,
-        |tf) pairs move; document frequencies fall out of tf with map-side
-        |partial combine, and the tf⋈df join is UNHINTED: a web-scale
-        |vocabulary is heavy-tailed (typos/URLs/numbers), so the df table
-        |is NOT provably broadcast-safe — AQE sizes that join at runtime
-        |instead; the corpus-size scalar rides a 1-row broadcast; final top-3
+        |tf) pairs move; document frequencies attach via count(*) over
+        |(partition by token) — round 7, DevQ45: the prior df
+        |aggregate+join evaluated the tokenCounts scan TWICE (df branch +
+        |score probe), and the window rides the same token exchange the
+        |join would shuffle anyway, so the corpus is read once (a hot
+        |stopword's window group occupies one partition exactly as it
+        |would the join's probe partition — same bound, spillable); a
+        |web-scale vocabulary is heavy-tailed (typos/URLs/numbers), so
+        |nothing vocabulary-sized is ever broadcast — the corpus-size
+        |scalar rides a 1-row broadcast; final top-3
         |is a per-doc window. Ranking happens on the ROUNDED score with a token
         |tie-break, so the cut is identical across engines.""".stripMargin,
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
@@ -48,11 +53,14 @@ object Analytics {
             .tokenCounts(col("text"))).as("tc"))
         .select(col("doc_id"), col("tc.token").as("token"),
                 col("tc.tf").cast(LongType).as("tf"))
-      // document frequency falls out of tf (one row per (doc, token)) — no
-      // second explode/shuffle over the raw token stream
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // document frequency falls out of tf (one row per (doc, token)) via a
+      // token-partitioned window — the tf scan is evaluated once, not per
+      // branch of a df aggregate + join
       val n = docs.agg(count(lit(1)).as("n"))
-      val sc = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      val sc = tf
+        .withColumn("df", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
       // top-3 cut via the bounded-buffer aggregate (row-identical to
