@@ -103,13 +103,20 @@ object CorpusPipeline {
     losers.count() // materialize, then drop the LSH + component caches
     releaseLsh()
     comp.unpersist()
-    val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")
+    val nearDedupedPlain = exact.join(losers, Seq(idCol), "left_anti")
       .observe(obsNear, count(lit(1)).as("n"))
 
     // 2b — benchmark decontamination (optional): q44 semantics via the
     // Decontaminate facade — the eval-suite shingle set broadcasts, docs
     // over the overlap tolerance anti-join out. None = stage absent.
+    // With a bench set the near-deduped subtree feeds TWO branches (the
+    // 2b shingle scan and the 2b anti-join left side), so it is persisted
+    // for the duration of the curation — otherwise the exact-dedup
+    // anti-join re-executes per branch.
     val obsDecon = Observation()
+    val nearDeduped =
+      if (bench.isDefined) nearDedupedPlain.persist(MEMORY_AND_DISK)
+      else nearDedupedPlain
     val decontaminated = bench match {
       case Some(b) =>
         // sparse counts (docs with >= 1 shared shingle only) — the full
@@ -179,6 +186,7 @@ object CorpusPipeline {
     // kept is materialized; its parents' caches are no longer needed
     exact.unpersist()
     losers.unpersist()
+    if (bench.isDefined) nearDeduped.unpersist()
     Result(kept, droppedExact = n0 - n1, droppedNearDup = n1 - n2,
            droppedQuality = n2b - n3, droppedContaminated = n2 - n2b)
   }

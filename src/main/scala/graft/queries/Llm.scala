@@ -664,6 +664,63 @@ object Llm {
           nt.cast(LongType).as("n_spans"),
           round(when(nt > 0, nd * 1.0 / nt).otherwise(0.0), 4).as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    Q.cap("q55_curate",
+      """Q55 — the COMPOSED curation pipeline as a gating artifact (VERDICT
+        |r6 #2): exact dedup → transitive MinHash-LSH near-dup removal →
+        |benchmark decontamination (eval set = the q44 doc_id<5 convention)
+        |→ language/token/quality annotation → quality gate, i.e. the
+        |end-to-end shape a 100 TB pre-training job actually runs
+        |([[graft.operators.CorpusPipeline.curate]]). Output is the
+        |one-row drop ACCOUNTING (n_input, n_kept, dropped_exact,
+        |dropped_near_dup, dropped_contaminated, dropped_quality) — the
+        |numbers a production run reports — so both the pipeline's cost
+        |and its stage-level stability are regression-guarded by the
+        |bench/correctness artifacts. No DuckDB oracle (LSH candidate
+        |generation is probabilistic by design); CatalogSpec pins
+        |conservation (n_input = n_kept + Σ drops) and stage consistency
+        |against the independently-oracled q28/q44 counts, and
+        |CorpusPipelineSpec covers every stage in isolation.""".stripMargin) {
+      (s, d) =>
+        import graft.operators.CorpusPipeline
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") < 5)
+        val r = CorpusPipeline.curate(
+          docs.filter(col("doc_id") >= 5), "doc_id", "text",
+          CorpusPipeline.Config(), Some(bench))
+        val nKept = r.corpus.count()
+        r.corpus.unpersist()
+        val nInput = nKept + r.droppedExact + r.droppedNearDup +
+          r.droppedContaminated + r.droppedQuality
+        import s.implicits._
+        Seq((nInput, nKept, r.droppedExact, r.droppedNearDup,
+             r.droppedContaminated, r.droppedQuality))
+          .toDF("n_input", "n_kept", "dropped_exact", "dropped_near_dup",
+                "dropped_contaminated", "dropped_quality")
+    },
+
+    Q.cap("q56_incremental_neardup",
+      """Q56 — incremental near-dup at ingest (VERDICT r6 #3): a new batch
+        |(every 10th doc_id — a 10% ingest against the remaining 90%
+        |corpus) probes the corpus's MinHash band buckets and exact-verifies
+        |only batch×corpus candidates — corpus×corpus pairs NEVER form, so
+        |per-ingest cost is O(batch · bands) probe state against a
+        |signature table computed once ([[graft.operators.MinHashLsh
+        |.crossNearDupPairs]]; the amortized crossNearDupPairsPrepared form
+        |reuses a persisted/stored corpus-signature frame and keeps the
+        |corpus un-shuffled — the batch's band probes broadcast). Output:
+        |(i = batch id, j = corpus id, jaccard) pairs at the q31 0.8
+        |threshold. No DuckDB oracle (banded LSH recall is probabilistic by
+        |design); MinHashLshSpec pins cross-run ≡ union-run restricted to
+        |straddling pairs, and the exact-verify step makes every emitted
+        |pair's jaccard exact.""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        MinHashLsh.crossNearDupPairs(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.8)
     }
   )
 }

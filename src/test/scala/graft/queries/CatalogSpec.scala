@@ -189,4 +189,38 @@ class CatalogSpec extends SparkSpec {
       .filter(col("rn") === 1).select("doc_id").orderBy("doc_id")
     assert(twice.count() === once.count())
   }
+
+  test("q55 — curation accounting conserves rows and matches independent stage counts") {
+    val row = Catalog.byName("q55_curate").build(spark, sf0001).collect().head
+    def n(c: String): Long = row.getAs[Long](c)
+    // conservation: every input doc is kept or attributed to exactly one drop
+    assert(n("n_input") ===
+      n("n_kept") + n("dropped_exact") + n("dropped_near_dup") +
+      n("dropped_contaminated") + n("dropped_quality"),
+      s"accounting does not conserve: $row")
+    // n_input is the q44-convention corpus (doc_id >= 5)
+    val corpus = Tables.documents(spark, sf0001).filter(col("doc_id") >= 5)
+    assert(n("n_input") === corpus.count())
+    // dropped_exact re-derived through the operator on the same input
+    val exactKept = graft.operators.Dedup
+      .exactKeepMin(corpus.select(col("doc_id"), col("text")), "doc_id", "text")
+      .count()
+    assert(n("dropped_exact") === corpus.count() - exactKept)
+  }
+
+  test("q56 — incremental cross-pairs equal the union-run pairs that straddle the split") {
+    val cross = Catalog.byName("q56_incremental_neardup").build(spark, sf0001)
+      .collect()
+      .map(r => (math.min(r.getAs[Long]("i"), r.getAs[Long]("j")),
+                 math.max(r.getAs[Long]("i"), r.getAs[Long]("j")))).toSet
+    // q32 runs the SAME banded LSH over the full corpus; the ingest path
+    // must recover exactly its pairs that straddle the mod-10 split
+    val straddling = Catalog.byName("q32_minhash_lsh").build(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")))
+      .filter { case (i, j) => (i % 10 == 0) != (j % 10 == 0) }
+      .map { case (i, j) => (math.min(i, j), math.max(i, j)) }.toSet
+    assert(cross === straddling,
+      s"cross-run ${cross.size} pairs vs union-run straddling ${straddling.size}")
+  }
 }
