@@ -123,7 +123,16 @@ object Bench {
     val failed = (results.filter(_._2 < 0).map(_._1) ++
       cold.filter(_._2 < 0).map(_._1)).distinct.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":${jmap(results)},"reps":$reps,"sf":"$sfDir","totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size}}}""")
+    // per-window host-floor estimate (VERDICT r6 #7): the median of the 5
+    // cheapest queries is pure fixed-cost machinery (plan + barriers + task
+    // launch, ~flat in data), so comparing "floor" across two windows
+    // separates whole-host drift from a real per-query regression
+    // mechanically — BASELINE.md "Reading the ratios" uses it.
+    val floor = {
+      val ok = results.map(_._2).filter(_ >= 0).sorted.take(5)
+      if (ok.isEmpty) -1.0 else r3(ok(ok.size / 2))
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":${jmap(results)},"reps":$reps,"sf":"$sfDir","totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size},"floor":$floor}}""")
     spark.stop()
   }
 }
