@@ -73,13 +73,19 @@ object Decontaminate {
     * streaming planner would reject without watermark machinery).
     * CONSERVATIVE by the filter's fpp: ~fpp of clean documents false-
     * positive into the gate — acceptable for an ingest quarantine, use
-    * the exact batch forms for the training-set cut.
+    * the exact batch forms for the training-set cut. Null-text documents
+    * evaluate to FALSE (not null): they have no shingles, so they cannot
+    * be contaminated, and the documented `.filter(!bloomContaminated(…))`
+    * gate must deterministically PASS them rather than silently dropping
+    * them through three-valued logic.
     */
   def bloomContaminated(textCol: Column, filterBytes: Array[Byte],
                         w: Int = 3, hexDigits: Int = 15): Column =
-    exists(
-      NativeExprs.shingleMd5Prefixes(TextOps.tokens(textCol), w, hexDigits),
-      sh => BloomOps.mightContainLong(filterBytes, sh))
+    coalesce(
+      exists(
+        NativeExprs.shingleMd5Prefixes(TextOps.tokens(textCol), w, hexDigits),
+        sh => BloomOps.mightContainLong(filterBytes, sh)),
+      lit(false))
 
   /** Broadcast-exact form (q44 shape). `corpusShingled`/`benchShingled`
     * are [[shingleSet]] outputs; `corpusIds` is the one-column id spine

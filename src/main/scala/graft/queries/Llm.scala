@@ -503,7 +503,10 @@ object Llm {
         |same class as the ANN probe lookups); it is sized from the measured
         |benchmark cardinality (the suite size is known in production), so
         |the plan-embedded literal stays proportional to the suite — the
-        |bench set is persisted across the count/build/verify reuses.""".stripMargin,
+        |bench set is persisted across the count/build pair and released
+        |before the facade returns; the exact-verify join recomputes the
+        |bench distinct once (a narrow scan of the small-by-declaration
+        |eval suite — the price of a cache-leak-free operator).""".stripMargin,
       decontaminateOracle) { (s, d) =>
       import graft.operators.Decontaminate
       val shingled = Decontaminate.shingleSet(
