@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: 1× vs 10× scale-up smoke for the heavy operator family
+  * (VERDICT r6 #4). Generates a DETERMINISTIC 10× corpus from sf0.1 —
+  * replica r of every document suffixes each token with "_r<r>" (a
+  * bijective token renaming, so within-replica near-dup/shingle structure
+  * is IDENTICAL to the original while cross-replica jaccard is 0: the
+  * problem itself scales linearly by construction, and the measurement
+  * isolates whether the ENGINE does) — then times the heavy queries on
+  * both. Embeddings get a deterministic per-replica perturbation (ids
+  * offset by r·1e6, which preserves the mod-10 probe/batch splits).
+  *
+  * No Date.now/random anywhere — same bytes every run.
+  */
+object DevScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val replicas = 10
+    def replicate(): Unit = {
+      val docs = Tables.documents(spark, sfDir)
+      val reps = spark.range(replicas).select(col("id").as("r"))
+      val docs10 = docs.crossJoin(reps).select(
+        (col("doc_id") + col("r") * 1000000L).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("r"))))).as("text"),
+        col("lang"), col("source"))
+      docs10.withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val emb = Tables.embeddings(spark, sfDir)
+      emb.crossJoin(reps).select(
+          (col("vec_id") + col("r") * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + (col("r") % 7).cast("float") * lit(0.001f) *
+              ((i % 5).cast("float") - lit(2.0f))).as("embedding"),
+          col("label"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+    val heavy = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q50_batch_ann",
+      "q54_dup_spans", "q55_curate", "q56_incremental_neardup")
+
+    def time(dir: String, name: String): (Double, Long) = {
+      val fn = SparkEntry.queries(name)
+      var rows = 0L
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        rows = df.count()
+        spark.catalog.clearCache()
+        s
+      }.sorted
+      (ts(1), rows)
+    }
+
+    println(s"[scale] generating ${replicas}x corpus at $outDir")
+    replicate()
+    heavy.foreach { q =>
+      val (t1, r1) = time(sfDir, q)
+      val (t10, r10) = time(outDir, q)
+      println(f"[scale] $q%-24s 1x=${t1}%7.3f s ($r1%d rows)  10x=${t10}%7.3f s ($r10%d rows)  ratio=${t10 / t1}%5.2f")
+    }
+
+    // q50 with the bucket count RETUNED for the denser corpus (the
+    // production lever: planes grow with log(corpus) to hold per-bucket
+    // occupancy constant; at fixed resolution, 10x corpus x 10x probes
+    // necessarily multiplies candidate pairs ~100x)
+    {
+      import graft.operators.Ann
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val e = Tables.embeddings(spark, outDir)
+        Ann.lshTopKBatch(e, e.filter(col("vec_id") % 10 === 0), "vec_id",
+            "embedding", k = 5, nPlanes = 11)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s
+      }.sorted
+      println(f"[scale] q50 retuned nPlanes=11 10x=${ts(1)}%7.3f s")
+    }
+    spark.stop()
+  }
+}

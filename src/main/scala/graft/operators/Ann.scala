@@ -156,10 +156,18 @@ object Ann {
       .filter(m => java.lang.Long.bitCount(m) <= ring)
     val c = withBucket(corpus, vecCol, nPlanes, dim)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("bucket"))
+    // Explode ONE array literal of ring masks and XOR after: an
+    // array(bucket XOR lit(m), ...) of C(nPlanes, <=ring) elements blows
+    // the codegen method-size limit past ~100 masks (nPlanes >= 10) and
+    // drops the whole probe stage — including the downstream cosine — to
+    // interpreted eval (measured 120 s vs 12 s at nPlanes=11 on the 10x
+    // corpus). The literal-array form keeps the expression tree O(1) in
+    // ring size, so retuning nPlanes for a denser corpus stays codegen'd.
     val q = withBucket(queries, vecCol, nPlanes, dim)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
-          .as("bucket"))
+        col("bucket"), explode(lit(masks.toArray)).as("_mask"))
+      .select(col("qid"), col("qvec"),
+        col("bucket").bitwiseXOR(col("_mask")).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
