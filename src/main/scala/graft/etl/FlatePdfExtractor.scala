@@ -6,7 +6,11 @@ import scala.util.matching.Regex
 /** Best-effort pure-JVM PDF text extractor (no external deps — the
   * zero-egress answer to SURVEY §7.4). Handles the dominant
   * machine-generated-PDF shape:
-  *   - FlateDecode (zlib) content streams (java.util.zip.Inflater),
+  *   - stream filters applied as a declared CHAIN (`/Filter` name or
+  *     array): FlateDecode (java.util.zip.Inflater), LZWDecode (9→12-bit
+  *     MSB-first codes, clear=256/EOD=257, `/EarlyChange` honored),
+  *     ASCIIHexDecode — plus PNG `/Predictor` 10–15 and TIFF 2 un-filtering
+  *     from `/DecodeParms` after the decompressor (the xref-stream shape),
   *   - per-font /ToUnicode CMaps (bfchar + bfrange) mapping 2-byte CIDs to
   *     Unicode — which is how the reference corpus encodes Amharic,
   *   - `(…) Tj` literal and `[ <hex> (lit) … ] TJ` array show-text
@@ -14,7 +18,14 @@ import scala.util.matching.Regex
   * One page per content stream containing a text block (matches the
   * reference volumes). Never throws on garbage — returns Nil.
   * Extracts the real Ethiopic text of /root/reference/vol01.pdf (asserted
-  * in PipelineSpec).
+  * in PipelineSpec); LZW and predictor paths are fixture-tested
+  * (MultimodalSpec, FlatePdfLzwSpec — decoder pinned against the PDF
+  * spec's own LZWDecode worked example).
+  *
+  * Declared out of scope (environment-bound — no pdfbox/tika in the
+  * container, SURVEY §7.4): DCTDecode/JPXDecode raster text (needs OCR),
+  * JBIG2/CCITT fax images, RunLength/ASCII85, and encrypted documents
+  * (/Crypt); streams with those filters decode to None and are skipped.
   */
 object FlatePdfExtractor extends PageExtractor {
 
@@ -36,13 +47,17 @@ object FlatePdfExtractor extends PageExtractor {
     catch { case _: Exception => Nil }
   }
 
+  private def stripEol(data: Array[Byte]): Int = {
+    // trailing EOL that sits between stream data and "endstream"
+    var end = data.length
+    while (end > 0 && (data(end - 1) == '\n' || data(end - 1) == '\r')) end -= 1
+    end
+  }
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     try {
       val inf = new java.util.zip.Inflater()
-      // strip trailing EOL that sits between stream data and "endstream"
-      var end = data.length
-      while (end > 0 && (data(end - 1) == '\n' || data(end - 1) == '\r')) end -= 1
-      inf.setInput(data, 0, end)
+      inf.setInput(data, 0, stripEol(data))
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
@@ -53,6 +68,169 @@ object FlatePdfExtractor extends PageExtractor {
       inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+  }
+
+  /** PDF/TIFF-variant LZW: MSB-first bit packing, 9→12-bit codes,
+    * 256 = clear-table, 257 = EOD; `earlyChange` widens the code one
+    * entry early (the PDF default, 1). Decoder behavior is pinned in
+    * FlatePdfLzwSpec against the LZWDecode worked example in the PDF
+    * spec (45×5 65 45×3 66 ⇄ codes 256,45,258,258,65,259,66,257).
+    */
+  private[etl] def lzwDecode(data: Array[Byte],
+                             earlyChange: Int = 1): Option[Array[Byte]] = {
+    try {
+      val end = stripEol(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val table = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def reset(): Unit = {
+        table.clear()
+        var i = 0
+        while (i < 258) { table += Array((i & 0xff).toByte); i += 1 } // 256/257 are control slots, never emitted
+      }
+      reset()
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L; var nBits = 0; var i = 0; var done = false
+      while (!done) {
+        while (nBits < width && i < end) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xffL); nBits += 8; i += 1
+        }
+        if (nBits < width) done = true // ran out of input before EOD — emit what we have
+        else {
+          val code = ((bitBuf >>> (nBits - width)) & ((1L << width) - 1)).toInt
+          nBits -= width
+          if (code == 256) { reset(); width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < table.length) table(code)
+              else if (prev != null && code == table.length) prev :+ prev(0) // KwKwK
+              else return None // corrupt stream
+            out.write(entry)
+            if (prev != null) table += (prev :+ entry(0))
+            prev = entry
+            if (table.length >= (1 << width) - earlyChange && width < 12) width += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2)
+      var hi = -1; var i = 0; var done = false
+      while (i < data.length && !done) {
+        val c = data(i).toChar
+        if (c == '>') done = true
+        else {
+          val d = Character.digit(c, 16)
+          if (d >= 0) { if (hi < 0) hi = d else { out.write(hi << 4 | d); hi = -1 } }
+          else if (!c.isWhitespace) return None
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0 (spec)
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  private val PredRe = """/Predictor\s+(\d+)""".r
+  private val ColsRe = """/Columns\s+(\d+)""".r
+  private val ColorsRe = """/Colors\s+(\d+)""".r
+  private val BpcRe = """/BitsPerComponent\s+(\d+)""".r
+  private val EarlyRe = """/EarlyChange\s+(\d+)""".r
+
+  /** Un-apply the `/DecodeParms` predictor after decompression: PNG
+    * row filters 10–15 (per-row filter byte: None/Sub/Up/Average/Paeth
+    * — the xref-stream shape, usually Up=12) and TIFF predictor 2
+    * (8-bit horizontal differencing). Predictor 1/absent = identity.
+    */
+  private[etl] def unpredict(dict: String, data: Array[Byte]): Array[Byte] = {
+    def intOf(re: Regex, dflt: Int) =
+      re.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+    val pred = intOf(PredRe, 1)
+    if (pred <= 1) return data
+    val cols = intOf(ColsRe, 1)
+    val colors = intOf(ColorsRe, 1)
+    val bpc = intOf(BpcRe, 8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (cols * colors * bpc + 7) / 8
+    if (pred == 2) { // TIFF horizontal differencing (8-bit components)
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while ((r + 1) * rowLen <= out.length) {
+        var j = bpp
+        while (j < rowLen) {
+          out(r * rowLen + j) =
+            ((out(r * rowLen + j) + out(r * rowLen + j - bpp)) & 0xff).toByte
+          j += 1
+        }
+        r += 1
+      }
+      out
+    } else { // PNG predictors: filter byte prefixes each row
+      val nRows = data.length / (rowLen + 1)
+      val out = new Array[Byte](nRows * rowLen)
+      var r = 0
+      while (r < nRows) {
+        val ft = data(r * (rowLen + 1)) & 0xff
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var j = 0
+        while (j < rowLen) {
+          val raw = data(src + j) & 0xff
+          val left = if (j >= bpp) out(dst + j - bpp) & 0xff else 0
+          val up = if (r > 0) out(dst - rowLen + j) & 0xff else 0
+          val ul = if (r > 0 && j >= bpp) out(dst - rowLen + j - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => raw
+          }
+          out(dst + j) = (v & 0xff).toByte
+          j += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
+  private val FilterListRe = """(?s)/Filter\s*(?:\[([^\]]*)\]|/(\w+))""".r
+  private val NameRe = """/(\w+)""".r
+
+  /** Apply the stream's declared filter CHAIN in order. Unknown filters
+    * (DCT, JBIG2, CCITT, RunLength, ASCII85, Crypt — see scaladoc) yield
+    * None so the stream is skipped rather than mis-decoded; a stream
+    * with no /Filter passes through raw.
+    */
+  private[etl] def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val filters: Seq[String] = FilterListRe.findFirstMatchIn(dict) match {
+      case Some(m) if m.group(1) != null =>
+        NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case Some(m) => Seq(m.group(2))
+      case None => Nil
+    }
+    val early = EarlyRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
+    filters.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(d).map(unpredict(dict, _))
+          case "LZWDecode" | "LZW" => lzwDecode(d, early).map(unpredict(dict, _))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case _ => None
+        }
+      }
+    }
   }
 
   private def extract(bytes: Array[Byte]): Seq[String] = {
@@ -72,10 +250,7 @@ object FlatePdfExtractor extends PageExtractor {
               case Some(sm) =>
                 val data = raw.substring(m.start + sm.start(1), m.start + sm.end(1))
                   .getBytes(StandardCharsets.ISO_8859_1)
-                val decoded =
-                  if (dict.contains("/FlateDecode")) inflate(data)
-                  else Some(data)
-                decoded.map(new String(_, StandardCharsets.ISO_8859_1))
+                decodeStream(dict, data).map(new String(_, StandardCharsets.ISO_8859_1))
               case None => None
             }
           }

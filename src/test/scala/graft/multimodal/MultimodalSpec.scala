@@ -64,6 +64,21 @@ class MultimodalSpec extends SparkSpec {
     assert(jr.head.nPages === 0 && jr.head.text.isEmpty)
   }
 
+  test("PDF text via the REAL codec — LZW-compressed fixture (non-Flate path)") {
+    // round-7 codec increment: the same binaryFile→DocumentCodec path as
+    // vol01, but the content stream is LZWDecode (fixture built by the
+    // spec-pinned test encoder, FlatePdfLzwSpec)
+    val dir = Files.createTempDirectory("graft_lzw_pdf")
+    Files.write(dir.resolve("lzw01.pdf"),
+      graft.etl.LzwTestSupport.lzwPdf("Selam LZW fixture"))
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .selectExpr("path", "'pdf' as kind", "length", "content")
+      .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product)
+    val docs = Multimodal.extractText(media, Multimodal.FlatePdfCodec).collect()
+    assert(docs.length === 1 && docs.head.nPages === 1)
+    assert(docs.head.text.contains("Selam LZW fixture"))
+  }
+
   test("frame sampling — one row per sampled frame, offsets spaced by everyMs") {
     val media = Multimodal.ingest(spark, mediaDir, "video")
     val frames = Multimodal.sampleFrames(media, Multimodal.FakeCodec, everyMs = 500)
