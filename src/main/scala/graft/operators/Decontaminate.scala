@@ -96,6 +96,43 @@ object Decontaminate {
     attach(corpusIds,
       overlapCounts(corpusShingled, benchShingled, idCol), idCol)
 
+  /** Benchmark-side contamination report (q58 shape) — the inverse
+    * aggregation of [[overlap]]: instead of "how contaminated is each
+    * corpus document", answer "how BURNED is each benchmark item" —
+    * for every eval document, how many corpus documents share at least
+    * one of its w-shingles, how many of its distinct shingles appear
+    * anywhere in the corpus, and the burned fraction. This is the
+    * report an eval-suite owner reads to decide which items are still
+    * trustworthy after a crawl refresh.
+    *
+    * Scale shape: the CORPUS shingle stream (the 100 TB side) is never
+    * shuffled by value — the small bench (bench_id, sh) pairs broadcast
+    * into a hash join inside the corpus scan, and the two distinct
+    * counts aggregate at eval-suite group cardinality (bounded and
+    * small by declaration; Spark's two-phase expand handles the dual
+    * countDistinct with map-side partials). Bench items whose text has
+    * fewer than w tokens have no shingles and no report row, by
+    * definition.
+    */
+  def report(corpusShingled: DataFrame, benchShingled: DataFrame,
+             idCol: String): DataFrame = {
+    val bench = benchShingled
+      .select(col(idCol).as("bench_id"), col("sh"))
+    val totals = bench.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusShingled
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col(idCol)).as("n_docs_hit"),
+           countDistinct(col("sh")).as("n_shingles_hit"))
+    totals.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_shingles_hit"), lit(0L)).as("n_shingles_hit"),
+        round(coalesce(col("n_shingles_hit"), lit(0L)) * lit(1.0) /
+              col("n_shingles"), 4).as("burn_frac"))
+  }
+
   /** Bloom-prefiltered form (q51 shape). The filter is sized from the
     * measured benchmark cardinality (known a priori in production), so
     * the plan-embedded literal stays proportional to the suite. The

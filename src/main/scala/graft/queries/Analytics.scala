@@ -286,6 +286,64 @@ object Analytics {
           round(stddev_samp(col("toks")), 4).as("sd_toks"),
           round(corr(col("toks"), col("n_chars")), 4).as("corr_toks_chars"))
         .orderBy("lang")
+    },
+
+    Q("q57_bigram_lm",
+      """Q57 — statistical LM quality signal (the CCNet/Gopher-style
+        |perplexity proxy): train add-k-smoothed bigram counts over the
+        |corpus itself and score every document by the mean log-probability
+        |of its bigrams, ln((c(w1,w2) + 0.5) / (c(w1) + 0.5·V)) — documents
+        |whose word transitions are unusual under the corpus's own bigram
+        |model (gibberish, boilerplate soup, wrong-language fragments)
+        |score low and become filter candidates. Scale shape: bigram
+        |extraction is NARROW (each token array zipped with its own tail);
+        |the count attach is the q45 lesson applied — c(w1) and c(w1,w2)
+        |ride count windows over ONE w1-keyed exchange (TransposeWindow +
+        |HashPartitioning(w1) ⊆ ClusteredDistribution(w1,w2) means the
+        |(w1,w2) window adds only a sort), so the bigram stream is scanned
+        |and shuffled ONCE — the aggregate+join form would shuffle it
+        |three times, and broadcasting a count table keyed by a web-scale
+        |vocabulary is forbidden (heavy-tailed, effectively unbounded);
+        |per-doc means then reduce with map-side partial sum/count, so the
+        |doc_id exchange carries one partial row per (partition, doc). A
+        |heavy-hitter context word ("the") concentrates one window group
+        |exactly as it would one join-probe partition — same skew bound,
+        |spillable buffer; the salted two-phase count attach for the head
+        |of the distribution is the documented 100 TB variant. The vocab
+        |size V is a 1-row broadcast scalar. avg rounds at 4 dp (the §7.3
+        |double rule).""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+        |       FROM tok),
+        |bi AS (SELECT a.doc_id, a.t AS w1, b.t AS w2 FROM ix a JOIN ix b
+        |       ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM ix),
+        |cx AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+        |cw AS (SELECT w1, count(*) AS c_w FROM bi GROUP BY 1),
+        |sc AS (SELECT bi.doc_id, ln((c_xy + 0.5) / (c_w + 0.5 * v.v)) AS lp
+        |       FROM bi JOIN cx USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(lp), 4) AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val bi = toks.select(col("doc_id"), explode(arrays_zip(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val v = toks.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      bi
+        .withColumn("c_w", count(lit(1)).over(Window.partitionBy("w1")))
+        .withColumn("c_xy", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))
+            .as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+        .orderBy("doc_id")
     }
   )
 }

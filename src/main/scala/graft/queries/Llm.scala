@@ -724,6 +724,47 @@ object Llm {
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", threshold = 0.8)
+    },
+
+    Q("q58_contamination_report",
+      """Q58 — benchmark-side contamination report: the inverse aggregation
+        |of q44. For every eval document (doc_id < 5), how many corpus
+        |documents share at least one of its 3-shingles, how many of its
+        |distinct shingles appear anywhere in the corpus, and the burned
+        |fraction — the report an eval-suite owner reads to decide which
+        |items are still trustworthy after a crawl refresh (q44 answers the
+        |corpus owner's question; this answers the benchmark owner's).
+        |Scale shape: the corpus shingle stream (the 100 TB side) is never
+        |value-shuffled — the small bench (bench_id, sh) set broadcasts
+        |into a hash join inside the corpus scan, and the dual distinct
+        |counts aggregate at eval-suite cardinality (bounded by
+        |declaration; Spark's two-phase expand gives them map-side
+        |partials). Shingles compare as 60-bit md5 prefixes — the q44/q31
+        |collision tolerance; the string-keyed oracle would surface any
+        |collision.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i,
+        |        toks FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS s FROM s),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 5),
+        |tot AS (SELECT bench_id, count(*) AS n_shingles FROM bench GROUP BY 1),
+        |hit AS (SELECT bench_id, count(DISTINCT c.doc_id) AS n_docs_hit,
+        |               count(DISTINCT b.s) AS n_shingles_hit
+        |        FROM bench b JOIN corpus c USING (s) GROUP BY 1)
+        |SELECT bench_id, CAST(coalesce(n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+        |       CAST(coalesce(n_shingles_hit, 0) AS BIGINT) AS n_shingles_hit,
+        |       round(coalesce(n_shingles_hit, 0) * 1.0 / n_shingles, 4) AS burn_frac
+        |FROM tot LEFT JOIN hit USING (bench_id) ORDER BY bench_id""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Decontaminate
+        val shingled = Decontaminate.shingleSet(
+          Tables.documents(s, d), "doc_id", "text")
+        Decontaminate.report(
+            shingled.filter(col("doc_id") >= 5),
+            shingled.filter(col("doc_id") < 5),
+            "doc_id")
+          .orderBy("bench_id")
     }
   )
 }
