@@ -54,8 +54,13 @@ object DevScale {
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
 
+    // q57: replica vocabularies are disjoint, so V, the bigram stream and
+    // the distinct-bigram table all scale exactly 10x. q58: the bench side
+    // (doc_id < 5, replica 0 only) stays FIXED while the corpus grows 10x —
+    // the realistic eval-suite-vs-growing-crawl scaling.
     val heavy = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q50_batch_ann",
-      "q54_dup_spans", "q55_curate", "q56_incremental_neardup")
+      "q54_dup_spans", "q55_curate", "q56_incremental_neardup",
+      "q57_bigram_lm", "q58_contamination_report")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -223,4 +223,60 @@ class CatalogSpec extends SparkSpec {
     assert(cross === straddling,
       s"cross-run ${cross.size} pairs vs union-run straddling ${straddling.size}")
   }
+
+  test("q57 — window count attach equals the aggregate+join formulation") {
+    // the declared single-exchange window form must be value-identical to
+    // the textbook aggregate+join form built independently here (same
+    // math, different plan composition — this is the q45/q54 rewrite
+    // equivalence argument as an executable check)
+    import graft.functions.TextOps
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val bi = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val v = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val cx = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cw = bi.groupBy("w1").agg(count(lit(1)).as("c_w"))
+    val ref = bi.join(cx, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("lp")), 4).as("lm_score"))
+    val declared = Catalog.byName("q57_bigram_lm").build(spark, sf0001)
+    assert(declared.exceptAll(ref).isEmpty && ref.exceptAll(declared).isEmpty)
+  }
+
+  test("q58 — report is consistent with q44's contaminated set and bounded") {
+    import graft.operators.Decontaminate
+    val docs = Tables.documents(spark, sf0001)
+    val shingled = Decontaminate.shingleSet(docs, "doc_id", "text")
+    // distinct corpus docs hitting >=1 bench shingle == q44's contaminated
+    // count (the two queries aggregate the SAME join, opposite directions)
+    val hitDocs = shingled.filter(col("doc_id") >= 5)
+      .join(broadcast(
+        shingled.filter(col("doc_id") < 5).select("sh").distinct()), Seq("sh"))
+      .select("doc_id").distinct().count()
+    val q44Contaminated = Catalog.byName("q44_decontaminate")
+      .build(spark, sf0001).filter(col("contaminated")).count()
+    assert(hitDocs === q44Contaminated)
+    // per-item bounds: burn_frac in [0,1], n_docs_hit <= corpus size,
+    // shingles hit <= docs hit is NOT an invariant — but a hit doc shares
+    // >=1 shingle, so n_docs_hit > 0 iff n_shingles_hit > 0
+    val corpusN = docs.filter(col("doc_id") >= 5).count()
+    Catalog.byName("q58_contamination_report").build(spark, sf0001)
+      .collect().foreach { r =>
+        val bf = r.getAs[Double]("burn_frac")
+        assert(bf >= 0.0 && bf <= 1.0, s"burn_frac $bf out of range: $r")
+        assert(r.getAs[Long]("n_docs_hit") <= corpusN)
+        assert((r.getAs[Long]("n_docs_hit") > 0) ===
+               (r.getAs[Long]("n_shingles_hit") > 0), s"hit-count mismatch: $r")
+      }
+  }
 }
