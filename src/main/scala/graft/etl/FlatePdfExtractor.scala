@@ -47,17 +47,26 @@ object FlatePdfExtractor extends PageExtractor {
     catch { case _: Exception => Nil }
   }
 
-  private def stripEol(data: Array[Byte]): Int = {
-    // trailing EOL that sits between stream data and "endstream"
-    var end = data.length
-    while (end > 0 && (data(end - 1) == '\n' || data(end - 1) == '\r')) end -= 1
-    end
+  /** The EOL between stream data and `endstream` is FRAMING, not data
+    * (ISO 32000 §7.3.8.1) — strip exactly one marker, at extraction time
+    * only. Decoders must NOT strip EOLs themselves: chained stages see
+    * exact decoded intermediates where a trailing 0x0A/0x0D is a real
+    * payload byte (inflate stops at the zlib end marker and LZW at the
+    * EOD code, so residual framing never corrupts them anyway).
+    */
+  private def stripFramingEol(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    if (n >= 2 && data(n - 2) == '\r' && data(n - 1) == '\n')
+      java.util.Arrays.copyOf(data, n - 2)
+    else if (n >= 1 && (data(n - 1) == '\n' || data(n - 1) == '\r'))
+      java.util.Arrays.copyOf(data, n - 1)
+    else data
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     try {
       val inf = new java.util.zip.Inflater()
-      inf.setInput(data, 0, stripEol(data))
+      inf.setInput(data, 0, data.length)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
@@ -79,7 +88,7 @@ object FlatePdfExtractor extends PageExtractor {
   private[etl] def lzwDecode(data: Array[Byte],
                              earlyChange: Int = 1): Option[Array[Byte]] = {
     try {
-      val end = stripEol(data)
+      val end = data.length // EOD (257) terminates; never strip trailing bytes
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val table = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       def reset(): Unit = {
@@ -207,11 +216,41 @@ object FlatePdfExtractor extends PageExtractor {
 
   private val FilterListRe = """(?s)/Filter\s*(?:\[([^\]]*)\]|/(\w+))""".r
   private val NameRe = """/(\w+)""".r
+  private val DecodeParmsRe =
+    """(?s)/(?:DecodeParms|DP)\s*(\[[^\]]*\]|<<.*?>>|null)""".r
+  private val ParmElemRe = """(?s)<<.*?>>|null""".r
 
-  /** Apply the stream's declared filter CHAIN in order. Unknown filters
-    * (DCT, JBIG2, CCITT, RunLength, ASCII85, Crypt — see scaladoc) yield
-    * None so the stream is skipped rather than mis-decoded; a stream
-    * with no /Filter passes through raw.
+  private def isDecompressor(f: String): Boolean =
+    f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW"
+
+  /** Per-stage `/DecodeParms` (or `/DP`) entries aligned with the filter
+    * chain. An ARRAY aligns by index (null entries → defaults). A SINGLE
+    * dict aligns to the first decompression stage — per spec a lone dict
+    * accompanies a lone filter, but writers that pair one dict with a
+    * chain (e.g. [/ASCIIHexDecode /FlateDecode]) mean the decompressor's
+    * parms, never the transport encoding's. Predictors and EarlyChange
+    * then apply ONLY to their own stage: a predictor declared for the
+    * final stage must not mangle an earlier stage's intermediate bytes.
+    */
+  private[etl] def decodeParms(dict: String, filters: Seq[String]): Seq[String] = {
+    val parsed: Seq[String] =
+      DecodeParmsRe.findFirstMatchIn(dict).map(_.group(1)) match {
+        case Some(s) if s.startsWith("[") =>
+          ParmElemRe.findAllIn(s.substring(1, s.length - 1)).toSeq
+        case Some(s) => Seq(s)
+        case None => Nil
+      }
+    val byIndex = parsed.map(p => if (p == "null") "" else p)
+    if (byIndex.size == 1 && filters.length > 1) {
+      val at = filters.indexWhere(isDecompressor) max 0
+      filters.indices.map(i => if (i == at) byIndex.head else "")
+    } else byIndex.padTo(filters.length, "")
+  }
+
+  /** Apply the stream's declared filter CHAIN in order, each stage with
+    * its OWN DecodeParms. Unknown filters (DCT, JBIG2, CCITT, RunLength,
+    * ASCII85, Crypt — see scaladoc) yield None so the stream is skipped
+    * rather than mis-decoded; a stream with no /Filter passes through raw.
     */
   private[etl] def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
     val filters: Seq[String] = FilterListRe.findFirstMatchIn(dict) match {
@@ -220,16 +259,19 @@ object FlatePdfExtractor extends PageExtractor {
       case Some(m) => Seq(m.group(2))
       case None => Nil
     }
-    val early = EarlyRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
-    filters.foldLeft(Option(data)) { (acc, f) =>
-      acc.flatMap { d =>
-        f match {
-          case "FlateDecode" | "Fl" => inflate(d).map(unpredict(dict, _))
-          case "LZWDecode" | "LZW" => lzwDecode(d, early).map(unpredict(dict, _))
-          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
-          case _ => None
+    filters.zip(decodeParms(dict, filters)).foldLeft(Option(data)) {
+      case (acc, (f, parm)) =>
+        acc.flatMap { d =>
+          f match {
+            case "FlateDecode" | "Fl" => inflate(d).map(unpredict(parm, _))
+            case "LZWDecode" | "LZW" =>
+              val early = EarlyRe.findFirstMatchIn(parm)
+                .map(_.group(1).toInt).getOrElse(1)
+              lzwDecode(d, early).map(unpredict(parm, _))
+            case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+            case _ => None
+          }
         }
-      }
     }
   }
 
@@ -250,7 +292,8 @@ object FlatePdfExtractor extends PageExtractor {
               case Some(sm) =>
                 val data = raw.substring(m.start + sm.start(1), m.start + sm.end(1))
                   .getBytes(StandardCharsets.ISO_8859_1)
-                decodeStream(dict, data).map(new String(_, StandardCharsets.ISO_8859_1))
+                decodeStream(dict, stripFramingEol(data))
+                  .map(new String(_, StandardCharsets.ISO_8859_1))
               case None => None
             }
           }

@@ -61,6 +61,12 @@ object MinHashLsh {
   def nearDupPairs(docs: DataFrame, docId: String, text: String,
                    threshold: Double, w: Int = 3,
                    bands: Int = 24, rowsPerBand: Int = 2): DataFrame =
+    // NOTE session-cache contract: the internal signature frame stays
+    // persisted after this returns (the plan consumes it four times — see
+    // nearDupPairsDetached), and a lazy return value has no safe point to
+    // release it. One-shot jobs don't care; long-lived sessions should use
+    // the Detached form and call the release handle after materializing,
+    // or spark.catalog.clearCache() between corpora (what Bench does).
     nearDupPairsDetached(docs, docId, text, threshold, w, bands, rowsPerBand)._1
 
   /** [[nearDupPairs]] plus a release handle that unpersists the internal
@@ -159,9 +165,17 @@ object MinHashLsh {
   def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
                         docId: String, text: String, threshold: Double,
                         w: Int = 3, bands: Int = 24,
-                        rowsPerBand: Int = 2): DataFrame =
-    crossNearDupPairsDetached(newDocs, corpus, docId, text, threshold,
-      w, bands, rowsPerBand)._1
+                        rowsPerBand: Int = 2): DataFrame = {
+    // Handle-free and CACHE-LEAK-FREE: nothing persists, so each signature
+    // subtree is evaluated twice in the one plan (band probe + exact
+    // verify) — the honest price of a self-contained lazy operator (the
+    // overlapBloom precedent). Callers that amortize use [[signatures]] +
+    // [[crossNearDupPairsPrepared]] (corpus signed once, per-batch release
+    // handle) or [[crossNearDupPairsDetached]] (persisted, caller releases).
+    val corpSigs = signatures(corpus, docId, text, w, bands, rowsPerBand)
+    val newSigs = signatures(newDocs, docId, text, w, bands, rowsPerBand)
+    crossPairs(newSigs, corpSigs, threshold, bands, rowsPerBand)
+  }
 
   /** [[crossNearDupPairs]] plus the signature-cache release handle (same
     * contract as [[nearDupPairsDetached]]).
@@ -193,14 +207,24 @@ object MinHashLsh {
                                 rowsPerBand: Int = 2): (DataFrame, () => Unit) = {
     val newSigs = signatures(newDocs, docId, text, w, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (crossPairs(newSigs, corpusSigs, threshold, bands, rowsPerBand),
+     () => { newSigs.unpersist(); () })
+  }
+
+  /** Batch-probes-corpus plan shared by the cross forms: broadcast the
+    * batch's band probes against the corpus band stream (corpus never
+    * shuffled), exact-verify the candidates with the batch side broadcast.
+    */
+  private def crossPairs(newSigs: DataFrame, corpusSigs: DataFrame,
+                         threshold: Double, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
     val candidates = bandExplode(newSigs, "i", bands, rowsPerBand)
       .hint("broadcast")
       .join(bandExplode(corpusSigs, "j", bands, rowsPerBand),
         Seq("band", "band_key"))
       .select("i", "j")
       .dropDuplicates("i", "j")
-    val pairs = verifyPairs(candidates, newSigs, corpusSigs, threshold,
+    verifyPairs(candidates, newSigs, corpusSigs, threshold,
       broadcastCandidates = true)
-    (pairs, () => { newSigs.unpersist(); () })
   }
 }

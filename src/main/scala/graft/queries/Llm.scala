@@ -680,9 +680,16 @@ object Llm {
         |dropped_near_dup, dropped_contaminated, dropped_quality) — the
         |numbers a production run reports — so both the pipeline's cost
         |and its stage-level stability are regression-guarded by the
-        |bench/correctness artifacts. No DuckDB oracle (LSH candidate
+        |bench/correctness artifacts. COMPOSITE-ACTION entry: unlike every
+        |other catalog builder this one EXECUTES the pipeline (stage counts
+        |+ observed metrics are actions by nature) and returns the one-row
+        |local accounting — so PlanShapeSpec's lazy-plan lint explicitly
+        |exempts it (a LocalRelation would pass vacuously) and the
+        |component operators' plans are audited via their own entries and
+        |CorpusPipelineSpec. No DuckDB oracle (LSH candidate
         |generation is probabilistic by design); CatalogSpec pins
-        |conservation (n_input = n_kept + Σ drops) and stage consistency
+        |conservation (n_kept + Σ drops ≡ the independent input count) and
+        |stage consistency
         |against the independently-oracled q28/q44 counts, and
         |CorpusPipelineSpec covers every stage in isolation.""".stripMargin) {
       (s, d) =>
@@ -710,7 +717,9 @@ object Llm {
         |only batch×corpus candidates — corpus×corpus pairs NEVER form, so
         |per-ingest cost is O(batch · bands) probe state against a
         |signature table computed once ([[graft.operators.MinHashLsh
-        |.crossNearDupPairs]]; the amortized crossNearDupPairsPrepared form
+        |.crossNearDupPairs]] — the handle-free LEAK-FREE form: nothing
+        |persists, each signature subtree evaluates twice in the one plan;
+        |production ingest amortizes via crossNearDupPairsPrepared, which
         |reuses a persisted/stored corpus-signature frame and keeps the
         |corpus un-shuffled — the batch's band probes broadcast). Output:
         |(i = batch id, j = corpus id, jaccard) pairs at the q31 0.8

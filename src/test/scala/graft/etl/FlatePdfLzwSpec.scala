@@ -10,7 +10,13 @@ import java.nio.charset.StandardCharsets
   * bit-synchronized through 9→12-bit growth under any EarlyChange.
   */
 object LzwTestSupport {
-  def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+  /** `emitEod = false` builds the EOD-less stream shape sloppy real-world
+    * encoders produce (the decoder's ran-out-of-input path): with EOD
+    * present the bitstream tail is 1-followed-by-zeros, so the final byte
+    * always has exactly one 1-bit and can never collide with an EOL byte —
+    * only EOD-less streams can legitimately end in 0x0A/0x0D. */
+  def lzwEncode(data: Array[Byte], earlyChange: Int = 1,
+                emitEod: Boolean = true): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     var bitBuf = 0L; var nBits = 0
     var width = 9
@@ -45,7 +51,7 @@ object LzwTestSupport {
       }
     }
     if (cur.nonEmpty) emitData(dict(seq(cur)))
-    emit(257)
+    if (emitEod) emit(257)
     if (nBits > 0) out.write(((bitBuf << (8 - nBits)) & 0xff).toInt)
     out.toByteArray
   }
@@ -175,5 +181,58 @@ class FlatePdfLzwSpec extends AnyFunSuite {
     val pages = FlatePdfExtractor.extractPages(pdf)
     assert(pages.length === 1)
     assert(pages.head.contains("Hello LZW world"))
+  }
+
+  test("lzwDecode — EOD-less stream ending in an EOL byte is not truncated") {
+    // EOL handling belongs to stream FRAMING (stripped once at extraction);
+    // a decoder-side strip would delete real bitstream bytes. An
+    // EOD-terminated stream's final byte always has exactly one 1-bit
+    // (EOD = 1 then zero padding), so the colliding shape is the EOD-LESS
+    // stream sloppy encoders emit: find a payload whose encoding ends in
+    // 0x0A/0x0D (deterministic search) and require the exact round-trip
+    // through decodeStream, which must not strip anything.
+    val found = (for {
+      len <- (0 until 64).iterator
+      last <- (0 until 256).iterator
+    } yield {
+      val payload = ("x" * len).getBytes(StandardCharsets.ISO_8859_1) :+ last.toByte
+      (payload, lzwEncode(payload, emitEod = false))
+    }).find { case (_, enc) => enc.last == 0x0A || enc.last == 0x0D }
+    assert(found.nonEmpty, "search space produced no EOL-final encoding")
+    val (payload, enc) = found.get
+    val decoded = FlatePdfExtractor.decodeStream("<< /Filter /LZWDecode >>", enc)
+    assert(decoded.map(_.toSeq) === Some(payload.toSeq))
+  }
+
+  test("decodeStream — per-stage DecodeParms array in a two-decompressor chain") {
+    // /DecodeParms [null <</Predictor 12>>] declares the predictor for the
+    // FINAL stage only: un-filtering after the first stage would mangle
+    // the intermediate deflate bytes. Chain: LZW(deflate(predicted)).
+    val rows = Seq(bytes(1, 0, 0, 9), bytes(1, 0, 1, 44), bytes(1, 0, 2, 17))
+    val predicted = rows.zipWithIndex.flatMap { case (r, i) =>
+      2.toByte +: r.indices.map { j =>
+        val up = if (i == 0) 0 else rows(i - 1)(j) & 0xff
+        (((r(j) & 0xff) - up) & 0xff).toByte
+      }
+    }.toArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(predicted); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val chained = lzwEncode(buf.take(n))
+    val decoded = FlatePdfExtractor.decodeStream(
+      "<< /Filter [ /LZWDecode /FlateDecode ] " +
+        "/DecodeParms [ null << /Predictor 12 /Columns 4 >> ] >>",
+      chained)
+    assert(decoded.map(_.toSeq) === Some(rows.flatten))
+    // a lone parms dict paired with a chain aligns to the decompressor,
+    // not to whatever filter happens to sit at index 0
+    val hex = buf.take(n).map(b => f"${b & 0xff}%02X").mkString + ">"
+    val hexChained = FlatePdfExtractor.decodeStream(
+      "<< /Filter [ /ASCIIHexDecode /FlateDecode ] " +
+        "/DecodeParms << /Predictor 12 /Columns 4 >> >>",
+      hex.getBytes(StandardCharsets.ISO_8859_1))
+    assert(hexChained.map(_.toSeq) === Some(rows.flatten))
   }
 }

@@ -100,7 +100,14 @@ class PlanShapeSpec extends SparkSpec {
     val globalWindowOk = Set("q20_ntile")
     val offendersNl = scala.collection.mutable.ArrayBuffer.empty[String]
     val offendersWin = scala.collection.mutable.ArrayBuffer.empty[String]
-    Catalog.all.foreach { q =>
+    // q55 is the COMPOSITE pipeline entry: its builder executes curate()
+    // eagerly and returns a 1-row local accounting frame, so linting its
+    // "plan" would inspect a LocalRelation and prove nothing — and would
+    // run the whole pipeline as a side effect. Its component operators'
+    // plans are audited through their own entries (q28/q32/q44-shapes)
+    // and CorpusPipelineSpec's bounded-state/persist assertions; declare
+    // the exemption here instead of letting it pass vacuously.
+    Catalog.all.filterNot(_.name == "q55_curate").foreach { q =>
       val qe = q.build(spark, sf0001).queryExecution
       val physical = qe.executedPlan.toString
       if ((physical.contains("BroadcastNestedLoopJoin") ||
