@@ -9,8 +9,9 @@ import scala.util.matching.Regex
   *   - stream filters applied as a declared CHAIN (`/Filter` name or
   *     array): FlateDecode (java.util.zip.Inflater), LZWDecode (9→12-bit
   *     MSB-first codes, clear=256/EOD=257, `/EarlyChange` honored),
-  *     ASCIIHexDecode — plus PNG `/Predictor` 10–15 and TIFF 2 un-filtering
-  *     from `/DecodeParms` after the decompressor (the xref-stream shape),
+  *     ASCIIHexDecode, ASCII85Decode, RunLengthDecode — plus PNG
+  *     `/Predictor` 10–15 and TIFF 2 un-filtering from per-stage
+  *     `/DecodeParms` after the decompressor (the xref-stream shape),
   *   - per-font /ToUnicode CMaps (bfchar + bfrange) mapping 2-byte CIDs to
   *     Unicode — which is how the reference corpus encodes Amharic,
   *   - `(…) Tj` literal and `[ <hex> (lit) … ] TJ` array show-text
@@ -24,8 +25,8 @@ import scala.util.matching.Regex
   *
   * Declared out of scope (environment-bound — no pdfbox/tika in the
   * container, SURVEY §7.4): DCTDecode/JPXDecode raster text (needs OCR),
-  * JBIG2/CCITT fax images, RunLength/ASCII85, and encrypted documents
-  * (/Crypt); streams with those filters decode to None and are skipped.
+  * JBIG2/CCITT fax images, and encrypted documents (/Crypt); streams
+  * with those filters decode to None and are skipped.
   */
 object FlatePdfExtractor extends PageExtractor {
 
@@ -122,6 +123,72 @@ object FlatePdfExtractor extends PageExtractor {
           }
         }
       }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0..127 copies
+    * the next L+1 bytes literally, 129..255 repeats the next byte
+    * 257−L times, 128 is EOD.
+    */
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 2)
+      var i = 0; var done = false
+      while (i < data.length && !done) {
+        val l = data(i) & 0xff
+        if (l == 128) done = true
+        else if (l < 128) {
+          if (i + 1 + l + 1 > data.length) return None // truncated literal run
+          out.write(data, i + 1, l + 1); i += l + 1
+        } else {
+          if (i + 1 >= data.length) return None // truncated repeat run
+          var n = 257 - l
+          while (n > 0) { out.write(data(i + 1)); n -= 1 }
+          i += 1
+        }
+        i += 1
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars '!'..'u' → 4 bytes base-85
+    * big-endian; 'z' is a 4-zero-byte shortcut (only between groups);
+    * `~>` is EOD; a final partial group of n chars yields n−1 bytes
+    * (pad with 'u', drop the padding bytes). Whitespace ignored.
+    */
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+      val grp = new Array[Int](5)
+      var n = 0; var i = 0; var done = false
+      // a leading <~ (non-PDF but common in the wild) is tolerated
+      if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+      def flush(chars: Int): Boolean = {
+        if (chars == 1) return false // 1 leftover char is malformed
+        var v = 0L
+        var k = 0
+        while (k < 5) { v = v * 85 + (if (k < chars) grp(k) else 84); k += 1 }
+        if (v > 0xffffffffL) return false // group decodes above 2^32
+        var b = 3
+        while (b >= 0) {
+          if (3 - b < chars - 1) out.write(((v >>> (8 * b)) & 0xff).toInt)
+          b -= 1
+        }
+        true
+      }
+      while (i < data.length && !done) {
+        val c = data(i).toChar
+        if (c == '~') done = true
+        else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+        else if (c >= '!' && c <= 'u') {
+          grp(n) = c - '!'; n += 1
+          if (n == 5) { if (!flush(5)) return None; n = 0 }
+        } else if (!c.isWhitespace) return None
+        i += 1
+      }
+      if (n > 0 && !flush(n)) return None
       Some(out.toByteArray)
     } catch { case _: Exception => None }
   }
@@ -248,9 +315,9 @@ object FlatePdfExtractor extends PageExtractor {
   }
 
   /** Apply the stream's declared filter CHAIN in order, each stage with
-    * its OWN DecodeParms. Unknown filters (DCT, JBIG2, CCITT, RunLength,
-    * ASCII85, Crypt — see scaladoc) yield None so the stream is skipped
-    * rather than mis-decoded; a stream with no /Filter passes through raw.
+    * its OWN DecodeParms. Unknown filters (DCT, JBIG2, CCITT, Crypt —
+    * see scaladoc) yield None so the stream is skipped rather than
+    * mis-decoded; a stream with no /Filter passes through raw.
     */
   private[etl] def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
     val filters: Seq[String] = FilterListRe.findFirstMatchIn(dict) match {
@@ -269,6 +336,8 @@ object FlatePdfExtractor extends PageExtractor {
                 .map(_.group(1).toInt).getOrElse(1)
               lzwDecode(d, early).map(unpredict(parm, _))
             case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+            case "ASCII85Decode" | "A85" => ascii85Decode(d)
+            case "RunLengthDecode" | "RL" => runLengthDecode(d)
             case _ => None
           }
         }

@@ -183,6 +183,48 @@ class FlatePdfLzwSpec extends AnyFunSuite {
     assert(pages.head.contains("Hello LZW world"))
   }
 
+  test("decodeStream — RunLengthDecode and ASCII85Decode") {
+    // RunLength: literal run (L<128 → next L+1 bytes), repeat run
+    // (L>128 → next byte 257-L times), 128 = EOD; bytes after EOD ignored
+    val rle = bytes(2, 'a', 'b', 'c', 0xFE, 'x', 0, 'y', 128, 'Z')
+    assert(FlatePdfExtractor.decodeStream("<< /Filter /RunLengthDecode >>", rle)
+      .map(new String(_, StandardCharsets.ISO_8859_1)) === Some("abcxxxy"))
+    // truncated runs are corrupt, not best-effort
+    assert(FlatePdfExtractor.decodeStream(
+      "<< /Filter /RunLengthDecode >>", bytes(5, 'a')).isEmpty)
+    // ASCII85: the canonical "Man " → 9jqo^; z shortcut; partial final
+    // group (2 chars → 1 byte); ~> EOD; whitespace ignored
+    def a85(s: String) = FlatePdfExtractor.decodeStream(
+      "<< /Filter /ASCII85Decode >>", s.getBytes(StandardCharsets.ISO_8859_1))
+    assert(a85("9jqo^~>").map(new String(_, StandardCharsets.ISO_8859_1))
+      === Some("Man "))
+    assert(a85("z~>").map(_.toSeq) === Some(Seq[Byte](0, 0, 0, 0)))
+    // whitespace is ignored anywhere between chars
+    assert(a85("9j qo\n^~>").map(new String(_, StandardCharsets.ISO_8859_1))
+      === Some("Man "))
+    // group value above 2^32 ('uuuuu' overflows) and a lone leftover char
+    // are both malformed
+    assert(a85("uuuuu~>").isEmpty)
+    assert(a85("9jqo^5~>").isEmpty)
+    // round-trip on arbitrary bytes via a test-side encoder, incl. a
+    // PARTIAL final group (258 bytes = 64 full groups + 2 bytes → 3 chars)
+    val payload = (0 until 258).map(_.toByte).toArray
+    val enc = {
+      val sb = new StringBuilder
+      payload.grouped(4).foreach { g =>
+        val full = g.padTo(4, 0.toByte)
+        var v = 0L
+        full.foreach(b => v = (v << 8) | (b & 0xff))
+        val cs = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        sb.appendAll(cs, 0, g.length + 1)
+      }
+      sb.append("~>").toString
+    }
+    assert(a85(enc).map(_.toSeq) === Some(payload.toSeq))
+  }
+
   test("lzwDecode — EOD-less stream ending in an EOL byte is not truncated") {
     // EOL handling belongs to stream FRAMING (stripped once at extraction);
     // a decoder-side strip would delete real bitstream bytes. An
