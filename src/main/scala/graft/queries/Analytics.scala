@@ -344,6 +344,127 @@ object Analytics {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    Q("q59_source_drift",
+      """Q59 — per-source distribution drift: Jensen–Shannon divergence
+        |between each source's unigram token distribution and the whole
+        |corpus's — the monitoring query a pre-training team runs after a
+        |crawl refresh to see which sources shifted (JSD is symmetric,
+        |bounded [0, ln 2], and defined even where supports differ, unlike
+        |raw KL). Tokens the source never emits still contribute to its
+        |divergence; instead of enumerating the absent vocabulary (a
+        |per-source anti-join against the full token table), the absent
+        |mass folds into the closed form Σ_absent 0.5·q·ln 2
+        |= 0.5·ln 2·(1 − Σ_present q), so only (source, token) support
+        |rows are ever materialized. Scale shape: per-doc token counts
+        |come from the one-pass tokenCounts kernel inside the scan
+        |projection (the q45 lesson — token INSTANCES never shuffle; the
+        |one wide exchange carries pre-reduced (source, token, tf)
+        |partials with map-side combine); corpus token mass then attaches
+        |via a sum window over token and source mass via a sum window
+        |over source, and the final per-source reduce reuses the source
+        |exchange (HashPartitioning(source) already satisfies it), so the
+        |distinct-pair table shuffles twice and nothing vocabulary-sized
+        |is broadcast — the corpus total is a 1-row broadcast scalar. A
+        |stopword's token-window group holds ≤ #sources rows, so the
+        |heavy head of the vocabulary cannot skew a partition. jsd
+        |rounds at 4 dp (the §7.3 double rule).""".stripMargin,
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        |g AS (SELECT token, sum(n) AS gn FROM c GROUP BY 1),
+        |st AS (SELECT source, sum(n) AS stot FROM c GROUP BY 1),
+        |tot AS (SELECT sum(n) AS gt FROM c),
+        |terms AS (SELECT c.source, c.n * 1.0 / st.stot AS p, g.gn * 1.0 / tot.gt AS q
+        |          FROM c JOIN g USING (token) JOIN st ON c.source = st.source
+        |          CROSS JOIN tot)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |       round(sum(0.5*p*ln(p/((p+q)/2)) + 0.5*q*ln(q/((p+q)/2)))
+        |             + 0.5*ln(2)*(1 - sum(q)), 4) AS jsd
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val pairs = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.expressions.NativeExprs
+            .tokenCounts(col("text"))).as("tc"))
+        .select(col("source"), col("tc.token").as("token"),
+                col("tc.tf").cast(LongType).as("tf"))
+        .groupBy("source", "token").agg(sum(col("tf")).as("n"))
+      val tot = pairs.agg(sum(col("n")).as("gt"))
+      pairs
+        // token window FIRST, then source: the per-source reduce below
+        // rides the source exchange instead of adding a third shuffle
+        .withColumn("gn", sum(col("n")).over(Window.partitionBy("token")))
+        .withColumn("stot", sum(col("n")).over(Window.partitionBy("source")))
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          (col("n") / col("stot")).as("p"),
+          (col("gn") / col("gt")).as("q"))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          round(
+            sum(lit(0.5) * col("p") * log(col("p") / col("m"))
+              + lit(0.5) * col("q") * log(col("q") / col("m")))
+            + lit(0.5) * log(lit(2.0)) * (lit(1.0) - sum(col("q"))),
+            4).as("jsd"))
+        .orderBy("source")
+    },
+
+    Q("q60_label_outliers",
+      """Q60 — semantic outliers per label: the 5 embeddings least similar
+        |(cosine) to their own label's centroid — the "does this document
+        |belong in its cluster?" audit a labeled/clustered corpus gets
+        |before the labels feed sampling or eval splits (low scorers are
+        |mislabeled docs, noise, or boundary cases). Scale shape: the
+        |centroid is the typed VecAvg Aggregator — every task folds its
+        |rows into ONE d-length double buffer, so the centroid exchange
+        |carries a (d·8 B, count) partial per (mapper, label), NOT n·d
+        |exploded dimension rows, and reduce parallelism is not capped at
+        |d (the posexplode + groupBy(pos) formulation has both defects —
+        |that shape is the DuckDB oracle, not the engine); the finished
+        |(label, centroid) table is #labels rows and broadcasts into the
+        |scan-side join, so scoring is one narrow pass over the corpus
+        |with the double-precision HOF dot inside codegen; the bottom-5
+        |cut is the bounded TopKAgg buffer (≤5 entries per (mapper,
+        |label) shuffle), not a window sort of every scored row. Ranking
+        |happens on the ROUNDED score with a vec_id tie-break (the q45
+        |rule), and ±0.0 is normalized on both engines (cosines here
+        |straddle zero; repr(-0.0) ≠ repr(0.0) in the hash compare).""".stripMargin,
+      """WITH dims AS (SELECT vec_id, label,
+        |              unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |              generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+        |       FROM embeddings),
+        |cen AS (SELECT label, d, avg(v) AS c FROM dims GROUP BY 1, 2),
+        |sc AS (SELECT dims.vec_id, dims.label,
+        |              round(sum(v*c) / (sqrt(sum(v*v)) * sqrt(sum(c*c))), 4) + 0.0 AS score
+        |       FROM dims JOIN cen USING (label, d) GROUP BY 1, 2),
+        |rk AS (SELECT label, vec_id, score,
+        |              row_number() OVER (PARTITION BY label
+        |                                 ORDER BY score ASC, vec_id) AS rnk
+        |       FROM sc)
+        |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, score
+        |FROM rk WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps
+      val vecAvg = udaf(graft.functions.Aggs.VecAvg)
+      val emb = Tables.embeddings(s, d)
+      val cen = emb.groupBy("label").agg(vecAvg(col("embedding")).as("c"))
+      val scored = emb
+        .join(broadcast(cen), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"), col("c"))
+        .select(col("label"), col("vec_id"),
+          (round(VectorOps.dotHof(col("v"), col("c"))
+            / (sqrt(VectorOps.dotHof(col("v"), col("v")))
+               * sqrt(VectorOps.dotHof(col("c"), col("c")))), 4)
+            + lit(0.0)).as("score"))
+      // bottom-5 ascending = top-5 of the negated score; tag tie-break is
+      // vec_id ASC on both forms. 0.0 − x un-negates without minting −0.0.
+      graft.operators.TopK.perGroup(
+          scored.withColumn("neg", lit(0.0) - col("score")),
+          Seq("label"), "neg", "vec_id", 5)
+        .select(col("label"), col("rnk"), col("vec_id"),
+          (lit(0.0) - col("neg")).as("score"))
+        .orderBy("label", "rnk")
     }
   )
 }

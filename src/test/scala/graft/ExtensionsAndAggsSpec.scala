@@ -82,4 +82,46 @@ class ExtensionsAndAggsSpec extends SparkSpec {
     val empty = spark.emptyDataset[Aggs.ValueWeight]
     assert(empty.select(Aggs.WeightedAvg.toColumn).head().isNaN)
   }
+
+  test("VecAvg aggregator — centroid equals posexplode mean, nulls ignored") {
+    val vecAvg = udaf(Aggs.VecAvg)
+    val emb = Tables.embeddings(spark, sf0001)
+    val byAgg = emb.groupBy("label").agg(vecAvg($"embedding").as("c"))
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getSeq[Double](r.fieldIndex("c")).toVector)
+      .toMap
+    // reference: the exploded-dimension formulation the scaladoc rejects
+    // for scale — same values, worse shape
+    val byExplode = emb
+      .select($"label", posexplode($"embedding".cast(ArrayType(DoubleType))))
+      .groupBy("label", "pos").agg(avg($"col").as("c"))
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("c")).toVector
+      }
+    assert(byAgg.keySet === byExplode.keySet)
+    byAgg.foreach { case (l, c) =>
+      val ref = byExplode(l)
+      assert(c.size === ref.size)
+      c.zip(ref).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"label $l: $a vs $b")
+      }
+    }
+    // partition-count invariance at double precision tolerance (sum
+    // re-association only)
+    val p1 = emb.repartition(1).agg(vecAvg($"embedding")).head().getSeq[Double](0)
+    val p13 = emb.repartition(13).agg(vecAvg($"embedding")).head().getSeq[Double](0)
+    p1.zip(p13).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // null and empty vectors are ignored; an all-null group is empty
+    val mixed = Seq(
+      (0, Option(Array(1f, 3f))), (0, None), (0, Option(Array(3f, 5f))),
+      (1, None)).toDF("g", "v")
+    val m = mixed.groupBy("g").agg(vecAvg($"v").as("c")).collect()
+      .map(r => r.getAs[Int]("g") ->
+        r.getSeq[Double](r.fieldIndex("c")).toVector).toMap
+    assert(m(0) === Vector(2.0, 4.0))
+    assert(m(1) === Vector.empty[Double])
+  }
 }

@@ -283,4 +283,101 @@ class CatalogSpec extends SparkSpec {
                (r.getAs[Long]("n_shingles_hit") > 0), s"hit-count mismatch: $r")
       }
   }
+
+  test("q59 — closed-form absent mass equals full union-support JSD") {
+    import graft.functions.TextOps
+    // the declared query never materializes (source, token) rows for
+    // tokens the source lacks — it folds them into 0.5·ln2·(1 − Σq).
+    // This reference build enumerates the FULL vocab × source grid and
+    // computes every absent term explicitly; values must agree exactly
+    // (same doubles, same rounding).
+    val c = Tables.documents(spark, sf0001)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val grid = c.select("source").distinct()
+      .crossJoin(c.select("token").distinct())
+    val g = c.groupBy("token").agg(sum(col("n")).as("gn"))
+    val st = c.groupBy("source").agg(sum(col("n")).as("stot"))
+    val tot = c.agg(sum(col("n")).as("gt"))
+    val full = grid
+      .join(c, Seq("source", "token"), "left")
+      .join(g, Seq("token")).join(st, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        (coalesce(col("n"), lit(0L)) / col("stot")).as("p"),
+        (col("gn") / col("gt")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("term",
+        when(col("p") === 0.0, lit(0.5) * col("q") * log(lit(2.0)))
+          .otherwise(lit(0.5) * col("p") * log(col("p") / col("m"))
+            + lit(0.5) * col("q") * log(col("q") / col("m"))))
+      .groupBy("source")
+      .agg(count(col("n")).as("n_distinct_tokens"),
+           round(sum(col("term")), 4).as("jsd"))
+    val declared = Catalog.byName("q59_source_drift").build(spark, sf0001)
+    assert(declared.exceptAll(full).isEmpty && full.exceptAll(declared).isEmpty)
+    // JSD bounds: divergence lives in [0, ln 2]
+    declared.collect().foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"jsd out of range: $r")
+    }
+    // degenerate corpus: a single source's distribution IS the corpus
+    // distribution, so its divergence is exactly zero (same formula as
+    // the declared build, on a one-source slice)
+    val pairsOne = Tables.documents(spark, sf0001)
+      .filter(col("source") === "src0")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).cast("long").as("n"))
+    val gtOne = pairsOne.agg(sum(col("n")).as("gt"))
+    val jsdOne = pairsOne
+      .withColumn("gn", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .withColumn("stot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .crossJoin(broadcast(gtOne))
+      .select(col("source"), (col("n") / col("stot")).as("p"),
+        (col("gn") / col("gt")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .groupBy("source")
+      .agg(round(sum(lit(0.5) * col("p") * log(col("p") / col("m"))
+          + lit(0.5) * col("q") * log(col("q") / col("m")))
+        + lit(0.5) * log(lit(2.0)) * (lit(1.0) - sum(col("q"))), 4).as("jsd"))
+      .collect()
+    assert(jsdOne.length === 1 && jsdOne(0).getAs[Double]("jsd") === 0.0)
+  }
+
+  test("q60 — negated TopK bottom-5 equals the ascending window form") {
+    import graft.functions.{Aggs, VectorOps}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // independent build: same scoring math, but the rank comes from
+    // row_number() OVER (ORDER BY score ASC, vec_id) — the window form
+    // the declared query replaces with the bounded negated-TopK buffer
+    val vecAvg = udaf(Aggs.VecAvg)
+    val emb = Tables.embeddings(spark, sf0001)
+    val cen = emb.groupBy("label").agg(vecAvg(col("embedding")).as("c"))
+    val scored = emb.join(broadcast(cen), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"), col("c"))
+      .select(col("label"), col("vec_id"),
+        (round(VectorOps.dotHof(col("v"), col("c"))
+          / (sqrt(VectorOps.dotHof(col("v"), col("v")))
+             * sqrt(VectorOps.dotHof(col("c"), col("c")))), 4)
+          + lit(0.0)).as("score"))
+    val ref = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("label").orderBy(col("score").asc, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("label"), col("rnk"), col("vec_id"), col("score"))
+    val declared = Catalog.byName("q60_label_outliers").build(spark, sf0001)
+    assert(declared.exceptAll(ref).isEmpty && ref.exceptAll(declared).isEmpty)
+    // scores are cosines: within [-1, 1], and no −0.0 survives the
+    // normalization (the hash compare distinguishes repr(−0.0))
+    declared.collect().foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= -1.0 && s <= 1.0, s"score out of range: $r")
+      assert(java.lang.Double.doubleToRawLongBits(s) !=
+             java.lang.Double.doubleToRawLongBits(-0.0), s"-0.0 leaked: $r")
+    }
+  }
 }
