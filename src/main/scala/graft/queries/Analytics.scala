@@ -465,6 +465,87 @@ object Analytics {
         .select(col("label"), col("rnk"), col("vec_id"),
           (lit(0.0) - col("neg")).as("score"))
         .orderBy("label", "rnk")
+    },
+
+    Q("q61_cluster_profile",
+      """Q61 — anchor-codebook cluster profile: assign every embedding to
+        |its most-cosine-similar of K=256 fixed anchors (the K lowest
+        |vec_ids — a deterministic stand-in for a trained IVF/k-means
+        |codebook, which is what production plugs in) and report each
+        |cluster's population and affinity — the semantic-balance profile
+        |read before cluster-aware sampling or SemDeDup-style pruning
+        |(empty/over-full clusters mean the codebook no longer fits the
+        |corpus). Scale shape: the codebook collapses to ONE row
+        |(collect_list of K (id, vec, norm) structs ≈ K·(4d+16) bytes —
+        |codebooks are constant-sized by design) and broadcasts; the
+        |optimizer PROVES the 1-row side (no-grouping Aggregate), so the
+        |join is the audited 1-row form, never a data-sized nested loop.
+        |posexplode unrolls the K candidates per embedding INSIDE the scan
+        |stage (narrow, no shuffle; anchor norms ride the struct, computed
+        |once per anchor, and each candidate scores via the codegen'd
+        |dot_f32); argmax per vec_id is max(struct(score, -anchor_id)) —
+        |one hash agg with map-side partials, tie → lowest anchor — and
+        |the K-row profile aggregate follows. Nothing data-sized is
+        |collected, sorted, or windowed. Determinism (two measured traps,
+        |both sf0.01 mismatches before this form): (1) an avg of rounded
+        |DOUBLES flips its own 4 dp rounding boundary with summation
+        |order, so per-row scores scale to exact integer ten-thousandths
+        |(the q47 long-cents rule) and cluster sums are order-independent
+        |int64 arithmetic; (2) that exactness GUARANTEES the mean lands on
+        |.00005 decimal boundaries, where the engines' round() disagree on
+        |IDENTICAL doubles (Spark rounds the shortest decimal repr, DuckDB
+        |rounds the binary value) — so the half-up rounding happens in
+        |INTEGER space ((2s+n) div 2n, sign-symmetric) and the only float
+        |op left is a division by 10⁴, bit-identical everywhere.""".stripMargin,
+      """WITH anc AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+        |             FROM embeddings ORDER BY vec_id LIMIT 256),
+        |sc AS (SELECT e.vec_id, a.anchor_id,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]), a.av)
+        |           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |            * sqrt(list_dot_product(a.av, a.av))) AS score
+        |       FROM embeddings e CROSS JOIN anc a),
+        |best AS (SELECT vec_id, anchor_id,
+        |           CAST(round(score * 10000) AS BIGINT) AS si,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY score DESC, anchor_id) AS rnk
+        |         FROM sc)
+        |SELECT anchor_id AS cluster, count(*) AS n,
+        |       CAST(CASE WHEN sum(si) >= 0
+        |              THEN (2 * sum(si) + count(*)) // (2 * count(*))
+        |              ELSE -((2 * -sum(si) + count(*)) // (2 * count(*)))
+        |            END AS BIGINT) / 10000.0 AS avg_score,
+        |       min(si) / 10000.0 AS min_score
+        |FROM best WHERE rnk = 1 GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps
+      val emb = Tables.embeddings(s, d)
+      val codebook = emb.orderBy("vec_id").limit(256)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("an"))
+        .agg(collect_list(struct(col("anchor_id"), col("av"), col("an")))
+          .as("anchors"))
+      val scored = emb
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("en"),
+          col("embedding"), explode(col("anchors")).as("a"))
+        .select(col("vec_id"),
+          (VectorOps.dot(col("embedding"), col("a.av"))
+            / (col("en") * col("a.an"))).as("score"),
+          col("a.anchor_id").as("anchor_id"))
+      scored
+        .groupBy("vec_id")
+        .agg(max(struct(col("score"), (-col("anchor_id")).as("negid"))).as("b"))
+        .select((-col("b.negid")).as("cluster"),
+          round(col("b.score") * 10000, 0).cast(LongType).as("si"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum(col("si")).as("ssum"),
+          min(col("si")).as("smin"))
+        .select(col("cluster"), col("n"),
+          (when(col("ssum") >= 0, expr("(2 * ssum + n) div (2 * n)"))
+            .otherwise(-expr("(2 * -ssum + n) div (2 * n)")) / 10000.0)
+            .as("avg_score"),
+          (col("smin") / 10000.0).as("min_score"))
+        .orderBy("cluster")
     }
   )
 }

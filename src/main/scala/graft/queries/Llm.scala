@@ -774,6 +774,90 @@ object Llm {
             shingled.filter(col("doc_id") < 5),
             "doc_id")
           .orderBy("bench_id")
+    },
+
+    Q.cap("q62_pack",
+      """Q62 — sequence packing as a gating artifact: group documents into
+        |context-window packs (capacity 2048 whitespace tokens) via the
+        |value-keyed NEXT-FIT operator ([[graft.operators.Packing
+        |.packGreedy]]) and emit the per-pack profile (n_docs, n_tokens,
+        |fill fraction) — the packing-efficiency report a training-data
+        |export job writes next to its shards. Scale shape: the
+        |parallelism unit is a VALUE (group = doc_id mod 64), so packs
+        |are identical run-over-run regardless of AQE coalescing or
+        |cluster size; packing itself is a streaming O(1)-state fold over
+        |each group's sorted iterator (no group buffering), and the
+        |profile is one hash agg over the (group-prefixed, globally
+        |unique) pack ids. No DuckDB oracle: next-fit is a
+        |non-associative sequential fold (a running capacity RESET), not
+        |expressible as window/aggregate SQL — SamplingPackingSpec pins
+        |determinism across partitionings, the capacity bound, and
+        |singleton-oversize handling; CatalogSpec pins conservation
+        |(every document in exactly one pack, token totals preserved)
+        |against the independently-oracled q36 token counts.""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        graft.operators.Packing
+          .packGreedy(docs, "doc_id", "n_tokens", capacity = 2048L)
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens") / 2048.0, 4).as("fill"))
+          .orderBy("pack_id")
+    },
+
+    Q("q63_containment",
+      """Q63 — shingle-containment near-dup pairs (Broder's asymmetric
+        |measure): for co-shingled pairs i<j, c_ij = |Si∩Sj|/|Si| and
+        |c_ji = |Si∩Sj|/|Sj|, kept when either ≥ 0.3. Containment catches
+        |SUBSET duplication that symmetric Jaccard (q31) is blind to — a
+        |boilerplate notice of 200 tokens embedded verbatim in a 10k-token
+        |page has jaccard ≈ 0.02 but containment ≈ 1.0; on this corpus the
+        |0.3 cut surfaces 20 sf0.1 pairs invisible at q31's jaccard ≥ 0.5.
+        |Scale shape = q31's (the measured-best of three recorded
+        |alternatives): shingles hash to 60-bit longs so the inverted-index
+        |shuffle carries 8-byte keys, the posting join is shuffle_hash (no
+        |useful sort order — skip sort-merge's O(n log n)), the pair
+        |stream keeps the i<j half only (both directions derive from ONE
+        |intersection count), and the per-doc sizes attach to the SMALL
+        |aggregated pair set, never through the wide posting-match stream
+        |(the r2-measured 2× trap).""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, round(k * 1.0 / ca.n, 4) AS c_ij, round(k * 1.0 / cb.n, 4) AS c_ji
+        |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |WHERE k * 1.0 / ca.n >= 0.3 OR k * 1.0 / cb.n >= 0.3
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
+            .as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
+        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("k"))
+      inter
+        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
+          .hint("shuffle_hash"), Seq("i"))
+        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
+          .hint("shuffle_hash"), Seq("j"))
+        .withColumn("c_ij", col("k") * 1.0 / col("ni"))
+        .withColumn("c_ji", col("k") * 1.0 / col("nj"))
+        .filter(col("c_ij") >= 0.3 || col("c_ji") >= 0.3)
+        .select(col("i"), col("j"),
+          round(col("c_ij"), 4).as("c_ij"), round(col("c_ji"), 4).as("c_ji"))
+        .orderBy("i", "j")
     }
   )
 }

@@ -380,4 +380,88 @@ class CatalogSpec extends SparkSpec {
              java.lang.Double.doubleToRawLongBits(-0.0), s"-0.0 leaked: $r")
     }
   }
+
+  test("q61 — struct-argmax + integer-space mean equal a window/exact reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    // independent build: the SAME per-pair scores, but argmax via a
+    // row_number window (the shape the engine replaces with max(struct))
+    // and the cluster means via EXACT driver-side integer arithmetic —
+    // validates both the argmax tie-break and the (2s+n) div 2n half-up
+    // integer rounding the declared form uses
+    val emb = Tables.embeddings(spark, sf0001)
+    val anchors = emb.orderBy("vec_id").limit(256)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val pairs = emb.crossJoin(
+        broadcast(anchors.agg(collect_list(struct(col("anchor_id"), col("av")))
+          .as("as_"))))
+      .select(col("vec_id"), explode(col("as_")).as("a"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("a.anchor_id").as("anchor_id"),
+        (VectorOps.dot(col("embedding"), col("a.av"))
+          / (sqrt(VectorOps.dot(col("embedding"), col("embedding")))
+             * sqrt(VectorOps.dot(col("a.av"), col("a.av"))))).as("score"))
+    val best = pairs
+      .withColumn("rnk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("anchor_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("anchor_id").as("cluster"),
+        round(col("score") * 10000, 0).cast(LongType).as("si"))
+      .collect()
+    val expected = best.groupBy(_.getAs[Long]("cluster")).map { case (c, rs) =>
+      val n = rs.length.toLong
+      val s = rs.map(_.getAs[Long]("si")).sum
+      val avgE4 = if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+      (c, n, avgE4 / 10000.0, rs.map(_.getAs[Long]("si")).min / 10000.0)
+    }.toSet
+    val declared = Catalog.byName("q61_cluster_profile").build(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n"),
+        r.getAs[Double]("avg_score"), r.getAs[Double]("min_score"))).toSet
+    assert(declared === expected)
+    // every embedding lands in exactly one cluster
+    assert(declared.toSeq.map(_._2).sum === emb.count())
+  }
+
+  test("q62 — packing conserves documents and tokens; capacity bound holds") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.functions.TextOps.tokens(col("text"))).as("t"))
+    val nDocs = docs.count()
+    val nTokens = docs.agg(sum("t")).head.getLong(0)
+    val packs = Catalog.byName("q62_pack").build(spark, sf0001).collect()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(packs.map(_.getAs[Long]("n_tokens")).sum === nTokens)
+    // a pack exceeds capacity only as an oversized singleton
+    packs.foreach { p =>
+      assert(p.getAs[Long]("n_tokens") <= 2048L ||
+             p.getAs[Long]("n_docs") === 1L, s"overfull multi-doc pack: $p")
+    }
+  }
+
+  test("q63 — containment covers q31's pairs and flags seeded subset dup") {
+    // containment ≥ jaccard on the shared intersection, so every q31 pair
+    // (jaccard ≥ 0.5) must appear in q63's 0.3-cut with max(c_ij, c_ji)
+    // at or above its jaccard
+    val q31 = Catalog.byName("q31_jaccard_pairs").build(spark, sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q63 = Catalog.byName("q63_containment").build(spark, sf0001)
+    val got = q63.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q31.subsetOf(got), s"q31 pairs missing from q63: ${q31 -- got}")
+    q63.collect().foreach { r =>
+      val cij = r.getAs[Double]("c_ij"); val cji = r.getAs[Double]("c_ji")
+      assert(cij > 0.0 && cij <= 1.0 && cji > 0.0 && cji <= 1.0, s"bounds: $r")
+    }
+    // the capability q31 lacks: a small doc embedded verbatim in a much
+    // larger one — jaccard stays far below 0.5, containment hits 1.0
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = ((1 to 12) ++ (100 to 400)).map(i => s"tok$i").mkString(" ")
+    val seeded = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q63").toString
+    seeded.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("q63_containment").build(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("c_ij") === 1.0)   // small fully contained
+    assert(out.head.getAs[Double]("c_ji") < 0.5)     // jaccard-invisible
+  }
 }
