@@ -31,6 +31,17 @@ object NativeExprs {
     */
   def dotF32(a: Column, b: Column): Column = col(DotF32(ex(a), ex(b)))
 
+  /** Best cosine anchor for an embedding over a row-resident codebook of
+    * (anchor_id LONG, av ARRAY<FLOAT>, an DOUBLE norm) structs — returns
+    * struct(score, anchor_id) with the highest score, ties to the lowest
+    * anchor_id. Value-identical (NativeExprsSpec) to
+    * array_max(transform(anchors, a -> struct(dot/(en*a.an), -a.anchor_id)))
+    * including NaN-is-greatest double ordering; one compiled loop instead
+    * of K interpreted lambda structs per row.
+    */
+  def bestAnchor(emb: Column, anchors: Column): Column =
+    col(BestAnchor(ex(emb), ex(anchors)))
+
   /** 32-bit md5 SimHash over a (distinct-ified by caller) token array —
     * value-identical to TextOps.simhash32 (one md5 per token instead of 8).
     */
@@ -1229,6 +1240,92 @@ case class DotF32(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codebook argmax for q61: scan a row-resident anchor array once and keep
+  * the highest-cosine anchor. The per-ELEMENT interpreted-lambda overhead
+  * of the array_max(transform(...)) formulation (~0.7 µs × N·K evals —
+  * measured 0.35 s of q61's wall at sf0.1) collapses into one compiled
+  * loop; CodegenFallback is deliberate and harmless here because the
+  * expression evaluates once per ROW (N calls, each doing the K·d work
+  * internally), unlike the per-element lambdas it replaces.
+  *
+  * Semantics pinned by NativeExprsSpec against the HOF form: double
+  * left-to-right dot over widened floats (DotF32 order), score =
+  * dot / (sqrt(dot(e,e)) · a.an), java.lang.Double.compare ordering (NaN
+  * greatest, matching Spark's struct max and DuckDB's DESC sort), ties →
+  * lowest anchor_id, NULL for a null/empty input or when no anchor
+  * matches the embedding's dimensionality (mismatched anchors are
+  * skipped, as zip_with's null-pad would poison their score to NULL).
+  */
+case class BestAnchor(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(FloatType),
+    ArrayType(StructType(Seq(
+      StructField("anchor_id", LongType),
+      StructField("av", ArrayType(FloatType)),
+      StructField("an", DoubleType)))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType),
+    StructField("anchor_id", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "best_anchor"
+
+  override def eval(input: InternalRow): Any = {
+    val e = left.eval(input)
+    if (e == null) return null
+    val as = right.eval(input)
+    if (as == null) return null
+    val v = e.asInstanceOf[ArrayData]
+    val arr = as.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val en = math.sqrt(ss)
+    var found = false
+    var bestScore = 0.0
+    var bestId = 0L
+    val m = arr.numElements()
+    var k = 0
+    while (k < m) {
+      if (!arr.isNullAt(k)) {
+        val a = arr.getStruct(k, 3)
+        val av = a.getArray(1)
+        if (av.numElements() == n && !a.isNullAt(0) && !a.isNullAt(2)) {
+          var d = 0.0
+          var ok = true
+          var j = 0
+          while (j < n) {
+            if (av.isNullAt(j)) { ok = false; j = n }
+            else { d += v.getFloat(j).toDouble * av.getFloat(j).toDouble; j += 1 }
+          }
+          if (ok) {
+            val score = d / (en * a.getDouble(2))
+            val id = a.getLong(0)
+            val c = if (found) java.lang.Double.compare(score, bestScore) else 1
+            if (c > 0 || (c == 0 && id < bestId)) {
+              found = true; bestScore = score; bestId = id
+            }
+          }
+        }
+      }
+      k += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestScore, bestId))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BestAnchor =
     copy(left = newLeft, right = newRight)
 }
 

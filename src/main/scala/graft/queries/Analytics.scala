@@ -480,13 +480,20 @@ object Analytics {
         |codebooks are constant-sized by design) and broadcasts; the
         |optimizer PROVES the 1-row side (no-grouping Aggregate), so the
         |join is the audited 1-row form, never a data-sized nested loop.
-        |posexplode unrolls the K candidates per embedding INSIDE the scan
-        |stage (narrow, no shuffle; anchor norms ride the struct, computed
-        |once per anchor, and each candidate scores via the codegen'd
-        |dot_f32); argmax per vec_id is max(struct(score, -anchor_id)) —
-        |one hash agg with map-side partials, tie → lowest anchor — and
-        |the K-row profile aggregate follows. Nothing data-sized is
-        |collected, sorted, or windowed. Determinism (two measured traps,
+        |The argmax happens PER ROW via the best_anchor kernel — one
+        |compiled loop over the row-resident codebook (anchor norms ride
+        |the struct, computed once per anchor; tie → lowest anchor_id;
+        |NaN-greatest double ordering) — so the corpus-sized stream is
+        |never exploded, shuffled, OR sorted. Two slower forms are
+        |measured and recorded (same sf0.1 window): exploding K rows per
+        |embedding and aggregating max(struct) per vec_id degrades to TWO
+        |SortAggregates around a 512k-row exchange (HashAggregate cannot
+        |host a struct buffer; 0.79 s), and array_max(transform(...)) pays
+        |~0.7 µs of interpreted-lambda overhead per anchor eval (0.71 s) —
+        |the kernel form runs the identical arithmetic in-loop (0.47 s,
+        |value-pinned by NativeExprsSpec; the remainder is the plan's
+        |barrier floor). Only the K-row profile aggregate shuffles.
+        |Determinism (two measured traps,
         |both sf0.01 mismatches before this form): (1) an avg of rounded
         |DOUBLES flips its own 4 dp rounding boundary with summation
         |order, so per-row scores scale to exact integer ten-thousandths
@@ -521,21 +528,14 @@ object Analytics {
       val codebook = emb.orderBy("vec_id").limit(256)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
           sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("an"))
-        .agg(collect_list(struct(col("anchor_id"), col("av"), col("an")))
-          .as("anchors"))
-      val scored = emb
+        .agg(sort_array(collect_list(
+          struct(col("anchor_id"), col("av"), col("an")))).as("anchors"))
+      emb
         .crossJoin(broadcast(codebook))
         .select(col("vec_id"),
-          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("en"),
-          col("embedding"), explode(col("anchors")).as("a"))
-        .select(col("vec_id"),
-          (VectorOps.dot(col("embedding"), col("a.av"))
-            / (col("en") * col("a.an"))).as("score"),
-          col("a.anchor_id").as("anchor_id"))
-      scored
-        .groupBy("vec_id")
-        .agg(max(struct(col("score"), (-col("anchor_id")).as("negid"))).as("b"))
-        .select((-col("b.negid")).as("cluster"),
+          graft.functions.expressions.NativeExprs
+            .bestAnchor(col("embedding"), col("anchors")).as("b"))
+        .select(col("b.anchor_id").as("cluster"),
           round(col("b.score") * 10000, 0).cast(LongType).as("si"))
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), sum(col("si")).as("ssum"),

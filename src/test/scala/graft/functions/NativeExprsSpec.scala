@@ -42,6 +42,53 @@ class NativeExprsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
+  test("bestAnchor == array_max(transform(...)) on real embeddings") {
+    // the q61 kernel: identical score arithmetic (left-to-right double dot
+    // over widened floats, per-anchor norm from the struct), identical
+    // argmax ordering (NaN-greatest, tie → lowest anchor_id via the
+    // negated-id struct max)
+    val emb = Tables.embeddings(spark, sf0001)
+    val codebook = emb.orderBy("vec_id").limit(64)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+        sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("an"))
+      .agg(sort_array(collect_list(
+        struct(col("anchor_id"), col("av"), col("an")))).as("anchors"))
+    val both = emb.crossJoin(broadcast(codebook))
+      .select(col("vec_id"),
+        NativeExprs.bestAnchor(col("embedding"), col("anchors")).as("fast"),
+        array_max(transform(col("anchors"), a =>
+          struct(
+            (VectorOps.dot(col("embedding"), a.getField("av"))
+              / (sqrt(VectorOps.dot(col("embedding"), col("embedding")))
+                 * a.getField("an"))).as("score"),
+            (-a.getField("anchor_id")).as("negid")))).as("hof"))
+      .select(col("vec_id"), col("fast"),
+        struct(col("hof.score").as("score"),
+          (-col("hof.negid")).as("anchor_id")).as("hofn"))
+    // exact double equality + identical winner required
+    assert(both.filter(col("fast") =!= col("hofn")).count() === 0)
+    assert(both.filter(col("fast").isNull).count() === 0)
+  }
+
+  test("bestAnchor — null/empty/mismatch edge semantics") {
+    val anchors = Seq((1L, Seq(1f, 0f), 1.0), (2L, Seq(1f, 0f), 1.0))
+    val df = Seq(
+      (1L, Some(Seq(1f, 0f))),   // tie on both anchors → lowest id wins
+      (2L, None),                // null embedding → null
+      (3L, Some(Seq(1f, 0f, 0f))) // no same-dim anchor → null
+    ).toDF("id", "e")
+      .withColumn("anchors", typedlit(anchors))
+      .select(col("id"), NativeExprs.bestAnchor(
+        col("e"),
+        expr("transform(anchors, a -> struct(a._1 as anchor_id, a._2 as av, a._3 as an))"))
+        .as("b"))
+      .orderBy("id").collect()
+    assert(df(0).getStruct(1).getLong(1) === 1L) // tie → anchor 1
+    assert(df(0).getStruct(1).getDouble(0) === 1.0)
+    assert(df(1).isNullAt(1))
+    assert(df(2).isNullAt(1))
+  }
+
   test("simhash32 native == HOF on corpus text") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val diff = docs.select(
