@@ -57,10 +57,16 @@ object DevScale {
     // q57: replica vocabularies are disjoint, so V, the bigram stream and
     // the distinct-bigram table all scale exactly 10x. q58: the bench side
     // (doc_id < 5, replica 0 only) stays FIXED while the corpus grows 10x —
-    // the realistic eval-suite-vs-growing-crawl scaling.
+    // the realistic eval-suite-vs-growing-crawl scaling. q59: sources are
+    // unchanged, each source's support grows 10x disjoint tokens. q60:
+    // same 10 labels over 10x members per centroid. q61: the K=256
+    // codebook stays FIXED (replica-0 ids are the lowest) while the
+    // scored corpus grows 10x — the realistic codebook-vs-corpus scaling.
+    // q63: q31's inverted-index scaling, both directions derived in-plan.
     val heavy = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q50_batch_ann",
       "q54_dup_spans", "q55_curate", "q56_incremental_neardup",
-      "q57_bigram_lm", "q58_contamination_report")
+      "q57_bigram_lm", "q58_contamination_report", "q59_source_drift",
+      "q60_label_outliers", "q61_cluster_profile", "q63_containment")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
