@@ -116,5 +116,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hrefs(html) - anchor-tag href values in document order (S1 listing parse)") {
       args => HrefsExpr(args(0))
     }
+    register("best_anchor",
+      "best_anchor(emb, anchors) - STRUCT(score, anchor_id): highest-cosine anchor of a row-resident codebook") {
+      args => BestAnchor(args(0), args(1))
+    }
   }
 }

@@ -50,6 +50,14 @@ class ExtensionsAndAggsSpec extends SparkSpec {
       """SELECT hrefs('<a href="/x.pdf">x</a><p><a href=/y>y</a></p>') AS hs"""
     ).head()
     assert(h.getAs[Seq[String]]("hs") === Seq("/x.pdf", "/y"))
+    val b = spark.sql(
+      """SELECT best_anchor(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(named_struct('anchor_id', 7L,
+        |          'av', array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)), 'an', 1.0D),
+        |        named_struct('anchor_id', 9L,
+        |          'av', array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)), 'an', 2.0D))) AS b
+      """.stripMargin).head().getStruct(0)
+    assert(b.getLong(1) === 9L && b.getDouble(0) === 1.0)
   }
 
   test("SQL function values match the Column API") {

@@ -237,4 +237,19 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("bkt"), p)
   }
+
+  test("q61 — per-row argmax: no SortAggregate, no Window, no corpus explode") {
+    // the regression class this guards: max(struct) over an exploded
+    // anchors stream silently degrades HashAggregate → SortAggregate
+    // (struct buffers are not hash-aggregable), inserting a full sort +
+    // exchange of the N·K scored stream. The declared form keeps the
+    // argmax inside the best_anchor kernel, so the only aggregate left
+    // is the K-row profile and the only Generate-free scan is narrow.
+    val p = plan("q61_cluster_profile")
+    assert(!p.contains("SortAggregate"), s"q61 regressed to SortAggregate:\n$p")
+    assert(!p.contains("(Window"), s"q61 plans a window:\n$p")
+    assert(!p.contains("Generate"), s"q61 explodes the scored stream:\n$p")
+    assert(p.contains("best_anchor"), s"q61 lost the kernel:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook no longer broadcast:\n$p")
+  }
 }
