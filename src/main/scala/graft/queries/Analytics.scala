@@ -546,6 +546,88 @@ object Analytics {
             .as("avg_score"),
           (col("smin") / 10000.0).as("min_score"))
         .orderBy("cluster")
+    },
+
+    Q("q64_semdedup",
+      """Q64 — SemDeDup-style within-cluster semantic pruning: assign every
+        |embedding to its best anchor (q61's codebook), then inside each
+        |cluster drop any vector whose cosine to a LOWER-id cluster member
+        |reaches the threshold (keep-min — the same deterministic survivor
+        |rule as q28/q31). Output = the dropped set with its earliest
+        |qualifying ancestor and strongest similarity. This is the
+        |candidate-bounding contrast to q33's blocked all-pairs: pairs form
+        |ONLY within clusters, so the comparison count is Σ cᵢ² (cluster
+        |sizes, audited by q61's profile) instead of n² — the reason
+        |SemDeDup scales to corpus-sized embedding tables. Scale shape:
+        |the 1-row codebook broadcasts and assignment is one narrow
+        |kernel pass (best_anchor, no explode/sort/window — q61's audited
+        |form) with the row norm computed once; the self-join shuffles the
+        |assignment frame ONCE on the cluster key (shuffle_hash — bucket
+        |lists have no useful sort order) and the codegen'd float dot
+        |scores pairs in-loop; an over-full cluster (codebook drift) is
+        |the q61 profile's alarm and the salting seam, not this plan's.
+        |Threshold note (the q63 rule): production SemDeDup prunes at
+        |cos ≥ 0.9ish; this corpus's synthetic embeddings max out at
+        |~0.6 within-cluster, so 0.9/0.8/0.7 surface ZERO pairs and 0.40
+        |is the demonstrating cut (31 dropped at sf0.01, 198 at sf0.1).
+        |Comparisons stay on integer ten-thousandths (si ≥ 4000) so the
+        |threshold never reads a float's low bits.""".stripMargin,
+      """WITH anc AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+        |             FROM embeddings ORDER BY vec_id LIMIT 256),
+        |sc AS (SELECT e.vec_id, a.anchor_id,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]), a.av)
+        |           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |            * sqrt(list_dot_product(a.av, a.av))) AS score
+        |       FROM embeddings e CROSS JOIN anc a),
+        |best AS (SELECT vec_id, anchor_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY score DESC, anchor_id) AS rnk
+        |         FROM sc),
+        |asg AS (SELECT b.vec_id, b.anchor_id AS cluster, CAST(e.embedding AS DOUBLE[]) AS v
+        |        FROM best b JOIN embeddings e USING (vec_id) WHERE rnk = 1),
+        |pr AS (SELECT a.cluster, a.vec_id, b.vec_id AS o,
+        |         CAST(round(list_dot_product(a.v, b.v)
+        |           / (sqrt(list_dot_product(a.v, a.v))
+        |            * sqrt(list_dot_product(b.v, b.v))) * 10000) AS BIGINT) AS si
+        |       FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id)
+        |SELECT vec_id, cluster, min(o) AS dup_of, max(si) / 10000.0 AS max_sim
+        |FROM pr WHERE si >= 4000 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps
+      val emb = Tables.embeddings(s, d)
+      val codebook = emb.orderBy("vec_id").limit(256)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("an"))
+        .agg(sort_array(collect_list(
+          struct(col("anchor_id"), col("av"), col("an")))).as("anchors"))
+      // both sides of the cluster self-join read this frame — persist so
+      // the scan + assignment kernel run once, not once per side (Verify/
+      // Bench clearCache() between queries; at corpus scale this frame is
+      // the natural checkpoint artifact)
+      val asg = emb
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"),
+          graft.functions.expressions.NativeExprs
+            .bestAnchor(col("embedding"), col("anchors"))
+            .getField("anchor_id").as("cluster"),
+          col("embedding"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lo = asg.select(col("cluster"), col("vec_id").as("o"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      asg.select(col("cluster"), col("vec_id"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .hint("shuffle_hash")
+        .join(lo, Seq("cluster"))
+        .filter(col("o") < col("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("o"),
+          round(VectorOps.cosinePrenorm(
+              VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb"))
+            * 10000, 0).cast(LongType).as("si"))
+        .filter(col("si") >= 4000)
+        .groupBy("vec_id", "cluster")
+        .agg(min(col("o")).as("dup_of"),
+          (max(col("si")) / 10000.0).as("max_sim"))
+        .orderBy("vec_id")
     }
   )
 }

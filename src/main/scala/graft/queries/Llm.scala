@@ -858,6 +858,120 @@ object Llm {
         .select(col("i"), col("j"),
           round(col("c_ij"), 4).as("c_ij"), round(col("c_ji"), 4).as("c_ji"))
         .orderBy("i", "j")
+    },
+
+    Q("q65_mix_weights",
+      """Q65 — temperature-scaled data-mixture weights (the Gopher/LLaMA
+        |sampling-weight table): per source, token mass and an α=0.5
+        |weight  w_s ∝ √tokens_s  (down-weights the biggest sources,
+        |up-weights the tail — α=1 is proportional, α=0 uniform), plus
+        |the implied epochs/duplication each source runs at a 1M-token
+        |budget (epochs ≫ 1 on a small source flags memorization risk
+        |BEFORE training). Scale shape: ONE map-side-combined aggregate
+        |at source cardinality — per-doc token counts never leave their
+        |scan tasks (sum of a size(), no token materialization beyond the
+        |split) — then the normalizer Σ√t is a 1-row broadcast and the
+        |final sort is #sources rows. Determinism: √t is quantized to
+        |integer hundredths (floor(√t·100) — sqrt/mult are correctly
+        |rounded IEEE ops, bit-identical in both engines) so the
+        |normalizer is an exact INTEGER sum — summation order can't
+        |perturb the 4-dp rounding the way a float Σ√t could (the q61
+        |lesson applied before it bites).""".stripMargin,
+      """WITH st AS (SELECT source, count(*) AS n_docs,
+        |              sum(len(string_split(text, ' '))) AS n_tokens
+        |            FROM documents GROUP BY source),
+        |sq AS (SELECT source, n_docs, n_tokens,
+        |              CAST(floor(sqrt(n_tokens) * 100) AS BIGINT) AS s100 FROM st),
+        |tot AS (SELECT sum(s100) AS z FROM sq)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(s100 * 1.0 / z, 4) AS weight,
+        |       round(1000000.0 * (s100 * 1.0 / z) / n_tokens, 4) AS epochs
+        |FROM sq CROSS JOIN tot ORDER BY source""".stripMargin) { (s, d) =>
+      val st = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        .withColumn("s100", floor(sqrt(col("n_tokens")) * 100).cast(LongType))
+        // the normalizer subtree reads this frame too — persist the
+        // #sources-row summary so the corpus aggregates once (the q45
+        // double-scan lesson); the 1-row total then attaches as the
+        // audited proven-scalar cross join, never a global window
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = st.agg(sum(col("s100")).as("z"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("s100") * 1.0 / col("z"), 4).as("weight"),
+          round(lit(1000000.0) * (col("s100") * 1.0 / col("z")) / col("n_tokens"), 4)
+            .as("epochs"))
+        .orderBy("source")
+    },
+
+    Q("q66_quality_sweep",
+      """Q66 — quality-threshold yield curve: for every cut t ∈ 0.0..0.9,
+        |how many documents and tokens the q35 quality gate would keep —
+        |the sweep read before committing a filter threshold (where does
+        |the curve fall off a cliff, what token budget survives each
+        |cut). Scale shape: the corpus is scanned ONCE — each doc maps to
+        |its quality DECILE and a ≤11-row bucket table aggregates per
+        |decile; each bucket then EXPLODES to the thresholds it satisfies
+        |(t ≤ min(b,9) — suffix sums as an equi groupBy over ~55 rows,
+        |no non-equi join) and the 10-row grid fills the empty cuts, so
+        |sweeping 10 thresholds costs one corpus pass + an 11-row
+        |reduction, NOT 10 corpus scans (and a 100-point sweep would cost
+        |the same pass). Determinism: the q35 score is the exact rational
+        |(200·hits + n·min(200,n)) / (400·n), so the decile is the pure
+        |integer division (10·num) div den — threshold membership never
+        |consults a float (score ≥ t/10 ⟺ decile ≥ t, exactly).""".stripMargin,
+      """WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |              len(list_filter(string_split(text, ' '),
+        |                  x -> x IN ('the','a','of','and','to','in','is'))) AS hits
+        |            FROM documents),
+        |bk AS (SELECT least(CAST((10 * (200 * hits + n * least(200, n)))
+        |                         // (400 * n) AS INT), 10) AS b,
+        |              count(*) AS nd, sum(n) AS nt
+        |       FROM tk GROUP BY 1),
+        |tot AS (SELECT count(*) AS total_docs FROM tk)
+        |SELECT t.t AS t_tenths, t.t / 10.0 AS threshold,
+        |       CAST(coalesce(sum(bk.nd), 0) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(sum(bk.nt), 0) AS BIGINT) AS n_tokens,
+        |       round(coalesce(sum(bk.nd), 0) * 1.0
+        |             / (SELECT total_docs FROM tot), 4) AS frac_docs
+        |FROM (SELECT CAST(unnest(range(0, 10)) AS INT) AS t) t
+        |LEFT JOIN bk ON bk.b >= t.t
+        |GROUP BY 1, 2 ORDER BY t_tenths""".stripMargin) { (s, d) =>
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val toks = TextOps.tokens(col("text"))
+      val n = size(toks).cast(LongType)
+      val hits = TextOps.stopwordHits(toks, stop).cast(LongType)
+      val bk = Tables.documents(s, d)
+        .select(n.as("n"), hits.as("hits"))
+        .select(col("n"),
+          least(expr("(10 * (200 * hits + n * least(200, n))) div (400 * n)")
+            .cast(IntegerType), lit(10)).as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("nt"))
+      // bucket b satisfies every threshold t ≤ min(b, 9), so the suffix
+      // sums come from an explode + EQUI groupBy/join over the ≤11-row
+      // summary — no non-equi (b ≥ t) nested loop for the audit to flag,
+      // and the corpus still scans exactly once (bk persisted; its total
+      // attaches as the audited proven-1-row cross join)
+      val bkP = bk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = bkP.agg(sum(col("nd")).as("total_docs"))
+      val curve = bkP
+        .select(explode(sequence(lit(0), least(col("b"), lit(9)))).as("t"),
+          col("nd"), col("nt"))
+        .groupBy("t")
+        .agg(sum(col("nd")).as("kd"), sum(col("nt")).as("kt"))
+      val grid = s.range(0, 10).select(col("id").cast(IntegerType).as("t"))
+      grid.join(broadcast(curve), Seq("t"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("t").as("t_tenths"), (col("t") / 10.0).as("threshold"),
+          coalesce(col("kd"), lit(0L)).as("n_docs"),
+          coalesce(col("kt"), lit(0L)).as("n_tokens"),
+          round(coalesce(col("kd"), lit(0L)) * 1.0 / col("total_docs"), 4)
+            .as("frac_docs"))
+        .orderBy("t_tenths")
     }
   )
 }

@@ -464,4 +464,106 @@ class CatalogSpec extends SparkSpec {
     assert(out.head.getAs[Double]("c_ij") === 1.0)   // small fully contained
     assert(out.head.getAs[Double]("c_ji") < 0.5)     // jaccard-invisible
   }
+
+  test("q64 — dropped set matches a driver-side exact reference; anchors survive") {
+    // independent oracle: recompute assignment + within-cluster pairs from
+    // the raw vectors in plain Scala (500×64 — trivial driver-side) with
+    // the same tie rule (score DESC, anchor_id ASC) and the same integer
+    // ten-thousandths threshold, then compare the dropped sets exactly
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val anchors = vecs.take(256)
+    val asg = vecs.map { case (id, v) =>
+      val best = anchors
+        .map { case (aid, av) => (cos(v, av), aid) }
+        .minBy { case (sc, aid) => (-sc, aid) }
+      id -> best._2
+    }.toMap
+    def si(x: Double): Long =
+      new java.math.BigDecimal(x * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val byId = vecs.toMap
+    val expected = (for {
+      (id, c) <- asg.toSeq
+      (o, oc) <- asg if oc == c && o < id
+      if si(cos(byId(id), byId(o))) >= 4000L
+    } yield id).toSet
+    val got = Catalog.byName("q64_semdedup").build(spark, sf0001).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet === expected)
+    got.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"), s"keep-min: $r")
+      assert(r.getAs[Double]("max_sim") >= 0.4, s"below threshold: $r")
+      assert(asg(r.getAs[Long]("dup_of")) === asg(r.getAs[Long]("vec_id")),
+        s"cross-cluster pair: $r")
+    }
+    // anchors are each cluster's lowest id by construction (the 256 lowest
+    // vec_ids, and non-anchors all have higher ids), so keep-min can never
+    // drop one — the codebook is stable under its own pruning
+    assert(got.forall(_.getAs[Long]("vec_id") >= 256L), "an anchor was dropped")
+  }
+
+  test("q65 — weights match an exact driver-side recompute and sum to ~1") {
+    val st = Tables.documents(spark, sf0001)
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"),
+        sum(size(graft.functions.TextOps.tokens(col("text"))).cast("long")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val s100 = st.map { case (src, _, nt) =>
+      src -> math.floor(math.sqrt(nt.toDouble) * 100).toLong
+    }.toMap
+    val z = s100.values.sum
+    val rows = Catalog.byName("q65_mix_weights").build(spark, sf0001).collect()
+    assert(rows.length === st.length)
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val w = s100(src).toDouble / z
+      assert(r.getAs[Double]("weight") === r4(w), s"weight mismatch: $r")
+      assert(r.getAs[Double]("epochs") ===
+        r4(1000000.0 * w / r.getAs[Long]("n_tokens")), s"epochs mismatch: $r")
+    }
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) <= 0.0001 * rows.length, s"weights sum to $wsum")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      st.map(_._3).sum, "token mass not conserved")
+  }
+
+  test("q66 — curve equals naive per-threshold filters and is monotone") {
+    val rows = Catalog.byName("q66_quality_sweep").build(spark, sf0001)
+      .orderBy("t_tenths").collect()
+    assert(rows.length === 10)
+    // independent reference: per-doc exact rational compare, one naive
+    // filter per threshold (what the single-pass form must reproduce)
+    val docs = Tables.documents(spark, sf0001)
+      .select(size(graft.functions.TextOps.tokens(col("text"))).cast("long").as("n"),
+        graft.functions.TextOps.stopwordHits(
+          graft.functions.TextOps.tokens(col("text")),
+          Seq("the", "a", "of", "and", "to", "in", "is")).cast("long").as("hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getAs[Int]("t_tenths")
+      val kept = docs.filter { case (n, hits) =>
+        10 * (200 * hits + n * math.min(200, n)) >= t.toLong * 400 * n
+      }
+      assert(r.getAs[Long]("n_docs") === kept.length.toLong, s"t=$t docs")
+      assert(r.getAs[Long]("n_tokens") === kept.map(_._1).sum, s"t=$t tokens")
+    }
+    // yield curve is non-increasing in the threshold; t=0 keeps everything
+    assert(rows.head.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(rows.head.getAs[Double]("frac_docs") === 1.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"))
+      assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
+    }
+  }
 }

@@ -252,4 +252,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("best_anchor"), s"q61 lost the kernel:\n$p")
     assert(p.contains("BroadcastExchange"), s"codebook no longer broadcast:\n$p")
   }
+
+  test("q64 — cluster-bounded pairing: one assignment pass, equi cluster join") {
+    // the SemDeDup shape: pairs may only form through the cluster-keyed
+    // equi join over the PERSISTED assignment frame — never a corpus-wide
+    // explode, window sort, or second assignment evaluation
+    val p = plan("q64_semdedup")
+    assert(p.contains("best_anchor"), s"q64 lost the assignment kernel:\n$p")
+    assert(p.contains("InMemoryRelation"), s"assignment frame not persisted:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"cluster join not hash-keyed:\n$p")
+    assert(!p.contains("(Window"), s"q64 plans a window:\n$p")
+    assert(!p.contains("Generate"), s"q64 explodes the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hash-keyed join degraded to sort:\n$p")
+  }
+
+  test("q65/q66 — sweep/weights reuse the persisted summary; no global window") {
+    // both attach corpus totals to a tiny persisted aggregate: the corpus
+    // scans once (summary cached), the total is the audited proven-1-row
+    // cross join, and nothing corpus-sized meets a window or sort
+    for (q <- Seq("q65_mix_weights", "q66_quality_sweep")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryRelation"), s"$q summary not persisted:\n$p")
+      assert(!p.contains("(Window"), s"$q plans a window:\n$p")
+      assert(!p.contains("SortAggregate"), s"$q aggregate degraded to sort:\n$p")
+    }
+  }
 }
