@@ -63,10 +63,16 @@ object DevScale {
     // codebook stays FIXED (replica-0 ids are the lowest) while the
     // scored corpus grows 10x — the realistic codebook-vs-corpus scaling.
     // q63: q31's inverted-index scaling, both directions derived in-plan.
+    // q64: the FIXED K=256 codebook means 10x members per cluster and
+    // ~100x within-cluster pairs — the q50 fixed-resolution story (K grows
+    // with the corpus in production, keeping cluster sizes ~constant); the
+    // smoke documents the fixed-K cost honestly. q66: the sweep is one
+    // corpus pass + an 11-row reduction — should scale like the scan.
     val heavy = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q50_batch_ann",
       "q54_dup_spans", "q55_curate", "q56_incremental_neardup",
       "q57_bigram_lm", "q58_contamination_report", "q59_source_drift",
-      "q60_label_outliers", "q61_cluster_profile", "q63_containment")
+      "q60_label_outliers", "q61_cluster_profile", "q63_containment",
+      "q64_semdedup", "q66_quality_sweep")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
