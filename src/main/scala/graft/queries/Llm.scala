@@ -972,6 +972,97 @@ object Llm {
           round(coalesce(col("kd"), lit(0L)) * 1.0 / col("total_docs"), 4)
             .as("frac_docs"))
         .orderBy("t_tenths")
+    },
+
+    Q("q67_source_overlap",
+      """Q67 — cross-source duplication matrix: q31's near-dup pairs
+        |(exact 3-shingle jaccard ≥ 0.5) rolled up to SOURCE pairs —
+        |n_pairs, distinct docs involved, mean/max similarity per
+        |(src_a ≤ src_b) — the "which crawls mirror each other" read
+        |before source selection or mixture weighting (a src_a=src_b row
+        |is internal duplication; a hot off-diagonal row says two feeds
+        |re-serve the same content and one should be down-weighted or
+        |dropped). Scale shape: pair generation is q31's measured-best
+        |inverted index (60-bit digests, shuffle_hash posting join, i<j
+        |half, counts attached to the SMALL aggregated pair set); the
+        |doc→source attach joins the THRESHOLDED pair set — tiny by
+        |near-dup definition — against the doc map with the pair side as
+        |the hash build, so nothing corpus-sized shuffles after the
+        |posting join; the final rollups aggregate at #source² ≤ tiny
+        |cardinality. Determinism: per-pair jaccard scales to integer
+        |ten-thousandths and the mean is the q61 integer half-up form
+        |((2s+n) div 2n) — no float summation order anywhere.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT i, j, CAST(round(k * 1.0 / (ca.n + cb.n - k) * 10000) AS BIGINT) AS ji
+        |       FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |       WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5),
+        |sp AS (SELECT least(da.source, db.source) AS src_a,
+        |              greatest(da.source, db.source) AS src_b, i, j, ji
+        |       FROM pr JOIN documents da ON da.doc_id = pr.i
+        |               JOIN documents db ON db.doc_id = pr.j),
+        |ag AS (SELECT src_a, src_b, count(*) AS n_pairs, sum(ji) AS sj, max(ji) AS mx
+        |       FROM sp GROUP BY 1, 2),
+        |dc AS (SELECT src_a, src_b, count(DISTINCT d) AS n_docs FROM
+        |         (SELECT src_a, src_b, i AS d FROM sp
+        |          UNION ALL SELECT src_a, src_b, j AS d FROM sp)
+        |       GROUP BY 1, 2)
+        |SELECT ag.src_a, ag.src_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST((2 * sj + n_pairs) // (2 * n_pairs) AS BIGINT) / 10000.0 AS avg_j,
+        |       mx / 10000.0 AS max_j
+        |FROM ag JOIN dc USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
+            .as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
+        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("k"))
+      val pr = inter
+        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
+          .hint("shuffle_hash"), Seq("i"))
+        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
+          .hint("shuffle_hash"), Seq("j"))
+        .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
+        .select(col("i"), col("j"),
+          round(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) * 10000, 0)
+            .cast(LongType).as("ji"))
+      // the pair set is tiny post-threshold — hint IT as the hash build so
+      // the corpus-sized doc→source map streams as the probe side
+      val srcMap = docs.select(col("doc_id"), col("source"))
+      val sp = pr.hint("shuffle_hash")
+        .join(srcMap.select(col("doc_id").as("i"), col("source").as("sa")), Seq("i"))
+        .hint("shuffle_hash")
+        .join(srcMap.select(col("doc_id").as("j"), col("source").as("sb")), Seq("j"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          col("i"), col("j"), col("ji"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ag = sp.groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ji")).as("sj"),
+          max(col("ji")).as("mx"))
+      val dc = sp
+        .select(col("src_a"), col("src_b"), explode(array(col("i"), col("j"))).as("d"))
+        .groupBy("src_a", "src_b")
+        .agg(countDistinct(col("d")).as("n_docs"))
+      ag.join(dc, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs"),
+          (expr("(2 * sj + n_pairs) div (2 * n_pairs)") / 10000.0).as("avg_j"),
+          (col("mx") / 10000.0).as("max_j"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

@@ -566,4 +566,38 @@ class CatalogSpec extends SparkSpec {
       assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
     }
   }
+
+  test("q67 — source matrix reconciles exactly with q31's pair set") {
+    // independent reference: roll q31's own output up to source pairs in
+    // plain Scala (incl. the integer half-up mean) and compare row sets
+    val srcOf = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q31 = Catalog.byName("q31_jaccard_pairs").build(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 10000)))
+    val expected = q31
+      .groupBy { case (i, j, _) =>
+        val (a, b) = (srcOf(i), srcOf(j))
+        if (a <= b) (a, b) else (b, a)
+      }
+      .map { case ((sa, sb), ps) =>
+        val n = ps.length.toLong
+        val s = ps.map(_._3).sum
+        (sa, sb, n,
+          ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+          ((2 * s + n) / (2 * n)).toDouble / 10000.0,
+          ps.map(_._3).max.toDouble / 10000.0)
+      }.toSet
+    val got = Catalog.byName("q67_source_overlap").build(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("avg_j"),
+        r.getAs[Double]("max_j"))).toSet
+    assert(got === expected)
+    // total pairs conserve, and the matrix is upper-triangular
+    assert(got.toSeq.map(_._3).sum === q31.length.toLong)
+    got.foreach { r => assert(r._1 <= r._2, s"not canonicalized: $r") }
+  }
 }
