@@ -107,13 +107,17 @@ object Bench {
     // run's output as the on-record tail, and round 2's line (full-precision
     // doubles + an inline cold_queries map) outgrew that window — the
     // headline warm total was truncated out of the record. Per-query values
-    // are therefore rounded to 1 ms and the cold per-query detail goes to
-    // stderr (still on the record per VERDICT r1 item 7, just not inside
-    // the size-budgeted stdout line), and the two totals are REPEATED in a
-    // trailing "totals" key so they survive even a clipped line head.
+    // are therefore INTEGER MILLISECONDS under the self-describing
+    // "queries_ms" key (the 78-entry seconds form hit 1986 chars — one entry
+    // short of the window), the cold per-query detail goes to stderr (still
+    // on the record per VERDICT r1 item 7, just not inside the size-budgeted
+    // stdout line), and the two totals are REPEATED in a trailing "totals"
+    // key (seconds) so they survive even a clipped line head.
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    def jmap(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def jmapMs(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else math.rint(v * 1000).toLong)
+      }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val coldTotal = r3(cold.map(_._2).filter(_ >= 0).sum)
     // failures are EXPLICIT at the top level: the totals above sum only
@@ -132,7 +136,8 @@ object Bench {
       val ok = results.map(_._2).filter(_ >= 0).sorted.take(5)
       if (ok.isEmpty) -1.0 else r3(ok(ok.size / 2))
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":${jmap(results)},"reps":$reps,"sf":"$sfDir","totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size},"floor":$floor}}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries_ms":${jmapMs(results)},"reps":$reps,"sf":"$sfName","totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size},"floor":$floor}}""")
     spark.stop()
   }
 }
