@@ -68,11 +68,14 @@ object DevScale {
     // with the corpus in production, keeping cluster sizes ~constant); the
     // smoke documents the fixed-K cost honestly. q66: the sweep is one
     // corpus pass + an 11-row reduction — should scale like the scan.
+    // q67: replica token renaming keeps cross-replica jaccard at 0, so the
+    // thresholded pair set scales exactly 10x while the source matrix stays
+    // at #source^2 rows — pair generation (q31's index) should dominate.
     val heavy = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q50_batch_ann",
       "q54_dup_spans", "q55_curate", "q56_incremental_neardup",
       "q57_bigram_lm", "q58_contamination_report", "q59_source_drift",
       "q60_label_outliers", "q61_cluster_profile", "q63_containment",
-      "q64_semdedup", "q66_quality_sweep")
+      "q64_semdedup", "q66_quality_sweep", "q67_source_overlap")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
@@ -91,7 +94,10 @@ object DevScale {
 
     println(s"[scale] generating ${replicas}x corpus at $outDir")
     replicate()
-    heavy.foreach { q =>
+    // optional third arg+ = run only the named queries (iteration aid)
+    val selected =
+      if (args.length > 2) heavy.filter(args.drop(2).toSet) else heavy
+    selected.foreach { q =>
       val (t1, r1) = time(sfDir, q)
       val (t10, r10) = time(outDir, q)
       println(f"[scale] $q%-24s 1x=${t1}%7.3f s ($r1%d rows)  10x=${t10}%7.3f s ($r10%d rows)  ratio=${t10 / t1}%5.2f")
