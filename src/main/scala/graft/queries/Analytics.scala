@@ -628,6 +628,55 @@ object Analytics {
         .agg(min(col("o")).as("dup_of"),
           (max(col("si")) / 10000.0).as("max_sim"))
         .orderBy("vec_id")
+    },
+
+    Q("q70_vocab_ttr",
+      """Q70 — lexical-diversity profile per source: token mass, distinct
+        |types, hapax legomena (types occurring exactly once in the
+        |source) and the type-token ratio — the cheap first screen for
+        |template/boilerplate sources (machine-generated feeds sit at
+        |anomalously low TTR and near-zero hapax share; a crawl of
+        |genuinely distinct pages sits high on both) read next to q59's
+        |distributional drift and q67's overlap matrix before mixture
+        |weighting. Scale shape: per-doc token counts come from the
+        |one-pass tokenCounts kernel inside the scan projection (the q45
+        |lesson — token INSTANCES never shuffle; the one wide exchange
+        |carries pre-reduced (source, token, tf) partials with map-side
+        |combine at per-doc-distinct granularity); the per-source rollup
+        |then aggregates the distinct-pair table (≤ vocab × sources
+        |rows), doc counts ride a separate narrow count whose
+        |source-cardinality result broadcasts into the final join, and
+        |nothing vocabulary-sized is ever broadcast or collected.""".stripMargin,
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+        |              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |       FROM tc GROUP BY source),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_types AS BIGINT) AS n_types,
+        |       CAST(n_hapax AS BIGINT) AS n_hapax,
+        |       round(n_types * 1.0 / n_tokens, 4) AS ttr
+        |FROM st JOIN nd USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tc = docs
+        .select(col("source"),
+          explode(graft.functions.expressions.NativeExprs
+            .tokenCounts(col("text"))).as("tc"))
+        .select(col("source"), col("tc.token").as("token"),
+          col("tc.tf").cast(LongType).as("tf"))
+      val st = tc.groupBy("source", "token").agg(sum(col("tf")).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      st.join(broadcast(nd), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_types"), col("n_hapax"),
+          round(col("n_types") * 1.0 / col("n_tokens"), 4).as("ttr"))
+        .orderBy("source")
     }
   )
 }

@@ -1063,6 +1063,93 @@ object Llm {
           (expr("(2 * sj + n_pairs) div (2 * n_pairs)") / 10000.0).as("avg_j"),
           (col("mx") / 10000.0).as("max_j"))
         .orderBy("src_a", "src_b")
+    },
+
+    Q("q68_dup_clusters",
+      """Q68 — near-dup cluster-size histogram: q31's exact jaccard ≥ 0.5
+        |pairs collapsed to TRANSITIVE connected components
+        |(Dedup.connectedComponents — min-label propagation with pointer
+        |jumping, O(log diameter) rounds, O(1)-size checkpointed plans)
+        |and rolled up to (cluster_size, n_clusters, n_docs) — the "how
+        |big do duplicate families get" read that sizes keep-one dedup
+        |savings and flags template explosions (one 10k-doc cluster is a
+        |boilerplate farm, not ordinary duplication). Scale shape: pair
+        |generation is q31's measured-best inverted index; the CC loop
+        |shuffles only the PAIR set (tiny by near-dup definition) per
+        |round; both rollups aggregate at component cardinality. The
+        |DuckDB oracle computes the same closure via a recursive CTE —
+        |label-propagation semantics pinned engine-vs-engine, not just
+        |spec-vs-self.""".stripMargin,
+      """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM inter JOIN cnt ca ON ca.doc_id = i
+        |                              JOIN cnt cb ON cb.doc_id = j
+        |       WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5),
+        |edges AS (SELECT i AS u, j AS v FROM pr UNION ALL SELECT j AS u, i AS v FROM pr),
+        |reach(u, x) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+        |lb AS (SELECT u, min(x) AS lbl FROM reach GROUP BY u),
+        |cl AS (SELECT lbl, count(*) AS sz FROM lb GROUP BY lbl)
+        |SELECT CAST(sz AS INT) AS cluster_size, count(*) AS n_clusters,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.NativeExprs
+            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
+            .as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
+        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("k"))
+      val pairs = inter
+        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
+          .hint("shuffle_hash"), Seq("i"))
+        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
+          .hint("shuffle_hash"), Seq("j"))
+        .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
+        .select(col("i"), col("j"))
+      val labels = graft.operators.Dedup.connectedComponents(pairs, "i", "j")
+      labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").cast(IntegerType).as("cluster_size"),
+          col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
+    Q("q69_heavy_hitters",
+      """Q69 — certified-exact top-25 tokens under BOUNDED memory (the
+        |operators.HeavyHitters two-pass Misra–Gries scheme). Same answer
+        |as a q26-style full groupBy — the q51 precedent: identical
+        |declared result, different distribution shape — but the plan
+        |never materializes the token universe: pass 1 ships ONE ≤ m-entry
+        |mergeable summary per task (m = 48 here), pass 2 re-counts only
+        |the surviving candidates exactly (an isin literal filter ahead of
+        |the shuffle), and the result is CERTIFIED exact at build time —
+        |any token absent from the summary has true count ≤ the summary's
+        |decrement total delta, so k-th-candidate-count > delta proves no
+        |dropped token can displace the top-k (build throws rather than
+        |return an uncertified answer; raise m until it holds). On this
+        |corpus vocab (31) < m so delta = 0 and the certificate is
+        |trivially tight; ExtensionsAndAggsSpec exercises the compressed
+        |regime (delta > 0, certificate still proving exactness) and the
+        |must-throw uniform case on synthetic corpora.""".stripMargin,
+      """SELECT t AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY cnt DESC, token LIMIT 25""".stripMargin) { (s, d) =>
+      graft.operators.HeavyHitters.exactTopK(
+        Tables.documents(s, d), "text", k = 25, m = 48)
     }
   )
 }

@@ -132,4 +132,45 @@ class ExtensionsAndAggsSpec extends SparkSpec {
     assert(m(0) === Vector(2.0, 4.0))
     assert(m(1) === Vector.empty[Double])
   }
+
+  test("MisraGries — compressed regime still certifies an exact top-k") {
+    import graft.operators.HeavyHitters
+    // skewed corpus: three heavy tokens over a long all-unique tail, so a
+    // capacity-8 summary MUST compress (delta > 0) yet the certificate
+    // (k-th exact count > delta) still proves the top-3 exact
+    val docs = (0 until 200).map { i =>
+      (i.toLong, "alpha alpha alpha alpha alpha beta beta beta gamma gamma " +
+        s"u${i}a u${i}b")
+    }.toDF("doc_id", "text").repartition(4)
+    val s = HeavyHitters.summarize(docs, "text", m = 8)
+    assert(s.delta > 0L, "corpus chosen to force compression")
+    assert(s.counts.size <= 8)
+    // invariant: est(x) ∈ [f(x) − delta, f(x)] for the surviving counters
+    val exact = Map("alpha" -> 1000L, "beta" -> 600L, "gamma" -> 400L)
+    exact.foreach { case (t, f) =>
+      val est = s.counts.getOrElse(t, 0L)
+      assert(est <= f && est >= f - s.delta, s"$t: est $est vs f $f Δ ${s.delta}")
+    }
+    val top = HeavyHitters.exactTopK(docs, "text", k = 3, m = 8).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt"))
+    assert(top.toSeq === Seq("alpha" -> 1000L, "beta" -> 600L, "gamma" -> 400L))
+    // partition-count independence of what the bound PROVES: a 1-partition
+    // summary certifies the same top-k (delta may differ, the answer not)
+    val top1 = HeavyHitters.exactTopK(docs.repartition(1), "text", k = 3, m = 8)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt"))
+    assert(top1.toSeq === top.toSeq)
+  }
+
+  test("MisraGries — certificate refuses uniform data at tiny capacity") {
+    import graft.operators.HeavyHitters
+    // all-unique tokens: no token's count can exceed the decrement bound,
+    // so an exact top-k claim would be a lie — the operator must throw,
+    // not return its best guess
+    val docs = (0 until 100).map(i => (i.toLong, s"u$i v$i"))
+      .toDF("doc_id", "text").repartition(4)
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactTopK(docs, "text", k = 3, m = 4)
+    }
+    assert(e.getMessage.contains("certificate failed"))
+  }
 }

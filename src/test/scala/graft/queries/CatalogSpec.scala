@@ -600,4 +600,45 @@ class CatalogSpec extends SparkSpec {
     assert(got.toSeq.map(_._3).sum === q31.length.toLong)
     got.foreach { r => assert(r._1 <= r._2, s"not canonicalized: $r") }
   }
+
+  test("q68 — cluster histogram matches a driver-side union-find over q31") {
+    // independent transitive-closure reference: plain-Scala union-find on
+    // q31's own pair output (the distributed CC loop never runs here)
+    val pairs = Catalog.byName("q31_jaccard_pairs").build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = parent.keys.toSeq.map(find).groupBy(identity)
+      .values.map(_.size).groupBy(identity)
+      .map { case (sz, cs) => (sz, cs.size.toLong, sz.toLong * cs.size) }
+      .toSet
+    val got = Catalog.byName("q68_dup_clusters").build(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"))).toSet
+    assert(got === expected)
+    // every paired doc lands in exactly one cluster
+    assert(got.toSeq.map(_._3).sum ===
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+  }
+
+  test("q69 — bounded-memory heavy hitters equal the full-shuffle top-25") {
+    // the q51-style identity: same declared answer as a plain exhaustive
+    // groupBy, only the distribution shape differs
+    val full = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(25)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Catalog.byName("q69_heavy_hitters").build(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === full.toSeq)
+  }
 }
