@@ -677,6 +677,62 @@ object Analytics {
           col("n_types"), col("n_hapax"),
           round(col("n_types") * 1.0 / col("n_tokens"), 4).as("ttr"))
         .orderBy("source")
+    },
+
+    Q("q71_retention",
+      """Q71 — weekly cohort-retention matrix over the event stream (the
+        |behavioral companion to q30's sessions and q46's funnel): users
+        |cohorted by first-active epoch-week, each later active week
+        |counted once per user, retention = cohort share still active at
+        |each offset. Scale shape: ONE user-key shuffle total — active
+        |days aggregate to a bounded per-user set (collect_set with
+        |map-side partials; cardinality is capped by the observation
+        |window, the q46 bounded-state rule) and EVERY per-user
+        |derivation (first day, cohort week, distinct week offsets) is a
+        |local array HOF on that set, so no second exchange, no
+        |user-dimension broadcast, and no countDistinct expand — the
+        |(user, offset) stream arrives pre-deduplicated and the matrix
+        |aggregate is a plain count at #weeks² cardinality. Cohort sizes
+        |attach via a window over the TINY aggregated matrix (offset-0
+        |row always exists: d0 itself). Weeks are pure integer
+        |arithmetic on epoch days — no engine week-truncation semantics
+        |to disagree over.""".stripMargin,
+      """WITH fe AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |j AS (SELECT DISTINCT f.user_id,
+        |        CAST((f.d0 - DATE '1970-01-01') // 7 AS INT) AS cohort_week,
+        |        CAST((a.d - f.d0) // 7 AS INT) AS week_offset
+        |      FROM fe f JOIN act a ON a.user_id = f.user_id),
+        |ret AS (SELECT cohort_week, week_offset, count(*) AS n_users
+        |        FROM j GROUP BY 1, 2),
+        |cs AS (SELECT cohort_week, n_users AS cohort_size FROM ret WHERE week_offset = 0)
+        |SELECT r.cohort_week, r.week_offset, CAST(r.n_users AS BIGINT) AS n_users,
+        |       CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        |       round(r.n_users * 1.0 / cs.cohort_size, 4) AS retention
+        |FROM ret r JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("d"))
+      val perUser = ev.groupBy("user_id").agg(collect_set(col("d")).as("days"))
+      val epoch = to_date(lit("1970-01-01"))
+      val offsets = perUser
+        .select(col("user_id"), array_min(col("days")).as("d0"), col("days"))
+        .select(
+          floor(datediff(col("d0"), epoch) / 7).cast(IntegerType)
+            .as("cohort_week"),
+          explode(array_distinct(transform(col("days"),
+            dd => floor(datediff(dd, col("d0")) / 7).cast(IntegerType))))
+            .as("week_offset"))
+      val ret = offsets.groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+      val w = Window.partitionBy("cohort_week")
+      ret
+        .withColumn("cohort_size",
+          sum(when(col("week_offset") === 0, col("n_users"))).over(w))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          col("cohort_size"),
+          round(col("n_users") * 1.0 / col("cohort_size"), 4).as("retention"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }
