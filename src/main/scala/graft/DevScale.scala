@@ -52,6 +52,20 @@ object DevScale {
           col("label"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // events: user population grows 10x (ids offset per replica), the
+      // observation window stays fixed — the realistic traffic-growth
+      // shape for sessionize/funnel/retention. ts is kept as the RAW
+      // nanos int64 (read with nanosAsLong before Tables.events converts)
+      // so the replica parquet round-trips through the same Tables.events
+      // contract as the driver corpus.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet").crossJoin(reps).select(
+          (col("event_id") + col("r") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("r") * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     // q57: replica vocabularies are disjoint, so V, the bigram stream and
@@ -71,11 +85,20 @@ object DevScale {
     // q67: replica token renaming keeps cross-replica jaccard at 0, so the
     // thresholded pair set scales exactly 10x while the source matrix stays
     // at #source^2 rows — pair generation (q31's index) should dominate.
+    // q68: the thresholded pair set scales 10x with unchanged component
+    // structure (renaming is bijective), so the CC loop runs the same
+    // round count over 10x edges — pair generation should dominate.
+    // q70: vocabulary grows 10x disjoint types; the (source, token)
+    // distinct-pair table scales 10x, instances never shuffle. q30/q46/
+    // q71 (events): 10x users, fixed window — per-user state stays
+    // bounded, the user-keyed exchanges carry 10x keys.
     val heavy = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q50_batch_ann",
       "q54_dup_spans", "q55_curate", "q56_incremental_neardup",
       "q57_bigram_lm", "q58_contamination_report", "q59_source_drift",
       "q60_label_outliers", "q61_cluster_profile", "q63_containment",
-      "q64_semdedup", "q66_quality_sweep", "q67_source_overlap")
+      "q64_semdedup", "q66_quality_sweep", "q67_source_overlap",
+      "q68_dup_clusters", "q70_vocab_ttr", "q30_sessionize", "q46_funnel",
+      "q71_retention")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
@@ -120,6 +143,31 @@ object DevScale {
         s
       }.sorted
       println(f"[scale] q50 retuned nPlanes=11 10x=${ts(1)}%7.3f s")
+    }
+
+    // q69 with the summary capacity RETUNED for the denser vocabulary
+    // (the m lever, same story as q50's planes): the replica corpus has
+    // 310 near-uniform token types, so the catalog's m=48 summary cannot
+    // certify a top-25 — the operator THROWS by design (uniform data has
+    // no heavy hitters). m=512 > vocab certifies with delta=0. In
+    // production m grows with the acceptable N/m error bound, not with
+    // the vocabulary.
+    {
+      import graft.operators.HeavyHitters
+      val docs10 = Tables.documents(spark, outDir)
+      val threw =
+        try { HeavyHitters.exactTopK(docs10, "text", k = 25, m = 48); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"[scale] q69 m=48 on 10x uniform vocab refused (expected): $threw")
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        HeavyHitters.exactTopK(docs10, "text", k = 25, m = 512)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s
+      }.sorted
+      println(f"[scale] q69 retuned m=512    10x=${ts(1)}%7.3f s")
     }
     spark.stop()
   }
