@@ -120,6 +120,11 @@ object HeavyHitters {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+      // the certificate collects these k rows and the caller then
+      // consumes the same frame — persist the k-row result so pass 2's
+      // corpus scan runs once, not once per consumer (the q64
+      // double-scan rule; a k-row cache is free at any scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (certify) {
       val top = exact.collect()
       if (top.length == k) {

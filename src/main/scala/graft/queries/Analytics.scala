@@ -733,6 +733,29 @@ object Analytics {
           col("cohort_size"),
           round(col("n_users") * 1.0 / col("cohort_size"), 4).as("retention"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    Q.cap("q72_approx_quantiles",
+      """Q72 — sketch-based quantiles per event type (p50/p90/p99 of
+        |value via percentile_approx, accuracy 10 000): the
+        |bounded-memory companion to q52's EXACT percentile surface and
+        |the q16b HLL precedent for sketch aggregates. At 100 TB an
+        |exact per-group percentile needs the group's values sorted
+        |somewhere; the Greenwald–Khanna summary is one scan with
+        |MERGEABLE bounded buffers (map-side partials like any hash
+        |agg), rank error ≤ n/accuracy, and accuracy — not data size —
+        |is the memory lever. No DuckDB oracle (the sketch's picked
+        |elements are implementation-defined); CatalogSpec asserts the
+        |rank-error CONTRACT against exact sorted ranks per group — at
+        |test n the bound degenerates to exactness, so the assert is
+        |tight, not vacuous.""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy("event_type")
     }
   )
 }

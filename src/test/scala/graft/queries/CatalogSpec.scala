@@ -629,6 +629,33 @@ class CatalogSpec extends SparkSpec {
       pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
   }
 
+  test("q72 — sketch quantiles honor the GK rank-error contract vs exact") {
+    val exactVals = Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    val rows = Catalog.byName("q72_approx_quantiles").build(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet === exactVals.keySet)
+    rows.foreach { r =>
+      val a = exactVals(r.getString(0))
+      val n = a.length
+      // accuracy 10000 → rank error ≤ n/10000 < 1 at this n: the
+      // returned element's rank window must CONTAIN the target rank
+      // (±1 for the ceiling convention) — effectively exactness
+      val eps = math.max(1.0, n / 10000.0)
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").foreach { case (p, c) =>
+        val v = r.getAs[Double](c)
+        val lt = a.count(_ < v)
+        val le = a.count(_ <= v)
+        val target = math.ceil(p * n)
+        assert(lt - eps <= target && target <= le + eps,
+          s"${r.getString(0)} $c: value $v rank window [$lt, $le] " +
+            s"misses target $target (n=$n)")
+      }
+    }
+  }
+
   test("q69 — bounded-memory heavy hitters equal the full-shuffle top-25") {
     // the q51-style identity: same declared answer as a plain exhaustive
     // groupBy, only the distribution shape differs
