@@ -98,7 +98,7 @@ object DevScale {
       "q60_label_outliers", "q61_cluster_profile", "q63_containment",
       "q64_semdedup", "q66_quality_sweep", "q67_source_overlap",
       "q68_dup_clusters", "q70_vocab_ttr", "q30_sessionize", "q46_funnel",
-      "q71_retention")
+      "q71_retention", "q73_span_ladder")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

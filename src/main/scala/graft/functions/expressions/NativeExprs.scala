@@ -273,6 +273,22 @@ object NativeExprs {
     */
   def tokenCounts(text: Column): Column = col(TokenCountsExpr(ex(text)))
 
+  /** Prefix-doubling span-digest ladder: for every level k = 1..levels,
+    * one 64-bit digest per token span of length 2^k that fits in the
+    * document — `array<struct<span_len int, digest long>>`, all levels
+    * flattened. Level-1 digests are 60-bit md5 prefixes of the single
+    * tokens; level k+1 combines each span's two half-span digests with a
+    * murmur3-style non-commutative mix — so a length-64 span digests in
+    * log₂64 = 6 per-token operations instead of 64 (the suffix-array
+    * prefix-doubling step, here row-local because spans never cross
+    * document bounds). Equal spans ⇒ equal digests by construction;
+    * distinct spans collide with ~2⁻⁶⁰ probability per pair (the q31
+    * digest-tolerance class — an actual collision would surface as an
+    * oracle hash mismatch).
+    */
+  def spanDigestLadder(toks: Column, levels: Int): Column =
+    col(SpanLadderExpr(ex(toks), levels))
+
   /** Exact top-k (score DESC, tag ASC) aggregate — see [[TopKByScore]].
     * The scale path for "top k per group": bounded partial buffers with
     * map-side combine instead of a window's full shuffle-and-sort.
@@ -1676,6 +1692,85 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
   * exactly like a char scan. Counting happens in a per-row LinkedHashMap
   * (first-appearance order, deterministic for a given input).
   */
+/** See [[NativeExprs.spanDigestLadder]]. Doubling invariant: entering
+  * round k, `d(i)` digests the length-2^(k-1) span at token offset i;
+  * the round emits `mix(d(i), d(i + 2^(k-1)))` for every i with the full
+  * 2^k span in bounds, which becomes the next round's `d`. Work is
+  * O(n · levels) mixes after one md5 per token — independent of the
+  * longest span length measured. A NULL token array yields an empty
+  * ladder (shinglesHof parity).
+  */
+case class SpanLadderExpr(child: Expression, levels: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(levels >= 1 && levels <= 20, "levels out of range")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("span_len", IntegerType, nullable = false),
+      StructField("digest", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "span_digest_ladder"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any])
+    else scan(v.asInstanceOf[ArrayData])
+  }
+
+  // non-commutative combine with a murmur3-fmix64 avalanche: the two
+  // halves enter under different odd multipliers, so mix(a,b) ≠ mix(b,a)
+  // and adjacent-level structure cannot cancel
+  private def mix(a: Long, b: Long): Long = {
+    var h = a * 0x87c37b91114253d5L
+    h = java.lang.Long.rotateLeft(h, 31)
+    h ^= b * 0x4cf5ad432745937fL
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  private def scan(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var d = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val bytes =
+        if (arr.isNullAt(i)) Array.emptyByteArray
+        else {
+          val u = arr.getUTF8String(i)
+          if (u == null) Array.emptyByteArray else u.getBytes
+        }
+      d(i) = Md5.prefixLong(Md5.digest(bytes), 15)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var k = 1
+    while (k <= levels && (1 << k) <= n) {
+      val len = 1 << k
+      val half = len >> 1
+      val m = n - len + 1
+      val nd = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        val v = mix(d(i), d(i + half))
+        nd(i) = v
+        out += InternalRow(len, v)
+        i += 1
+      }
+      d = nd
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanLadderExpr =
+    copy(child = newChild)
+}
+
 case class TokenCountsExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)

@@ -1150,6 +1150,91 @@ object Llm {
         |GROUP BY t ORDER BY cnt DESC, token LIMIT 25""".stripMargin) { (s, d) =>
       graft.operators.HeavyHitters.exactTopK(
         Tables.documents(s, d), "text", k = 25, m = 48)
+    },
+
+    Q("q73_span_ladder",
+      """Q73 — repeated-span profile at doubling lengths 2..64: how many
+        |DISTINCT token spans of each length occur ≥ 2 times in the
+        |corpus, and how many positions they cover — the exact-substring
+        |duplication signal (the suffix-array dedup family à la "dedup
+        |makes LMs better") that q54's fixed-width shingles sample at one
+        |width. Scale shape: the whole ladder is computed ROW-LOCALLY by
+        |prefix doubling (spanDigestLadder kernel — level k+1 combines
+        |each span's two half-span digests, so a 64-span costs log₂64
+        |mixes per token, not 64 hashes; spans never cross document
+        |bounds, so no cross-row state exists) and only the (span_len,
+        |digest) pairs shuffle — with map-side partial aggregation, never
+        |the span STRINGS (the oracle's array_to_string n-grams carry
+        |~L·6 bytes per position per length; the ladder carries 8 per
+        |level). Digest tolerance is q31's 60-bit class (~2⁻⁶⁰ per pair;
+        |a real collision would surface as an oracle hash mismatch).
+        |The 6-row grid fills lengths with no repeats so the output
+        |shape is data-independent.""".stripMargin,
+      """SELECT CAST(2 AS INT) AS span_len, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_positions
+        |FROM (SELECT s, count(*) AS c
+        |      FROM (SELECT array_to_string(toks[i:i+2-1], ' ') AS s
+        |            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |                 unnest(generate_series(1, len(toks) - 2 + 1)) AS t(i))
+        |      GROUP BY s HAVING count(*) >= 2)
+        |UNION ALL
+        |SELECT CAST(4 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT s, count(*) AS c
+        |      FROM (SELECT array_to_string(toks[i:i+4-1], ' ') AS s
+        |            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |                 unnest(generate_series(1, len(toks) - 4 + 1)) AS t(i))
+        |      GROUP BY s HAVING count(*) >= 2)
+        |UNION ALL
+        |SELECT CAST(8 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT s, count(*) AS c
+        |      FROM (SELECT array_to_string(toks[i:i+8-1], ' ') AS s
+        |            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |                 unnest(generate_series(1, len(toks) - 8 + 1)) AS t(i))
+        |      GROUP BY s HAVING count(*) >= 2)
+        |UNION ALL
+        |SELECT CAST(16 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT s, count(*) AS c
+        |      FROM (SELECT array_to_string(toks[i:i+16-1], ' ') AS s
+        |            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |                 unnest(generate_series(1, len(toks) - 16 + 1)) AS t(i))
+        |      GROUP BY s HAVING count(*) >= 2)
+        |UNION ALL
+        |SELECT CAST(32 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT s, count(*) AS c
+        |      FROM (SELECT array_to_string(toks[i:i+32-1], ' ') AS s
+        |            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |                 unnest(generate_series(1, len(toks) - 32 + 1)) AS t(i))
+        |      GROUP BY s HAVING count(*) >= 2)
+        |UNION ALL
+        |SELECT CAST(64 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT s, count(*) AS c
+        |      FROM (SELECT array_to_string(toks[i:i+64-1], ' ') AS s
+        |            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |                 unnest(generate_series(1, len(toks) - 64 + 1)) AS t(i))
+        |      GROUP BY s HAVING count(*) >= 2)
+        |ORDER BY span_len""".stripMargin) { (s, d) =>
+      val spans = Tables.documents(s, d)
+        .select(explode(graft.functions.expressions.NativeExprs
+          .spanDigestLadder(TextOps.tokens(col("text")), 6)).as("sd"))
+        .select(col("sd.span_len").as("span_len"), col("sd.digest").as("digest"))
+      val agg = spans
+        .groupBy("span_len", "digest").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy("span_len")
+        .agg(count(lit(1)).as("n_spans"), sum(col("c")).as("n_positions"))
+      val grid = s.range(1, 7)
+        .select(expr("cast(shiftleft(1, cast(id as int)) as int)")
+          .as("span_len"))
+      grid.join(broadcast(agg), Seq("span_len"), "left")
+        .select(col("span_len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_positions"), lit(0L)).as("n_positions"))
+        .orderBy("span_len")
     }
   )
 }

@@ -684,4 +684,46 @@ class NativeExprsSpec extends SparkSpec {
     val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
     assert(viaExpr(nulls).count() === 0)
   }
+
+  test("spanDigestLadder — grouping parity vs string n-grams; injectivity") {
+    // the ladder's (span_len, digest) partition of positions must equal
+    // the string n-gram partition at every level: same group COUNT
+    // multisets (digest injectivity on this data) and same totals
+    val corpus = Tables.documents(spark, sf0001)
+    val ladder = corpus
+      .select(explode(NativeExprs
+        .spanDigestLadder(split(col("text"), " "), 6)).as("sd"))
+      .select(col("sd.span_len").as("len"), col("sd.digest").as("g"))
+      .groupBy("len", "g").agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getAs[Int]("len"))
+      .view.mapValues(_.map(_.getAs[Long]("c")).sorted.toSeq).toMap
+    val strings = (1 to 6).map { k =>
+      val w = 1 << k
+      w -> corpus
+        .select(explode(NativeExprs.shingles(split(col("text"), " "), w)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("c"))
+        .collect().map(_.getAs[Long]("c")).sorted.toSeq
+    }.toMap
+    assert(ladder.keySet === strings.keySet.filter(w => ladder.contains(w)))
+    strings.foreach { case (w, ref) =>
+      assert(ladder(w) === ref, s"span_len $w group-count multiset differs")
+    }
+    // doc-boundary rule: a 3-token doc contributes 2+0+... spans at
+    // lengths 2/4; equal spans in different docs share a digest
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c"), (2L, "a b"), (3L, "x a b c y z q r"))
+      .toDF("doc_id", "text")
+    val rows = tiny
+      .select(explode(NativeExprs
+        .spanDigestLadder(split(col("text"), " "), 3)).as("sd"))
+      .select(col("sd.span_len"), col("sd.digest"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.count(_._1 == 2) === 2 + 1 + 7)
+    assert(rows.count(_._1 == 4) === 0 + 0 + 5)
+    assert(rows.count(_._1 == 8) === 0 + 0 + 1)
+    // "a b" digests identically in docs 1, 2 and 3 (position-independent)
+    val ab = rows.filter(_._1 == 2).map(_._2)
+    assert(ab.distinct.length < ab.length)
+  }
 }
