@@ -20,6 +20,7 @@ object DevScale {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "64k")

@@ -36,14 +36,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp. Read nanos as LONG and truncate to µs — exactly what
-    * DuckDB does on read, so oracle parity holds (SURVEY §7.3).
+  /** events.ts has shipped as TIMESTAMP(NANOS) (rounds 1–7) and as
+    * TIMESTAMP(MICROS) (round 8+) across corpus regenerations, so detect
+    * the physical form and normalize to a session-tz TimestampType column
+    * either way. NANOS: Spark 4 refuses to read it as a timestamp — read
+    * nanos as LONG and truncate to µs, exactly what DuckDB does on read,
+    * so oracle parity holds (SURVEY §7.3). MICROS: arrives as
+    * TIMESTAMP_NTZ; cast to TimestampType (identical wall-clock under the
+    * UTC session tz every entry point sets).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

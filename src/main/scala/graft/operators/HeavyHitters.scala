@@ -123,21 +123,31 @@ object HeavyHitters {
       // the certificate collects these k rows and the caller then
       // consumes the same frame — persist the k-row result so pass 2's
       // corpus scan runs once, not once per consumer (the q64
-      // double-scan rule; a k-row cache is free at any scale)
+      // double-scan rule; a k-row cache is free at any scale). The cache
+      // lives until the session's clearCache (Verify/Bench do this
+      // between queries) or the caller's own unpersist; on a certify
+      // failure it is released here before the throw so the caller is
+      // never left holding an unreachable persisted frame.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (certify) {
-      val top = exact.collect()
-      if (top.length == k) {
-        val ck = top.last.getAs[Long]("cnt")
-        require(ck > summary.delta,
-          s"heavy-hitter certificate failed: k-th exact count $ck is not " +
-            s"above the summary decrement bound ${summary.delta} — a dropped " +
-            s"token could tie into the top-$k; raise m (=$m)")
-      } else {
-        // fewer candidates than k: only exact when nothing was ever dropped
-        require(summary.delta == 0L,
-          s"heavy-hitter certificate failed: ${top.length} < $k candidates " +
-            s"with nonzero decrement bound ${summary.delta}; raise m (=$m)")
+      try {
+        val top = exact.collect()
+        if (top.length == k) {
+          val ck = top.last.getAs[Long]("cnt")
+          require(ck > summary.delta,
+            s"heavy-hitter certificate failed: k-th exact count $ck is not " +
+              s"above the summary decrement bound ${summary.delta} — a dropped " +
+              s"token could tie into the top-$k; raise m (=$m)")
+        } else {
+          // fewer candidates than k: only exact when nothing was ever dropped
+          require(summary.delta == 0L,
+            s"heavy-hitter certificate failed: ${top.length} < $k candidates " +
+              s"with nonzero decrement bound ${summary.delta}; raise m (=$m)")
+        }
+      } catch {
+        case t: Throwable =>
+          exact.unpersist(blocking = false)
+          throw t
       }
     }
     exact

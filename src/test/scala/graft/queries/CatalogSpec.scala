@@ -640,18 +640,19 @@ class CatalogSpec extends SparkSpec {
     rows.foreach { r =>
       val a = exactVals(r.getString(0))
       val n = a.length
-      // accuracy 10000 → rank error ≤ n/10000 < 1 at this n: the
-      // returned element's rank window must CONTAIN the target rank
-      // (±1 for the ceiling convention) — effectively exactness
-      val eps = math.max(1.0, n / 10000.0)
+      // accuracy 10000 → rank error ≤ n/10000 < 1 at this n, so the
+      // contract DEGENERATES TO EXACTNESS here: the returned element's
+      // rank window [lt+1, le] must contain the target rank within eps
+      // (no floor — a sketch off by even one rank at this n must fail)
+      val eps = n / 10000.0
       Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").foreach { case (p, c) =>
         val v = r.getAs[Double](c)
         val lt = a.count(_ < v)
         val le = a.count(_ <= v)
         val target = math.ceil(p * n)
-        assert(lt - eps <= target && target <= le + eps,
-          s"${r.getString(0)} $c: value $v rank window [$lt, $le] " +
-            s"misses target $target (n=$n)")
+        assert(lt + 1 - eps <= target && target <= le + eps,
+          s"${r.getString(0)} $c: value $v rank window [${lt + 1}, $le] " +
+            s"misses target $target (n=$n, eps=$eps)")
       }
     }
   }
