@@ -669,4 +669,74 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === full.toSeq)
   }
+
+  test("q74 — BM25 top-10 equals a driver-side exact recompute") {
+    // independent implementation: collect the corpus, compute BM25 with
+    // plain Scala over the same formula/quantization, compare row-for-row
+    val terms = Seq("spark", "join", "window", "stream")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val sumdl = docs.map(_._2.length.toLong).sum
+    val df = terms.map { t =>
+      t -> docs.count { case (_, toks) => toks.contains(t) }.toLong
+    }.toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0L || df(t) == 0L) 0L
+        else math.rint(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / sumdl.toDouble)) *
+          10000.0).toLong
+      }.sum
+      (id, s)
+    }.filter(_._2 != 0L)
+    val expected = scored.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    val got = Catalog.byName("q74_bm25").build(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("q75 — quarantine reports PARTIAL clusters on engineered data") {
+    // the driver corpus is closure-complete (every member of a contaminated
+    // family is itself contaminated), so the oracle never exercises the
+    // partial case; engineer one: A shares the bench doc's shingles, B is
+    // A's near-dup through a disjoint long run and shares NOTHING with the
+    // bench; C/D are a clean near-dup pair that must NOT be quarantined
+    import spark.implicits._
+    val y = (1 to 30).map("y" + _).mkString(" ")
+    val c = (1 to 40).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 b5 b6"),          // benchmark doc (id < 5)
+      (10L, s"b1 b2 b3 b4 b5 b6 $y"),     // contaminated corpus doc
+      (11L, s"z1 z2 z3 z4 z5 z6 $y"),     // clean near-dup of 10
+      (12L, c),                            // clean near-dup pair ...
+      (13L, c + " extra")                  // ... never quarantined
+    ).toDF("doc_id", "text")
+    val rows = Curation.quarantineClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((10L, 2, 1L)),
+      s"expected one PARTIAL quarantined cluster {10,11}, got ${rows.toSeq}")
+  }
+
+  test("q76 — representative selection: max n_chars, ties to min doc_id") {
+    import spark.implicits._
+    val y = (1 to 40).map("y" + _).mkString(" ")
+    val docs = Seq(
+      (20L, s"$y a1", 100L), (21L, s"$y a2", 100L), (22L, s"$y a3", 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val rows = Curation.clusterReps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // 20 and 21 tie on n_chars=100 — the LOWER doc_id wins
+    assert(rows.toSeq === Seq((20L, 20L, 3, 250L)))
+    // sanity on the real corpus: the rep is always a member, never absent
+    val real = Catalog.byName("q76_cluster_reps").build(spark, sf0001).collect()
+    real.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        "rep precedes its cluster label (label is the min member)")
+    }
+  }
 }
