@@ -99,7 +99,11 @@ object DevScale {
       "q60_label_outliers", "q61_cluster_profile", "q63_containment",
       "q64_semdedup", "q66_quality_sweep", "q67_source_overlap",
       "q68_dup_clusters", "q70_vocab_ttr", "q30_sessionize", "q46_funnel",
-      "q71_retention", "q73_span_ladder")
+      "q71_retention", "q73_span_ladder",
+      // r8: BM25 (fixed |Q|, scan-dominated), quarantine closure and
+      // survivorship (both track q68's pair+CC scaling — the bijective
+      // renaming keeps component structure invariant per replica)
+      "q74_bm25", "q75_quarantine_clusters", "q76_cluster_reps")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
