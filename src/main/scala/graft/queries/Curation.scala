@@ -252,6 +252,119 @@ object Curation {
         |       CAST(chars AS BIGINT) AS cluster_chars
         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
       clusterReps(Tables.documents(s, d))
+    },
+
+    Q("q77_kmeans_refine",
+      """Q77 — Lloyd k-means refinement of the codebook (K=64, 4
+        |iterations, integer-exact): the TRAINED version of q61's fixed
+        |anchor stand-in — the iterative step every IVF/semantic-cluster
+        |pipeline (q29/q50/q61/q64) actually runs before those operators
+        |consume the codebook. Cross-engine determinism is by
+        |construction, not tolerance: embeddings quantize to integer
+        |ten-thousandths (float→double widening is exact, *1e4 and
+        |half-away round are identical IEEE ops), distances are exact
+        |integer L2 (max ~1.3e10 ≪ 2^53, so even the TopKAgg double
+        |buffer is exact), and centroid updates are sign-aware half-up
+        |INTEGER division ((2s+n) div 2n on the positive branch) — no
+        |float ever enters the iteration, so engines can't drift across
+        |rounds. Scale shape: the K-row centroid table BROADCASTS every
+        |round (the only cross-row state); assignment is a narrow scan
+        |pass (zip_with/aggregate integer lambda per candidate, argmin =
+        |bounded TopKAgg top-1 on the negated distance — no per-vec
+        |window sort); the update aggregates (cid, dim) partials with
+        |map-side combine (K·dim rows per mapper); the driver loop holds
+        |4 × 64-row localCheckpoints, keeping the plan O(1) in rounds
+        |(the CC lesson). The oracle pays n·K·dim materialized rows PER
+        |ITERATION in chained CTEs — the non-iterative-engine cost this
+        |entry exists to contrast.""".stripMargin,
+      kmeansOracle) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val K = 64
+      val iters = 4
+      // integer ten-thousandths quantization — consumed by every
+      // assignment and update pass, so persist once
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            e => round(e.cast(DoubleType) * lit(10000.0)).cast(LongType)).as("v"))
+        .persist(MEMORY_AND_DISK)
+      // exact integer squared-L2 argmin in ONE compiled per-row loop
+      // (NearestCentroidL2 — (d ASC, cid ASC) = the oracle's ORDER BY d,
+      // cid); the codebook collapses to a 1-row array-of-structs broadcast
+      // (the q61 pattern, optimizer-proven scalar side), so no K-way row
+      // expansion and no per-vec argmin aggregation exist at all
+      def assign(cent: DataFrame): DataFrame = {
+        val packed = cent
+          .agg(sort_array(collect_list(struct(col("cid"), col("v").as("cv"))))
+            .as("cents"))
+        emb.crossJoin(broadcast(packed))
+          .select(col("vec_id"),
+            NativeExprs.nearestCentroidL2(col("v"), col("cents")).as("r"))
+          .select(col("vec_id"), col("r.cid").as("cid"), col("r.d").as("d"))
+      }
+      var cent: DataFrame = emb.filter(col("vec_id") < K)
+        .select(col("vec_id").cast(IntegerType).as("cid"), col("v"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        val upd = assign(cent)
+          .join(emb, Seq("vec_id"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("i", "u")))
+          .groupBy("cid", "i")
+          .agg(sum(col("u")).as("sc"), count(lit(1)).as("n"))
+          .select(col("cid"), col("i"),
+            when(col("sc") >= 0,
+              expr("(2 * sc + n) div (2 * n)"))
+              .otherwise(-expr("(2 * (-sc) + n) div (2 * n)")).as("c"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            x => x.getField("c")).as("v"))
+        // empty clusters keep their previous centroid; 64-row eager
+        // checkpoint flattens the lineage so the plan stays O(1) in rounds
+        cent = cent.as("p").join(upd.as("u"), Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("u.v"), col("p.v")).as("v"))
+          .localCheckpoint(true)
+      }
+      assign(cent)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
+        .select(col("cid").as("cluster_id"), col("n_members"), col("inertia"))
+        .orderBy("cluster_id")
     }
   )
+
+  /** The q77 oracle: the identical integer-exact Lloyd iterations as
+    * chained DuckDB CTEs (assignment row_number argmin, generate_subscripts
+    * dimension explode, sign-aware half-up integer division — `//` on the
+    * positive branch matches Spark's `div` there).
+    */
+  private lazy val kmeansOracle: String = {
+    def it(k: Int): String = {
+      val p = k - 1
+      s"""d$k AS (SELECT e.vec_id, c.cid,
+         |       list_sum(list_transform(list_zip(e.v, c.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+         |       FROM emb e CROSS JOIN c$p c),
+         |a$k AS (SELECT vec_id, cid, d FROM (
+         |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$k)
+         |       WHERE rn = 1),
+         |u$k AS (SELECT cid, i, sum(u) AS s, count(*) AS n FROM (
+         |        SELECT a.cid, unnest(e.v) AS u, generate_subscripts(e.v, 1) AS i
+         |        FROM a$k a JOIN emb e USING (vec_id)) GROUP BY cid, i),
+         |n$k AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+         |                             ELSE -((2*(-s) + n) // (2*n)) END ORDER BY i) AS v
+         |       FROM u$k GROUP BY cid),
+         |c$k AS (SELECT c$p.cid, coalesce(n$k.v, c$p.v) AS v FROM c$p LEFT JOIN n$k USING (cid))""".stripMargin
+    }
+    """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1e4) AS BIGINT)) AS v FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM emb WHERE vec_id < 64),""".stripMargin +
+      (1 to 4).map(it).mkString("\n", ",\n", ",\n") +
+      """df AS (SELECT e.vec_id, c.cid,
+        |       list_sum(list_transform(list_zip(e.v, c.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        |       FROM emb e CROSS JOIN c4 c),
+        |af AS (SELECT vec_id, cid, d FROM (
+        |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+        |       WHERE rn = 1)
+        |SELECT cid AS cluster_id, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia
+        |FROM af GROUP BY cid ORDER BY cluster_id""".stripMargin
+  }
 }

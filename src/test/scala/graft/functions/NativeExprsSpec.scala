@@ -89,6 +89,52 @@ class NativeExprsSpec extends SparkSpec {
     assert(df(2).isNullAt(1))
   }
 
+  test("nearestCentroidL2 == HOF zip_with argmin on quantized embeddings") {
+    // the q77 kernel: identical exact-integer squared-L2, identical
+    // (d ASC, cid ASC) argmin — compare against the interpreted
+    // zip_with/aggregate + min(struct) composition it replaced
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(10000.0)).cast("long")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    val both = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        NativeExprs.nearestCentroidL2(col("v"), col("cents")).as("fast"),
+        array_min(transform(col("cents"), c =>
+          struct(
+            aggregate(zip_with(col("v"), c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("d"),
+            c.getField("cid").as("cid")))).as("hof"))
+      .select(col("vec_id"), col("fast"),
+        struct(col("hof.cid").as("cid"), col("hof.d").as("d")).as("hofn"))
+    assert(both.filter(col("fast") =!= col("hofn")).count() === 0)
+    assert(both.filter(col("fast").isNull).count() === 0)
+  }
+
+  test("nearestCentroidL2 — null/mismatch/tie edge semantics") {
+    val cents = Seq((1, Seq(0L, 0L)), (2, Seq(0L, 0L)), (3, Seq(9L, 9L, 9L)))
+    val rows = Seq(
+      (1L, Some(Seq(1L, 1L))),   // d=2 on cids 1/2 (tie) → cid 1
+      (2L, None),                // null vector → null
+      (3L, Some(Seq(1L, 2L, 3L))) // only the 3-dim centroid matches → cid 3
+    ).toDF("id", "v")
+      .withColumn("cents", typedlit(cents))
+      .select(col("id"), NativeExprs.nearestCentroidL2(
+        col("v"),
+        expr("transform(cents, c -> struct(c._1 as cid, c._2 as cv))"))
+        .as("r"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1).getInt(0) === 1)   // tie → lowest cid
+    assert(rows(0).getStruct(1).getLong(1) === 2L)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getStruct(1).getInt(0) === 3)
+    assert(rows(2).getStruct(1).getLong(1) === (64L + 49L + 36L))
+  }
+
   test("simhash32 native == HOF on corpus text") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val diff = docs.select(

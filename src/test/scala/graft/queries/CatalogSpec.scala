@@ -722,6 +722,49 @@ class CatalogSpec extends SparkSpec {
       s"expected one PARTIAL quarantined cluster {10,11}, got ${rows.toSeq}")
   }
 
+  test("q77 — integer k-means equals a driver-side exact recompute") {
+    // the whole point of the integer-exact design: an independent plain-
+    // Scala Lloyd loop with the same quantization/argmin/division rules
+    // must reproduce the distributed result BIT-FOR-BIT, iterations and all
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.rint(x.toDouble * 10000.0).toLong).toArray)
+      .sortBy(_._1)
+    val K = 64
+    var cents: Array[(Int, Array[Long])] =
+      vecs.takeWhile(_._1 < K).map { case (id, v) => (id.toInt, v.clone()) }
+    def nearest(v: Array[Long]): (Int, Long) =
+      cents.map { case (cid, cv) =>
+        var d = 0L; var j = 0
+        while (j < v.length) { val x = v(j) - cv(j); d += x * x; j += 1 }
+        (d, cid)
+      }.min match { case (d, cid) => (cid, d) }
+    def halfUpDiv(s: Long, n: Long): Long =
+      if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+    (1 to 4).foreach { _ =>
+      val byC = vecs.map { case (id, v) => (nearest(v)._1, v) }.groupBy(_._1)
+      cents = cents.map { case (cid, cv) =>
+        byC.get(cid) match {
+          case Some(mem) =>
+            val dim = cv.length
+            val upd = Array.tabulate(dim) { j =>
+              halfUpDiv(mem.map(_._2(j)).sum, mem.length.toLong)
+            }
+            (cid, upd)
+          case None => (cid, cv)  // empty cluster keeps its centroid
+        }
+      }
+    }
+    val expected = vecs.map { case (_, v) => nearest(v) }
+      .groupBy(_._1).toSeq
+      .map { case (cid, xs) => (cid, xs.length.toLong, xs.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = Catalog.byName("q77_kmeans_refine").build(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("q76 — representative selection: max n_chars, ties to min doc_id") {
     import spark.implicits._
     val y = (1 to 40).map("y" + _).mkString(" ")
