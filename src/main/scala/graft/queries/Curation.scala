@@ -330,6 +330,57 @@ object Curation {
         .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
         .select(col("cid").as("cluster_id"), col("n_members"), col("inertia"))
         .orderBy("cluster_id")
+    },
+
+    Q("q78_novelty_deciles",
+      """Q78 — per-source novelty histogram: for each document, the
+        |fraction of its DISTINCT 3-shingles that occur in no other
+        |document (novelty — the inverse of q43's within-doc repetition
+        |and q54's span-duplication profile), bucketed to deciles per
+        |source. A low-novelty source is a template/boilerplate farm even
+        |when q31 finds no whole-document near-dups — the screen read
+        |next to q70's TTR before mixture weighting. Scale shape: ONE
+        |shingle pass (persisted 60-bit digest frame); corpus frequency
+        |attaches via a count window riding the single s-keyed exchange
+        |(the q45/q54 lesson — an aggregate+join would scan the shingle
+        |stream twice); per-doc (n, u) reduce with map-side partials;
+        |the decile is PURE INTEGER arithmetic ((10·u) div n — membership
+        |never consults a float, the q66 rule); final rollup at
+        |#source × 11 cardinality.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+        |per AS (SELECT sh.doc_id, count(*) AS n,
+        |        sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS u
+        |        FROM sh JOIN freq f USING (s) GROUP BY sh.doc_id),
+        |dec AS (SELECT d.source, CAST((10 * per.u) // per.n AS INT) AS decile
+        |        FROM per JOIN documents d USING (doc_id) WHERE per.n > 0)
+        |SELECT source, decile, count(*) AS n_docs FROM dec
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"),
+          explode(NativeExprs.shingleMd5Prefixes(
+            TextOps.tokens(col("text")), 3, 15)).as("s"))
+      // corpus shingle frequency via the count window — the one s-keyed
+      // exchange carries (doc_id, s); no second scan, no freq join
+      val per = sh
+        .withColumn("c", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("u"))
+        .filter(col("n") > 0)
+      per
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"),
+          expr("cast((10 * u) div n as int)").as("decile"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "decile")
     }
   )
 
