@@ -102,8 +102,12 @@ object DevScale {
       "q71_retention", "q73_span_ladder",
       // r8: BM25 (fixed |Q|, scan-dominated), quarantine closure and
       // survivorship (both track q68's pair+CC scaling — the bijective
-      // renaming keeps component structure invariant per replica)
-      "q74_bm25", "q75_quarantine_clusters", "q76_cluster_reps")
+      // renaming keeps component structure invariant per replica),
+      // k-means at FIXED K over 10x vectors (the q50 fixed-resolution
+      // story: production grows K with the corpus), novelty histogram
+      // (tracks q54's shingle-window scaling)
+      "q74_bm25", "q75_quarantine_clusters", "q76_cluster_reps",
+      "q77_kmeans_refine", "q78_novelty_deciles")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
