@@ -24,6 +24,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // UTC like every other entry point: the NTZ→session-tz cast in
+      // Tables.events must resolve identically to the Verify-checked plans
+      // on any host, or the bench times a different event workload
+      .config("spark.sql.session.timeZone", "UTC")
       // Effective shuffle width is cpu-count: AQE shuffles START at
       // initialPartitionNum=32 (below) and coalesce by data size. The
       // static value 8 only governs the rare non-AQE paths — measured

@@ -51,13 +51,19 @@ object DevQ73 {
         .groupBy("span_len")
         .agg(count(lit(1)).as("n_spans"), sum(col("c")).as("n_positions"))
     }
-    // 3. packed single-long key: level in the top 3 bits of the 60-bit digest
+    // 3. packed single-long key: LEVEL (log2 of the 2..64 width, 3 bits) in
+    // the top bits over the digest TRUNCATED to 61 bits — the first cut of
+    // this variant packed the raw width over the full 64-bit digest, which
+    // overflows for widths >= 16 and collides groups across levels (review
+    // finding); truncation keeps the q31 collision-tolerance class for
+    // timing purposes
     time("packed_one_col") {
-      spans.select((shiftleft(col("span_len").cast("long"), 60)
-          .bitwiseOR(col("digest"))).as("k"))
+      spans.select((shiftleft(
+            expr("cast(log2(span_len) as long)"), 61)
+          .bitwiseOR(col("digest").bitwiseAND(lit((1L << 61) - 1)))).as("k"))
         .groupBy("k").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
-        .groupBy(shiftright(col("k"), 60).as("span_len"))
+        .groupBy(shiftright(col("k"), 61).as("lvl"))
         .agg(count(lit(1)).as("n_spans"), sum(col("c")).as("n_positions"))
     }
     // 4. partial-agg width check: pre-aggregate per partition first

@@ -51,7 +51,10 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — expected raw " +
+          "nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ; refusing to guess")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -12,6 +12,37 @@ import graft.functions.TextOps
   */
 object Dedup {
 
+  /** The measured-best co-shingled pair core shared by q31/q63/q67/q68 and
+    * the q75/q76 closure family (extracted in round 8 — it had grown to
+    * four inline copies): distinct w-shingle 60-bit digests per doc
+    * (persisted — callers typically also derive seed/benchmark sets from
+    * it; released by the session's clearCache, the q31 session-cache
+    * contract), inverted-index shuffle_hash self-join on the digest, i<j
+    * half only, per-doc set sizes attached to the SMALL aggregated pair
+    * set (attaching them through the wide posting join measured ~2×
+    * slower, r2). Returns ((i, j, k, ni, nj), sh) — k = |Si∩Sj| — and the
+    * caller applies its own measure (jaccard/containment) and threshold.
+    */
+  def coShingledPairs(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3): (DataFrame, DataFrame) = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.NativeExprs
+          .shingleMd5Prefixes(TextOps.tokens(col(textCol)), w, 15)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("k"))
+    val withCounts = inter
+      .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
+        .hint("shuffle_hash"), Seq("j"))
+    (withCounts, sh)
+  }
+
   /** Exact dedup by content hash, keeping the smallest id — the
     * determinism-safe dropDuplicates (q28 semantics). Shuffles (hash, id)
     * pairs only.

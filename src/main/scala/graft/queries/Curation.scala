@@ -16,30 +16,16 @@ import graft.functions.expressions.NativeExprs
   */
 object Curation {
 
-  /** q31's measured-best exact near-dup pair plan (inverted 60-bit shingle
-    * index, shuffle-hash posting join, counts attached to the SMALL pair
-    * set after aggregation), shared by q75/q76. Returns (i, j) pairs with
-    * 3-shingle jaccard >= 0.5 plus the persisted shingle frame so callers
-    * can reuse it (and must not re-scan the corpus for shingle-derived
-    * sets). Caller releases via the session's clearCache (Verify/Bench) —
-    * the q31/q68 session-cache contract.
+  /** q31's measured-best exact near-dup pair plan via the shared
+    * `Dedup.coShingledPairs` core: (i, j) pairs with 3-shingle jaccard
+    * >= 0.5 plus the persisted shingle frame so callers can reuse it (and
+    * must not re-scan the corpus for shingle-derived sets). Caller
+    * releases via the session's clearCache (Verify/Bench) — the q31/q68
+    * session-cache contract.
     */
   private def jaccardPairs(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = docs
-      .select(col("doc_id"),
-        explode(NativeExprs.shingleMd5Prefixes(
-          TextOps.tokens(col("text")), 3, 15)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
-      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
-      .filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("k"))
-    val pairs = inter
-      .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
-        .hint("shuffle_hash"), Seq("i"))
-      .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
-        .hint("shuffle_hash"), Seq("j"))
+    val (wc, sh) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
+    val pairs = wc
       .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
       .select(col("i"), col("j"))
     (pairs, sh)
@@ -293,21 +279,25 @@ object Curation {
       // cid); the codebook collapses to a 1-row array-of-structs broadcast
       // (the q61 pattern, optimizer-proven scalar side), so no K-way row
       // expansion and no per-vec argmin aggregation exist at all
+      // v rides THROUGH the assignment projection (review finding: joining
+      // emb back per iteration re-shuffled the full vector set 4 times to
+      // recover a column the broadcast crossJoin already had in hand);
+      // consumers that don't need v get it pruned by the optimizer
       def assign(cent: DataFrame): DataFrame = {
         val packed = cent
           .agg(sort_array(collect_list(struct(col("cid"), col("v").as("cv"))))
             .as("cents"))
         emb.crossJoin(broadcast(packed))
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("v"),
             NativeExprs.nearestCentroidL2(col("v"), col("cents")).as("r"))
-          .select(col("vec_id"), col("r.cid").as("cid"), col("r.d").as("d"))
+          .select(col("vec_id"), col("v"),
+            col("r.cid").as("cid"), col("r.d").as("d"))
       }
       var cent: DataFrame = emb.filter(col("vec_id") < K)
         .select(col("vec_id").cast(IntegerType).as("cid"), col("v"))
         .localCheckpoint(true)
       (1 to iters).foreach { _ =>
         val upd = assign(cent)
-          .join(emb, Seq("vec_id"))
           .select(col("cid"), posexplode(col("v")).as(Seq("i", "u")))
           .groupBy("cid", "i")
           .agg(sum(col("u")).as("sc"), count(lit(1)).as("n"))

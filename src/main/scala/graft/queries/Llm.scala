@@ -153,46 +153,14 @@ object Llm {
         |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5
         |ORDER BY i, j""".stripMargin) { (s, d) =>
-      // shingles are hashed to 60-bit longs before the inverted-index join:
-      // the shuffle carries 8-byte keys instead of ~20-byte strings and the
-      // join compares longs. Counts are unchanged barring md5-prefix
-      // collisions (~n²/2^61 ≈ 1e-8 at sf0.1), which the oracle's
-      // string-keyed join would surface as a hash mismatch.
-      // persisted: the inverted-index plan consumes sh four times (both join
-      // sides + the two per-doc count lookups). NOTE (r2, measured): carrying
-      // the per-doc count THROUGH the exploded join instead (first(ni/nj) in
-      // the pair aggregate) is ~2× slower — the wide posting-match stream
-      // pays for every extra byte; attaching counts to the SMALL pair set
-      // after aggregation is the right order.
-      // shingleMd5Prefixes fuses shingle construction + md5 + distinct into
-      // one pass (value-identical to the composed form — NativeExprsSpec)
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.expressions.NativeExprs
-            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
-            .as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // shuffle-hash hint: the posting join keys are 60-bit longs with no
-      // useful sort order downstream — a hash join skips both sides'
-      // O(n log n) sorts that sort-merge would pay.
-      // NOTE (r3, measured): aggregating posting lists instead
-      // (collect_list per shingle + native ordered-pair expansion, one
-      // shuffle instead of two) is ~1.5× SLOWER at sf0.1 — millions of
-      // singleton-shingle arrays cost more than the join's second shuffle.
-      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
-        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("k"))
-      // hash-join the count attachments too (id keys, no downstream sort
-      // order) — hint the CNT side so it is the build side: one row per
-      // document vs one per co-shingled pair, and ShuffledHashJoin's build
-      // map must fit in memory (r3 review finding)
-      inter
-        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
-          .hint("shuffle_hash"), Seq("i"))
-        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
-          .hint("shuffle_hash"), Seq("j"))
+      // the shared measured-best core (operators.Dedup.coShingledPairs —
+      // 60-bit digest keys, persisted shingle frame, shuffle_hash posting
+      // self-join, counts attached to the SMALL pair set; its scaladoc
+      // records the r2/r3 measured-slower alternatives: counts through the
+      // wide join ~2×, posting-list collect_list ~1.5×)
+      val (wc, _) = graft.operators.Dedup
+        .coShingledPairs(Tables.documents(s, d), "doc_id", "text")
+      wc
         .withColumn("jaccard", col("k") * 1.0 / (col("ni") + col("nj") - col("k")))
         .filter(col("jaccard") >= 0.5)
         .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
@@ -836,22 +804,9 @@ object Llm {
         |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
         |WHERE k * 1.0 / ca.n >= 0.3 OR k * 1.0 / cb.n >= 0.3
         |ORDER BY i, j""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.expressions.NativeExprs
-            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
-            .as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
-        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("k"))
-      inter
-        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
-          .hint("shuffle_hash"), Seq("i"))
-        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
-          .hint("shuffle_hash"), Seq("j"))
+      val (wc, _) = graft.operators.Dedup
+        .coShingledPairs(Tables.documents(s, d), "doc_id", "text")
+      wc
         .withColumn("c_ij", col("k") * 1.0 / col("ni"))
         .withColumn("c_ji", col("k") * 1.0 / col("nj"))
         .filter(col("c_ij") >= 0.3 || col("c_ji") >= 0.3)
@@ -1020,22 +975,9 @@ object Llm {
         |FROM ag JOIN dc USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val sh = docs
-        .select(col("doc_id"),
-          explode(graft.functions.expressions.NativeExprs
-            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
-            .as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
-        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("k"))
-      val pr = inter
-        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
-          .hint("shuffle_hash"), Seq("i"))
-        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
-          .hint("shuffle_hash"), Seq("j"))
+      val (wc, _) = graft.operators.Dedup
+        .coShingledPairs(docs, "doc_id", "text")
+      val pr = wc
         .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
         .select(col("i"), col("j"),
           round(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) * 10000, 0)
@@ -1101,22 +1043,9 @@ object Llm {
         |SELECT CAST(sz AS INT) AS cluster_size, count(*) AS n_clusters,
         |       CAST(sum(sz) AS BIGINT) AS n_docs
         |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.expressions.NativeExprs
-            .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15))
-            .as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
-        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("k"))
-      val pairs = inter
-        .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
-          .hint("shuffle_hash"), Seq("i"))
-        .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
-          .hint("shuffle_hash"), Seq("j"))
+      val (wc, _) = graft.operators.Dedup
+        .coShingledPairs(Tables.documents(s, d), "doc_id", "text")
+      val pairs = wc
         .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
         .select(col("i"), col("j"))
       val labels = graft.operators.Dedup.connectedComponents(pairs, "i", "j")

@@ -682,17 +682,21 @@ class CatalogSpec extends SparkSpec {
     val df = terms.map { t =>
       t -> docs.count { case (_, toks) => toks.contains(t) }.toLong
     }.toMap
-    val scored = docs.map { case (id, toks) =>
+    // HALF-UP like both engines' round() — math.rint is half-to-even and
+    // diverges on exact .5 quantization boundaries (review finding)
+    def roundHalfUp(v: Double): Long =
+      if (v >= 0) math.floor(v + 0.5).toLong else -math.floor(-v + 0.5).toLong
+    val scored = docs.flatMap { case (id, toks) =>
       val dl = toks.length.toLong
-      val s = terms.map { t =>
+      val present = terms.filter(t => toks.contains(t))
+      if (present.isEmpty) None  // no tf row in either engine
+      else Some(id -> present.map { t =>
         val tf = toks.count(_ == t).toLong
-        if (tf == 0L || df(t) == 0L) 0L
-        else math.rint(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+        roundHalfUp(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / sumdl.toDouble)) *
-          10000.0).toLong
-      }.sum
-      (id, s)
-    }.filter(_._2 != 0L)
+          10000.0)
+      }.sum)  // zero-score docs with a present term STAY, as in both engines
+    }
     val expected = scored.sortBy { case (id, s) => (-s, id) }.take(10)
       .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
     val got = Catalog.byName("q74_bm25").build(spark, sf0001)
@@ -729,7 +733,11 @@ class CatalogSpec extends SparkSpec {
     val vecs = Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(x => math.rint(x.toDouble * 10000.0).toLong).toArray)
+        r.getSeq[Float](1).map { x =>
+          val v = x.toDouble * 10000.0
+          // HALF-UP like both engines' round(), not rint's half-to-even
+          if (v >= 0) math.floor(v + 0.5).toLong else -math.floor(-v + 0.5).toLong
+        }.toArray)
       .sortBy(_._1)
     val K = 64
     var cents: Array[(Int, Array[Long])] =
