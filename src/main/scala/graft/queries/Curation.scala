@@ -56,6 +56,41 @@ object Curation {
       .orderBy("cluster_id")
   }
 
+  /** q79's logic over an arbitrary corpus: cluster-grain deterministic
+    * sampling accounting (one q40-style membership draw per near-dup
+    * family, by its representative's hash). Exposed so specs can pin the
+    * one-draw-per-family property on engineered clusters.
+    */
+  def dupAwareSample(docs: DataFrame, frac: Double = 0.2): DataFrame = {
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
+    val pairs = wc
+      .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
+      .select(col("i"), col("j"))
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "i", "j")
+    val mem = docs.select(col("doc_id"), col("n_chars"), col("source"))
+      .join(labels.select(col("u").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("source"),
+        coalesce(col("lbl"), col("doc_id")).as("cl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = graft.operators.TopK.perGroup(mem, Seq("cl"), "n_chars", "doc_id", 1)
+      .select(col("cl"), col("doc_id").as("rep_id"))
+      .join(docs.select(col("doc_id").as("rep_id"),
+        col("source").as("rep_source")), Seq("rep_id"))
+    val sz = mem.groupBy("cl").agg(count(lit(1)).as("n"))
+    val cut = (frac * 1000000L).toLong
+    rep.join(sz, Seq("cl"))
+      .select(col("rep_source"),
+        (graft.operators.Sampling.score(col("rep_id"), 42L) < cut).as("keep"),
+        col("n"))
+      .groupBy(col("rep_source"))
+      .agg(count(lit(1)).as("clusters_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("clusters_kept"),
+        sum(when(col("keep"), col("n")).otherwise(0L)).as("docs_covered"))
+      .select(col("rep_source").as("source"), col("clusters_total"),
+        col("clusters_kept"), col("docs_covered"))
+      .orderBy("source")
+  }
+
   /** q76's logic over an arbitrary corpus: canonical representative per
     * near-dup cluster (max n_chars, ties to min doc_id) with family size
     * and total chars. Exposed for spec-level tie/selection pinning.
@@ -371,6 +406,56 @@ object Curation {
         .groupBy("source", "decile")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "decile")
+    },
+
+    Q("q79_dup_aware_sample",
+      """Q79 — duplicate-aware deterministic sampling: q40's content-hash
+        |membership applied at the CLUSTER grain — each near-dup family
+        |(q68's components; singletons are their own family) is kept or
+        |dropped as a unit by its q76 representative's hash, so the 20 %
+        |sample can't over-represent duplicated content (a 1000-copy
+        |boilerplate farm gets ONE membership draw, not 1000) and stays
+        |reproducible across runs/partitionings/engines. Output: per
+        |representative source — families total/kept and documents
+        |covered by kept families. Scale shape: the shared
+        |coShingledPairs core + pointer-jumping CC; the full corpus joins
+        |the PAIRED label set left (narrow key join — unmatched docs are
+        |their own cluster); rep selection = bounded TopKAgg top-1 per
+        |family; the membership draw is the q40 md5 score on the rep id;
+        |rollup at source cardinality.""".stripMargin,
+      """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM inter JOIN cnt ca ON ca.doc_id = i
+        |                              JOIN cnt cb ON cb.doc_id = j
+        |       WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5),
+        |edges AS (SELECT i AS u, j AS v FROM pr UNION ALL SELECT j AS u, i AS v FROM pr),
+        |reach(u, x) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+        |lb AS (SELECT u, min(x) AS lbl FROM reach GROUP BY u),
+        |mem AS (SELECT d.doc_id, coalesce(lb.lbl, d.doc_id) AS cl, d.n_chars, d.source
+        |        FROM documents d LEFT JOIN lb ON lb.u = d.doc_id),
+        |rep AS (SELECT cl, doc_id AS rep_id, source AS rep_source FROM (
+        |         SELECT cl, doc_id, source,
+        |                row_number() OVER (PARTITION BY cl ORDER BY n_chars DESC, doc_id) AS rn
+        |         FROM mem) WHERE rn = 1),
+        |sz AS (SELECT cl, count(*) AS n FROM mem GROUP BY cl),
+        |dec AS (SELECT r.rep_source,
+        |        ((('0x' || substr(md5(CAST(r.rep_id AS VARCHAR) || '#42'), 1, 15))::UBIGINT % 1000000) < 200000) AS keep,
+        |        sz.n
+        |        FROM rep r JOIN sz USING (cl))
+        |SELECT rep_source AS source, count(*) AS clusters_total,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS clusters_kept,
+        |       CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT) AS docs_covered
+        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      dupAwareSample(Tables.documents(s, d))
     }
   )
 

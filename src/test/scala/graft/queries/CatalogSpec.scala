@@ -773,6 +773,31 @@ class CatalogSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q79 — one membership draw per near-dup family, by the rep's hash") {
+    // engineered: {10,11,12} is one family (shared long run), 20/21 are
+    // singletons; the family's fate must follow doc 10's hash (the rep:
+    // max n_chars, min id) regardless of 11/12's own hashes — with
+    // frac=1.0 everything is kept and docs_covered counts the WHOLE family
+    import spark.implicits._
+    val y = (1 to 40).map("y" + _).mkString(" ")
+    val docs = Seq(
+      (10L, s"$y a1", 100L, "sA"), (11L, s"$y a2", 90L, "sA"),
+      (12L, s"$y a3", 80L, "sB"),
+      (20L, (1 to 30).map("c" + _).mkString(" "), 70L, "sB"),
+      (21L, (1 to 30).map("e" + _).mkString(" "), 60L, "sB")
+    ).toDF("doc_id", "text", "n_chars", "source")
+    val all = Curation.dupAwareSample(docs, frac = 1.0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // family {10,11,12} surfaces once under the REP's source sA and covers
+    // 3 docs; the two singletons are sB families of one
+    assert(all.toSeq === Seq(("sA", 1L, 1L, 3L), ("sB", 2L, 2L, 2L)))
+    // and at any fraction the family is atomic: kept→covers 3, dropped→0
+    val p = Curation.dupAwareSample(docs, frac = 0.2).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(p("sA") == 3L || p("sA") == 0L,
+      s"family split across the membership cut: ${p("sA")}")
+  }
+
   test("q76 — representative selection: max n_chars, ties to min doc_id") {
     import spark.implicits._
     val y = (1 to 40).map("y" + _).mkString(" ")
