@@ -107,7 +107,8 @@ object DevScale {
       // story: production grows K with the corpus), novelty histogram
       // (tracks q54's shingle-window scaling)
       "q74_bm25", "q75_quarantine_clusters", "q76_cluster_reps",
-      "q77_kmeans_refine", "q78_novelty_deciles")
+      "q77_kmeans_refine", "q78_novelty_deciles",
+      "q79_dup_aware_sample")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
