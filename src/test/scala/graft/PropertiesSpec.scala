@@ -136,4 +136,23 @@ class PropertiesSpec extends SparkSpec {
       .filter($"fast" =!= $"hof")
     assert(diff.count() === 0)
   }
+
+  test("closure family — results invariant under input repartitioning") {
+    // q76/q79's determinism claims (TopKAgg argmax ties, CC labels, hash
+    // membership, integer arithmetic) must survive ANY physical layout:
+    // a skewed coalesce and a wide shuffle produce identical rows
+    val base = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val layouts = Seq(
+      base.repartition(17, $"source"),
+      base.coalesce(1))
+    val repsRef = rows(graft.queries.Curation.clusterReps(base))
+    val sampRef = rows(graft.queries.Curation.dupAwareSample(base))
+    layouts.foreach { l =>
+      assert(rows(graft.queries.Curation.clusterReps(l)) === repsRef)
+      assert(rows(graft.queries.Curation.dupAwareSample(l)) === sampRef)
+      spark.catalog.clearCache()
+    }
+  }
 }
