@@ -52,6 +52,15 @@ object NativeExprs {
   def nearestCentroidL2(v: Column, cents: Column): Column =
     col(NearestCentroidL2(ex(v), ex(cents)))
 
+  /** Like [[nearestCentroidL2]] but also returns the SECOND-nearest
+    * distance (by the same (d, cid) total order): struct(cid, d, d2) —
+    * the per-row input to assignment-margin/separation diagnostics.
+    * Null when fewer than two valid centroids match the vector's
+    * dimension (a margin needs a runner-up).
+    */
+  def nearest2CentroidsL2(v: Column, cents: Column): Column =
+    col(Nearest2CentroidsL2(ex(v), ex(cents)))
+
   /** 32-bit md5 SimHash over a (distinct-ified by caller) token array —
     * value-identical to TextOps.simhash32 (one md5 per token instead of 8).
     */
@@ -1427,6 +1436,89 @@ case class NearestCentroidL2(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroidL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** See [[NativeExprs.nearest2CentroidsL2]]. Two-minimum tracking under the
+  * (d ASC, cid ASC) total order — the winner is NearestCentroidL2's, and d2
+  * is the distance of the runner-up under the same order (a tie on d gives
+  * d2 = d). Same skip/null rules as NearestCentroidL2; additionally null
+  * when no second valid centroid exists.
+  */
+case class Nearest2CentroidsL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(LongType))))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType),
+    StructField("d", LongType),
+    StructField("d2", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest2_centroids_l2"
+
+  override def eval(input: InternalRow): Any = {
+    val e = left.eval(input)
+    if (e == null) return null
+    val cs = right.eval(input)
+    if (cs == null) return null
+    val v = e.asInstanceOf[ArrayData]
+    val arr = cs.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    var nFound = 0
+    var bestD = 0L; var bestId = 0
+    var secD = 0L; var secId = 0
+    val m = arr.numElements()
+    var k = 0
+    while (k < m) {
+      if (!arr.isNullAt(k)) {
+        val c = arr.getStruct(k, 2)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val cv = c.getArray(1)
+          if (cv.numElements() == n) {
+            var d = 0L
+            var ok = true
+            var j = 0
+            while (j < n) {
+              if (cv.isNullAt(j)) { ok = false; j = n }
+              else {
+                val diff = v.getLong(j) - cv.getLong(j)
+                d += diff * diff
+                j += 1
+              }
+            }
+            if (ok) {
+              val id = c.getInt(0)
+              if (nFound == 0) { bestD = d; bestId = id; nFound = 1 }
+              else if (d < bestD || (d == bestD && id < bestId)) {
+                secD = bestD; secId = bestId
+                bestD = d; bestId = id
+                if (nFound == 1) nFound = 2
+              } else if (nFound == 1 ||
+                  d < secD || (d == secD && id < secId)) {
+                secD = d; secId = id
+                if (nFound == 1) nFound = 2
+              }
+            }
+          }
+        }
+      }
+      k += 1
+    }
+    if (nFound < 2) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestD, secD))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Nearest2CentroidsL2 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -299,61 +299,41 @@ object Curation {
         |ITERATION in chained CTEs — the non-iterative-engine cost this
         |entry exists to contrast.""".stripMargin,
       kmeansOracle) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val K = 64
-      val iters = 4
-      // integer ten-thousandths quantization — consumed by every
-      // assignment and update pass, so persist once
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            e => round(e.cast(DoubleType) * lit(10000.0)).cast(LongType)).as("v"))
-        .persist(MEMORY_AND_DISK)
-      // exact integer squared-L2 argmin in ONE compiled per-row loop
-      // (NearestCentroidL2 — (d ASC, cid ASC) = the oracle's ORDER BY d,
-      // cid); the codebook collapses to a 1-row array-of-structs broadcast
-      // (the q61 pattern, optimizer-proven scalar side), so no K-way row
-      // expansion and no per-vec argmin aggregation exist at all
-      // v rides THROUGH the assignment projection (review finding: joining
-      // emb back per iteration re-shuffled the full vector set 4 times to
-      // recover a column the broadcast crossJoin already had in hand);
-      // consumers that don't need v get it pruned by the optimizer
-      def assign(cent: DataFrame): DataFrame = {
-        val packed = cent
-          .agg(sort_array(collect_list(struct(col("cid"), col("v").as("cv"))))
-            .as("cents"))
-        emb.crossJoin(broadcast(packed))
-          .select(col("vec_id"), col("v"),
-            NativeExprs.nearestCentroidL2(col("v"), col("cents")).as("r"))
-          .select(col("vec_id"), col("v"),
-            col("r.cid").as("cid"), col("r.d").as("d"))
-      }
-      var cent: DataFrame = emb.filter(col("vec_id") < K)
-        .select(col("vec_id").cast(IntegerType).as("cid"), col("v"))
-        .localCheckpoint(true)
-      (1 to iters).foreach { _ =>
-        val upd = assign(cent)
-          .select(col("cid"), posexplode(col("v")).as(Seq("i", "u")))
-          .groupBy("cid", "i")
-          .agg(sum(col("u")).as("sc"), count(lit(1)).as("n"))
-          .select(col("cid"), col("i"),
-            when(col("sc") >= 0,
-              expr("(2 * sc + n) div (2 * n)"))
-              .otherwise(-expr("(2 * (-sc) + n) div (2 * n)")).as("c"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-            x => x.getField("c")).as("v"))
-        // empty clusters keep their previous centroid; 64-row eager
-        // checkpoint flattens the lineage so the plan stays O(1) in rounds
-        cent = cent.as("p").join(upd.as("u"), Seq("cid"), "left")
-          .select(col("cid"),
-            coalesce(col("u.v"), col("p.v")).as("v"))
-          .localCheckpoint(true)
-      }
-      assign(cent)
+      val emb = quantizedEmbeddings(s, d)
+      assignToCodebook(emb, refineCodebook(emb))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
         .select(col("cid").as("cluster_id"), col("n_members"), col("inertia"))
+        .orderBy("cluster_id")
+    },
+
+    Q("q80_codebook_margin",
+      """Q80 — codebook separation margins over the q77-TRAINED centroids:
+        |per final cluster, the distribution of each member's margin
+        |d2 − d1 (second-nearest minus nearest integer squared-L2) — the
+        |"how decisively do vectors belong" read before trusting a
+        |codebook for IVF routing (q29/q50) or SemDeDup pruning (q64); a
+        |cluster whose margins hug 0 sits on a boundary and its members
+        |churn under any perturbation. Same determinism-by-construction
+        |regime as q77 (no float anywhere); the two-minimum tracking is
+        |ONE compiled per-row loop (Nearest2CentroidsL2 — same (d, cid)
+        |total order as the oracle's rank-1/rank-2 rows), the trained
+        |codebook is the identical 4-iteration refinement, and the mean
+        |margin rounds half-up in INTEGER space ((2s+n) div 2n —
+        |margins are non-negative). Scale shape: q77's broadcast-codebook
+        |narrow pass plus one K-cardinality rollup.""".stripMargin,
+      kmeansMarginOracle) { (s, d) =>
+      val emb = quantizedEmbeddings(s, d)
+      val packed = packCodebook(refineCodebook(emb))
+      emb.crossJoin(broadcast(packed))
+        .select(NativeExprs.nearest2CentroidsL2(col("v"), col("cents")).as("r"))
+        .select(col("r.cid").as("cid"), (col("r.d2") - col("r.d")).as("m"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("m")).as("min_margin"),
+          expr("(2 * sum(m) + count(1)) div (2 * count(1))").as("avg_margin"))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          col("min_margin"), col("avg_margin"))
         .orderBy("cluster_id")
     },
 
@@ -459,12 +439,76 @@ object Curation {
     }
   )
 
-  /** The q77 oracle: the identical integer-exact Lloyd iterations as
-    * chained DuckDB CTEs (assignment row_number argmin, generate_subscripts
-    * dimension explode, sign-aware half-up integer division — `//` on the
-    * positive branch matches Spark's `div` there).
+  /** Integer ten-thousandths quantization of the embeddings table —
+    * consumed by every q77/q80 assignment and update pass, so persisted
+    * (released by the session's clearCache, the catalog contract).
     */
-  private lazy val kmeansOracle: String = {
+  private def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast(DoubleType) * lit(10000.0)).cast(LongType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The codebook as the 1-row array-of-structs broadcast side (the q61
+    * pattern, optimizer-proven scalar).
+    */
+  private def packCodebook(cent: DataFrame): DataFrame =
+    cent.agg(sort_array(collect_list(struct(col("cid"), col("v").as("cv"))))
+      .as("cents"))
+
+  /** One narrow assignment pass: exact integer squared-L2 argmin in ONE
+    * compiled per-row loop (NearestCentroidL2 — (d ASC, cid ASC) = the
+    * oracle's ORDER BY d, cid); no K-way row expansion, no per-vec argmin
+    * aggregation. v rides THROUGH the projection (consumers that don't
+    * need it get it pruned) — joining emb back per iteration would
+    * re-shuffle the full vector set every round.
+    */
+  private def assignToCodebook(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(packCodebook(cent)))
+      .select(col("vec_id"), col("v"),
+        NativeExprs.nearestCentroidL2(col("v"), col("cents")).as("r"))
+      .select(col("vec_id"), col("v"),
+        col("r.cid").as("cid"), col("r.d").as("d"))
+
+  /** The q77 Lloyd refinement (K=64, 4 iterations, integer-exact — see the
+    * q77 doc). Shared by q77 (inertia rollup) and q80 (margin rollup).
+    */
+  private def refineCodebook(emb: DataFrame, K: Int = 64,
+                             iters: Int = 4): DataFrame = {
+    var cent: DataFrame = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val upd = assignToCodebook(emb, cent)
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "u")))
+        .groupBy("cid", "i")
+        .agg(sum(col("u")).as("sc"), count(lit(1)).as("n"))
+        .select(col("cid"), col("i"),
+          when(col("sc") >= 0,
+            expr("(2 * sc + n) div (2 * n)"))
+            .otherwise(-expr("(2 * (-sc) + n) div (2 * n)")).as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("v"))
+      // empty clusters keep their previous centroid; K-row eager
+      // checkpoint flattens the lineage so the plan stays O(1) in rounds
+      cent = cent.as("p").join(upd.as("u"), Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("u.v"), col("p.v")).as("v"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** The shared q77/q80 oracle prefix: quantization, the K=64 seed, and
+    * the identical integer-exact Lloyd iterations as chained DuckDB CTEs
+    * (assignment row_number argmin, generate_subscripts dimension explode,
+    * sign-aware half-up integer division — `//` on the positive branch
+    * matches Spark's `div` there) — ending at the trained c4 plus the
+    * final per-(vec, centroid) distance table df.
+    */
+  private lazy val kmeansCtePrefix: String = {
     def it(k: Int): String = {
       val p = k - 1
       s"""d$k AS (SELECT e.vec_id, c.cid,
@@ -486,11 +530,24 @@ object Curation {
       (1 to 4).map(it).mkString("\n", ",\n", ",\n") +
       """df AS (SELECT e.vec_id, c.cid,
         |       list_sum(list_transform(list_zip(e.v, c.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
-        |       FROM emb e CROSS JOIN c4 c),
-        |af AS (SELECT vec_id, cid, d FROM (
-        |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
-        |       WHERE rn = 1)
-        |SELECT cid AS cluster_id, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia
-        |FROM af GROUP BY cid ORDER BY cluster_id""".stripMargin
+        |       FROM emb e CROSS JOIN c4 c)""".stripMargin
   }
+
+  private lazy val kmeansOracle: String = kmeansCtePrefix + """,
+    |af AS (SELECT vec_id, cid, d FROM (
+    |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+    |       WHERE rn = 1)
+    |SELECT cid AS cluster_id, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia
+    |FROM af GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  private lazy val kmeansMarginOracle: String = kmeansCtePrefix + """,
+    |rk AS (SELECT vec_id, cid, d,
+    |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df),
+    |mg AS (SELECT r1.cid, r2.d - r1.d AS m
+    |       FROM rk r1 JOIN rk r2 ON r1.vec_id = r2.vec_id
+    |       WHERE r1.rn = 1 AND r2.rn = 2)
+    |SELECT cid AS cluster_id, count(*) AS n_members,
+    |       CAST(min(m) AS BIGINT) AS min_margin,
+    |       CAST((2 * sum(m) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_margin
+    |FROM mg GROUP BY cid ORDER BY cluster_id""".stripMargin
 }

@@ -135,6 +135,55 @@ class NativeExprsSpec extends SparkSpec {
     assert(rows(2).getStruct(1).getLong(1) === (64L + 49L + 36L))
   }
 
+  test("nearest2CentroidsL2 == sorted HOF distances on quantized embeddings") {
+    // winner identical to nearestCentroidL2; d/d2 = the first two elements
+    // of the (d, cid)-sorted distance structs
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(10000.0)).cast("long")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    val both = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        NativeExprs.nearest2CentroidsL2(col("v"), col("cents")).as("fast"),
+        array_sort(transform(col("cents"), c =>
+          struct(
+            aggregate(zip_with(col("v"), c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("d"),
+            c.getField("cid").as("cid")))).as("srt"))
+      .select(col("vec_id"), col("fast"),
+        struct(element_at(col("srt"), 1).getField("cid").as("cid"),
+          element_at(col("srt"), 1).getField("d").as("d"),
+          element_at(col("srt"), 2).getField("d").as("d2")).as("hofn"))
+    assert(both.filter(col("fast") =!= col("hofn")).count() === 0)
+    assert(both.filter(col("fast").isNull).count() === 0)
+  }
+
+  test("nearest2CentroidsL2 — tie and too-few-centroids edges") {
+    val cents = Seq((1, Seq(0L, 0L)), (2, Seq(0L, 0L)), (3, Seq(4L, 0L)))
+    val one = Seq((9, Seq(0L, 0L, 0L)))
+    val rows = Seq((1L, Seq(1L, 1L)), (2L, Seq(1L, 1L, 1L)))
+      .toDF("id", "v")
+      .withColumn("cents", typedlit(cents))
+      .withColumn("one", typedlit(one))
+      .select(col("id"),
+        NativeExprs.nearest2CentroidsL2(col("v"),
+          expr("transform(cents, c -> struct(c._1 as cid, c._2 as cv))")).as("r"),
+        NativeExprs.nearest2CentroidsL2(col("v"),
+          expr("transform(one, c -> struct(c._1 as cid, c._2 as cv))")).as("r1"))
+      .orderBy("id").collect()
+    // cids 1/2 tie at d=2 → winner 1, d2 = the tied 2 (not centroid 3's 10)
+    assert(rows(0).getStruct(1).getInt(0) === 1)
+    assert(rows(0).getStruct(1).getLong(1) === 2L)
+    assert(rows(0).getStruct(1).getLong(2) === 2L)
+    assert(rows(0).isNullAt(2))  // 2-dim vector vs the single 3-dim centroid
+    assert(rows(1).isNullAt(1))  // 3-dim vector: no matching 2-dim centroid
+    assert(rows(1).isNullAt(2))  // one matching centroid is not enough for d2
+  }
+
   test("simhash32 native == HOF on corpus text") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val diff = docs.select(
