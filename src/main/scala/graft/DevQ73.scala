@@ -74,6 +74,24 @@ object DevQ73 {
         .groupBy("span_len")
         .agg(count(lit(1)).as("n_spans"), sum(col("c")).as("n_positions"))
     }
+    // 5. round-9: the KERNEL-NATIVE packed form — SpanLadderPackedExpr
+    // emits a primitive long array (level tag in bits 61..63 over the
+    // 61-bit-truncated digest) from a codegen'd scan, so the explode
+    // carries 8 unboxed bytes per span and the group key is ONE long.
+    // Variant 3 above still paid the struct explode + a repacking
+    // projection; this one never builds a struct at all.
+    def packed = docs.select(explode(NativeExprs
+        .spanDigestLadderPacked(TextOps.tokens(col("text")), 6)).as("pk"))
+    time("packed_kernel_explode") {
+      packed.select(count(lit(1)).as("n"))
+    }
+    time("packed_kernel_full") {
+      packed.groupBy("pk").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(expr("cast(shiftleft(1, cast(shiftrightunsigned(pk, 61) as int)) as int)")
+          .as("span_len"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("c")).as("n_positions"))
+    }
     spark.stop()
   }
 }

@@ -6,7 +6,8 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -307,6 +308,22 @@ object NativeExprs {
     */
   def spanDigestLadder(toks: Column, levels: Int): Column =
     col(SpanLadderExpr(ex(toks), levels))
+
+  /** [[spanDigestLadder]] with the (level, digest) pair PACKED into one
+    * long — level (log₂ span_len, 3 bits) in bits 61..63 over the digest
+    * truncated to its low 61 bits — and the ladder emitted as a PRIMITIVE
+    * long array (`UnsafeArrayData.fromPrimitiveArray`, zero per-element
+    * boxing) from a codegen'd scan. Same mix arithmetic as the struct
+    * form; the 61-bit digest class keeps q31's collision tolerance
+    * (~2⁻⁶¹ per pair — an actual collision would surface as an oracle
+    * hash mismatch). Downstream recovers
+    * `span_len = 1 << shiftrightunsigned(pk, 61)`. Measured on q73: the
+    * struct ladder's boxed InternalRow-per-span ArrayBuffer plus the
+    * two-column group key were ~40 % of the query's wall — this form
+    * exists so the explode carries 8 opaque bytes per span end to end.
+    */
+  def spanDigestLadderPacked(toks: Column, levels: Int): Column =
+    col(SpanLadderPackedExpr(ex(toks), levels))
 
   /** Exact top-k (score DESC, tag ASC) aggregate — see [[TopKByScore]].
     * The scale path for "top k per group": bounded partial buffers with
@@ -1895,20 +1912,7 @@ case class SpanLadderExpr(child: Expression, levels: Int)
     else scan(v.asInstanceOf[ArrayData])
   }
 
-  // non-commutative combine with a murmur3-fmix64 avalanche: the two
-  // halves enter under different odd multipliers, so mix(a,b) ≠ mix(b,a)
-  // and adjacent-level structure cannot cancel
-  private def mix(a: Long, b: Long): Long = {
-    var h = a * 0x87c37b91114253d5L
-    h = java.lang.Long.rotateLeft(h, 31)
-    h ^= b * 0x4cf5ad432745937fL
-    h ^= h >>> 33
-    h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33
-    h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    h
-  }
+  private def mix(a: Long, b: Long): Long = SpanMix.mix(a, b)
 
   private def scan(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -1945,6 +1949,105 @@ case class SpanLadderExpr(child: Expression, levels: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SpanLadderExpr =
+    copy(child = newChild)
+}
+
+/** The span-ladder combine shared by the struct and packed ladder kernels —
+  * non-commutative with a murmur3-fmix64 avalanche: the two halves enter
+  * under different odd multipliers, so mix(a,b) ≠ mix(b,a) and
+  * adjacent-level structure cannot cancel.
+  */
+object SpanMix {
+  def mix(a: Long, b: Long): Long = {
+    var h = a * 0x87c37b91114253d5L
+    h = java.lang.Long.rotateLeft(h, 31)
+    h ^= b * 0x4cf5ad432745937fL
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+}
+
+/** See [[NativeExprs.spanDigestLadderPacked]]. Identical doubling invariant
+  * and mix arithmetic as [[SpanLadderExpr]]; differs only in the OUTPUT
+  * ENCODING — one primitive long per span, level tag in the top 3 bits —
+  * and in being codegen'd (the struct form is a CodegenFallback building a
+  * boxed InternalRow per span). A NULL token array yields an empty ladder.
+  */
+case class SpanLadderPackedExpr(child: Expression, levels: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(levels >= 1 && levels <= 7, "levels out of range (3 tag bits)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "span_digest_ladder_packed"
+
+  private val Mask61 = (1L << 61) - 1
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) emptyResult() else scan(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("spanLadderPacked", this)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${c.isNull} ? $ref.emptyResult() : $ref.scan(${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  def emptyResult(): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  def scan(arrAny: Any): ArrayData = {
+    val arr = arrAny.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var d = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val bytes =
+        if (arr.isNullAt(i)) Array.emptyByteArray
+        else {
+          val u = arr.getUTF8String(i)
+          if (u == null) Array.emptyByteArray else u.getBytes
+        }
+      d(i) = Md5.prefixLong(Md5.digest(bytes), 15)
+      i += 1
+    }
+    var total = 0
+    var k = 1
+    while (k <= levels && (1 << k) <= n) { total += n - (1 << k) + 1; k += 1 }
+    val out = new Array[Long](total)
+    var p = 0
+    k = 1
+    while (k <= levels && (1 << k) <= n) {
+      val len = 1 << k
+      val half = len >> 1
+      val m = n - len + 1
+      val tag = k.toLong << 61
+      val nd = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        val v = SpanMix.mix(d(i), d(i + half))
+        nd(i) = v
+        out(p) = tag | (v & Mask61)
+        p += 1
+        i += 1
+      }
+      d = nd
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanLadderPackedExpr =
     copy(child = newChild)
 }
 

@@ -1088,17 +1088,20 @@ object Llm {
         |duplication signal (the suffix-array dedup family à la "dedup
         |makes LMs better") that q54's fixed-width shingles sample at one
         |width. Scale shape: the whole ladder is computed ROW-LOCALLY by
-        |prefix doubling (spanDigestLadder kernel — level k+1 combines
-        |each span's two half-span digests, so a 64-span costs log₂64
-        |mixes per token, not 64 hashes; spans never cross document
-        |bounds, so no cross-row state exists) and only the (span_len,
-        |digest) pairs shuffle — with map-side partial aggregation, never
-        |the span STRINGS (the oracle's array_to_string n-grams carry
-        |~L·6 bytes per position per length; the ladder carries 8 per
-        |level). Digest tolerance is q31's 60-bit class (~2⁻⁶⁰ per pair;
-        |a real collision would surface as an oracle hash mismatch).
-        |The 6-row grid fills lengths with no repeats so the output
-        |shape is data-independent.""".stripMargin,
+        |prefix doubling (spanDigestLadderPacked kernel — level k+1
+        |combines each span's two half-span digests, so a 64-span costs
+        |log₂64 mixes per token, not 64 hashes; spans never cross document
+        |bounds, so no cross-row state exists) and only PACKED
+        |level-over-digest longs shuffle — one primitive 8-byte key per
+        |span (level tag in bits 61..63, codegen'd kernel, zero boxing)
+        |with map-side partial aggregation, never the span STRINGS (the
+        |oracle's array_to_string n-grams carry ~L·6 bytes per position
+        |per length). The struct-ladder form (boxed InternalRow per span +
+        |a two-column group key) measured ~30 % slower end-to-end
+        |(DevQ73). Digest tolerance is the 61-bit truncation of q31's
+        |class (~2⁻⁶¹ per pair; a real collision would surface as an
+        |oracle hash mismatch). The 6-row grid fills lengths with no
+        |repeats so the output shape is data-independent.""".stripMargin,
       """SELECT CAST(2 AS INT) AS span_len, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_positions
         |FROM (SELECT s, count(*) AS c
@@ -1149,12 +1152,12 @@ object Llm {
         |ORDER BY span_len""".stripMargin) { (s, d) =>
       val spans = Tables.documents(s, d)
         .select(explode(graft.functions.expressions.NativeExprs
-          .spanDigestLadder(TextOps.tokens(col("text")), 6)).as("sd"))
-        .select(col("sd.span_len").as("span_len"), col("sd.digest").as("digest"))
+          .spanDigestLadderPacked(TextOps.tokens(col("text")), 6)).as("pk"))
       val agg = spans
-        .groupBy("span_len", "digest").agg(count(lit(1)).as("c"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
-        .groupBy("span_len")
+        .groupBy(expr("cast(shiftleft(1, cast(shiftrightunsigned(pk, 61) as int)) as int)")
+          .as("span_len"))
         .agg(count(lit(1)).as("n_spans"), sum(col("c")).as("n_positions"))
       val grid = s.range(1, 7)
         .select(expr("cast(shiftleft(1, cast(id as int)) as int)")

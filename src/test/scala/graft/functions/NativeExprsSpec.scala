@@ -824,4 +824,34 @@ class NativeExprsSpec extends SparkSpec {
     val ab = rows.filter(_._1 == 2).map(_._2)
     assert(ab.distinct.length < ab.length)
   }
+
+  test("spanDigestLadderPacked — element-for-element parity with the struct ladder") {
+    import spark.implicits._
+    val mask61 = (1L << 61) - 1
+    // corpus + the split-parity edge shapes (empty/short/repeated docs);
+    // null text behaves like the struct form: empty ladder, explode drops
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, ""), (9002L, "a"), (9003L, "a b"),
+        (9004L, "a b a b a b a b"), (9005L, ("t " * 70).trim))
+        .toDF("doc_id", "text"))
+    val packed = corpus
+      .select(col("doc_id"), posexplode(NativeExprs
+        .spanDigestLadderPacked(split(col("text"), " "), 6)).as(Seq("p", "pk")))
+      .select(col("doc_id"), col("p"),
+        expr("cast(shiftleft(1, cast(shiftrightunsigned(pk, 61) as int)) as int)")
+          .as("span_len"),
+        expr(s"pk & ${mask61}L").as("d61"))
+    val struct = corpus
+      .select(col("doc_id"), posexplode(NativeExprs
+        .spanDigestLadder(split(col("text"), " "), 6)).as(Seq("p", "sd")))
+      .select(col("doc_id"), col("p"), col("sd.span_len").as("span_len"),
+        expr(s"(sd.digest) & ${mask61}L").as("d61"))
+    // POSITIONAL equality: same ladder, same emission order, same digests
+    // modulo the declared 61-bit truncation
+    assert(packed.exceptAll(struct).isEmpty && struct.exceptAll(packed).isEmpty)
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(explode(NativeExprs
+      .spanDigestLadderPacked(split(col("text"), " "), 6))).count() === 0)
+  }
 }
