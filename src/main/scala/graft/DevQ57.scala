@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev-only: q57_bigram_lm dissection (VERDICT r8 #2, 2.2× residual). The
+  * shipped form shuffles the full bigram stream ONCE by w1 and pays TWO
+  * window SORTS over it (w1, then w1+w2 riding the same exchange). The
+  * candidate replaces the sorts with hash work: aggregate (w1,w2) partials
+  * (map-side combined — only reduced pairs shuffle), derive c_w from the
+  * AGGREGATED table by a window over its w1 groups (pair-cardinality, not
+  * stream-cardinality), and hash-join the bigram stream against it on
+  * (w1,w2) — the stream still shuffles exactly once, but is never sorted.
+  */
+object DevQ57 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.TextOps
+
+    def time(label: String, reps: Int = 5)(mk: => DataFrame): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[devq57] $label%-24s ${ts.map(t => f"$t%.3f").mkString(" ")}")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    def toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    def bi = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    def v = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+
+    // 0. bigram explode only
+    time("bigram_explode_only") {
+      bi.select(count(lit(1)).as("n"))
+    }
+    // 1. shipped window form
+    time("shipped_windows") {
+      bi
+        .withColumn("c_w", count(lit(1)).over(Window.partitionBy("w1")))
+        .withColumn("c_xy", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))
+            .as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }
+    // 2. agg+join form: reduced (w1,w2) table, c_w by window over the
+    // REDUCED table, one hash join on (w1,w2) — stream shuffled once, no
+    // stream-cardinality sort
+    time("agg_join") {
+      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .withColumn("c_w", sum(col("c_xy")).over(Window.partitionBy("w1")))
+      bi.hint("shuffle_hash")
+        .join(cxy, Seq("w1", "w2"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))
+            .as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }
+    spark.stop()
+  }
+}

@@ -13,34 +13,76 @@ import graft.functions.TextOps
 object Dedup {
 
   /** The measured-best co-shingled pair core shared by q31/q63/q67/q68 and
-    * the q75/q76 closure family (extracted in round 8 — it had grown to
-    * four inline copies): distinct w-shingle 60-bit digests per doc
-    * (persisted — callers typically also derive seed/benchmark sets from
-    * it; released by the session's clearCache, the q31 session-cache
-    * contract), inverted-index shuffle_hash self-join on the digest, i<j
-    * half only, per-doc set sizes attached to the SMALL aggregated pair
-    * set (attaching them through the wide posting join measured ~2×
-    * slower, r2). Returns ((i, j, k, ni, nj), sh) — k = |Si∩Sj| — and the
-    * caller applies its own measure (jaccard/containment) and threshold.
+    * the q75/q76/q79 closure family (extracted in round 8 — it had grown
+    * to four inline copies; re-dissected in round 9, DevQ31): distinct
+    * w-shingle 60-bit digests per doc, REPARTITIONED BY THE DIGEST before
+    * the persist so the posting self-join consumes the cache
+    * co-partitioned (InMemoryTableScan reports HashPartitioning(s) — both
+    * join sides plan with NO exchange; the one digest-keyed shuffle is
+    * paid once, at cache materialization), inverted-index shuffle_hash
+    * self-join on the digest, i<j half only.
+    *
+    * Per-doc set sizes attach to the aggregated pair set via a BROADCAST
+    * of the doc-cardinality count table when `broadcastCounts` (default):
+    * on a shingle-dense corpus the pre-threshold pair set is pair-
+    * cardinality ≫ doc-cardinality (sf0.1: 1.13M pairs vs 5k docs), so
+    * the old shuffle_hash attach shuffled the WIDE side twice — the
+    * broadcast streams it map-side (DevQ31: q31 1.35 → 0.88 s stacked
+    * with the pre-partition; DuckDB's own plan builds on the small count
+    * table the same way). SCALE LEVER: the count table grows with the
+    * corpus — when doc-cardinality outgrows the broadcast budget
+    * (~100M+ docs), pass `broadcastCounts = false` to fall back to the
+    * shuffle attach (attaching counts through the wide posting join
+    * instead measured ~2× slower, r2).
+    *
+    * The persist serves the operator's OWN plan (the shingle frame feeds
+    * both join sides and the count table — three subtrees), not caller
+    * reuse; it is released by the session's clearCache (the Verify/Bench/
+    * spec contract). Callers outside that contract that don't need the
+    * returned shingle frame should use [[coShingledPairsDetached]].
+    * Returns ((i, j, k, ni, nj), sh) — k = |Si∩Sj| — and the caller
+    * applies its own measure (jaccard/containment) and threshold.
     */
   def coShingledPairs(docs: DataFrame, idCol: String, textCol: String,
-                      w: Int = 3): (DataFrame, DataFrame) = {
+                      w: Int = 3, broadcastCounts: Boolean = true):
+      (DataFrame, DataFrame) = {
     val sh = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.expressions.NativeExprs
           .shingleMd5Prefixes(TextOps.tokens(col(textCol)), w, 15)).as("s"))
+      .repartition(col("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (pairsFrom(sh, broadcastCounts), sh)
+  }
+
+  /** The persist-free twin of [[coShingledPairs]] for callers outside the
+    * session-cache contract: returns the pair frame only, nothing is
+    * cached — the shingle subtree evaluates once per consuming subtree
+    * (three times in this plan) and each join side pays its own
+    * digest-keyed exchange. Prefer [[coShingledPairs]] wherever the
+    * session (or the caller) clears the cache.
+    */
+  def coShingledPairsDetached(docs: DataFrame, idCol: String, textCol: String,
+                              w: Int = 3, broadcastCounts: Boolean = true):
+      DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.NativeExprs
+          .shingleMd5Prefixes(TextOps.tokens(col(textCol)), w, 15)).as("s"))
+    pairsFrom(sh, broadcastCounts)
+  }
+
+  private def pairsFrom(sh: DataFrame, broadcastCounts: Boolean): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("i"), col("s")).hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("k"))
-    val withCounts = inter
-      .join(cnt.select(col("doc_id").as("i"), col("n").as("ni"))
-        .hint("shuffle_hash"), Seq("i"))
-      .join(cnt.select(col("doc_id").as("j"), col("n").as("nj"))
-        .hint("shuffle_hash"), Seq("j"))
-    (withCounts, sh)
+    def side(asCol: String, nAs: String): DataFrame = {
+      val c = cnt.select(col("doc_id").as(asCol), col("n").as(nAs))
+      if (broadcastCounts) broadcast(c) else c.hint("shuffle_hash")
+    }
+    inter.join(side("i", "ni"), Seq("i")).join(side("j", "nj"), Seq("j"))
   }
 
   /** Exact dedup by content hash, keeping the smallest id — the
