@@ -297,21 +297,25 @@ object Analytics {
         |model (gibberish, boilerplate soup, wrong-language fragments)
         |score low and become filter candidates. Scale shape: bigram
         |extraction is NARROW (each token array zipped with its own tail);
-        |the count attach is the q45 lesson applied — c(w1) and c(w1,w2)
-        |ride count windows over ONE w1-keyed exchange (TransposeWindow +
-        |HashPartitioning(w1) ⊆ ClusteredDistribution(w1,w2) means the
-        |(w1,w2) window adds only a sort), so the bigram stream is scanned
-        |and shuffled ONCE — the aggregate+join form would shuffle it
-        |three times, and broadcasting a count table keyed by a web-scale
-        |vocabulary is forbidden (heavy-tailed, effectively unbounded);
-        |per-doc means then reduce with map-side partial sum/count, so the
-        |doc_id exchange carries one partial row per (partition, doc). A
-        |heavy-hitter context word ("the") concentrates one window group
-        |exactly as it would one join-probe partition — same skew bound,
-        |spillable buffer; the salted two-phase count attach for the head
-        |of the distribution is the documented 100 TB variant. The vocab
-        |size V is a 1-row broadcast scalar. avg rounds at 4 dp (the §7.3
-        |double rule).""".stripMargin,
+        |the stream is scanned and shuffled ONCE — by (w1,w2) into a hash
+        |JOIN against the reduced count table, not into window sorts:
+        |c(w1,w2) aggregates with map-side combine (only reduced pairs
+        |shuffle), c(w1) = Σ_w2 c(w1,w2) rides a sum window over the
+        |REDUCED table's w1 groups (pair-cardinality, never
+        |stream-cardinality), and the stream probes it on (w1,w2). The
+        |double count-window form (c_w and c_xy riding one w1-keyed
+        |exchange) pays two stream-cardinality SORTS for the same single
+        |shuffle — measured 0.78 vs 0.66 s at sf0.1 (DevQ57, r9).
+        |Broadcasting the count table stays forbidden (a web-scale bigram
+        |vocabulary is heavy-tailed and effectively unbounded — the join
+        |is shuffle_hash with the reduced table as build side); per-doc
+        |means then reduce with map-side partial sum/count. A heavy-hitter
+        |context word ("the") concentrates one join-probe partition
+        |exactly as it would one window group — same skew bound; the
+        |salted two-phase count attach for the head of the distribution
+        |is the documented 100 TB variant. The vocab size V is a 1-row
+        |broadcast scalar. avg rounds at 4 dp (the §7.3 double
+        |rule).""".stripMargin,
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |ix AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
         |       FROM tok),
@@ -334,9 +338,10 @@ object Analytics {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val v = toks.select(explode(col("toks")).as("t"))
         .agg(countDistinct(col("t")).as("v"))
+      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .withColumn("c_w", sum(col("c_xy")).over(Window.partitionBy("w1")))
       bi
-        .withColumn("c_w", count(lit(1)).over(Window.partitionBy("w1")))
-        .withColumn("c_xy", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+        .join(cxy.hint("shuffle_hash"), Seq("w1", "w2"))
         .crossJoin(broadcast(v))
         .select(col("doc_id"),
           log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))

@@ -228,11 +228,13 @@ class CatalogSpec extends SparkSpec {
       s"cross-run ${cross.size} pairs vs union-run straddling ${straddling.size}")
   }
 
-  test("q57 — window count attach equals the aggregate+join formulation") {
-    // the declared single-exchange window form must be value-identical to
-    // the textbook aggregate+join form built independently here (same
-    // math, different plan composition — this is the q45/q54 rewrite
-    // equivalence argument as an executable check)
+  test("q57 — declared count attach equals the textbook aggregate+join formulation") {
+    // the declared form (reduced (w1,w2) table, c_w from a window over its
+    // w1 groups, one stream-side hash join) must be value-identical to the
+    // textbook THREE-pass aggregate+join form built independently here
+    // (separate c_xy and c_w aggregates off the raw stream — same math,
+    // different plan composition; the q45/q54 rewrite equivalence argument
+    // as an executable check)
     import graft.functions.TextOps
     val toks = Tables.documents(spark, sf0001)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
