@@ -744,25 +744,51 @@ object Llm {
           .orderBy("bench_id")
     },
 
-    Q.cap("q62_pack",
-      """Q62 — sequence packing as a gating artifact: group documents into
-        |context-window packs (capacity 2048 whitespace tokens) via the
-        |value-keyed NEXT-FIT operator ([[graft.operators.Packing
-        |.packGreedy]]) and emit the per-pack profile (n_docs, n_tokens,
-        |fill fraction) — the packing-efficiency report a training-data
-        |export job writes next to its shards. Scale shape: the
-        |parallelism unit is a VALUE (group = doc_id mod 64), so packs
-        |are identical run-over-run regardless of AQE coalescing or
-        |cluster size; packing itself is a streaming O(1)-state fold over
-        |each group's sorted iterator (no group buffering), and the
-        |profile is one hash agg over the (group-prefixed, globally
-        |unique) pack ids. No DuckDB oracle: next-fit is a
-        |non-associative sequential fold (a running capacity RESET), not
-        |expressible as window/aggregate SQL — SamplingPackingSpec pins
-        |determinism across partitionings, the capacity bound, and
-        |singleton-oversize handling; CatalogSpec pins conservation
-        |(every document in exactly one pack, token totals preserved)
-        |against the independently-oracled q36 token counts.""".stripMargin) {
+    Q("q62_pack",
+      """Q62 — sequence packing: group documents into context-window packs
+        |(capacity 2048 whitespace tokens) via the value-keyed NEXT-FIT
+        |operator ([[graft.operators.Packing.packGreedy]]) and emit the
+        |per-pack profile (n_docs, n_tokens, fill fraction) — the
+        |packing-efficiency report a training-data export job writes next
+        |to its shards. Scale shape: the parallelism unit is a VALUE
+        |(group = doc_id mod 64), so packs are identical run-over-run
+        |regardless of AQE coalescing or cluster size; packing itself is
+        |a streaming O(1)-state fold over each group's sorted iterator
+        |(no group buffering), and the profile is one hash agg over the
+        |(group-prefixed, globally unique) pack ids. ORACLED in round 9
+        |(it was a declared cap): next-fit is a non-associative
+        |sequential fold (a running capacity RESET), inexpressible as
+        |window/aggregate SQL but exactly expressible as a per-group
+        |RECURSIVE CTE advancing one rank per step — the recursion
+        |carries (pidx, used) state, the same guard (used > 0 AND
+        |used + n > cap) the operator's fold applies, so the pack ids
+        |(grp·2³² + idx) match bit-for-bit. The fill division is by the
+        |exact power of two 2048, so round(·, 4) can never land on a
+        |decimal half boundary in either engine. SamplingPackingSpec
+        |still pins determinism across partitionings, the capacity
+        |bound, and singleton-oversize handling; CatalogSpec pins
+        |conservation against the independently-oracled q36 token
+        |counts.""".stripMargin,
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         doc_id % 64 AS grp,
+        |         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |st AS (
+        |  SELECT grp, rn, n_tokens, CAST(0 AS BIGINT) AS pidx, n_tokens AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.rn, d.n_tokens,
+        |         CASE WHEN st.used > 0 AND st.used + d.n_tokens > 2048
+        |              THEN st.pidx + 1 ELSE st.pidx END,
+        |         CASE WHEN st.used > 0 AND st.used + d.n_tokens > 2048
+        |              THEN d.n_tokens ELSE st.used + d.n_tokens END
+        |  FROM st JOIN d ON d.grp = st.grp AND d.rn = st.rn + 1)
+        |SELECT grp * 4294967296 + pidx AS pack_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / 2.048e3, 4) AS fill
+        |FROM st GROUP BY 1 ORDER BY pack_id""".stripMargin) {
       (s, d) =>
         val docs = Tables.documents(s, d)
           .select(col("doc_id"),
