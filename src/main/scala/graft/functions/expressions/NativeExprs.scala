@@ -198,6 +198,21 @@ object NativeExprs {
   def rollingBottomK(text: Column, w: Int, k: Int): Column =
     col(RollingBottomKExpr(ex(text), w, k))
 
+  /** Bottom-k DISTINCT 60-bit md5 prefixes of every `w`-CHARACTER window
+    * of the text, ascending — the oracle-able window fingerprint (each
+    * window hash is exactly
+    * `('0x' || substr(md5(substr(text, i, w)), 1, 15))::UBIGINT` in
+    * DuckDB terms, so an engine-independent SQL twin exists, unlike the
+    * Rabin-Karp [[rollingBottomK]] whose polynomial recurrence is this
+    * library's own). Windows advance one character at a time; character
+    * boundaries are found in one byte pre-scan, so multibyte text hashes
+    * the same windows SQL `substr` selects. O(n·w) digest work per doc —
+    * the price of portability; [[rollingBottomK]] remains the O(n)
+    * rolling form when cross-engine replay is not needed.
+    */
+  def md5WindowBottomK(text: Column, w: Int, k: Int): Column =
+    col(Md5WindowBottomKExpr(ex(text), w, k))
+
   /** Random-hyperplane LSH bucket id: sign bits of the fixed projections
     * packed MSB-first into a LONG — value-identical to
     * VectorOps.hyperplaneBucketHof (same left-to-right double dot).
@@ -970,6 +985,69 @@ case class RollingBottomKExpr(child: Expression, w: Int, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingBottomKExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.md5WindowBottomK]]. The window is `w` CHARACTERS (so
+  * the hashed bytes are exactly the UTF-8 encoding of SQL
+  * `substr(text, i, w)` for every i) — boundaries come from one byte
+  * pre-scan for non-continuation bytes; on ASCII text the index is the
+  * identity. Each window digest feeds a reused MessageDigest; the 60-bit
+  * prefix (15 hex digits, always non-negative) goes through the same
+  * bounded distinct-bottom-k insertion buffer as [[RollingBottomKExpr]].
+  */
+case class Md5WindowBottomKExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1 && k >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_window_bottom_k"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    // char-start byte offsets (a UTF-8 char start is any non-0b10xxxxxx
+    // byte), plus a sentinel at n so window end offsets read uniformly
+    var nChars = 0
+    var b = 0
+    while (b < n) { if ((bytes(b) & 0xc0) != 0x80) nChars += 1; b += 1 }
+    if (nChars < w) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    b = 0
+    while (b < n) {
+      if ((bytes(b) & 0xc0) != 0x80) { starts(ci) = b; ci += 1 }
+      b += 1
+    }
+    starts(nChars) = n
+    val buf = new Array[Long](k)
+    var size = 0
+    def offer(h: Long): Unit = {
+      if (size == k && h >= buf(size - 1)) return
+      var lo = 0; var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < size && buf(lo) == h) return
+      val end = math.min(size, k - 1)
+      var i = end
+      while (i > lo) { buf(i) = buf(i - 1); i -= 1 }
+      buf(lo) = h
+      if (size < k) size += 1
+    }
+    val md = Md5.raw()
+    var i = 0
+    while (i + w <= nChars) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + w) - starts(i))
+      offer(Md5.prefixLong(md.digest(), 15))
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, size))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WindowBottomKExpr =
     copy(child = newChild)
 }
 

@@ -487,17 +487,40 @@ object Llm {
         .orderBy("doc_id")
     },
 
-    Q.cap("q39_rolling_fingerprint",
-      """Q39 — rolling-hash fingerprint: bottom-4 of the 48-byte-window
-        |Rabin-Karp hashes of each document, computed in O(n) per doc with
-        |the rolling update. No DuckDB oracle (custom hash function by
-        |design); NativeExprsSpec pins the rolling recurrence against a
-        |direct per-window recompute.""".stripMargin) { (s, d) =>
+    Q("q39_rolling_fingerprint",
+      """Q39 — sliding-window document fingerprint: bottom-4 DISTINCT
+        |60-bit md5 prefixes over every 48-character window, a
+        |content-defined fingerprint robust to edits outside the sampled
+        |windows (the winnowing/MOSS family). ORACLED in round 9 (it was
+        |a declared cap): the original Rabin-Karp window hash was this
+        |library's own polynomial — inexpressible in portable SQL — so
+        |the window digest is now md5 (exactly
+        |`('0x' || substr(md5(substr(text,i,48)), 1, 15))::UBIGINT` per
+        |window), making the fingerprint REPLAYABLE by any engine with
+        |md5 — the property a cross-team dedup exchange format actually
+        |needs. The one-pass O(n) Rabin-Karp form
+        |(NativeExprs.rollingBottomK, recurrence spec-pinned) remains the
+        |cheap non-portable alternative. Scale shape: a single narrow
+        |map — the kernel keeps a bounded k-slot distinct-minima buffer
+        |per doc (never the n-w+1 window hashes), so output is 4 longs
+        |per document regardless of length; no shuffle but the final
+        |ORDER BY.""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id, ('0x' || substr(md5(substr(text, i, 48)), 1, 15))::UBIGINT AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 47)) AS i
+        |        FROM documents)),
+        |dh AS (SELECT DISTINCT doc_id, h FROM w),
+        |bk AS (SELECT doc_id, h FROM dh
+        |       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 4)
+        |SELECT d.doc_id,
+        |       coalesce(string_agg(CAST(bk.h AS VARCHAR), '|' ORDER BY bk.h), '') AS fp
+        |FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           array_join(transform(
             graft.functions.expressions.NativeExprs
-              .rollingBottomK(col("text"), 48, 4),
+              .md5WindowBottomK(col("text"), 48, 4),
             h => h.cast(StringType)), "|").as("fp"))
         .orderBy("doc_id")
     },

@@ -854,4 +854,38 @@ class NativeExprsSpec extends SparkSpec {
     assert(nulls.select(explode(NativeExprs
       .spanDigestLadderPacked(split(col("text"), " "), 6))).count() === 0)
   }
+
+  test("md5WindowBottomK — equals composed substring/md5/distinct/sort/slice; char windows") {
+    import spark.implicits._
+    // composed reference: per 1-based char position i, the 60-bit prefix of
+    // md5(utf8(substring(text, i, w))); bottom-4 distinct ascending — built
+    // with expr() so substring's pos can be the lambda variable (the DSL
+    // substring takes literal ints only)
+    def refExpr(w: Int, k: Int) =
+      // NB: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+      // short texts need the explicit guard
+      expr(s"slice(array_sort(array_distinct(transform(" +
+        s"CASE WHEN length(text) >= $w THEN sequence(1, length(text) - ${w - 1}) " +
+        s"ELSE cast(array() as array<int>) END, " +
+        s"i -> cast(conv(substring(md5(cast(substring(text, i, $w) as binary)), 1, 15), 16, 10) as bigint)))), 1, $k)")
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        (9001L, ""), (9002L, "short"), (9003L, "x" * 47), (9004L, "x" * 48),
+        (9005L, "x" * 500),                       // every window identical → 1 hash
+        (9006L, "ኢትዮጵያ ህግ መጽሔት " * 20),          // multibyte: char windows ≠ byte windows
+        (9007L, ("abc " * 30).trim)).toDF("doc_id", "text"))
+    val got = corpus.select(col("doc_id"),
+      NativeExprs.md5WindowBottomK(col("text"), 48, 4).as("fp"))
+    val want = corpus.select(col("doc_id"), refExpr(48, 4).as("fp"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // all-identical windows collapse to ONE distinct hash
+    val one = got.filter(col("doc_id") === 9005L)
+      .select(size(col("fp"))).head().getInt(0)
+    assert(one === 1)
+    // null text → null array (nullSafeEval), not a crash
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(NativeExprs.md5WindowBottomK(col("text"), 48, 4))
+      .head().isNullAt(0))
+  }
 }
