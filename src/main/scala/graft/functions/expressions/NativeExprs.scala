@@ -53,6 +53,23 @@ object NativeExprs {
   def nearestCentroidL2(v: Column, cents: Column): Column =
     col(NearestCentroidL2(ex(v), ex(cents)))
 
+  /** The k nearest centroids by the same (d ASC, cid ASC) total order as
+    * [[nearestCentroidL2]], as an ASCENDING array<struct<cid, d>> — the
+    * IVF ROUTING step (which nProbe cells a query fans out to), one
+    * bounded-insertion per-row loop instead of a K-way explode + per-query
+    * top-k aggregation. Fewer than k valid centroids yield a shorter
+    * array; null/dimension-mismatch rules are NearestCentroidL2's.
+    */
+  def nearestKCentroidsL2(v: Column, cents: Column, k: Int): Column =
+    col(NearestKCentroidsL2(ex(v), ex(cents), k))
+
+  /** Exact integer squared L2 between two ARRAY<LONG> vectors — the
+    * codegen'd pair-distance twin of [[dotF32]] (null on null input,
+    * length mismatch, or a null element; the same poison rules that make
+    * HOF-form rewrites unconditionally safe).
+    */
+  def l2SqLong(a: Column, b: Column): Column = col(L2SqLong(ex(a), ex(b)))
+
   /** Like [[nearestCentroidL2]] but also returns the SECOND-nearest
     * distance (by the same (d, cid) total order): struct(cid, d, d2) —
     * the per-row input to assignment-margin/separation diagnostics.
@@ -1614,6 +1631,162 @@ case class Nearest2CentroidsL2(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Nearest2CentroidsL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** See [[NativeExprs.nearestKCentroidsL2]]. Bounded k-slot insertion under
+  * the (d, cid) total order — the generalization of [[NearestCentroidL2]]
+  * (k=1) and the margin kernel's two-minimum tracking; output ascending so
+  * result(0) IS NearestCentroidL2's winner. Same candidate skip/null rules.
+  */
+case class NearestKCentroidsL2(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 1 && k <= 1024, "k out of range")
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(LongType))))))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("d", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_k_centroids_l2"
+
+  override def eval(input: InternalRow): Any = {
+    val e = left.eval(input)
+    if (e == null) return null
+    val cs = right.eval(input)
+    if (cs == null) return null
+    val v = e.asInstanceOf[ArrayData]
+    val arr = cs.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    // sorted insertion buffers: (d, cid) ascending, at most k entries
+    val bd = new Array[Long](k)
+    val bc = new Array[Int](k)
+    var size = 0
+    val m = arr.numElements()
+    var kk = 0
+    while (kk < m) {
+      if (!arr.isNullAt(kk)) {
+        val c = arr.getStruct(kk, 2)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val cv = c.getArray(1)
+          if (cv.numElements() == n) {
+            var d = 0L
+            var ok = true
+            var j = 0
+            while (j < n) {
+              if (cv.isNullAt(j)) { ok = false; j = n }
+              else {
+                val diff = v.getLong(j) - cv.getLong(j)
+                d += diff * diff
+                j += 1
+              }
+            }
+            if (ok) {
+              val id = c.getInt(0)
+              if (size < k || d < bd(size - 1) ||
+                  (d == bd(size - 1) && id < bc(size - 1))) {
+                var lo = 0; var hi = size
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (bd(mid) < d || (bd(mid) == d && bc(mid) < id)) lo = mid + 1
+                  else hi = mid
+                }
+                val end = math.min(size, k - 1)
+                var j2 = end
+                while (j2 > lo) { bd(j2) = bd(j2 - 1); bc(j2) = bc(j2 - 1); j2 -= 1 }
+                if (lo < k) { bd(lo) = d; bc(lo) = id }
+                if (size < k) size += 1
+              }
+            }
+          }
+        }
+      }
+      kk += 1
+    }
+    val out = new Array[Any](size)
+    var p = 0
+    while (p < size) {
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bc(p), bd(p)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestKCentroidsL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** See [[NativeExprs.l2SqLong]]. */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_long"
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val diff = x.getLong(i) - y.getLong(i)
+      s += diff * diff
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val df = ctx.freshName("df")
+    val ok = ctx.freshName("ok")
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${l.isNull} && !${r.isNull} &&
+          ${l.value}.numElements() == ${r.value}.numElements()) {
+        int $n = ${l.value}.numElements();
+        long $s = 0L;
+        boolean $ok = true;
+        for (int $i = 0; $i < $n; $i++) {
+          if (${l.value}.isNullAt($i) || ${r.value}.isNullAt($i)) { $ok = false; break; }
+          long $df = ${l.value}.getLong($i) - ${r.value}.getLong($i);
+          $s += $df * $df;
+        }
+        if ($ok) { ${ev.isNull} = false; ${ev.value} = $s; }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqLong =
     copy(left = newLeft, right = newRight)
 }
 

@@ -436,8 +436,64 @@ object Curation {
         |       CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT) AS docs_covered
         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       dupAwareSample(Tables.documents(s, d))
+    },
+
+    Q("q81_ivf_route",
+      """Q81 — IVF similarity search over the q77-TRAINED codebook (VERDICT
+        |r8 #4): the production ANN read path that q61/q77/q80 exist to
+        |feed — every query routes to its nProbe = 8 nearest trained
+        |cells ((d, cid) order, the compiled NearestKCentroidsL2 bounded
+        |top-k loop — one row per query, no K-way explode), scans only
+        |those cells' inverted-file members, scores candidates with exact
+        |integer squared-L2 (the codegen'd l2sq_long pair kernel), and
+        |keeps top-5 per query via the bounded TopKAgg (map side ships
+        |≤ 5 candidates per (mapper, query); dist ASC ≡ negated-score
+        |DESC, ties nid ASC — the oracle's row_number order; the DOUBLE
+        |score buffer is exact, max dist 2.6e10 ≪ 2^53). Fully
+        |deterministic — quantized integer vectors, the shared
+        |integer-exact Lloyd prefix, total-order routing — so unlike
+        |LSH-probabilistic q50 this ANN entry is DuckDB-ORACLED: the
+        |oracle replays routing and scoring from the same kmeans CTE
+        |prefix. Scale shape: queries batch through ONE cid-keyed
+        |shuffle_hash join against the assignment (at rest the inverted
+        |file is a cid-partitioned table and routing prunes partitions,
+        |the Ann.writeBucketed story); candidate work per query is
+        |nProbe/K of the corpus. Recall vs integer brute force is pinned
+        |in CatalogSpec (planted-twin exactness + a measured floor).""".stripMargin,
+      ivfRouteOracle) { (s, d) =>
+      ivfRoute(quantizedEmbeddings(s, d))
     }
   )
+
+  /** q81's logic over an arbitrary quantized (vec_id, v ARRAY<LONG>) frame
+    * — exposed so specs can drive engineered corpora (planted twins,
+    * separated clusters) through the exact catalog path, the
+    * quarantineClusters/clusterReps precedent. Queries = every
+    * `everyNth`-th vec_id; routing fans each query to its `nProbe`
+    * nearest trained cells; exact integer top-`k` per query.
+    */
+  def ivfRoute(emb: DataFrame, everyNth: Long = 100L, nProbe: Int = 8,
+               k: Int = 5): DataFrame = {
+    val cent = refineCodebook(emb)
+    val asg = assignToCodebook(emb, cent)
+    val routed = emb.filter(col("vec_id") % everyNth === 0)
+      .crossJoin(broadcast(packCodebook(cent)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(NativeExprs.nearestKCentroidsL2(col("v"), col("cents"), nProbe))
+          .as("rc"))
+      .select(col("qid"), col("qv"), col("rc.cid").as("cid"))
+    val scored = routed
+      .join(asg.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("cid")).hint("shuffle_hash"), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (-NativeExprs.l2SqLong(col("qv"), col("nv")).cast(DoubleType))
+          .as("nd"))
+    graft.operators.TopK.perGroup(scored, Seq("qid"), "nd", "nid", k)
+      .select(col("qid"), col("rnk"), col("nid"),
+        (-col("nd")).cast(LongType).as("dist"))
+      .orderBy("qid", "rnk")
+  }
 
   /** Integer ten-thousandths quantization of the embeddings table —
     * consumed by every q77/q80 assignment and update pass, so persisted
@@ -539,6 +595,30 @@ object Curation {
     |       WHERE rn = 1)
     |SELECT cid AS cluster_id, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia
     |FROM af GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  /** Routing + scoring replay over the shared Lloyd prefix: df already
+    * holds every (vec, trained-centroid) distance, so query→cell routing
+    * is a row_number over the query's df rows and the inverted file is
+    * df's rank-1 assignment; candidate scoring re-derives the exact
+    * integer pair distance from emb.
+    */
+  private lazy val ivfRouteOracle: String = kmeansCtePrefix + """,
+    |af AS (SELECT vec_id, cid FROM (
+    |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+    |       WHERE rn = 1),
+    |qs AS (SELECT vec_id AS qid FROM emb WHERE vec_id % 100 = 0),
+    |cells AS (SELECT qid, cid FROM (
+    |        SELECT q.qid, df.cid, row_number() OVER (PARTITION BY q.qid ORDER BY df.d, df.cid) AS rn
+    |        FROM qs q JOIN df ON df.vec_id = q.qid)
+    |       WHERE rn <= 8),
+    |cand AS (SELECT c.qid, a.vec_id AS nid FROM cells c JOIN af a ON a.cid = c.cid
+    |         WHERE a.vec_id <> c.qid),
+    |sc AS (SELECT cand.qid, cand.nid,
+    |       list_sum(list_transform(list_zip(eq.v, en.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+    |       FROM cand JOIN emb eq ON eq.vec_id = cand.qid JOIN emb en ON en.vec_id = cand.nid)
+    |SELECT qid, CAST(rn AS INT) AS rnk, nid, CAST(dist AS BIGINT) AS dist
+    |FROM (SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn FROM sc)
+    |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin
 
   private lazy val kmeansMarginOracle: String = kmeansCtePrefix + """,
     |rk AS (SELECT vec_id, cid, d,

@@ -817,4 +817,58 @@ class CatalogSpec extends SparkSpec {
         "rep precedes its cluster label (label is the min member)")
     }
   }
+
+  test("q81 — planted twin surfaces at rank 1 with distance 0") {
+    import spark.implicits._
+    // engineered quantized corpus: 260 deterministic pseudo-random vectors
+    // (dim 8), plus an EXACT copy of each query vector (qids 0/100/200 →
+    // twins 901/902/903). The twin shares the query's cell by construction
+    // (identical vector → identical distances → same argmin), the query's
+    // own cell is always among its nProbe routed cells, so IVF must return
+    // the twin at rnk 1, dist 0 — the "can't-miss" ANN recall case.
+    def vec(id: Long): Array[Long] =
+      Array.tabulate(8)(j => ((id * 31L + j * 17L + 7L) % 2001L) - 1000L)
+    val base = (0L until 260L).map(i => (i, vec(i)))
+    val twins = Seq((901L, vec(0L)), (902L, vec(100L)), (903L, vec(200L)))
+    val emb = (base ++ twins).toDF("vec_id", "v")
+    val got = Curation.ivfRoute(emb)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 901L, 0L), (100L, 902L, 0L), (200L, 903L, 0L)),
+      s"twin not at rank 1: $got")
+  }
+
+  test("q81 — recall vs integer brute force on the real corpus") {
+    // nProbe = 8 of K = 64 cells reads ~1/8 of the corpus per query; on
+    // these near-uniform synthetic embeddings (the q50 hostile-corpus
+    // regime — true neighbours sit at cosine ≈ 0.3, so cells barely
+    // separate them) measured recall@5 is 0.48 here (sf0.001), 0.76 at
+    // sf0.01, 0.44 at sf0.1; pin a floor under the local measurement.
+    // The documented production lever is nProbe (recall → 1 as
+    // nProbe → K, brute force at equality — asserted below).
+    import graft.functions.expressions.NativeExprs
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(10000.0)).cast("long")).as("v"))
+    val ivf = Catalog.byName("q81_ivf_route").build(spark, sf0001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val brute = graft.operators.TopK.perGroup(
+        emb.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (-NativeExprs.l2SqLong(col("qv"), col("v")).cast("double")).as("nd")),
+        Seq("qid"), "nd", "nid", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall@5 $recall under the 0.4 floor")
+    // exactness inside routed cells: IVF distances are exact integers, so
+    // any IVF hit that IS a true neighbour appears at the same dist the
+    // brute path computes — spot-check via the full-probe equivalence:
+    // nProbe = K degenerates to brute force exactly
+    val all = Curation.ivfRoute(emb, nProbe = 64)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === brute, "nProbe = K must equal brute force")
+  }
 }
