@@ -43,7 +43,14 @@ object CorpusPipeline {
       minQuality: Double = 0.2,
       // stage 2b tolerance: a doc survives while its distinct-shingle
       // overlap with the benchmark stays at or below this count
-      maxBenchOverlap: Long = 0L)
+      maxBenchOverlap: Long = 0L,
+      // stage 2 pair strategy: false = MinHash-LSH banding (the 100 TB
+      // default — constant-width signatures, probabilistic candidate
+      // recall, exact verify); true = the inverted-index EXACT pair core
+      // (Dedup.coShingledPairs — every jaccard >= threshold pair, fully
+      // deterministic, so the whole pipeline's accounting is replayable
+      // by another engine; the q55 oracle requires it)
+      exactNearDup: Boolean = false)
 
   final case class Result(corpus: DataFrame, droppedExact: Long,
                           droppedNearDup: Long, droppedQuality: Long,
@@ -95,8 +102,15 @@ object CorpusPipeline {
     // pair graph, keep exactly the min-id representative per cluster.
     // (Round 1 dropped max-id per pair — clique-correct only: a chain
     // A~B~C with A≁C dropped both B and C.)
-    val (pairs, releaseLsh) = MinHashLsh.nearDupPairsDetached(
-      exact, idCol, textCol, config.jaccardThreshold)
+    val (pairs, releaseLsh) =
+      if (config.exactNearDup) {
+        val (wc, sh) = Dedup.coShingledPairs(exact, idCol, textCol)
+        (wc.filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k"))
+             >= config.jaccardThreshold)
+           .select(col("i"), col("j")),
+         () => { sh.unpersist(); () })
+      } else MinHashLsh.nearDupPairsDetached(
+        exact, idCol, textCol, config.jaccardThreshold)
     val comp = Dedup.connectedComponents(pairs, "i", "j")
     val losers = comp.filter(col("u") =!= col("lbl"))
       .select(col("u").as(idCol)).persist(MEMORY_AND_DISK)
