@@ -289,10 +289,13 @@ object Curation {
         |INTEGER division ((2s+n) div 2n on the positive branch) — no
         |float ever enters the iteration, so engines can't drift across
         |rounds. Scale shape: the K-row centroid table BROADCASTS every
-        |round (the only cross-row state); assignment is a narrow scan
-        |pass (zip_with/aggregate integer lambda per candidate, argmin =
-        |bounded TopKAgg top-1 on the negated distance — no per-vec
-        |window sort); the update aggregates (cid, dim) partials with
+        |round (the only cross-row state); assignment is ONE narrow scan
+        |pass through the compiled NearestCentroidL2 kernel — a single
+        |per-row argmin loop over the broadcast codebook under the
+        |(d, cid) total order, no K-way row expansion, no per-vec argmin
+        |aggregation (the interpreted zip_with/aggregate form measured
+        |8.2 s vs 1.2 s at sf0.1 — the q61 lambda-overhead lesson at 4×
+        |magnitude); the update aggregates (cid, dim) partials with
         |map-side combine (K·dim rows per mapper); the driver loop holds
         |4 × 64-row localCheckpoints, keeping the plan O(1) in rounds
         |(the CC lesson). The oracle pays n·K·dim materialized rows PER
