@@ -31,7 +31,10 @@ object DevScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val replicas = 10
+    // SPARK_GRAFT_SCALE_REPLICAS overrides the default 10× (round 9: a 30×
+    // run over the exact-pair family to observe the Σ(co-shingle) curvature
+    // past the routine sweep — VERDICT r8 #7)
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     def replicate(): Unit = {
       val docs = Tables.documents(spark, sfDir)
       val reps = spark.range(replicas).select(col("id").as("r"))
@@ -133,7 +136,7 @@ object DevScale {
     selected.foreach { q =>
       val (t1, r1) = time(sfDir, q)
       val (t10, r10) = time(outDir, q)
-      println(f"[scale] $q%-24s 1x=${t1}%7.3f s ($r1%d rows)  10x=${t10}%7.3f s ($r10%d rows)  ratio=${t10 / t1}%5.2f")
+      println(f"[scale] $q%-24s 1x=${t1}%7.3f s ($r1%d rows)  ${replicas}%dx=${t10}%7.3f s ($r10%d rows)  ratio=${t10 / t1}%5.2f")
     }
 
     // q50 with the bucket count RETUNED for the denser corpus (the
