@@ -118,9 +118,20 @@ object Bench {
     // stdout line), and the two totals are REPEATED in a trailing "totals"
     // key (seconds) so they survive even a clipped line head.
     def r3(v: Double) = math.rint(v * 1000) / 1000
+    // Keys are the catalog names' UNIQUE qNN[x] prefixes ("q31_jaccard_pairs"
+    // → "q31"): the 92-entry full-name form reached 2159 chars and clipped
+    // the line HEAD — including the parseable "metric"/"value" fields — out
+    // of the driver's ~2000-char tail (BENCH_r08 recorded parsed:null for
+    // exactly this reason; the prefix form is ~950 chars, whole-line safe).
+    // Full names live in BASELINE.md's table; the prefix is the stable
+    // cross-reference (Catalog guards name uniqueness, prefix uniqueness is
+    // asserted here).
+    def qKey(name: String) = name.takeWhile(_ != '_')
+    require(results.map(r => qKey(r._1)).distinct.size == results.size,
+      "query-name prefixes are not unique — bench keys would collide")
     def jmapMs(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "-1" else math.rint(v * 1000).toLong)
+        "\"" + qKey(k) + "\":" + (if (v < 0) "-1" else math.rint(v * 1000).toLong)
       }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val coldTotal = r3(cold.map(_._2).filter(_ >= 0).sum)
