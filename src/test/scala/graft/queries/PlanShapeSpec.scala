@@ -165,6 +165,90 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q31 — pair core: co-partitioned cached self-join, broadcast count attach") {
+    // the round-9 measured-best shape (DevQ31): the shingle frame
+    // repartitions by the digest BEFORE the persist, so the posting
+    // self-join consumes InMemoryTableScan's HashPartitioning(s) with NO
+    // runtime exchange above either side, and the doc-count table
+    // BROADCASTS into the pair stream instead of shuffling the
+    // pre-threshold pair set twice. AQE OFF for the audit — the bench
+    // regime; under AQE the cached plan reports unknown partitioning and
+    // EnsureRequirements re-shuffles both sides (AQE-on deployments get
+    // the same effect back at runtime via its coalescing instead)
+    // drop any cache entry an earlier (AQE-on) test built for the same
+    // logical plan — cache lookup is by plan equality and would resurrect
+    // the AQE-compiled relation
+    spark.catalog.clearCache()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try Catalog.byName("q31_jaccard_pairs").build(spark, sf0001)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val shj = executed.collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"posting self-join lost its hash join:\n$executed")
+    // neither input of the posting join carries a RUNTIME shuffle — both
+    // sides read the co-partitioned cache (InMemoryTableScan is a leaf;
+    // the cached plan's own REPARTITION exchange is inside the
+    // InMemoryRelation, not in this operator tree)
+    shj.foreach { j =>
+      j.children.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"posting-join side re-shuffles above the cache:\n$side")
+      }
+    }
+    val bhj = executed.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"count attach lost its broadcasts:\n$executed")
+  }
+
+  test("q81 — IVF route: broadcast codebook, cid hash join, bounded top-k (no window)") {
+    val p = plan("q81_ivf_route")
+    assert(p.contains("BroadcastExchange"), s"q81 codebook no longer broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"q81 inverted-file join lost shuffle_hash:\n$p")
+    assert(!p.contains("Window"), s"q81 grew a window sort (TopKAgg is the declared cut):\n$p")
+    // (BroadcastNestedLoopJoin on the optimizer-proven 1-row packed
+    // codebook is the audited q61/q77 pattern — the catalog-wide
+    // structural audit governs it; no blanket assert here)
+    assert(!p.contains("CartesianProduct"), s"q81 planned a cartesian:\n$p")
+    // the routing + scoring kernels are in the plan (compiled, not HOFs)
+    assert(p.contains("nearest_k_centroids_l2"), p)
+    assert(p.contains("l2sq_long"), p)
+  }
+
+  test("q39 — window fingerprint is a narrow map: no join, no mid-plan shuffle") {
+    val p = plan("q39_rolling_fingerprint")
+    assert(!p.contains("Join"), s"q39 grew a join:\n$p")
+    // formatted explain lists each node in the tree AND the detail section,
+    // so one real exchange (the final sort) counts twice
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q39 shuffles beyond the final sort:\n$p")
+  }
+
+  test("q57 — one stream-cardinality shuffle, no stream-cardinality sort") {
+    // the bigram stream shuffles once into the (w1,w2) hash join; the only
+    // Window (and its sort) runs over the REDUCED count table. AQE off so
+    // the executed tree is a plain (collectable) plan — the bench regime
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try Catalog.byName("q57_bigram_lm").build(spark, sf0001)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(executed.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
+      s"q57 lost the stream-side hash join:\n$executed")
+    val windows = executed.collect { case w: WindowExec => w }
+    assert(windows.size == 1, s"q57 should have exactly one (reduced-table) window:\n$executed")
+    // the window's input must be the aggregated count table, never the raw
+    // bigram stream — an aggregate node sits below it
+    assert(windows.head.exists(p =>
+        p.getClass.getSimpleName.contains("HashAggregate")),
+      s"q57's window no longer rides the reduced table:\n${windows.head}")
+  }
+
   test("text kernels — q27/q36/q42/q43 are narrow maps: one exchange (final sort), no join") {
     // the per-document text queries must scale with the scan: their only
     // shuffle is the final deterministic ORDER BY (q27 additionally
