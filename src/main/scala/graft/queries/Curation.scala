@@ -465,8 +465,107 @@ object Curation {
         |in CatalogSpec (planted-twin exactness + a measured floor).""".stripMargin,
       ivfRouteOracle) { (s, d) =>
       ivfRoute(quantizedEmbeddings(s, d))
+    },
+
+    Q("q82_textrank",
+      """Q82 — TextRank keyword extraction (the Mihalcea–Tarau graph-based
+        |ranker): a damped PageRank walk over the word co-occurrence
+        |graph — nodes = vocabulary, directed edges = bigrams weighted by
+        |corpus count — surfacing the tokens most central to the corpus's
+        |phrase structure (the unsupervised keyword/tag signal a curation
+        |pipeline attaches before topic routing; beyond q26/q69's raw
+        |frequency — a token ranks high when WELL-CONNECTED tokens
+        |transition into it, not merely when common). Five damped
+        |iterations (d=0.85), INTEGER-exact end to end: ranks live at
+        |scale 10¹², the uniform seed and teleport term are integer
+        |divisions of it, and each edge's contribution is
+        |(r(w1)·c) div W(w1) (≤ 10¹⁷ ≪ 2⁶³) — no float enters the
+        |walk, so engines can't drift (the q77 regime). Scale shape: the
+        |token STREAM is consumed once into the map-side-combined bigram
+        |count table (the q57 reduced-table lesson) with out-weights by
+        |a sum window over its w1 groups; each iteration joins the
+        |REDUCED edge table against the vocabulary-sized rank frame
+        |(broadcast here; the documented web-scale lever is the same as
+        |the pair core's count attach — flip to a w1-keyed shuffle join
+        |when the vocabulary outgrows the broadcast budget) and reduces
+        |by destination token with map-side partials; the rank frame
+        |eager-localCheckpoints per round (the CC O(1)-plan lesson).
+        |Dangling mass (tokens with no outgoing bigram) decays by
+        |design — identically in both engines, since the teleport term
+        |re-seeds every node. Top-20 via the bounded global TopKAgg
+        |((rank DESC, token ASC) — the oracle's row_number order; the
+        |DOUBLE score buffer is exact ≤ 2⁵³).""".stripMargin,
+      textrankOracle) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("toks"))
+      val bi = toks.select(explode(arrays_zip(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val e = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .withColumn("wt", sum(col("c"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v = toks.select(explode(col("toks")).as("t")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // V is a scalar by nature (the rank seed's denominator); the count
+      // also materializes the vocab/edge caches the 5 rounds reuse
+      val vocab = v.count()
+      val seed = 1000000000000L / vocab
+      val teleport = 15L * seed / 100L
+      var r = v.select(col("t"), lit(seed).as("r")).localCheckpoint(true)
+      (1 to 5).foreach { _ =>
+        val inm = e
+          .join(broadcast(r.select(col("t").as("w1"), col("r"))), Seq("w1"))
+          .select(col("w2").as("t"), expr("(r * c) div wt").as("m"))
+          .groupBy("t").agg(sum(col("m")).as("inm"))
+        r = v.join(inm, Seq("t"), "left")
+          .select(col("t"),
+            (lit(teleport) + expr("(85 * coalesce(inm, 0L)) div 100")).as("r"))
+          .localCheckpoint(true)
+      }
+      graft.operators.TopK.perGroup(
+          r.select(col("t"), col("r").cast(DoubleType).as("rs")),
+          Seq.empty, "rs", "t", 20)
+        .select(col("t").as("token"), col("rnk"),
+          col("rs").cast(LongType).as("rank"))
+        .orderBy("rnk")
     }
   )
+
+  /** Five chained damped-walk CTEs over the reduced bigram table — the
+    * same integer arithmetic as the engine ((r·c) div W, teleport =
+    * (15·seed) div 100), ending in the row_number top-20.
+    */
+  private lazy val textrankOracle: String = {
+    def it(k: Int): String = {
+      val p = k - 1
+      s"""r$k AS (SELECT v.t,
+         |       CAST((15 * (1000000000000 // vc.v)) // 100 +
+         |            (85 * coalesce(m$k.inm, 0)) // 100 AS BIGINT) AS r
+         |       FROM v CROSS JOIN vc
+         |       LEFT JOIN (SELECT e.w2 AS t,
+         |                  CAST(sum((r$p.r * e.c) // w.wt) AS BIGINT) AS inm
+         |                  FROM e JOIN r$p ON r$p.t = e.w1
+         |                         JOIN w ON w.w1 = e.w1
+         |                  GROUP BY e.w2) m$k ON m$k.t = v.t)""".stripMargin
+    }
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |ix AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM tok),
+      |bi AS MATERIALIZED (SELECT a.t AS w1, b.t AS w2 FROM ix a JOIN ix b
+      |      ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |e AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+      |w AS MATERIALIZED (SELECT w1, sum(c) AS wt FROM e GROUP BY 1),
+      |v AS MATERIALIZED (SELECT DISTINCT t FROM ix),
+      |vc AS (SELECT count(*) AS v FROM v),
+      |r0 AS (SELECT t, CAST(1000000000000 // vc.v AS BIGINT) AS r FROM v CROSS JOIN vc),
+      |""".stripMargin +
+      (1 to 5).map(it).mkString(",\n") + """
+      |SELECT t AS token, CAST(rn AS INT) AS rnk, r AS rank
+      |FROM (SELECT t, r, row_number() OVER (ORDER BY r DESC, t) AS rn FROM r5)
+      |WHERE rn <= 20 ORDER BY rnk""".stripMargin
+  }
 
   /** q81's logic over an arbitrary quantized (vec_id, v ARRAY<LONG>) frame
     * — exposed so specs can drive engineered corpora (planted twins,

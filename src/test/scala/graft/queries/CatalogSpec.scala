@@ -871,4 +871,40 @@ class CatalogSpec extends SparkSpec {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all === brute, "nProbe = K must equal brute force")
   }
+
+  test("q82 — TextRank equals a driver-side integer walk; teleport floors every rank") {
+    // plain-Scala replay of the damped walk with the identical integer
+    // arithmetic — the q77 bit-for-bit discipline applied to the graph op
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    val vocab = scala.collection.mutable.Set.empty[String]
+    docs.foreach { text =>
+      val ts = text.split(" ", -1)
+      vocab ++= ts
+      ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
+        edges(p) = edges.getOrElse(p, 0L) + 1L
+      }
+    }
+    val w = edges.groupBy(_._1._1).map { case (a, es) => a -> es.values.sum }
+    val sc = 1000000000000L
+    val seed = sc / vocab.size
+    val teleport = 15L * seed / 100L
+    var r = vocab.iterator.map(_ -> seed).toMap
+    (1 to 5).foreach { _ =>
+      val inm = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case ((a, b), c) =>
+        inm(b) = inm.getOrElse(b, 0L) + (r(a) * c) / w(a)
+      }
+      r = vocab.iterator.map(t =>
+        t -> (teleport + 85L * inm.getOrElse(t, 0L) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (t, v) => (-v, t) }.take(20)
+      .zipWithIndex.map { case ((t, v), i) => (t, i + 1, v) }
+    val got = Catalog.byName("q82_textrank").build(spark, sf0001).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(got === want, s"rank walk diverged:\n$got\nvs\n$want")
+    // the teleport term re-seeds every node, so no token can rank below it
+    assert(got.forall(_._3 >= teleport), "rank fell below the teleport floor")
+  }
 }
