@@ -66,6 +66,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // the JSON line keys on the qNN name prefixes (see below) — guard
+    // collisions BEFORE the multi-minute measurement passes, not at emit
+    // time (a crash after the timed runs would lose the whole window)
+    require(ordered.map(q => q._1.takeWhile(_ != '_')).distinct.size
+        == ordered.size,
+      "query-name prefixes are not unique — bench keys would collide")
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -127,8 +133,6 @@ object Bench {
     // cross-reference (Catalog guards name uniqueness, prefix uniqueness is
     // asserted here).
     def qKey(name: String) = name.takeWhile(_ != '_')
-    require(results.map(r => qKey(r._1)).distinct.size == results.size,
-      "query-name prefixes are not unique — bench keys would collide")
     def jmapMs(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) =>
         "\"" + qKey(k) + "\":" + (if (v < 0) "-1" else math.rint(v * 1000).toLong)

@@ -70,10 +70,14 @@ object DevQ57 {
     // REDUCED table, one hash join on (w1,w2) — stream shuffled once, no
     // stream-cardinality sort
     time("agg_join") {
+      // hint the REDUCED table (the hinted side is the hash-join BUILD
+      // side) — the shipped q57 shape; an earlier cut of this harness
+      // hinted the stream and measured a build-on-stream plan instead
+      // (review finding, r9)
       val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
         .withColumn("c_w", sum(col("c_xy")).over(Window.partitionBy("w1")))
-      bi.hint("shuffle_hash")
-        .join(cxy, Seq("w1", "w2"))
+      bi
+        .join(cxy.hint("shuffle_hash"), Seq("w1", "w2"))
         .crossJoin(broadcast(v))
         .select(col("doc_id"),
           log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))

@@ -970,39 +970,51 @@ case class RollingBottomKExpr(child: Expression, w: Int, k: Int)
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     if (n < w) return new GenericArrayData(Array.empty[Long])
-    // sorted insertion buffer of at most k distinct minima
-    val buf = new Array[Long](k)
-    var size = 0
-    def offer(h: Long): Unit = {
-      if (size == k && h >= buf(size - 1)) return
-      // binary search for insertion point; skip duplicates
-      var lo = 0; var hi = size
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (buf(mid) < h) lo = mid + 1 else hi = mid
-      }
-      if (lo < size && buf(lo) == h) return
-      val end = math.min(size, k - 1)
-      var i = end
-      while (i > lo) { buf(i) = buf(i - 1); i -= 1 }
-      buf(lo) = h
-      if (size < k) size += 1
-    }
+    val bottom = new LongBottomK(k)
     var h = 0L
     var i = 0
     while (i < w) { h = (h * B + (bytes(i) & 0xffL)) % P; i += 1 }
-    offer(h)
+    bottom.offer(h)
     while (i < n) {
       h = ((h - (bytes(i - w) & 0xffL) * bPow % P + P) % P * B +
         (bytes(i) & 0xffL)) % P
-      offer(h)
+      bottom.offer(h)
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(buf, size))
+    bottom.toArrayData()
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingBottomKExpr =
     copy(child = newChild)
+}
+
+/** Bounded distinct-bottom-k insertion buffer over LONGS, ascending — the
+  * primitive twin of [[DigestBottomK]], shared by the rolling-hash and
+  * md5-window fingerprint kernels (extracted in round 9; it had grown to
+  * two identical inline copies).
+  */
+private[graft] final class LongBottomK(k: Int) {
+  private val buf = new Array[Long](k)
+  private var size = 0
+
+  def offer(h: Long): Unit = {
+    if (size == k && h >= buf(size - 1)) return
+    // binary search for insertion point; skip duplicates
+    var lo = 0; var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < size && buf(lo) == h) return
+    val end = math.min(size, k - 1)
+    var i = end
+    while (i > lo) { buf(i) = buf(i - 1); i -= 1 }
+    buf(lo) = h
+    if (size < k) size += 1
+  }
+
+  def toArrayData(): GenericArrayData =
+    new GenericArrayData(java.util.Arrays.copyOf(buf, size))
 }
 
 /** See [[NativeExprs.md5WindowBottomK]]. The window is `w` CHARACTERS (so
@@ -1037,31 +1049,16 @@ case class Md5WindowBottomKExpr(child: Expression, w: Int, k: Int)
       b += 1
     }
     starts(nChars) = n
-    val buf = new Array[Long](k)
-    var size = 0
-    def offer(h: Long): Unit = {
-      if (size == k && h >= buf(size - 1)) return
-      var lo = 0; var hi = size
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (buf(mid) < h) lo = mid + 1 else hi = mid
-      }
-      if (lo < size && buf(lo) == h) return
-      val end = math.min(size, k - 1)
-      var i = end
-      while (i > lo) { buf(i) = buf(i - 1); i -= 1 }
-      buf(lo) = h
-      if (size < k) size += 1
-    }
+    val bottom = new LongBottomK(k)
     val md = Md5.raw()
     var i = 0
     while (i + w <= nChars) {
       md.reset()
       md.update(bytes, starts(i), starts(i + w) - starts(i))
-      offer(Md5.prefixLong(md.digest(), 15))
+      bottom.offer(Md5.prefixLong(md.digest(), 15))
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(buf, size))
+    bottom.toArrayData()
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5WindowBottomKExpr =

@@ -16,11 +16,14 @@ object Dedup {
     * the q75/q76/q79 closure family (extracted in round 8 — it had grown
     * to four inline copies; re-dissected in round 9, DevQ31): distinct
     * w-shingle 60-bit digests per doc, REPARTITIONED BY THE DIGEST before
-    * the persist so the posting self-join consumes the cache
-    * co-partitioned (InMemoryTableScan reports HashPartitioning(s) — both
-    * join sides plan with NO exchange; the one digest-keyed shuffle is
-    * paid once, at cache materialization), inverted-index shuffle_hash
-    * self-join on the digest, i<j half only.
+    * the persist when AQE is off (the bench regime) so the posting
+    * self-join consumes the cache co-partitioned (InMemoryTableScan
+    * reports HashPartitioning(s) — both join sides plan with NO exchange;
+    * the one digest-keyed shuffle is paid once, at cache
+    * materialization; under AQE the cached partitioning is not trusted
+    * and the repartition would be a wasted third shuffle, so it is
+    * skipped), inverted-index shuffle_hash self-join on the digest, i<j
+    * half only.
     *
     * Per-doc set sizes attach to the aggregated pair set via a BROADCAST
     * of the doc-cardinality count table when `broadcastCounts` (default):
@@ -46,11 +49,19 @@ object Dedup {
   def coShingledPairs(docs: DataFrame, idCol: String, textCol: String,
                       w: Int = 3, broadcastCounts: Boolean = true):
       (DataFrame, DataFrame) = {
-    val sh = docs
+    val raw = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.expressions.NativeExprs
           .shingleMd5Prefixes(TextOps.tokens(col(textCol)), w, 15)).as("s"))
-      .repartition(col("s"))
+    // the pre-persist co-partition only pays when the planner will TRUST
+    // the cached partitioning: under AQE the cached plan reports unknown
+    // partitioning and EnsureRequirements re-shuffles both join sides
+    // anyway, so the repartition would be a third full-stream shuffle for
+    // nothing (review finding, r9) — AQE-on deployments keep the plain
+    // persist and let AQE size the join exchanges at runtime
+    val aqeOn = docs.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    val sh = (if (aqeOn) raw else raw.repartition(col("s")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (pairsFrom(sh, broadcastCounts), sh)
   }

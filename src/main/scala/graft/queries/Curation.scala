@@ -589,9 +589,14 @@ object Curation {
         explode(NativeExprs.nearestKCentroidsL2(col("v"), col("cents"), nProbe))
           .as("rc"))
       .select(col("qid"), col("qv"), col("rc.cid").as("cid"))
-    val scored = routed
+    // the HINTED side becomes the hash-join BUILD side: build on the query
+    // batch (nQueries × nProbe rows per cid partition), probe the
+    // corpus-sized inverted file — building on the corpus side would hold
+    // ~nProbe/K of the whole corpus' vectors in the hash map per partition
+    // (review finding, r9)
+    val scored = routed.hint("shuffle_hash")
       .join(asg.select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("cid")).hint("shuffle_hash"), Seq("cid"))
+        col("cid")), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         (-NativeExprs.l2SqLong(col("qv"), col("nv")).cast(DoubleType))

@@ -108,4 +108,21 @@ class DedupSpec extends SparkSpec {
       .build(spark, sf0001).select("i", "j")
     assert(lshLow.exceptAll(exact).isEmpty)
   }
+
+  test("coShingledPairsDetached == the persisted core, with nothing cached") {
+    // the persist-free form for callers outside the session-cache
+    // contract must produce the identical pair set and leave the cache
+    // manager untouched
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf0001)
+    val detached = Dedup.coShingledPairsDetached(docs, "doc_id", "text")
+      .select("i", "j", "k", "ni", "nj")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the Detached form cached something")
+    val (wc, sh) = Dedup.coShingledPairs(docs, "doc_id", "text")
+    val persisted = wc.select("i", "j", "k", "ni", "nj")
+    assert(detached.exceptAll(persisted).isEmpty &&
+           persisted.exceptAll(detached).isEmpty)
+    sh.unpersist()
+  }
 }

@@ -184,7 +184,12 @@ class PlanShapeSpec extends SparkSpec {
     val executed =
       try Catalog.byName("q31_jaccard_pairs").build(spark, sf0001)
         .queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        // symmetric hygiene: don't leave the AQE-OFF-compiled pair-core
+        // relation behind for later AQE-on tests to resurrect either
+        spark.catalog.clearCache()
+      }
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
     val shj = executed.collect { case j: ShuffledHashJoinExec => j }
