@@ -155,4 +155,44 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q81 IVF route — results invariant under embedding repartitioning") {
+    // the trained-codebook walk (Lloyd iterations, per-round checkpoints,
+    // broadcast codebook, TopKAgg ties) must be a pure function of the
+    // DATA, not its physical layout
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    def quantized(e: org.apache.spark.sql.DataFrame) = e.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => org.apache.spark.sql.functions.round(x.cast("double") *
+          org.apache.spark.sql.functions.lit(10000.0)).cast("long")).as("v"))
+    val base = Tables.embeddings(spark, sf0001)
+    val ref = rows(graft.queries.Curation.ivfRoute(quantized(base)))
+    Seq(base.repartition(13, $"label"), base.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Curation.ivfRoute(quantized(l))) === ref)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q82 TextRank — results invariant under document repartitioning") {
+    // the integer walk (broadcast rank frame, checkpointed rounds, integer
+    // divisions, TopKAgg rank ties) survives any layout
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val name = "q82_textrank"
+    val ref = rows(graft.queries.Catalog.byName(name).build(spark, sf0001))
+    // rebuild through the catalog on a re-laid-out COPY of the table: write
+    // the skewed layout and point the builder at it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q82_layout").toString
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      docs.repartition(17, $"source").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val got = rows(graft.queries.Catalog.byName(name).build(spark, tmp))
+      assert(got === ref)
+    } finally {
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
