@@ -112,6 +112,193 @@ object Curation {
       .orderBy("cluster_id")
   }
 
+  /** q83's logic over an arbitrary corpus: md5-replayable MinHash-LSH
+    * near-dup candidates (16 perms, 4 bands × 4 rows) with the exact
+    * 3-shingle jaccard attached to every candidate. Exposed so specs can
+    * pin recall vs the exact q31 pairs and the signature's determinism.
+    * Persists the shingle-array and banded frames under the session
+    * clearCache contract (each feeds multiple subtrees).
+    */
+  def lshMd5Pairs(docs: DataFrame, nPerms: Int = 16, nBands: Int = 4): DataFrame = {
+    val rowsPerBand = nPerms / nBands
+    require(nBands * rowsPerBand == nPerms, "bands must tile the signature")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // per-doc DISTINCT shingle strings as an array — array_distinct is
+    // per-row, so doc-local dedup costs no shuffle (vs q31's digest
+    // explode this keeps the strings: they are the md5 preimage here)
+    val shArr = toks.select(col("doc_id"),
+        when(size(col("toks")) < 3, array().cast(ArrayType(StringType)))
+          .otherwise(expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"))
+          .as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature with NO shuffle: min over the doc's shingle array per
+    // permutation; fixed-width lowercase hex makes lexicographic min ≡
+    // numeric min, identically in DuckDB (bytewise string compare)
+    val sig = shArr.select(col("doc_id"),
+      expr(s"transform(sequence(0, ${nPerms - 1}), " +
+        "p -> array_min(transform(shs, s -> md5(concat(cast(p as string), ':', s)))))")
+        .as("sig"))
+    val bandKey = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]")
+      s"struct(${b} as b, concat(${parts.mkString(", ")}) as key)"
+    }.mkString(", ")
+    // persisted: the candidate self-join consumes this frame twice and the
+    // signature HOF above is the query's dominant compute
+    val banded = sig
+      .select(col("doc_id"), explode(expr(s"array($bandKey)")).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.select(col("doc_id").as("i"), col("b"), col("key"))
+      .hint("shuffle_hash")
+      .join(banded.select(col("doc_id").as("j"), col("b"), col("key")),
+        Seq("b", "key"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verification restricted to candidates: both joins are driven
+    // by the (tiny) candidate set broadcast into the shingle stream — the
+    // full co-shingle posting join never forms
+    val shx = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
+    val leftSh = shx
+      .join(broadcast(cand.select(col("i"), col("j"))), col("doc_id") === col("i"))
+      .select(col("i"), col("j"), col("s"))
+    val inter = broadcast(leftSh)
+      .join(shx.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("k"))
+    val cnt = shArr.select(col("doc_id"), size(col("shs")).cast(LongType).as("n"))
+    cand
+      .join(inter, Seq("i", "j"), "left")
+      .join(broadcast(cnt.select(col("doc_id").as("i"), col("n").as("ni"))), Seq("i"))
+      .join(broadcast(cnt.select(col("doc_id").as("j"), col("n").as("nj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n_bands").cast(LongType).as("n_bands"),
+        round(coalesce(col("k"), lit(0L)) * 1.0 /
+          (col("ni") + col("nj") - coalesce(col("k"), lit(0L))), 4).as("jaccard"))
+      .orderBy("i", "j")
+  }
+
+  /** q84's logic over an arbitrary corpus: synchronous majority-label
+    * propagation over the exact near-dup graph (the semi-supervised label
+    * spread a curation pipeline uses to transfer sparse human labels —
+    * here lang on the doc_id % 3 == 0 split — across duplicate families).
+    * Seeded nodes are clamped; every other node recomputes each round as
+    * the majority label among its neighbors' current non-null labels
+    * (count DESC, code ASC — the oracle's row_number order); nodes whose
+    * family holds no seed stay unlabeled (surfaced as 0). Exposed so
+    * specs can pin clamping, tie-breaks, and seedless-family behavior on
+    * engineered graphs.
+    */
+  def labelPropagation(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (pairs, _) = jaccardPairs(docs)
+    // flat lineage: edges/nodes/seeds are consumed by every round, and each
+    // round BROADCASTS the label frame — without the checkpoints round k
+    // would re-run rounds 1..k-1 inside its broadcast (the q82 lesson)
+    val und = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint(true)
+    val nodes = und.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val code = expr("CASE lang WHEN 'de' THEN 1L WHEN 'en' THEN 2L " +
+      "WHEN 'es' THEN 3L WHEN 'fr' THEN 4L ELSE 5L END")
+    val seeds = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .join(nodes, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), code.as("scode"))
+      .localCheckpoint(true)
+    var lab = nodes.join(seeds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("scode").as("code"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      // label frame is graph-node-sized (docs in dup families) — broadcast
+      // here; the documented web-scale lever is the q82 one: flip to a
+      // src-keyed shuffle join when the node set outgrows the budget
+      val nb = und
+        .join(broadcast(lab.filter(col("code").isNotNull)
+          .select(col("doc_id").as("src"), col("code"))), Seq("src"))
+        .groupBy(col("dst"), col("code")).agg(count(lit(1)).as("c"))
+      val major = graft.operators.TopK
+        .perGroup(nb.select(col("dst"), col("c").cast(DoubleType).as("c"),
+          col("code")), Seq("dst"), "c", "code", 1)
+        .select(col("dst").as("doc_id"), col("code").as("mcode"))
+      lab = nodes
+        .join(broadcast(seeds), Seq("doc_id"), "left")
+        .join(major, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("scode"), col("mcode")).as("code"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("doc_id"),
+        coalesce(col("code"), lit(0L)).cast(LongType).as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** Three chained majority-vote CTEs over the exact-pair graph — same
+    * clamping and (count DESC, code ASC) tie rule; sh/pairs MATERIALIZED
+    * (multi-referenced — the q55 fairness rule).
+    */
+  private lazy val labelPropOracle: String = {
+    def rnd(k: Int): String = {
+      val p = k - 1
+      s"""l$k AS (SELECT n.doc_id,
+         |  CASE WHEN s.scode IS NOT NULL THEN s.scode ELSE m.code END AS code
+         |  FROM nodes n LEFT JOIN seeds s USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, code FROM (
+         |     SELECT e.dst AS doc_id, l.code, count(*) AS c,
+         |       row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.code ASC) AS rn
+         |     FROM und e JOIN l$p l ON l.doc_id = e.src WHERE l.code IS NOT NULL
+         |     GROUP BY e.dst, l.code) x WHERE rn = 1) m USING (doc_id))""".stripMargin
+    }
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (SELECT i, j FROM inter
+      |  JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+      |  WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5),
+      |und AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS doc_id FROM und),
+      |seeds AS (SELECT d.doc_id,
+      |    CASE d.lang WHEN 'de' THEN 1 WHEN 'en' THEN 2 WHEN 'es' THEN 3
+      |         WHEN 'fr' THEN 4 ELSE 5 END AS scode
+      |  FROM documents d JOIN nodes n ON n.doc_id = d.doc_id WHERE mod(d.doc_id, 3) = 0),
+      |l0 AS (SELECT n.doc_id, s.scode AS code FROM nodes n LEFT JOIN seeds s USING (doc_id)),
+      |""".stripMargin +
+      (1 to 3).map(rnd).mkString(",\n") + "\n" +
+      """SELECT n.doc_id, CAST(coalesce(l3.code, 0) AS BIGINT) AS label
+        |FROM nodes n LEFT JOIN l3 USING (doc_id) ORDER BY n.doc_id""".stripMargin
+  }
+
+  /** The md5 minhash replay: identical permutations, band keys and exact
+    * jaccard arithmetic; sh/cand MATERIALIZED (measured faster for DuckDB
+    * than inlining — the q55 fairness rule).
+    */
+  private lazy val lshMd5Oracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |hx AS (SELECT doc_id, p.p, min(md5(CAST(p.p AS VARCHAR) || ':' || s)) AS mh
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, p // 4 AS b, string_agg(mh, '' ORDER BY p) AS key
+      |  FROM hx GROUP BY 1, 2),
+      |cand AS MATERIALIZED (SELECT a.doc_id AS i, b2.doc_id AS j, count(*) AS n_bands
+      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN cand c ON c.i = a.doc_id AND c.j = b.doc_id GROUP BY 1, 2)
+      |SELECT c.i, c.j, CAST(c.n_bands AS BIGINT) AS n_bands,
+      |  round(coalesce(k, 0) * 1.0 / (ca.n + cb.n - coalesce(k, 0)), 4) AS jaccard
+      |FROM cand c LEFT JOIN inter ON inter.i = c.i AND inter.j = c.j
+      |JOIN cnt ca ON ca.doc_id = c.i JOIN cnt cb ON cb.doc_id = c.j
+      |ORDER BY c.i, c.j""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     Q("q74_bm25",
@@ -536,6 +723,106 @@ object Curation {
         .select(col("t").as("token"), col("rnk"),
           col("rs").cast(LongType).as("rank"))
         .orderBy("rnk")
+    },
+
+    Q("q83_lsh_md5",
+      """Q83 — MinHash + banded LSH near-dup candidates with a REPLAYABLE
+        |signature, DuckDB-ORACLED end to end (the first oracled entry in
+        |the LSH family — q32/q56 stay caps because their xxhash-style
+        |permutations aren't expressible in SQL; md5 is, in both engines,
+        |so the whole probabilistic pipeline becomes hash-checkable):
+        |16 permutations h_p(s) = md5(p || ':' || shingle) minimized per
+        |document, 4 bands × 4 rows, candidates = pairs sharing ≥1 band
+        |key, each candidate exact-verified (3-shingle jaccard attached —
+        |NO threshold, so the output exposes the banding's true
+        |candidate-generation behavior, not just its survivors). Lexico-
+        |graphic min over fixed-width lowercase hex ≡ numeric min over the
+        |128-bit value, and both engines compare strings bytewise, so the
+        |signatures are bit-identical. Scale shape: signatures are computed
+        |per document with NO shuffle (nested HOF over the per-doc distinct
+        |shingle array — md5 cost dominates the interpreted-lambda tax, and
+        |the banded frame is persisted so the self-join's two sides don't
+        |recompute the 16·|sh| hashes); the candidate join shuffles 4
+        |(band, 128-hex key) rows per doc — constant width regardless of
+        |document size, the property that makes LSH the scale path; exact
+        |verification touches ONLY candidate pairs (two broadcast-driven
+        |joins against the shingle frame — candidates ≪ co-shingled pairs,
+        |so this is strictly cheaper than the q31 posting join; at 100 TB
+        |the candidate set still broadcasts because banding caps it near
+        |the true-positive mass). Oracle fairness: sh/cand are AS
+        |MATERIALIZED — measured FASTER for DuckDB than inlining (5.0 s vs
+        |11.7 s at sf0.1), so the denominator is DuckDB's best form.""".stripMargin,
+      lshMd5Oracle) { (s, d) =>
+      lshMd5Pairs(Tables.documents(s, d))
+    },
+
+    Q("q84_label_prop",
+      """Q84 — semi-supervised label propagation over the exact near-dup
+        |graph (Zhu–Ghahramani label spreading, the majority-vote form):
+        |sparse seed labels (lang on the doc_id % 3 == 0 split, the
+        |"human-annotated subset" stand-in) spread to unlabeled duplicate
+        |family members over 3 synchronous rounds — the label-transfer
+        |pass a curation pipeline runs before training per-language
+        |filters. Seeds are CLAMPED (never overwritten); unlabeled nodes
+        |take the majority label among neighbors' current non-null labels
+        |(count DESC, code ASC — integer-exact, no float enters the
+        |vote, the q77/q82 regime); families holding no seed surface as
+        |label 0. Scale shape: edges are the shared q31 pair core (the
+        |banded/bucketed candidate path at 100 TB); each round is ONE
+        |dst-keyed count aggregation over the edge table with the
+        |node-sized label frame broadcast in (the q82 web-scale lever —
+        |flip to a src-keyed shuffle join past the broadcast budget) and
+        |a bounded TopKAgg argmax — no windows, no per-key collections;
+        |per-round localCheckpoints keep the broadcast from re-running
+        |prior rounds (the q82 checkpoint lesson). DuckDB-oracled via 3
+        |chained majority-vote CTEs over the same MATERIALIZED pair
+        |closure.""".stripMargin,
+      labelPropOracle) { (s, d) =>
+      labelPropagation(Tables.documents(s, d))
+    },
+
+    Q("q85_split_assign",
+      """Q85 — deterministic content-hash train/val/test split with
+        |stratified accounting: split = first byte of md5(text) against
+        |80/10/10 thresholds (205/230 of 256), so assignment is a pure
+        |function of CONTENT — stable under re-crawls, re-orderings and
+        |doc_id reassignment, and exactly replayable by any engine (the
+        |property that keeps eval sets leak-free across pipeline reruns;
+        |id- or position-based splits silently re-shuffle docs between
+        |train and test when upstream ordering changes). Output is the
+        |per-(source, split) doc/token mass and the within-source
+        |fraction — the stratification report that catches a source
+        |whose content distribution skews its own split. Scale shape:
+        |one md5 + token-count projection per doc (map-only, inside
+        |whole-stage codegen), partial-aggregated map-side into a
+        |(source × 3)-row table; the stratification window runs on that
+        |tiny aggregate, never on the corpus. At 100 TB this is a single
+        |scan with two trivial exchanges.""".stripMargin,
+      """WITH h AS (SELECT source, doc_id, text,
+        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS v,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |s AS (SELECT source,
+        |    CASE WHEN v < 205 THEN 'train' WHEN v < 230 THEN 'val' ELSE 'test' END AS split,
+        |    count(*) AS nd, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM h GROUP BY 1, 2)
+        |SELECT source, split, CAST(nd AS BIGINT) AS n_docs, n_tokens,
+        |  round(nd * 1.0 / sum(nd) OVER (PARTITION BY source), 4) AS frac
+        |FROM s ORDER BY source, split""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d).select(col("source"),
+        conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
+          .cast(IntegerType).as("v"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
+      val sp = h
+        .withColumn("split", when(col("v") < 205, "train")
+          .when(col("v") < 230, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("n_tokens"))
+      sp.withColumn("frac", round(col("nd") * 1.0 /
+          sum(col("nd")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("source")), 4))
+        .select(col("source"), col("split"), col("nd").cast(LongType).as("n_docs"),
+          col("n_tokens"), col("frac"))
+        .orderBy("source", "split")
     }
   )
 

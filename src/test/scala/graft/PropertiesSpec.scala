@@ -195,4 +195,23 @@ class PropertiesSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("q83/q84 — md5-LSH and label propagation invariant under doc repartitioning") {
+    // the LSH signature (per-doc HOF min), band self-join, broadcast-driven
+    // verification, and the clamped majority walk are all pure functions of
+    // the data — a skewed layout must not change a single row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val base = Tables.documents(spark, sf0001)
+    val lshRef = rows(graft.queries.Curation.lshMd5Pairs(base))
+    spark.catalog.clearCache()
+    val lpRef = rows(graft.queries.Curation.labelPropagation(base))
+    spark.catalog.clearCache()
+    Seq(base.repartition(17, $"source"), base.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Curation.lshMd5Pairs(l)) === lshRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.labelPropagation(l)) === lpRef)
+      spark.catalog.clearCache()
+    }
+  }
 }

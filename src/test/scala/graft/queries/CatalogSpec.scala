@@ -907,4 +907,100 @@ class CatalogSpec extends SparkSpec {
     // the teleport term re-seeds every node, so no token can rank below it
     assert(got.forall(_._3 >= teleport), "rank fell below the teleport floor")
   }
+
+  test("q83 — md5-LSH: planted twin is a 4/4-band candidate; jaccard agrees with q31") {
+    import spark.implicits._
+    // identical docs ⇒ identical shingle sets ⇒ identical 16-perm
+    // signatures ⇒ all 4 bands collide at exact jaccard 1; the disjoint
+    // filler doc shares no band
+    val twin = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val planted = graft.queries.Curation.lshMd5Pairs(twin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(planted.toSeq === Seq((1L, 2L, 4L, 1.0)))
+    // real corpus: every candidate q31 also surfaces carries the SAME
+    // exact jaccard (the verification stage is exact, not estimated), and
+    // banding recall vs the exact >=0.5 pairs clears the floor (this
+    // corpus's dups sit at j ≈ 0.9 where 4x4 banding detects ~99%;
+    // measured 28/28 at sf0.001 — floor kept loose for corpus regens)
+    val q31 = Catalog.byName("q31_jaccard_pairs").build(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    spark.catalog.clearCache()
+    val q83 = Catalog.byName("q83_lsh_md5").build(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    spark.catalog.clearCache()
+    q83.foreach { case (p, j) =>
+      q31.get(p).foreach(je => assert(je === j, s"jaccard drift at $p"))
+    }
+    val cand = q83.map(_._1).toSet
+    assert(q31.nonEmpty, "exact pair set is empty — recall check vacuous")
+    val recall = q31.keysIterator.count(cand).toDouble / q31.size
+    assert(recall >= 0.75, s"banding recall $recall under 0.75")
+  }
+
+  test("q84 — label propagation: clamping, min-code ties, 2-hop spread, seedless families") {
+    import spark.implicits._
+    // triangle: U(1) unlabeled between clamped seeds S1(3)=en, S2(6)=de —
+    // equal votes, min code wins; chain D0(30)=zh → D1(31) → D2(32) needs
+    // round 2 for the 2-hop spread; 4/5 are a seedless twin family
+    val x = (1 to 10).map(i => s"x$i").mkString(" ")
+    val t = (1 to 24).map(i => s"t$i").toIndexedSeq
+    def win(from: Int): String = t.slice(from - 1, from - 1 + 16).mkString(" ")
+    val docs = Seq(
+      (1L, x, "fr"),
+      (3L, x + " s1a s1b", "en"),
+      (6L, x + " s2a s2b", "de"),
+      (4L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10", "en"),
+      (5L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10", "en"),
+      (30L, win(1), "zh"),
+      (31L, win(5), "en"),
+      (32L, win(9), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.queries.Curation.labelPropagation(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    assert(got === Map(
+      1L -> 1L,  // tie {en=2, de=1} → min code (de)
+      3L -> 2L,  // clamped seed keeps en despite its de neighbor
+      6L -> 1L,  // clamped seed keeps de
+      4L -> 0L, 5L -> 0L, // seedless family never labels
+      30L -> 5L, // clamped zh seed
+      31L -> 5L, // 1 hop
+      32L -> 5L  // 2 hops (reached in round 2)
+    ), s"propagation diverged: $got")
+  }
+
+  test("q85 — split assignment equals a driver-side md5 replay; masses conserve") {
+    // bit-for-bit replay of the content-hash split on the JVM side: first
+    // md5 byte vs the 205/230 thresholds, token counts, HALF-UP fractions
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val agg = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    docs.foreach { case (src, text) =>
+      val v = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))(0) & 0xff
+      val split = if (v < 205) "train" else if (v < 230) "val" else "test"
+      val nt = text.split(" ", -1).length.toLong
+      val (a, b) = agg.getOrElse((src, split), (0L, 0L))
+      agg((src, split)) = (a + 1L, b + nt)
+    }
+    val bySrc = agg.groupBy(_._1._1).map { case (s, m) => s -> m.values.map(_._1).sum }
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val want = agg.map { case ((src, split), (nd, nt)) =>
+      (src, split, nd, nt, r4(nd.toDouble / bySrc(src)))
+    }.toSet
+    val got = Catalog.byName("q85_split_assign").build(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === want, s"split replay diverged")
+    // conservation: every doc lands in exactly one split
+    assert(got.toSeq.map(_._3).sum === docs.length.toLong)
+  }
 }
