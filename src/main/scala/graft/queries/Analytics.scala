@@ -761,6 +761,59 @@ object Analytics {
           percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
           percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
         .orderBy("event_type")
+    },
+
+    Q("q87_event_transitions",
+      """Q87 — first-order Markov transition matrix over the event stream
+        |(the trajectory-bigram profile an agent-trace or clickstream
+        |training pipeline computes before sequence modeling): for each
+        |user, consecutive events ordered by (ts, event_id) form a
+        |transition when separated by <= 30 minutes (the q30 session gap);
+        |output is per (src_type, dst_type) count plus the row-normalized
+        |transition probability in integer ten-thousandths ((2·10⁴·n + s)
+        |div (2·s) — the q61 half-up rule, so the boundary rounding is
+        |engine-exact). Timestamps compare as epoch-MICROS on both engines
+        |(a seconds cast would truncate sub-second gaps differently).
+        |Scale shape: ONE user-keyed exchange carries the lead() window;
+        |transitions then reduce to a #types²-row table, and the
+        |normalizing sum rides a window on that tiny aggregate — the
+        |corpus is never shuffled twice. At 100 TB this is the q30/q71
+        |sessionization economics: everything after the per-user window
+        |is constant-size.""".stripMargin,
+      """WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |   lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nus
+        |   FROM events),
+        |t AS (SELECT event_type AS src_type, nxt AS dst_type FROM x
+        |   WHERE nxt IS NOT NULL AND nus - us <= 1800000000),
+        |c AS (SELECT src_type, dst_type, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+        |  CAST((2 * 10000 * n + s) // (2 * s) AS BIGINT) AS p_e4
+        |FROM (SELECT *, sum(n) OVER (PARTITION BY src_type) AS s FROM c)
+        |ORDER BY src_type, dst_type""".stripMargin) { (s, d) =>
+      sessionTransitions(Tables.events(s, d))
     }
   )
+
+  /** q87's logic over an arbitrary event frame — exposed so specs can pin
+    * the gap cut, the (ts, event_id) tie order, and the probability
+    * rounding against a driver-side replay on engineered streams.
+    */
+  def sessionTransitions(events: org.apache.spark.sql.DataFrame,
+                         gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val x = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("nus", lead(col("us"), 1).over(w))
+    val c = x
+      .filter(col("nxt").isNotNull && col("nus") - col("us") <= gapUs)
+      .groupBy(col("event_type").as("src_type"), col("nxt").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("s", sum(col("n")).over(Window.partitionBy("src_type")))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        expr("(2 * 10000 * n + s) div (2 * s)").as("p_e4"))
+      .orderBy("src_type", "dst_type")
+  }
 }

@@ -823,6 +823,57 @@ object Curation {
         .select(col("source"), col("split"), col("nd").cast(LongType).as("n_docs"),
           col("n_tokens"), col("frac"))
         .orderBy("source", "split")
+    },
+
+    Q("q86_split_leakage",
+      """Q86 — train→test shingle-leakage audit over q85's content-hash
+        |split (the eval-integrity check run after every split
+        |assignment): for each TEST document, the fraction of its distinct
+        |3-shingles that also occur in ANY train document, rolled up per
+        |source as (n_test, mean leak fraction in integer ten-thousandths,
+        |docs with >= 50 % leaked). A content-stable split does NOT make
+        |near-duplicate leakage impossible — two near-identical docs can
+        |hash to different splits — which is exactly what this audit
+        |measures (and why curation dedups BEFORE splitting; compare
+        |q44's corpus-vs-benchmark direction). Shingles compare as 60-bit
+        |md5-prefix digests (q31/q44's declared collision tolerance; the
+        |string-keyed oracle would surface any collision). Scale shape:
+        |one scan computes split tag + per-doc DISTINCT shingle digests
+        |(array_distinct is doc-local — no shuffle); train digests and
+        |test shingles meet in ONE digest-keyed equi join (both sides
+        |corpus-sized, so neither broadcasts — sort-merge co-partitioned,
+        |the q31 posting economics); everything after the per-doc count
+        |is a #sources-row aggregate. Integer half-up arithmetic
+        |throughout ((2s+n) div 2n — the q61 rule) so no float mean
+        |crosses engines.""".stripMargin,
+      splitLeakageOracle) { (s, d) =>
+      splitLeakage(Tables.documents(s, d))
+    },
+
+    Q("q88_bpe_merges",
+      """Q88 — byte-pair-encoding merge training (the first 5 merges),
+        |the tokenizer-training step of an LLM data pipeline: words are
+        |spelled as space-separated symbol sequences; each round counts
+        |adjacent symbol pairs weighted by word frequency, merges the
+        |globally most frequent pair (count DESC, then lexicographic —
+        |deterministic), and rewrites the vocabulary by literal
+        |leftmost-non-overlapping replace — the exact greedy semantics of
+        |the reference BPE algorithm, and `replace` behaves identically
+        |in both engines so the whole training run is hash-checkable.
+        |Output: (rnd, lhs, rhs, merged, freq) per merge. Scale shape:
+        |the corpus collapses to a VOCABULARY-sized (word, cnt) table in
+        |one map-side-combined aggregation — the corpus is scanned once,
+        |ever; each round is one pair-count shuffle over that table, a
+        |bounded TakeOrdered top-1 (never a global sort), and a 1-row
+        |broadcast cross join to rewrite — the q82/q84 iteration pattern
+        |with per-round eager checkpoints so round k never re-runs rounds
+        |1..k-1 inside its broadcast. At 100 TB the vocab is ~10⁷ rows:
+        |every per-round structure is vocabulary-, not corpus-, sized.
+        |The 1-row merge frame is persisted, not checkpointed, so the
+        |optimizer keeps its max-1-row proof for the cross join (the
+        |q48/q65 1-row-broadcast precedent).""".stripMargin,
+      bpeOracle) { (s, d) =>
+      bpeMerges(Tables.documents(s, d))
     }
   )
 
@@ -1029,4 +1080,138 @@ object Curation {
     |       CAST(min(m) AS BIGINT) AS min_margin,
     |       CAST((2 * sum(m) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_margin
     |FROM mg GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  /** q86's logic over an arbitrary corpus — exposed so specs can pin the
+    * engineered full-leak case (a test doc whose every shingle exists in
+    * some train doc reads 10000) and layout invariance. Uses q85's exact
+    * content-hash split expression; shingles are the shared 60-bit
+    * md5-prefix digests (`NativeExprs.shingleMd5Prefixes` is per-doc
+    * DISTINCT already — no explode+distinct shuffle).
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
+      .cast(IntegerType)
+    val split = when(v < 205, "train").when(v < 230, "val").otherwise("test")
+    val sh = docs.select(col("doc_id"), col("source"), split.as("split"),
+        explode(NativeExprs.shingleMd5Prefixes(
+          TextOps.tokens(col("text")), 3, 15)).as("sh"))
+    // train digests are ~80 % of the corpus — NOT broadcastable by
+    // design; both sides shuffle once on the digest key (q31 economics)
+    val tr = sh.filter(col("split") === "train")
+      .select(col("sh")).distinct().withColumn("hit", lit(1L))
+    val perDoc = sh.filter(col("split") === "test")
+      .join(tr, Seq("sh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leak"))
+      .filter(col("n_sh") > 0)
+      .select(col("source"),
+        expr("(2 * 10000 * n_leak + n_sh) div (2 * n_sh)").as("fr_e4"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_test"),
+        expr("(2 * sum(fr_e4) + count(1)) div (2 * count(1))").as("mean_leak_e4"),
+        sum(when(col("fr_e4") >= 5000, 1L).otherwise(0L)).as("n_high"))
+      .select(col("source"), col("n_test"), col("mean_leak_e4"),
+        col("n_high"))
+      .orderBy("source")
+  }
+
+  /** String-keyed replay of the digest-keyed engine join (q44's
+    * collision-surfacing precedent); sh MATERIALIZED — it feeds both the
+    * train set and the test stream (the q55 fairness rule).
+    */
+  private lazy val splitLeakageOracle: String =
+    """WITH h AS (SELECT doc_id, source, text,
+      |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 +
+      |    (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS v FROM documents),
+      |sp AS (SELECT doc_id, source, text,
+      |    CASE WHEN v < 205 THEN 'train' WHEN v < 230 THEN 'val' ELSE 'test' END AS split FROM h),
+      |tok AS (SELECT doc_id, source, split, string_split(text,' ') AS toks FROM sp),
+      |s AS (SELECT doc_id, source, split,
+      |      unnest(generate_series(1, greatest(len(toks)-2,0))) AS i, toks FROM tok),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, source, split,
+      |      array_to_string(toks[i:i+2],' ') AS s FROM s),
+      |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+      |te AS (SELECT sh.doc_id, sh.source, count(*) AS n_sh,
+      |       sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS n_leak
+      |    FROM sh LEFT JOIN tr USING (s) WHERE split = 'test' GROUP BY 1, 2),
+      |d AS (SELECT source, doc_id, (2*10000*n_leak + n_sh) // (2*n_sh) AS fr_e4
+      |      FROM te WHERE n_sh > 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_test,
+      |   CAST((2*sum(fr_e4) + count(*)) // (2*count(*)) AS BIGINT) AS mean_leak_e4,
+      |   CAST(sum(CASE WHEN fr_e4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** q88's logic over an arbitrary corpus — exposed so specs can pin the
+    * greedy leftmost-non-overlapping merge semantics (' a a a ' merges
+    * ONCE per round) and a full driver-side BPE replay bit-for-bit.
+    * Each round: pair counts over the vocab table, bounded top-1 argmax,
+    * 1-row-broadcast rewrite via literal `replace`. The merge frame is
+    * persisted (session clearCache contract) rather than checkpointed so
+    * the optimizer keeps its max-1-row proof for the cross join.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    var words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        // ' h e l l o ' — every symbol space-delimited on BOTH ends so
+        // the merge rewrite is a literal ' p1 p2 ' -> ' p1p2 ' replace
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    (1 to rounds).foreach { k =>
+      val syms = words.select(col("cnt"), split(trim(col("w")), " ").as("s"))
+      val pairs = syms.select(col("cnt"), explode(arrays_zip(
+          slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))).as("p1"),
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("p2")))
+          .as("p"))
+        .select(col("p.p1").as("p1"), col("p.p2").as("p2"), col("cnt"))
+      val mk = pairs.groupBy("p1", "p2").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("p1"), col("p2")).limit(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      words = words.crossJoin(broadcast(mk))
+        .select(col("word"), col("cnt"),
+          call_function("replace", col("w"),
+            concat(lit(" "), col("p1"), lit(" "), col("p2"), lit(" ")),
+            concat(lit(" "), col("p1"), col("p2"), lit(" "))).as("w"))
+        .localCheckpoint(true)
+      val row = mk.select(lit(k).as("rnd"), col("p1").as("lhs"),
+        col("p2").as("rhs"), concat(col("p1"), col("p2")).as("merged"),
+        col("c").cast(LongType).as("freq"))
+      out = if (out == null) row else out.union(row)
+    }
+    out.orderBy("rnd")
+  }
+
+  /** The identical greedy replay as chained CTEs: per round, pair counts
+    * from the previous vocabulary spelling, ORDER BY c DESC, p1, p2 LIMIT
+    * 1, then the same literal replace. Both engines' `replace` is
+    * leftmost-non-overlapping on identical strings, so the vocabularies
+    * stay bit-identical round over round.
+    */
+  private lazy val bpeOracle: String = {
+    def rnd(k: Int): String = {
+      val p = k - 1
+      s"""u$k AS (SELECT word, cnt, unnest(string_split(trim(w), ' ')) AS sym,
+         |        generate_subscripts(string_split(trim(w), ' '), 1) AS i FROM w$p),
+         |c$k AS (SELECT a.sym AS p1, b.sym AS p2, sum(a.cnt) AS c
+         |        FROM u$k a JOIN u$k b ON a.word = b.word AND b.i = a.i + 1 GROUP BY 1, 2),
+         |m$k AS (SELECT p1, p2, c FROM c$k ORDER BY c DESC, p1, p2 LIMIT 1),
+         |w$k AS (SELECT word, cnt,
+         |        replace(w, ' '||m.p1||' '||m.p2||' ', ' '||m.p1||m.p2||' ') AS w
+         |        FROM w$p CROSS JOIN m$k m)""".stripMargin
+    }
+    """WITH wd AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+      |w0 AS MATERIALIZED (SELECT word, count(*) AS cnt,
+      |     ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w
+      |     FROM wd WHERE word <> '' GROUP BY 1),
+      |""".stripMargin +
+      (1 to 5).map(rnd).mkString(",\n") + "\n" +
+      (1 to 5).map(k =>
+        s"SELECT $k AS rnd, p1 AS lhs, p2 AS rhs, p1||p2 AS merged, " +
+          s"CAST(c AS BIGINT) AS freq FROM m$k")
+        .mkString("", "\nUNION ALL ", "\nORDER BY rnd")
+  }
 }

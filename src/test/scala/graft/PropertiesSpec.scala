@@ -214,4 +214,23 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q86/q88 — leakage audit and BPE training invariant under doc repartitioning") {
+    // the digest join, half-up rollup, per-round pair counts and the
+    // (count DESC, lexicographic) argmax are pure functions of the data —
+    // a skewed layout must not change a merge or a fraction
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val base = Tables.documents(spark, sf0001)
+    val leakRef = rows(graft.queries.Curation.splitLeakage(base))
+    spark.catalog.clearCache()
+    val bpeRef = rows(graft.queries.Curation.bpeMerges(base))
+    spark.catalog.clearCache()
+    Seq(base.repartition(17, $"source"), base.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Curation.splitLeakage(l)) === leakRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.bpeMerges(l)) === bpeRef)
+      spark.catalog.clearCache()
+    }
+  }
 }

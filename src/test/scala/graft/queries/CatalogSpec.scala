@@ -1003,4 +1003,124 @@ class CatalogSpec extends SparkSpec {
     // conservation: every doc lands in exactly one split
     assert(got.toSeq.map(_._3).sum === docs.length.toLong)
   }
+
+  test("q86 — leakage audit equals a driver-side replay; engineered full leak") {
+    import spark.implicits._
+    def md5b(text: String): Int = java.security.MessageDigest
+      .getInstance("MD5").digest(text.getBytes("UTF-8"))(0) & 0xff
+    def splitOf(text: String): String = {
+      val v = md5b(text)
+      if (v < 205) "train" else if (v < 230) "val" else "test"
+    }
+    // full driver-side replay at sf0.001 (split tag, string shingles,
+    // half-up integer fractions — the oracle's exact arithmetic)
+    val corpus = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val train = corpus.filter(c => splitOf(c._2) == "train")
+      .flatMap(c => shingles(c._2)).toSet
+    val perDoc = corpus.filter(c => splitOf(c._2) == "test")
+      .map { c =>
+        val sh = shingles(c._2)
+        (c._3, sh.size.toLong, sh.count(train).toLong)
+      }
+      .filter(_._2 > 0)
+      .map { case (src, n, k) => (src, (2 * 10000 * k + n) / (2 * n)) }
+    val want = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val frs = xs.map(_._2)
+      (src, frs.size.toLong,
+        (2 * frs.sum + frs.size) / (2 * frs.size.toLong),
+        frs.count(_ >= 5000).toLong)
+    }.toSet
+    val got = Catalog.byName("q86_split_leakage").build(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want, "leakage replay diverged")
+    // engineered: test doc T fully contained in train doc R → 10000;
+    // disjoint-vocabulary test doc U → 0; mean = half-up((10000+0)/2)
+    def find(mk: Int => String, want: String): String =
+      (0 until 4096).iterator.map(mk).find(splitOf(_) == want)
+        .getOrElse(fail(s"no $want text found"))
+    val tT = find(n => s"a1 a2 a3 a4 a5 a6 p$n", "test")
+    val tR = find(n => tT + s" z1 z2 z3 q$n", "train")
+    val tU = find(n => s"u1 u2 u3 u4 u5 u6 r$n", "test")
+    val eng = Seq((1L, tT, "s1"), (2L, tR, "s1"), (3L, tU, "s1"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.queries.Curation.splitLeakage(eng).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("s1", 2L, 5000L, 1L)),
+      s"engineered leak case diverged: ${rows.toSeq}")
+  }
+
+  test("q87 — transition matrix: inclusive 30-min gap, event_id tie order") {
+    import spark.implicits._
+    // u1: gap EXACTLY 30 min (micros) → counted; u2: 1 µs over → dropped;
+    // u3: equal ts → (ts, event_id) order makes it x→y, never y→x
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (2L, 1800000000L, 1L, "b"),
+      (3L, 0L, 2L, "a"), (4L, 1800000001L, 2L, "b"),
+      (5L, 0L, 3L, "x"), (6L, 0L, 3L, "y"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val got = graft.queries.Analytics.sessionTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a", "b", 1L, 10000L), ("x", "y", 1L, 10000L)),
+      s"transition semantics diverged: ${got.toSeq}")
+  }
+
+  test("q88 — BPE merges equal a driver-side greedy replay; overlap merges once") {
+    import spark.implicits._
+    def replay(texts: Seq[String], rounds: Int = 5): Seq[(Int, String, String, String, Long)] = {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      texts.foreach(_.split(" ", -1).filter(_.nonEmpty)
+        .foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1L))
+      var vocab: Map[String, (Long, String)] = counts.toMap.map { case (w, c) =>
+        w -> (c, " " + w.map(ch => s"$ch ").mkString)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      (1 to rounds).foreach { k =>
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.values.foreach { case (c, w) =>
+          w.trim.split(" ").sliding(2).foreach {
+            case Array(x, y) => pc((x, y)) = pc.getOrElse((x, y), 0L) + c
+            case _ =>
+          }
+        }
+        if (pc.nonEmpty) {
+          val ((p1, p2), c) =
+            pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          out += ((k, p1, p2, p1 + p2, c))
+          // java String.replace is leftmost-non-overlapping — the engines'
+          // replace semantics exactly
+          vocab = vocab.map { case (word, (cnt, w)) =>
+            word -> (cnt, w.replace(s" $p1 $p2 ", s" $p1$p2 "))
+          }
+        }
+      }
+      out.toSeq
+    }
+    // full corpus replay, bit-for-bit
+    val texts = Tables.documents(spark, sf0001).select("text").collect()
+      .map(_.getString(0)).toSeq
+    val want = replay(texts)
+    val got = Catalog.byName("q88_bpe_merges").build(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    spark.catalog.clearCache()
+    assert(got === want, s"BPE replay diverged: $got vs $want")
+    // engineered exhaustion + overlap pin: 'aaa' merges ONE (a,a) pair per
+    // round (greedy leftmost — freq still counts both), and once every
+    // word is a single symbol the remaining rounds emit nothing
+    val eng = Seq((1L, "aaa aaa bbb")).toDF("doc_id", "text")
+    val engGot = graft.queries.Curation.bpeMerges(eng).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    spark.catalog.clearCache()
+    assert(engGot === Seq(
+      (1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L),
+      (3, "b", "b", "bb", 2L), (4, "bb", "b", "bbb", 1L)),
+      s"engineered BPE diverged: $engGot")
+  }
 }
