@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "shingle_md5_bottom_k(toks, w, k) - k smallest distinct shingle md5 hexes") { args =>
       ShingleMd5BottomKExpr(args(0), intArg(args(1), "w"), intArg(args(2), "k"))
     }
+    register("lsh_min_sig",
+      "lsh_min_sig(shs, nPerms) - per permutation p, min md5 hex of p:shingle") { args =>
+      LshMinSigExpr(args(0), intArg(args(1), "nPerms"))
+    }
     register("double_cents",
       "double_cents(x[, scale]) - exact minor units of a double at DECIMAL(18,scale)") { args =>
       DoubleCentsExpr(args(0), args.lift(1).map(intArg(_, "scale")).getOrElse(2))

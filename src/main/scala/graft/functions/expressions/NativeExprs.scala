@@ -149,6 +149,14 @@ object NativeExprs {
   def shingleMd5BottomK(toks: Column, w: Int, k: Int): Column =
     col(ShingleMd5BottomKExpr(ex(toks), w, k))
 
+  /** One-pass md5-minhash signature over a shingle-string array:
+    * per permutation p, min md5 hex of `p || ':' || s` — the q83 LSH
+    * signature kernel, value-identical to the nested-HOF form (see
+    * [[LshMinSigExpr]]).
+    */
+  def lshMinSig(shs: Column, nPerms: Int): Column =
+    col(LshMinSigExpr(ex(shs), nPerms))
+
   /** All anchor-tag href attribute values of an HTML document, in document
     * order — the S1/S2 listing parse (reference: scrape_pdf_links.py:12,
     * BeautifulSoup `a[href]` + the `.pdf` filter applied downstream) as a
@@ -1943,6 +1951,64 @@ case class ShingleMd5PrefixExpr(child: Expression, w: Int, hexDigits: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5PrefixExpr =
+    copy(child = newChild)
+}
+
+/** q83's LSH signature in one compiled pass: for each permutation
+  * p ∈ [0, nPerms), the minimum md5 hex of `p || ':' || s` over the
+  * row's shingle array — value-identical to the nested-HOF form
+  * `transform(sequence(0, n-1), p -> array_min(transform(shs, s ->
+  * md5(concat(p, ':', s)))))` but without materializing nPerms
+  * intermediate arrays per row or paying the interpreted-lambda +
+  * UTF8String-concat tax on every one of the nPerms·|shs| digests
+  * (measured 7.4 → ~2 s on the q83 sf0.1 window). Running mins compare
+  * as raw digest bytes (hex encoding is monotone in the bytes —
+  * [[Md5.cmp]]); only the nPerms winners are hex-encoded. Null shingles
+  * are skipped (array_min ignores the null md5(concat(p,':',NULL))
+  * produces); an empty or all-null array yields all-null mins, matching
+  * array_min's empty/all-null → null.
+  */
+case class LshMinSigExpr(child: Expression, nPerms: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(nPerms >= 1 && nPerms <= 512)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "lsh_min_sig"
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(nPerms)(p => s"$p:".getBytes("UTF-8"))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill[Array[Byte]](nPerms)(null)
+    val tmp = new Array[Byte](16)
+    val md = Md5.raw()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          val sBytes = s.getBytes
+          var p = 0
+          while (p < nPerms) {
+            md.reset()
+            md.update(prefixes(p))
+            md.update(sBytes)
+            md.digest(tmp, 0, 16)
+            if (mins(p) == null) mins(p) = java.util.Arrays.copyOf(tmp, 16)
+            else if (Md5.cmp(tmp, mins(p)) < 0) System.arraycopy(tmp, 0, mins(p), 0, 16)
+            p += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      mins.map(m => if (m == null) null else Md5.hex(m)): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshMinSigExpr =
     copy(child = newChild)
 }
 

@@ -125,22 +125,25 @@ object Curation {
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     // per-doc DISTINCT shingle strings as an array — array_distinct is
     // per-row, so doc-local dedup costs no shuffle (vs q31's digest
-    // explode this keeps the strings: they are the md5 preimage here)
+    // explode this keeps the strings: they are the md5 preimage here).
+    // Compiled ShinglesExpr, not the transform/concat HOF: DevQ83
+    // measured the interpreted shingle BUILD at 3.4 s of the query's
+    // 7.4 s — the lambda + per-element array indexing tax, not md5, was
+    // the dominant term (<3-token docs yield the same empty array)
     val shArr = toks.select(col("doc_id"),
-        when(size(col("toks")) < 3, array().cast(ArrayType(StringType)))
-          .otherwise(expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2), " +
-              "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"))
-          .as("shs"))
+        array_distinct(NativeExprs.shingles(col("toks"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature with NO shuffle: min over the doc's shingle array per
     // permutation; fixed-width lowercase hex makes lexicographic min ≡
-    // numeric min, identically in DuckDB (bytewise string compare)
+    // numeric min, identically in DuckDB (bytewise string compare).
+    // Compiled kernel (LshMinSigExpr) — the nested-HOF form pays
+    // interpreted lambdas + a materialized array per permutation per doc
+    // over nPerms·|shs| md5s (measured 7.4 s vs ~2 s at sf0.1); the
+    // kernel keeps nPerms running byte-compared mins in one pass
+    // (NativeExprsSpec pins value-parity to the HOF form)
     val sig = shArr.select(col("doc_id"),
-      expr(s"transform(sequence(0, ${nPerms - 1}), " +
-        "p -> array_min(transform(shs, s -> md5(concat(cast(p as string), ':', s)))))")
-        .as("sig"))
+      NativeExprs.lshMinSig(col("shs"), nPerms).as("sig"))
     val bandKey = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]")
       s"struct(${b} as b, concat(${parts.mkString(", ")}) as key)"

@@ -888,4 +888,37 @@ class NativeExprsSpec extends SparkSpec {
     assert(nulls.select(NativeExprs.md5WindowBottomK(col("text"), 48, 4))
       .head().isNullAt(0))
   }
+
+  test("lshMinSig == nested-HOF minhash signature on corpus + edges") {
+    // the q83 signature kernel vs the exact HOF formulation it replaces:
+    // per permutation p, min md5 hex of 'p:shingle' over the row's array
+    def refExpr(n: Int) =
+      expr(s"transform(sequence(0, ${n - 1}), " +
+        "p -> array_min(transform(shs, s -> md5(concat(cast(p as string), ':', s)))))")
+    val corpus = Tables.documents(spark, sf0001)
+      .select(expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+          "i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i], ' ', split(text, ' ')[i+1])))")
+        .as("shs"))
+      .unionAll(Seq(
+        Seq("one"),                              // single shingle
+        Seq("ኢትዮጵያ ህግ መጽሔት", "ascii a b"),       // multibyte preimage
+        Seq.empty[String]                        // empty → all-null mins
+      ).toDF("shs"))
+    Seq(1, 16).foreach { n =>
+      val got = corpus.select(NativeExprs.lshMinSig(col("shs"), n).as("sig"))
+      val want = corpus.select(refExpr(n).as("sig"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"lshMinSig diverged at nPerms=$n")
+    }
+    // null element skipped like array_min skips the null md5(concat(p,':',NULL))
+    val withNull = Seq(1).toDF("x")
+      .select(expr("array('a b c', cast(NULL as string))").as("shs"))
+    assert(withNull.select(NativeExprs.lshMinSig(col("shs"), 4).as("sig")).head()
+      === withNull.select(refExpr(4).as("sig")).head())
+    // null array → null result (nullSafeEval)
+    assert(Seq(1).toDF("x")
+      .select(NativeExprs.lshMinSig(expr("cast(NULL as array<string>)"), 4))
+      .head().isNullAt(0))
+  }
 }
