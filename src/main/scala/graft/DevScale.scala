@@ -111,7 +111,17 @@ object DevScale {
       // (tracks q54's shingle-window scaling)
       "q74_bm25", "q75_quarantine_clusters", "q76_cluster_reps",
       "q77_kmeans_refine", "q78_novelty_deciles",
-      "q79_dup_aware_sample")
+      "q79_dup_aware_sample",
+      // r9 third batch: md5-LSH (constant-width band rows per doc — the
+      // candidate join should scale ~linearly; the signature pass is the
+      // per-byte term), label propagation (q68's pair+CC economics + 3
+      // bounded rounds), leakage audit (one digest-keyed join of two
+      // corpus-sized sides — tracks q54's shingle-exchange band), event
+      // transitions (10x users, one user-keyed window), BPE merges (the
+      // vocab table scales 10x with disjoint replica vocabularies; each
+      // round's pair table likewise — the argmax stays 1 row)
+      "q83_lsh_md5", "q84_label_prop", "q86_split_leakage",
+      "q87_event_transitions", "q88_bpe_merges")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
