@@ -780,7 +780,66 @@ object Analytics {
         |corpus is never shuffled twice. At 100 TB this is the q30/q71
         |sessionization economics: everything after the per-user window
         |is constant-size.""".stripMargin,
-      """WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      q87OracleSql) { (s, d) =>
+      sessionTransitions(Tables.events(s, d))
+    },
+
+    Q("q90_volume_anomaly",
+      """Q90 — per-event-type daily volume anomaly screen (the
+        |crawl/ingest monitoring read next to q59's distribution drift):
+        |days whose event count sits ≥ 1.5 sample standard deviations from
+        |the type's mean, with the z-score. Determinism across engines:
+        |mean and variance are derived from EXACT integer sums (Σn, Σn²,
+        |day count — the textbook nd·Σn²−(Σn)² form, exact in BIGINT at
+        |any real cardinality), so the doubles that enter the z division
+        |are bit-identical on both sides — no engine's streaming-moment
+        |stddev implementation is trusted (the q61 float lesson applied to
+        |second moments). Scale shape: the raw stream reduces ONCE to the
+        |(type × day) count table (map-side combined); the per-type moment
+        |aggregate is #types rows and broadcasts back; the anomaly filter
+        |runs on the tiny count table. At 100 TB this is one scan + two
+        |trivial exchanges.""".stripMargin,
+      """WITH d AS (SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |           count(*) AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS nd, sum(n) AS s1, sum(n * n) AS s2
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, d.day, CAST(n AS BIGINT) AS n,
+        |  round((n - s1 * 1e0 / nd) /
+        |        sqrt((nd * s2 - s1 * s1) * 1e0 / (nd * (nd - 1))), 4) AS z
+        |FROM d JOIN st USING (event_type)
+        |WHERE nd > 1 AND nd * s2 > s1 * s1
+        |  AND abs((n - s1 * 1e0 / nd) /
+        |          sqrt((nd * s2 - s1 * s1) * 1e0 / (nd * (nd - 1)))) >= 15e-1
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      // the (type × day) table feeds both the moment aggregate and the
+      // anomaly filter — persist so events scan once (the r7 double-scan
+      // rule; released by the session clearCache contract)
+      val dcnt = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = dcnt.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val z = (col("n") - col("s1") * lit(1.0) / col("nd")) /
+        sqrt((col("nd") * col("s2") - col("s1") * col("s1")) * lit(1.0) /
+          (col("nd") * (col("nd") - 1)))
+      dcnt.join(broadcast(st), Seq("event_type"))
+        .filter(col("nd") > 1 &&
+          col("nd") * col("s2") > col("s1") * col("s1"))
+        .withColumn("z", z)
+        .filter(abs(col("z")) >= 1.5)
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_type", "day")
+    }
+  )
+
+  // lazy: declared below `qs`, which captures it during object init (the
+  // Curation oracle-val convention — a plain val here is null at capture)
+  private lazy val q87OracleSql: String =
+    """WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS us,
         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
         |   lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nus
         |   FROM events),
@@ -790,10 +849,7 @@ object Analytics {
         |SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
         |  CAST((2 * 10000 * n + s) // (2 * s) AS BIGINT) AS p_e4
         |FROM (SELECT *, sum(n) OVER (PARTITION BY src_type) AS s FROM c)
-        |ORDER BY src_type, dst_type""".stripMargin) { (s, d) =>
-      sessionTransitions(Tables.events(s, d))
-    }
-  )
+        |ORDER BY src_type, dst_type""".stripMargin
 
   /** q87's logic over an arbitrary event frame — exposed so specs can pin
     * the gap cut, the (ts, event_id) tie order, and the probability

@@ -877,6 +877,41 @@ object Curation {
         |q48/q65 1-row-broadcast precedent).""".stripMargin,
       bpeOracle) { (s, d) =>
       bpeMerges(Tables.documents(s, d))
+    },
+
+    Q("q89_minhash_estimate",
+      """Q89 — MinHash estimator-quality audit: for every EXACT near-dup
+        |pair (q31's jaccard ≥ 0.5 cut), the 16-permutation md5-signature
+        |agreement estimate next to the true jaccard and the absolute
+        |error, all in integer ten-thousandths (est = matching perms / 16;
+        |E[est] = jaccard is the MinHash theorem — this entry measures the
+        |16-perm estimator's actual spread on the corpus, the calibration
+        |read a pipeline does before trusting q32/q56's thresholds at
+        |scale). Integer half-up arithmetic end to end — no float round
+        |crosses engines (the q61 rule). Scale shape: the exact pairs come
+        |from the shared inverted-index core; signatures are computed ONLY
+        |for pair participants (semi-join first — at a 0.5 threshold the
+        |participant set is ≪ the corpus) with the compiled q83 kernels;
+        |the agreement join is driven by the candidate-bounded pair set
+        |broadcast into the participant signature stream.""".stripMargin,
+      minhashEstOracle) { (s, d) =>
+      minhashEstimate(Tables.documents(s, d))
+    },
+
+    Q("q91_snapshot_diff",
+      """Q91 — crawl-refresh snapshot diff (the CDC accounting a corpus
+        |pipeline emits per re-crawl): current vs previous snapshot at the
+        |doc_id key, rows classified added / removed / changed / same by
+        |CONTENT HASH (md5 compared, never the document bytes — the diff
+        |join ships 16-byte digests, not text), rolled up per source. The
+        |snapshots are deterministic stand-ins on the driver corpus:
+        |previous drops doc_id % 17 = 0 (→ added), current drops % 19 = 0
+        |(→ removed) and revises % 13 = 0 (→ changed). Scale shape: two
+        |projections of one scan, md5 computed BEFORE the join, ONE
+        |id-keyed join + one anti join (both co-partition on doc_id at
+        |scale), then a #source×4-row rollup.""".stripMargin,
+      snapshotDiffOracle) { (s, d) =>
+      snapshotDiff(Tables.documents(s, d))
     }
   )
 
@@ -1187,6 +1222,119 @@ object Curation {
     }
     out.orderBy("rnd")
   }
+
+  /** q89's logic over an arbitrary corpus — exposed so specs can pin the
+    * estimator against a driver-side signature replay and the identical-
+    * document edge (est = jaccard = 10000, err 0).
+    */
+  def minhashEstimate(docs: DataFrame, nPerms: Int = 16): DataFrame = {
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
+    val pairs = wc
+      .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
+      .select(col("i"), col("j"),
+        expr("(2 * 10000 * k + (ni + nj - k)) div (2 * (ni + nj - k))")
+          .as("jac_e4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = pairs.select(col("i").as("doc_id"))
+      .union(pairs.select(col("j").as("doc_id"))).distinct()
+    // signatures ONLY for pair participants (≪ corpus at a 0.5 cut)
+    val toks = docs.join(ids, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val sigx = toks
+      .select(col("doc_id"),
+        array_distinct(NativeExprs.shingles(col("toks"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        posexplode(NativeExprs.lshMinSig(col("shs"), nPerms)))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pair set is candidate-bounded — broadcast it into the signature
+    // stream twice rather than shuffling the stream
+    val lhs = sigx
+      .join(broadcast(pairs.select(col("i"), col("j"))),
+        col("doc_id") === col("i"))
+      .select(col("i"), col("j"), col("p"), col("mh"))
+    val agree = broadcast(lhs)
+      .join(sigx.select(col("doc_id").as("j"), col("p"),
+        col("mh").as("mh2")), Seq("j", "p"))
+      .groupBy("i", "j")
+      .agg(sum(when(col("mh") === col("mh2"), 1L).otherwise(0L)).as("m"))
+    pairs.join(agree, Seq("i", "j"))
+      .select(col("i"), col("j"),
+        expr(s"(2 * 10000 * m + $nPerms) div (2 * $nPerms)").as("est_e4"),
+        col("jac_e4"),
+        abs(expr(s"(2 * 10000 * m + $nPerms) div (2 * $nPerms)") -
+          col("jac_e4")).as("err_e4"))
+      .orderBy("i", "j")
+  }
+
+  private lazy val minhashEstOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (SELECT i, j,
+      |  (2 * 10000 * k + (ca.n + cb.n - k)) // (2 * (ca.n + cb.n - k)) AS jac_e4
+      |  FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+      |  WHERE k * 1e0 / (ca.n + cb.n - k) >= 5e-1),
+      |ids AS (SELECT DISTINCT i AS doc_id FROM pairs UNION SELECT DISTINCT j FROM pairs),
+      |hx AS MATERIALIZED (SELECT doc_id, p.p, min(md5(CAST(p.p AS VARCHAR) || ':' || s)) AS mh
+      |  FROM sh JOIN ids USING (doc_id)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p
+      |  GROUP BY 1, 2),
+      |agree AS (SELECT pr.i, pr.j, sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS m
+      |  FROM pairs pr JOIN hx a ON a.doc_id = pr.i JOIN hx b ON b.doc_id = pr.j AND a.p = b.p
+      |  GROUP BY 1, 2)
+      |SELECT i, j, CAST((2 * 10000 * m + 16) // 32 AS BIGINT) AS est_e4,
+      |  CAST(jac_e4 AS BIGINT) AS jac_e4,
+      |  CAST(abs((2 * 10000 * m + 16) // 32 - jac_e4) AS BIGINT) AS err_e4
+      |FROM agree JOIN pairs USING (i, j) ORDER BY i, j""".stripMargin
+
+  /** q91's logic over an arbitrary corpus with injectable snapshot
+    * predicates — exposed so specs can pin each status class on
+    * engineered snapshots.
+    */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val cur = docs.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).cast(BinaryType)).as("h"))
+    val prev = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast(BinaryType)).as("hp"))
+    val j = cur.join(prev.select(col("doc_id"), col("hp")), Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("hp").isNull, "added")
+          .when(col("h") =!= col("hp"), "changed")
+          .otherwise("same").as("status"))
+    val removed = prev.join(cur.select("doc_id"), Seq("doc_id"), "leftanti")
+      .select(col("source"), lit("removed").as("status"))
+    j.union(removed)
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  private lazy val snapshotDiffOracle: String =
+    """WITH cur AS (SELECT doc_id, source,
+      |       CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+      |       FROM documents WHERE doc_id % 19 <> 0),
+      |prev AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+      |j AS (SELECT c.doc_id, c.source,
+      |       CASE WHEN p.doc_id IS NULL THEN 'added'
+      |            WHEN md5(c.text) <> md5(p.text) THEN 'changed'
+      |            ELSE 'same' END AS status
+      |      FROM cur c LEFT JOIN prev p USING (doc_id)),
+      |rm AS (SELECT p.source, p.doc_id FROM prev p LEFT JOIN cur c USING (doc_id)
+      |       WHERE c.doc_id IS NULL)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM (SELECT source, status FROM j
+      |      UNION ALL SELECT source, 'removed' FROM rm)
+      |GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 
   /** The identical greedy replay as chained CTEs: per round, pair counts
     * from the previous vocabulary spelling, ORDER BY c DESC, p1, p2 LIMIT

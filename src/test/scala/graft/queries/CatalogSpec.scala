@@ -1123,4 +1123,109 @@ class CatalogSpec extends SparkSpec {
       (3, "b", "b", "bb", 2L), (4, "bb", "b", "bbb", 1L)),
       s"engineered BPE diverged: $engGot")
   }
+
+  test("q89 — estimator equals a driver-side signature replay; identical docs read 10000/0") {
+    import spark.implicits._
+    // identical pair: jaccard 1 → every permutation's min agrees → est
+    // 10000, err 0 (the MinHash theorem's degenerate point, engine-exact)
+    val t = (1 to 12).map(i => s"w$i").mkString(" ")
+    val eng = Seq((1L, t), (2L, t), (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .toDF("doc_id", "text")
+    val engGot = graft.queries.Curation.minhashEstimate(eng).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(engGot.toSeq === Seq((1L, 2L, 10000L, 10000L, 0L)),
+      s"identical-pair estimator diverged: ${engGot.toSeq}")
+    // full driver-side replay at sf0.001: exact pairs, 16 md5 signature
+    // mins, agreement count, integer half-up quantization
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val shMap = docs.map { case (id, t0) => id -> shingles(t0) }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(sh: Set[String]): IndexedSeq[String] =
+      (0 until 16).map(p => sh.map(s0 => md5hex(s"$p:$s0")).min)
+    val ids = shMap.keys.toSeq.sorted
+    val want = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.size
+      i = ids(ai); j = ids(bi)
+      k = (shMap(i) & shMap(j)).size.toLong
+      if k > 0
+      u = shMap(i).size + shMap(j).size - k
+      if k.toDouble / u >= 0.5
+    } yield {
+      val m = sig(shMap(i)).zip(sig(shMap(j))).count { case (x, y) => x == y }.toLong
+      val est = (2 * 10000 * m + 16) / 32
+      val jac = (2 * 10000 * k + u) / (2 * u)
+      (i, j, est, jac, math.abs(est - jac))
+    }).toSet
+    val got = Catalog.byName("q89_minhash_estimate").build(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    spark.catalog.clearCache()
+    assert(got === want, "estimator replay diverged")
+  }
+
+  test("q90 — anomaly z-scores equal an exact-integer-moment driver replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byDay = evs.groupBy(e => (e._1, e._2 / 86400000000L))
+      .map { case (k, xs) => (k._1, k._2, xs.length.toLong) }.toSeq
+    val want = byDay.groupBy(_._1).flatMap { case (tpe, days) =>
+      val nd = days.size.toLong
+      val s1 = days.map(_._3).sum
+      val s2 = days.map(d => d._3 * d._3).sum
+      if (nd <= 1 || nd * s2 <= s1 * s1) Seq.empty
+      else days.flatMap { case (_, day, n) =>
+        val z = (n - s1 * 1.0 / nd) /
+          math.sqrt((nd * s2 - s1 * s1) * 1.0 / (nd * (nd - 1)))
+        if (math.abs(z) >= 1.5)
+          Some((tpe, day,  n,
+            new java.math.BigDecimal(z).setScale(4,
+              java.math.RoundingMode.HALF_UP).doubleValue()))
+        else None
+      }
+    }.toSet
+    val got = Catalog.byName("q90_volume_anomaly").build(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    spark.catalog.clearCache()
+    assert(got === want, s"anomaly replay diverged: $got vs $want")
+  }
+
+  test("q91 — snapshot diff classifies every modular status class") {
+    import spark.implicits._
+    // ids chosen to hit each class: 17 → added (absent from prev),
+    // 19 → removed (absent from cur), 13 → changed (revised text),
+    // 1 → same
+    val eng = Seq((1L, "alpha beta", "s1"), (13L, "gamma delta", "s1"),
+      (17L, "epsilon zeta", "s1"), (19L, "eta theta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.queries.Curation.snapshotDiff(eng).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("s1", "added", 1L), ("s1", "changed", 1L),
+      ("s1", "removed", 1L), ("s1", "same", 1L)),
+      s"status classes diverged: $got")
+    // totals reconcile on the real corpus: every current doc classified,
+    // every vanished doc reported removed
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Catalog.byName("q91_snapshot_diff").build(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val byStatus = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val nCur = docs.filter(col("doc_id") % 19 =!= 0).count()
+    val nRemoved = docs.filter(col("doc_id") % 19 === 0 &&
+      col("doc_id") % 17 =!= 0).count()
+    assert(byStatus.getOrElse("added", 0L) + byStatus.getOrElse("changed", 0L) +
+      byStatus.getOrElse("same", 0L) === nCur)
+    assert(byStatus.getOrElse("removed", 0L) === nRemoved)
+  }
 }
