@@ -332,6 +332,53 @@ object Streams {
     q.awaitTermination()
   }
 
+  final case class TransEvent(user_id: Long, ts: Timestamp,
+                              event_type: String, event_id: Long)
+  final case class TransState(lastUs: Long, lastType: String)
+  final case class Transition(src_type: String, dst_type: String)
+
+  /** Streaming twin of batch q87_event_transitions' extraction stage:
+    * per-user consecutive-event (src, dst) pairs whenever the gap is
+    * ≤ `gapUs` (inclusive — the batch boundary rule), with the SAME
+    * (ts, event_id) order contract. State per user is ONE (ts, type)
+    * tuple — bounded, the q46-min-anchor economics — carried across
+    * micro-batches so a transition spanning two batches still counts;
+    * within a batch rows sort by (us, event_id) before folding, so
+    * arrival order inside a trigger never changes the answer. Appended
+    * transitions feed [[transitionCounts]] (Update-mode aggregation) or
+    * any sink. Events older than the user's carried state are the
+    * streaming-vs-batch divergence point exactly as in the funnel
+    * eviction story: an out-of-order event across batches would also be
+    * beyond a watermarked recomputation window.
+    */
+  def transitions(events: Dataset[TransEvent],
+                  gapUs: Long = 1800000000L): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val sorted = rows.toVector.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            last.foreach { l =>
+              if (us - l.lastUs <= gapUs)
+                out += Transition(l.lastType, e.event_type)
+            }
+            last = Some(TransState(us, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Update-mode rollup of [[transitions]] — the live transition matrix. */
+  def transitionCounts(trans: DataFrame): DataFrame =
+    trans.groupBy("src_type", "dst_type").agg(count(lit(1)).as("n"))
+
   /** Stream ⋈ static dimension enrichment (the ingest-side join every
     * pipeline needs): per micro-batch hash join against the static side —
     * no state store, broadcast when small.

@@ -441,4 +441,47 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(outDir).count() === 500) // 200 kept + 300 new, no reprocess
   }
+
+  test("streaming transitions — counts match batch q87; state spans batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // full-corpus batch equivalence in a single trigger (within-batch
+    // (ts, event_id) sort makes arrival order irrelevant)
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+      .as[Streams.TransEvent].collect()
+    val src = MemoryStream[Streams.TransEvent]
+    src.addData(evs.toSeq)
+    val q = Streams.transitionCounts(Streams.transitions(src.toDS()).toDF())
+      .writeStream.format("memory").queryName("t_trans")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_trans")
+      .select("src_type", "dst_type", "n")
+    val want = graft.queries.Catalog.byName("q87_event_transitions")
+      .build(spark, sf0001).select("src_type", "dst_type", "n")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"streaming transitions ${got.collect().toSeq} != batch")
+
+    // cross-batch carry: the last event of batch 1 pairs with the first of
+    // batch 2 (within gap); an over-gap successor does not
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60_000L)
+    val src2 = MemoryStream[Streams.TransEvent]
+    val q2 = Streams.transitionCounts(Streams.transitions(src2.toDS()).toDF())
+      .writeStream.format("memory").queryName("t_trans2")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      src2.addData(Streams.TransEvent(1L, at(0), "a", 1L))
+      q2.processAllAvailable()
+      src2.addData(Streams.TransEvent(1L, at(30), "b", 2L), // exactly 30 min — inclusive
+        Streams.TransEvent(1L, at(90), "c", 3L))            // 60 min after b — dropped
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("t_trans2")
+      .select("src_type", "dst_type", "n").as[(String, String, Long)]
+      .collect().toSet
+    assert(got2 === Set(("a", "b", 1L)),
+      s"cross-batch transition semantics diverged: $got2")
+  }
 }
