@@ -121,7 +121,11 @@ object DevScale {
       // vocab table scales 10x with disjoint replica vocabularies; each
       // round's pair table likewise — the argmax stays 1 row)
       "q83_lsh_md5", "q84_label_prop", "q86_split_leakage",
-      "q87_event_transitions", "q88_bpe_merges")
+      "q87_event_transitions", "q88_bpe_merges",
+      // r9 fourth batch: estimator audit (pair-participant signatures —
+      // tracks the pair family), snapshot diff (id-keyed digest join,
+      // scan-bound)
+      "q89_minhash_estimate", "q91_snapshot_diff")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
