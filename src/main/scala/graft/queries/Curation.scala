@@ -891,9 +891,11 @@ object Curation {
         |crosses engines (the q61 rule). Scale shape: the exact pairs come
         |from the shared inverted-index core; signatures are computed ONLY
         |for pair participants (semi-join first — at a 0.5 threshold the
-        |participant set is ≪ the corpus) with the compiled q83 kernels;
-        |the agreement join is driven by the candidate-bounded pair set
-        |broadcast into the participant signature stream.""".stripMargin,
+        |participant set is ≪ the corpus) with the compiled q83 kernels
+        |and kept as one 16-element array per participant; agreement is a
+        |per-pair zip_with count after two broadcast joins of the
+        |candidate-bounded pair set into the signature stream — no
+        |explode, no signature shuffle.""".stripMargin,
       minhashEstOracle) { (s, d) =>
       minhashEstimate(Tables.documents(s, d))
     },
@@ -1237,29 +1239,29 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = pairs.select(col("i").as("doc_id"))
       .union(pairs.select(col("j").as("doc_id"))).distinct()
-    // signatures ONLY for pair participants (≪ corpus at a 0.5 cut)
-    val toks = docs.join(ids, Seq("doc_id"), "leftsemi")
+    // signatures ONLY for pair participants (≪ corpus at a 0.5 cut),
+    // kept as ONE nPerms-element array per participant: agreement is a
+    // per-pair-row zip_with+aggregate over two 16-element arrays on the
+    // candidate-bounded pair set, so the interpreted-HOF cost is
+    // negligible (unlike q83's corpus-sized streams) and the whole
+    // agreement stage is two broadcast joins — no explode, no (j, p)
+    // shuffle, no re-aggregation barrier (DevQ89: 2.0–2.7 → 1.6–2.0 s
+    // fresh-cache, exact row parity)
+    val sigs = docs.join(ids, Seq("doc_id"), "leftsemi")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val sigx = toks
       .select(col("doc_id"),
         array_distinct(NativeExprs.shingles(col("toks"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)
-      .select(col("doc_id"),
-        posexplode(NativeExprs.lshMinSig(col("shs"), nPerms)))
-      .select(col("doc_id"), col("pos").as("p"), col("col").as("mh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), NativeExprs.lshMinSig(col("shs"), nPerms).as("sig"))
     // the pair set is candidate-bounded — broadcast it into the signature
-    // stream twice rather than shuffling the stream
-    val lhs = sigx
-      .join(broadcast(pairs.select(col("i"), col("j"))),
-        col("doc_id") === col("i"))
-      .select(col("i"), col("j"), col("p"), col("mh"))
-    val agree = broadcast(lhs)
-      .join(sigx.select(col("doc_id").as("j"), col("p"),
-        col("mh").as("mh2")), Seq("j", "p"))
-      .groupBy("i", "j")
-      .agg(sum(when(col("mh") === col("mh2"), 1L).otherwise(0L)).as("m"))
-    pairs.join(agree, Seq("i", "j"))
+    // stream, then broadcast the joined (pair × lhs-signature) rows into
+    // the stream again for the rhs signature
+    val withSi = sigs.select(col("doc_id").as("i"), col("sig").as("si"))
+      .join(broadcast(pairs), Seq("i"))
+    broadcast(withSi)
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sj")), Seq("j"))
+      .withColumn("m", expr("aggregate(zip_with(si, sj, " +
+        "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0L, (a, b) -> a + b)"))
       .select(col("i"), col("j"),
         expr(s"(2 * 10000 * m + $nPerms) div (2 * $nPerms)").as("est_e4"),
         col("jac_e4"),
