@@ -125,7 +125,14 @@ object DevScale {
       // r9 fourth batch: estimator audit (pair-participant signatures —
       // tracks the pair family), snapshot diff (id-keyed digest join,
       // scan-bound)
-      "q89_minhash_estimate", "q91_snapshot_diff")
+      "q89_minhash_estimate", "q91_snapshot_diff",
+      // r9 fifth batch: BPE encode (training scales like q88; the encode
+      // join stays vocabulary-sized — replica renaming grows the vocab
+      // 10x), chunk dedup (one digest-keyed window exchange — tracks the
+      // corpus-scan band; replica suffixes keep chunks doc-local so the
+      // dup mass scales linearly), boilerplate screen (one
+      // (source, digest) exchange of per-doc-distinct digests)
+      "q92_bpe_encode", "q94_chunk_dedup", "q95_boilerplate")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -914,6 +915,77 @@ object Curation {
         |scale), then a #source×4-row rollup.""".stripMargin,
       snapshotDiffOracle) { (s, d) =>
       snapshotDiff(Tables.documents(s, d))
+    },
+
+    Q("q92_bpe_encode",
+      """Q92 — corpus encoding with the q88-trained tokenizer: per source,
+        |whitespace-token count, post-merge BPE symbol count, and the
+        |half-up e4 symbols-per-token ratio (the "how many tokens will
+        |this corpus cost" read a pipeline does after training merges).
+        |Scale shape: the corpus NEVER rewrites — encoding is word-level.
+        |The q88 loop yields the final (word → symbol sequence) vocab;
+        |symbol counts attach to a (source, word) count table via ONE
+        |word-keyed shuffle_hash join (build on the global vocab, the
+        |smaller side — both sides are vocabulary-, not corpus-, sized),
+        |then a #sources-row rollup. At 100 TB the corpus is scanned once
+        |for the (source, word) aggregation (map-side combined) and once
+        |inside training's own vocab collapse; everything downstream is
+        |vocabulary-sized.""".stripMargin,
+      bpeEncodeOracle) { (s, d) =>
+      bpeEncode(Tables.documents(s, d))
+    },
+
+    Q("q93_oov_rate",
+      """Q93 — vocabulary coverage / OOV screen: global top-16 tokens by
+        |corpus frequency (count DESC, token ASC — deterministic), then
+        |per source the token count, out-of-vocabulary token count and
+        |half-up e4 OOV rate (the coverage read that decides whether a
+        |tokenizer vocab transfers to a new source mix; 16 of the corpus'
+        |31-token vocabulary so the read is non-degenerate at every SF).
+        |Scale shape: the vocab is a bounded TakeOrdered top-16 over the
+        |map-side-combined global token counts (never a global sort) and
+        |broadcasts as a fixed-size build side into the (source, token)
+        |count table — one corpus-sized aggregation exchange, one
+        |broadcast join, one #sources-row rollup.""".stripMargin,
+      oovOracle) { (s, d) =>
+      oovRate(Tables.documents(s, d))
+    },
+
+    Q("q94_chunk_dedup",
+      """Q94 — sub-document (chunk-level) exact dedup accounting: each doc
+        |splits into non-overlapping 25-token chunks (last partial chunk
+        |kept, the q41 slice economics); a chunk instance is DUPLICATED
+        |when its md5 digest appears in ≥2 distinct docs. Per source:
+        |chunk instances, duplicated instances, half-up e4 duplicated
+        |fraction — the line/paragraph-grain dedup read (boilerplate
+        |headers, licence blocks) that document-grain q28/q31 can't see.
+        |Scale shape: chunking is codegen'd builtins (sequence + slice —
+        |no interpreted lambdas, the q83 lesson); instances collapse to
+        |the (digest, doc) grain map-side (a doc's chunks are co-located
+        |with their doc row, so the per-doc combine is local), the
+        |distinct-doc count rides ONE digest-keyed window exchange of
+        |16-byte digests (never chunk text), and the rollup is
+        |#sources-row.""".stripMargin,
+      chunkDedupOracle) { (s, d) =>
+      chunkDedup(Tables.documents(s, d))
+    },
+
+    Q("q95_boilerplate",
+      """Q95 — per-source boilerplate shingle screen: a distinct 3-shingle
+        |is BOILERPLATE within a source when it appears in ≥2 distinct
+        |docs of that source (absolute min-support; production screens
+        |layer a relative cut on top, but a percentage threshold is
+        |scale-degenerate on this corpus — cross-doc shingle sharing
+        |peaks at 12 %/2.4 % of a source at sf0.01/sf0.1). Per source:
+        |distinct shingle types, boilerplate types, half-up e4
+        |boilerplate share — the template/chrome detection read
+        |(C4-style) that drives source-level cleaning rules. Scale
+        |shape: per-doc distinct 60-bit shingle digests from the
+        |compiled one-pass kernel (the pair-core representation — 8-byte
+        |digests shuffle, never shingle strings), ONE (source,
+        |digest)-keyed aggregation exchange, #sources-row rollup.""".stripMargin,
+      boilerplateOracle) { (s, d) =>
+      boilerplateScreen(Tables.documents(s, d))
     }
   )
 
@@ -1190,7 +1262,14 @@ object Curation {
     * persisted (session clearCache contract) rather than checkpointed so
     * the optimizer keeps its max-1-row proof for the cross join.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame =
+    bpeTrain(docs, rounds)._1
+
+  /** The q88 merge loop, returning (mergeRows, finalVocab): finalVocab is
+    * the (word, cnt, w) frame AFTER all `rounds` rewrites — the trained
+    * tokenizer state q92's encoder consumes (word → symbol sequence).
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var words = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -1222,8 +1301,146 @@ object Curation {
         col("c").cast(LongType).as("freq"))
       out = if (out == null) row else out.union(row)
     }
-    out.orderBy("rnd")
+    (out.orderBy("rnd"), words)
   }
+
+  /** q92's logic: encode the corpus with the q88-trained merges. The
+    * corpus never rewrites — encoding is word-level: the final vocab maps
+    * each word to its post-merge symbol count, and per-source totals come
+    * from a (source, word) count table joined to that map. Exposed so
+    * specs can pin the encoder against a driver-side merge replay.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocab = bpeTrain(docs, rounds)._2
+      .select(col("word"), size(split(trim(col("w")), " ")).as("nsym"))
+    val srcWords = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    // both sides are vocabulary-sized; build on the global vocab (the
+    // smaller side — srcWords is vocab × sources) and skip SMJ's sorts
+    srcWords.join(vocab.hint("shuffle_hash"), Seq("word"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("tok_ws"),
+        sum(col("cnt") * col("nsym")).as("tok_bpe"))
+      .select(col("source"),
+        col("tok_ws").cast(LongType).as("tok_ws"),
+        col("tok_bpe").cast(LongType).as("tok_bpe"),
+        expr("(2 * 10000 * tok_bpe + tok_ws) div (2 * tok_ws)").as("ratio_e4"))
+      .orderBy("source")
+  }
+
+  /** q93's logic over an arbitrary corpus — exposed so specs can pin the
+    * coverage math on engineered vocab/source mixes.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1L).as("inv"))
+    docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(when(col("inv").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tok").cast(LongType).as("n_tok"),
+        col("n_oov").cast(LongType).as("n_oov"),
+        expr("(2 * 10000 * n_oov + n_tok) div (2 * n_tok)").as("oov_e4"))
+      .orderBy("source")
+  }
+
+  /** q94's logic over an arbitrary corpus — exposed so specs can pin the
+    * chunk boundaries (partial tail chunk, single-chunk docs) and the
+    * ≥2-distinct-doc duplication rule on engineered corpora.
+    */
+  def chunkDedup(docs: DataFrame, width: Int = 25): DataFrame = {
+    val ch = docs
+      .select(col("source"), col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(width))).as("st"))
+      .select(col("source"), col("doc_id"),
+        md5(array_join(slice(col("toks"), col("st"), lit(width)), " ")
+          .cast(BinaryType)).as("dg"))
+    val grain = ch.groupBy(col("dg"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("inst"))
+    grain
+      .withColumn("ndocs",
+        count(lit(1)).over(Window.partitionBy("dg")))
+      .groupBy("source")
+      .agg(sum(col("inst")).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, col("inst")).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_chunks").cast(LongType).as("n_chunks"),
+        col("n_dup").cast(LongType).as("n_dup"),
+        expr("(2 * 10000 * n_dup + n_chunks) div (2 * n_chunks)").as("dup_e4"))
+      .orderBy("source")
+  }
+
+  /** q95's logic over an arbitrary corpus — exposed so specs can pin the
+    * ≥2-distinct-docs-per-source min-support rule on engineered source
+    * mixes.
+    */
+  def boilerplateScreen(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"),
+      explode(NativeExprs.shingleMd5Prefixes(
+        TextOps.tokens(col("text")), 3, 15)).as("dg"))
+    sh.groupBy("source", "dg").agg(count(lit(1)).as("ndocs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("source"), col("n_types").cast(LongType).as("n_types"),
+        col("n_boiler").cast(LongType).as("n_boiler"),
+        expr("(2 * 10000 * n_boiler + n_types) div (2 * n_types)")
+          .as("boiler_e4"))
+      .orderBy("source")
+  }
+
+  private lazy val oovOracle: String =
+    """WITH tc AS (SELECT word AS t, count(*) AS cnt FROM
+      |   (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |   WHERE word <> '' GROUP BY 1),
+      |v AS (SELECT t FROM tc ORDER BY cnt DESC, t LIMIT 16),
+      |st AS (SELECT source, word AS t, count(*) AS cnt FROM
+      |   (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+      |   WHERE word <> '' GROUP BY 1, 2)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tok,
+      |   CAST(sum(CASE WHEN v.t IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+      |   CAST((2 * 10000 * sum(CASE WHEN v.t IS NULL THEN cnt ELSE 0 END) + sum(cnt))
+      |        // (2 * sum(cnt)) AS BIGINT) AS oov_e4
+      |FROM st LEFT JOIN v ON st.t = v.t GROUP BY source ORDER BY source""".stripMargin
+
+  private lazy val chunkDedupOracle: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, source, toks,
+      |      unnest(generate_series(1, greatest(len(toks), 1), 25)) AS st FROM t),
+      |ch AS (SELECT source, doc_id,
+      |       md5(array_to_string(toks[st : st + 24], ' ')) AS dg FROM c),
+      |g AS (SELECT source, doc_id, dg, count(*) AS inst FROM ch GROUP BY 1, 2, 3),
+      |w AS (SELECT source, inst, count(*) OVER (PARTITION BY dg) AS ndocs FROM g)
+      |SELECT source, CAST(sum(inst) AS BIGINT) AS n_chunks,
+      |   CAST(sum(CASE WHEN ndocs >= 2 THEN inst ELSE 0 END) AS BIGINT) AS n_dup,
+      |   CAST((2 * 10000 * sum(CASE WHEN ndocs >= 2 THEN inst ELSE 0 END) + sum(inst))
+      |        // (2 * sum(inst)) AS BIGINT) AS dup_e4
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
+  private lazy val boilerplateOracle: String =
+    """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+      |sh AS (SELECT DISTINCT a.doc_id, a.source, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |g AS (SELECT source, s, count(*) AS ndocs FROM sh GROUP BY 1, 2)
+      |SELECT source,
+      |   CAST(count(*) AS BIGINT) AS n_types,
+      |   CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |   CAST((2 * 10000 * sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+      |         + count(*)) // (2 * count(*)) AS BIGINT) AS boiler_e4
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   /** q89's logic over an arbitrary corpus — exposed so specs can pin the
     * estimator against a driver-side signature replay and the identical-
@@ -1344,7 +1561,10 @@ object Curation {
     * leftmost-non-overlapping on identical strings, so the vocabularies
     * stay bit-identical round over round.
     */
-  private lazy val bpeOracle: String = {
+  /** The q88 WITH-prefix (word table + five merge rounds), shared by the
+    * q92 encoder oracle so both replay the identical training run.
+    */
+  private lazy val bpePrefixSql: String = {
     def rnd(k: Int): String = {
       val p = k - 1
       s"""u$k AS (SELECT word, cnt, unnest(string_split(trim(w), ' ')) AS sym,
@@ -1361,10 +1581,24 @@ object Curation {
       |     ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w
       |     FROM wd WHERE word <> '' GROUP BY 1),
       |""".stripMargin +
-      (1 to 5).map(rnd).mkString(",\n") + "\n" +
+      (1 to 5).map(rnd).mkString(",\n")
+  }
+
+  private lazy val bpeOracle: String =
+    bpePrefixSql + "\n" +
       (1 to 5).map(k =>
         s"SELECT $k AS rnd, p1 AS lhs, p2 AS rhs, p1||p2 AS merged, " +
           s"CAST(c AS BIGINT) AS freq FROM m$k")
         .mkString("", "\nUNION ALL ", "\nORDER BY rnd")
-  }
+
+  private lazy val bpeEncodeOracle: String =
+    bpePrefixSql + """,
+      |v AS (SELECT word, len(string_split(trim(w), ' ')) AS nsym FROM w5),
+      |sw AS (SELECT source, word, count(*) AS cnt FROM
+      |   (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+      |   WHERE word <> '' GROUP BY 1, 2)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS tok_ws,
+      |   CAST(sum(cnt * nsym) AS BIGINT) AS tok_bpe,
+      |   CAST((2 * 10000 * sum(cnt * nsym) + sum(cnt)) // (2 * sum(cnt)) AS BIGINT) AS ratio_e4
+      |FROM sw JOIN v USING (word) GROUP BY source ORDER BY source""".stripMargin
 }

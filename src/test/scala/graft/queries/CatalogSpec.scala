@@ -1228,4 +1228,73 @@ class CatalogSpec extends SparkSpec {
       byStatus.getOrElse("same", 0L) === nCur)
     assert(byStatus.getOrElse("removed", 0L) === nRemoved)
   }
+
+  test("q92 — word-level encode matches hand-computed merges; mass conserves") {
+    import spark.implicits._
+    // one merge round on 'aaa aaa bbb': (a,a) → 'aa', so vocab reads
+    // aaa = ' aa a ' (2 symbols), bbb = ' b b b ' (3) — word instances
+    // weight the rollup: tok_ws 3, tok_bpe 2·2 + 3 = 7
+    val eng = Seq(("s1", "aaa aaa bbb")).toDF("source", "text")
+    val got = graft.queries.Curation.bpeEncode(eng, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(("s1", 3L, 7L, 23333L)),
+      s"engineered encode diverged: ${got.toSeq}")
+    // real corpus: symbols never drop below one per word (ratio ≥ 1) and
+    // whitespace-token mass reconciles with a direct count
+    val rows = Catalog.byName("q92_bpe_encode").build(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(rows.forall { case (_, ws, bpe, e4) => bpe >= ws && e4 >= 10000L })
+    val nTok = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(rows.map(_._2).sum === nTok)
+  }
+
+  test("q93 — OOV accounting on an engineered vocab; full-vocab reads zero") {
+    import spark.implicits._
+    // counts a=3, b=2, c=1 (distinct, no tie) — top-2 vocab {a, b};
+    // s1 is fully covered, s2's 'c' is the one OOV instance (1/2 → 5000)
+    val eng = Seq(("s1", "a a a b"), ("s2", "b c")).toDF("source", "text")
+    val got = graft.queries.Curation.oovRate(eng, vocabSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("s1", 4L, 0L, 0L), ("s2", 2L, 1L, 5000L)),
+      s"engineered OOV diverged: ${got.toSeq}")
+    // a vocab at least as large as the corpus' 31 tokens covers everything
+    val full = graft.queries.Curation
+      .oovRate(Tables.documents(spark, sf0001), vocabSize = 64).collect()
+    assert(full.nonEmpty && full.forall(r => r.getLong(2) === 0L))
+  }
+
+  test("q94 — chunk dedup: partial tail, cross-doc rule, within-doc exclusion") {
+    import spark.implicits._
+    val c25 = (1 to 25).map(i => s"x$i").mkString(" ")
+    val tail5 = (1 to 5).map(i => s"y$i").mkString(" ")
+    val z25 = (1 to 25).map(i => s"z$i").mkString(" ")
+    val eng = Seq(
+      (1L, c25, "s1"),                  // one full chunk, shared with doc 2
+      (2L, s"$c25 $tail5", "s1"),       // 30 tokens → chunks at 1 and 26
+      (3L, s"$z25 $z25", "s2"))         // same chunk TWICE in one doc
+      .toDF("doc_id", "text", "source")
+    val got = graft.queries.Curation.chunkDedup(eng).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s1: 3 instances, the shared 25-token chunk duplicates in both docs
+    // (2 instances), the 5-token tail is unique; s2's repeat lives in ONE
+    // doc, so the ≥2-distinct-docs rule excludes it
+    assert(got.toSeq === Seq(("s1", 3L, 2L, 6667L), ("s2", 2L, 0L, 0L)),
+      s"engineered chunk dedup diverged: ${got.toSeq}")
+  }
+
+  test("q95 — boilerplate min-support is per-source") {
+    import spark.implicits._
+    // 'a b c' repeats across s1's two docs (boilerplate there) but
+    // appears only once inside s2 — per-source accounting keeps it clean
+    val eng = Seq(("s1", "a b c d"), ("s1", "a b c e"), ("s2", "a b c f"))
+      .toDF("source", "text")
+    val got = graft.queries.Curation.boilerplateScreen(eng).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("s1", 3L, 1L, 3333L), ("s2", 2L, 0L, 0L)),
+      s"engineered boilerplate diverged: ${got.toSeq}")
+  }
 }
