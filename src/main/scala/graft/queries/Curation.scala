@@ -866,16 +866,18 @@ object Curation {
         |in both engines so the whole training run is hash-checkable.
         |Output: (rnd, lhs, rhs, merged, freq) per merge. Scale shape:
         |the corpus collapses to a VOCABULARY-sized (word, cnt) table in
-        |one map-side-combined aggregation — the corpus is scanned once,
-        |ever; each round is one pair-count shuffle over that table, a
-        |bounded TakeOrdered top-1 (never a global sort), and a 1-row
-        |broadcast cross join to rewrite — the q82/q84 iteration pattern
-        |with per-round eager checkpoints so round k never re-runs rounds
-        |1..k-1 inside its broadcast. At 100 TB the vocab is ~10⁷ rows:
-        |every per-round structure is vocabulary-, not corpus-, sized.
-        |The 1-row merge frame is persisted, not checkpointed, so the
-        |optimizer keeps its max-1-row proof for the cross join (the
-        |q48/q65 1-row-broadcast precedent).""".stripMargin,
+        |one eager-checkpointed map-side-combined aggregation — the
+        |corpus is scanned once, ever; each round is one pair-count
+        |shuffle over that table and a bounded TakeOrdered top-1 (never
+        |a global sort) whose SINGLE row is collected to the driver (the
+        |merge decision is inherently sequential; the CC
+        |convergence-check bounded-collect precedent), making each
+        |rewrite a LITERAL narrow replace projection — round k's scan is
+        |the checkpointed vocab plus k−1 vocabulary-local string
+        |rewrites, with NO per-round crossJoin/persist/checkpoint
+        |barrier (r9s3: 1.25 → ~0.6 s warm at sf0.1). At 100 TB the
+        |vocab is ~10⁷ rows: every per-round structure is vocabulary-,
+        |not corpus-, sized.""".stripMargin,
       bpeOracle) { (s, d) =>
       bpeMerges(Tables.documents(s, d))
     },
@@ -1268,8 +1270,20 @@ object Curation {
   /** The q88 merge loop, returning (mergeRows, finalVocab): finalVocab is
     * the (word, cnt, w) frame AFTER all `rounds` rewrites — the trained
     * tokenizer state q92's encoder consumes (word → symbol sequence).
+    *
+    * The per-round argmax COLLECTS (one bounded row per round — the CC
+    * convergence-check precedent): the merge decision is inherently
+    * sequential, and with it on the driver each rewrite is a LITERAL
+    * narrow `replace` projection, so round k's pair scan is the one
+    * eager-checkpointed vocab collapse plus k−1 vocabulary-local string
+    * rewrites — no per-round crossJoin, persist, or checkpoint barrier
+    * (the r9s3 rewrite: q88 1.25 → ~0.6 s, q92 1.8 → ~1.1 s warm at
+    * sf0.1; the old 1-row-broadcast form paid 2 jobs + an eager
+    * checkpoint per round). Exhaustion (no pair left) skips the round
+    * and KEEPS the vocab — the encoder sees the last trained state.
     */
   private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     var words = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -1279,7 +1293,7 @@ object Curation {
         // the merge rewrite is a literal ' p1 p2 ' -> ' p1p2 ' replace
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"))
       .localCheckpoint(true)
-    var out: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     (1 to rounds).foreach { k =>
       val syms = words.select(col("cnt"), split(trim(col("w")), " ").as("s"))
       val pairs = syms.select(col("cnt"), explode(arrays_zip(
@@ -1289,18 +1303,19 @@ object Curation {
         .select(col("p.p1").as("p1"), col("p.p2").as("p2"), col("cnt"))
       val mk = pairs.groupBy("p1", "p2").agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("p1"), col("p2")).limit(1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      words = words.crossJoin(broadcast(mk))
-        .select(col("word"), col("cnt"),
+        .collect() // bounded: TakeOrdered ships ≤1 row per map task
+      mk.headOption.foreach { r =>
+        val (p1, p2, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        words = words.select(col("word"), col("cnt"),
           call_function("replace", col("w"),
-            concat(lit(" "), col("p1"), lit(" "), col("p2"), lit(" ")),
-            concat(lit(" "), col("p1"), col("p2"), lit(" "))).as("w"))
-        .localCheckpoint(true)
-      val row = mk.select(lit(k).as("rnd"), col("p1").as("lhs"),
-        col("p2").as("rhs"), concat(col("p1"), col("p2")).as("merged"),
-        col("c").cast(LongType).as("freq"))
-      out = if (out == null) row else out.union(row)
+            lit(s" $p1 $p2 "), lit(s" $p1$p2 ")).as("w"))
+        merges += ((k, p1, p2, c))
+      }
     }
+    import spark.implicits._
+    val out = merges.toSeq
+      .map { case (k, p1, p2, c) => (k, p1, p2, p1 + p2, c) }
+      .toDF("rnd", "lhs", "rhs", "merged", "freq")
     (out.orderBy("rnd"), words)
   }
 
