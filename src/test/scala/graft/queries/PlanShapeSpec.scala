@@ -366,4 +366,45 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("SortAggregate"), s"$q aggregate degraded to sort:\n$p")
     }
   }
+
+  test("q92 — encode join is hash-keyed and vocabulary-sized; no round barrier remains") {
+    val p = plan("q92_bpe_encode")
+    // the (source, word) counts meet the trained vocab in ONE word-keyed
+    // hash join — never a sort-merge (no downstream order) and never a
+    // nested loop; the training rounds are literal projections over the
+    // checkpointed vocab, so NO crossJoin/broadcast survives in the plan
+    assert(p.contains("ShuffledHashJoin"), s"q92 encode join not hash-keyed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q92 join degraded to sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q92 kept a training cross join:\n$p")
+    assert(p.contains("partial_sum"), s"q92 rollup lost map-side partials:\n$p")
+  }
+
+  test("q93 — vocab is a bounded top-k broadcast; corpus side never sorts") {
+    val p = plan("q93_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), s"q93 vocab cut is a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q93 vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q93 join degraded to sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q93 counts lost map-side partials:\n$p")
+  }
+
+  test("q94 — chunking is join-free; distinct-doc counts ride a dg-partitioned window") {
+    val p = plan("q94_chunk_dedup")
+    // chunks collapse doc-locally and the ≥2-docs rule is a count window
+    // on the digest exchange — there is NO join anywhere in this plan
+    assert(!p.contains("Join"), s"q94 plans a join:\n$p")
+    assert(p.contains("windowspecdefinition(dg#"), s"q94 window not dg-partitioned:\n$p")
+    // chunk build must stay codegen'd builtins (sequence+slice explode),
+    // never an interpreted lambda (the q83 HOF lesson)
+    assert(!p.contains("transform("), s"q94 chunk build uses an interpreted HOF:\n$p")
+  }
+
+  test("q95 — boilerplate screen is join-free over compiled digests") {
+    val p = plan("q95_boilerplate")
+    assert(!p.contains("Join"), s"q95 plans a join:\n$p")
+    val kernels = "shingle_md5_prefixes".r.findAllIn(p).length
+    assert(kernels == 1, s"q95 shingle kernel evaluated $kernels times (want 1):\n$p")
+    assert(p.contains("partial_count"), s"q95 lost map-side partials:\n$p")
+  }
 }
