@@ -233,4 +233,23 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q92/q94/q95 — encode, chunk dedup and boilerplate invariant under doc repartitioning") {
+    // word-level encoding, the ≥2-distinct-docs chunk rule and the
+    // per-source min-support are pure functions of the data — a skewed
+    // or single-partition layout must not move a count or a ratio
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val base = Tables.documents(spark, sf0001)
+    val encRef = rows(graft.queries.Curation.bpeEncode(base))
+    spark.catalog.clearCache()
+    val chunkRef = rows(graft.queries.Curation.chunkDedup(base))
+    val boilerRef = rows(graft.queries.Curation.boilerplateScreen(base))
+    Seq(base.repartition(17, $"source"), base.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Curation.bpeEncode(l)) === encRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.chunkDedup(l)) === chunkRef)
+      assert(rows(graft.queries.Curation.boilerplateScreen(l)) === boilerRef)
+    }
+  }
 }
