@@ -4,16 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Dev-only: q89_minhash_estimate stage dissection (round 9, session 3 —
-  * the 2.31 s window-8 reading vs DuckDB's 0.91 s row). The shipped plan
-  * posexplodes each participant signature into 16 (p, mh) rows, persists
-  * the exploded frame, joins the pair set into it twice and re-aggregates
-  * agreement with a groupBy — four extra barriers over the pair core.
-  * Candidate rewrite: keep the signature as ONE 16-element array per
-  * participant and count agreement per pair row with zip_with+aggregate
-  * (16-element arrays on a candidate-bounded pair set — interpreted-HOF
-  * cost is nanoseconds here, unlike the corpus-sized q83 streams), so the
-  * whole agreement stage is two broadcast joins and zero new shuffles.
+/** Dev-only HISTORICAL dissection record: q89_minhash_estimate (round 9,
+  * session 3 — the 2.31 s window-8 reading vs DuckDB's 0.91 s row). The
+  * THEN-shipped plan posexploded each participant signature into 16
+  * (p, mh) rows, persisted the exploded frame, joined the pair set into
+  * it twice and re-aggregated agreement with a groupBy — four extra
+  * barriers over the pair core. `arrayVariant` below is the measured
+  * winner (2.0–2.7 → 1.6–2.0 s fresh-cache, exact row parity) and was
+  * ADOPTED as `Curation.minhashEstimate` the same session — running this
+  * harness today therefore compares the shipped form against itself; the
+  * numbers in BASELINE.md's ledger are the pre-adoption measurements.
   */
 object DevQ89 {
   def main(args: Array[String]): Unit = {

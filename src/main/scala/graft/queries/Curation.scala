@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -944,11 +943,14 @@ object Curation {
         |half-up e4 OOV rate (the coverage read that decides whether a
         |tokenizer vocab transfers to a new source mix; 16 of the corpus'
         |31-token vocabulary so the read is non-degenerate at every SF).
-        |Scale shape: the vocab is a bounded TakeOrdered top-16 over the
-        |map-side-combined global token counts (never a global sort) and
-        |broadcasts as a fixed-size build side into the (source, token)
-        |count table — one corpus-sized aggregation exchange, one
-        |broadcast join, one #sources-row rollup.""".stripMargin,
+        |Scale shape: the corpus is scanned ONCE into a persisted
+        |(source, token) count table (vocabulary × sources rows); the
+        |global vocab derives from that table (a vocabulary-sized
+        |re-aggregation, never a second text pass) as a bounded
+        |TakeOrdered top-16 (never a global sort) and broadcasts as a
+        |fixed-size build side back into it — one corpus-sized
+        |aggregation exchange, one broadcast join, one #sources-row
+        |rollup.""".stripMargin,
       oovOracle) { (s, d) =>
       oovRate(Tables.documents(s, d))
     },
@@ -964,10 +966,13 @@ object Curation {
         |Scale shape: chunking is codegen'd builtins (sequence + slice —
         |no interpreted lambdas, the q83 lesson); instances collapse to
         |the (digest, doc) grain map-side (a doc's chunks are co-located
-        |with their doc row, so the per-doc combine is local), the
-        |distinct-doc count rides ONE digest-keyed window exchange of
-        |16-byte digests (never chunk text), and the rollup is
-        |#sources-row.""".stripMargin,
+        |with their doc row, so the per-doc combine is local); the
+        |distinct-doc count is a map-side-combined digest aggregate
+        |STREAMED back through a dg-keyed hash join (a count window
+        |would buffer the hottest digest's — i.e. the boilerplate
+        |chunk's — every row in one task); the exchange ships 16-byte
+        |BINARY digests (unhex'd md5, never chunk text), and the rollup
+        |is #sources-row.""".stripMargin,
       chunkDedupOracle) { (s, d) =>
       chunkDedup(Tables.documents(s, d))
     },
@@ -1259,10 +1264,9 @@ object Curation {
   /** q88's logic over an arbitrary corpus — exposed so specs can pin the
     * greedy leftmost-non-overlapping merge semantics (' a a a ' merges
     * ONCE per round) and a full driver-side BPE replay bit-for-bit.
-    * Each round: pair counts over the vocab table, bounded top-1 argmax,
-    * 1-row-broadcast rewrite via literal `replace`. The merge frame is
-    * persisted (session clearCache contract) rather than checkpointed so
-    * the optimizer keeps its max-1-row proof for the cross join.
+    * Each round: pair counts over the vocab table, a bounded top-1
+    * argmax COLLECTED to the driver (≤1 row), and a literal narrow
+    * `replace` projection — see [[bpeTrain]] for the plan rationale.
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame =
     bpeTrain(docs, rounds)._1
@@ -1349,16 +1353,18 @@ object Curation {
     * coverage math on engineered vocab/source mixes.
     */
   def oovRate(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
-    val vocab = docs
-      .select(explode(TextOps.tokens(col("text"))).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy("t").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
-      .select(col("t"), lit(1L).as("inv"))
-    docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+    // ONE corpus scan: the global vocab counts derive from the persisted
+    // (source, token) table (vocabulary × sources rows), never a second
+    // pass over the text (review finding, r9s3)
+    val st = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
       .filter(col("t") =!= "")
       .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(vocab), Seq("t"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = st.groupBy("t").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1L).as("inv"))
+    st.join(broadcast(vocab), Seq("t"), "left")
       .groupBy("source")
       .agg(sum(col("cnt")).as("n_tok"),
         sum(when(col("inv").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
@@ -1373,6 +1379,8 @@ object Curation {
     * ≥2-distinct-doc duplication rule on engineered corpora.
     */
   def chunkDedup(docs: DataFrame, width: Int = 25): DataFrame = {
+    // unhex(md5(..)) → the exchange ships 16-byte BINARY digests, not
+    // 32-char hex text (review finding, r9s3)
     val ch = docs
       .select(col("source"), col("doc_id"),
         TextOps.tokens(col("text")).as("toks"))
@@ -1380,13 +1388,20 @@ object Curation {
         explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
           lit(width))).as("st"))
       .select(col("source"), col("doc_id"),
-        md5(array_join(slice(col("toks"), col("st"), lit(width)), " ")
-          .cast(BinaryType)).as("dg"))
+        unhex(md5(array_join(slice(col("toks"), col("st"), lit(width)), " ")
+          .cast(BinaryType))).as("dg"))
     val grain = ch.groupBy(col("dg"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("inst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct-doc counts as a map-side-combined aggregate STREAMED back
+    // through a dg-keyed hash join (build = one row per digest) — a
+    // count window over the dg partition would BUFFER the hottest
+    // digest's every grain row in one task, and the hottest digest is
+    // the boilerplate chunk this query exists to find (review finding,
+    // r9s3); the persist funds both consumers of the grain frame
+    val nd = grain.groupBy("dg").agg(count(lit(1)).as("ndocs"))
     grain
-      .withColumn("ndocs",
-        count(lit(1)).over(Window.partitionBy("dg")))
+      .join(nd.hint("shuffle_hash"), Seq("dg"))
       .groupBy("source")
       .agg(sum(col("inst")).as("n_chunks"),
         sum(when(col("ndocs") >= 2, col("inst")).otherwise(0L)).as("n_dup"))
@@ -1485,6 +1500,10 @@ object Curation {
         array_distinct(NativeExprs.shingles(col("toks"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), NativeExprs.lshMinSig(col("shs"), nPerms).as("sig"))
+      // participant-bounded (≪ corpus) — persisted because BOTH join
+      // sides below consume it, and the minhash kernel is the most
+      // expensive per-row work in the query (session clearCache contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the pair set is candidate-bounded — broadcast it into the signature
     // stream, then broadcast the joined (pair × lhs-signature) rows into
     // the stream again for the rhs signature
@@ -1588,8 +1607,10 @@ object Curation {
          |        FROM u$k a JOIN u$k b ON a.word = b.word AND b.i = a.i + 1 GROUP BY 1, 2),
          |m$k AS (SELECT p1, p2, c FROM c$k ORDER BY c DESC, p1, p2 LIMIT 1),
          |w$k AS (SELECT word, cnt,
-         |        replace(w, ' '||m.p1||' '||m.p2||' ', ' '||m.p1||m.p2||' ') AS w
-         |        FROM w$p CROSS JOIN m$k m)""".stripMargin
+         |        CASE WHEN m.p1 IS NULL THEN w
+         |             ELSE replace(w, ' '||m.p1||' '||m.p2||' ', ' '||m.p1||m.p2||' ')
+         |        END AS w
+         |        FROM w$p LEFT JOIN m$k m ON TRUE)""".stripMargin
     }
     """WITH wd AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
       |w0 AS MATERIALIZED (SELECT word, count(*) AS cnt,

@@ -389,15 +389,21 @@ class PlanShapeSpec extends SparkSpec {
       s"q93 counts lost map-side partials:\n$p")
   }
 
-  test("q94 — chunking is join-free; distinct-doc counts ride a dg-partitioned window") {
+  test("q94 — distinct-doc counts stream through a dg hash join, never a buffering window") {
     val p = plan("q94_chunk_dedup")
-    // chunks collapse doc-locally and the ≥2-docs rule is a count window
-    // on the digest exchange — there is NO join anywhere in this plan
-    assert(!p.contains("Join"), s"q94 plans a join:\n$p")
-    assert(p.contains("windowspecdefinition(dg#"), s"q94 window not dg-partitioned:\n$p")
+    // the ≥2-docs rule is a map-side-combined digest aggregate streamed
+    // back through a dg-keyed hash join (build = 1 row/digest) — a count
+    // window would buffer the hottest digest's every grain row in one
+    // task, and the hottest digest is the boilerplate chunk the query
+    // exists to find
+    assert(p.contains("ShuffledHashJoin"), s"q94 lost the streamed dg join:\n$p")
+    assert(!p.contains("(Window"), s"q94 plans a buffering window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q94 join degraded to sort:\n$p")
+    assert(p.contains("InMemoryRelation"), s"q94 grain frame not persisted:\n$p")
     // chunk build must stay codegen'd builtins (sequence+slice explode),
     // never an interpreted lambda (the q83 HOF lesson)
     assert(!p.contains("transform("), s"q94 chunk build uses an interpreted HOF:\n$p")
+    assert(p.contains("partial_count"), s"q94 lost map-side partials:\n$p")
   }
 
   test("q95 — boilerplate screen is join-free over compiled digests") {
