@@ -379,6 +379,27 @@ object Streams {
   def transitionCounts(trans: DataFrame): DataFrame =
     trans.groupBy("src_type", "dst_type").agg(count(lit(1)).as("n"))
 
+  /** Ingest-side vocabulary-coverage monitor — the streaming twin of the
+    * q93 OOV screen: per source, RUNNING token and out-of-vocabulary
+    * counts against a STATIC vocab frame (one `t` column), the coverage
+    * alarm a pipeline watches while a new crawl streams in (a rising OOV
+    * rate on a source means the trained tokenizer no longer fits what
+    * that source now sends). The vocab joins per micro-batch as a
+    * broadcast static side (the [[enrich]] pattern — no state store for
+    * the join); the rollup is an update-mode stateful aggregation whose
+    * state is #sources rows, so it runs forever without a watermark.
+    * Emits (source, n_tok, n_oov) updates; rate = n_oov/n_tok downstream.
+    */
+  def oovRates(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .join(broadcast(vocab.select(col("t"), lit(1L).as("inv"))),
+        Seq("t"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+
   /** Stream ⋈ static dimension enrichment (the ingest-side join every
     * pipeline needs): per micro-batch hash join against the static side —
     * no state store, broadcast when small.

@@ -484,4 +484,53 @@ class StreamingSpec extends SparkSpec {
     assert(got2 === Set(("a", "b", 1L)),
       s"cross-batch transition semantics diverged: $got2")
   }
+
+  test("streaming OOV monitor — running totals match batch q93; counts accumulate across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // full-corpus batch equivalence in a single trigger, against the
+    // catalog q93 logic (same top-16 vocab, derived batch-side — the
+    // monitor's vocab input is static by contract)
+    val docs = Tables.documents(spark, sf0001)
+    val vocab = docs
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"t").limit(16).select("t")
+    val rows = docs.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+    val src = MemoryStream[(Long, String, String)]
+    src.addData(rows.toSeq)
+    val q = Streams.oovRates(
+        src.toDS().toDF("doc_id", "text", "source"), vocab)
+      .writeStream.format("memory").queryName("t_oov")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_oov").select("source", "n_tok", "n_oov")
+    val want = graft.queries.Curation.oovRate(docs)
+      .select("source", "n_tok", "n_oov")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"streaming OOV != batch q93: ${got.collect().toSeq}")
+
+    // cross-batch accumulation: totals after batch 2 are the union's
+    // totals (update mode re-emits the risen counters; counters are
+    // monotone, so the per-source max across updates is the final state)
+    val vocab2 = Seq("a", "b").toDF("t")
+    val src2 = MemoryStream[(Long, String, String)]
+    val q2 = Streams.oovRates(
+        src2.toDS().toDF("doc_id", "text", "source"), vocab2)
+      .writeStream.format("memory").queryName("t_oov2")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      src2.addData((1L, "a a b", "s1"))
+      q2.processAllAvailable()
+      src2.addData((2L, "a z z", "s1"), (3L, "b q", "s2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val finalTotals = spark.table("t_oov2")
+      .groupBy("source")
+      .agg(max($"n_tok").as("n_tok"), max($"n_oov").as("n_oov"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(finalTotals === Set(("s1", 6L, 2L), ("s2", 2L, 1L)),
+      s"cross-batch OOV accumulation diverged: $finalTotals")
+  }
 }
