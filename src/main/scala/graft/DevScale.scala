@@ -132,7 +132,10 @@ object DevScale {
       // corpus-scan band; replica suffixes keep chunks doc-local so the
       // dup mass scales linearly), boilerplate screen (one
       // (source, digest) exchange of per-doc-distinct digests)
-      "q92_bpe_encode", "q94_chunk_dedup", "q95_boilerplate")
+      "q92_bpe_encode", "q94_chunk_dedup", "q95_boilerplate",
+      // r9 sixth batch: dedup yield (md5 window + the pair+CC family on
+      // exact survivors — tracks q76's scaling)
+      "q96_dedup_yield")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -993,6 +993,24 @@ object Curation {
         |digest)-keyed aggregation exchange, #sources-row rollup.""".stripMargin,
       boilerplateOracle) { (s, d) =>
       boilerplateScreen(Tables.documents(s, d))
+    },
+
+    Q("q96_dedup_yield",
+      """Q96 — dedup yield accounting: the "what does dedup actually save"
+        |read a pipeline reports before committing to a cleaning config —
+        |per (source, reason ∈ kept/exact/near_dup), documents and
+        |whitespace-token mass. Exact removal keeps the min doc_id per
+        |content hash (q28 semantics); near-dup removal runs on the exact
+        |SURVIVORS (the q55 stage order) and keeps the min member of each
+        |jaccard ≥ 0.5 transitive closure cluster (q76 semantics). Scale
+        |shape: one corpus scan persisted with the md5-window flag (the
+        |audited q28 exchange); survivors feed the shared pair core and
+        |the pointer-jumping CC (pair-set-only shuffles); classification
+        |is two doc-keyed joins against the node-sized label frame; the
+        |rollup is #sources×3 rows. Mass conservation (Σ over reasons =
+        |corpus totals) is spec-pinned.""".stripMargin,
+      dedupYieldOracle) { (s, d) =>
+      dedupYield(Tables.documents(s, d))
     }
   )
 
@@ -1429,6 +1447,81 @@ object Curation {
           .as("boiler_e4"))
       .orderBy("source")
   }
+
+  /** q96's logic over an arbitrary corpus — exposed so specs can pin the
+    * stage order (near-dup runs on exact survivors), the per-reason
+    * classification and mass conservation on engineered corpora.
+    */
+  def dedupYield(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast(BinaryType))).orderBy("doc_id")
+    // one corpus scan; the flagged frame feeds the exact-removed split,
+    // the survivor pair core and both classification joins
+    val flagged = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).as("nt"))
+      .withColumn("_rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactRemoved = flagged.filter(col("_rn") > 1)
+      .select(col("source"), lit("exact").as("reason"), col("nt"))
+    val survivors = flagged.filter(col("_rn") === 1)
+      .select("doc_id", "source", "text", "nt")
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(
+      survivors, "doc_id", "text")
+    val pairs = wc
+      .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
+      .select(col("i"), col("j"))
+    val removedIds = graft.operators.Dedup
+      .connectedComponents(pairs, "i", "j")
+      .filter(col("u") =!= col("lbl"))
+      .select(col("u").as("doc_id"))
+    val nearRemoved = survivors
+      .join(removedIds, Seq("doc_id"), "leftsemi")
+      .select(col("source"), lit("near_dup").as("reason"), col("nt"))
+    val kept = survivors
+      .join(removedIds, Seq("doc_id"), "left_anti")
+      .select(col("source"), lit("kept").as("reason"), col("nt"))
+    kept.union(exactRemoved).union(nearRemoved)
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast(LongType).as("n_tok"))
+      .orderBy("source", "reason")
+  }
+
+  private lazy val dedupYieldOracle: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, source, text,
+      |        len(string_split(text, ' ')) AS nt FROM documents),
+      |x AS MATERIALIZED (SELECT doc_id, source, nt, text,
+      |     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM d),
+      |surv AS MATERIALIZED (SELECT doc_id, source, nt, text FROM x WHERE rn = 1),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |        generate_subscripts(string_split(text, ' '), 1) AS i FROM surv),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT i, j FROM inter JOIN cnt ca ON ca.doc_id = i
+      |                              JOIN cnt cb ON cb.doc_id = j
+      |       WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5),
+      |edges AS (SELECT i AS u, j AS v FROM pr UNION ALL SELECT j AS u, i AS v FROM pr),
+      |reach(u, x) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+      |lb AS (SELECT u, min(x) AS lbl FROM reach GROUP BY u),
+      |rm AS (SELECT u FROM lb WHERE lbl <> u),
+      |cls AS (
+      |  SELECT source, nt, 'exact' AS reason FROM x WHERE rn > 1
+      |  UNION ALL
+      |  SELECT s.source, s.nt, 'near_dup' FROM surv s JOIN rm ON rm.u = s.doc_id
+      |  UNION ALL
+      |  SELECT s.source, s.nt, 'kept' FROM surv s LEFT JOIN rm ON rm.u = s.doc_id
+      |  WHERE rm.u IS NULL)
+      |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(nt) AS BIGINT) AS n_tok
+      |FROM cls GROUP BY 1, 2 ORDER BY source, reason""".stripMargin
 
   private lazy val oovOracle: String =
     """WITH tc AS (SELECT word AS t, count(*) AS cnt FROM

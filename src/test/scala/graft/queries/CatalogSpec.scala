@@ -1297,4 +1297,33 @@ class CatalogSpec extends SparkSpec {
     assert(got.toSeq === Seq(("s1", 3L, 1L, 3333L), ("s2", 2L, 0L, 0L)),
       s"engineered boilerplate diverged: ${got.toSeq}")
   }
+
+  test("q96 — dedup yield classifies each stage; mass conserves on the corpus") {
+    import spark.implicits._
+    val t8 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val c1 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val c2 = (1 to 11).map(i => s"w$i").mkString(" ") + " z" // jac 9/11 vs c1
+    val eng = Seq(
+      (1L, t8, "s1"), (2L, t8, "s1"),   // exact pair: keep 1, remove 2
+      (3L, c1, "s1"), (4L, c2, "s1"),   // near pair on survivors: remove 4
+      (5L, (1 to 12).map(i => s"u$i").mkString(" "), "s2"),
+      (6L, (1 to 12).map(i => s"v$i").mkString(" "), "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.queries.Curation.dedupYield(eng).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(
+      ("s1", "exact", 1L, 8L), ("s1", "kept", 2L, 20L),
+      ("s1", "near_dup", 1L, 12L), ("s2", "kept", 2L, 24L)),
+      s"engineered dedup yield diverged: ${got.toSeq}")
+    // conservation: every corpus doc lands in exactly one reason class
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Catalog.byName("q96_dedup_yield").build(spark, sf0001)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val nDocs = docs.count()
+    val nTok = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(rows.map(_._1).sum === nDocs, "doc mass not conserved")
+    assert(rows.map(_._2).sum === nTok, "token mass not conserved")
+  }
 }
