@@ -134,8 +134,9 @@ object DevScale {
       // (source, digest) exchange of per-doc-distinct digests)
       "q92_bpe_encode", "q94_chunk_dedup", "q95_boilerplate",
       // r9 sixth batch: dedup yield (md5 window + the pair+CC family on
-      // exact survivors — tracks q76's scaling)
-      "q96_dedup_yield")
+      // exact survivors — tracks q76's scaling); PIT backfill (10x users
+      // → 10x window groups and a 10x-user grid, calendar days fixed)
+      "q96_dedup_yield", "q97_pit_features")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

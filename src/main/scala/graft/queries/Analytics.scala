@@ -833,11 +833,85 @@ object Analytics {
         .select(col("event_type"), col("day"), col("n"),
           round(col("z"), 4).as("z"))
         .orderBy("event_type", "day")
+    },
+
+    Q("q97_pit_features",
+      """Q97 — point-in-time feature backfill (the leakage-free feature
+        |join a training pipeline materializes before joining labels):
+        |per (user, calendar day), the user's LAST event value at or
+        |before that day's end — last-within-day by (ts, event_id) DESC,
+        |forward-filled across the user's event-less days, never reading
+        |the future. value passes through UNTOUCHED (no arithmetic — both
+        |engines surface the identical parquet doubles), day is the q90
+        |epoch-day BIGINT. Scale shape: ONE (user, day)-keyed exchange
+        |carries the last-within-day window (per-group state = one row);
+        |the grid is each user's first-event day through the corpus
+        |horizon — the horizon attaches as a proven-1-row scalar (the
+        |q48/q65 cross-join pattern) and the day range explodes from a
+        |codegen'd sequence, so days before a user's first event never
+        |even exist; the forward fill is a user-keyed running
+        |`last(ignoreNulls)` over ≤ #days rows per user — per-user state
+        |is bounded by the calendar, not the event count, so a hot user
+        |costs the same as any other. Output is the training-matrix
+        |grain itself.""".stripMargin,
+      q97OracleSql) { (s, d) =>
+      pitFeatures(Tables.events(s, d))
     }
   )
 
   // lazy: declared below `qs`, which captures it during object init (the
   // Curation oracle-val convention — a plain val here is null at capture)
+  /** q97's logic over an arbitrary event frame — exposed so specs can pin
+    * the within-day tie order, the forward fill across event-less days,
+    * and the no-future-leakage property on engineered streams.
+    */
+  def pitFeatures(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // consumed three ways (last-per-day, user set, day set) — persist so
+    // the event scan runs once (session clearCache contract)
+    val e = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_id"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wd = Window.partitionBy("user_id", "day")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val lastPerDay = e.withColumn("_rn", row_number().over(wd))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    // grid = each user's first-event day through the corpus horizon —
+    // the horizon is a PROVEN-1-row scalar (the q48/q65 cross-join
+    // pattern), so no non-scalar nested loop; rows before a user's
+    // first event never exist, which IS the no-backward-leakage rule
+    val grid = e.groupBy("user_id").agg(min(col("day")).as("mn"))
+      .crossJoin(e.agg(max(col("day")).as("mx")))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val fill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("user_id", "day"), "left")
+      .withColumn("last_val", last(col("value"), ignoreNulls = true).over(fill))
+      .filter(col("last_val").isNotNull)
+      .select(col("user_id"), col("day"), col("last_val"))
+      .orderBy("user_id", "day")
+  }
+
+  private lazy val q97OracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+      |        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_id, value FROM events),
+      |l AS (SELECT user_id, day, value FROM (
+      |   SELECT user_id, day, value,
+      |          row_number() OVER (PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn
+      |   FROM e) WHERE rn = 1),
+      |b AS (SELECT user_id, min(day) AS mn FROM e GROUP BY 1),
+      |mx AS (SELECT max(day) AS mx FROM e),
+      |grid AS (SELECT user_id, unnest(generate_series(mn, mx.mx)) AS day
+      |         FROM b CROSS JOIN mx),
+      |f AS (SELECT g.user_id, g.day,
+      |      last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day) AS last_val
+      |      FROM grid g LEFT JOIN l ON l.user_id = g.user_id AND l.day = g.day)
+      |SELECT user_id, day, last_val FROM f WHERE last_val IS NOT NULL
+      |ORDER BY user_id, day""".stripMargin
+
   private lazy val q87OracleSql: String =
     """WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS us,
         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,

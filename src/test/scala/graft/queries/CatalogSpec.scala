@@ -1326,4 +1326,29 @@ class CatalogSpec extends SparkSpec {
     assert(rows.map(_._1).sum === nDocs, "doc mass not conserved")
     assert(rows.map(_._2).sum === nTok, "token mass not conserved")
   }
+
+  test("q97 — PIT backfill: within-day tie order, forward fill, no backward leakage") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 has a same-instant tie on day 0 (higher event_id wins) and an
+    // event-less day 1 (forward-filled from its own range); u2 first
+    // appears on day 2 — days 0/1 must NOT exist for it (the
+    // no-backward-leakage rule); u3 starts on day 1 and fills day 2
+    val eng = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 2L, 2.0),
+      (1L, ts("2024-01-03 09:00:00"), 5L, 5.0),
+      (3L, ts("2024-01-02 08:00:00"), 3L, 3.0),
+      (2L, ts("2024-01-03 11:00:00"), 4L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val d0 = ts("2024-01-01 00:00:00").getTime / 86400000L
+    val got = graft.queries.Analytics.pitFeatures(eng).collect()
+      .map(r => (r.getLong(0), r.getLong(1) - d0, r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(
+      (1L, 0L, 2.0), (1L, 1L, 2.0), (1L, 2L, 5.0),
+      (2L, 2L, 7.0),
+      (3L, 1L, 3.0), (3L, 2L, 3.0)),
+      s"engineered PIT backfill diverged: ${got.toSeq}")
+  }
 }
