@@ -136,7 +136,16 @@ object DevScale {
       // r9 sixth batch: dedup yield (md5 window + the pair+CC family on
       // exact survivors — tracks q76's scaling); PIT backfill (10x users
       // → 10x window groups and a 10x-user grid, calendar days fixed)
-      "q96_dedup_yield", "q97_pit_features")
+      "q96_dedup_yield", "q97_pit_features",
+      // r9 session 4: session itemsets (10x users → 10x sessions through
+      // one user-keyed exchange; the pair table stays #types²), length KS
+      // (replica token suffixes lengthen docs, so distinct lengths — and
+      // the #sources×#lens grid — grow ~10x alongside the (source, len)
+      // reduction; still aggregate-sized), length clip (one source-keyed
+      // exchange over 10x rows), centroid drift (10x vectors reduce into
+      // the same (label × dim) table)
+      "q98_session_itemsets", "q99_length_ks", "q100_length_clip",
+      "q101_centroid_drift")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -856,6 +856,75 @@ object Analytics {
         |grain itself.""".stripMargin,
       q97OracleSql) { (s, d) =>
       pitFeatures(Tables.events(s, d))
+    },
+
+    Q("q98_session_itemsets",
+      """Q98 — frequent event-type 2-itemsets at the SESSION grain (the
+        |market-basket read over behavioral streams: which event types
+        |co-occur within one visit): sessions are q30's 30-minute-gap
+        |cuts; a session's distinct type set yields its (a < b) pairs;
+        |output is per-pair co-occurrence count, session support and
+        |lift, both integer half-up ten-thousandths (the q61/q87 rule —
+        |no float crosses engines; at extreme session counts the lift
+        |numerator 2·10⁴·ns·n_ab is the 128-bit/decimal lever, noted not
+        |needed below ~4.6e14 session-pairs). The USER grain is
+        |degenerate on this corpus (every user reaches all 5 types) —
+        |sessions are the informative basket, measured first. Scale
+        |shape: the sessionize window and the (user, sid) reduction ride
+        |ONE user-keyed exchange (HashPartitioning(user_id) satisfies
+        |the (user_id, sid) clustering — the q57 lesson); per-session
+        |state is the bounded distinct-type set (≤ #types), pairs expand
+        |from that tiny array locally (HOF lambdas over ≤ #types
+        |elements, NOT per-token work — the q83 interpreted-lambda
+        |budget is per-session constant), and everything after is
+        |#types²-row: the support scalar is a proven-1-row cross join,
+        |the per-type session counts broadcast twice.""".stripMargin,
+      q98OracleSql) { (s, d) =>
+      sessionItemsets(Tables.events(s, d))
+    },
+
+    Q("q99_length_ks",
+      """Q99 — per-source two-sample Kolmogorov–Smirnov drift of the
+        |document-length distribution vs the REST of the corpus (the
+        |distribution-shape companion to q59's token-content JSD: a
+        |source whose length profile diverges — truncation bugs,
+        |template farms, concatenation errors — surfaces here even when
+        |its vocabulary looks normal). INTEGER-exact: the KS supremum is
+        |max over observed lengths of |cum_s·(n−n_s) − (gcum−cum_s)·n_s|
+        |— CDFs compared by cross-multiplication so no division happens
+        |until the final half-up e4 quantization (exact in BIGINT up to
+        |~3e9 docs; beyond that the DECIMAL(38) lever). The global CDF
+        |is never computed with a global window: gcum = Σ over sources
+        |of cum_s at each length (CDFs are additive), a #sources-row
+        |window per length on the grid. Scale shape: the corpus reduces
+        |ONCE to the (source, len) count table; the evaluation grid is
+        |#sources × #distinct-lengths (length cardinality is bounded by
+        |the doc-size range, not the corpus), built by exploding the
+        |1-row sorted length array; two tiny windows and a #sources-row
+        |rollup finish it. Sources with no complement (single-source
+        |corpus) are guarded out of the division.""".stripMargin,
+      q99OracleSql) { (s, d) =>
+      lengthKs(Tables.documents(s, d))
+    },
+
+    Q("q100_length_clip",
+      """Q100 — per-source p90 length-winsorization accounting (the
+        |truncate-the-tail preprocessing decision: what does clipping
+        |every doc at its source's 90th length percentile cost): p90 is
+        |the EXACT order statistic — the ceil(0.9·n)-th smallest n_chars
+        |(integer rank arithmetic, (90·n + 99) div 100 — no engine
+        |percentile-interpolation semantics to disagree over, the q52
+        |contrast), alongside docs clipped and characters saved. Scale
+        |shape: ONE source-keyed exchange carries everything — the
+        |row_number ranking, the per-source count, the threshold
+        |extraction (max over the rank-k row — a per-partition scalar,
+        |no join back), and the final rollup all ride the same
+        |HashPartitioning(source); nothing corpus-sized is ever
+        |broadcast or re-shuffled. Ties in n_chars leave the rank-k
+        |VALUE deterministic (sorted-value order statistic), so the
+        |nondeterministic row_number tie assignment never surfaces.""".stripMargin,
+      q100OracleSql) { (s, d) =>
+      lengthClip(Tables.documents(s, d))
     }
   )
 
@@ -924,6 +993,167 @@ object Analytics {
         |  CAST((2 * 10000 * n + s) // (2 * s) AS BIGINT) AS p_e4
         |FROM (SELECT *, sum(n) OVER (PARTITION BY src_type) AS s FROM c)
         |ORDER BY src_type, dst_type""".stripMargin
+
+  /** q98's logic over an arbitrary event frame — exposed so specs can pin
+    * the session boundary (strictly-greater gap breaks; an exactly-gapUs
+    * gap stays), within-session type dedup, and the hand-computed
+    * support/lift arithmetic on engineered streams.
+    */
+  def sessionItemsets(events: org.apache.spark.sql.DataFrame,
+                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val x = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the (user, sid) reduction rides the sessionize window's user
+    // exchange (HashPartitioning(user_id) satisfies the clustering — the
+    // q57 lesson); per-session state = the bounded distinct type set.
+    // Consumed three ways (support scalar, type counts, pairs) → persist
+    // (session clearCache contract).
+    val sess = x.groupBy("user_id", "sid")
+      .agg(sort_array(collect_set(col("event_type"))).as("tys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = sess.agg(count(lit(1)).as("ns")) // proven 1-row scalar
+    val ta = sess.select(explode(col("tys")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("na"))
+    // pairs expand locally from the sorted ≤#types array — u > t gives
+    // each unordered pair once, already (a < b)-canonical
+    val pr = sess
+      .select(explode(expr(
+        "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
+          "u -> named_struct('type_a', t, 'type_b', u))))")).as("p"))
+      .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pr.crossJoin(ns)
+      .join(broadcast(ta.select(col("event_type").as("type_a"),
+        col("na").as("na_a"))), Seq("type_a"))
+      .join(broadcast(ta.select(col("event_type").as("type_b"),
+        col("na").as("na_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("(2 * 10000 * n_ab + ns) div (2 * ns)").as("support_e4"),
+        expr("(2 * 10000 * ns * n_ab + na_a * na_b) div (2 * na_a * na_b)")
+          .as("lift_e4"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private lazy val q98OracleSql: String =
+    """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |    FROM events),
+      |s AS (SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+      |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+      |ns AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sid FROM st)),
+      |ta AS (SELECT event_type, count(*) AS na FROM st GROUP BY 1),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+      |       FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+      |        AND a.event_type < b.event_type
+      |       GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST((2 * 10000 * n_ab + ns.n) // (2 * ns.n) AS BIGINT) AS support_e4,
+      |  CAST((2 * 10000 * ns.n * n_ab + ta.na * tb.na) // (2 * ta.na * tb.na) AS BIGINT) AS lift_e4
+      |FROM pr, ns
+      |JOIN ta ON ta.event_type = pr.type_a
+      |JOIN ta tb ON tb.event_type = pr.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** q99's logic over an arbitrary document frame — exposed so specs can
+    * pin the KS arithmetic against a driver-side replay, the
+    * identical-distribution zero and the single-source guard.
+    */
+  def lengthKs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the (source, len) count table feeds four subtrees → persist
+    // (session clearCache contract)
+    val c = docs.groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gl = c.groupBy("len").agg(count(lit(1)).as("_nsrc"))
+    val la = gl.agg(sort_array(collect_list(col("len"))).as("lens")) // 1-row
+    val srcs = c.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val tot = c.agg(sum(col("c")).as("n")) // proven 1-row scalar
+    val grid = srcs.crossJoin(la)
+      .select(col("source"), col("n_s"), explode(col("lens")).as("len"))
+    val cs = grid.join(c, Seq("source", "len"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L)))
+        .over(Window.partitionBy("source").orderBy("len")))
+    // CDFs are additive: the global cumulative at each length is the sum
+    // of the per-source cumulatives — a #sources-row window per length,
+    // never a global window
+    val wg = cs.withColumn("gcum",
+      sum(col("cum_s")).over(Window.partitionBy("len")))
+    wg.crossJoin(tot)
+      .withColumn("num", abs(col("cum_s") * (col("n") - col("n_s")) -
+        (col("gcum") - col("cum_s")) * col("n_s")))
+      .groupBy("source", "n_s", "n").agg(max(col("num")).as("ks_num"))
+      .filter(col("n") > col("n_s")) // a source needs a complement
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("(2 * 10000 * ks_num + n_s * (n - n_s)) div (2 * n_s * (n - n_s))")
+          .as("ks_e4"))
+      .orderBy("source")
+  }
+
+  private lazy val q99OracleSql: String =
+    """WITH c AS (SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),
+      |gl AS (SELECT len FROM c GROUP BY len),
+      |srcs AS (SELECT source, sum(c) AS n_s FROM c GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n FROM c),
+      |grid AS (SELECT s.source, s.n_s, g.len FROM srcs s CROSS JOIN gl g),
+      |cs AS (SELECT g.source, g.n_s, g.len,
+      |       sum(coalesce(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.len) AS cum_s
+      |       FROM grid g LEFT JOIN c ON c.source = g.source AND c.len = g.len),
+      |wg AS (SELECT *, sum(cum_s) OVER (PARTITION BY len) AS gcum FROM cs),
+      |nm AS (SELECT source, n_s, any_value(tot.n) AS n,
+      |       max(abs(cum_s * (tot.n - n_s) - (gcum - cum_s) * n_s)) AS ks_num
+      |       FROM wg, tot GROUP BY 1, 2)
+      |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+      |  CAST((2 * 10000 * ks_num + n_s * (n - n_s)) // (2 * n_s * (n - n_s)) AS BIGINT) AS ks_e4
+      |FROM nm WHERE n > n_s ORDER BY source""".stripMargin
+
+  /** q100's logic over an arbitrary document frame — exposed so specs can
+    * pin the exact order-statistic rank, the tie behavior and the clip
+    * accounting on engineered corpora. The output column keeps the name
+    * `p90` (the catalog's pct = 90) whatever `pct` a spec passes.
+    */
+  def lengthClip(docs: org.apache.spark.sql.DataFrame,
+                 pct: Int = 90): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val ws = Window.partitionBy("source")
+    // one source-keyed exchange: ranking, count, the rank-k threshold
+    // (a per-partition scalar via max over the single matching row) and
+    // the rollup all ride the same HashPartitioning(source)
+    docs.select(col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(ws))
+      .withColumn("p90", max(when(
+        col("rn") === expr(s"($pct * n + 99) div 100"), col("n_chars")))
+        .over(ws))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"), max(col("p90")).as("p90"),
+        sum(when(col("n_chars") > col("p90"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(when(col("n_chars") > col("p90"), col("n_chars") - col("p90"))
+          .otherwise(0L)).as("chars_saved"))
+      .orderBy("source")
+  }
+
+  private lazy val q100OracleSql: String =
+    """WITH r AS (SELECT source, n_chars,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |        count(*) OVER (PARTITION BY source) AS n FROM documents),
+      |th AS (SELECT source, n AS n_docs, n_chars AS p90 FROM r WHERE rn = (90 * n + 99) // 100)
+      |SELECT t.source AS source, CAST(t.n_docs AS BIGINT) AS n_docs, CAST(t.p90 AS BIGINT) AS p90,
+      |  CAST(count(*) FILTER (WHERE d.n_chars > t.p90) AS BIGINT) AS n_clipped,
+      |  CAST(coalesce(sum(CASE WHEN d.n_chars > t.p90 THEN d.n_chars - t.p90 END), 0) AS BIGINT) AS chars_saved
+      |FROM documents d JOIN th t ON d.source = t.source
+      |GROUP BY t.source, t.n_docs, t.p90 ORDER BY source""".stripMargin
 
   /** q87's logic over an arbitrary event frame — exposed so specs can pin
     * the gap cut, the (ts, event_id) tie order, and the probability

@@ -1011,6 +1011,28 @@ object Curation {
         |corpus totals) is spec-pinned.""".stripMargin,
       dedupYieldOracle) { (s, d) =>
       dedupYield(Tables.documents(s, d))
+    },
+
+    Q("q101_centroid_drift",
+      """Q101 — per-label embedding-centroid drift vs the corpus centroid
+        |(the class-balance / embedding-space skew read before trusting a
+        |label split or a mixture weighting: a label whose centroid sits
+        |far off the corpus axis is either a genuine modality or a
+        |labeling artifact — read next to q60's per-item outliers and
+        |q80's codebook margins). Cosine is computed between SUM vectors
+        |(cos of sums ≡ cos of means — the per-label division never
+        |happens): per-dimension sums of the e4-quantized integer
+        |components are EXACT BIGINTs, the dot products and norm squares
+        |stay exact integers (≤ 4.4e16 at sf0.1 — inside BIGINT; the
+        |doubles both engines then divide are casts of IDENTICAL
+        |integers, the q90 bit-identity regime), and only the final
+        |sqrt/divide/round(4) runs in float. Scale shape: one posexplode
+        |scan reduces to the (label × dim) sum table (map-side combined);
+        |the global per-dim vector is that table re-reduced (#dims rows,
+        |broadcast back); everything after is #labels-row. At 100 TB
+        |this is one scan + two bounded exchanges.""".stripMargin,
+      centroidDriftOracle) { (s, d) =>
+      centroidDrift(Tables.embeddings(s, d))
     }
   )
 
@@ -1730,4 +1752,46 @@ object Curation {
       |   CAST(sum(cnt * nsym) AS BIGINT) AS tok_bpe,
       |   CAST((2 * 10000 * sum(cnt * nsym) + sum(cnt)) // (2 * sum(cnt)) AS BIGINT) AS ratio_e4
       |FROM sw JOIN v USING (word) GROUP BY source ORDER BY source""".stripMargin
+
+  /** q101's logic over an arbitrary (vec_id, embedding, label) frame —
+    * exposed so specs can pin the single-label identity (cos = 1), an
+    * engineered orthogonal-label value and the exact-integer sum path.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        round(col("x").cast(DoubleType) * lit(10000.0)).cast(LongType)
+          .as("v"))
+    // the (label × dim) sum table feeds the global re-reduction AND the
+    // per-label dot — persist (session clearCache contract)
+    val ls = q.groupBy("label", "i").agg(sum(col("v")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = ls.groupBy("i").agg(sum(col("sv")).as("gv")) // #dims rows
+    val nl = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    ls.join(broadcast(g), Seq("i"))
+      .groupBy("label")
+      .agg(sum(col("sv") * col("gv")).as("num"),
+        sum(col("sv") * col("sv")).as("n1"),
+        sum(col("gv") * col("gv")).as("n2"))
+      .join(broadcast(nl), Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("num") / (sqrt(col("n1").cast(DoubleType)) *
+          sqrt(col("n2").cast(DoubleType))), 4).as("cos_drift"))
+      .orderBy("label")
+  }
+
+  private lazy val centroidDriftOracle: String =
+    """WITH q AS (SELECT label, i, CAST(round(x * 1e4) AS BIGINT) AS v
+      |           FROM (SELECT label, unnest(embedding) AS x,
+      |                 generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |ls AS (SELECT label, i, sum(v) AS sv FROM q GROUP BY 1, 2),
+      |nl AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+      |g AS (SELECT i, sum(sv) AS gv FROM ls GROUP BY 1),
+      |agg AS (SELECT ls.label, sum(ls.sv * g.gv) AS num,
+      |        sum(ls.sv * ls.sv) AS n1, sum(g.gv * g.gv) AS n2
+      |        FROM ls JOIN g USING (i) GROUP BY 1)
+      |SELECT a.label, CAST(nl.n_vecs AS BIGINT) AS n_vecs,
+      |  round(num / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 4) AS cos_drift
+      |FROM agg a JOIN nl USING (label) ORDER BY label""".stripMargin
 }

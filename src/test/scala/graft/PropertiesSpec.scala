@@ -252,4 +252,35 @@ class PropertiesSpec extends SparkSpec {
       assert(rows(graft.queries.Curation.boilerplateScreen(l)) === boilerRef)
     }
   }
+
+  test("q98/q99/q100/q101 — itemsets, KS, clip and drift invariant under repartitioning") {
+    // session pairing, cumulative-CDF cross-multiplication, order
+    // statistics and integer centroid sums are pure functions of the
+    // data — a skewed or single-partition layout must not move a value
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val itemRef = rows(graft.queries.Analytics.sessionItemsets(ev))
+    spark.catalog.clearCache()
+    val ksRef = rows(graft.queries.Analytics.lengthKs(docs))
+    spark.catalog.clearCache()
+    val clipRef = rows(graft.queries.Analytics.lengthClip(docs))
+    val driftRef = rows(graft.queries.Curation.centroidDrift(emb))
+    spark.catalog.clearCache()
+    Seq(17, 1).foreach { n =>
+      val (e, d, m) =
+        if (n == 1) (ev.coalesce(1), docs.coalesce(1), emb.coalesce(1))
+        else (ev.repartition(n, $"event_type"),
+          docs.repartition(n, $"source"), emb.repartition(n, $"label"))
+      assert(rows(graft.queries.Analytics.sessionItemsets(e)) === itemRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.lengthKs(d)) === ksRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.lengthClip(d)) === clipRef)
+      assert(rows(graft.queries.Curation.centroidDrift(m)) === driftRef)
+      spark.catalog.clearCache()
+    }
+  }
 }

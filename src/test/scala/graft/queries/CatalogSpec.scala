@@ -1351,4 +1351,104 @@ class CatalogSpec extends SparkSpec {
       (3L, 1L, 3.0), (3L, 2L, 3.0)),
       s"engineered PIT backfill diverged: ${got.toSeq}")
   }
+
+  test("q98 — session itemsets: inclusive gap, in-session dedup, hand lift") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 session A: click, view, view again exactly 1800 s after the
+    // previous event (the boundary STAYS — break is strictly greater);
+    // then a 1801 s gap breaks → session B: error, click. u2: one
+    // single-type session (contributes no pairs but counts in ns/na).
+    val eng = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "view"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "view"),
+      (4L, ts("2024-01-01 11:10:01"), 1L, "error"),
+      (5L, ts("2024-01-01 11:20:00"), 1L, "click"),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.Analytics.sessionItemsets(eng).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    // ns = 3 sessions; na: click 2, view 2, error 1
+    // support(pair) = half-up(10000/3) = 3333
+    // lift(click,error) = 10000·3·1/(2·1) = 15000
+    // lift(click,view)  = 10000·3·1/(2·2) =  7500
+    assert(got.toSeq === Seq(
+      ("click", "error", 1L, 3333L, 15000L),
+      ("click", "view", 1L, 3333L, 7500L)),
+      s"engineered session itemsets diverged: ${got.toSeq}")
+  }
+
+  test("q99 — length KS: identical reads 0, disjoint reads 10000, single-source guarded") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, Long)]) =
+      rows.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+        .toDF("doc_id", "source", "n_chars")
+    // identical per-source length distributions → supremum 0 everywhere
+    val same = graft.queries.Analytics.lengthKs(
+      docs(Seq(("A", 10L), ("A", 20L), ("B", 10L), ("B", 20L)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(same.toSeq === Seq(("A", 2L, 0L), ("B", 2L, 0L)), same.toSeq)
+    // disjoint supports → KS = 1 → 10000 on both sides
+    val disj = graft.queries.Analytics.lengthKs(
+      docs(Seq(("A", 10L), ("A", 10L), ("B", 20L), ("B", 20L)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(disj.toSeq === Seq(("A", 2L, 10000L), ("B", 2L, 10000L)),
+      disj.toSeq)
+    // a single-source corpus has no complement — guarded to zero rows,
+    // never a division by zero
+    val single = graft.queries.Analytics.lengthKs(
+      docs(Seq(("A", 10L), ("A", 20L)))).collect()
+    spark.catalog.clearCache()
+    assert(single.isEmpty, single.toSeq)
+  }
+
+  test("q100 — length clip: exact order-statistic rank, ties, accounting") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, Long)]) =
+      rows.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+        .toDF("doc_id", "source", "n_chars")
+    // n = 10, rank = ceil(0.9·10) = 9 → p90 = 9; one doc above, saving 1
+    val ramp = graft.queries.Analytics.lengthClip(
+      docs((1L to 10L).map(n => ("A", n)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(ramp.toSeq === Seq(("A", 10L, 9L, 1L, 1L)), ramp.toSeq)
+    // all-tied values: the rank-k VALUE is deterministic whatever the
+    // row_number tie assignment — nothing clips
+    val tied = graft.queries.Analytics.lengthClip(
+      docs(Seq(("A", 5L), ("A", 5L), ("A", 5L), ("A", 5L)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(tied.toSeq === Seq(("A", 4L, 5L, 0L, 0L)), tied.toSeq)
+    // pct is a real lever: p50 over 1..4 → rank (50·4+99) div 100 = 2
+    val p50 = graft.queries.Analytics.lengthClip(
+      docs((1L to 4L).map(n => ("A", n))), pct = 50).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p50.toSeq === Seq((2L, 2L, 3L)), p50.toSeq)
+  }
+
+  test("q101 — centroid drift: single-label identity, orthogonal hand value") {
+    import spark.implicits._
+    // one label: the label centroid IS the corpus centroid → cos = 1
+    val one = graft.queries.Curation.centroidDrift(
+      Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0))
+        .toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(one.toSeq === Seq((0, 2L, 1.0)), one.toSeq)
+    // two orthogonal labels: each sum vector meets the corpus diagonal
+    // at cos = 1/√2 → round(0.70710678…, 4) = 0.7071
+    val ortho = graft.queries.Curation.centroidDrift(
+      Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1))
+        .toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(ortho.toSeq === Seq((0, 1L, 0.7071), (1, 1L, 0.7071)),
+      ortho.toSeq)
+  }
 }
