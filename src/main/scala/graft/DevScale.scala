@@ -145,7 +145,13 @@ object DevScale {
       // exchange over 10x rows), centroid drift (10x vectors reduce into
       // the same (label × dim) table)
       "q98_session_itemsets", "q99_length_ks", "q100_length_clip",
-      "q101_centroid_drift")
+      "q101_centroid_drift",
+      // r9 session 4 batch 2: the Gini pair (one keyed exchange over 10x
+      // rows / 10x (type, user) keys), deciles (the constant-9 explode
+      // scales with the scan), split parity (corpus scan → a ≤33-row
+      // tail; replica texts re-hash so the split histogram stays ~80/10/10)
+      "q102_length_gini", "q103_split_parity", "q104_length_deciles",
+      "q105_activity_gini")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -925,6 +925,59 @@ object Analytics {
         |nondeterministic row_number tie assignment never surfaces.""".stripMargin,
       q100OracleSql) { (s, d) =>
       lengthClip(Tables.documents(s, d))
+    },
+
+    Q("q102_length_gini",
+      """Q102 — per-source Gini coefficient of document length (the
+        |mass-concentration read beside q99's shape drift and q100's
+        |tail clip: a source whose token mass concentrates in a few huge
+        |documents behaves differently under sampling, packing and
+        |per-source caps than one with even mass, at identical means).
+        |INTEGER-exact: with lengths ranked ascending (ties broken by
+        |doc_id — Σrank·x is invariant within a tie class, so the tie
+        |order never surfaces), G = (2·Σ(rank·x) − (n+1)·Σx)/(n·Σx) —
+        |every numerator term is an exact BIGINT (Σrank·x ≤ n²·x̄; the
+        |DECIMAL(38) lever applies past ~1e9 docs·chars per source) and
+        |only the final half-up e4 quantization divides. Scale shape:
+        |ONE source-keyed exchange carries the ranking window AND the
+        |rollup (HashPartitioning(source) serves both — the q100
+        |economics); output is #sources rows.""".stripMargin,
+      q102OracleSql) { (s, d) =>
+      lengthGini(Tables.documents(s, d))
+    },
+
+    Q("q104_length_deciles",
+      """Q104 — exact per-source length deciles (k = 1..9 order
+        |statistics — the full quantile ladder q100's single p90 cut
+        |belongs to, feeding length-bucketed packing and mixture
+        |decisions): value at rank ceil(k·n/10) = (k·n+9) div 10, pure
+        |integer rank arithmetic (no percentile interpolation — the q52
+        |contrast at the ladder grain). Scale shape: one source-keyed
+        |exchange carries the ranking and count windows; each ranked row
+        |then expands to the ≤9 decile slots it could fill (a per-row
+        |constant-9 explode of a 4-column projection — the shingle
+        |economics, narrower than the scan) and the equality filter
+        |keeps ≤ 9·#sources rows. Ties leave every rank-k VALUE
+        |deterministic.""".stripMargin,
+      q104OracleSql) { (s, d) =>
+      lengthDeciles(Tables.documents(s, d))
+    },
+
+    Q("q105_activity_gini",
+      """Q105 — per-event-type Gini of user activity (the
+        |traffic-concentration screen over the behavioral stream: an
+        |event type whose volume concentrates in a handful of users is
+        |bot traffic or instrumentation noise, not engagement — read
+        |beside q90's daily volume anomalies before trusting event
+        |counts as signals). Same integer-exact Gini as q102, over
+        |per-(type, user) event counts ranked by (count, user_id).
+        |Scale shape: the stream reduces ONCE to the (type, user) count
+        |table (map-side combined); the ranking window and the rollup
+        |share the type-keyed exchange on that reduced table; output is
+        |#types rows. At 100 TB: one corpus reduction + one
+        |user-cardinality exchange.""".stripMargin,
+      q105OracleSql) { (s, d) =>
+      activityGini(Tables.events(s, d))
     }
   )
 
@@ -1143,6 +1196,86 @@ object Analytics {
           .otherwise(0L)).as("chars_saved"))
       .orderBy("source")
   }
+
+  /** q102's logic over an arbitrary document frame — exposed so specs
+    * can pin the hand-computed Gini values (uniform = 0; [1,3] = 0.25)
+    * and tie invariance.
+    */
+  def lengthGini(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("rn") * col("n_chars")).as("sw"))
+      .select(col("source"), col("n").as("n_docs"),
+        expr("(2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) div (2 * n * sx)")
+          .as("gini_e4"))
+      .orderBy("source")
+  }
+
+  private lazy val q102OracleSql: String =
+    """WITH r AS (SELECT source, n_chars,
+      |       row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+      |       FROM documents),
+      |a AS (SELECT source, count(*) AS n, sum(n_chars) AS sx, sum(rn * n_chars) AS sw
+      |      FROM r GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  CAST((2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) // (2 * n * sx) AS BIGINT) AS gini_e4
+      |FROM a ORDER BY source""".stripMargin
+
+  /** q104's logic over an arbitrary document frame — exposed so specs
+    * can pin the rank arithmetic on an engineered ramp (deciles of
+    * 1..10 are exactly 1..9).
+    */
+  def lengthDeciles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    docs.select(col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("source"), col("n_chars"), col("rn"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(col("rn") === expr("(k * n + 9) div 10"))
+      .select(col("source"), col("k").cast(IntegerType).as("k"),
+        col("n_chars").as("value"))
+      .orderBy("source", "k")
+  }
+
+  private lazy val q104OracleSql: String =
+    """WITH r AS (SELECT source, n_chars,
+      |       row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |       count(*) OVER (PARTITION BY source) AS n FROM documents)
+      |SELECT source, CAST(k AS INT) AS k, CAST(n_chars AS BIGINT) AS value
+      |FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+      |WHERE rn = (k * n + 9) // 10
+      |ORDER BY source, k""".stripMargin
+
+  /** q105's logic over an arbitrary event frame — exposed so specs can
+    * pin the hand-computed concentration values on engineered streams.
+    */
+  def activityGini(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("c"), col("user_id"))
+    c.withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("rn") * col("c")).as("sw"))
+      .select(col("event_type"), col("n").as("n_users"),
+        expr("(2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) div (2 * n * sx)")
+          .as("gini_e4"))
+      .orderBy("event_type")
+  }
+
+  private lazy val q105OracleSql: String =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, c,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS rn
+      |      FROM c),
+      |a AS (SELECT event_type, count(*) AS n, sum(c) AS sx, sum(rn * c) AS sw
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+      |  CAST((2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) // (2 * n * sx) AS BIGINT) AS gini_e4
+      |FROM a ORDER BY event_type""".stripMargin
 
   private lazy val q100OracleSql: String =
     """WITH r AS (SELECT source, n_chars,

@@ -1033,6 +1033,27 @@ object Curation {
         |this is one scan + two bounded exchanges.""".stripMargin,
       centroidDriftOracle) { (s, d) =>
       centroidDrift(Tables.embeddings(s, d))
+    },
+
+    Q("q103_split_parity",
+      """Q103 — split-representativeness audit over q85's content-hash
+        |split (the check a content-stable split still needs: random BY
+        |CONTENT does not mean balanced BY QUALITY — a skewed val/test
+        |quality profile silently biases every eval): per (split,
+        |quality-decile) the doc count, the within-split share and the
+        |absolute deviation from the train share, shares in integer
+        |half-up e4 and the deviation computed ON the rounded integers
+        |(engine-exact end to end; decile = q66's pure-rational bucket,
+        |split = q85's exact md5-byte assignment). Scale shape: ONE
+        |corpus scan maps each doc to its (split, decile); everything
+        |after runs on the ≤ 3×11-row count table — the grid is a
+        |33-row map-only range (no literal×literal cross join), the
+        |per-split totals and the train-share column attach as bounded
+        |broadcasts. An empty split drops its rows on both engines
+        |(inner join with the totals) rather than dividing by
+        |zero.""".stripMargin,
+      splitParityOracle) { (s, d) =>
+      splitParity(Tables.documents(s, d))
     }
   )
 
@@ -1780,6 +1801,73 @@ object Curation {
           sqrt(col("n2").cast(DoubleType))), 4).as("cos_drift"))
       .orderBy("label")
   }
+
+  /** q103's logic over an arbitrary corpus — exposed so specs can pin
+    * the full driver-side replay (md5 split + rational decile + integer
+    * shares) and the train-deviation-is-zero invariant. Reuses q85's
+    * exact split expression and q66's exact decile bucket.
+    */
+  def splitParity(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val v = conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
+      .cast(IntegerType)
+    val split = when(v < 205, "train").when(v < 230, "val").otherwise("test")
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks).cast(LongType)
+    val hits = TextOps.stopwordHits(toks,
+      Seq("the", "a", "of", "and", "to", "in", "is")).cast(LongType)
+    val db = docs.select(split.as("split"), n.as("n"), hits.as("hits"))
+      .select(col("split"),
+        least(expr("(10 * (200 * hits + n * least(200, n))) div (400 * n)")
+          .cast(IntegerType), lit(10)).as("b"))
+    // the ≤3×11-row count table feeds totals, the grid join and the
+    // train-share attach → persist (session clearCache contract)
+    val c = db.groupBy("split", "b").agg(count(lit(1)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = c.groupBy("split").agg(sum(col("nb")).as("n_split"))
+    // 33-row map-only grid (split × decile) — no literal×literal cross
+    // join for the catalog audit to flag
+    val grid = spark.range(0, 33).select(
+      element_at(array(lit("train"), lit("val"), lit("test")),
+        expr("CAST(id div 11 AS INT) + 1")).as("split"),
+      expr("CAST(id % 11 AS INT)").as("b"))
+    val sh = grid.join(c, Seq("split", "b"), "left")
+      .join(broadcast(ns), Seq("split"))
+      .withColumn("n_docs", coalesce(col("nb"), lit(0L)))
+      .withColumn("share_e4",
+        expr("(2 * 10000 * n_docs + n_split) div (2 * n_split)"))
+    val tr = sh.filter(col("split") === "train")
+      .select(col("b"), col("share_e4").as("tr_share"))
+    sh.join(broadcast(tr), Seq("b"))
+      .select(col("split"), col("b"), col("n_docs"), col("share_e4"),
+        abs(col("share_e4") - col("tr_share")).as("dev_e4"))
+      .orderBy("split", "b")
+  }
+
+  private lazy val splitParityOracle: String =
+    """WITH tk AS (SELECT
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS v,
+      |    len(string_split(text, ' ')) AS n,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','of','and','to','in','is'))) AS hits
+      |    FROM documents),
+      |db AS (SELECT CASE WHEN v < 205 THEN 'train' WHEN v < 230 THEN 'val' ELSE 'test' END AS split,
+      |       least(CAST((10 * (200 * hits + n * least(200, n))) // (400 * n) AS INT), 10) AS b
+      |       FROM tk),
+      |c AS (SELECT split, b, count(*) AS nb FROM db GROUP BY 1, 2),
+      |ns AS (SELECT split, sum(nb) AS n_split FROM c GROUP BY 1),
+      |grid AS (SELECT CASE WHEN g // 11 = 0 THEN 'train' WHEN g // 11 = 1 THEN 'val' ELSE 'test' END AS split,
+      |         CAST(g % 11 AS INT) AS b FROM (SELECT unnest(range(0, 33)) AS g)),
+      |sh AS (SELECT grid.split AS split, grid.b AS b, coalesce(c.nb, 0) AS n_docs,
+      |       CAST((2 * 10000 * coalesce(c.nb, 0) + ns.n_split) // (2 * ns.n_split) AS BIGINT) AS share_e4
+      |       FROM grid LEFT JOIN c ON c.split = grid.split AND c.b = grid.b
+      |       JOIN ns ON ns.split = grid.split),
+      |tr AS (SELECT b AS tb, share_e4 AS tr_share FROM sh WHERE split = 'train')
+      |SELECT sh.split AS split, sh.b AS b, CAST(sh.n_docs AS BIGINT) AS n_docs,
+      |  sh.share_e4 AS share_e4, abs(sh.share_e4 - tr.tr_share) AS dev_e4
+      |FROM sh JOIN tr ON tr.tb = sh.b
+      |ORDER BY split, b""".stripMargin
 
   private lazy val centroidDriftOracle: String =
     """WITH q AS (SELECT label, i, CAST(round(x * 1e4) AS BIGINT) AS v

@@ -283,4 +283,29 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q102/q103/q104/q105 — Gini, split parity and deciles invariant under repartitioning") {
+    // rank·mass sums, md5-split histograms and order statistics are pure
+    // functions of the data — layout must not move an integer
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val giniRef = rows(graft.queries.Analytics.lengthGini(docs))
+    val decRef = rows(graft.queries.Analytics.lengthDeciles(docs))
+    val actRef = rows(graft.queries.Analytics.activityGini(ev))
+    val parRef = rows(graft.queries.Curation.splitParity(docs))
+    spark.catalog.clearCache()
+    Seq(17, 1).foreach { n =>
+      val (e, d) =
+        if (n == 1) (ev.coalesce(1), docs.coalesce(1))
+        else (ev.repartition(n, $"event_type"),
+          docs.repartition(n, $"source"))
+      assert(rows(graft.queries.Analytics.lengthGini(d)) === giniRef)
+      assert(rows(graft.queries.Analytics.lengthDeciles(d)) === decRef)
+      assert(rows(graft.queries.Analytics.activityGini(e)) === actRef)
+      assert(rows(graft.queries.Curation.splitParity(d)) === parRef)
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -1432,6 +1432,88 @@ class CatalogSpec extends SparkSpec {
     assert(p50.toSeq === Seq((2L, 2L, 3L)), p50.toSeq)
   }
 
+  test("q102/q105 — Gini: uniform reads 0, [1,3] reads 2500, tie-invariant") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, Long)]) =
+      rows.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+        .toDF("doc_id", "source", "n_chars")
+    // uniform mass → G = 0 exactly, whatever the doc_id tie order
+    val uni = graft.queries.Analytics.lengthGini(
+      docs(Seq(("A", 7L), ("A", 7L), ("A", 7L), ("A", 7L)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(uni.toSeq === Seq(("A", 4L, 0L)), uni.toSeq)
+    // [1,3]: ranks 1,2 → num = 2·(1+6) − 3·4 = 2, den = 8 → 0.25
+    val two = graft.queries.Analytics.lengthGini(
+      docs(Seq(("A", 3L), ("A", 1L)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq === Seq(("A", 2L, 2500L)), two.toSeq)
+    // the event twin: u1 once, u2 three times → counts [1,3] → 2500
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 2L, "click"),
+      (4L, ts("2024-01-01 10:03:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val act = graft.queries.Analytics.activityGini(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(act.toSeq === Seq(("click", 2L, 2500L)), act.toSeq)
+  }
+
+  test("q104 — deciles of a 1..10 ramp are exactly 1..9") {
+    import spark.implicits._
+    val docs = (1L to 10L).zipWithIndex
+      .map { case (n, i) => (i.toLong, "A", n) }
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.queries.Analytics.lengthDeciles(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === (1 to 9).map(k => ("A", k, k.toLong)), got.toSeq)
+  }
+
+  test("q103 — split parity equals a driver-side md5/decile replay; train dev = 0") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = graft.queries.Curation.splitParity(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    // full replay: q85's md5-byte split + q66's rational decile + the
+    // integer half-up shares, all in plain Scala
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val db = docs.select("text").collect().map(_.getString(0)).map { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val v = Integer.parseInt(hex.substring(0, 2), 16)
+      val split = if (v < 205) "train" else if (v < 230) "val" else "test"
+      val toks = t.split(" ", -1)
+      val n = toks.length.toLong
+      val hits = toks.count(stop).toLong
+      val b = math.min((10L * (200L * hits + n * math.min(200L, n))) /
+        (400L * n), 10L).toInt
+      (split, b)
+    }
+    val cnt = db.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nSplit = db.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val exp = (for {
+      split <- Seq("train", "val", "test") if nSplit.contains(split)
+      b <- 0 to 10
+    } yield {
+      val nb = cnt.getOrElse((split, b), 0L)
+      val ns = nSplit(split)
+      (split, b, nb, (2 * 10000 * nb + ns) / (2 * ns))
+    }).map { case (s, b, nb, sh) =>
+      val trShare = {
+        val nb0 = cnt.getOrElse(("train", b), 0L)
+        val ns0 = nSplit("train")
+        (2 * 10000 * nb0 + ns0) / (2 * ns0)
+      }
+      (s, b, nb, sh, math.abs(sh - trShare))
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === exp, s"split parity diverged from the replay")
+    // train rows deviate from themselves by exactly zero
+    assert(got.filter(_._1 == "train").forall(_._5 == 0L))
+  }
+
   test("q101 — centroid drift: single-label identity, orthogonal hand value") {
     import spark.implicits._
     // one label: the label centroid IS the corpus centroid → cos = 1
