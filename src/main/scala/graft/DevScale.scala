@@ -151,7 +151,11 @@ object DevScale {
       // scales with the scan), split parity (corpus scan → a ≤33-row
       // tail; replica texts re-hash so the split histogram stays ~80/10/10)
       "q102_length_gini", "q103_split_parity", "q104_length_deciles",
-      "q105_activity_gini")
+      "q105_activity_gini",
+      // r9 session 4 batch 3: the threshold sweep rides the shared pair
+      // core (q31's scaling band); everything after the decile
+      // projection is ≤11-row
+      "q106_neardup_sweep")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -1295,6 +1295,83 @@ object Llm {
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("n_positions"), lit(0L)).as("n_positions"))
         .orderBy("span_len")
+    },
+
+    Q("q106_neardup_sweep",
+      """Q106 — near-dup threshold yield curve: for every jaccard cut
+        |t ∈ 0.1..1.0, the exact pair count and the count of documents
+        |touched by at least one such pair — the sweep read before
+        |committing a dedup threshold (q31/q96 fix t = 0.5; this shows
+        |what each alternative would sweep in, and how far the banded
+        |candidate mass — the dec-0 row it reports implicitly — sits
+        |from the actionable mass). Determinism: membership is the pure
+        |integer decile (10·k) div (ni+nj−k) — j ≥ t/10 ⟺ dec ≥ t
+        |exactly, no float threshold crosses engines (the q66 rule on
+        |the pair measure). Scale shape: the shared inverted-index pair
+        |core runs ONCE (banded/bucketed candidates, never n²); the
+        |decile projection is persisted and everything downstream is
+        |≤11-row — the pair histogram directly, the doc histogram via a
+        |per-doc max-decile aggregate (a doc counts at its strongest
+        |pair, so suffix sums stay a plain explode + equi groupBy over
+        |the tiny bucket table — the q66 no-BNLJ trick), and the 10-row
+        |grid fills empty cuts. Sweeping 10 cuts costs one pair-core
+        |pass, not 10.""".stripMargin,
+      q106OracleSql) { (s, d) =>
+      neardupSweep(Tables.documents(s, d), s)
     }
   )
+
+  /** q106's logic over an arbitrary corpus — exposed so specs can pin
+    * the curve against independent per-threshold filters and the
+    * doc-counts-at-max-decile rule on engineered corpora.
+    */
+  def neardupSweep(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
+    // the decile projection feeds the pair histogram AND the per-doc max
+    // — persist (session clearCache contract; the pair core's shingle
+    // frame is under the same contract)
+    val pd = wc.select(col("i"), col("j"),
+        expr("(10 * k) div (ni + nj - k)").cast(IntegerType).as("dec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = pd.groupBy("dec").agg(count(lit(1)).as("np"))
+    val dh = pd.select(explode(array(col("i"), col("j"))).as("d"), col("dec"))
+      .groupBy("d").agg(max(col("dec")).as("m"))
+      .groupBy(col("m").as("dec")).agg(count(lit(1)).as("ndc"))
+    // bucket dec satisfies every cut t ≤ min(dec, 10) — suffix sums as
+    // an explode + equi groupBy over the ≤11-row histograms (q66)
+    def suffix(h: DataFrame, vcol: String): DataFrame = h
+      .filter(col("dec") >= 1)
+      .select(explode(sequence(lit(1), least(col("dec"), lit(10)))).as("t"),
+        col(vcol))
+      .groupBy("t").agg(sum(col(vcol)).as(vcol))
+    val grid = spark.range(1, 11).select(col("id").cast(IntegerType).as("t"))
+    grid.join(broadcast(suffix(ph, "np")), Seq("t"), "left")
+      .join(broadcast(suffix(dh, "ndc")), Seq("t"), "left")
+      .select(col("t").as("t_tenths"), (col("t") / 10.0).as("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("ndc"), lit(0L)).as("n_docs"))
+      .orderBy("t_tenths")
+  }
+
+  private lazy val q106OracleSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pd AS (SELECT i, j, CAST((10 * k) // (ca.n + cb.n - k) AS INT) AS dec
+      |  FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+      |ph AS (SELECT dec, count(*) AS np FROM pd GROUP BY 1),
+      |dm AS (SELECT d, max(dec) AS m FROM
+      |       (SELECT i AS d, dec FROM pd UNION ALL SELECT j AS d, dec FROM pd) GROUP BY 1),
+      |dh AS (SELECT m AS dec, count(*) AS ndc FROM dm GROUP BY 1),
+      |t AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS t),
+      |ps AS (SELECT t.t, coalesce(sum(ph.np), 0) AS n_pairs FROM t LEFT JOIN ph ON ph.dec >= t.t GROUP BY 1),
+      |ds AS (SELECT t.t, coalesce(sum(dh.ndc), 0) AS n_docs FROM t LEFT JOIN dh ON dh.dec >= t.t GROUP BY 1)
+      |SELECT ps.t AS t_tenths, ps.t / 10.0 AS threshold,
+      |  CAST(ps.n_pairs AS BIGINT) AS n_pairs, CAST(ds.n_docs AS BIGINT) AS n_docs
+      |FROM ps JOIN ds ON ds.t = ps.t ORDER BY t_tenths""".stripMargin
 }

@@ -379,6 +379,62 @@ object Streams {
   def transitionCounts(trans: DataFrame): DataFrame =
     trans.groupBy("src_type", "dst_type").agg(count(lit(1)).as("n"))
 
+  final case class BasketState(lastUs: Long, tys: List[String])
+  final case class Basket(tys: Seq[String])
+
+  /** Streaming twin of batch q98_session_itemsets' extraction stage:
+    * per-user 30-minute-gap sessions fold into a distinct-type basket;
+    * a session EMITS (sorted type set) only when a later event CLOSES it
+    * (gap strictly greater than `gapUs` — the inclusive batch boundary
+    * rule), so each user's open tail session is carried, not emitted —
+    * the streaming-vs-batch divergence is exactly that open tail. State
+    * per user is ONE (ts, distinct-type list) pair, bounded by #types
+    * (the q46-min-anchor economics), carried across micro-batches so a
+    * session straddling triggers stays ONE basket; within a batch rows
+    * sort by (us, event_id) before folding. Closed baskets feed
+    * [[basketPairCounts]] (update-mode co-occurrence rollup) or any sink.
+    */
+  def sessionBaskets(events: Dataset[TransEvent],
+                     gapUs: Long = 1800000000L): Dataset[Basket] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BasketState, Basket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TransEvent], state: GroupState[BasketState]) =>
+          val sorted = rows.toVector.sortBy(e => (micros(e.ts), e.event_id))
+          var cur = state.getOption
+          val out = Vector.newBuilder[Basket]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            cur match {
+              case Some(c) if us - c.lastUs <= gapUs =>
+                cur = Some(BasketState(us,
+                  if (c.tys.contains(e.event_type)) c.tys
+                  else e.event_type :: c.tys))
+              case Some(c) =>
+                out += Basket(c.tys.sorted)
+                cur = Some(BasketState(us, List(e.event_type)))
+              case None =>
+                cur = Some(BasketState(us, List(e.event_type)))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Update-mode pair rollup of [[sessionBaskets]] — the live
+    * co-occurrence table (the q98 pair expansion over closed baskets).
+    */
+  def basketPairCounts(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(expr(
+        "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
+          "u -> named_struct('type_a', t, 'type_b', u))))")).as("p"))
+      .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+
   /** Ingest-side vocabulary-coverage monitor — the streaming twin of the
     * q93 OOV screen: per source, RUNNING token and out-of-vocabulary
     * counts against a STATIC vocab frame (one `t` column), the coverage

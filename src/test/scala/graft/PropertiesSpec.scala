@@ -308,4 +308,16 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q106 — near-dup sweep invariant under doc repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val docs = Tables.documents(spark, sf0001)
+    val ref = rows(graft.queries.Llm.neardupSweep(docs, spark))
+    spark.catalog.clearCache()
+    Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Llm.neardupSweep(l, spark)) === ref)
+      spark.catalog.clearCache()
+    }
+  }
 }

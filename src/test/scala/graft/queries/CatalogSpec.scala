@@ -1514,6 +1514,24 @@ class CatalogSpec extends SparkSpec {
     assert(got.filter(_._1 == "train").forall(_._5 == 0L))
   }
 
+  test("q106 — near-dup sweep: hand curve; docs count at their strongest pair") {
+    import spark.implicits._
+    // A ≡ B ("x y z w": shingles {xyz, yzw}, pair dec 10); C shares one
+    // shingle with each ("x y z q": k=1, union 3 → dec 3). Curve:
+    // t ≤ 3 sees all 3 pairs / 3 docs; t ≥ 4 sees only (A,B) / 2 docs —
+    // C counts at its STRONGEST pair (dec 3), never twice
+    val eng = Seq(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z q"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.Llm.neardupSweep(eng, spark).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val exp = (1 to 10).map { t =>
+      if (t <= 3) (t, 3L, 3L) else if (t <= 10) (t, 1L, 2L) else (t, 0L, 0L)
+    }
+    assert(got.toSeq === exp, s"engineered sweep diverged: ${got.toSeq}")
+  }
+
   test("q101 — centroid drift: single-label identity, orthogonal hand value") {
     import spark.implicits._
     // one label: the label centroid IS the corpus centroid → cos = 1

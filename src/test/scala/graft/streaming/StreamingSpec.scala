@@ -485,6 +485,70 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch transition semantics diverged: $got2")
   }
 
+  test("streaming baskets — closed sessions match a driver replay; a basket spans batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // driver-side replay: fold each user's (us, event_id)-sorted events
+    // into 30-min-gap sessions; the stream emits exactly the CLOSED
+    // ones — every session except each user's open tail
+    def us(e: Streams.TransEvent): Long = {
+      val i = e.ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+      .as[Streams.TransEvent].collect()
+    val expected = evs.groupBy(_.user_id).values.flatMap { es =>
+      val sorted = es.sortBy(e => (us(e), e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+      var cur = Set.empty[String]
+      var lastUs = Long.MinValue
+      sorted.foreach { e =>
+        if (cur.nonEmpty && us(e) - lastUs > 1800000000L) {
+          sessions += cur; cur = Set.empty
+        }
+        cur += e.event_type; lastUs = us(e)
+      }
+      sessions // the open tail `cur` is never emitted
+    }.map(_.toSeq.sorted.mkString(",")).toSeq.sorted
+    val src = MemoryStream[Streams.TransEvent]
+    src.addData(evs.toSeq)
+    val q = Streams.sessionBaskets(src.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_baskets")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_baskets").as[Streams.Basket]
+      .collect().map(_.tys.mkString(",")).toSeq.sorted
+    assert(got === expected, s"closed baskets diverged: $got vs $expected")
+
+    // cross-batch carry: a session straddling two triggers stays ONE
+    // basket (the 30-min boundary is inclusive); a later over-gap event
+    // closes it and the open tail never emits
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60_000L)
+    val src2 = MemoryStream[Streams.TransEvent]
+    val q2 = Streams.sessionBaskets(src2.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_baskets2")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      src2.addData(Streams.TransEvent(1L, at(0), "b", 1L),
+        Streams.TransEvent(1L, at(10), "a", 2L))
+      q2.processAllAvailable()
+      src2.addData(Streams.TransEvent(1L, at(40), "c", 3L), // exactly 30 min after a — same session
+        Streams.TransEvent(1L, at(130), "d", 4L))           // 90 min later — closes {a,b,c}
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("t_baskets2").as[Streams.Basket]
+      .collect().map(_.tys.toList).toList
+    assert(got2 === List(List("a", "b", "c")),
+      s"cross-batch basket semantics diverged: $got2")
+    // and the pair rollup expands the closed basket the q98 way
+    val pairs = Streams.basketPairCounts(spark.table("t_baskets2"))
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs === Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)),
+      s"basket pair rollup diverged: $pairs")
+  }
+
   test("streaming OOV monitor — running totals match batch q93; counts accumulate across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
