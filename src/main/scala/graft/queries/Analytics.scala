@@ -1078,9 +1078,7 @@ object Analytics {
     // pairs expand locally from the sorted ≤#types array — u > t gives
     // each unordered pair once, already (a < b)-canonical
     val pr = sess
-      .select(explode(expr(
-        "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
-          "u -> named_struct('type_a', t, 'type_b', u))))")).as("p"))
+      .select(explode(expr(typePairsExpr)).as("p"))
       .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
     pr.crossJoin(ns)
@@ -1094,6 +1092,16 @@ object Analytics {
           .as("lift_e4"))
       .orderBy("type_a", "type_b")
   }
+
+  /** Pair expansion over a sorted distinct-type array column named
+    * `tys`: each unordered pair exactly once, (a < b)-canonical. The ONE
+    * definition shared by batch q98 and the streaming basket rollup
+    * (`Streams.basketPairCounts`) — the two must expand identically for
+    * the live co-occurrence table to be the q98 read.
+    */
+  private[graft] val typePairsExpr: String =
+    "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
+      "u -> named_struct('type_a', t, 'type_b', u))))"
 
   private lazy val q98OracleSql: String =
     """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -1128,7 +1136,7 @@ object Analytics {
     val c = docs.groupBy(col("source"), col("n_chars").as("len"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gl = c.groupBy("len").agg(count(lit(1)).as("_nsrc"))
+    val gl = c.select("len").distinct()
     val la = gl.agg(sort_array(collect_list(col("len"))).as("lens")) // 1-row
     val srcs = c.groupBy("source").agg(sum(col("c")).as("n_s"))
     val tot = c.agg(sum(col("c")).as("n")) // proven 1-row scalar

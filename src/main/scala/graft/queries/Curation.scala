@@ -16,6 +16,18 @@ import graft.functions.expressions.NativeExprs
   */
 object Curation {
 
+  /** q85's exact content-hash split over a `text` column — the ONE
+    * definition q85, q86's leakage audit and q103's parity audit share
+    * (their cross-query semantics require the identical assignment; a
+    * drifted copy would pass every per-query test while silently
+    * breaking the audits). First md5 byte vs 205/230 of 256 ≈ 80/10/10.
+    */
+  private[queries] def contentSplit: Column = {
+    val v = conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
+      .cast(IntegerType)
+    when(v < 205, "train").when(v < 230, "val").otherwise("test")
+  }
+
   /** q31's measured-best exact near-dup pair plan via the shared
     * `Dedup.coShingledPairs` core: (i, j) pairs with 3-shingle jaccard
     * >= 0.5 plus the persisted shingle frame so callers can reuse it (and
@@ -811,13 +823,9 @@ object Curation {
         |SELECT source, split, CAST(nd AS BIGINT) AS n_docs, n_tokens,
         |  round(nd * 1.0 / sum(nd) OVER (PARTITION BY source), 4) AS frac
         |FROM s ORDER BY source, split""".stripMargin) { (s, d) =>
-      val h = Tables.documents(s, d).select(col("source"),
-        conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
-          .cast(IntegerType).as("v"),
-        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
-      val sp = h
-        .withColumn("split", when(col("v") < 205, "train")
-          .when(col("v") < 230, "val").otherwise("test"))
+      val sp = Tables.documents(s, d)
+        .select(col("source"), contentSplit.as("split"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("n_tokens"))
       sp.withColumn("frac", round(col("nd") * 1.0 /
@@ -1269,10 +1277,7 @@ object Curation {
     * DISTINCT already — no explode+distinct shuffle).
     */
   def splitLeakage(docs: DataFrame): DataFrame = {
-    val v = conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
-      .cast(IntegerType)
-    val split = when(v < 205, "train").when(v < 230, "val").otherwise("test")
-    val sh = docs.select(col("doc_id"), col("source"), split.as("split"),
+    val sh = docs.select(col("doc_id"), col("source"), contentSplit.as("split"),
         explode(NativeExprs.shingleMd5Prefixes(
           TextOps.tokens(col("text")), 3, 15)).as("sh"))
     // train digests are ~80 % of the corpus — NOT broadcastable by
@@ -1785,17 +1790,21 @@ object Curation {
         round(col("x").cast(DoubleType) * lit(10000.0)).cast(LongType)
           .as("v"))
     // the (label × dim) sum table feeds the global re-reduction AND the
-    // per-label dot — persist (session clearCache contract)
-    val ls = q.groupBy("label", "i").agg(sum(col("v")).as("sv"))
+    // per-label dot — persist (session clearCache contract). It also
+    // carries the per-dim contributor count: n_vecs = max over dims of
+    // cnt (every non-empty vector contributes dim 0, so the max IS the
+    // vector count — the review fix that removed a second corpus scan;
+    // contract: vectors are non-empty, as cosine itself requires)
+    val ls = q.groupBy("label", "i")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = ls.groupBy("i").agg(sum(col("sv")).as("gv")) // #dims rows
-    val nl = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
     ls.join(broadcast(g), Seq("i"))
       .groupBy("label")
       .agg(sum(col("sv") * col("gv")).as("num"),
         sum(col("sv") * col("sv")).as("n1"),
-        sum(col("gv") * col("gv")).as("n2"))
-      .join(broadcast(nl), Seq("label"))
+        sum(col("gv") * col("gv")).as("n2"),
+        max(col("cnt")).as("n_vecs"))
       .select(col("label"), col("n_vecs"),
         round(col("num") / (sqrt(col("n1").cast(DoubleType)) *
           sqrt(col("n2").cast(DoubleType))), 4).as("cos_drift"))
@@ -1809,17 +1818,13 @@ object Curation {
     */
   def splitParity(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val v = conv(substring(md5(col("text").cast(BinaryType)), 1, 2), 16, 10)
-      .cast(IntegerType)
-    val split = when(v < 205, "train").when(v < 230, "val").otherwise("test")
     val toks = TextOps.tokens(col("text"))
     val n = size(toks).cast(LongType)
-    val hits = TextOps.stopwordHits(toks,
-      Seq("the", "a", "of", "and", "to", "in", "is")).cast(LongType)
-    val db = docs.select(split.as("split"), n.as("n"), hits.as("hits"))
-      .select(col("split"),
-        least(expr("(10 * (200 * hits + n * least(200, n))) div (400 * n)")
-          .cast(IntegerType), lit(10)).as("b"))
+    val hits = TextOps.stopwordHits(toks, Llm.qualityStopwords)
+      .cast(LongType)
+    val db = docs
+      .select(contentSplit.as("split"), n.as("n"), hits.as("hits"))
+      .select(col("split"), Llm.qualityDecile.as("b"))
     // the ≤3×11-row count table feeds totals, the grid join and the
     // train-share attach → persist (session clearCache contract)
     val c = db.groupBy("split", "b").agg(count(lit(1)).as("nb"))

@@ -16,6 +16,22 @@ import graft.operators.{Ann, MinHashLsh, Sampling}
   */
 object Llm {
 
+  /** q35/q66's quality stopword set — shared with q103's parity audit
+    * (the cross-query decile semantics require the identical list).
+    */
+  private[queries] val qualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** q66's exact rational quality decile over columns named `n` (token
+    * count) and `hits` (stopword hits): least((10·(200·hits +
+    * n·min(200,n))) div (400·n), 10) — membership never consults a
+    * float. The ONE definition q66's sweep and q103's parity audit
+    * share.
+    */
+  private[queries] def qualityDecile: org.apache.spark.sql.Column =
+    least(expr("(10 * (200 * hits + n * least(200, n))) div (400 * n)")
+      .cast(IntegerType), lit(10))
+
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
   /** ONE oracle for both decontamination strategies: q44 (broadcast-exact)
@@ -330,7 +346,7 @@ object Llm {
         |               * 1.0 / len(toks))
         |      + 0.5 * least(1.0, len(toks) / 200.0), 4) AS score
         |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val stop = qualityStopwords
       val toks = col("toks")
       val n = size(toks)
       val hits = TextOps.stopwordHits(toks, stop)
@@ -1023,15 +1039,12 @@ object Llm {
         |FROM (SELECT CAST(unnest(range(0, 10)) AS INT) AS t) t
         |LEFT JOIN bk ON bk.b >= t.t
         |GROUP BY 1, 2 ORDER BY t_tenths""".stripMargin) { (s, d) =>
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
       val toks = TextOps.tokens(col("text"))
       val n = size(toks).cast(LongType)
-      val hits = TextOps.stopwordHits(toks, stop).cast(LongType)
+      val hits = TextOps.stopwordHits(toks, qualityStopwords).cast(LongType)
       val bk = Tables.documents(s, d)
         .select(n.as("n"), hits.as("hits"))
-        .select(col("n"),
-          least(expr("(10 * (200 * hits + n * least(200, n))) div (400 * n)")
-            .cast(IntegerType), lit(10)).as("b"))
+        .select(col("n"), qualityDecile.as("b"))
         .groupBy("b")
         .agg(count(lit(1)).as("nd"), sum(col("n")).as("nt"))
       // bucket b satisfies every threshold t ≤ min(b, 9), so the suffix
@@ -1317,7 +1330,7 @@ object Llm {
         |grid fills empty cuts. Sweeping 10 cuts costs one pair-core
         |pass, not 10.""".stripMargin,
       q106OracleSql) { (s, d) =>
-      neardupSweep(Tables.documents(s, d), s)
+      neardupSweep(Tables.documents(s, d))
     }
   )
 
@@ -1325,7 +1338,8 @@ object Llm {
     * the curve against independent per-threshold filters and the
     * doc-counts-at-max-decile rule on engineered corpora.
     */
-  def neardupSweep(docs: DataFrame, spark: SparkSession): DataFrame = {
+  def neardupSweep(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
     // the decile projection feeds the pair histogram AND the per-doc max
     // — persist (session clearCache contract; the pair core's shingle

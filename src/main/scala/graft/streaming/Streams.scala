@@ -386,13 +386,18 @@ object Streams {
     * per-user 30-minute-gap sessions fold into a distinct-type basket;
     * a session EMITS (sorted type set) only when a later event CLOSES it
     * (gap strictly greater than `gapUs` — the inclusive batch boundary
-    * rule), so each user's open tail session is carried, not emitted —
-    * the streaming-vs-batch divergence is exactly that open tail. State
-    * per user is ONE (ts, distinct-type list) pair, bounded by #types
-    * (the q46-min-anchor economics), carried across micro-batches so a
-    * session straddling triggers stays ONE basket; within a batch rows
-    * sort by (us, event_id) before folding. Closed baskets feed
-    * [[basketPairCounts]] (update-mode co-occurrence rollup) or any sink.
+    * rule), so each user's open tail session is carried, not emitted.
+    * State per user is ONE (ts, distinct-type list) pair, bounded by
+    * #types (the q46-min-anchor economics), carried across micro-batches
+    * so a session straddling triggers stays ONE basket; within a batch
+    * rows sort by (us, event_id) before folding. Streaming-vs-batch
+    * divergence points: the open tail (above), and — as in
+    * [[transitions]] — an event arriving out of order ACROSS
+    * micro-batches: the fold's lastUs follows arrival, so a late event
+    * can rewind it and fragment a session batch q98 would merge, exactly
+    * as it would fall outside a watermarked recomputation window. Closed
+    * baskets feed [[basketPairCounts]] (update-mode co-occurrence
+    * rollup) or any sink.
     */
   def sessionBaskets(events: Dataset[TransEvent],
                      gapUs: Long = 1800000000L): Dataset[Basket] = {
@@ -429,9 +434,7 @@ object Streams {
     */
   def basketPairCounts(baskets: DataFrame): DataFrame =
     baskets
-      .select(explode(expr(
-        "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
-          "u -> named_struct('type_a', t, 'type_b', u))))")).as("p"))
+      .select(explode(expr(graft.queries.Analytics.typePairsExpr)).as("p"))
       .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
 

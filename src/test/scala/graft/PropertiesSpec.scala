@@ -313,10 +313,10 @@ class PropertiesSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val docs = Tables.documents(spark, sf0001)
-    val ref = rows(graft.queries.Llm.neardupSweep(docs, spark))
+    val ref = rows(graft.queries.Llm.neardupSweep(docs))
     spark.catalog.clearCache()
     Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
-      assert(rows(graft.queries.Llm.neardupSweep(l, spark)) === ref)
+      assert(rows(graft.queries.Llm.neardupSweep(l)) === ref)
       spark.catalog.clearCache()
     }
   }

@@ -1523,7 +1523,7 @@ class CatalogSpec extends SparkSpec {
     val eng = Seq(
       (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z q"))
       .toDF("doc_id", "text")
-    val got = graft.queries.Llm.neardupSweep(eng, spark).collect()
+    val got = graft.queries.Llm.neardupSweep(eng).collect()
       .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
     spark.catalog.clearCache()
     val exp = (1 to 10).map { t =>
