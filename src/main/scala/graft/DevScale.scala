@@ -155,7 +155,13 @@ object DevScale {
       // r9 session 4 batch 3: the threshold sweep rides the shared pair
       // core (q31's scaling band); everything after the decile
       // projection is ≤11-row
-      "q106_neardup_sweep")
+      "q106_neardup_sweep",
+      // r9 session 4 batch 4: gap deciles + value percentiles (one
+      // type-keyed exchange over 10x rows; #types fixed so per-group
+      // sort mass grows 10x — the window band), hour profile and lang
+      // mix (one reduction each to a bounded table)
+      "q107_gap_deciles", "q108_hour_profile", "q109_lang_mix",
+      "q110_value_percentiles")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

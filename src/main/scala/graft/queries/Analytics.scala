@@ -915,14 +915,13 @@ object Analytics {
         |(integer rank arithmetic, (90·n + 99) div 100 — no engine
         |percentile-interpolation semantics to disagree over, the q52
         |contrast), alongside docs clipped and characters saved. Scale
-        |shape: ONE source-keyed exchange carries everything — the
-        |row_number ranking, the per-source count, the threshold
-        |extraction (max over the rank-k row — a per-partition scalar,
-        |no join back), and the final rollup all ride the same
-        |HashPartitioning(source); nothing corpus-sized is ever
-        |broadcast or re-shuffled. Ties in n_chars leave the rank-k
-        |VALUE deterministic (sorted-value order statistic), so the
-        |nondeterministic row_number tie assignment never surfaces.""".stripMargin,
+        |shape: the corpus reduces ONCE to the (source, length) count
+        |table and EVERYTHING — cumulative counts, the rank-k threshold
+        |(min len with cum ≥ k), the clip rollup — runs on that
+        |CARDINALITY-BOUNDED aggregate (bounded by the doc-size range,
+        |not the corpus; a row-grain rank window would sort each
+        |source's whole slice in one task at 100 TB — rejected, session
+        |4). Ties in n_chars leave the rank-k VALUE deterministic.""".stripMargin,
       q100OracleSql) { (s, d) =>
       lengthClip(Tables.documents(s, d))
     },
@@ -939,9 +938,11 @@ object Analytics {
         |every numerator term is an exact BIGINT (Σrank·x ≤ n²·x̄; the
         |DECIMAL(38) lever applies past ~1e9 docs·chars per source) and
         |only the final half-up e4 quantization divides. Scale shape:
-        |ONE source-keyed exchange carries the ranking window AND the
-        |rollup (HashPartitioning(source) serves both — the q100
-        |economics); output is #sources rows.""".stripMargin,
+        |Σrank·x computes from the (source, length) cumulative table —
+        |a tie block of size c at base ranks contributes
+        |len·(c·base + c(c+1)/2) — so the whole query runs on the
+        |cardinality-bounded aggregate (the q100 rule: no row-grain
+        |rank sort); output is #sources rows.""".stripMargin,
       q102OracleSql) { (s, d) =>
       lengthGini(Tables.documents(s, d))
     },
@@ -952,13 +953,11 @@ object Analytics {
         |belongs to, feeding length-bucketed packing and mixture
         |decisions): value at rank ceil(k·n/10) = (k·n+9) div 10, pure
         |integer rank arithmetic (no percentile interpolation — the q52
-        |contrast at the ladder grain). Scale shape: one source-keyed
-        |exchange carries the ranking and count windows; each ranked row
-        |then expands to the ≤9 decile slots it could fill (a per-row
-        |constant-9 explode of a 4-column projection — the shingle
-        |economics, narrower than the scan) and the equality filter
-        |keeps ≤ 9·#sources rows. Ties leave every rank-k VALUE
-        |deterministic.""".stripMargin,
+        |contrast at the ladder grain). Scale shape: rank-k value =
+        |min(len | cum ≥ rank_k) on the (source, length) cumulative
+        |table, so the constant-9 explode and the min-rollup run on the
+        |cardinality-bounded aggregate (the q100 rule: no row-grain
+        |rank sort). Ties leave every rank-k VALUE deterministic.""".stripMargin,
       q104OracleSql) { (s, d) =>
       lengthDeciles(Tables.documents(s, d))
     },
@@ -970,14 +969,88 @@ object Analytics {
         |bot traffic or instrumentation noise, not engagement — read
         |beside q90's daily volume anomalies before trusting event
         |counts as signals). Same integer-exact Gini as q102, over
-        |per-(type, user) event counts ranked by (count, user_id).
-        |Scale shape: the stream reduces ONCE to the (type, user) count
-        |table (map-side combined); the ranking window and the rollup
-        |share the type-keyed exchange on that reduced table; output is
-        |#types rows. At 100 TB: one corpus reduction + one
-        |user-cardinality exchange.""".stripMargin,
+        |per-(type, user) event counts. Scale shape: the stream reduces
+        |ONCE to the (type, user) count table (map-side combined),
+        |which reduces AGAIN to the (type, count-value) HISTOGRAM —
+        |users with equal counts are one q102 tie block — so the
+        |per-type rank pass runs over distinct count values
+        |(heavy-tailed activity → few), never user-cardinality rows;
+        |output is #types rows.""".stripMargin,
       q105OracleSql) { (s, d) =>
       activityGini(Tables.events(s, d))
+    },
+
+    Q("q107_gap_deciles",
+      """Q107 — exact inter-arrival-gap deciles per event type (the
+        |ingest-cadence profile beside q90's daily volume screen: a
+        |collapsed p10 means bursty duplication, a blown p90 means a
+        |stalled producer — and unlike mean/CV moments, order statistics
+        |of epoch-microsecond gaps never overflow and never touch a
+        |float). Gaps = consecutive same-type events by (ts, event_id);
+        |deciles = the q104 integer rank arithmetic, value at
+        |ceil(k·n/10). Scale shape — stated honestly: event TYPES are a
+        |few large groups, so both the gap lag and the gap ranking are
+        |per-type ordered passes (one task per type; DevScale reads 4×
+        |wall at 10× rows for exactly this reason — unlike q100's
+        |length table, microsecond gaps don't aggregate). The
+        |production levers at real scale: partition the lag by
+        |(type, time-bucket) and stitch bucket boundaries, and read
+        |q72's mergeable sketch for the quantile itself; this entry is
+        |the exact ground truth those are judged against.""".stripMargin,
+      q107OracleSql) { (s, d) =>
+      gapDeciles(Tables.events(s, d))
+    },
+
+    Q("q108_hour_profile",
+      """Q108 — hour-of-day traffic shape per event type (the
+        |seasonality read a volume monitor normalizes by before calling
+        |q90-style anomalies: a type whose mass sits in 3 UTC hours is a
+        |batch job, not user traffic). Hour = pure integer epoch-micros
+        |arithmetic ((us div 3600·10⁶) mod 24 — no engine timezone or
+        |date-truncation semantics in play, the q71/q90 rule); shares in
+        |integer half-up e4; every (type, hour) cell exists — the 24-row
+        |hour grid explodes from the #types-row total table (map-only,
+        |no literal×literal cross join). Scale shape: the stream reduces
+        |ONCE to the ≤ #types×24-row count table; everything after is
+        |grid-sized.""".stripMargin,
+      q108OracleSql) { (s, d) =>
+      hourProfile(Tables.events(s, d))
+    },
+
+    Q("q109_lang_mix",
+      """Q109 — per-source language composition (the mixture table q65's
+        |temperature weighting and q38's langid QA read against: which
+        |languages a source actually contributes, by document and token
+        |mass, with the within-source share). Shares in integer half-up
+        |e4 over exact counts; token mass = whitespace tokens (the
+        |corpus-wide token accounting convention). Scale shape: ONE
+        |reduction to the (source, lang) table (map-side combined, the
+        |per-doc token count computed inside the scan projection); the
+        |share window rides the tiny aggregate. At 100 TB: one scan, one
+        |bounded exchange.""".stripMargin,
+      q109OracleSql) { (s, d) =>
+      langMix(Tables.documents(s, d))
+    },
+
+    Q("q110_value_percentiles",
+      """Q110 — EXACT p50/p90/p99 of event value per type — the
+        |ground-truth companion the q72 sketch quantiles are judged
+        |against (same surface, opposite contract: q72 is bounded-memory
+        |mergeable with rank error ≤ n/accuracy; this is the exact order
+        |statistic at ceil(p·n/100)). The selected DOUBLE passes through
+        |UNTOUCHED (no arithmetic — both engines surface the identical
+        |parquet double, the q97 rule; ranks are integer, and ties on
+        |value leave the rank-k VALUE deterministic). Scale shape —
+        |stated honestly: exact selection over a few large type groups
+        |is a per-type ordered pass (one task per type; continuous
+        |doubles don't aggregate the way q100's lengths do — DevScale
+        |6× at 10× rows). That is PRECISELY the contract q72's
+        |Greenwald–Khanna sketch exists to break: q72 is the 100 TB
+        |path, this entry is the exact ground truth it is judged
+        |against (and the audit-scale / sampled-slice read). Nulls are
+        |filtered identically on both engines before ranking.""".stripMargin,
+      q110OracleSql) { (s, d) =>
+      valuePercentiles(Tables.events(s, d))
     }
   )
 
@@ -1178,44 +1251,174 @@ object Analytics {
       |  CAST((2 * 10000 * ks_num + n_s * (n - n_s)) // (2 * n_s * (n - n_s)) AS BIGINT) AS ks_e4
       |FROM nm WHERE n > n_s ORDER BY source""".stripMargin
 
+  /** The shared (source, len, c, cum, n) cumulative-count table the
+    * order-statistic queries (q100/q102/q104) build on: the corpus
+    * reduces ONCE to per-(source, length) counts (map-side combined),
+    * and every window below runs on that CARDINALITY-BOUNDED aggregate
+    * — never a per-source sort of raw rows (a row-grain rank window
+    * puts each source's whole corpus slice in one task at 100 TB; the
+    * aggregate's size is bounded by the doc-size range). Persisted —
+    * callers consume it twice (session clearCache contract).
+    */
+  private def lenCum(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ws = Window.partitionBy("source")
+    docs.groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(ws.orderBy("len")))
+      .withColumn("n", sum(col("c")).over(ws))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** q100's logic over an arbitrary document frame — exposed so specs can
     * pin the exact order-statistic rank, the tie behavior and the clip
     * accounting on engineered corpora. The output column keeps the name
     * `p90` (the catalog's pct = 90) whatever `pct` a spec passes.
+    * The rank-k value on the cumulative table is min(len | cum ≥ k) —
+    * identical to the row-grain order statistic, without its per-source
+    * row sort.
     */
   def lengthClip(docs: org.apache.spark.sql.DataFrame,
                  pct: Int = 90): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("source").orderBy("n_chars")
-    val ws = Window.partitionBy("source")
-    // one source-keyed exchange: ranking, count, the rank-k threshold
-    // (a per-partition scalar via max over the single matching row) and
-    // the rollup all ride the same HashPartitioning(source)
-    docs.select(col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(ws))
-      .withColumn("p90", max(when(
-        col("rn") === expr(s"($pct * n + 99) div 100"), col("n_chars")))
-        .over(ws))
+    val c = lenCum(docs)
+    val th = c.filter(col("cum") >= expr(s"($pct * n + 99) div 100"))
+      .groupBy("source").agg(min(col("len")).as("p90"), max(col("n")).as("n_docs"))
+    c.join(broadcast(th), Seq("source"))
       .groupBy("source")
-      .agg(max(col("n")).as("n_docs"), max(col("p90")).as("p90"),
-        sum(when(col("n_chars") > col("p90"), 1L).otherwise(0L))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("p90")).as("p90"),
+        sum(when(col("len") > col("p90"), col("c")).otherwise(0L))
           .as("n_clipped"),
-        sum(when(col("n_chars") > col("p90"), col("n_chars") - col("p90"))
+        sum(when(col("len") > col("p90"), (col("len") - col("p90")) * col("c"))
           .otherwise(0L)).as("chars_saved"))
       .orderBy("source")
   }
+
+  /** q107's logic over an arbitrary event frame — exposed so specs can
+    * pin the gap extraction (per-type lag by (ts, event_id)) and the
+    * rank arithmetic on engineered streams.
+    */
+  def gapDeciles(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wl = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    val g = events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wl))
+      .filter(col("gap").isNotNull)
+    val wr = Window.partitionBy("event_type").orderBy("gap")
+    g.withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("gap"), col("rn"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(col("rn") === expr("(k * n + 9) div 10"))
+      .select(col("event_type"), col("k").cast(IntegerType).as("k"),
+        col("gap").as("gap_us"))
+      .orderBy("event_type", "k")
+  }
+
+  private lazy val q107OracleSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (SELECT event_type, us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap FROM e),
+      |r AS (SELECT event_type, gap, row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n FROM g WHERE gap IS NOT NULL)
+      |SELECT event_type, CAST(k AS INT) AS k, CAST(gap AS BIGINT) AS gap_us
+      |FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+      |WHERE rn = (k * n + 9) // 10 ORDER BY event_type, k""".stripMargin
+
+  /** q108's logic over an arbitrary event frame — exposed so specs can
+    * pin the integer hour bucketing and the zero-filled grid.
+    */
+  def hourProfile(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the ≤ #types×24-row count table feeds totals and the grid join —
+    // persist (session clearCache contract)
+    val c = events
+      .groupBy(col("event_type"),
+        expr("CAST((unix_micros(ts) div 3600000000) % 24 AS INT)").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = c.groupBy("event_type").agg(sum(col("n")).as("tot"))
+    val grid = t.select(col("event_type"), col("tot"),
+      explode(sequence(lit(0), lit(23))).as("hour"))
+    grid.join(c, Seq("event_type", "hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col("event_type"), col("hour").cast(IntegerType).as("hour"),
+        col("n"), expr("(2 * 10000 * n + tot) div (2 * tot)").as("share_e4"))
+      .orderBy("event_type", "hour")
+  }
+
+  private lazy val q108OracleSql: String =
+    """WITH c AS (SELECT event_type, CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+      |       count(*) AS n FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1),
+      |grid AS (SELECT t.event_type AS event_type, t.tot AS tot,
+      |         CAST(unnest(range(0, 24)) AS INT) AS hour FROM t)
+      |SELECT g.event_type AS event_type, g.hour AS hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      |  CAST((2 * 10000 * coalesce(c.n, 0) + g.tot) // (2 * g.tot) AS BIGINT) AS share_e4
+      |FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
+      |ORDER BY event_type, hour""".stripMargin
+
+  /** q109's logic over an arbitrary document frame — exposed so specs
+    * can pin the share arithmetic and token accounting.
+    */
+  def langMix(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = docs
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"),
+        sum(size(TextOps.tokens(col("text"))).cast(LongType)).as("nt"))
+    c.withColumn("s", sum(col("n")).over(Window.partitionBy("source")))
+      .select(col("source"), col("lang"), col("n").as("n_docs"),
+        col("nt").as("n_tokens"),
+        expr("(2 * 10000 * n + s) div (2 * s)").as("share_e4"))
+      .orderBy("source", "lang")
+  }
+
+  private lazy val q109OracleSql: String =
+    """WITH c AS (SELECT source, lang, count(*) AS n,
+      |           sum(len(string_split(text, ' '))) AS nt FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, CAST(n AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+      |  CAST((2 * 10000 * n + s) // (2 * s) AS BIGINT) AS share_e4
+      |FROM (SELECT *, sum(n) OVER (PARTITION BY source) AS s FROM c)
+      |ORDER BY source, lang""".stripMargin
+
+  /** q110's logic over an arbitrary event frame — exposed so specs can
+    * pin the exact ranks against q72's sketch contract and the
+    * value pass-through.
+    */
+  def valuePercentiles(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wr = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("value"), col("rn"), col("n"),
+        explode(array(lit(50), lit(90), lit(99))).as("pct"))
+      .filter(col("rn") === expr("(pct * n + 99) div 100"))
+      .select(col("event_type"), col("pct").cast(IntegerType).as("pct"),
+        col("value"))
+      .orderBy("event_type", "pct")
+  }
+
+  private lazy val q110OracleSql: String =
+    """WITH r AS (SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(k AS INT) AS pct, value
+      |FROM r CROSS JOIN (SELECT unnest([50, 90, 99]) AS k)
+      |WHERE rn = (k * n + 99) // 100 ORDER BY event_type, pct""".stripMargin
 
   /** q102's logic over an arbitrary document frame — exposed so specs
     * can pin the hand-computed Gini values (uniform = 0; [1,3] = 0.25)
     * and tie invariance.
     */
   def lengthGini(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-    docs.select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
+    // a tie block of size c at cumulative base (cum − c) occupies ranks
+    // base+1 .. base+c, so Σrank·x over the block is
+    // len · (c·base + c(c+1)/2) — the row-grain Σrank·x without the
+    // row-grain sort (c(c+1) is always even; div 2 is exact)
+    lenCum(docs)
       .groupBy("source")
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
-        sum(col("rn") * col("n_chars")).as("sw"))
+      .agg(max(col("n")).as("n"), sum(col("len") * col("c")).as("sx"),
+        sum(expr("len * (c * (cum - c) + (c * (c + 1)) div 2)")).as("sw"))
       .select(col("source"), col("n").as("n_docs"),
         expr("(2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) div (2 * n * sx)")
           .as("gini_e4"))
@@ -1237,15 +1440,15 @@ object Analytics {
     * 1..10 are exactly 1..9).
     */
   def lengthDeciles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("source").orderBy("n_chars")
-    docs.select(col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-      .select(col("source"), col("n_chars"), col("rn"), col("n"),
+    // rank-k value on the cumulative table = min(len | cum ≥ rank_k);
+    // the constant-9 explode runs on the CARDINALITY-BOUNDED aggregate
+    lenCum(docs)
+      .select(col("source"), col("len"), col("cum"), col("n"),
         explode(sequence(lit(1), lit(9))).as("k"))
-      .filter(col("rn") === expr("(k * n + 9) div 10"))
-      .select(col("source"), col("k").cast(IntegerType).as("k"),
-        col("n_chars").as("value"))
+      .filter(col("cum") >= expr("(k * n + 9) div 10"))
+      .groupBy("source", "k")
+      .agg(min(col("len")).as("value"))
+      .select(col("source"), col("k").cast(IntegerType).as("k"), col("value"))
       .orderBy("source", "k")
   }
 
@@ -1262,12 +1465,19 @@ object Analytics {
     * pin the hand-computed concentration values on engineered streams.
     */
   def activityGini(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val c = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("event_type").orderBy(col("c"), col("user_id"))
-    c.withColumn("rn", row_number().over(w))
+    // the q102 tie-block rule over the (type, count-value) HISTOGRAM:
+    // users with equal counts are one tie class, so the per-type rank
+    // pass runs on distinct count VALUES (heavy-tailed → few), never on
+    // user-cardinality rows
+    val uc = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+    val ws = Window.partitionBy("event_type")
+    uc.groupBy("event_type", "c").agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum(col("f")).over(ws.orderBy("c")))
+      .withColumn("n", sum(col("f")).over(ws))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-        sum(col("rn") * col("c")).as("sw"))
+      .agg(max(col("n")).as("n"), sum(col("c") * col("f")).as("sx"),
+        sum(expr("c * (f * (cum - f) + (f * (f + 1)) div 2)")).as("sw"))
       .select(col("event_type"), col("n").as("n_users"),
         expr("(2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) div (2 * n * sx)")
           .as("gini_e4"))

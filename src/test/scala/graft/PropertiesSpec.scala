@@ -309,6 +309,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q107/q108/q109/q110 — cadence, seasonality, mix and percentiles invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val gapRef = rows(graft.queries.Analytics.gapDeciles(ev))
+    val hourRef = rows(graft.queries.Analytics.hourProfile(ev))
+    spark.catalog.clearCache()
+    val mixRef = rows(graft.queries.Analytics.langMix(docs))
+    val pctRef = rows(graft.queries.Analytics.valuePercentiles(ev))
+    Seq(17, 1).foreach { n =>
+      val (e, d) =
+        if (n == 1) (ev.coalesce(1), docs.coalesce(1))
+        else (ev.repartition(n, $"user_id"), docs.repartition(n, $"lang"))
+      assert(rows(graft.queries.Analytics.gapDeciles(e)) === gapRef)
+      assert(rows(graft.queries.Analytics.hourProfile(e)) === hourRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.langMix(d)) === mixRef)
+      assert(rows(graft.queries.Analytics.valuePercentiles(e)) === pctRef)
+    }
+  }
+
   test("q106 — near-dup sweep invariant under doc repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq

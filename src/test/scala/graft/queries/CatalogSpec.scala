@@ -1514,6 +1514,53 @@ class CatalogSpec extends SparkSpec {
     assert(got.filter(_._1 == "train").forall(_._5 == 0L))
   }
 
+  test("q107/q110 — gap deciles and exact value percentiles on engineered streams") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    // gaps 10/20/40 min → 3 gaps; ceil(3k/10) picks rank 1 for k ≤ 3,
+    // rank 2 for k ≤ 6, rank 3 above
+    val ev = Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(30)), (4L, ts(70)))
+      .map { case (id, t) => (id, t, 1L, "x", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val gaps = graft.queries.Analytics.gapDeciles(ev).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val mi = 60000000L // a minute in micros
+    assert(gaps.toSeq === Seq(1 -> 10 * mi, 2 -> 10 * mi, 3 -> 10 * mi,
+      4 -> 20 * mi, 5 -> 20 * mi, 6 -> 20 * mi,
+      7 -> 40 * mi, 8 -> 40 * mi, 9 -> 40 * mi), gaps.toSeq)
+    // exact percentiles of 1..100: p50 = 50, p90 = 90, p99 = 99, and the
+    // doubles pass through untouched
+    val ev2 = (1 to 100).map(i =>
+      (i.toLong, ts(i.toLong), 1L, "y", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pct = graft.queries.Analytics.valuePercentiles(ev2).collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    assert(pct.toSeq === Seq(50 -> 50.0, 90 -> 90.0, 99 -> 99.0), pct.toSeq)
+  }
+
+  test("q108/q109 — hour grid zero-fills; lang shares are half-up on exact counts") {
+    import spark.implicits._
+    def at(hour: Long, i: Long) = new java.sql.Timestamp(hour * 3600000L + i)
+    val ev = Seq((1L, at(0, 0)), (2L, at(0, 1)), (3L, at(0, 2)), (4L, at(5, 0)))
+      .map { case (id, t) => (id, t, 1L, "x", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val prof = graft.queries.Analytics.hourProfile(ev).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(prof.length === 24, s"grid must cover all 24 hours: ${prof.length}")
+    assert(prof.filter(_._2 > 0).toSeq === Seq((0, 3L, 7500L), (5, 1L, 2500L)),
+      prof.filter(_._2 > 0).toSeq)
+    assert(prof.filter(_._2 == 0).forall(_._3 == 0L))
+    val docs = Seq((1L, "A", "en", "a b c"), (2L, "A", "en", "d e f"),
+      (3L, "A", "fr", "g h"))
+      .toDF("doc_id", "source", "lang", "text")
+    val mix = graft.queries.Analytics.langMix(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(mix.toSeq === Seq(("en", 2L, 6L, 6667L), ("fr", 1L, 2L, 3333L)),
+      mix.toSeq)
+  }
+
   test("q106 — near-dup sweep: hand curve; docs count at their strongest pair") {
     import spark.implicits._
     // A ≡ B ("x y z w": shingles {xyz, yzw}, pair dec 10); C shares one
