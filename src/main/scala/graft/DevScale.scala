@@ -161,7 +161,10 @@ object DevScale {
       // sort mass grows 10x — the window band), hour profile and lang
       // mix (one reduction each to a bounded table)
       "q107_gap_deciles", "q108_hour_profile", "q109_lang_mix",
-      "q110_value_percentiles")
+      "q110_value_percentiles",
+      // r9 session 4 batch 5: rules ride the q98 session base; the
+      // correlation is a five-moment map-side reduction
+      "q111_session_rules", "q112_quality_length_corr")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

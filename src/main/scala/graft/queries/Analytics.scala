@@ -980,6 +980,22 @@ object Analytics {
       activityGini(Tables.events(s, d))
     },
 
+    Q("q111_session_rules",
+      """Q111 — directional association rules over q98's session baskets:
+        |for each ordered type pair (ante → cons) co-occurring in a
+        |session, the antecedent's session count and the confidence
+        |n_both/n_ante in integer half-up e4 (support and lift are q98's
+        |symmetric read; confidence is the asymmetric one — 'sessions
+        |that error also purchase' ≠ the converse — the rule form a
+        |recommendation/alerting pipeline consumes). Scale shape:
+        |identical to q98 — the shared sessionTypeSets base (ONE user
+        |exchange), ordered pairs expand locally from the bounded type
+        |array (t ≠ u), and everything downstream is ≤ #types²-row with
+        |the antecedent counts attached by broadcast.""".stripMargin,
+      q111OracleSql) { (s, d) =>
+      sessionRules(Tables.events(s, d))
+    },
+
     Q("q107_gap_deciles",
       """Q107 — exact inter-arrival-gap deciles per event type (the
         |ingest-cadence profile beside q90's daily volume screen: a
@@ -1125,10 +1141,18 @@ object Analytics {
     * gap stays), within-session type dedup, and the hand-computed
     * support/lift arithmetic on engineered streams.
     */
-  def sessionItemsets(events: org.apache.spark.sql.DataFrame,
-                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+  /** The q30-gap sessionize → per-session sorted distinct-type set, the
+    * shared base of q98 (itemsets) and q111 (rules): the sessionize
+    * window and the (user, sid) reduction ride ONE user exchange
+    * (HashPartitioning(user_id) satisfies the clustering — the q57
+    * lesson); per-session state is the bounded distinct type set.
+    * PERSISTED — callers consume it multiple ways (session clearCache
+    * contract).
+    */
+  private def sessionTypeSets(events: org.apache.spark.sql.DataFrame,
+                              gapUs: Long): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val x = events
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("us"), 1).over(w))
@@ -1137,14 +1161,14 @@ object Analytics {
           .otherwise(0L))
       .withColumn("sid", sum(col("brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // the (user, sid) reduction rides the sessionize window's user
-    // exchange (HashPartitioning(user_id) satisfies the clustering — the
-    // q57 lesson); per-session state = the bounded distinct type set.
-    // Consumed three ways (support scalar, type counts, pairs) → persist
-    // (session clearCache contract).
-    val sess = x.groupBy("user_id", "sid")
+      .groupBy("user_id", "sid")
       .agg(sort_array(collect_set(col("event_type"))).as("tys"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def sessionItemsets(events: org.apache.spark.sql.DataFrame,
+                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    val sess = sessionTypeSets(events, gapUs)
     val ns = sess.agg(count(lit(1)).as("ns")) // proven 1-row scalar
     val ta = sess.select(explode(col("tys")).as("event_type"))
       .groupBy("event_type").agg(count(lit(1)).as("na"))
@@ -1175,6 +1199,47 @@ object Analytics {
   private[graft] val typePairsExpr: String =
     "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
       "u -> named_struct('type_a', t, 'type_b', u))))"
+
+  /** q111's logic over an arbitrary event frame — exposed so specs can
+    * pin the asymmetric confidence against hand values on engineered
+    * streams.
+    */
+  def sessionRules(events: org.apache.spark.sql.DataFrame,
+                   gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    val sess = sessionTypeSets(events, gapUs)
+    val ta = sess.select(explode(col("tys")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("na"))
+    val pr = sess
+      .select(explode(expr(
+        "flatten(transform(tys, t -> transform(filter(tys, u -> u != t), " +
+          "u -> named_struct('ante', t, 'cons', u))))")).as("p"))
+      .select(col("p.ante").as("ante"), col("p.cons").as("cons"))
+      .groupBy("ante", "cons").agg(count(lit(1)).as("n_both"))
+    pr.join(broadcast(ta.select(col("event_type").as("ante"),
+        col("na").as("n_ante"))), Seq("ante"))
+      .select(col("ante"), col("cons"), col("n_ante"), col("n_both"),
+        expr("(2 * 10000 * n_both + n_ante) div (2 * n_ante)").as("conf_e4"))
+      .orderBy("ante", "cons")
+  }
+
+  private lazy val q111OracleSql: String =
+    """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |    FROM events),
+      |s AS (SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+      |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+      |ta AS (SELECT event_type, count(*) AS na FROM st GROUP BY 1),
+      |pr AS (SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_both
+      |       FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+      |        AND a.event_type <> b.event_type
+      |       GROUP BY 1, 2)
+      |SELECT ante, cons, CAST(ta.na AS BIGINT) AS n_ante, CAST(n_both AS BIGINT) AS n_both,
+      |  CAST((2 * 10000 * n_both + ta.na) // (2 * ta.na) AS BIGINT) AS conf_e4
+      |FROM pr JOIN ta ON ta.event_type = pr.ante
+      |ORDER BY ante, cons""".stripMargin
 
   private lazy val q98OracleSql: String =
     """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

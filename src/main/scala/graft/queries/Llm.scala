@@ -1331,8 +1331,78 @@ object Llm {
         |pass, not 10.""".stripMargin,
       q106OracleSql) { (s, d) =>
       neardupSweep(Tables.documents(s, d))
+    },
+
+    Q("q112_quality_length_corr",
+      """Q112 — per-source Pearson correlation between the q35 quality
+        |score and document length (the confound check before acting on
+        |either signal: when quality is mostly re-measuring length, a
+        |quality gate is a length gate in disguise and q100's clip
+        |already covers it — read beside q66's sweep before committing a
+        |filter). Determinism: the score enters as the exact integer e4
+        |rational ((2·10⁴·(200·hits + n·min(200,n)) + 400n) div (800n)
+        |— the q66 quality arithmetic, half-up), lengths are integers,
+        |and ALL five correlation moments (Σx, Σy, Σxy, Σx², Σy²) are
+        |exact BIGINTs (the q90 second-moment rule) — both engines then
+        |divide identical doubles and round(4); degenerate (zero
+        |variance) sources are guarded out identically. Scale shape: one
+        |scan projection computes (source, x, y); ONE #sources-row
+        |reduction with map-side combine carries all five moments; at
+        |100 TB this is a scan plus a bounded exchange. BIGINT bound:
+        |n·Σy² overflows past ~1e9 large docs per source — the
+        |DECIMAL(38) lever, documented not needed below that.""".stripMargin,
+      q112OracleSql) { (s, d) =>
+      qualityLengthCorr(Tables.documents(s, d))
     }
   )
+
+  /** q112's logic over an arbitrary corpus — exposed so specs can pin
+    * hand-computed correlations (perfect linear = 1.0, a constant
+    * column guards out) on engineered corpora.
+    */
+  def qualityLengthCorr(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks).cast(LongType)
+    val hits = TextOps.stopwordHits(toks, qualityStopwords).cast(LongType)
+    val q = docs
+      .select(col("source"), col("n_chars").as("y"), n.as("n"),
+        hits.as("hits"))
+      .select(col("source"), col("y"),
+        expr("(2 * 10000 * (200 * hits + n * least(200, n)) + 400 * n) div (2 * 400 * n)")
+          .as("x"))
+    q.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") * col("sxx") > col("sx") * col("sx") &&
+        col("n") * col("syy") > col("sy") * col("sy"))
+      .select(col("source"), col("n").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType))), 4).as("corr"))
+      .orderBy("source")
+  }
+
+  private lazy val q112OracleSql: String =
+    """WITH tk AS (SELECT source, n_chars AS y,
+      |    len(string_split(text, ' ')) AS n,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS hits
+      |    FROM documents),
+      |q AS (SELECT source, y,
+      |    (2 * 10000 * (200 * hits + n * least(200, n)) + 400 * n) // (2 * 400 * n) AS x
+      |    FROM tk),
+      |a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |      sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |      FROM q GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  round((n * sxy - sx * sy) /
+      |        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS corr
+      |FROM a WHERE n * sxx > sx * sx AND n * syy > sy * sy
+      |ORDER BY source""".stripMargin
 
   /** q106's logic over an arbitrary corpus — exposed so specs can pin
     * the curve against independent per-threshold filters and the

@@ -331,6 +331,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q111/q112 — rules and quality-length corr invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val ruleRef = rows(graft.queries.Analytics.sessionRules(ev))
+    spark.catalog.clearCache()
+    val corrRef = rows(graft.queries.Llm.qualityLengthCorr(docs))
+    Seq(17, 1).foreach { n =>
+      val (e, d) =
+        if (n == 1) (ev.coalesce(1), docs.coalesce(1))
+        else (ev.repartition(n, $"user_id"), docs.repartition(n, $"source"))
+      assert(rows(graft.queries.Analytics.sessionRules(e)) === ruleRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Llm.qualityLengthCorr(d)) === corrRef)
+    }
+  }
+
   test("q106 — near-dup sweep invariant under doc repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq

@@ -1561,6 +1561,51 @@ class CatalogSpec extends SparkSpec {
       mix.toSeq)
   }
 
+  test("q111 — rule confidence is asymmetric; hand values on the q98 stream") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the q98 engineered stream: sessions {click,view}, {error,click},
+    // {view} → n_a: click 2, view 2, error 1. error→click = 1/1 but
+    // click→error = 1/2 — the asymmetry support/lift can't express
+    val eng = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "view"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "view"),
+      (4L, ts("2024-01-01 11:10:01"), 1L, "error"),
+      (5L, ts("2024-01-01 11:20:00"), 1L, "click"),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.Analytics.sessionRules(eng).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(
+      ("click", "error", 2L, 1L, 5000L),
+      ("click", "view", 2L, 1L, 5000L),
+      ("error", "click", 1L, 1L, 10000L),
+      ("view", "click", 2L, 1L, 5000L)),
+      s"engineered rules diverged: ${got.toSeq}")
+  }
+
+  test("q112 — two distinct points correlate at exactly 1; zero variance guards out") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, String)]) =
+      rows.zipWithIndex.map { case ((s, t), i) =>
+        (i.toLong, s, t, t.length.toLong)
+      }.toDF("doc_id", "source", "text", "n_chars")
+    // two docs with distinct (x, y): any two distinct points are
+    // perfectly linear → corr = 1.0 exactly
+    val two = graft.queries.Llm.qualityLengthCorr(
+      docs(Seq(("A", "zz zz"), ("A", "the the the")))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(two.toSeq === Seq(("A", 2L, 1.0)), two.toSeq)
+    // identical token profile (same x) with different lengths → zero
+    // x-variance → the source is guarded out, not NaN
+    val const = graft.queries.Llm.qualityLengthCorr(
+      docs(Seq(("A", "aa bb"), ("A", "aaa bbb")))).collect()
+    assert(const.isEmpty, const.toSeq)
+  }
+
   test("q106 — near-dup sweep: hand curve; docs count at their strongest pair") {
     import spark.implicits._
     // A ≡ B ("x y z w": shingles {xyz, yzw}, pair dec 10); C shares one
