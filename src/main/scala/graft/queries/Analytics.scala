@@ -1023,10 +1023,14 @@ object Analytics {
         |q90-style anomalies: a type whose mass sits in 3 UTC hours is a
         |batch job, not user traffic). Hour = pure integer epoch-micros
         |arithmetic ((us div 3600·10⁶) mod 24 — no engine timezone or
-        |date-truncation semantics in play, the q71/q90 rule); shares in
-        |integer half-up e4; every (type, hour) cell exists — the 24-row
-        |hour grid explodes from the #types-row total table (map-only,
-        |no literal×literal cross join). Scale shape: the stream reduces
+        |date-truncation semantics in play, the q71/q90 rule), defined
+        |on the epoch-nonnegative domain: pre-1970 rows are EXPLICITLY
+        |filtered on both engines (truncating vs flooring division
+        |would bin them differently, and a negative bucket would fall
+        |off the grid while inflating totals). Shares in integer
+        |half-up e4; every (type, hour) cell exists — the 24-row hour
+        |grid explodes from the #types-row total table (map-only, no
+        |literal×literal cross join). Scale shape: the stream reduces
         |ONCE to the ≤ #types×24-row count table; everything after is
         |grid-sized.""".stripMargin,
       q108OracleSql) { (s, d) =>
@@ -1322,8 +1326,10 @@ object Analytics {
     * and every window below runs on that CARDINALITY-BOUNDED aggregate
     * — never a per-source sort of raw rows (a row-grain rank window
     * puts each source's whole corpus slice in one task at 100 TB; the
-    * aggregate's size is bounded by the doc-size range). Persisted —
-    * callers consume it twice (session clearCache contract).
+    * aggregate's size is bounded by the doc-size range). NOT persisted
+    * here: q102/q104 consume it exactly once — only lengthClip reads
+    * it twice and persists at its own call site (review finding,
+    * session 4).
     */
   private def lenCum(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ws = Window.partitionBy("source")
@@ -1331,7 +1337,6 @@ object Analytics {
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(ws.orderBy("len")))
       .withColumn("n", sum(col("c")).over(ws))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** q100's logic over an arbitrary document frame — exposed so specs can
@@ -1344,7 +1349,10 @@ object Analytics {
     */
   def lengthClip(docs: org.apache.spark.sql.DataFrame,
                  pct: Int = 90): org.apache.spark.sql.DataFrame = {
+    // the one lenCum caller that reads it twice (threshold + join back)
+    // → persist here (session clearCache contract)
     val c = lenCum(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = c.filter(col("cum") >= expr(s"($pct * n + 99) div 100"))
       .groupBy("source").agg(min(col("len")).as("p90"), max(col("n")).as("n_docs"))
     c.join(broadcast(th), Seq("source"))
@@ -1388,15 +1396,28 @@ object Analytics {
       |FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
       |WHERE rn = (k * n + 9) // 10 ORDER BY event_type, k""".stripMargin
 
+  /** The q108 hour-of-day bucket over a `ts` column — the ONE
+    * definition the batch profile and the streaming monitor
+    * (`Streams.hourCounts`) share (the typePairsExpr convention).
+    * Defined for the epoch-nonnegative domain: callers filter
+    * `unix_micros(ts) >= 0` FIRST — pre-1970 micros bin differently
+    * under Spark's truncating `div` and DuckDB's flooring `//`, and a
+    * negative bucket would silently fall off the 0..23 grid while
+    * inflating the totals (review finding, session 4).
+    */
+  private[graft] val hourOfDayExpr: String =
+    "CAST((unix_micros(ts) div 3600000000) % 24 AS INT)"
+
   /** q108's logic over an arbitrary event frame — exposed so specs can
-    * pin the integer hour bucketing and the zero-filled grid.
+    * pin the integer hour bucketing, the zero-filled grid and the
+    * explicit pre-1970 guard.
     */
   def hourProfile(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // the ≤ #types×24-row count table feeds totals and the grid join —
     // persist (session clearCache contract)
     val c = events
-      .groupBy(col("event_type"),
-        expr("CAST((unix_micros(ts) div 3600000000) % 24 AS INT)").as("hour"))
+      .filter(expr("unix_micros(ts) >= 0"))
+      .groupBy(col("event_type"), expr(hourOfDayExpr).as("hour"))
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t = c.groupBy("event_type").agg(sum(col("n")).as("tot"))
@@ -1411,7 +1432,7 @@ object Analytics {
 
   private lazy val q108OracleSql: String =
     """WITH c AS (SELECT event_type, CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
-      |       count(*) AS n FROM events GROUP BY 1, 2),
+      |       count(*) AS n FROM events WHERE epoch_us(ts) >= 0 GROUP BY 1, 2),
       |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1),
       |grid AS (SELECT t.event_type AS event_type, t.tot AS tot,
       |         CAST(unnest(range(0, 24)) AS INT) AS hour FROM t)

@@ -459,6 +459,21 @@ object Streams {
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
 
+  /** Live hour-of-day traffic shape — the streaming twin of batch
+    * q108's extraction: running (event_type, hour) counts as an
+    * update-mode stateful aggregation whose state is ≤ #types×24 rows,
+    * so it runs forever without a watermark (the [[oovRates]]
+    * economics). Hour is the same pure integer epoch arithmetic as the
+    * batch entry (no timezone/date-trunc semantics); shares normalize
+    * downstream where the consumer chooses the window.
+    */
+  def hourCounts(events: DataFrame): DataFrame =
+    events
+      .filter(expr("unix_micros(ts) >= 0"))
+      .groupBy(col("event_type"),
+        expr(graft.queries.Analytics.hourOfDayExpr).as("hour"))
+      .agg(count(lit(1)).as("n"))
+
   /** Stream ⋈ static dimension enrichment (the ingest-side join every
     * pipeline needs): per micro-batch hash join against the static side —
     * no state store, broadcast when small.

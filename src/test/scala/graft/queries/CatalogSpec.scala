@@ -1552,6 +1552,14 @@ class CatalogSpec extends SparkSpec {
     assert(prof.filter(_._2 > 0).toSeq === Seq((0, 3L, 7500L), (5, 1L, 2500L)),
       prof.filter(_._2 > 0).toSeq)
     assert(prof.filter(_._2 == 0).forall(_._3 == 0L))
+    // the pre-1970 guard: a negative-epoch row is excluded from counts
+    // AND totals (not silently dropped from the grid while inflating s)
+    val withOld = ev.union(Seq((9L, new java.sql.Timestamp(-86400000L),
+      1L, "x", 0.0)).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val prof2 = graft.queries.Analytics.hourProfile(withOld).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(prof2.toSeq === prof.toSeq, "pre-1970 row must not shift the profile")
     val docs = Seq((1L, "A", "en", "a b c"), (2L, "A", "en", "d e f"),
       (3L, "A", "fr", "g h"))
       .toDF("doc_id", "source", "lang", "text")

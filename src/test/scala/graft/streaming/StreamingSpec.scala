@@ -549,6 +549,47 @@ class StreamingSpec extends SparkSpec {
       s"basket pair rollup diverged: $pairs")
   }
 
+  test("streaming hour profile — running counts match batch q108; accumulates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // single-trigger corpus equivalence against the batch q108 counts
+    // (the share normalization is the batch entry's grid stage — the
+    // monitor emits raw counts)
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+      .as[Streams.TransEvent].collect()
+    val src = MemoryStream[Streams.TransEvent]
+    src.addData(evs.toSeq)
+    val q = Streams.hourCounts(src.toDS().toDF())
+      .writeStream.format("memory").queryName("t_hours")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_hours").as[(String, Int, Long)].collect().toSet
+    val want = graft.queries.Catalog.byName("q108_hour_profile")
+      .build(spark, sf0001).filter($"n" > 0)
+      .select($"event_type", $"hour", $"n").as[(String, Int, Long)]
+      .collect().toSet
+    spark.catalog.clearCache()
+    assert(got === want, s"streaming hour counts != batch q108")
+    // cross-batch accumulation: a second batch in the same hour bumps
+    // the same state row
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 03:30:00")
+    val src2 = MemoryStream[Streams.TransEvent]
+    val q2 = Streams.hourCounts(src2.toDS().toDF())
+      .writeStream.format("memory").queryName("t_hours2")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      src2.addData(Streams.TransEvent(1L, t0, "a", 1L))
+      q2.processAllAvailable()
+      src2.addData(Streams.TransEvent(2L, t0, "a", 2L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("t_hours2").as[(String, Int, Long)]
+      .collect().groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).max)
+    assert(got2.toMap === Map(("a", 3) -> 2L),
+      s"cross-batch hour accumulation diverged: ${got2.toMap}")
+  }
+
   test("streaming OOV monitor — running totals match batch q93; counts accumulate across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
