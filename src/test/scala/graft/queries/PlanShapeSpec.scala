@@ -231,6 +231,87 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"q39 shuffles beyond the final sort:\n$p")
   }
 
+  // collect plan nodes INCLUDING persisted subtrees — a builder persist
+  // hides its subplan inside InMemoryRelation.cachedPlan, which a plain
+  // collect never visits (the q31 cached-exchange lesson)
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p.collect { case n => n }.flatMap {
+      case s: InMemoryTableScanExec => s +: deepNodes(s.relation.cachedPlan)
+      case n => Seq(n)
+    }
+  }
+
+  test("q98/q111 — one event-stream exchange; pairs expand post-reduction") {
+    // the sessionize window's user exchange is the ONLY shuffle the raw
+    // event stream pays; the (user, sid) aggregate rides it
+    // (HashPartitioning(user_id) satisfies the clustering — the q57
+    // lesson), and the pair explode runs on the reduced session frame
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("q98_session_itemsets", "q111_session_rules").foreach { name =>
+      spark.catalog.clearCache()
+      val executed = Catalog.byName(name).build(spark, sf0001)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = deepNodes(executed).collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name lost the sessionize window:\n$executed")
+      // every exchange inside any window subtree hashes on user_id —
+      // the raw stream is never re-shuffled for the session aggregate
+      val winEx = wins.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+      assert(winEx.nonEmpty &&
+          winEx.forall(_.outputPartitioning.toString.contains("user_id")),
+        s"$name's raw stream must shuffle once, on user_id:\n$executed")
+      spark.catalog.clearCache()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q100/q102/q104/q105 — order statistics run on aggregates, never raw-row rank windows") {
+    // the session-4 rewrite: every rank/cumulative window's input is an
+    // aggregate (the (key, value-count) table), so no window ever sorts
+    // a whole source/type slice of raw rows in one task
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("q100_length_clip", "q102_length_gini", "q104_length_deciles",
+      "q105_activity_gini").foreach { name =>
+      spark.catalog.clearCache()
+      val executed = Catalog.byName(name).build(spark, sf0001)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = deepNodes(executed).collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name lost its cumulative window:\n$executed")
+      wins.foreach { w =>
+        assert(w.exists(p => p.getClass.getSimpleName.contains("HashAggregate")),
+          s"$name has a window over raw rows (no aggregate below):\n$w")
+      }
+      spark.catalog.clearCache()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q106 — one pair-core pass; the sweep tail is bucket-table-sized") {
+    // the decile projection persists and feeds BOTH histograms; the
+    // suffix sums and grid joins are broadcast-sized — no second
+    // corpus-scale exchange after the pair core
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.catalog.clearCache()
+    val executed =
+      try Catalog.byName("q106_neardup_sweep").build(spark, sf0001)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the persisted decile projection is consumed (not recomputed) …
+    assert(executed.collect { case s: InMemoryTableScanExec => s }.size >= 2,
+      s"q106's decile projection must feed both histograms from cache:\n$executed")
+    // … and the final grid attaches both suffix tables by broadcast
+    assert(executed.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"q106's suffix tables must broadcast into the grid:\n$executed")
+    spark.catalog.clearCache()
+  }
+
   test("q57 — one stream-cardinality shuffle, no stream-cardinality sort") {
     // the bigram stream shuffles once into the (w1,w2) hash join; the only
     // Window (and its sort) runs over the REDUCED count table. AQE off so
