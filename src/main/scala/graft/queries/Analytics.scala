@@ -980,6 +980,27 @@ object Analytics {
       activityGini(Tables.events(s, d))
     },
 
+    Q("q113_time_split",
+      """Q113 — day-granular temporal train/test split audit (the
+        |TEMPORAL counterpart of q85's content-hash split — forecasting
+        |and recommendation corpora split on TIME, and the eval question
+        |changes: is each event type represented on both sides of the
+        |cut, and how many users straddle it — a straddling user's test
+        |events are partially predictable from their train history, the
+        |temporal analogue of q86's leakage). The cut is the smallest
+        |epoch-day whose cumulative event count reaches ceil(0.8·N) —
+        |an exact day-grain order statistic. Scale shape: the global
+        |day CDF is NEVER a global window — per-type day CDFs sum to it
+        |(the q99 additivity trick) on a #types×#days grid exploded
+        |from the 1-row sorted day array; the cut is a proven-1-row
+        |scalar; train/test masses come from the already-reduced
+        |(type, day) table and straddlers from one (type, user)
+        |reduction carrying only min/max day. Pre-1970 rows are guarded
+        |out (the q108 rule).""".stripMargin,
+      q113OracleSql) { (s, d) =>
+      timeSplit(Tables.events(s, d))
+    },
+
     Q("q111_session_rules",
       """Q111 — directional association rules over q98's session baskets:
         |for each ordered type pair (ante → cons) co-occurring in a
@@ -1203,6 +1224,80 @@ object Analytics {
   private[graft] val typePairsExpr: String =
     "flatten(transform(tys, t -> transform(filter(tys, u -> u > t), " +
       "u -> named_struct('type_a', t, 'type_b', u))))"
+
+  /** q113's logic over an arbitrary event frame — exposed so specs can
+    * pin the cut selection, the per-side masses and the straddler rule
+    * on engineered streams.
+    */
+  def timeSplit(events: org.apache.spark.sql.DataFrame,
+                pctTrain: Int = 80): org.apache.spark.sql.DataFrame = {
+    // the day projection feeds both the (type, day) reduction and the
+    // (type, user) min/max reduction → persist (session clearCache
+    // contract)
+    val e = events.filter(expr("unix_micros(ts) >= 0"))
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = e.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dayArr = c.select("day").distinct()
+      .agg(sort_array(collect_list(col("day"))).as("days")) // 1-row
+    val grid = c.select("event_type").distinct().crossJoin(dayArr)
+      .select(col("event_type"), explode(col("days")).as("day"))
+    val cs = grid.join(c, Seq("event_type", "day"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L)))
+        .over(Window.partitionBy("event_type").orderBy("day")))
+    // global day CDF = Σ over types of the per-type CDFs (q99)
+    val gc = cs.groupBy("day").agg(sum(col("cum")).as("gcum"))
+    val n = c.agg(sum(col("c")).as("n")) // proven 1-row
+    val cut = gc.crossJoin(n)
+      .filter(col("gcum") >= expr(s"($pctTrain * n + 99) div 100"))
+      .agg(min(col("day")).as("cut")) // proven 1-row
+    val tt = c.crossJoin(cut).groupBy("event_type")
+      .agg(sum(when(col("day") <= col("cut"), col("c")).otherwise(0L))
+        .as("n_train"),
+        sum(when(col("day") > col("cut"), col("c")).otherwise(0L))
+          .as("n_test"))
+    val su = e.groupBy("event_type", "user_id")
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val st = su.crossJoin(cut)
+      .filter(col("mn") <= col("cut") && col("mx") > col("cut"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_straddlers"))
+    tt.join(st, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_train"), col("n_test"),
+        expr("(2 * 10000 * n_test + (n_train + n_test)) div (2 * (n_train + n_test))")
+          .as("test_share_e4"),
+        coalesce(col("n_straddlers"), lit(0L)).as("n_straddlers"))
+      .orderBy("event_type")
+  }
+
+  private lazy val q113OracleSql: String =
+    """WITH e AS (SELECT event_type, user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events WHERE epoch_us(ts) >= 0),
+      |c AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2),
+      |days AS (SELECT day FROM c GROUP BY day),
+      |types AS (SELECT event_type FROM c GROUP BY event_type),
+      |grid AS (SELECT t.event_type AS event_type, d.day AS day FROM types t CROSS JOIN days d),
+      |cs AS (SELECT g.event_type AS event_type, g.day AS day,
+      |       sum(coalesce(c.c, 0)) OVER (PARTITION BY g.event_type ORDER BY g.day) AS cum
+      |       FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day),
+      |gc AS (SELECT day, sum(cum) AS gcum FROM cs GROUP BY day),
+      |n AS (SELECT sum(c) AS n FROM c),
+      |cut AS (SELECT min(day) AS cut FROM gc, n WHERE gcum >= (80 * n.n + 99) // 100),
+      |tt AS (SELECT c.event_type,
+      |       sum(CASE WHEN c.day <= cut.cut THEN c.c ELSE 0 END) AS n_train,
+      |       sum(CASE WHEN c.day > cut.cut THEN c.c ELSE 0 END) AS n_test
+      |       FROM c, cut GROUP BY 1),
+      |su AS (SELECT e.event_type, e.user_id, min(day) AS mn, max(day) AS mx
+      |       FROM e GROUP BY 1, 2),
+      |st AS (SELECT su.event_type, count(*) AS n_straddlers
+      |       FROM su, cut WHERE mn <= cut.cut AND mx > cut.cut GROUP BY 1)
+      |SELECT tt.event_type AS event_type, CAST(n_train AS BIGINT) AS n_train,
+      |  CAST(n_test AS BIGINT) AS n_test,
+      |  CAST((2 * 10000 * n_test + (n_train + n_test)) // (2 * (n_train + n_test)) AS BIGINT) AS test_share_e4,
+      |  CAST(coalesce(st.n_straddlers, 0) AS BIGINT) AS n_straddlers
+      |FROM tt LEFT JOIN st ON st.event_type = tt.event_type
+      |ORDER BY event_type""".stripMargin
 
   /** q111's logic over an arbitrary event frame — exposed so specs can
     * pin the asymmetric confidence against hand values on engineered

@@ -349,6 +349,18 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q113 — time split invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val ref = rows(graft.queries.Analytics.timeSplit(ev))
+    spark.catalog.clearCache()
+    Seq(ev.repartition(17, $"event_type"), ev.coalesce(1)).foreach { e =>
+      assert(rows(graft.queries.Analytics.timeSplit(e)) === ref)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q106 — near-dup sweep invariant under doc repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq

@@ -1569,6 +1569,32 @@ class CatalogSpec extends SparkSpec {
       mix.toSeq)
   }
 
+  test("q113 — time split: exact day cut, per-side masses, straddler rule") {
+    import spark.implicits._
+    def at(day: Long, id: Long, u: Long, ty: String) =
+      (id, new java.sql.Timestamp(day * 86400000L + 1000L), u, ty, 0.0)
+    // u1/type x: one event on each of days 1..10 → cut = day 8
+    // (cum reaches ceil(0.8·12) = 10 at day 8 including u2's rows);
+    // u2/type y: days 1 and 9 — a straddler; u1 straddles too
+    val rows = (1L to 10L).map(d => at(d, d, 1L, "x")) ++
+      Seq(at(1L, 11L, 2L, "y"), at(9L, 12L, 2L, "y"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Analytics.timeSplit(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    // N = 12, ceil(0.8·12) = 10; global cum by day: d1 2, …, d8 9?
+    // day counts: d1 2, d2..d8 1 each (x), d9 2 (x + y), d10 1 →
+    // cum d8 = 2+7 = 9 < 10, cum d9 = 11 ≥ 10 → cut = 9.
+    // x: train d1..d9 = 9, test d10 = 1 → share 1000; u1 straddles.
+    // y: train d1,d9 = 2, test 0 → share 0; u2 has mx = 9 ≤ cut → NOT
+    // a straddler (the boundary rule: test side must be non-empty).
+    assert(got.toSeq === Seq(
+      ("x", 9L, 1L, 1000L, 1L),
+      ("y", 2L, 0L, 0L, 0L)),
+      s"engineered time split diverged: ${got.toSeq}")
+  }
+
   test("q111 — rule confidence is asymmetric; hand values on the q98 stream") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
