@@ -989,14 +989,15 @@ object Analytics {
         |events are partially predictable from their train history, the
         |temporal analogue of q86's leakage). The cut is the smallest
         |epoch-day whose cumulative event count reaches ceil(0.8·N) —
-        |an exact day-grain order statistic. Scale shape: the global
-        |day CDF is NEVER a global window — per-type day CDFs sum to it
-        |(the q99 additivity trick) on a #types×#days grid exploded
-        |from the 1-row sorted day array; the cut is a proven-1-row
-        |scalar; train/test masses come from the already-reduced
-        |(type, day) table and straddlers from one (type, user)
-        |reduction carrying only min/max day. Pre-1970 rows are guarded
-        |out (the q108 rule).""".stripMargin,
+        |an exact day-grain order statistic. Scale shape: raw events
+        |shuffle EXACTLY once, into the (type, user, day) pre-reduction
+        |both output grains re-reduce; the day CDF is neither a global
+        |window nor a grid — the day table is calendar-BOUNDED, so the
+        |cut is a linear aggregate() scan over one sorted (day, count)
+        |array in a proven-1-row frame; train/test masses come from the
+        |already-reduced (type, day) table and straddlers from the
+        |(type, user) min/max re-key. Pre-1970 rows are guarded out
+        |(the q108 rule).""".stripMargin,
       q113OracleSql) { (s, d) =>
       timeSplit(Tables.events(s, d))
     },
@@ -1231,34 +1232,38 @@ object Analytics {
     */
   def timeSplit(events: org.apache.spark.sql.DataFrame,
                 pctTrain: Int = 80): org.apache.spark.sql.DataFrame = {
-    // the day projection feeds both the (type, day) reduction and the
-    // (type, user) min/max reduction → persist (session clearCache
-    // contract)
-    val e = events.filter(expr("unix_micros(ts) >= 0"))
+    // ONE full-data exchange: the (type, user, day) pre-reduction serves
+    // both downstream grains — (type, day) masses re-reduce it and the
+    // straddler min/max re-keys it — so raw events shuffle exactly once
+    // and the persisted frame is the reduced table, never the projection
+    // (session clearCache contract)
+    val ug = events.filter(expr("unix_micros(ts) >= 0"))
       .select(col("event_type"), col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "user_id", "day").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c = e.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val c = ug.groupBy("event_type", "day").agg(sum(col("c")).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dayArr = c.select("day").distinct()
-      .agg(sort_array(collect_list(col("day"))).as("days")) // 1-row
-    val grid = c.select("event_type").distinct().crossJoin(dayArr)
-      .select(col("event_type"), explode(col("days")).as("day"))
-    val cs = grid.join(c, Seq("event_type", "day"), "left")
-      .withColumn("cum", sum(coalesce(col("c"), lit(0L)))
-        .over(Window.partitionBy("event_type").orderBy("day")))
-    // global day CDF = Σ over types of the per-type CDFs (q99)
-    val gc = cs.groupBy("day").agg(sum(col("cum")).as("gcum"))
-    val n = c.agg(sum(col("c")).as("n")) // proven 1-row
-    val cut = gc.crossJoin(n)
-      .filter(col("gcum") >= expr(s"($pctTrain * n + 99) div 100"))
-      .agg(min(col("day")).as("cut")) // proven 1-row
+    // the day CDF lives on the #days-row (calendar-bounded) day table —
+    // ONE collected sorted array in a proven-1-row frame, the cut found
+    // by a linear aggregate() scan (no window, no grid, no explode)
+    val cut = c.groupBy("day").agg(sum(col("c")).as("dc"))
+      .agg(sort_array(collect_list(struct(col("day"), col("dc"))))
+        .as("arr")) // proven 1-row
+      .withColumn("thr",
+        expr(s"($pctTrain * aggregate(arr, 0L, (a, x) -> a + x.dc) + 99) div 100"))
+      .select(expr(
+        """aggregate(arr, named_struct('cum', 0L, 'cut', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> IF(acc.cut IS NOT NULL, acc,
+          |    named_struct('cum', acc.cum + x.dc,
+          |      'cut', IF(acc.cum + x.dc >= thr, x.day, CAST(NULL AS BIGINT)))),
+          |  acc -> acc.cut)""".stripMargin).as("cut"))
     val tt = c.crossJoin(cut).groupBy("event_type")
       .agg(sum(when(col("day") <= col("cut"), col("c")).otherwise(0L))
         .as("n_train"),
         sum(when(col("day") > col("cut"), col("c")).otherwise(0L))
           .as("n_test"))
-    val su = e.groupBy("event_type", "user_id")
+    val su = ug.groupBy("event_type", "user_id")
       .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     val st = su.crossJoin(cut)
       .filter(col("mn") <= col("cut") && col("mx") > col("cut"))
