@@ -1093,6 +1093,46 @@ object Analytics {
         |filtered identically on both engines before ranking.""".stripMargin,
       q110OracleSql) { (s, d) =>
       valuePercentiles(Tables.events(s, d))
+    },
+
+    Q("q114_stickiness",
+      """Q114 — per-type DAU/WAU stickiness: for each (event type,
+        |epoch day) the distinct daily actives, the distinct weekly
+        |actives of the enclosing epoch week (day div 7 — deterministic
+        |integer weeks, no ISO-calendar cross-engine hazard) and the
+        |DAU/WAU ratio in half-up e4 — the engagement-intensity read
+        |next to q71's retention matrix (retention says who RETURNS
+        |across weeks, stickiness says how much of a week's audience
+        |shows up on a given day). A user-grain type overlap was
+        |prototyped and DROPPED — every user reaches all 5 types on
+        |this corpus (the q98 degeneracy, measured first); stickiness
+        |stays non-degenerate (0.29–0.52 across both SFs). Scale shape:
+        |ONE full-data exchange into the distinct (type, user, day)
+        |pre-reduction (the q113 grain); DAU re-reduces it to (type,
+        |day), WAU re-keys the reduced frame to (type, user, week)
+        |then (type, week); the final join runs on two calendar-bounded
+        |tiny tables. Pre-1970 rows guarded out (the q108 rule).
+        |""".stripMargin,
+      q114OracleSql) { (s, d) =>
+      stickiness(Tables.events(s, d))
+    },
+
+    Q("q115_conversion_lag",
+      """Q115 — first-view → first-purchase conversion-lag histogram in
+        |whole days (the funnel-velocity read next to q46's depth counts:
+        |not HOW MANY convert but HOW LONG conversion takes). A user
+        |converts iff they have both a view and a purchase and their
+        |FIRST purchase is at or after their FIRST view (purchase-only
+        |users and purchase-before-any-view users are excluded — the
+        |lag would be negative attribution, pinned in the spec);
+        |lag = (first_purchase_µs − first_view_µs) div 86400e6, exact
+        |integer micros so the day bucket never floats (non-negative by
+        |the filter, so truncating div ≡ floor on both engines). Scale
+        |shape: ONE user exchange with the min-per-type conditional
+        |aggregates map-side combined; the histogram is a ≤ span-days
+        |reduction of the #users frame.""".stripMargin,
+      q115OracleSql) { (s, d) =>
+      conversionLag(Tables.events(s, d))
     }
   )
 
@@ -1303,6 +1343,75 @@ object Analytics {
       |  CAST(coalesce(st.n_straddlers, 0) AS BIGINT) AS n_straddlers
       |FROM tt LEFT JOIN st ON st.event_type = tt.event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q114's logic over an arbitrary event frame — exposed so specs can
+    * pin the distinct grains and the e4 ratio on engineered streams.
+    */
+  def stickiness(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // ONE full-data exchange into the distinct (type, user, day)
+    // pre-reduction; both the DAU and WAU grains re-reduce it →
+    // persist (session clearCache contract)
+    val ud = events.filter(expr("unix_micros(ts) >= 0"))
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = ud.groupBy("event_type", "day").agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("event_type"), col("user_id"),
+        expr("day div 7").as("wk")).distinct()
+      .groupBy("event_type", "wk").agg(count(lit(1)).as("wau"))
+      .select(col("event_type").as("et"), col("wk"), col("wau"))
+    dau.join(wau, col("et") === col("event_type") &&
+        col("wk") === expr("day div 7"))
+      .select(col("event_type"), col("day"), col("dau"), col("wau"),
+        expr("(2 * 10000 * dau + wau) div (2 * wau)").as("stickiness_e4"))
+      .orderBy("event_type", "day")
+  }
+
+  private lazy val q114OracleSql: String =
+    """WITH ud AS (SELECT DISTINCT event_type, user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |    FROM events WHERE epoch_us(ts) >= 0),
+      |dau AS (SELECT event_type, day, count(*) AS dau FROM ud GROUP BY 1, 2),
+      |uw AS (SELECT DISTINCT event_type, user_id, day // 7 AS wk FROM ud),
+      |wau AS (SELECT event_type, wk, count(*) AS wau FROM uw GROUP BY 1, 2)
+      |SELECT dau.event_type AS event_type, dau.day AS day,
+      |  CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+      |  CAST((2 * 10000 * dau.dau + wau.wau) // (2 * wau.wau) AS BIGINT)
+      |    AS stickiness_e4
+      |FROM dau JOIN wau ON wau.event_type = dau.event_type
+      |  AND wau.wk = dau.day // 7
+      |ORDER BY event_type, day""".stripMargin
+
+  /** q115's logic over an arbitrary event frame — exposed so specs can
+    * pin the conversion rule's boundaries (inclusive same-instant
+    * conversion, purchase-before-view and purchase-only exclusion) on
+    * engineered streams.
+    */
+  def conversionLag(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", expr("unix_micros(ts)")))
+          .as("v"),
+        min(when(col("event_type") === "purchase", expr("unix_micros(ts)")))
+          .as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select(expr("(p - v) div 86400000000").as("lag_days"))
+      .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("lag_days")
+
+  private lazy val q115OracleSql: String =
+    """WITH u AS (SELECT user_id,
+      |    min(epoch_us(ts)) FILTER (event_type = 'view') AS v,
+      |    min(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
+      |    FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1)
+      |SELECT (p - v) // 86400000000 AS lag_days, count(*) AS n_users
+      |FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+      |GROUP BY 1 ORDER BY lag_days""".stripMargin
 
   /** q111's logic over an arbitrary event frame — exposed so specs can
     * pin the asymmetric confidence against hand values on engineered

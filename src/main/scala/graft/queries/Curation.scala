@@ -124,6 +124,43 @@ object Curation {
       .orderBy("cluster_id")
   }
 
+  /** q117's logic over an arbitrary corpus — exposed so specs can pin
+    * the rep/dup/unique classification (q76's argmax order), the share
+    * arithmetic and Σ n_docs = corpus conservation on engineered
+    * clusters.
+    */
+  def dupQualityBias(docs: DataFrame): DataFrame = {
+    val (pairs, _) = jaccardPairs(docs)
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "i", "j")
+    // the member frame feeds the rep argmax AND the dup anti-join →
+    // persist (session clearCache contract)
+    val mem = labels
+      .join(docs.select(col("doc_id").as("u"), col("n_chars")), Seq("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = graft.operators.TopK.perGroup(mem, Seq("lbl"), "n_chars", "u", 1)
+      .select(col("u").as("doc_id"), lit("rep").as("status"))
+    val dup = mem.join(rep.select(col("doc_id").as("u")), Seq("u"), "left_anti")
+      .select(col("u").as("doc_id"), lit("dup").as("status"))
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks).cast(LongType)
+    val hits = TextOps.stopwordHits(toks, Llm.qualityStopwords)
+      .cast(LongType)
+    val db = docs
+      .join(broadcast(rep.union(dup)), Seq("doc_id"), "left")
+      .select(coalesce(col("status"), lit("unique")).as("status"),
+        n.as("n"), hits.as("hits"))
+      .select(col("status"), Llm.qualityDecile.as("b"))
+    // ≤ 3×11-row tail; feeds the totals AND the share attach → persist
+    val c = db.groupBy("status", "b").agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = c.groupBy("status").agg(sum(col("n_docs")).as("n_status"))
+    c.join(broadcast(ns), Seq("status"))
+      .select(col("status"), col("b"), col("n_docs"),
+        expr("(2 * 10000 * n_docs + n_status) div (2 * n_status)")
+          .as("share_e4"))
+      .orderBy("status", "b")
+  }
+
   /** q83's logic over an arbitrary corpus: md5-replayable MinHash-LSH
     * near-dup candidates (16 perms, 4 bands × 4 rows) with the exact
     * 3-shingle jaccard attached to every candidate. Exposed so specs can
@@ -407,7 +444,7 @@ object Curation {
         |does NOT hold.""".stripMargin,
       """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
         |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
-        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |seeds AS (SELECT DISTINCT cs.doc_id
@@ -451,7 +488,7 @@ object Curation {
         |a second hash agg over the tiny labels frame.""".stripMargin,
       """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
         |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
-        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -610,7 +647,7 @@ object Curation {
         |rollup at source cardinality.""".stripMargin,
       """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
         |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
-        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1062,6 +1099,55 @@ object Curation {
         |zero.""".stripMargin,
       splitParityOracle) { (s, d) =>
       splitParity(Tables.documents(s, d))
+    },
+
+    Q("q116_label_confusion",
+      """Q116 — pairwise label-centroid cosine matrix over the
+        |embeddings (the confusability read between labels: q101 scores
+        |each label against the corpus axis, this scores every label
+        |against every OTHER label — two labels whose centroids cosine
+        |near 1 are one concept split by the labeler, the merge
+        |candidate list before training on the label column). The q101
+        |integer regime end to end: cosine between per-label SUM
+        |vectors of e4-quantized integer components (cos of sums ≡ cos
+        |of means; dots and norms exact BIGINTs — pairwise products are
+        |bounded by q101's global-sum case; both engines divide
+        |IDENTICAL integer casts, only sqrt/divide/round(4) in float).
+        |Contract: fixed-dimension non-empty vectors (as cosine itself
+        |requires — per-dim counts are per-label constant, so n_vecs =
+        |max over dims, the q101 trick). Scale shape: one posexplode
+        |scan reduces to the (label × dim) sum table; the pair matrix
+        |is that TINY table self-joined on dim (≤ #labels² × dims rows
+        |— label cardinality is bounded); everything else is
+        |#labels²-row.""".stripMargin,
+      labelConfusionOracle) { (s, d) =>
+      labelConfusion(Tables.embeddings(s, d))
+    },
+
+    Q("q117_dup_quality_bias",
+      """Q117 — near-dup quality-bias audit: the quality-decile mix of
+        |duplicate-family members vs the deduplicated corpus (rep =
+        |the q76 canonical each family keeps, dup = the members dedup
+        |drops, unique = docs in no family), with the within-status
+        |share in half-up e4. The question a dedup stage must answer
+        |before shipping its survivors: is duplicated content QUALITY-
+        |SKEWED — if dups concentrate in low deciles, dedup silently
+        |raises corpus quality (fine), but if they concentrate in HIGH
+        |deciles the keep-one rule is deleting the best mass and the
+        |mixture weights (q65) re-balance on a biased profile. An
+        |EXACT-dup version was rejected: the corpus has ZERO exact
+        |duplicates at sf0.01 (measured — the dropped stratum would be
+        |empty at the correctness SF); the near-dup family grain is
+        |the q76 semantics with non-vacuous strata at both SFs.
+        |Decile = q66's pure-rational bucket (the ONE shared
+        |definition). Scale shape: pairs are q31's inverted index, CC
+        |shuffles only pairs, rep is the bounded per-family TopKAgg
+        |argmax ((n_chars DESC, doc_id ASC) — q76's order); the
+        |status column attaches to the corpus scan as a BROADCAST of
+        |the paired subset (near-dup members are small by definition);
+        |the tail is the ≤ 3×11-row (status, decile) table.""".stripMargin,
+      dupQualityBiasOracle) { (s, d) =>
+      dupQualityBias(Tables.documents(s, d))
     }
   )
 
@@ -1811,6 +1897,38 @@ object Curation {
       .orderBy("label")
   }
 
+  /** q116's logic over an arbitrary (vec_id, embedding, label) frame —
+    * exposed so specs can pin the pair cosines against hand values and
+    * the C(#labels, 2) matrix shape. Same integer regime as q101.
+    */
+  def labelConfusion(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        round(col("x").cast(DoubleType) * lit(10000.0)).cast(LongType)
+          .as("v"))
+    // the (label × dim) sum table is BOTH sides of the pair self-join →
+    // persist (session clearCache contract); per-dim contributor count
+    // rides along for n_vecs = max over dims (the q101 review trick)
+    val ls = q.groupBy("label", "i")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ls.select(col("label").as("label_a"), col("i"),
+      col("sv").as("sva"), col("cnt").as("ca"))
+    val b = ls.select(col("label").as("label_b"), col("i"),
+      col("sv").as("svb"), col("cnt").as("cb"))
+    a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sva") * col("svb")).as("num"),
+        sum(col("sva") * col("sva")).as("n1"),
+        sum(col("svb") * col("svb")).as("n2"),
+        max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("num") / (sqrt(col("n1").cast(DoubleType)) *
+          sqrt(col("n2").cast(DoubleType))), 4).as("cos_ab"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** q103's logic over an arbitrary corpus — exposed so specs can pin
     * the full driver-side replay (md5 split + rational decile + integer
     * shares) and the train-deviation-is-zero invariant. Reuses q85's
@@ -1874,12 +1992,19 @@ object Curation {
       |FROM sh JOIN tr ON tr.tb = sh.b
       |ORDER BY split, b""".stripMargin
 
-  private lazy val centroidDriftOracle: String =
+  /** The (label × dim) integer-sum CTE prefix q101 and q116 share — one
+    * definition so the quantization/sum regime cannot drift between the
+    * drift and confusion oracles.
+    */
+  private lazy val embSumCtePrefix: String =
     """WITH q AS (SELECT label, i, CAST(round(x * 1e4) AS BIGINT) AS v
       |           FROM (SELECT label, unnest(embedding) AS x,
       |                 generate_subscripts(embedding, 1) AS i FROM embeddings)),
       |ls AS (SELECT label, i, sum(v) AS sv FROM q GROUP BY 1, 2),
-      |nl AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+      |nl AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)""".stripMargin
+
+  private lazy val centroidDriftOracle: String = embSumCtePrefix +
+    """,
       |g AS (SELECT i, sum(sv) AS gv FROM ls GROUP BY 1),
       |agg AS (SELECT ls.label, sum(ls.sv * g.gv) AS num,
       |        sum(ls.sv * ls.sv) AS n1, sum(g.gv * g.gv) AS n2
@@ -1887,4 +2012,58 @@ object Curation {
       |SELECT a.label, CAST(nl.n_vecs AS BIGINT) AS n_vecs,
       |  round(num / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 4) AS cos_drift
       |FROM agg a JOIN nl USING (label) ORDER BY label""".stripMargin
+
+  private lazy val labelConfusionOracle: String = embSumCtePrefix +
+    """,
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |      sum(a.sv * b.sv) AS num, sum(a.sv * a.sv) AS n1,
+      |      sum(b.sv * b.sv) AS n2
+      |      FROM ls a JOIN ls b ON a.i = b.i AND a.label < b.label
+      |      GROUP BY 1, 2)
+      |SELECT label_a, label_b, CAST(na.n_vecs AS BIGINT) AS n_a,
+      |  CAST(nb.n_vecs AS BIGINT) AS n_b,
+      |  round(num / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 4) AS cos_ab
+      |FROM p JOIN nl na ON na.label = label_a
+      |       JOIN nl nb ON nb.label = label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // sh is MATERIALIZED: it feeds cnt + both sides of inter — DuckDB's
+  // default inlining re-derives the three-way token join per consumer
+  // (6.2 s vs 3.9 s at sf0.1 measured; the q55 fairness rule — every
+  // multi-reference CTE oracle ships whichever form is faster for duck)
+  private lazy val dupQualityBiasOracle: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT i, j FROM inter JOIN cnt ca ON ca.doc_id = i
+      |                              JOIN cnt cb ON cb.doc_id = j
+      |       WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.5),
+      |edges AS (SELECT i AS u, j AS v FROM pr UNION ALL SELECT j AS u, i AS v FROM pr),
+      |reach(u, x) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.x FROM edges e JOIN reach r ON r.u = e.v),
+      |lb AS (SELECT u, min(x) AS lbl FROM reach GROUP BY u),
+      |mem AS (SELECT lb.u, lb.lbl, d.n_chars FROM lb JOIN documents d ON d.doc_id = lb.u),
+      |rk AS (SELECT u, row_number() OVER (PARTITION BY lbl ORDER BY n_chars DESC, u) AS rn
+      |       FROM mem),
+      |st AS (SELECT CASE WHEN rk.rn = 1 THEN 'rep'
+      |              WHEN rk.u IS NOT NULL THEN 'dup' ELSE 'unique' END AS status,
+      |       len(string_split(d.text, ' ')) AS n,
+      |       len(list_filter(string_split(d.text, ' '),
+      |           x -> x IN ('the','a','of','and','to','in','is'))) AS hits
+      |       FROM documents d LEFT JOIN rk ON rk.u = d.doc_id),
+      |db AS (SELECT status,
+      |       least(CAST((10 * (200 * hits + n * least(200, n))) // (400 * n) AS INT), 10) AS b
+      |       FROM st),
+      |c AS (SELECT status, b, count(*) AS nb FROM db GROUP BY 1, 2),
+      |ns AS (SELECT status, sum(nb) AS n_status FROM c GROUP BY 1)
+      |SELECT c.status AS status, c.b AS b, CAST(c.nb AS BIGINT) AS n_docs,
+      |  CAST((2 * 10000 * c.nb + ns.n_status) // (2 * ns.n_status) AS BIGINT) AS share_e4
+      |FROM c JOIN ns USING (status) ORDER BY status, b""".stripMargin
 }

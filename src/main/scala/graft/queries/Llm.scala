@@ -1090,7 +1090,7 @@ object Llm {
         |((2s+n) div 2n) — no float summation order anywhere.""".stripMargin,
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
         |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
-        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1165,7 +1165,7 @@ object Llm {
         |spec-vs-self.""".stripMargin,
       """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
         |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
-        |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -361,6 +361,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q114/q115/q116/q117 — stickiness, lag, confusion and dup-bias invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val stRef = rows(graft.queries.Analytics.stickiness(ev))
+    val lagRef = rows(graft.queries.Analytics.conversionLag(ev))
+    spark.catalog.clearCache()
+    val cfRef = rows(graft.queries.Curation.labelConfusion(emb))
+    spark.catalog.clearCache()
+    val biasRef = rows(graft.queries.Curation.dupQualityBias(docs))
+    spark.catalog.clearCache()
+    Seq(17, 1).foreach { n =>
+      val (e, d, m) =
+        if (n == 1) (ev.coalesce(1), docs.coalesce(1), emb.coalesce(1))
+        else (ev.repartition(n, $"user_id"),
+          docs.repartition(n, $"source"), emb.repartition(n, $"label"))
+      assert(rows(graft.queries.Analytics.stickiness(e)) === stRef)
+      assert(rows(graft.queries.Analytics.conversionLag(e)) === lagRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.labelConfusion(m)) === cfRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.dupQualityBias(d)) === biasRef)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q106 — near-dup sweep invariant under doc repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq

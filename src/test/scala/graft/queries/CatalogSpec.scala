@@ -1595,6 +1595,91 @@ class CatalogSpec extends SparkSpec {
       s"engineered time split diverged: ${got.toSeq}")
   }
 
+  test("q114 — stickiness: distinct grains, week boundary, pre-1970 guard") {
+    import spark.implicits._
+    def at(day: Long, id: Long, u: Long, ty: String) =
+      (id, new java.sql.Timestamp(day * 86400000L + 1000L), u, ty, 0.0)
+    // type x: u1 active days 0..7 (two epoch weeks), u2 only day 0 —
+    // TWICE (the distinct grain must collapse the repeat); u3 pre-1970
+    val rows = (0L to 7L).map(d => at(d, d + 10L, 1L, "x")) ++
+      Seq(at(0L, 30L, 2L, "x"), at(0L, 31L, 2L, "x"), at(-2L, 32L, 3L, "x"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Analytics.stickiness(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    // week 0 (days 0..6): wau 2; day 0 dau 2 → 10000, days 1..6 dau 1 →
+    // (20000+2) div 4 = 5000. week 1 (day 7): wau 1, dau 1 → 10000.
+    // day -2 never appears (pre-1970 guard).
+    val exp = Seq(("x", 0L, 2L, 2L, 10000L)) ++
+      (1L to 6L).map(d => ("x", d, 1L, 2L, 5000L)) ++
+      Seq(("x", 7L, 1L, 1L, 10000L))
+    assert(got.toSeq === exp, s"engineered stickiness diverged: ${got.toSeq}")
+  }
+
+  test("q115 — conversion lag: inclusive instant, first-purchase rule, truncating days") {
+    import spark.implicits._
+    val us = 86400000000L // µs per day
+    def at(micros: Long, id: Long, u: Long, ty: String) =
+      (id, new java.sql.Timestamp(micros / 1000L), u, ty, 0.0)
+    val ev = Seq(
+      at(100L * 1000L, 1L, 1L, "view"), at(100L * 1000L, 2L, 1L, "purchase"),
+      // u2: FIRST purchase precedes first view → excluded, even though a
+      // later purchase follows the view (the first-purchase rule)
+      at(0L, 3L, 2L, "purchase"), at(us, 4L, 2L, "view"),
+      at(5L * us, 5L, 2L, "purchase"),
+      // u3: +2.5 days → lag_days 2 (truncating div on a non-negative lag)
+      at(0L, 6L, 3L, "view"), at(us * 5L / 2L, 7L, 3L, "purchase"),
+      // u4 view-only, u5 purchase-only, u6 converts on clicks only → out
+      at(0L, 8L, 4L, "view"), at(0L, 9L, 5L, "purchase"),
+      at(0L, 10L, 6L, "click"), at(us, 11L, 6L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Analytics.conversionLag(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 1L), (2L, 1L)),
+      s"engineered conversion lag diverged: ${got.toSeq}")
+  }
+
+  test("q116 — label confusion: identical/orthogonal hand cosines, a<b matrix") {
+    import spark.implicits._
+    val got = graft.queries.Curation.labelConfusion(
+      Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+        (3L, Array(0.0f, 1.0f), 1), (4L, Array(1.0f, 0.0f), 2))
+        .toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(
+      (0, 1, 2L, 1L, 0.0), (0, 2, 2L, 1L, 1.0), (1, 2, 1L, 1L, 0.0)),
+      s"engineered confusion matrix diverged: ${got.toSeq}")
+  }
+
+  test("q117 — dup quality bias: rep/dup/unique strata, conservation, share replay") {
+    import spark.implicits._
+    val y = (1 to 40).map("y" + _).mkString(" ")
+    // family {20,21,22} (the q76 corpus) + three unique docs
+    val docs = Seq(
+      (20L, s"$y a1", 100L), (21L, s"$y a2", 100L), (22L, s"$y a3", 50L),
+      (30L, "the quick brown fox jumps over the lazy dog", 44L),
+      (31L, "completely different text with no shared shingles at all", 57L),
+      (32L, "third standalone document about something else entirely", 55L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = graft.queries.Curation.dupQualityBias(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val byStatus = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byStatus === Map("rep" -> 1L, "dup" -> 2L, "unique" -> 3L),
+      s"strata diverged: $byStatus")
+    assert(got.map(_._3).sum === 6L, "doc conservation broken")
+    // share replay: every row's share_e4 is the half-up e4 of
+    // n_docs / n_status on the collected counts
+    got.foreach { case (st, _, nd, sh) =>
+      val ns = byStatus(st)
+      assert(sh === (2L * 10000L * nd + ns) / (2L * ns),
+        s"share mismatch for ($st): got $sh")
+    }
+  }
+
   test("q111 — rule confidence is asymmetric; hand values on the q98 stream") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
