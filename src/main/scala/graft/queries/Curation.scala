@@ -1124,6 +1124,24 @@ object Curation {
       labelConfusion(Tables.embeddings(s, d))
     },
 
+    Q("q118_norm_audit",
+      """Q118 — per-label embedding-norm audit: n_vecs, exact min /
+        |median / max of the INTEGER squared norm Σ(e4-quantized
+        |component)² (the normalized-or-not read before choosing dot
+        |product vs cosine, and before trusting q64/q77's L2 geometry:
+        |un-normalized labels make dot-ranked retrieval length-biased;
+        |this corpus measures normalized to ±0.01 % — the audit is what
+        |PROVES that, per label). Median = the value at rank ceil(n/2)
+        |(the q110 order-statistic convention) found by the q100 cum
+        |trick on the (label, norm²) count table — no row-grain rank
+        |window ever sorts a label slice. Norm² is computed per row by
+        |a LOCAL array fold (no posexplode, no shuffle); everything
+        |after runs on the reduced count table. All integer until the
+        |output.""".stripMargin,
+      normAuditOracle) { (s, d) =>
+      normAudit(Tables.embeddings(s, d))
+    },
+
     Q("q117_dup_quality_bias",
       """Q117 — near-dup quality-bias audit: the quality-decile mix of
         |duplicate-family members vs the deduplicated corpus (rep =
@@ -1991,6 +2009,50 @@ object Curation {
       |  sh.share_e4 AS share_e4, abs(sh.share_e4 - tr.tr_share) AS dev_e4
       |FROM sh JOIN tr ON tr.tb = sh.b
       |ORDER BY split, b""".stripMargin
+
+  /** q118's logic over an arbitrary (vec_id, embedding, label) frame —
+    * exposed so specs can pin the exact norms and the even/odd median
+    * rank rule on hand vectors.
+    */
+  def normAudit(emb: DataFrame): DataFrame = {
+    val n2 = emb.select(col("label"), expr(
+      """aggregate(transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)),
+        |  0L, (a, v) -> a + v * v)""".stripMargin).as("n2"))
+    // the (label, norm²) count table feeds the cum window, the min/max
+    // rollup and the median attach → persist (session clearCache
+    // contract)
+    val c = n2.groupBy("label", "n2").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("n2")
+    val cs = c.withColumn("cum", sum(col("c")).over(w))
+    val nl = c.groupBy("label").agg(sum(col("c")).as("n_vecs"),
+      min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
+    val med = cs
+      .join(broadcast(nl.select(col("label"), col("n_vecs"))), Seq("label"))
+      .filter(col("cum") >= expr("(n_vecs + 1) div 2")) // rank ceil(n/2)
+      .groupBy("label").agg(min(col("n2")).as("p50_n2"))
+    nl.join(med, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("min_n2"), col("p50_n2"),
+        col("max_n2"))
+      .orderBy("label")
+  }
+
+  private lazy val normAuditOracle: String =
+    """WITH n2x AS (SELECT label,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(round(x * 1e4) AS BIGINT) * CAST(round(x * 1e4) AS BIGINT))) AS BIGINT) AS n2
+      |    FROM embeddings),
+      |c AS (SELECT label, n2, count(*) AS c FROM n2x GROUP BY 1, 2),
+      |cs AS (SELECT label, n2, sum(c) OVER (PARTITION BY label ORDER BY n2) AS cum FROM c),
+      |nl AS (SELECT label, sum(c) AS n_vecs, min(n2) AS min_n2, max(n2) AS max_n2 FROM c GROUP BY 1),
+      |med AS (SELECT cs.label, min(n2) AS p50_n2 FROM cs JOIN nl USING (label)
+      |        WHERE cum >= (n_vecs + 1) // 2 GROUP BY 1)
+      |SELECT nl.label AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  CAST(min_n2 AS BIGINT) AS min_n2, CAST(p50_n2 AS BIGINT) AS p50_n2,
+      |  CAST(max_n2 AS BIGINT) AS max_n2
+      |FROM nl JOIN med USING (label) ORDER BY label""".stripMargin
 
   /** The (label × dim) integer-sum CTE prefix q101 and q116 share — one
     * definition so the quantization/sum regime cannot drift between the

@@ -474,6 +474,33 @@ object Streams {
         expr(graft.queries.Analytics.hourOfDayExpr).as("hour"))
       .agg(count(lit(1)).as("n"))
 
+  /** Live daily-active-users monitor — the streaming twin of batch
+    * q114's DAU grain: exact distinct (event_type, user_id, day) via
+    * dropDuplicatesWithinWatermark under a 48 h delay (dedup state
+    * EVICTS as the watermark advances — same-day duplicates are at most
+    * 24 h apart in event time, so on-time data dedups exactly; the
+    * no-eviction plain dropDuplicates would grow state forever), then
+    * an event-time day-window count that FINALIZES when the day closes
+    * (append mode — each emitted row is the day's final exact DAU, the
+    * sessionBaskets emit-when-closed semantics). Divergences from the
+    * batch entry, stated: the open day is not emitted until the
+    * watermark passes it, and events arriving later than the watermark
+    * delay are dropped where the batch entry counts them. WAU is the
+    * same shape at a 7-day window; at production scale the exact dedup
+    * state trades for a sketch (the q72/q16b contract).
+    */
+  def dauCounts(events: DataFrame): DataFrame =
+    events
+      .filter(expr("unix_micros(ts) >= 0"))
+      .withWatermark("ts", "48 hours")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .dropDuplicatesWithinWatermark("event_type", "user_id", "day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("dau"))
+
   /** Stream ⋈ static dimension enrichment (the ingest-side join every
     * pipeline needs): per micro-batch hash join against the static side —
     * no state store, broadcast when small.

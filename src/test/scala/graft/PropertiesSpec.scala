@@ -361,7 +361,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q114/q115/q116/q117 — stickiness, lag, confusion and dup-bias invariant under repartitioning") {
+  test("q114/q115/q116/q117/q118 — stickiness, lag, confusion, dup-bias and norms invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val ev = Tables.events(spark, sf0001)
@@ -371,6 +371,8 @@ class PropertiesSpec extends SparkSpec {
     val lagRef = rows(graft.queries.Analytics.conversionLag(ev))
     spark.catalog.clearCache()
     val cfRef = rows(graft.queries.Curation.labelConfusion(emb))
+    spark.catalog.clearCache()
+    val nrmRef = rows(graft.queries.Curation.normAudit(emb))
     spark.catalog.clearCache()
     val biasRef = rows(graft.queries.Curation.dupQualityBias(docs))
     spark.catalog.clearCache()
@@ -383,6 +385,8 @@ class PropertiesSpec extends SparkSpec {
       assert(rows(graft.queries.Analytics.conversionLag(e)) === lagRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Curation.labelConfusion(m)) === cfRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.normAudit(m)) === nrmRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Curation.dupQualityBias(d)) === biasRef)
       spark.catalog.clearCache()

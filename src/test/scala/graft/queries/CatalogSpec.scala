@@ -1654,6 +1654,25 @@ class CatalogSpec extends SparkSpec {
       s"engineered confusion matrix diverged: ${got.toSeq}")
   }
 
+  test("q118 — norm audit: exact integer norms, even/odd median rank rule") {
+    import spark.implicits._
+    val got = graft.queries.Curation.normAudit(
+      Seq(
+        // label 0 (odd n=3): norms² 9e6 / 25e6 / 1e8 → median = rank 2
+        (1L, Array(0.3f, 0.0f), 0), (2L, Array(0.5f, 0.0f), 0),
+        (3L, Array(1.0f, 0.0f), 0),
+        // label 1 (even n=2): rank ceil(2/2) = 1 → the LOWER middle
+        (4L, Array(1.0f, 0.0f), 1), (5L, Array(2.0f, 0.0f), 1))
+        .toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(
+      (0, 3L, 9000000L, 25000000L, 100000000L),
+      (1, 2L, 100000000L, 100000000L, 400000000L)),
+      s"engineered norm audit diverged: ${got.toSeq}")
+  }
+
   test("q117 — dup quality bias: rep/dup/unique strata, conservation, share replay") {
     import spark.implicits._
     val y = (1 to 40).map("y" + _).mkString(" ")

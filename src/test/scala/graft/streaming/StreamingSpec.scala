@@ -418,6 +418,86 @@ class StreamingSpec extends SparkSpec {
       s"late row was not dropped: emissions for 10:00 window = $w10")
   }
 
+  test("streaming DAU monitor — closed days match batch q114 DAU; duplicates collapse across batches") {
+    import java.sql.Timestamp
+    val srcDir = Files.createTempDirectory("graft_dau").toString
+    val checkpoint = ckpt()
+    def writeRows(rows: Seq[(Long, Timestamp, Long, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val emissions = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long)]()
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(srcDir)
+      val q = Streams.dauCounts(
+          spark.readStream.schema(schema.schema).parquet(srcDir))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            emissions.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def at(day: Long, hour: Long, id: Long, u: Long, ty: String) =
+      (id, new Timestamp(day * 86400000L + hour * 3600000L), u, ty)
+    // run 1: day 0 — u1 twice (same batch), u2 once; u1 also on day 1
+    writeRows(Seq(at(0, 1, 1, 1, "x"), at(0, 5, 2, 1, "x"),
+      at(0, 9, 3, 2, "x"), at(1, 1, 4, 1, "x")))
+    runOnce()
+    // run 2: u1/day0 AGAIN from a later batch — the dedup state is still
+    // live (watermark = day1 01:00 − 48 h < day 0), so it must collapse
+    writeRows(Seq(at(0, 13, 5, 1, "x")))
+    runOnce()
+    // run 3: far-future flush closes days 0 and 1
+    writeRows(Seq(at(10, 0, 6, 99, "x")))
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val got = emissions.asScala.toSet
+    assert(got === Set(("x", 0L, 2L), ("x", 1L, 1L)),
+      s"streaming DAU diverged: $got")
+    // corpus equivalence: the emitted (type, day, dau) rows for CLOSED
+    // days equal the batch q114 DAU grain on the same events
+    val ckpt2 = ckpt()
+    val srcDir2 = Files.createTempDirectory("graft_dau2").toString
+    val evs = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    evs.write.mode("overwrite").parquet(srcDir2)
+    // flush row: one extra event far past the corpus closes every day
+    val flushTs = new Timestamp(
+      evs.agg(org.apache.spark.sql.functions.max($"ts")).head.getTimestamp(0)
+        .getTime + 10L * 86400000L)
+    val em2 = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long)]()
+    def runCorpus(): Unit = {
+      val schema = spark.read.parquet(srcDir2)
+      val q = Streams.dauCounts(
+          spark.readStream.schema(schema.schema).parquet(srcDir2))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            em2.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runCorpus()
+    Seq((-1L, flushTs, -1L, "x")).toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(srcDir2)
+    runCorpus()
+    val flushDay = flushTs.getTime / 86400000L
+    val gotCorpus = em2.asScala.toSet.filter(_._2 != flushDay)
+    val want = graft.queries.Analytics.stickiness(Tables.events(spark, sf0001))
+      .select($"event_type", $"day", $"dau").as[(String, Long, Long)]
+      .collect().toSet
+    spark.catalog.clearCache()
+    assert(gotCorpus === want, s"streaming DAU != batch q114 DAU grain")
+  }
+
   test("incremental file ingest — exactly-once across restarts (S5/S8)") {
     // file sink, not memory: only durable sinks support checkpoint recovery
     val srcDir = Files.createTempDirectory("graft_incr").toString
