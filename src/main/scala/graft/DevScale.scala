@@ -164,7 +164,19 @@ object DevScale {
       "q110_value_percentiles",
       // r9 session 4 batch 5: rules ride the q98 session base; the
       // correlation is a five-moment map-side reduction
-      "q111_session_rules", "q112_quality_length_corr")
+      "q111_session_rules", "q112_quality_length_corr",
+      // r9 session 5: time split + stickiness (each ONE full-data
+      // exchange into a (type, user, day)-grain pre-reduction over 10x
+      // users; the day/CDF tails stay calendar-bounded), conversion lag
+      // (one user exchange, conditional mins map-side combined), label
+      // confusion (10x vectors reduce into the same (label × dim) table
+      // — the pair self-join is corpus-size-invariant), dup quality
+      // bias (the pair+CC family + one corpus scan for deciles — tracks
+      // q76/q96), norm audit (per-row local folds reduce to the
+      // (label, norm²) count table; replica perturbation widens the
+      // distinct-norm support ~10x, still aggregate-sized)
+      "q113_time_split", "q114_stickiness", "q115_conversion_lag",
+      "q116_label_confusion", "q117_dup_quality_bias", "q118_norm_audit")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
