@@ -1277,9 +1277,9 @@ object Analytics {
     // straddler min/max re-keys it — so raw events shuffle exactly once
     // and the persisted frame is the reduced table, never the projection
     // (session clearCache contract)
-    val ug = events.filter(expr("unix_micros(ts) >= 0"))
+    val ug = events.filter(expr(tsNonNegExpr))
       .select(col("event_type"), col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(epochDayExpr).as("day"))
       .groupBy("event_type", "user_id", "day").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = ug.groupBy("event_type", "day").agg(sum(col("c")).as("c"))
@@ -1352,9 +1352,9 @@ object Analytics {
     // ONE full-data exchange into the distinct (type, user, day)
     // pre-reduction; both the DAU and WAU grains re-reduce it →
     // persist (session clearCache contract)
-    val ud = events.filter(expr("unix_micros(ts) >= 0"))
+    val ud = events.filter(expr(tsNonNegExpr))
       .select(col("event_type"), col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(epochDayExpr).as("day"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dau = ud.groupBy("event_type", "day").agg(count(lit(1)).as("dau"))
@@ -1616,6 +1616,14 @@ object Analytics {
     */
   private[graft] val hourOfDayExpr: String =
     "CAST((unix_micros(ts) div 3600000000) % 24 AS INT)"
+
+  /** The pre-1970 guard + epoch-day bucket q113, q114 and the streaming
+    * DAU monitor share (the hourOfDayExpr convention — ONE definition,
+    * so the StreamingSpec batch≡stream equivalence stays structural:
+    * an edit to the guard or the bucket cannot drift one consumer).
+    */
+  private[graft] val tsNonNegExpr: String = "unix_micros(ts) >= 0"
+  private[graft] val epochDayExpr: String = "unix_micros(ts) div 86400000000"
 
   /** q108's logic over an arbitrary event frame — exposed so specs can
     * pin the integer hour bucketing, the zero-filled grid and the

@@ -1137,7 +1137,9 @@ object Curation {
         |window ever sorts a label slice. Norm² is computed per row by
         |a LOCAL array fold (no posexplode, no shuffle); everything
         |after runs on the reduced count table. All integer until the
-        |output.""".stripMargin,
+        |output. Empty vectors are guarded out explicitly on BOTH
+        |engines (a fold says 0, list_sum says NULL — the one shape
+        |where they disagree).""".stripMargin,
       normAuditOracle) { (s, d) =>
       normAudit(Tables.embeddings(s, d))
     },
@@ -1887,21 +1889,28 @@ object Curation {
     * exposed so specs can pin the single-label identity (cos = 1), an
     * engineered orthogonal-label value and the exact-integer sum path.
     */
-  def centroidDrift(emb: DataFrame): DataFrame = {
-    val q = emb
+  /** The (label × dim) e4-quantized integer sum table q101 and q116
+    * share — the Spark twin of embSumCtePrefix, ONE definition so the
+    * quantization/sum regime cannot drift between the drift and
+    * confusion entries. Persisted: both consumers feed it to two
+    * subtrees (session clearCache contract). Carries the per-dim
+    * contributor count: n_vecs = max over dims of cnt (every non-empty
+    * vector contributes dim 0, so the max IS the vector count — the
+    * q101 review fix that removed a second corpus scan; contract:
+    * vectors are non-empty, as cosine itself requires).
+    */
+  private def labelDimSums(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("label"), col("i"),
         round(col("x").cast(DoubleType) * lit(10000.0)).cast(LongType)
           .as("v"))
-    // the (label × dim) sum table feeds the global re-reduction AND the
-    // per-label dot — persist (session clearCache contract). It also
-    // carries the per-dim contributor count: n_vecs = max over dims of
-    // cnt (every non-empty vector contributes dim 0, so the max IS the
-    // vector count — the review fix that removed a second corpus scan;
-    // contract: vectors are non-empty, as cosine itself requires)
-    val ls = q.groupBy("label", "i")
+      .groupBy("label", "i")
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val ls = labelDimSums(emb)
     val g = ls.groupBy("i").agg(sum(col("sv")).as("gv")) // #dims rows
     ls.join(broadcast(g), Seq("i"))
       .groupBy("label")
@@ -1920,17 +1929,9 @@ object Curation {
     * the C(#labels, 2) matrix shape. Same integer regime as q101.
     */
   def labelConfusion(emb: DataFrame): DataFrame = {
-    val q = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("label"), col("i"),
-        round(col("x").cast(DoubleType) * lit(10000.0)).cast(LongType)
-          .as("v"))
-    // the (label × dim) sum table is BOTH sides of the pair self-join →
-    // persist (session clearCache contract); per-dim contributor count
-    // rides along for n_vecs = max over dims (the q101 review trick)
-    val ls = q.groupBy("label", "i")
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shared (label × dim) sum table is BOTH sides of the pair
+    // self-join; cnt rides along for n_vecs = max over dims
+    val ls = labelDimSums(emb)
     val a = ls.select(col("label").as("label_a"), col("i"),
       col("sv").as("sva"), col("cnt").as("ca"))
     val b = ls.select(col("label").as("label_b"), col("i"),
@@ -2015,7 +2016,11 @@ object Curation {
     * rank rule on hand vectors.
     */
   def normAudit(emb: DataFrame): DataFrame = {
-    val n2 = emb.select(col("label"), expr(
+    // empty vectors are guarded out EXPLICITLY on both engines: Spark's
+    // aggregate() fold would yield norm² = 0 while DuckDB's list_sum
+    // yields NULL — the one row shape where the engines disagree
+    val n2 = emb.filter(size(col("embedding")) > 0)
+      .select(col("label"), expr(
       """aggregate(transform(embedding,
         |  x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)),
         |  0L, (a, v) -> a + v * v)""".stripMargin).as("n2"))
@@ -2043,7 +2048,7 @@ object Curation {
     """WITH n2x AS (SELECT label,
       |    CAST(list_sum(list_transform(embedding,
       |      x -> CAST(round(x * 1e4) AS BIGINT) * CAST(round(x * 1e4) AS BIGINT))) AS BIGINT) AS n2
-      |    FROM embeddings),
+      |    FROM embeddings WHERE len(embedding) > 0),
       |c AS (SELECT label, n2, count(*) AS c FROM n2x GROUP BY 1, 2),
       |cs AS (SELECT label, n2, sum(c) OVER (PARTITION BY label ORDER BY n2) AS cum FROM c),
       |nl AS (SELECT label, sum(c) AS n_vecs, min(n2) AS min_n2, max(n2) AS max_n2 FROM c GROUP BY 1),

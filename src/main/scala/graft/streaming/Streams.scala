@@ -491,9 +491,9 @@ object Streams {
     */
   def dauCounts(events: DataFrame): DataFrame =
     events
-      .filter(expr("unix_micros(ts) >= 0"))
+      .filter(expr(graft.queries.Analytics.tsNonNegExpr))
       .withWatermark("ts", "48 hours")
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("day", expr(graft.queries.Analytics.epochDayExpr))
       .dropDuplicatesWithinWatermark("event_type", "user_id", "day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("dau"))

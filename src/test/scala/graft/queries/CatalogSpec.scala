@@ -1573,9 +1573,9 @@ class CatalogSpec extends SparkSpec {
     import spark.implicits._
     def at(day: Long, id: Long, u: Long, ty: String) =
       (id, new java.sql.Timestamp(day * 86400000L + 1000L), u, ty, 0.0)
-    // u1/type x: one event on each of days 1..10 → cut = day 8
-    // (cum reaches ceil(0.8·12) = 10 at day 8 including u2's rows);
-    // u2/type y: days 1 and 9 — a straddler; u1 straddles too
+    // u1/type x: one event on each of days 1..10; u2/type y: days 1
+    // and 9 — the cut lands on day 9 (derivation below), making u1 a
+    // straddler and u2 NOT one (its last day sits exactly on the cut)
     val rows = (1L to 10L).map(d => at(d, d, 1L, "x")) ++
       Seq(at(1L, 11L, 2L, "y"), at(9L, 12L, 2L, "y"))
     val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
