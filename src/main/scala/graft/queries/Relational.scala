@@ -830,6 +830,89 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
              sumMoney(col("value")).as("sum_value"))
         .transform(smallSort(_, "kmod"))
+    },
+
+    Q("q119_ltv_profile",
+      """Q119 — per-segment customer lifetime-value profile: n
+        |customers, exact median and p90 LTV in long cents, and the
+        |revenue share held by customers STRICTLY ABOVE the p90 value
+        |(half-up e4) — the concentration read behind any "top decile
+        |of customers" claim. Zero-order customers count with LTV 0
+        |(they ARE the segment's tail). Determinism: LTV = Σ of the
+        |§7.3 HALF_UP cents per order (exact BIGINTs end to end);
+        |ranks = the q110 convention (value at rank ceil(p·n));
+        |the above-p90 mass uses the VALUE rule (ltv > v90), never a
+        |rank tie-break; empty-mass segments drop on both engines
+        |rather than divide by zero. Scale shape: one orders exchange
+        |(per-customer cents reduce), one customer join, then the
+        |(seg, ltv) count table — the cum window, totals, both rank
+        |marks and the above-mass all run on that reduced frame (ONE
+        |window pass; marks attach as #segments-row broadcasts).""".stripMargin,
+      q119LtvOracle) { (s, d) =>
+      ltvProfile(Tables.orders(s, d), Tables.customer(s, d))
     }
   )
+
+  /** q119's logic over arbitrary orders/customer frames — exposed so
+    * specs can pin the rank conventions, the value-rule above-mass, tie
+    * handling and the zero-order-customer inclusion on engineered data.
+    */
+  def ltvProfile(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val oc = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("cents"))
+    val cu = customer
+      .join(oc, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"),
+        coalesce(col("cents"), lit(0L)).as("ltv"))
+    // the (seg, ltv) count table feeds the cum window, the totals and
+    // the above-mass filter → persist (session clearCache contract)
+    val c = cu.groupBy("seg", "ltv").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy("ltv")
+    val cs = c.withColumn("cum", sum(col("c")).over(w))
+    val ns = c.groupBy("seg").agg(sum(col("c")).as("n"),
+      sum(col("ltv") * col("c")).as("mass"))
+    val marks = cs
+      .join(broadcast(ns.select(col("seg"), col("n"))), Seq("seg"))
+      .groupBy("seg").agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("ltv")))
+          .as("p50"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("ltv")))
+          .as("p90"))
+    val ab = c.join(broadcast(marks.select(col("seg"), col("p90"))),
+        Seq("seg"))
+      .filter(col("ltv") > col("p90"))
+      .groupBy("seg").agg(sum(col("ltv") * col("c")).as("am"))
+    ns.join(marks, Seq("seg")).join(ab, Seq("seg"), "left")
+      .filter(col("mass") > 0)
+      .select(col("seg").as("segment"), col("n").cast(LongType).as("n_cust"),
+        col("p50").as("p50_ltv_c"), col("p90").as("p90_ltv_c"),
+        expr("(2 * 10000 * coalesce(am, 0L) + mass) div (2 * mass)")
+          .as("above_p90_share_e4"))
+      .transform(smallSort(_, "segment"))
+  }
+
+  private lazy val q119LtvOracle: String =
+    """WITH oc AS (SELECT o_custkey,
+      |      sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      |      FROM orders GROUP BY 1),
+      |cu AS (SELECT c.c_mktsegment AS seg, coalesce(oc.cents, 0) AS ltv
+      |       FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey),
+      |c AS (SELECT seg, ltv, count(*) AS c FROM cu GROUP BY 1, 2),
+      |cs AS (SELECT seg, ltv, c, sum(c) OVER (PARTITION BY seg ORDER BY ltv) AS cum FROM c),
+      |ns AS (SELECT seg, sum(c) AS n, sum(ltv * c) AS mass FROM c GROUP BY 1),
+      |marks AS (SELECT cs.seg,
+      |      min(CASE WHEN cum >= (n + 1) // 2 THEN ltv END) AS p50,
+      |      min(CASE WHEN cum >= (9 * n + 9) // 10 THEN ltv END) AS p90
+      |      FROM cs JOIN ns USING (seg) GROUP BY 1),
+      |ab AS (SELECT c.seg, sum(c.ltv * c.c) AS am
+      |       FROM c JOIN marks USING (seg) WHERE c.ltv > marks.p90 GROUP BY 1)
+      |SELECT ns.seg AS segment, CAST(ns.n AS BIGINT) AS n_cust,
+      |  CAST(marks.p50 AS BIGINT) AS p50_ltv_c, CAST(marks.p90 AS BIGINT) AS p90_ltv_c,
+      |  CAST((2 * 10000 * coalesce(ab.am, 0) + ns.mass) // (2 * ns.mass) AS BIGINT)
+      |    AS above_p90_share_e4
+      |FROM ns JOIN marks USING (seg) LEFT JOIN ab USING (seg)
+      |WHERE ns.mass > 0
+      |ORDER BY segment""".stripMargin
 }

@@ -393,6 +393,21 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q119 — LTV profile invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val o = Tables.orders(spark, sf0001)
+    val cu = Tables.customer(spark, sf0001)
+    val ref = rows(graft.queries.Relational.ltvProfile(o, cu))
+    spark.catalog.clearCache()
+    Seq((o.repartition(17, $"o_custkey"), cu.coalesce(1)),
+      (o.coalesce(1), cu.repartition(17, $"c_mktsegment"))).foreach {
+      case (oo, cc) =>
+        assert(rows(graft.queries.Relational.ltvProfile(oo, cc)) === ref)
+        spark.catalog.clearCache()
+    }
+  }
+
   test("q106 — near-dup sweep invariant under doc repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq

@@ -1654,6 +1654,29 @@ class CatalogSpec extends SparkSpec {
       s"engineered confusion matrix diverged: ${got.toSeq}")
   }
 
+  test("q119 — LTV profile: rank conventions, value-rule above-mass, zero-order inclusion") {
+    import spark.implicits._
+    def ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // seg A: custs 1..9 with one k-dollar order each (cust 9 split into
+    // two 4.50 orders — the per-customer SUM), custs 10/11 with NO
+    // orders (tie at ltv 0). Sorted cents: 0,0,100..900 (n=11) →
+    // p50 = rank (11+1) div 2 = 6 → 400; p90 = rank (99+9) div 10 =
+    // 10 → 800; above-mass (ltv > 800) = 900 of 4500 → exactly 0.2 →
+    // 2000 e4.
+    val orders = ((1 to 8).map(k => (100L + k, k.toLong, "O", k * 1.0, ts, "P")) ++
+      Seq((109L, 9L, "O", 4.5, ts, "P"), (110L, 9L, "O", 4.5, ts, "P")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val customer = (1L to 11L).map(c => (c, s"c$c", 0, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = graft.queries.Relational.ltvProfile(orders, customer).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(("A", 11L, 400L, 800L, 2000L)),
+      s"engineered LTV profile diverged: ${got.toSeq}")
+  }
+
   test("q118 — norm audit: exact integer norms, even/odd median rank rule") {
     import spark.implicits._
     val got = graft.queries.Curation.normAudit(
