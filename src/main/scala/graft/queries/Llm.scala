@@ -614,22 +614,7 @@ object Llm {
       """Q38 — heuristic language ID: argmax of fixed stopword-list hit
         |counts (tie → smallest code, none → 'und'). A single narrow map —
         |no shuffle — so it scales with the scan.""".stripMargin,
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sc AS (SELECT doc_id,
-        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS s_de,
-        |  len(list_filter(toks, x -> x IN ('el','la','de','y','es','un','en'))) AS s_es,
-        |  len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','dans'))) AS s_fr,
-        |  len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS s_zh
-        |  FROM tk)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS pred
-        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      q38OracleSql) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
                 TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
@@ -1353,8 +1338,127 @@ object Llm {
         |DECIMAL(38) lever, documented not needed below that.""".stripMargin,
       q112OracleSql) { (s, d) =>
       qualityLengthCorr(Tables.documents(s, d))
+    },
+
+    Q("q120_shingle_df_histogram",
+      """Q120 — shingle document-frequency histogram in power-of-two
+        |buckets (bucket = MSB position of df — pure INTEGER binary
+        |length, no float log2 crosses engines): per bucket the distinct
+        |shingles, the posting mass Σdf and the PAIR-CANDIDATE mass
+        |Σ df·(df−1)/2 — the last column is EXACTLY the candidate count
+        |the q31 inverted-index posting join will generate, so this is
+        |the index-sizing read that PREDICTS the pair-core's cost (and
+        |the skew screen: one boilerplate shingle in a high bucket
+        |dominates the candidate mass long before it dominates
+        |postings). Shingles are the shared 60-bit md5-prefix digests
+        |(q31's kernel; digest equality ≡ shingle equality is the
+        |corpus-verified q31 contract). Scale shape: one shingle
+        |exchange to df, then a ≤64-row bucket reduction — the
+        |histogram costs one pass of what the pair join it sizes would
+        |cost.""".stripMargin,
+      q120OracleSql) { (s, d) =>
+      shingleDfHistogram(Tables.documents(s, d))
+    },
+
+    Q("q121_lang_agreement",
+      """Q121 — declared-language vs heuristic-langid agreement matrix:
+        |per (declared lang, q38 prediction) the doc count and the
+        |within-declared-lang share (half-up e4) — the label-QA read
+        |before ANY per-lang decision (q65's mixture weights, q109's
+        |composition, q52's per-lang stats all trust the lang column;
+        |this measures whether they should — on THIS corpus the
+        |heuristic reads en/und everywhere, exposing the synthetic
+        |label). Prediction = the ONE shared q38 semantics (engine:
+        |TextOps.langId; oracle: the shared langIdPredSql CTE — an edit
+        |cannot drift the two entries apart). Scale shape: one narrow
+        |scan projection, ONE ≤ #langs×#langs-row reduction, shares as
+        |a bounded broadcast attach.""".stripMargin,
+      q121OracleSql) { (s, d) =>
+      langAgreement(Tables.documents(s, d))
     }
   )
+
+  /** The q38 langid prediction as ONE shared CTE prefix (doc_id, lang,
+    * pred) — q38's per-doc oracle and q121's agreement oracle both end
+    * in `pr`, so the stopword lists and the tie order cannot drift
+    * between them (the decontaminateOracle convention). lazy: declared
+    * below `qs`, which captures it during object init.
+    */
+  private lazy val langIdPredSql: String =
+    """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+      |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS s_de,
+      |  len(list_filter(toks, x -> x IN ('el','la','de','y','es','un','en'))) AS s_es,
+      |  len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','dans'))) AS s_fr,
+      |  len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS s_zh
+      |  FROM tk),
+      |pr AS (SELECT doc_id, lang,
+      |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+      |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |       ELSE 'zh' END AS pred FROM sc)""".stripMargin
+
+  private lazy val q38OracleSql: String = langIdPredSql +
+    "\nSELECT doc_id, pred FROM pr ORDER BY doc_id"
+
+  private lazy val q121OracleSql: String = langIdPredSql +
+    """,
+      |c AS (SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+      |ns AS (SELECT lang, sum(n) AS n_lang FROM c GROUP BY 1)
+      |SELECT c.lang AS lang, c.pred AS pred, CAST(c.n AS BIGINT) AS n_docs,
+      |  CAST((2 * 10000 * c.n + ns.n_lang) // (2 * ns.n_lang) AS BIGINT) AS share_e4
+      |FROM c JOIN ns USING (lang) ORDER BY lang, pred""".stripMargin
+
+  /** q121's logic over an arbitrary corpus — exposed so specs can pin
+    * the agreement arithmetic on engineered label/text combinations.
+    */
+  def langAgreement(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pr = docs.select(col("lang"),
+      TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
+    // ≤ #langs×(#langs+1)-row tail; feeds the totals AND the share
+    // attach → persist (session clearCache contract)
+    val c = pr.groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = c.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    c.join(broadcast(ns), Seq("lang"))
+      .select(col("lang"), col("pred"), col("n_docs"),
+        expr("(2 * 10000 * n_docs + n_lang) div (2 * n_lang)")
+          .as("share_e4"))
+      .orderBy("lang", "pred")
+  }
+
+  /** q120's logic over an arbitrary corpus — exposed so specs can pin
+    * the bucket rule (MSB of df) and the pair-candidate identity on
+    * engineered df distributions.
+    */
+  def shingleDfHistogram(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.expressions.NativeExprs
+        .shingleMd5Prefixes(TextOps.tokens(col("text")), 3, 15)).as("s"))
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    df.groupBy(length(bin(col("df"))).cast(IntegerType).as("msb"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(expr("df * (df - 1) div 2")).as("n_pair_candidates"))
+      .orderBy("msb")
+  }
+
+  private lazy val q120OracleSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT CAST(length(bin(df)) AS INT) AS msb,
+      |  count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings,
+      |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS n_pair_candidates
+      |FROM df GROUP BY 1 ORDER BY msb""".stripMargin
 
   /** q112's logic over an arbitrary corpus — exposed so specs can pin
     * hand-computed correlations (perfect linear = 1.0, a constant

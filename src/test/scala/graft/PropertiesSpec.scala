@@ -408,6 +408,21 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q120/q121 — df histogram and lang agreement invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val docs = Tables.documents(spark, sf0001)
+    val dfRef = rows(graft.queries.Llm.shingleDfHistogram(docs))
+    spark.catalog.clearCache()
+    val agRef = rows(graft.queries.Llm.langAgreement(docs))
+    spark.catalog.clearCache()
+    Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Llm.shingleDfHistogram(l)) === dfRef)
+      assert(rows(graft.queries.Llm.langAgreement(l)) === agRef)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q106 — near-dup sweep invariant under doc repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq

@@ -1654,6 +1654,57 @@ class CatalogSpec extends SparkSpec {
       s"engineered confusion matrix diverged: ${got.toSeq}")
   }
 
+  test("q120 — df histogram: MSB buckets and the pair-candidate identity") {
+    import spark.implicits._
+    // three docs share the 3-shingle "c0 c1 c2"; everything else is
+    // doc-unique → df 3 (msb 2) for the shared shingle, df 1 (msb 1)
+    // for the rest
+    val docs = (0L until 3L).map { d =>
+      (d, s"c0 c1 c2 u${d}a u${d}b u${d}c u${d}d")
+    }.toDF("doc_id", "text")
+    val got = graft.queries.Llm.shingleDfHistogram(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    // per doc: 5 shingles (7 tokens), 4 unique + the shared one →
+    // 12 unique-df shingles… the 2nd/3rd shingles ("c1 c2 uXa",
+    // "c2 uXa uXb") differ per doc, so only "c0 c1 c2" is shared:
+    // msb 1: 12 shingles, 12 postings, 0 candidates; msb 2: 1 shingle,
+    // 3 postings, C(3,2)=3 candidates.
+    assert(got.toSeq === Seq((1, 12L, 12L, 0L), (2, 1L, 3L, 3L)),
+      s"engineered df histogram diverged: ${got.toSeq}")
+    // the advertised identity: Σ n_pair_candidates over buckets equals
+    // the pair-core's candidate mass Σk on the real corpus
+    val corpus = Tables.documents(spark, sf0001)
+    val hist = graft.queries.Llm.shingleDfHistogram(corpus)
+      .agg(org.apache.spark.sql.functions.sum($"n_pair_candidates"))
+      .head.getLong(0)
+    spark.catalog.clearCache()
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(
+      corpus, "doc_id", "text")
+    val mass = wc.agg(org.apache.spark.sql.functions.sum($"k"))
+      .head.getLong(0)
+    spark.catalog.clearCache()
+    assert(hist === mass,
+      s"pair-candidate identity broken: hist=$hist pairCore=$mass")
+  }
+
+  test("q121 — lang agreement: engineered matrix and share arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the of and to in", "en"),
+      (2L, "der die das und ist", "en"), // mislabeled: reads German
+      (3L, "der die das", "de"),
+      (4L, "zz yy xx", "de") // no stopwords → und
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.queries.Llm.langAgreement(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(
+      ("de", "de", 1L, 5000L), ("de", "und", 1L, 5000L),
+      ("en", "de", 1L, 5000L), ("en", "en", 1L, 5000L)),
+      s"engineered agreement matrix diverged: ${got.toSeq}")
+  }
+
   test("q119 — LTV profile: rank conventions, value-rule above-mass, zero-order inclusion") {
     import spark.implicits._
     def ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
