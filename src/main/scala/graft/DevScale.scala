@@ -176,7 +176,12 @@ object DevScale {
       // (label, norm²) count table; replica perturbation widens the
       // distinct-norm support ~10x, still aggregate-sized)
       "q113_time_split", "q114_stickiness", "q115_conversion_lag",
-      "q116_label_confusion", "q117_dup_quality_bias", "q118_norm_audit")
+      "q116_label_confusion", "q117_dup_quality_bias", "q118_norm_audit",
+      // r9 session 5 batch 3: df histogram (ONE shingle exchange to df
+      // — the q31 band's first half without the self-join; replica
+      // renaming grows the distinct-shingle table 10x), lang agreement
+      // (scan-bound narrow projection to a bounded matrix)
+      "q120_shingle_df_histogram", "q121_lang_agreement")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
