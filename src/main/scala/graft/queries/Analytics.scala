@@ -1133,6 +1133,27 @@ object Analytics {
         |reduction of the #users frame.""".stripMargin,
       q115OracleSql) { (s, d) =>
       conversionLag(Tables.events(s, d))
+    },
+
+    Q("q122_length_mad",
+      """Q122 — per-source robust length screen: median, MAD (median
+        |absolute deviation) and the count of docs with
+        ||len − median| > 3·MAD — the outlier read a mean/stddev screen
+        |(q52/q90's moment regime) gets WRONG on heavy-tailed length
+        |distributions, because the outliers it hunts inflate the very
+        |stddev that defines them; MAD is breakdown-50 % robust and, on
+        |integer lengths, EXACT (both medians are integer order
+        |statistics at rank ceil(n/2), the q110 convention — no float
+        |enters). MAD = 0 degenerates deterministically (every
+        |non-median length flags). Scale shape: the first median runs
+        |on the shared lenCum (source, len) count table; the deviation
+        |table derives from that SAME reduced table (|len − med| with
+        |counts — the corpus is never re-scanned and no row-grain rank
+        |window ever sorts a source slice); the second median and the
+        |outlier count ride the re-reduced (source, |dev|) table.
+        |""".stripMargin,
+      q122OracleSql) { (s, d) =>
+      lengthMad(Tables.documents(s, d))
     }
   )
 
@@ -1412,6 +1433,62 @@ object Analytics {
       |SELECT (p - v) // 86400000000 AS lag_days, count(*) AS n_users
       |FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
       |GROUP BY 1 ORDER BY lag_days""".stripMargin
+
+  /** q122's logic over an arbitrary document frame — exposed so specs
+    * can pin both median ranks, the deviation-from-reduced-table shape
+    * and the MAD = 0 degenerate rule on engineered corpora.
+    */
+  def lengthMad(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // the (source, len) count table feeds the median mark AND the
+    // deviation derivation → persist (session clearCache contract)
+    val c = lenCum(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = c.filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("source")
+      .agg(min(col("len")).as("med"), max(col("n")).as("n_docs"))
+    // deviations derive from the REDUCED table: (source, |len − med|)
+    // with the counts carried — the corpus is never re-scanned
+    val d = c.join(broadcast(med), Seq("source"))
+      .select(col("source"), abs(col("len") - col("med")).as("a"),
+        col("c"))
+      .groupBy("source", "a").agg(sum(col("c")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wd = Window.partitionBy("source")
+    val mad = d
+      .withColumn("cum", sum(col("c")).over(wd.orderBy("a")))
+      .withColumn("nn", sum(col("c")).over(wd))
+      .filter(col("cum") >= expr("(nn + 1) div 2"))
+      .groupBy("source").agg(min(col("a")).as("mad"))
+    val outl = d.join(broadcast(mad), Seq("source"))
+      .groupBy("source")
+      .agg(sum(when(col("a") > lit(3) * col("mad"), col("c"))
+        .otherwise(0L)).as("n_outliers"))
+    med.join(mad, Seq("source")).join(outl, Seq("source"))
+      .select(col("source"), col("n_docs"), col("med").as("med_len"),
+        col("mad"), col("n_outliers"))
+      .orderBy("source")
+  }
+
+  private lazy val q122OracleSql: String =
+    """WITH l AS (SELECT source, n_chars AS len FROM documents),
+      |c AS (SELECT source, len, count(*) AS c FROM l GROUP BY 1, 2),
+      |cs AS (SELECT source, len, c, sum(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+      |       sum(c) OVER (PARTITION BY source) AS n FROM c),
+      |med AS (SELECT source, min(len) AS med, max(n) AS n_docs
+      |        FROM cs WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |d AS (SELECT c.source, abs(c.len - med.med) AS a, sum(c.c) AS c
+      |      FROM c JOIN med USING (source) GROUP BY 1, 2),
+      |ds AS (SELECT source, a, c, sum(c) OVER (PARTITION BY source ORDER BY a) AS cum,
+      |       sum(c) OVER (PARTITION BY source) AS nn FROM d),
+      |mad AS (SELECT source, min(a) AS mad FROM ds WHERE cum >= (nn + 1) // 2 GROUP BY 1),
+      |outl AS (SELECT d.source, sum(CASE WHEN d.a > 3 * mad.mad THEN d.c ELSE 0 END) AS n_out
+      |         FROM d JOIN mad USING (source) GROUP BY 1)
+      |SELECT med.source AS source, CAST(med.n_docs AS BIGINT) AS n_docs,
+      |  CAST(med.med AS BIGINT) AS med_len, CAST(mad.mad AS BIGINT) AS mad,
+      |  CAST(outl.n_out AS BIGINT) AS n_outliers
+      |FROM med JOIN mad USING (source) JOIN outl USING (source)
+      |ORDER BY source""".stripMargin
 
   /** q111's logic over an arbitrary event frame — exposed so specs can
     * pin the asymmetric confidence against hand values on engineered

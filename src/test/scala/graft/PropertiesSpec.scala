@@ -408,7 +408,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q120/q121 — df histogram and lang agreement invariant under repartitioning") {
+  test("q120/q121/q122 — df histogram, lang agreement and MAD screen invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val docs = Tables.documents(spark, sf0001)
@@ -416,9 +416,13 @@ class PropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
     val agRef = rows(graft.queries.Llm.langAgreement(docs))
     spark.catalog.clearCache()
+    val madRef = rows(graft.queries.Analytics.lengthMad(docs))
+    spark.catalog.clearCache()
     Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
       assert(rows(graft.queries.Llm.shingleDfHistogram(l)) === dfRef)
       assert(rows(graft.queries.Llm.langAgreement(l)) === agRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.lengthMad(l)) === madRef)
       spark.catalog.clearCache()
     }
   }

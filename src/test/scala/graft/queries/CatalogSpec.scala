@@ -1654,6 +1654,26 @@ class CatalogSpec extends SparkSpec {
       s"engineered confusion matrix diverged: ${got.toSeq}")
   }
 
+  test("q122 — length MAD: rank rules, outlier rule, MAD-zero degeneracy") {
+    import spark.implicits._
+    // source A lengths: 10,10,12,14,100 (n=5) → med rank 3 = 12;
+    // deviations 2,2,0,2,88 → sorted 0,2,2,2,88, MAD rank 3 = 2;
+    // outliers: |len−12| > 6 → only 100 → 1.
+    // source B: all equal (MAD 0) → every non-median length flags; all
+    // lengths ARE the median → 0 outliers.
+    val docs = (Seq((1L, "A", 10L), (2L, "A", 10L), (3L, "A", 12L),
+      (4L, "A", 14L), (5L, "A", 100L)) ++
+      (6L to 9L).map(i => (i, "B", 50L)))
+      .map { case (id, s, n) => (id, "x", s, n) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = graft.queries.Analytics.lengthMad(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(("A", 5L, 12L, 2L, 1L), ("B", 4L, 50L, 0L, 0L)),
+      s"engineered MAD screen diverged: ${got.toSeq}")
+  }
+
   test("q120 — df histogram: MSB buckets and the pair-candidate identity") {
     import spark.implicits._
     // three docs share the 3-shingle "c0 c1 c2"; everything else is
