@@ -181,7 +181,11 @@ object DevScale {
       // — the q31 band's first half without the self-join; replica
       // renaming grows the distinct-shingle table 10x), lang agreement
       // (scan-bound narrow projection to a bounded matrix)
-      "q120_shingle_df_histogram", "q121_lang_agreement")
+      "q120_shingle_df_histogram", "q121_lang_agreement",
+      // the MAD screen rides the q100/q104 lenCum band (one source-keyed
+      // exchange over 10x rows; replica token suffixes widen the
+      // distinct-length support, both medians stay count-table-sized)
+      "q122_length_mad")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
