@@ -1124,6 +1124,24 @@ object Curation {
       labelConfusion(Tables.embeddings(s, d))
     },
 
+    Q("q123_dim_variance",
+      """Q123 — per-DIMENSION embedding mean/variance profile (the
+        |dead-and-biased-dimension screen: a near-zero-variance
+        |dimension carries no signal but full storage/compute cost, a
+        |far-from-zero mean biases every dot product — the
+        |dimension-grain QA read beside q118's vector-grain norms and
+        |q101/q116's label-grain centroids). Determinism: Σv and Σv²
+        |over e4-quantized integers are exact BIGINTs; the variance
+        |numerator n·Σv² − (Σv)² is an exact non-negative integer (the
+        |q90 second-moment rule), and both engines then divide and
+        |round(4) IDENTICAL doubles. BIGINT bound: n·Σv² overflows
+        |past ~1e9 vectors (the q112 DECIMAL(38) lever). Scale shape:
+        |one posexplode scan reduces map-side to #dims rows — at
+        |100 TB this is a scan plus one bounded exchange.""".stripMargin,
+      dimVarianceOracle) { (s, d) =>
+      dimVariance(Tables.embeddings(s, d))
+    },
+
     Q("q118_norm_audit",
       """Q118 — per-label embedding-norm audit: n_vecs, exact min /
         |median / max of the INTEGER squared norm Σ(e4-quantized
@@ -2043,6 +2061,37 @@ object Curation {
         col("max_n2"))
       .orderBy("label")
   }
+
+  /** q123's logic over an arbitrary (vec_id, embedding, label) frame —
+    * exposed so specs can pin the exact moment arithmetic on hand
+    * vectors (zero-variance dim, known mean/variance).
+    */
+  def dimVariance(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"),
+        round(col("x").cast(DoubleType) * lit(10000.0)).cast(LongType)
+          .as("v"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sq"))
+      .select(col("i").cast(IntegerType).as("i"),
+        col("n").as("n_vecs"),
+        round(col("sv").cast(DoubleType) / col("n"), 4).as("mean4"),
+        round((col("n") * col("sq") - col("sv") * col("sv"))
+          .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType), 4)
+          .as("var4"))
+      .orderBy("i")
+
+  private lazy val dimVarianceOracle: String =
+    """WITH q AS (SELECT i, CAST(round(x * 1e4) AS BIGINT) AS v
+      |       FROM (SELECT unnest(embedding) AS x,
+      |             generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |a AS (SELECT i, count(*) AS n, sum(v) AS sv, sum(v * v) AS sq FROM q GROUP BY 1)
+      |SELECT CAST(i - 1 AS INT) AS i, CAST(n AS BIGINT) AS n_vecs,
+      |  round(CAST(sv AS DOUBLE) / n, 4) AS mean4,
+      |  round(CAST(n * sq - sv * sv AS DOUBLE) / CAST(n * n AS DOUBLE), 4) AS var4
+      |FROM a ORDER BY i""".stripMargin
 
   private lazy val normAuditOracle: String =
     """WITH n2x AS (SELECT label,

@@ -843,7 +843,11 @@ object Relational {
         |ranks = the q110 convention (value at rank ceil(p·n));
         |the above-p90 mass uses the VALUE rule (ltv > v90), never a
         |rank tie-break; empty-mass segments drop on both engines
-        |rather than divide by zero. Scale shape: one orders exchange
+        |rather than divide by zero. BIGINT bound: the e4 share's
+        |2·10⁴·mass term overflows Long past ~4.6e14 cents of
+        |above-p90 mass per segment (≈ $4.6e12 — far past this
+        |corpus); the DECIMAL(38) lever applies there (the q112
+        |convention — DuckDB already computes the sum in HUGEINT). Scale shape: one orders exchange
         |(per-customer cents reduce), one customer join, then the
         |(seg, ltv) count table — the cum window, totals, both rank
         |marks and the above-mass all run on that reduced frame (ONE

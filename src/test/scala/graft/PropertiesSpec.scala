@@ -361,7 +361,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q114/q115/q116/q117/q118 — stickiness, lag, confusion, dup-bias and norms invariant under repartitioning") {
+  test("q114/q115/q116/q117/q118/q123 — stickiness, lag, confusion, dup-bias, norms and dim variance invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val ev = Tables.events(spark, sf0001)
@@ -373,6 +373,8 @@ class PropertiesSpec extends SparkSpec {
     val cfRef = rows(graft.queries.Curation.labelConfusion(emb))
     spark.catalog.clearCache()
     val nrmRef = rows(graft.queries.Curation.normAudit(emb))
+    spark.catalog.clearCache()
+    val dimRef = rows(graft.queries.Curation.dimVariance(emb))
     spark.catalog.clearCache()
     val biasRef = rows(graft.queries.Curation.dupQualityBias(docs))
     spark.catalog.clearCache()
@@ -387,6 +389,8 @@ class PropertiesSpec extends SparkSpec {
       assert(rows(graft.queries.Curation.labelConfusion(m)) === cfRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Curation.normAudit(m)) === nrmRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Curation.dimVariance(m)) === dimRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Curation.dupQualityBias(d)) === biasRef)
       spark.catalog.clearCache()

@@ -1654,6 +1654,20 @@ class CatalogSpec extends SparkSpec {
       s"engineered confusion matrix diverged: ${got.toSeq}")
   }
 
+  test("q123 — dim variance: hand moments, dead-dimension zero") {
+    import spark.implicits._
+    // dim 0: values 1.0, 0.0 → e4 10000, 0: mean 5000, var
+    // (2·1e8 − 1e8)/4 = 25000000. dim 1: constant 0.5 → mean 5000,
+    // var EXACTLY 0 (the dead-dimension read).
+    val got = graft.queries.Curation.dimVariance(
+      Seq((1L, Array(1.0f, 0.5f), 0), (2L, Array(0.0f, 0.5f), 0))
+        .toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (0, 2L, 5000.0, 25000000.0), (1, 2L, 5000.0, 0.0)),
+      s"engineered dim variance diverged: ${got.toSeq}")
+  }
+
   test("q122 — length MAD: rank rules, outlier rule, MAD-zero degeneracy") {
     import spark.implicits._
     // source A lengths: 10,10,12,14,100 (n=5) → med rank 3 = 12;
