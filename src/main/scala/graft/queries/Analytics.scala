@@ -1154,6 +1154,24 @@ object Analytics {
         |""".stripMargin,
       q122OracleSql) { (s, d) =>
       lengthMad(Tables.documents(s, d))
+    },
+
+    Q("q124_hour_burst",
+      """Q124 — per-type hourly burst ratio: max hourly event count vs
+        |MEDIAN hourly count (half-up e4) over the observed absolute
+        |hours — the spike screen at the grain q90's daily z-score
+        |smooths over (a 1-hour 10× burst vanishes inside a normal
+        |day; ops incident response reads hours). Median over OBSERVED
+        |hours only (zero-event hours are absence, not data — the
+        |q109 observed-rows convention); exact integers end to end
+        |(median = rank ceil(n/2) on the counts-of-counts table).
+        |Scale shape: ONE reduction to the (type, hour) table (map-side
+        |combined, calendar-bounded rows); the median runs on the
+        |re-reduced (type, count, k) counts-of-counts table — no hour
+        |row-sort; max/n ride the same tiny frames. Pre-1970 guard
+        |(the q108 rule).""".stripMargin,
+      q124OracleSql) { (s, d) =>
+      hourBurst(Tables.events(s, d))
     }
   )
 
@@ -1489,6 +1507,48 @@ object Analytics {
       |  CAST(outl.n_out AS BIGINT) AS n_outliers
       |FROM med JOIN mad USING (source) JOIN outl USING (source)
       |ORDER BY source""".stripMargin
+
+  /** q124's logic over an arbitrary event frame — exposed so specs can
+    * pin the counts-of-counts median rank and the burst arithmetic on
+    * engineered streams.
+    */
+  def hourBurst(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // ONE full-data reduction to the calendar-bounded (type, hour)
+    // table; it feeds the counts-of-counts median AND the max/n rollup
+    // → persist (session clearCache contract)
+    val h = events.filter(expr(tsNonNegExpr))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = h.groupBy("event_type", "c").agg(count(lit(1)).as("k"))
+    val wt = Window.partitionBy("event_type")
+    val med = cc
+      .withColumn("cum", sum(col("k")).over(wt.orderBy("c")))
+      .withColumn("n", sum(col("k")).over(wt))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min(col("c")).as("med"))
+    val mx = h.groupBy("event_type")
+      .agg(max(col("c")).as("mx"), count(lit(1)).as("n_hours"))
+    mx.join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("med"), col("mx"),
+        expr("(2 * 10000 * mx + med) div (2 * med)").as("burst_e4"))
+      .orderBy("event_type")
+  }
+
+  private lazy val q124OracleSql: String =
+    """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+      |     FROM events WHERE epoch_us(ts) >= 0 GROUP BY 1, 2),
+      |cc AS (SELECT event_type, c, count(*) AS k FROM h GROUP BY 1, 2),
+      |cs AS (SELECT event_type, c, k, sum(k) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+      |       sum(k) OVER (PARTITION BY event_type) AS n FROM cc),
+      |med AS (SELECT event_type, min(c) AS med FROM cs WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |mx AS (SELECT event_type, max(c) AS mx, count(*) AS n_hours FROM h GROUP BY 1)
+      |SELECT mx.event_type AS event_type, CAST(n_hours AS BIGINT) AS n_hours,
+      |  CAST(med.med AS BIGINT) AS med, CAST(mx.mx AS BIGINT) AS mx,
+      |  CAST((2 * 10000 * mx.mx + med.med) // (2 * med.med) AS BIGINT) AS burst_e4
+      |FROM mx JOIN med USING (event_type) ORDER BY event_type""".stripMargin
 
   /** q111's logic over an arbitrary event frame — exposed so specs can
     * pin the asymmetric confidence against hand values on engineered

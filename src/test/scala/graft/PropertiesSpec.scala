@@ -361,7 +361,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q114/q115/q116/q117/q118/q123 — stickiness, lag, confusion, dup-bias, norms and dim variance invariant under repartitioning") {
+  test("q114/q115/q116/q117/q118/q123/q124 — session-5 analytics invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val ev = Tables.events(spark, sf0001)
@@ -369,6 +369,8 @@ class PropertiesSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     val stRef = rows(graft.queries.Analytics.stickiness(ev))
     val lagRef = rows(graft.queries.Analytics.conversionLag(ev))
+    spark.catalog.clearCache()
+    val burstRef = rows(graft.queries.Analytics.hourBurst(ev))
     spark.catalog.clearCache()
     val cfRef = rows(graft.queries.Curation.labelConfusion(emb))
     spark.catalog.clearCache()
@@ -385,6 +387,8 @@ class PropertiesSpec extends SparkSpec {
           docs.repartition(n, $"source"), emb.repartition(n, $"label"))
       assert(rows(graft.queries.Analytics.stickiness(e)) === stRef)
       assert(rows(graft.queries.Analytics.conversionLag(e)) === lagRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.hourBurst(e)) === burstRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Curation.labelConfusion(m)) === cfRef)
       spark.catalog.clearCache()

@@ -1654,6 +1654,24 @@ class CatalogSpec extends SparkSpec {
       s"engineered confusion matrix diverged: ${got.toSeq}")
   }
 
+  test("q124 — hour burst: counts-of-counts median, burst arithmetic") {
+    import spark.implicits._
+    def at(hr: Long, id: Long) =
+      (id, new java.sql.Timestamp(hr * 3600000L + 1000L), 1L, "x", 0.0)
+    // type x hourly counts: h0 → 1, h1 → 1, h2 → 2, h3 → 6
+    // (n_hours 4, sorted counts 1,1,2,6 → median rank (4+1) div 2 = 2
+    // → 1; max 6 → burst 60000 e4)
+    val rows = Seq(at(0, 1), at(1, 2), at(2, 3), at(2, 4)) ++
+      (10L to 15L).map(i => at(3, i))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Analytics.hourBurst(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(("x", 4L, 1L, 6L, 60000L)),
+      s"engineered hour burst diverged: ${got.toSeq}")
+  }
+
   test("q123 — dim variance: hand moments, dead-dimension zero") {
     import spark.implicits._
     // dim 0: values 1.0, 0.0 → e4 10000, 0: mean 5000, var
