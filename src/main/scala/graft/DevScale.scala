@@ -185,7 +185,11 @@ object DevScale {
       // the MAD screen rides the q100/q104 lenCum band (one source-keyed
       // exchange over 10x rows; replica token suffixes widen the
       // distinct-length support, both medians stay count-table-sized)
-      "q122_length_mad")
+      "q122_length_mad",
+      // dim variance (10x vectors reduce map-side to the same #dims
+      // rows), hour burst (10x users raise per-hour counts, the
+      // (type, hour) table stays calendar-bounded)
+      "q123_dim_variance", "q124_hour_burst")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
