@@ -1172,6 +1172,42 @@ object Analytics {
         |(the q108 rule).""".stripMargin,
       q124OracleSql) { (s, d) =>
       hourBurst(Tables.events(s, d))
+    },
+
+    Q("q125_token_entropy",
+      """Q125 — per-source unigram token entropy and its normalized form
+        |H / ln(n_types) — the distribution-CONCENTRATION screen beside
+        |q70's TTR (which counts the support) and q59's JSD (which
+        |compares shapes pairwise): a source whose token mass collapses
+        |onto a few types (templated boilerplate, navigation chrome)
+        |reads low entropy even when its raw vocabulary looks healthy.
+        |H folds to ln(N) − (Σ c·ln c)/N so only the (source, token,
+        |count) support rows carry float terms — no per-row probability
+        |is ever materialized, and c·ln c of EXACT integer counts is the
+        |same IEEE double on both engines (the q59 ln regime; the sum
+        |rounds once at 4 dp). A single-type source normalizes to 0 by
+        |convention on both engines (ln 1 = 0 in the denominator).
+        |Scale shape: per-doc token counts come from the one-pass
+        |tokenCounts kernel inside the scan projection (the q45 lesson —
+        |token INSTANCES never shuffle; the wide exchange carries
+        |pre-reduced (source, token, tf) partials with map-side
+        |combine); the per-source rollup reduces the vocabulary-sized
+        |support table to #sources rows and nothing vocabulary-sized is
+        |broadcast or collected.""".stripMargin,
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+        |              sum(c * ln(c)) AS clnc
+        |       FROM tc GROUP BY source)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_types AS BIGINT) AS n_types,
+        |       round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy,
+        |       CASE WHEN n_types = 1 THEN 0.0
+        |            ELSE round((ln(n_tokens) - clnc / n_tokens) / ln(n_types), 4)
+        |       END AS norm_entropy
+        |FROM st ORDER BY source""".stripMargin) { (s, d) =>
+      tokenEntropy(Tables.documents(s, d))
     }
   )
 
@@ -1845,6 +1881,33 @@ object Analytics {
       |SELECT event_type, CAST(k AS INT) AS pct, value
       |FROM r CROSS JOIN (SELECT unnest([50, 90, 99]) AS k)
       |WHERE rn = (k * n + 99) // 100 ORDER BY event_type, pct""".stripMargin
+
+  /** q125's logic over an arbitrary document frame — exposed so specs
+    * can pin hand entropies (uniform over k types = ln k, norm 1;
+    * single-type = 0/0-convention) on engineered corpora.
+    */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tc = docs
+      .select(col("source"),
+        explode(graft.functions.expressions.NativeExprs
+          .tokenCounts(col("text"))).as("tc"))
+      .select(col("source"), col("tc.token").as("token"),
+        col("tc.tf").cast(LongType).as("tf"))
+      .groupBy("source", "token").agg(sum(col("tf")).as("c"))
+    tc.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast(DoubleType)
+          * log(col("c").cast(DoubleType))).as("clnc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) - col("clnc") / col("n_tokens"), 4)
+          .as("entropy"),
+        when(col("n_types") === 1L, lit(0.0))
+          .otherwise(round(
+            (log(col("n_tokens")) - col("clnc") / col("n_tokens"))
+              / log(col("n_types")), 4)).as("norm_entropy"))
+      .orderBy("source")
+  }
 
   /** q102's logic over an arbitrary document frame — exposed so specs
     * can pin the hand-computed Gini values (uniform = 0; [1,3] = 0.25)

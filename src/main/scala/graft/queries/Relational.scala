@@ -854,8 +854,81 @@ object Relational {
         |window pass; marks attach as #segments-row broadcasts).""".stripMargin,
       q119LtvOracle) { (s, d) =>
       ltvProfile(Tables.orders(s, d), Tables.customer(s, d))
+    },
+
+    Q("q126_rfm_segments",
+      """Q126 — RFM segmentation: every purchasing customer lands in a
+        |(recency, frequency, monetary) quintile cell; the output is
+        |the ≤ 5³ cell profile (customer count, total cents) marketing
+        |and sampling strata read. Quintile marks are EXACT order
+        |statistics t_k = min(v | cum ≥ ceil(k·n/5)) off each metric's
+        |(value, count) table (the q110/q119 rank convention), and a
+        |customer's bucket follows the VALUE rule 1 + #{t_k < v} — rank
+        |tie-breaks never cross engines, and coinciding marks (a
+        |heavily tied frequency metric can collapse t_2 = t_3)
+        |deterministically skip the bucket on BOTH engines. All three
+        |metrics are exact integers: recency = epoch day of the last
+        |order (orders post-1970, the TPC-H calendar), frequency =
+        |order count, monetary = §7.3 HALF_UP long cents. Scale shape:
+        |ONE orders exchange reduces to the per-customer (r, f, m)
+        |frame; each mark table is a cum window over that frame's
+        |REDUCED (value, count) table — tiny for recency/frequency,
+        |~#customers rows for near-distinct monetary (the honest q110
+        |note: at 100 TB the monetary marks come from q72's mergeable
+        |GK sketch; the exact form IS the ground truth it is judged
+        |against); buckets attach via three 1-row broadcast mark
+        |arrays (the q48/q65 proven-1-row pattern), so the corpus-side
+        |pass is map-only and the tail is the ≤125-row cell table.""".stripMargin,
+      q126RfmOracle) { (s, d) =>
+      rfmSegments(Tables.orders(s, d))
+    },
+
+    Q("q127_big_orders",
+      """Q127 — large-volume orders (the TPC-H Q18 shape): orders whose
+        |line items sum past 280 units, with the customer name, the
+        |order's total price (untouched parquet double, the q97 rule)
+        |and the exact quantity/item counts. Scale shape: lineitem
+        |reduces FIRST on its own key with map-side combine (the
+        |group-then-join order — quantity partials shuffle, never raw
+        |line items), and the HAVING cut drops ~99 % of orders before
+        |any join; the surviving keys join orders and then customer as
+        |plain equi-joins AQE sizes at runtime (the filtered side is
+        |broadcastable at bench scale; at 100 TB both joins co-shuffle
+        |on their keys — no hint pins either choice). The filter
+        |cannot push below the aggregate (it predicates the SUM), so
+        |the plan's one full-width pass is the lineitem scan itself.""".stripMargin,
+      """WITH s AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+        |            count(*) AS n_items
+        |     FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 280)
+        |SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name,
+        |       o.o_totalprice AS o_totalprice, s.total_qty,
+        |       CAST(s.n_items AS BIGINT) AS n_items
+        |FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      bigOrders(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))
     }
   )
+
+  /** q127's logic over arbitrary frames — exposed so specs can pin the
+    * threshold cut (strict >) and the group-then-join order on
+    * engineered orders.
+    */
+  def bigOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                minQty: Double = 280.0): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("tq"), count(lit(1)).as("n_items"))
+      .filter(col("tq") > minQty)
+      .select(col("l_orderkey"), col("tq").cast(LongType).as("total_qty"),
+        col("n_items"))
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice", "total_qty", "n_items")
+      .orderBy("o_orderkey")
+  }
 
   /** q119's logic over arbitrary orders/customer frames — exposed so
     * specs can pin the rank conventions, the value-rule above-mass, tie
@@ -919,4 +992,80 @@ object Relational {
       |FROM ns JOIN marks USING (seg) LEFT JOIN ab USING (seg)
       |WHERE ns.mass > 0
       |ORDER BY segment""".stripMargin
+
+  /** q126's logic over an arbitrary orders frame — exposed so specs can
+    * pin the mark ranks, the value-rule bucketing, collapsed-mark skip
+    * behavior and cents exactness on engineered order sets.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    // the per-customer (r, f, m) frame feeds three mark derivations and
+    // the bucketing pass → persist (session clearCache contract)
+    val oc = orders.groupBy(col("o_custkey"))
+      // parquet surfaces o_orderdate as TIMESTAMP_NTZ; the UTC session
+      // (every entry point pins it) makes the cast micros-exact
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("r"),
+        count(lit(1)).as("f"),
+        sum(cents(col("o_totalprice"))).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = oc.agg(count(lit(1)).as("n"))
+    // quintile marks t_1..t_4 for one metric, collapsed to a 1-row
+    // sorted array (multiplicity kept — coinciding marks must count
+    // twice in the value rule or tied metrics drift a bucket)
+    def marks(metric: String): DataFrame =
+      oc.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("v")))
+        .crossJoin(broadcast(nRow))
+        .select(col("v"), col("cum"), col("n"),
+          explode(sequence(lit(1), lit(4))).as("k"))
+        .filter(col("cum") >= expr("(k * n + 4) div 5"))
+        .groupBy("k").agg(min(col("v")).as("t"))
+        .agg(array_sort(collect_list(col("t"))).as(metric + "_t"))
+    oc.crossJoin(broadcast(marks("r")))
+      .crossJoin(broadcast(marks("f")))
+      .crossJoin(broadcast(marks("m")))
+      .select(col("m"),
+        (lit(1) + expr("size(filter(r_t, x -> r > x))"))
+          .cast(IntegerType).as("rq"),
+        (lit(1) + expr("size(filter(f_t, x -> f > x))"))
+          .cast(IntegerType).as("fq"),
+        (lit(1) + expr("size(filter(m_t, x -> m > x))"))
+          .cast(IntegerType).as("mq"))
+      .groupBy("rq", "fq", "mq")
+      .agg(count(lit(1)).as("n_cust"), sum(col("m")).as("m_cents"))
+      .transform(smallSort(_, "rq", "fq", "mq"))
+  }
+
+  private lazy val q126RfmOracle: String =
+    """WITH oc AS (SELECT o_custkey,
+      |      max(epoch_us(o_orderdate) // 86400000000) AS r,
+      |      count(*) AS f,
+      |      sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+      |      FROM orders GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM oc),
+      |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+      |rcs AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+      |        (SELECT r AS v, count(*) AS c FROM oc GROUP BY 1)),
+      |rm AS (SELECT k, min(v) AS t FROM rcs CROSS JOIN n CROSS JOIN ks
+      |       WHERE cum >= (k * n + 4) // 5 GROUP BY k),
+      |fcs AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+      |        (SELECT f AS v, count(*) AS c FROM oc GROUP BY 1)),
+      |fm AS (SELECT k, min(v) AS t FROM fcs CROSS JOIN n CROSS JOIN ks
+      |       WHERE cum >= (k * n + 4) // 5 GROUP BY k),
+      |mcs AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+      |        (SELECT m AS v, count(*) AS c FROM oc GROUP BY 1)),
+      |mm AS (SELECT k, min(v) AS t FROM mcs CROSS JOIN n CROSS JOIN ks
+      |       WHERE cum >= (k * n + 4) // 5 GROUP BY k),
+      |rb AS (SELECT oc.o_custkey, 1 + count(rm.t) AS rq
+      |       FROM oc LEFT JOIN rm ON oc.r > rm.t GROUP BY 1),
+      |fb AS (SELECT oc.o_custkey, 1 + count(fm.t) AS fq
+      |       FROM oc LEFT JOIN fm ON oc.f > fm.t GROUP BY 1),
+      |mb AS (SELECT oc.o_custkey, 1 + count(mm.t) AS mq
+      |       FROM oc LEFT JOIN mm ON oc.m > mm.t GROUP BY 1)
+      |SELECT CAST(rq AS INT) AS rq, CAST(fq AS INT) AS fq,
+      |       CAST(mq AS INT) AS mq, count(*) AS n_cust,
+      |       CAST(sum(oc.m) AS BIGINT) AS m_cents
+      |FROM oc JOIN rb USING (o_custkey) JOIN fb USING (o_custkey)
+      |        JOIN mb USING (o_custkey)
+      |GROUP BY 1, 2, 3 ORDER BY rq, fq, mq""".stripMargin
 }

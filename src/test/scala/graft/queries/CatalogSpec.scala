@@ -1706,6 +1706,69 @@ class CatalogSpec extends SparkSpec {
       s"engineered MAD screen diverged: ${got.toSeq}")
   }
 
+  test("q125 — token entropy: uniform reads ln k / 1.0, single-type reads 0") {
+    import spark.implicits._
+    // A: one type ×4 → H = 0, norm = 0 by the n_types=1 convention;
+    // B: 4 uniform types → H = ln 4 = 1.3863, norm exactly 1.
+    val docs = Seq((1L, "a a a a", "A"), (2L, "a b c d", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.queries.Analytics.tokenEntropy(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("A", 4L, 1L, 0.0, 0.0),
+      ("B", 4L, 4L, 1.3863, 1.0)),
+      s"engineered entropy diverged: ${got.toSeq}")
+  }
+
+  test("q126 — RFM: distinct metrics rank 1..5; tied metric collapses to bucket 1") {
+    import spark.implicits._
+    // customer i places i one-dollar·i orders, last on epoch day i →
+    // r = f = i and m = i²·100 cents all ascend together; with n = 5
+    // the mark ranks ceil(k·5/5) = k give t_k = k-th smallest, so the
+    // value rule puts customer i exactly in cell (i, i, i).
+    val orders = (1L to 5L).flatMap { i =>
+      (1L to i).map(j => (i * 100 + j, i, i.toDouble))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderdate",
+        (col("o_custkey") * 86400L).cast("timestamp"))
+    val got = graft.queries.Relational.rfmSegments(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === (1 to 5).map(i =>
+      (i, i, i, 1L, i.toLong * i * 100)),
+      s"engineered RFM cells diverged: ${got.toSeq}")
+    // a fully tied metric collapses every mark onto the same value —
+    // the value rule then reads bucket 1 for everyone (strict >)
+    val tied = (1L to 4L).map(i => (i, i, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderdate", lit(86400L).cast("timestamp"))
+    val gt = graft.queries.Relational.rfmSegments(tied).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(gt.toSeq === Seq((1, 1, 1, 4L)),
+      s"tied-metric collapse diverged: ${gt.toSeq}")
+  }
+
+  test("q127 — big orders: strict threshold cut, exact totals") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (10L, 150.0), (10L, 150.0),        // sum 300 > 280 → kept
+      (20L, 140.0), (20L, 140.0),        // sum 280, strict > → dropped
+      (30L, 50.0))                        // dropped
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((10L, 7L, 1234.5), (20L, 7L, 10.0), (30L, 8L, 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((7L, "alice"), (8L, "bob"))
+      .toDF("c_custkey", "c_name")
+    val got = graft.queries.Relational
+      .bigOrders(lineitem, orders, customer).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((10L, "alice", 1234.5, 300L, 2L)),
+      s"engineered big-orders cut diverged: ${got.toSeq}")
+  }
+
   test("q120 — df histogram: MSB buckets and the pair-candidate identity") {
     import spark.implicits._
     // three docs share the 3-shingle "c0 c1 c2"; everything else is

@@ -96,8 +96,13 @@ class PlanShapeSpec extends SparkSpec {
       })
     }
     // q20 is the DECLARED exact global ntile (oracle form; q20b is its
-    // scale twin) — the only query allowed an unpartitioned window.
-    val globalWindowOk = Set("q20_ntile")
+    // scale twin). q126's cum windows run over each metric's REDUCED
+    // (value, count) mark table — tiny for recency/frequency,
+    // ~#customers rows for near-distinct monetary, where the entry's
+    // doc names q72's GK sketch as the 100 TB mark path (the q110
+    // exact-vs-sketch contract). No other query gets an unpartitioned
+    // window.
+    val globalWindowOk = Set("q20_ntile", "q126_rfm_segments")
     val offendersNl = scala.collection.mutable.ArrayBuffer.empty[String]
     val offendersWin = scala.collection.mutable.ArrayBuffer.empty[String]
     // q55 is the COMPOSITE pipeline entry: its builder executes curate()
