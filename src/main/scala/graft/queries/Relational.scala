@@ -897,7 +897,7 @@ object Relational {
         |on their keys — no hint pins either choice). The filter
         |cannot push below the aggregate (it predicates the SUM), so
         |the plan's one full-width pass is the lineitem scan itself.""".stripMargin,
-      """WITH s AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+      """WITH s AS (SELECT l_orderkey, CAST(floor(sum(l_quantity)) AS BIGINT) AS total_qty,
         |            count(*) AS n_items
         |     FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 280)
         |SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name,
@@ -921,7 +921,12 @@ object Relational {
       .groupBy("l_orderkey")
       .agg(sum(col("l_quantity")).as("tq"), count(lit(1)).as("n_items"))
       .filter(col("tq") > minQty)
-      .select(col("l_orderkey"), col("tq").cast(LongType).as("total_qty"),
+      // FLOOR before the long cast: Spark's bare double→long cast
+      // truncates toward zero while DuckDB's CAST rounds to nearest, so
+      // fractional quantity sums would diverge cross-engine. floor() is
+      // bit-identical in both engines (and a no-op on TPC-H's integral
+      // quantities); the oracle casts floor(sum(..)) to match.
+      .select(col("l_orderkey"), floor(col("tq")).cast(LongType).as("total_qty"),
         col("n_items"))
     orders
       .join(big, col("o_orderkey") === col("l_orderkey"))
@@ -1000,11 +1005,17 @@ object Relational {
   def rfmSegments(orders: DataFrame): DataFrame = {
     // the per-customer (r, f, m) frame feeds three mark derivations and
     // the bucketing pass → persist (session clearCache contract)
+    // parquet surfaces o_orderdate as TIMESTAMP_NTZ; the UTC session
+    // (every entry point pins it) makes the cast micros-exact. Epoch day
+    // is FLOOR division (the oracle's //): Spark's `div` truncates toward
+    // zero, which would shift pre-1970 dates one day late — exact integer
+    // floor-div keeps the helper safe on engineered frames, not just the
+    // post-1970 TPC-H calendar.
+    val usExpr = "unix_micros(cast(o_orderdate as timestamp))"
+    val epochDayFloor =
+      s"$usExpr div 86400000000 - (case when $usExpr % 86400000000 < 0 then 1 else 0 end)"
     val oc = orders.groupBy(col("o_custkey"))
-      // parquet surfaces o_orderdate as TIMESTAMP_NTZ; the UTC session
-      // (every entry point pins it) makes the cast micros-exact
-      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
-          .as("r"),
+      .agg(max(expr(epochDayFloor)).as("r"),
         count(lit(1)).as("f"),
         sum(cents(col("o_totalprice"))).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
