@@ -73,6 +73,18 @@ object Bench {
         == ordered.size,
       "query-name prefixes are not unique — bench keys would collide")
 
+    // host load-average probe (1-min), sampled at window start/end: a
+    // reader of the JSON can see whole-host contention that the floor
+    // metric misses when it lands on long shuffles rather than task launch
+    // (the BENCH_r09 199 s window read 4.4× on a host whose load the
+    // record never captured).
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.rint(l * 100) / 100
+    }
+    val loadStart = loadAvg()
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -100,9 +112,30 @@ object Bench {
     // asynchronously regardless.
     System.gc()
 
+    // ---- contention sentinel: ONE fixed shuffle-heavy query re-timed at
+    // three points in the window (post-warmup baseline, mid-catalog, end).
+    // Whole-host contention that inflates long shuffles — invisible to the
+    // "floor" metric, which only sees task-launch fixed costs — shows up
+    // as sentinel drift on UNCHANGED code+data, so a slow window carries
+    // its own diagnosis (VERDICT r9 item 2). Drift >2× vs the baseline
+    // stamps the window "contended"; readers should treat per-query times
+    // from a contended window as host noise, not plan regressions.
+    val sentinelName = "q31_jaccard_pairs"
+    val sentinel = SparkEntry.queries.get(sentinelName)
+    def sentinelOnce(): Double = sentinel match {
+      case Some(fn) => runOnce(sentinelName, fn)._1
+      case None => -1.0
+    }
+    // baseline = min of two runs: the first sits right after the pass-
+    // boundary GC (cold TLABs) and measured up to 2.6x its settled value —
+    // a high baseline would MASK later contention in the drift ratio
+    val sentinelBase = math.min(sentinelOnce(), sentinelOnce())
+
     // ---- timed pass: median of `reps` steady-state runs per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = ordered.map { case (name, fn) =>
+    var sentinelMid = -1.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == ordered.size / 2) sentinelMid = sentinelOnce()
       var failed = false
       val times = (1 to reps).map { _ =>
         val (sec, ok) = runOnce(name, fn)
@@ -113,6 +146,15 @@ object Bench {
       // time would otherwise read as a suspiciously fast success)
       name -> (if (failed) -1.0 else times(times.size / 2))
     }
+    val sentinelEnd = sentinelOnce()
+    val loadEnd = loadAvg()
+    val sentinelDrift =
+      if (sentinelBase <= 0) -1.0
+      else math.rint(math.max(sentinelMid, sentinelEnd) / sentinelBase * 100) / 100
+    val regime =
+      if (sentinelDrift < 0) "unknown"
+      else if (sentinelDrift > 2.0) "contended"
+      else "quiet"
     // One compact line: the driver keeps only the LAST ~2000 chars of the
     // run's output as the on-record tail, and round 2's line (full-precision
     // doubles + an inline cold_queries map) outgrew that window — the
@@ -156,7 +198,30 @@ object Bench {
       if (ok.isEmpty) -1.0 else r3(ok(ok.size / 2))
     }
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries_ms":${jmapMs(results)},"reps":$reps,"sf":"$sfName","totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size},"floor":$floor}}""")
+    def ms(v: Double) = if (v < 0) -1 else math.rint(v * 1000).toLong
+    // regime fields budgeted ~60 chars: the whole line must stay inside
+    // the driver's ~2000-char stdout tail (see the queries_ms note above),
+    // and 138 queries_ms entries already spend ~1600 of it — so drift is
+    // NOT repeated (sent_ms carries it: drift = max(mid,end)/base) and the
+    // full-precision diagnosis goes to stderr below.
+    val regimeJson =
+      s""""regime":"$regime","load":[$loadStart,$loadEnd],"sent_ms":[${ms(sentinelBase)},${ms(sentinelMid)},${ms(sentinelEnd)}]"""
+    System.err.println(s"[bench] regime=$regime drift=$sentinelDrift " +
+      s"load=$loadStart->$loadEnd sentinel=$sentinelName " +
+      s"base/mid/end=${ms(sentinelBase)}/${ms(sentinelMid)}/${ms(sentinelEnd)}ms")
+    def line(qms: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries_ms":$qms,"reps":$reps,"sf":"$sfName",$regimeJson,"totals":{"warm_median":$total,"cold_single_shot":$coldTotal,"n_failed":${failed.size},"floor":$floor}}"""
+    val full = line(jmapMs(results))
+    // hard budget guard: a contended window can push many entries to 5
+    // digits and overflow the tail window — if the full line would risk
+    // clipping its own HEAD, keep only the slowest half of queries_ms
+    // (the informative half in a slow window; the rest is on stderr).
+    val out = if (full.length <= 1950) full else {
+      val keep = results.sortBy(-_._2).take(results.size / 2)
+        .sortBy(_._1)
+      line(jmapMs(keep))
+    }
+    println(out)
     spark.stop()
   }
 }
