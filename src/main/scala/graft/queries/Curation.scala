@@ -733,48 +733,12 @@ object Curation {
         |design — identically in both engines, since the teleport term
         |re-seeds every node. Top-20 via the bounded global TopKAgg
         |((rank DESC, token ASC) — the oracle's row_number order; the
-        |DOUBLE score buffer is exact ≤ 2⁵³).""".stripMargin,
+        |DOUBLE score buffer is exact ≤ 2⁵³). Round 10: below a reduced-
+        |edge-table budget the five rounds FUSE into one driver-local
+        |walk (see [[textrank]]) — one collect of the reduced table
+        |replaces five per-round broadcast collects + checkpoints.""".stripMargin,
       textrankOracle) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(TextOps.tokens(col("text")).as("toks"))
-      val bi = toks.select(explode(arrays_zip(
-          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
-          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
-          .as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val e = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        .withColumn("wt", sum(col("c"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val v = toks.select(explode(col("toks")).as("t")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // V is a scalar by nature (the rank seed's denominator); the count
-      // also materializes the vocab/edge caches the 5 rounds reuse
-      val vocab = v.count()
-      val seed = 1000000000000L / vocab
-      val teleport = 15L * seed / 100L
-      // Eager per-round checkpoint is LOAD-BEARING even though the plan
-      // only grows linearly (no CC-style self-join doubling): each round's
-      // broadcast exchange EXECUTES its input subtree, so without the
-      // checkpoint round k re-runs rounds 1..k-1 inside the broadcast —
-      // measured 2.5 s vs 1.0 s at sf0.1 for the checkpoint-free form
-      var r = v.select(col("t"), lit(seed).as("r")).localCheckpoint(true)
-      (1 to 5).foreach { _ =>
-        val inm = e
-          .join(broadcast(r.select(col("t").as("w1"), col("r"))), Seq("w1"))
-          .select(col("w2").as("t"), expr("(r * c) div wt").as("m"))
-          .groupBy("t").agg(sum(col("m")).as("inm"))
-        r = v.join(inm, Seq("t"), "left")
-          .select(col("t"),
-            (lit(teleport) + expr("(85 * coalesce(inm, 0L)) div 100")).as("r"))
-          .localCheckpoint(true)
-      }
-      graft.operators.TopK.perGroup(
-          r.select(col("t"), col("r").cast(DoubleType).as("rs")),
-          Seq.empty, "rs", "t", 20)
-        .select(col("t").as("token"), col("rnk"),
-          col("rs").cast(LongType).as("rank"))
-        .orderBy("rnk")
+      textrank(Tables.documents(s, d))
     },
 
     Q("q83_lsh_md5",
@@ -1193,6 +1157,101 @@ object Curation {
     * same integer arithmetic as the engine ((r·c) div W, teleport =
     * (15·seed) div 100), ending in the row_number top-20.
     */
+  /** q82's logic over an arbitrary corpus — exposed so specs can pin the
+    * fused-vs-shuffled walk equivalence and the teleport floor on
+    * engineered graphs.
+    *
+    * Two physically different walks, one integer semantics:
+    *  - `localWalk` (default when the REDUCED bigram table fits the
+    *    budget): the edge table — already vocabulary²-bounded and
+    *    map-side combined, the same frame the shuffled form broadcasts
+    *    the rank vector against — collects ONCE and all five damped
+    *    rounds run as a driver-local integer loop; the final rank map
+    *    re-enters the plan as a broadcast join onto the vocab frame.
+    *    ONE bounded collect replaces 5 × (broadcast-collect of the rank
+    *    frame + dst-keyed shuffle + eager checkpoint) — the same
+    *    barrier-economics rewrite as q88's driver argmax. The collect is
+    *    of a REDUCED aggregate (never corpus rows), exactly the data the
+    *    old form shipped driver-ward five times in rank-frame pieces.
+    *  - shuffled (forced, or when the edge table outgrows the budget —
+    *    the web-scale path): per round, join the reduced edges against
+    *    the broadcast rank frame and reduce by destination with
+    *    map-side partials; eager per-round localCheckpoint is
+    *    LOAD-BEARING — each round's broadcast exchange executes its
+    *    input subtree, so without it round k re-runs rounds 1..k−1
+    *    inside the broadcast (measured 2.5 s vs 1.0 s at sf0.1).
+    * Both paths use the identical integer recurrence (seed = 10¹² div V,
+    * teleport = 15·seed div 100, edge flow (r·c) div wt, damp
+    * (85·inm) div 100 — all non-negative, so Long `/` ≡ `div`), so the
+    * results are bit-identical (CatalogSpec pins it).
+    */
+  def textrank(docs: DataFrame, localWalkMaxEdges: Long = 2000000L,
+               forceShuffled: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(TextOps.tokens(col("text")).as("toks"))
+    val bi = toks.select(explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val e = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("wt", sum(col("c"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = toks.select(explode(col("toks")).as("t")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // V is a scalar by nature (the rank seed's denominator); the count
+    // also materializes the vocab cache the walk reuses
+    val vocab = v.count()
+    val seed = 1000000000000L / vocab
+    val teleport = 15L * seed / 100L
+    val nEdges = e.count()
+    val r: DataFrame =
+      if (!forceShuffled && nEdges <= localWalkMaxEdges) {
+        // ---- fused local walk over the collected reduced edge table
+        val edges = e.select(col("w1"), col("w2"), col("c"), col("wt"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        val nodes = edges.iterator
+          .flatMap(t => Iterator(t._1, t._2)).toSet
+        var rm = nodes.iterator.map(_ -> seed).toMap
+        (1 to 5).foreach { _ =>
+          val inm = scala.collection.mutable.HashMap.empty[String, Long]
+          edges.foreach { case (w1, w2, c, wt) =>
+            inm.update(w2, inm.getOrElse(w2, 0L) + rm(w1) * c / wt)
+          }
+          rm = nodes.iterator
+            .map(t => t -> (teleport + 85L * inm.getOrElse(t, 0L) / 100L))
+            .toMap
+        }
+        import spark.implicits._
+        val rankDf = rm.toSeq.toDF("t", "r")
+        // isolated vocab tokens (no bigram either side) sit at the
+        // teleport floor — identical to 5 rounds of inm = 0
+        v.join(broadcast(rankDf), Seq("t"), "left")
+          .select(col("t"), coalesce(col("r"), lit(teleport)).as("r"))
+      } else {
+        var rr = v.select(col("t"), lit(seed).as("r")).localCheckpoint(true)
+        (1 to 5).foreach { _ =>
+          val inm = e
+            .join(broadcast(rr.select(col("t").as("w1"), col("r"))), Seq("w1"))
+            .select(col("w2").as("t"), expr("(r * c) div wt").as("m"))
+            .groupBy("t").agg(sum(col("m")).as("inm"))
+          rr = v.join(inm, Seq("t"), "left")
+            .select(col("t"),
+              (lit(teleport) + expr("(85 * coalesce(inm, 0L)) div 100")).as("r"))
+            .localCheckpoint(true)
+        }
+        rr
+      }
+    graft.operators.TopK.perGroup(
+        r.select(col("t"), col("r").cast(DoubleType).as("rs")),
+        Seq.empty, "rs", "t", 20)
+      .select(col("t").as("token"), col("rnk"),
+        col("rs").cast(LongType).as("rank"))
+      .orderBy("rnk")
+  }
+
   private lazy val textrankOracle: String = {
     def it(k: Int): String = {
       val p = k - 1
@@ -1458,8 +1517,9 @@ object Curation {
     * argmax COLLECTED to the driver (≤1 row), and a literal narrow
     * `replace` projection — see [[bpeTrain]] for the plan rationale.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame =
-    bpeTrain(docs, rounds)._1
+  def bpeMerges(docs: DataFrame, rounds: Int = 5,
+                forceShuffled: Boolean = false): DataFrame =
+    bpeTrain(docs, rounds, forceShuffled = forceShuffled)._1
 
   /** The q88 merge loop, returning (mergeRows, finalVocab): finalVocab is
     * the (word, cnt, w) frame AFTER all `rounds` rewrites — the trained
@@ -1476,7 +1536,9 @@ object Curation {
     * checkpoint per round). Exhaustion (no pair left) skips the round
     * and KEEPS the vocab — the encoder sees the last trained state.
     */
-  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+  private def bpeTrain(docs: DataFrame, rounds: Int,
+      maxDriverVocab: Long = 4000000L,
+      forceShuffled: Boolean = false): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var words = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
@@ -1488,7 +1550,67 @@ object Curation {
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    (1 to rounds).foreach { k =>
+    // Round-10 fusion (the q82 economics): training is inherently
+    // sequential over a VOCABULARY-sized frame the corpus already
+    // collapsed to, so below a vocab budget the (cnt, spelling) pairs
+    // collect ONCE and all `rounds` greedy merges run as a driver loop —
+    // one bounded job replaces `rounds` pair-count shuffles + TakeOrdered
+    // argmax jobs (each of which re-evaluated k−1 replace projections
+    // over the vocab). The spelling collects AS COMPUTED by the engine
+    // (never re-derived driver-side — regex `.` vs char-iteration parity
+    // is not re-litigated), argmax ties break on UTF-8 byte order (what
+    // both engines' string ORDER BY uses), and the rewrite is
+    // java.lang.String.replace — the same literal leftmost-non-
+    // overlapping semantics as the engines' replace(). Above the budget
+    // (~10⁷-row vocab at 100 TB): the per-round shuffled form below,
+    // unchanged.
+    if (!forceShuffled && words.count() <= maxDriverVocab) {
+      def u8Lt(a: String, b: String): Boolean = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+          i += 1
+        }
+        x.length < y.length
+      }
+      var sp = words.select(col("cnt"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      (1 to rounds).foreach { k =>
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        sp.foreach { case (cnt, w) =>
+          val s = w.trim.split(" ")
+          var i = 0
+          while (i < s.length - 1) {
+            val key = (s(i), s(i + 1))
+            pc.update(key, pc.getOrElse(key, 0L) + cnt)
+            i += 1
+          }
+        }
+        if (pc.nonEmpty) {
+          val ((p1, p2), c) = pc.minBy(identity)(Ordering.fromLessThan {
+            (a: ((String, String), Long), b: ((String, String), Long)) =>
+              if (a._2 != b._2) a._2 > b._2
+              else if (a._1._1 != b._1._1) u8Lt(a._1._1, b._1._1)
+              else u8Lt(a._1._2, b._1._2)
+          })
+          sp = sp.map { case (cnt, w) =>
+            (cnt, w.replace(s" $p1 $p2 ", s" $p1$p2 "))
+          }
+          merges += ((k, p1, p2, c))
+        }
+      }
+      // the trained state q92 consumes stays a DISTRIBUTED frame: the
+      // driver-decided merges replay as literal narrow replace
+      // projections over the checkpointed vocab (bit-identical to the
+      // shuffled form's final frame — CatalogSpec pins both paths)
+      merges.foreach { case (_, p1, p2, _) =>
+        words = words.select(col("word"), col("cnt"),
+          call_function("replace", col("w"),
+            lit(s" $p1 $p2 "), lit(s" $p1$p2 ")).as("w"))
+      }
+    } else (1 to rounds).foreach { k =>
       val syms = words.select(col("cnt"), split(trim(col("w")), " ").as("s"))
       val pairs = syms.select(col("cnt"), explode(arrays_zip(
           slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))).as("p1"),
@@ -1519,8 +1641,9 @@ object Curation {
     * from a (source, word) count table joined to that map. Exposed so
     * specs can pin the encoder against a driver-side merge replay.
     */
-  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
-    val vocab = bpeTrain(docs, rounds)._2
+  def bpeEncode(docs: DataFrame, rounds: Int = 5,
+                forceShuffled: Boolean = false): DataFrame = {
+    val vocab = bpeTrain(docs, rounds, forceShuffled = forceShuffled)._2
       .select(col("word"), size(split(trim(col("w")), " ")).as("nsym"))
     val srcWords = docs
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))

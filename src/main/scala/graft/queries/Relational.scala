@@ -1001,8 +1001,22 @@ object Relational {
   /** q126's logic over an arbitrary orders frame — exposed so specs can
     * pin the mark ranks, the value-rule bucketing, collapsed-mark skip
     * behavior and cents exactness on engineered order sets.
+    *
+    * `approxMonetary` is the declared 100 TB path for the one
+    * unpartitioned window in the catalog: the monetary metric is
+    * near-distinct (~#customers rows through the exact cum window's
+    * single task), so at scale its quintile marks come from the q72
+    * Greenwald–Khanna sketch (`percentile_approx` — a mergeable
+    * ImperativeAggregate with map-side partials, no window, no
+    * single-partition stage; rank error ≤ n/accuracy). Recency and
+    * frequency stay exact either way — their (value, count) tables are
+    * calendar-/count-bounded, not customer-cardinality. The exact form
+    * (default) is the ground truth the sketch is judged against
+    * (CatalogSpec: approx ≡ exact where GK degenerates to exactness,
+    * plus customer/cents conservation on the corpus).
     */
-  def rfmSegments(orders: DataFrame): DataFrame = {
+  def rfmSegments(orders: DataFrame,
+                  approxMonetary: Boolean = false): DataFrame = {
     // the per-customer (r, f, m) frame feeds three mark derivations and
     // the bucketing pass → persist (session clearCache contract)
     // parquet surfaces o_orderdate as TIMESTAMP_NTZ; the UTC session
@@ -1032,9 +1046,18 @@ object Relational {
         .filter(col("cum") >= expr("(k * n + 4) div 5"))
         .groupBy("k").agg(min(col("v")).as("t"))
         .agg(array_sort(collect_list(col("t"))).as(metric + "_t"))
+    // GK-sketch marks: one mergeable aggregate, 1 row out; the array is
+    // ascending by construction (monotone percentiles), and the value
+    // rule downstream treats coinciding marks identically to the exact
+    // form (duplicates in the array count twice in the filter).
+    def marksApprox(metric: String): DataFrame =
+      oc.agg(expr(
+        s"percentile_approx($metric, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)")
+        .as(metric + "_t"))
+    val mMarks = if (approxMonetary) marksApprox("m") else marks("m")
     oc.crossJoin(broadcast(marks("r")))
       .crossJoin(broadcast(marks("f")))
-      .crossJoin(broadcast(marks("m")))
+      .crossJoin(broadcast(mMarks))
       .select(col("m"),
         (lit(1) + expr("size(filter(r_t, x -> r > x))"))
           .cast(IntegerType).as("rq"),

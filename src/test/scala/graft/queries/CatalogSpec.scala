@@ -908,6 +908,23 @@ class CatalogSpec extends SparkSpec {
     assert(got.forall(_._3 >= teleport), "rank fell below the teleport floor")
   }
 
+  test("q82 — fused local walk ≡ shuffled per-round walk bit-for-bit") {
+    // the round-10 barrier-economics rewrite: below the reduced-edge
+    // budget the five damped rounds run as one driver-local loop; the
+    // shuffled form stays the web-scale path. Same integer recurrence,
+    // so the outputs must be identical on the corpus — incl. isolated
+    // tokens at the teleport floor and (rank DESC, token ASC) ties.
+    val docs = Tables.documents(spark, sf0001)
+    val fused = graft.queries.Curation.textrank(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val shuffled = graft.queries.Curation
+      .textrank(docs, forceShuffled = true).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(fused === shuffled, s"walk forms diverged:\n$fused\nvs\n$shuffled")
+  }
+
   test("q83 — md5-LSH: planted twin is a 4/4-band candidate; jaccard agrees with q31") {
     import spark.implicits._
     // identical docs ⇒ identical shingle sets ⇒ identical 16-perm
@@ -1122,6 +1139,31 @@ class CatalogSpec extends SparkSpec {
       (1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L),
       (3, "b", "b", "bb", 2L), (4, "bb", "b", "bbb", 1L)),
       s"engineered BPE diverged: $engGot")
+  }
+
+  test("q88/q92 — fused driver training ≡ shuffled per-round training bit-for-bit") {
+    // the round-10 fusion: below the vocab budget the greedy merge loop
+    // runs on the collected (cnt, spelling) pairs; the shuffled per-round
+    // form stays the >budget path. Identical argmax tie order (UTF-8
+    // bytes) and replace semantics, so merges AND the trained state q92
+    // encodes with must match exactly on the corpus.
+    val docs = Tables.documents(spark, sf0001)
+    val mFused = graft.queries.Curation.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    val mShuf = graft.queries.Curation.bpeMerges(docs, forceShuffled = true)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(mFused === mShuf, s"merge paths diverged: $mFused vs $mShuf")
+    val eFused = graft.queries.Curation.bpeEncode(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val eShuf = graft.queries.Curation.bpeEncode(docs, forceShuffled = true)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(eFused === eShuf, s"encode paths diverged: $eFused vs $eShuf")
   }
 
   test("q89 — estimator equals a driver-side signature replay; identical docs read 10000/0") {
@@ -1748,6 +1790,35 @@ class CatalogSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(gt.toSeq === Seq((1, 1, 1, 4L)),
       s"tied-metric collapse diverged: ${gt.toSeq}")
+  }
+
+  test("q126 — GK monetary marks: approx ≡ exact at sketch-exact n; masses conserve") {
+    import spark.implicits._
+    // the 100 TB path for the monetary cum window (q72's sketch): with n
+    // ≪ accuracy GK degenerates to exactness, so on a frame whose
+    // quintile marks are unambiguous (distinct monetary values, n a
+    // multiple of 5) the approx cells must equal the exact cells
+    // bit-for-bit — and on ANY frame the sketch only moves customers
+    // between adjacent monetary buckets, never drops them: total
+    // customer count and total cents conserve exactly.
+    val orders = (1L to 20L).map(i => (i, i, i.toDouble))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderdate",
+        (col("o_custkey") * 86400L).cast("timestamp"))
+    val exact = graft.queries.Relational.rfmSegments(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    spark.catalog.clearCache()
+    val approx = graft.queries.Relational
+      .rfmSegments(orders, approxMonetary = true).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    spark.catalog.clearCache()
+    assert(approx === exact,
+      s"sketch-exact regime diverged: approx=$approx exact=$exact")
+    assert(approx.map(_._4).sum === 20L && approx.map(_._5).sum ===
+      (1L to 20L).map(i => i * 100).sum,
+      s"conservation violated: $approx")
   }
 
   test("q127 — big orders: strict threshold cut, exact totals") {
