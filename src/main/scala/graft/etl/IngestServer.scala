@@ -35,6 +35,14 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
         respond(ex, 200, errorJson(e.getMessage)) // mcp_server.py:23-24 shape
       } finally ex.close()
   })
+  // the reference publishes a machine-readable contract at /openapi.json
+  // (openapi.json: paths./ingest.post + components.schemas.DocumentRequest);
+  // serve the analogous document for THIS server's contract — the body/
+  // query-param differences documented above are reflected, not copied over
+  server.createContext("/openapi.json", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try respond(ex, 200, IngestServer.openApiJson) finally ex.close()
+  })
   server.setExecutor(null) // synchronous, one doc per call — E3 semantics
 
   def start(): Int = { server.start(); server.getAddress.getPort }
@@ -88,4 +96,56 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     ex.sendResponseHeaders(code, b.length.toLong)
     ex.getResponseBody.write(b)
   }
+}
+
+object IngestServer {
+  /** The served contract, byte-stable (the MetricsExport descriptor
+    * discipline): OpenAPI 3.1, one POST /ingest operation taking the PDF
+    * bytes as the request body (application/pdf) with `volume` /
+    * `pdf_url` as query parameters — the zero-egress divergence from the
+    * reference's JSON DocumentRequest body is part of the contract, so
+    * the document states OUR shape, with the reference's success (the
+    * S14 document record) and error-as-row (`{"error": ...}`) responses.
+    */
+  val openApiJson: String =
+    """{"openapi":"3.1.0",
+      |"info":{"title":"graft ingest service","version":"0.1.0"},
+      |"paths":{"/ingest":{"post":{
+      |"summary":"Ingest one PDF through the S6-S14 operator chain",
+      |"operationId":"ingest_post",
+      |"parameters":[
+      |{"name":"volume","in":"query","required":false,
+      | "schema":{"type":"string","default":"volume"}},
+      |{"name":"pdf_url","in":"query","required":false,
+      | "schema":{"type":"string"},
+      | "description":"recorded as the document's sourceURL; defaults to <volume>.pdf"}],
+      |"requestBody":{"required":true,"content":{"application/pdf":{
+      | "schema":{"type":"string","format":"binary"}}}},
+      |"responses":{"200":{"description":
+      | "the S14 document record on success, or {\"error\": ...} as an HTTP-200 row (S16 error containment)",
+      | "content":{"application/json":{"schema":{"anyOf":[
+      |  {"$ref":"#/components/schemas/Document"},
+      |  {"$ref":"#/components/schemas/ErrorRow"}]}}}}}}}},
+      |"components":{"schemas":{
+      |"Document":{"type":"object","title":"Document",
+      | "required":["title","year","sourceURL","dateIngested","category","tags","content","caseFields","legisFields","templateFields"],
+      | "properties":{
+      |  "title":{"type":"string"},
+      |  "year":{"type":"string"},
+      |  "sourceURL":{"type":"string"},
+      |  "dateIngested":{"type":"string"},
+      |  "category":{"type":"string"},
+      |  "tags":{"type":"array","items":{"type":"string"}},
+      |  "content":{"type":"string"},
+      |  "caseFields":{"type":"object","properties":{
+      |   "issue":{"type":"string"},"holding":{"type":"string"},"ratio":{"type":"string"}}},
+      |  "legisFields":{"type":"object","properties":{
+      |   "scope":{"type":"string"},"keyArticles":{"type":"array","items":{"type":"string"}},
+      |   "effectiveDate":{"type":"string"}}},
+      |  "templateFields":{"type":"object","properties":{
+      |   "placeholders":{"type":"array","items":{"type":"string"}}}}}},
+      |"ErrorRow":{"type":"object","title":"ErrorRow",
+      | "required":["error"],
+      | "properties":{"error":{"type":"string"}}}}}}""".stripMargin
+      .linesIterator.mkString("")
 }

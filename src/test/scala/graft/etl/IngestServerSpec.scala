@@ -51,4 +51,32 @@ class IngestServerSpec extends SparkSpec {
       assert(empty.contains("\"error\""))
     } finally server.stop()
   }
+
+  test("GET /openapi.json serves the machine-readable contract; schema matches the live record") {
+    val server = new IngestServer(spark, FormFeedExtractor)
+    val port = server.start()
+    try {
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/openapi.json")).GET().build()
+      val resp = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      assert(resp.statusCode() === 200)
+      // must parse as strict JSON (FAILFAST — a malformed contract is
+      // worse than none) and carry the reference-shaped landmarks
+      val parsed = spark.read.option("mode", "FAILFAST")
+        .json(Seq(resp.body()).toDS()).head()
+      assert(parsed.schema.fieldNames.contains("openapi"))
+      assert(resp.body().contains("\"/ingest\""))
+      assert(resp.body().contains("\"DocumentRequest\"")
+        || resp.body().contains("\"Document\""))
+      // the declared Document properties must be exactly the LIVE S14
+      // record's fields — the contract cannot drift from the engine
+      val declared = """"Document":\{[^}]*"required":\[([^\]]*)\]""".r
+        .findFirstMatchIn(resp.body()).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+      val live = graft.Tables.legalDocSchema.fieldNames.toSet
+      assert(declared === live,
+        s"contract fields $declared drifted from the live schema $live")
+    } finally server.stop()
+  }
 }
