@@ -70,6 +70,35 @@ object DevScale {
           col("event_type"), col("value"), col("props"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      // TPC-H side (round 10: q126/q127 rows): 10x customers, each replica
+      // keeping the original's full order history — per-customer (r, f, m)
+      // metrics are replica-INVARIANT, so q126's reduced (value, count)
+      // mark tables keep the ORIGINAL support while the bucketing pass
+      // scans 10x customers (the aggregate-sized-marks property under
+      // test); q127's per-order quantity sums are likewise invariant, so
+      // the HAVING survivor set scales exactly 10x through the
+      // group-then-join. Lineitem keys follow their orders.
+      spark.read.parquet(s"$sfDir/orders.parquet").crossJoin(reps).select(
+          (col("o_orderkey") + col("r") * 100000000L).as("o_orderkey"),
+          (col("o_custkey") + col("r") * 10000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(reps).select(
+          (col("l_orderkey") + col("r") * 100000000L).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      spark.read.parquet(s"$sfDir/customer.parquet").crossJoin(reps).select(
+          (col("c_custkey") + col("r") * 10000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
 
     // q57: replica vocabularies are disjoint, so V, the bigram stream and
@@ -189,7 +218,14 @@ object DevScale {
       // dim variance (10x vectors reduce map-side to the same #dims
       // rows), hour burst (10x users raise per-hour counts, the
       // (type, hour) table stays calendar-bounded)
-      "q123_dim_variance", "q124_hour_burst")
+      "q123_dim_variance", "q124_hour_burst",
+      // round 10 (the r9-tail ledger debt): token entropy (replica
+      // vocabularies are disjoint so the (source, token, tf) support
+      // grows 10x; the moment rollup stays #sources), RFM (10x customers
+      // through the bucketing scan; mark tables keep the original
+      // support — replica metrics are invariant), big orders (10x
+      // lineitem through the group-then-join; survivors scale 10x)
+      "q125_token_entropy", "q126_rfm_segments", "q127_big_orders")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
