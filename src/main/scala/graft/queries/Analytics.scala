@@ -1208,6 +1208,51 @@ object Analytics {
         |       END AS norm_entropy
         |FROM st ORDER BY source""".stripMargin) { (s, d) =>
       tokenEntropy(Tables.documents(s, d))
+    },
+
+    Q("q129_zipf_slope",
+      """Q129 — per-source Zipf rank-frequency slope: OLS fit of ln(count)
+        |on ln(rank) over the source's token distribution (rank by count
+        |DESC, token ASC — a total order, so both engines rank
+        |identically), with the fit's R² — the DISTRIBUTION-SHAPE screen
+        |beside q125's entropy (which measures concentration but not
+        |form): natural text tracks Zipf (slope ≈ −1, high R²); templated
+        |or synthetic text flattens the curve (slope → 0) or breaks the
+        |power-law fit (low R²), both machine-checkable gates before a
+        |source enters the mixture. Float terms are ln of EXACT integers
+        |(the q59/q125 ln regime) and the OLS moments round once at 4 dp;
+        |the two degenerate fits guard on INTEGER conditions (n_types = 1,
+        |or min count = max count — the all-tied distribution whose
+        |float numerator is an order-dependent ~1e−14 that could round to
+        |−0.0 on one engine) and read 0.0 by convention on both engines.
+        |Scale shape: per-doc token counts come from the one-pass
+        |tokenCounts kernel inside the scan projection (token INSTANCES
+        |never shuffle — the q45/q125 lesson); ranks ride a row_number
+        |over the REDUCED (source, token, count) support table (vocab
+        |cardinality, the q59 grain — never corpus rows), and the five
+        |OLS moments reduce that table to #sources rows with map-side
+        |combine.""".stripMargin,
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, t, c,
+        |        row_number() OVER (PARTITION BY source ORDER BY c DESC, t ASC) AS rnk
+        |      FROM tc),
+        |m AS (SELECT source, count(*) AS n, min(c) AS cmin, max(c) AS cmax,
+        |        sum(ln(rnk)) AS sx, sum(ln(c)) AS sy,
+        |        sum(ln(rnk) * ln(c)) AS sxy, sum(ln(rnk) * ln(rnk)) AS sxx,
+        |        sum(ln(c) * ln(c)) AS syy
+        |      FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_types,
+        |  CASE WHEN n = 1 OR cmin = cmax THEN 0.0
+        |       ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |       END AS zipf_slope,
+        |  CASE WHEN n = 1 OR cmin = cmax THEN 0.0
+        |       ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |       END AS r2
+        |FROM m ORDER BY source""".stripMargin) { (s, d) =>
+      zipfSlope(Tables.documents(s, d))
     }
   )
 
@@ -1906,6 +1951,44 @@ object Analytics {
           .otherwise(round(
             (log(col("n_tokens")) - col("clnc") / col("n_tokens"))
               / log(col("n_types")), 4)).as("norm_entropy"))
+      .orderBy("source")
+  }
+
+  /** q129's logic over an arbitrary document frame — exposed so specs can
+    * pin the hand-fit slope on an exact power law, the rank tie order,
+    * and both integer-guarded degeneracies (single type; all counts
+    * tied).
+    */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tc = docs
+      .select(col("source"),
+        explode(graft.functions.expressions.NativeExprs
+          .tokenCounts(col("text"))).as("tc"))
+      .select(col("source"), col("tc.token").as("t"),
+        col("tc.tf").cast(LongType).as("tf"))
+      .groupBy("source", "t").agg(sum(col("tf")).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("t").asc)
+    val lx = log(col("rnk").cast(DoubleType))
+    val ly = log(col("c").cast(DoubleType))
+    val m = tc.withColumn("rnk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min(col("c")).as("cmin"),
+        max(col("c")).as("cmax"),
+        sum(lx).as("sx"), sum(ly).as("sy"), sum(lx * ly).as("sxy"),
+        sum(lx * lx).as("sxx"), sum(ly * ly).as("syy"))
+    val degenerate = col("n") === 1L || col("cmin") === col("cmax")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    m.select(col("source"), col("n").as("n_types"),
+        when(degenerate, lit(0.0))
+          .otherwise(round(
+            num / (col("n") * col("sxx") - col("sx") * col("sx")), 4))
+          .as("zipf_slope"),
+        when(degenerate, lit(0.0))
+          .otherwise(round(num * num
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 4))
+          .as("r2"))
       .orderBy("source")
   }
 

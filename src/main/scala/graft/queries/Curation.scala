@@ -161,14 +161,17 @@ object Curation {
       .orderBy("status", "b")
   }
 
-  /** q83's logic over an arbitrary corpus: md5-replayable MinHash-LSH
-    * near-dup candidates (16 perms, 4 bands × 4 rows) with the exact
-    * 3-shingle jaccard attached to every candidate. Exposed so specs can
-    * pin recall vs the exact q31 pairs and the signature's determinism.
-    * Persists the shingle-array and banded frames under the session
-    * clearCache contract (each feeds multiple subtrees).
+  /** The md5-replayable MinHash-LSH candidate core q83 and q128 share:
+    * per-doc distinct 3-shingle arrays plus the banded candidate pair set
+    * (i, j, n_bands). Returned frames are BOTH persisted under the session
+    * clearCache contract (the shingle frame feeds signature + verification
+    * subtrees; the candidate frame feeds verification twice in q83 and the
+    * scalar + detection marks in q128). Keeping ONE definition here is the
+    * q85-contentSplit rule: q128's fidelity audit measures exactly the
+    * banding q83 ships, not a drifted copy.
     */
-  def lshMd5Pairs(docs: DataFrame, nPerms: Int = 16, nBands: Int = 4): DataFrame = {
+  private def lshMd5Candidates(docs: DataFrame, nPerms: Int, nBands: Int)
+      : (DataFrame, DataFrame) = {
     val rowsPerBand = nPerms / nBands
     require(nBands * rowsPerBand == nPerms, "bands must tile the signature")
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -210,6 +213,18 @@ object Curation {
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (shArr, cand)
+  }
+
+  /** q83's logic over an arbitrary corpus: md5-replayable MinHash-LSH
+    * near-dup candidates (16 perms, 4 bands × 4 rows) with the exact
+    * 3-shingle jaccard attached to every candidate. Exposed so specs can
+    * pin recall vs the exact q31 pairs and the signature's determinism.
+    * Persists the shingle-array and banded frames under the session
+    * clearCache contract (each feeds multiple subtrees).
+    */
+  def lshMd5Pairs(docs: DataFrame, nPerms: Int = 16, nBands: Int = 4): DataFrame = {
+    val (shArr, cand) = lshMd5Candidates(docs, nPerms, nBands)
     // exact verification restricted to candidates: both joins are driven
     // by the (tiny) candidate set broadcast into the shingle stream — the
     // full co-shingle posting join never forms
@@ -230,6 +245,97 @@ object Curation {
           (col("ni") + col("nj") - coalesce(col("k"), lit(0L))), 4).as("jaccard"))
       .orderBy("i", "j")
   }
+
+  /** q128's logic over an arbitrary corpus — exposed so specs can pin the
+    * candidate-⊆-truth containment, the threshold boundary (≥, integer
+    * form), the half-up rounding, and the empty-corpus / engineered-miss
+    * behavior. Thresholds are integer ten-thousandths of jaccard.
+    */
+  def lshFidelity(docs: DataFrame,
+                  thresholds: Seq[Int] = Seq(500, 2500, 5000, 7500),
+                  nPerms: Int = 16, nBands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // truth: ALL co-shingled pairs with exact k/|union| (no threshold —
+    // each rung applies its own integer cut below); the digest core is
+    // q31's, so fidelity here IS fidelity of the shipped pair plan
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
+    val (_, cand) = lshMd5Candidates(docs, nPerms, nBands)
+    // candidates ⊆ truth (equal band key ⟹ shared argmin shingle), so a
+    // left mark-join loses nothing; persist: feeds the ×4 fan-out once
+    val tj = wc
+      .select(col("i"), col("j"), col("k"),
+        (col("ni") + col("nj") - col("k")).as("u"))
+      .join(broadcast(cand.select(col("i"), col("j"), lit(true).as("m"))),
+        Seq("i", "j"), "left")
+      .select(col("k"), col("u"), coalesce(col("m"), lit(false)).as("is_cand"))
+    // the whole ladder folds in ONE pass over the pair set: per rung a
+    // conditional truth/detected sum (integer threshold test — no float
+    // jaccard compares), then the 1-row aggregate explodes back into its
+    // ladder rows. No ×rungs fan-out of the pair set, no join against a
+    // threshold frame; an EMPTY pair set still yields the global-agg row
+    // (null sums → 0), so every rung always surfaces.
+    val perRung = thresholds.flatMap { t =>
+      val hit = lit(10000L) * col("k") >= lit(t.toLong) * col("u")
+      Seq(sum(when(hit, 1L).otherwise(0L)).as(s"_t$t"),
+        sum(when(col("is_cand") && hit, 1L).otherwise(0L)).as(s"_d$t"))
+    }
+    val ladder = tj.agg(perRung.head, perRung.tail: _*)
+      .select(explode(array(thresholds.map(t =>
+        struct(lit(t.toLong).as("thr_e4"),
+          coalesce(col(s"_t$t"), lit(0L)).as("n_truth"),
+          coalesce(col(s"_d$t"), lit(0L)).as("n_detected"))): _*)).as("r"))
+      .select(col("r.thr_e4"), col("r.n_truth"), col("r.n_detected"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    ladder
+      .crossJoin(broadcast(nc))
+      .select(col("thr_e4"), col("n_truth"), col("n_cand"), col("n_detected"),
+        expr("case when n_cand = 0 then 10000 else " +
+          "(2 * 10000 * n_detected + n_cand) div (2 * n_cand) end")
+          .as("precision_e4"),
+        expr("case when n_truth = 0 then 10000 else " +
+          "(2 * 10000 * n_detected + n_truth) div (2 * n_truth) end")
+          .as("recall_e4"))
+      .orderBy("thr_e4")
+  }
+
+  private lazy val lshFidelityOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |hx AS (SELECT doc_id, p.p, min(md5(CAST(p.p AS VARCHAR) || ':' || s)) AS mh
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, p // 4 AS b, string_agg(mh, '' ORDER BY p) AS key
+      |  FROM hx GROUP BY 1, 2),
+      |cand AS MATERIALIZED (SELECT a.doc_id AS i, b2.doc_id AS j
+      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |truth AS MATERIALIZED (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |tj AS (SELECT t.k, ca.n + cb.n - t.k AS u, (cand.i IS NOT NULL) AS is_cand
+      |       FROM truth t JOIN cnt ca ON ca.doc_id = t.i JOIN cnt cb ON cb.doc_id = t.j
+      |       LEFT JOIN cand ON cand.i = t.i AND cand.j = t.j),
+      |nc AS (SELECT count(*) AS n_cand FROM cand),
+      |thr AS (SELECT unnest([500, 2500, 5000, 7500]) AS thr_e4),
+      |agg AS (SELECT thr_e4,
+      |  count(*) FILTER (WHERE 10000 * k >= thr_e4 * u) AS n_truth,
+      |  count(*) FILTER (WHERE is_cand AND 10000 * k >= thr_e4 * u) AS n_det
+      |  FROM thr CROSS JOIN tj GROUP BY thr_e4)
+      |SELECT CAST(t.thr_e4 AS BIGINT) AS thr_e4,
+      |  CAST(coalesce(a.n_truth, 0) AS BIGINT) AS n_truth,
+      |  CAST(nc.n_cand AS BIGINT) AS n_cand,
+      |  CAST(coalesce(a.n_det, 0) AS BIGINT) AS n_detected,
+      |  CAST(CASE WHEN nc.n_cand = 0 THEN 10000
+      |       ELSE (2 * 10000 * coalesce(a.n_det, 0) + nc.n_cand) // (2 * nc.n_cand)
+      |       END AS BIGINT) AS precision_e4,
+      |  CAST(CASE WHEN coalesce(a.n_truth, 0) = 0 THEN 10000
+      |       ELSE (2 * 10000 * coalesce(a.n_det, 0) + a.n_truth) // (2 * a.n_truth)
+      |       END AS BIGINT) AS recall_e4
+      |FROM thr t LEFT JOIN agg a ON a.thr_e4 = t.thr_e4 CROSS JOIN nc
+      |ORDER BY t.thr_e4""".stripMargin
 
   /** q84's logic over an arbitrary corpus: synchronous majority-label
     * propagation over the exact near-dup graph (the semi-supervised label
@@ -1150,6 +1256,63 @@ object Curation {
         |the tail is the ≤ 3×11-row (status, decile) table.""".stripMargin,
       dupQualityBiasOracle) { (s, d) =>
       dupQualityBias(Tables.documents(s, d))
+    },
+
+    Q("q128_lsh_fidelity",
+      """Q128 — MinHash-LSH fidelity audit: precision/recall of q83's
+        |banded candidate generation against q31's EXACT 3-shingle
+        |jaccard truth, per threshold rung (τ_e4 ∈ 500/2500/5000/7500) —
+        |the tuning read a dedup stage runs on a SAMPLE before trusting a
+        |(perms, bands) configuration on the full corpus: recall says
+        |what fraction of true near-dup pairs the banding surfaces,
+        |precision says what fraction of the candidate budget is spent on
+        |true pairs at each τ. Both sides are the SHARED definitions
+        |(truth = Dedup.coShingledPairs — q31's measured-best inverted
+        |index; candidates = lshMd5Candidates — exactly the banding q83
+        |ships), so the audit measures the production operators, not
+        |replicas. Candidates are provably ⊆ co-shingled pairs (equal
+        |band ⟹ equal argmin shingle ⟹ shared shingle), so detection is
+        |a LEFT mark-join of truth onto candidates; threshold tests are
+        |integer-exact (10⁴·k ≥ τ·u in BIGINT — no float jaccard enters
+        |a comparison), precision/recall are half-up e4 with the
+        |empty-denominator convention 10000 (a banding audited against
+        |nothing has nothing to miss). Scale shape: the pair frames are
+        |the operators' own (posting join / band join — nothing new
+        |shuffles at corpus grain); the whole ladder folds in ONE
+        |conditional-sum pass over the marked pair set (map-side
+        |combined to a single row that explodes back into its rungs —
+        |no ×rungs fan-out, no threshold-frame join); n_cand attaches
+        |as a proven-1-row scalar. At 100 TB the audit runs on a
+        |stratified sample (q40) — exact truth is O(co-shingled pairs)
+        |by construction, which is the quantity q120's Σdf·(df−1)/2
+        |histogram budgets in advance.""".stripMargin,
+      lshFidelityOracle) { (s, d) =>
+      lshFidelity(Tables.documents(s, d))
+    },
+
+    Q("q130_ann_recall",
+      """Q130 — IVF recall curve: micro-averaged recall@5 of q81's routed
+        |search against exact integer brute-force truth, per nProbe rung
+        |(1/2/4/8), with the candidate volume each rung pays — the
+        |recall-vs-cost TRADEOFF surface an ANN deployment reads to pick
+        |its operating point (q81 ships nProbe = 8; this entry is the
+        |evidence for that choice, the q128-for-ANN: every retrieval
+        |stack audits its index against flat search on a query sample
+        |before serving it). Fully deterministic and DuckDB-oracled like
+        |q81: the q77-trained codebook, (d, cid)-total-order routing,
+        |exact integer squared-L2 everywhere, (dist, nid) top-5 on both
+        |the IVF and truth sides — no float enters a comparison; recall
+        |is half-up e4 over the k·n_queries slot denominator (queries
+        |whose probed cells hold < 5 candidates forfeit the missing
+        |slots — that IS the cost of under-probing). Scale shape: ONE
+        |corpus-sized candidate join at the MAXIMAL rung (each smaller
+        |rung filters the persisted scored frame by the cell's routing
+        |rank — cells are disjoint, so a neighbor enters via exactly one
+        |rank); truth is the brute scan with the query batch broadcast
+        |(nQueries ≪ corpus — the audit runs on a sample, q128's rule);
+        |every rung's tail is three proven-1-row aggregates.""".stripMargin,
+      ivfRecallOracle) { (s, d) =>
+      ivfRecall(quantizedEmbeddings(s, d))
     }
   )
 
@@ -1316,6 +1479,69 @@ object Curation {
       .orderBy("qid", "rnk")
   }
 
+  /** q130's logic over an arbitrary quantized (vec_id, v ARRAY<LONG>)
+    * frame — exposed so specs can pin planted-twin exactness per rung,
+    * rung monotonicity (recall and candidate volume both non-decreasing
+    * in nProbe), and the truth/IVF tie orders on engineered clusters.
+    */
+  def ivfRecall(emb: DataFrame, everyNth: Long = 20L,
+                probes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 5): DataFrame = {
+    val maxProbe = probes.max
+    val cent = refineCodebook(emb)
+    val asg = assignToCodebook(emb, cent)
+    val queries = emb.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val routed = queries.crossJoin(broadcast(packCodebook(cent)))
+      .select(col("qid"), col("qv"),
+        posexplode(NativeExprs
+          .nearestKCentroidsL2(col("qv"), col("cents"), maxProbe))
+          .as(Seq("pos", "rc")))
+      .select(col("qid"), col("qv"), (col("pos") + 1).as("cell_rank"),
+        col("rc.cid").as("cid"))
+    // ONE corpus join at the maximal rung (q81's build-on-queries hint);
+    // persisted: every rung filters it twice (candidate count + top-k)
+    val scored = routed.hint("shuffle_hash")
+      .join(asg.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("cid")), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("cell_rank"), col("nid"),
+        (-NativeExprs.l2SqLong(col("qv"), col("nv")).cast(DoubleType))
+          .as("nd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact truth: flat scan with the query batch broadcast; the q81
+    // double-buffer bound applies (max dist 2.6e10 ≪ 2^53, negation exact)
+    val truthScored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (-NativeExprs.l2SqLong(col("qv"), col("v")).cast(DoubleType))
+          .as("nd"))
+    val truth = graft.operators.TopK
+      .perGroup(truthScored, Seq("qid"), "nd", "nid", k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val rungs = probes.map { p =>
+      val candP = scored.filter(col("cell_rank") <= p)
+      val ivfTop = graft.operators.TopK
+        .perGroup(candP.select(col("qid"), col("nd"), col("nid")),
+          Seq("qid"), "nd", "nid", k)
+      val hits = ivfTop.select(col("qid"), col("nid"))
+        .join(truth, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nCand = candP.agg(count(lit(1)).as("n_candidates"))
+      nCand.crossJoin(hits).crossJoin(nq)
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"),
+          col("n_candidates"), col("n_hits"))
+    }
+    rungs.reduce(_.unionByName(_))
+      .select(col("n_probe"), col("n_queries"), col("n_candidates"),
+        col("n_hits"),
+        expr(s"case when n_queries = 0 then 10000 else " +
+          s"(2 * 10000 * n_hits + $k * n_queries) div " +
+          s"(2 * $k * n_queries) end").as("recall_e4"))
+      .orderBy("n_probe")
+  }
+
   /** Integer ten-thousandths quantization of the embeddings table —
     * consumed by every q77/q80 assignment and update pass, so persisted
     * (released by the session's clearCache, the catalog contract).
@@ -1440,6 +1666,50 @@ object Curation {
     |SELECT qid, CAST(rn AS INT) AS rnk, nid, CAST(dist AS BIGINT) AS dist
     |FROM (SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn FROM sc)
     |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Recall-curve replay over the shared Lloyd prefix: cells keeps the
+    * routing RANK (not just the top-8 membership) so each nProbe rung is
+    * a filter; truth is the flat query×corpus scan; both top-5s are the
+    * (dist, nid) row_number order. The empty-query guard mirrors the
+    * engine's n_queries = 0 → 10000 convention.
+    */
+  private lazy val ivfRecallOracle: String = kmeansCtePrefix + """,
+    |af AS (SELECT vec_id, cid FROM (
+    |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+    |       WHERE rn = 1),
+    |qs AS (SELECT vec_id AS qid FROM emb WHERE vec_id % 20 = 0),
+    |cells AS (SELECT qid, cid, rn FROM (
+    |        SELECT q.qid, df.cid, row_number() OVER (PARTITION BY q.qid ORDER BY df.d, df.cid) AS rn
+    |        FROM qs q JOIN df ON df.vec_id = q.qid)
+    |       WHERE rn <= 8),
+    |cand AS MATERIALIZED (SELECT c.qid, c.rn, a.vec_id AS nid FROM cells c JOIN af a ON a.cid = c.cid
+    |         WHERE a.vec_id <> c.qid),
+    |sc AS MATERIALIZED (SELECT cand.qid, cand.rn, cand.nid,
+    |       list_sum(list_transform(list_zip(eq.v, en.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+    |       FROM cand JOIN emb eq ON eq.vec_id = cand.qid JOIN emb en ON en.vec_id = cand.nid),
+    |truth AS MATERIALIZED (SELECT qid, nid FROM (
+    |        SELECT q.qid, e.vec_id AS nid,
+    |               list_sum(list_transform(list_zip(eq.v, e.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist,
+    |               row_number() OVER (PARTITION BY q.qid ORDER BY
+    |                 list_sum(list_transform(list_zip(eq.v, e.v), p -> (p[1]-p[2])*(p[1]-p[2]))), e.vec_id) AS rn
+    |        FROM qs q JOIN emb eq ON eq.vec_id = q.qid CROSS JOIN emb e WHERE e.vec_id <> q.qid)
+    |       WHERE rn <= 5),
+    |probes AS (SELECT unnest([1, 2, 4, 8]) AS np),
+    |ivf AS (SELECT p.np, s.qid, s.nid,
+    |        row_number() OVER (PARTITION BY p.np, s.qid ORDER BY s.dist, s.nid) AS rk
+    |        FROM probes p JOIN sc s ON s.rn <= p.np),
+    |hits AS (SELECT np, count(*) AS n_hits FROM ivf JOIN truth USING (qid, nid)
+    |         WHERE rk <= 5 GROUP BY np),
+    |nc AS (SELECT p.np, count(*) AS n_cand FROM probes p JOIN cand c ON c.rn <= p.np GROUP BY p.np),
+    |nq AS (SELECT count(*) AS n_queries FROM qs)
+    |SELECT CAST(pr.np AS BIGINT) AS n_probe, CAST(nq.n_queries AS BIGINT) AS n_queries,
+    |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_candidates,
+    |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+    |  CAST(CASE WHEN nq.n_queries = 0 THEN 10000
+    |       ELSE (2 * 10000 * coalesce(h.n_hits, 0) + 5 * nq.n_queries) // (2 * 5 * nq.n_queries)
+    |       END AS BIGINT) AS recall_e4
+    |FROM probes pr CROSS JOIN nq LEFT JOIN nc ON nc.np = pr.np
+    |LEFT JOIN hits h ON h.np = pr.np ORDER BY n_probe""".stripMargin
 
   private lazy val kmeansMarginOracle: String = kmeansCtePrefix + """,
     |rk AS (SELECT vec_id, cid, d,

@@ -446,4 +446,30 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q128/q129/q130 — fidelity, Zipf and recall audits invariant under repartitioning") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val docs = Tables.documents(spark, sf0001)
+    val fidRef = rows(graft.queries.Curation.lshFidelity(docs))
+    spark.catalog.clearCache()
+    val zipfRef = rows(graft.queries.Analytics.zipfSlope(docs))
+    spark.catalog.clearCache()
+    Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
+      assert(rows(graft.queries.Curation.lshFidelity(l)) === fidRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.zipfSlope(l)) === zipfRef)
+      spark.catalog.clearCache()
+    }
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", e =>
+          org.apache.spark.sql.functions.round(e.cast("double") * 10000.0)
+            .cast("long")).as("v"))
+    val recRef = rows(graft.queries.Curation.ivfRecall(emb))
+    spark.catalog.clearCache()
+    assert(rows(graft.queries.Curation.ivfRecall(emb.repartition(13))) ===
+      recRef)
+    spark.catalog.clearCache()
+  }
 }

@@ -2041,4 +2041,105 @@ class CatalogSpec extends SparkSpec {
     assert(ortho.toSeq === Seq((0, 1L, 0.7071), (1, 1L, 0.7071)),
       ortho.toSeq)
   }
+
+  test("q128 — LSH fidelity equals a driver-side md5-band + exact-jaccard replay") {
+    import spark.implicits._
+    // identical pair (1,2) at j = 1.0; (1,4)/(2,4) share ONE shingle of
+    // five (j = 0.2 — inside the τ=500 rung, outside τ=2500); doc 3 is
+    // disjoint. Whether banding surfaces the j=0.2 pairs is md5-determined
+    // — the replay decides, the test doesn't guess.
+    val corpus = Seq((1L, "x y z w"), (2L, "x y z w"),
+      (3L, "p q r s t u"), (4L, "x y z a b c"))
+    val got = graft.queries.Curation
+      .lshFidelity(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      (0 to toks.length - 3)
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val sh = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val sigs = corpus.map { case (id, t) =>
+      id -> (0 until 16).map(p => sh(id).map(s => md5hex(s"$p:$s")).min)
+    }.toMap
+    def bandKeys(id: Long): Set[(Int, String)] =
+      (0 until 4).map(b => b -> sigs(id).slice(4 * b, 4 * b + 4).mkString)
+        .toSet
+    val ids = corpus.map(_._1)
+    val cands = (for {
+      i <- ids; j <- ids if i < j
+      if (bandKeys(i) intersect bandKeys(j)).nonEmpty
+    } yield (i, j)).toSet
+    val truth = for {
+      i <- ids; j <- ids if i < j
+      k = (sh(i) intersect sh(j)).size.toLong if k > 0
+    } yield (i, j, k, sh(i).size + sh(j).size - k)
+    def halfUp(num: Long, den: Long): Long =
+      if (den == 0) 10000L else (2 * 10000 * num + den) / (2 * den)
+    val exp = Seq(500L, 2500L, 5000L, 7500L).map { thr =>
+      val nT = truth.count { case (_, _, k, u) => 10000 * k >= thr * u }
+      val nD = truth.count { case (i, j, k, u) =>
+        cands((i, j)) && 10000 * k >= thr * u }
+      (thr, nT.toLong, cands.size.toLong, nD.toLong,
+        halfUp(nD, cands.size.toLong), halfUp(nD, nT.toLong))
+    }
+    assert(got.toSeq === exp, s"fidelity replay diverged: ${got.toSeq} vs $exp")
+    // the identical pair must be truth AND candidate (all 16 minhashes
+    // equal) — the replay itself is sanity-checked, not just matched
+    assert(cands((1L, 2L)) && truth.exists(t => t._1 == 1L && t._2 == 2L))
+  }
+
+  test("q128 — a shingle-free corpus reads the 10000 empty-denominator convention") {
+    import spark.implicits._
+    val got = graft.queries.Curation.lshFidelity(
+      Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq(500L, 2500L, 5000L, 7500L)
+      .map(t => (t, 0L, 0L, 0L, 10000L, 10000L)),
+      s"empty-corpus conventions diverged: ${got.toSeq}")
+  }
+
+  test("q129 — Zipf slope: exact power law reads −1.0/1.0; integer-guarded degeneracies") {
+    import spark.implicits._
+    // source P: counts 12/6/4/3 at ranks 1..4 lie exactly on y = ln 12 − x
+    // → slope −1, R² 1. Q: all counts tied (cmin = cmax guard). R: a
+    // single type (n = 1 guard).
+    val docs = Seq(
+      (1L, (("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)).trim, "P"),
+      (2L, "x y z", "Q"), (3L, "q q", "R"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.queries.Analytics.zipfSlope(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(("P", 4L, -1.0, 1.0), ("Q", 3L, 0.0, 0.0),
+      ("R", 1L, 0.0, 0.0)),
+      s"engineered Zipf fits diverged: ${got.toSeq}")
+  }
+
+  test("q130 — ANN recall: singleton-cell line corpus, hand recall curve") {
+    import spark.implicits._
+    // 12 collinear vectors at x = 10·i: every vector seeds (id < 64) and
+    // Lloyd keeps each as its own singleton cell; the one query (vec 0,
+    // the only id ≡ 0 mod 20) routes rank-r to cell r−1, so nProbe
+    // 1/2/4/8 scans 0/1/3/7 non-self candidates; hits are the TOP-5 of
+    // those candidates intersected with truth's top-5 (vecs 1–5), so the
+    // rung-8 seven candidates still cap at 5 hits — recall climbs
+    // 0 → 2000 → 6000 → 10000, the under-probing cost made exact.
+    val emb = (0L until 12L).map(i => (i, Array(10L * i, 0L)))
+      .toDF("vec_id", "v")
+    val got = graft.queries.Curation.ivfRecall(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq((1L, 1L, 0L, 0L, 0L), (2L, 1L, 1L, 1L, 2000L),
+      (4L, 1L, 3L, 3L, 6000L), (8L, 1L, 7L, 5L, 10000L)),
+      s"engineered recall curve diverged: ${got.toSeq}")
+  }
 }

@@ -71,7 +71,12 @@ class PlanShapeSpec extends SparkSpec {
     // regresses.
     import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    val genuineCrossOk = Set("q22b_crossjoin")
+    // q130's exact-truth side is DEFINITIONALLY flat search: the broadcast
+    // query sample × the corpus scan (a recall audit that didn't brute-force
+    // its ground truth wouldn't be ground truth). Bounded by the sample —
+    // the production shape at any corpus size — and the query batch is the
+    // broadcast side, so the corpus streams exactly once.
+    val genuineCrossOk = Set("q22b_crossjoin", "q130_ann_recall")
     // mirrors ExtractEquiJoinKeys: only a TOP-LEVEL conjunct of the form
     // leftSideExpr = rightSideExpr yields a hash key. An EqualTo under an
     // Or (a.x=b.y OR a.z=b.w) or a same-side equality gives Catalyst
