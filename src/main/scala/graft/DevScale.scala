@@ -225,7 +225,19 @@ object DevScale {
       // through the bucketing scan; mark tables keep the original
       // support — replica metrics are invariant), big orders (10x
       // lineitem through the group-then-join; survivors scale 10x)
-      "q125_token_entropy", "q126_rfm_segments", "q127_big_orders")
+      "q125_token_entropy", "q126_rfm_segments", "q127_big_orders",
+      // round 10 session 2: LSH fidelity rides BOTH measured bands at
+      // once (q31's posting join for truth + q83's band join for
+      // candidates; the rung fold is one pass over the pair set, the
+      // tail is 4 rows), Zipf slope rides q125's support-table band
+      // (10x disjoint vocab through the per-source rank window, moments
+      // reduce to #sources). ANN recall is the DECLARED quadratic
+      // smoke: fixed everyNth (10x queries) × 10x corpus = ~100x truth
+      // scoring and ~100x routed candidates at fixed K — the q64
+      // fixed-resolution story squared; production pins the ABSOLUTE
+      // query-sample size and grows K with the corpus, so the smoke
+      // documents the fixed-rate cost honestly rather than hiding it
+      "q128_lsh_fidelity", "q129_zipf_slope", "q130_ann_recall")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

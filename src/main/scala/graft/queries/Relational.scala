@@ -1014,9 +1014,19 @@ object Relational {
     * (default) is the ground truth the sketch is judged against
     * (CatalogSpec: approx ≡ exact where GK degenerates to exactness,
     * plus customer/cents conservation on the corpus).
+    *
+    * `autoMonetaryThreshold` is the production ROUTING for that lever
+    * (ADVICE r9): Some(t) counts the persisted per-customer frame (one
+    * bounded action on an already-needed aggregate — the CC-convergence
+    * precedent) and takes the sketch path iff #customers > t, so a
+    * pipeline can set one knob and get exact marks on small frames and
+    * mergeable-sketch marks past it. None (default, and the oracled
+    * catalog entry) never routes. CatalogSpec pins both sides of the
+    * threshold ≡ their forced forms.
     */
   def rfmSegments(orders: DataFrame,
-                  approxMonetary: Boolean = false): DataFrame = {
+                  approxMonetary: Boolean = false,
+                  autoMonetaryThreshold: Option[Long] = None): DataFrame = {
     // the per-customer (r, f, m) frame feeds three mark derivations and
     // the bucketing pass → persist (session clearCache contract)
     // parquet surfaces o_orderdate as TIMESTAMP_NTZ; the UTC session
@@ -1054,7 +1064,9 @@ object Relational {
       oc.agg(expr(
         s"percentile_approx($metric, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)")
         .as(metric + "_t"))
-    val mMarks = if (approxMonetary) marksApprox("m") else marks("m")
+    val useApprox = approxMonetary ||
+      autoMonetaryThreshold.exists(t => oc.count() > t)
+    val mMarks = if (useApprox) marksApprox("m") else marks("m")
     oc.crossJoin(broadcast(marks("r")))
       .crossJoin(broadcast(marks("f")))
       .crossJoin(broadcast(mMarks))

@@ -1819,6 +1819,20 @@ class CatalogSpec extends SparkSpec {
     assert(approx.map(_._4).sum === 20L && approx.map(_._5).sum ===
       (1L to 20L).map(i => i * 100).sum,
       s"conservation violated: $approx")
+    // auto-threshold routing (ADVICE r9): below the knob ≡ the exact
+    // form, above it ≡ the forced-sketch form — both bit-for-bit
+    val below = graft.queries.Relational
+      .rfmSegments(orders, autoMonetaryThreshold = Some(1000L)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    spark.catalog.clearCache()
+    val above = graft.queries.Relational
+      .rfmSegments(orders, autoMonetaryThreshold = Some(3L)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    spark.catalog.clearCache()
+    assert(below === exact, s"below-threshold route diverged: $below")
+    assert(above === approx, s"above-threshold route diverged: $above")
   }
 
   test("q127 — big orders: strict threshold cut, exact totals") {
