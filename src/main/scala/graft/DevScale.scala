@@ -237,7 +237,14 @@ object DevScale {
       // fixed-resolution story squared; production pins the ABSOLUTE
       // query-sample size and grows K with the corpus, so the smoke
       // documents the fixed-rate cost honestly rather than hiding it
-      "q128_lsh_fidelity", "q129_zipf_slope", "q130_ann_recall")
+      "q128_lsh_fidelity", "q129_zipf_slope", "q130_ann_recall",
+      // round 10 session 2 batch 2: degree histogram (the thresholded
+      // pair set scales 10x with unchanged per-replica topology — the
+      // degree reduction and its counts-of-counts tail stay pair- and
+      // support-sized), cell balance (fixed K=64 over 10x vectors: the
+      // q64/q77 fixed-resolution story — assignment scales with the
+      // corpus, everything after the ≤K-row reduction is constant)
+      "q131_neardup_degree", "q132_cell_balance")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

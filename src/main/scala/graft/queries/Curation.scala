@@ -1313,6 +1313,27 @@ object Curation {
         |every rung's tail is three proven-1-row aggregates.""".stripMargin,
       ivfRecallOracle) { (s, d) =>
       ivfRecall(quantizedEmbeddings(s, d))
+    },
+
+    Q("q132_cell_balance",
+      """Q132 — IVF cell-size balance audit over the q77-trained codebook:
+        |empty-cell count, max and median membership, max-over-mean ratio
+        |and the Gini of the 64 cell sizes (empty cells count at 0) — the
+        |routing-SKEW read that completes q130's recall curve: recall says
+        |whether nProbe cells are ENOUGH, balance says what the worst
+        |probed cell COSTS (a hot cell holding 10× the mean makes every
+        |query routed to it scan 10× the candidates — tail latency — and
+        |dead cells are wasted codebook capacity, the q123 dead-dimension
+        |read at the INDEX grain). Exact integers end to end: median =
+        |rank ceil(n/2) on the counts-of-counts table (q124's rule), Gini
+        |via the q102 tie-block identity, ratio half-up e4. Scale shape:
+        |assignment is the shared one-pass kernel; cell sizes reduce the
+        |corpus to ≤K rows; the (size, count) support then collapses to
+        |ONE row whose sorted array drives median and Gini as local
+        |integer folds (K is broadcast-bounded by the codebook's own
+        |premise — no window, no rank sort, no driver collect).""".stripMargin,
+      cellBalanceOracle) { (s, d) =>
+      cellBalance(quantizedEmbeddings(s, d))
     }
   )
 
@@ -1541,6 +1562,79 @@ object Curation {
           s"(2 * $k * n_queries) end").as("recall_e4"))
       .orderBy("n_probe")
   }
+
+  /** q132's logic over an arbitrary quantized (vec_id, v ARRAY<LONG>)
+    * frame — exposed so specs can pin the hand Gini/median/ratio values
+    * on engineered singleton-cell and hot-cell corpora, the empty-cell
+    * zero convention, and the all-empty guard.
+    */
+  def cellBalance(emb: DataFrame): DataFrame = {
+    val cent = refineCodebook(emb)
+    val asg = assignToCodebook(emb, cent)
+    // every trained cell surfaces (empty cells at 0 — they ARE the read)
+    val cs = cent.select(col("cid"))
+      .join(asg.groupBy("cid").agg(count(lit(1)).as("n")), Seq("cid"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("sz"))
+    val szc = cs.groupBy("sz").agg(count(lit(1)).as("c"))
+    // ONE row: the sorted (size, count) support is ≤K entries — K is
+    // broadcast-bounded by the codebook premise, so median and Gini run
+    // as local integer folds over the array (no unpartitioned window,
+    // no rank sort, no theta join, no collect)
+    szc
+      .agg(sort_array(collect_list(struct(col("sz"), col("c")))).as("a"),
+        sum(col("c")).as("n_cells"),
+        sum(col("sz") * col("c")).as("n_vectors"),
+        sum(when(col("sz") === 0L, col("c")).otherwise(0L)).as("n_empty"),
+        max(col("sz")).as("max_members"))
+      .select(col("n_cells"), col("n_vectors"), col("n_empty"),
+        col("max_members"),
+        expr("""aggregate(a, named_struct('cum', 0L, 'p50', -1L),
+            (acc, x) -> named_struct(
+              'cum', acc.cum + x.c,
+              'p50', case when acc.p50 >= 0L then acc.p50
+                          when acc.cum + x.c >= (n_cells + 1) div 2 then x.sz
+                          else -1L end),
+            acc -> nullif(acc.p50, -1L))""").as("p50_members"),
+        expr("""case when coalesce(n_vectors, 0) = 0 then 0L
+            else (2 * 10000 * max_members * n_cells + n_vectors)
+                 div (2 * n_vectors) end""").as("max_over_mean_e4"),
+        expr("""aggregate(a, named_struct('cum', 0L, 'sx', 0L, 'sw', 0L),
+            (acc, x) -> named_struct(
+              'cum', acc.cum + x.c,
+              'sx', acc.sx + x.sz * x.c,
+              'sw', acc.sw + x.sz * (x.c * acc.cum
+                    + (x.c * (x.c + 1)) div 2)),
+            acc -> case when acc.sx = 0L then 0L
+                   else (2 * 10000 * (2 * acc.sw - (n_cells + 1) * acc.sx)
+                         + n_cells * acc.sx)
+                        div (2 * n_cells * acc.sx) end)""").as("gini_e4"))
+  }
+
+  private lazy val cellBalanceOracle: String = kmeansCtePrefix + """,
+    |af AS (SELECT vec_id, cid FROM (
+    |        SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df)
+    |       WHERE rn = 1),
+    |cs AS (SELECT c4.cid, coalesce(m.n, 0) AS sz FROM c4
+    |       LEFT JOIN (SELECT cid, count(*) AS n FROM af GROUP BY cid) m USING (cid)),
+    |tot AS (SELECT count(*) AS n_cells, sum(sz) AS n_vec,
+    |               count(*) FILTER (WHERE sz = 0) AS n_empty, max(sz) AS mx FROM cs),
+    |szc AS (SELECT sz, count(*) AS c FROM cs GROUP BY sz),
+    |cum AS (SELECT sz, c, sum(c) OVER (ORDER BY sz) AS cum FROM szc),
+    |med AS (SELECT min(sz) AS p50 FROM cum CROSS JOIN tot WHERE cum >= (tot.n_cells + 1) // 2),
+    |gini AS (SELECT sum(sz * c) AS sx,
+    |                sum(sz * (c * (cum - c) + (c * (c + 1)) // 2)) AS sw
+    |         FROM cum)
+    |SELECT CAST(tot.n_cells AS BIGINT) AS n_cells, CAST(tot.n_vec AS BIGINT) AS n_vectors,
+    |  CAST(tot.n_empty AS BIGINT) AS n_empty, CAST(tot.mx AS BIGINT) AS max_members,
+    |  CAST(med.p50 AS BIGINT) AS p50_members,
+    |  CAST(CASE WHEN coalesce(tot.n_vec, 0) = 0 THEN 0
+    |       ELSE (2 * 10000 * tot.mx * tot.n_cells + tot.n_vec) // (2 * tot.n_vec)
+    |       END AS BIGINT) AS max_over_mean_e4,
+    |  CAST(CASE WHEN coalesce(gini.sx, 0) = 0 THEN 0
+    |       ELSE (2 * 10000 * (2 * gini.sw - (tot.n_cells + 1) * gini.sx) + tot.n_cells * gini.sx)
+    |            // (2 * tot.n_cells * gini.sx)
+    |       END AS BIGINT) AS gini_e4
+    |FROM tot CROSS JOIN med CROSS JOIN gini""".stripMargin
 
   /** Integer ten-thousandths quantization of the embeddings table —
     * consumed by every q77/q80 assignment and update pass, so persisted

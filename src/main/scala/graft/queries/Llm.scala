@@ -1375,6 +1375,41 @@ object Llm {
         |a bounded broadcast attach.""".stripMargin,
       q121OracleSql) { (s, d) =>
       langAgreement(Tables.documents(s, d))
+    },
+
+    Q("q131_neardup_degree",
+      """Q131 — near-dup graph degree histogram: per paired document its
+        |number of j ≥ 0.5 partners, rolled up to (degree, n_docs) — the
+        |graph-TOPOLOGY read beside q68's cluster sizes: a size-k
+        |component can be a CLIQUE (k mutually-similar variants — the
+        |keep-one survivorship premise holds) or a STAR (one hub weakly
+        |similar to k spokes — boilerplate/template contamination where
+        |keep-one deletes distinct content), and only the degree
+        |distribution separates them (clique: degrees k−1; star: one
+        |degree-k hub, k degree-1 spokes). High-degree outliers are the
+        |template explosions a pipeline quarantines BEFORE transitive
+        |closure chains them into a mega-cluster. Threshold compares in
+        |exact integers (10⁴·k ≥ 5000·u — no float jaccard). Scale
+        |shape: pairs are the shared q31 posting core (the banded path
+        |at 100 TB); degrees reduce the thresholded PAIR set (both
+        |endpoints via one unionAll, map-side combined); the histogram
+        |re-reduces the ≤#docs degree table to its support — nothing
+        |corpus-sized shuffles after the posting join.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT i, j FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+        |      WHERE 10000 * k >= 5000 * (ca.n + cb.n - k)),
+        |deg AS (SELECT d, count(*) AS degree FROM
+        |        (SELECT i AS d FROM p UNION ALL SELECT j AS d FROM p) GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
+      neardupDegree(Tables.documents(s, d))
     }
   )
 
@@ -1562,4 +1597,22 @@ object Llm {
       |SELECT ps.t AS t_tenths, ps.t / 10.0 AS threshold,
       |  CAST(ps.n_pairs AS BIGINT) AS n_pairs, CAST(ds.n_docs AS BIGINT) AS n_docs
       |FROM ps JOIN ds ON ds.t = ps.t ORDER BY t_tenths""".stripMargin
+
+  /** q131's logic over an arbitrary corpus — exposed so specs can pin the
+    * clique-vs-star separation (the read the entry exists for), the
+    * integer threshold boundary, and layout invariance on engineered
+    * graphs.
+    */
+  def neardupDegree(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
+    val p = wc
+      .filter(lit(10000L) * col("k") >=
+        lit(5000L) * (col("ni") + col("nj") - col("k")))
+      .select(col("i"), col("j"))
+    p.select(col("i").as("d")).unionAll(p.select(col("j").as("d")))
+      .groupBy("d").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
 }

@@ -447,7 +447,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q128/q129/q130 — fidelity, Zipf and recall audits invariant under repartitioning") {
+  test("q128/q129/q130/q131/q132 — round-10 audits invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val docs = Tables.documents(spark, sf0001)
@@ -455,10 +455,14 @@ class PropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
     val zipfRef = rows(graft.queries.Analytics.zipfSlope(docs))
     spark.catalog.clearCache()
+    val degRef = rows(graft.queries.Llm.neardupDegree(docs))
+    spark.catalog.clearCache()
     Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
       assert(rows(graft.queries.Curation.lshFidelity(l)) === fidRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Analytics.zipfSlope(l)) === zipfRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Llm.neardupDegree(l)) === degRef)
       spark.catalog.clearCache()
     }
     val emb = Tables.embeddings(spark, sf0001)
@@ -468,8 +472,13 @@ class PropertiesSpec extends SparkSpec {
             .cast("long")).as("v"))
     val recRef = rows(graft.queries.Curation.ivfRecall(emb))
     spark.catalog.clearCache()
+    val balRef = rows(graft.queries.Curation.cellBalance(emb))
+    spark.catalog.clearCache()
     assert(rows(graft.queries.Curation.ivfRecall(emb.repartition(13))) ===
       recRef)
+    spark.catalog.clearCache()
+    assert(rows(graft.queries.Curation.cellBalance(emb.repartition(13))) ===
+      balRef)
     spark.catalog.clearCache()
   }
 }

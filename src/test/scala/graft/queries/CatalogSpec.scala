@@ -2137,6 +2137,60 @@ class CatalogSpec extends SparkSpec {
       s"engineered Zipf fits diverged: ${got.toSeq}")
   }
 
+  test("q131 — degree histogram separates clique from star at equal component size") {
+    import spark.implicits._
+    // size-3 CLIQUE: three identical docs, every pair j = 1 → all degree 2
+    val clique = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val gotC = graft.queries.Llm.neardupDegree(clique).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(gotC.toSeq === Seq((2L, 3L)), s"clique degrees diverged: ${gotC.toSeq}")
+    // size-3 STAR: hub shares 3 of its 5 shingles with each spoke
+    // (j = 0.6), spokes share only 1 of 5 (j = 0.2 — below cut); same
+    // component size as the clique, different histogram — the read the
+    // entry exists for. Doc 4 is isolated (absent entirely).
+    val star = Seq((1L, "p q r s t u v"), (2L, "p q r s t"),
+      (3L, "r s t u v"), (4L, "m n o")).toDF("doc_id", "text")
+    val gotS = graft.queries.Llm.neardupDegree(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(gotS.toSeq === Seq((1L, 2L), (2L, 1L)),
+      s"star degrees diverged: ${gotS.toSeq}")
+    // threshold boundary is INCLUSIVE in exact integers: k=1, u=2 → j=0.5
+    val edge = Seq((1L, "e f g h"), (2L, "e f g")).toDF("doc_id", "text")
+    val gotE = graft.queries.Llm.neardupDegree(edge).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(gotE.toSeq === Seq((1L, 2L)), s"boundary pair diverged: ${gotE.toSeq}")
+  }
+
+  test("q132 — cell balance: uniform singleton cells read Gini 0; hot cell + empties hand values") {
+    import spark.implicits._
+    // q130's line corpus: 12 singleton cells → perfectly balanced
+    val line = (0L until 12L).map(i => (i, Array(10L * i, 0L)))
+      .toDF("vec_id", "v")
+    val gotL = graft.queries.Curation.cellBalance(line).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    spark.catalog.clearCache()
+    assert(gotL.toSeq === Seq((12L, 12L, 0L, 1L, 1L, 10000L, 0L)),
+      s"uniform cells diverged: ${gotL.toSeq}")
+    // three coincident vectors collapse into cid 0 (d = 0 ties break cid
+    // ASC), starving seeds 1-2 (empty cells keep their centroid): sizes
+    // sorted 0,0,1,1,1,3 → median rank (6+1) div 2 = 3 → 1; max/mean
+    // 3/1 → 30000; Σrank·x = 30, gini = (60 − 42)/36 = 0.5 → 5000
+    val hot = Seq((0L, Array(0L, 0L)), (1L, Array(0L, 0L)),
+      (2L, Array(0L, 0L)), (3L, Array(100L, 0L)), (4L, Array(200L, 0L)),
+      (5L, Array(300L, 0L))).toDF("vec_id", "v")
+    val gotH = graft.queries.Curation.cellBalance(hot).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    spark.catalog.clearCache()
+    assert(gotH.toSeq === Seq((6L, 6L, 2L, 3L, 1L, 30000L, 5000L)),
+      s"hot-cell corpus diverged: ${gotH.toSeq}")
+  }
+
   test("q130 — ANN recall: singleton-cell line corpus, hand recall curve") {
     import spark.implicits._
     // 12 collinear vectors at x = 10·i: every vector seeds (id < 64) and
