@@ -244,7 +244,11 @@ object DevScale {
       // support-sized), cell balance (fixed K=64 over 10x vectors: the
       // q64/q77 fixed-resolution story — assignment scales with the
       // corpus, everything after the ≤K-row reduction is constant)
-      "q131_neardup_degree", "q132_cell_balance")
+      "q131_neardup_degree", "q132_cell_balance",
+      // skip-gram PMI: the pair stream is window×(q57's bigram band) —
+      // 4 narrow zips per doc, disjoint replica vocab grows the pair
+      // support 10x; counts map-side combine, the cut is TakeOrdered
+      "q133_skipgram_pmi")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

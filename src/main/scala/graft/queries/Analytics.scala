@@ -1253,6 +1253,44 @@ object Analytics {
         |       END AS r2
         |FROM m ORDER BY source""".stripMargin) { (s, d) =>
       zipfSlope(Tables.documents(s, d))
+    },
+
+    Q("q133_skipgram_pmi",
+      """Q133 — windowed (skip-gram) collocations: top-20 UNORDERED token
+        |pairs co-occurring within 4 positions, by PMI with min support 5
+        |— the word2vec/GloVe-style context-pair signal beside q49's
+        |ADJACENT bigrams: phrase structure lives at distance 1, topical
+        |association lives across the window (the pair list an embedding
+        |or stop-phrase pipeline actually consumes), and the two entries
+        |measurably disagree on this corpus. Pairs normalize by
+        |(least, greatest) so each forward co-occurrence counts once;
+        |PMI = ln((c/t_p)/((c1/t_u)(c2/t_u))) of exact integer counts
+        |(the q49/q59 ln regime), ranked on the rounded value with a
+        |(w1, w2) tie-break so the top-20 cut is engine-stable. Scale
+        |shape: extraction is NARROW — the token array zips with its own
+        |d-shifted tail for d = 1..4 and the four zip arrays concat
+        |per row (window× the token stream, no positional self-join —
+        |the oracle's ix⋈ix formulation is exactly what the engine
+        |avoids); pair and unigram counts are map-side-combined keyed
+        |shuffles; totals ride a 1-row broadcast; the cut is a bounded
+        |TakeOrdered, never a global sort.""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+        |       FROM tok),
+        |pr AS (SELECT least(a.t, b.t) AS w1, greatest(a.t, b.t) AS w2
+        |       FROM ix a JOIN ix b ON a.doc_id = b.doc_id
+        |                          AND b.i > a.i AND b.i <= a.i + 4),
+        |pc AS (SELECT w1, w2, count(*) AS c_xy FROM pr GROUP BY 1, 2),
+        |uc AS (SELECT t AS w, count(*) AS c_w FROM ix GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM pr) AS t_p,
+        |               (SELECT count(*) FROM ix) AS t_u)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |       round(ln((c_xy * 1.0 / t_p) /
+        |                ((u1.c_w * 1.0 / t_u) * (u2.c_w * 1.0 / t_u))), 4) AS pmi
+        |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w CROSS JOIN tot
+        |WHERE c_xy >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      skipgramPmi(Tables.documents(s, d))
     }
   )
 
@@ -1990,6 +2028,46 @@ object Analytics {
               * (col("n") * col("syy") - col("sy") * col("sy"))), 4))
           .as("r2"))
       .orderBy("source")
+  }
+
+  /** q133's logic over an arbitrary document frame — exposed so specs can
+    * pin the window boundary (distance 4 in, 5 out), the unordered
+    * normalization, the self-pair convention, and a hand PMI value.
+    */
+  def skipgramPmi(docs: org.apache.spark.sql.DataFrame, window: Int = 4,
+                  minSupport: Long = 5L, k: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(TextOps.tokens(col("text")).as("toks"))
+      // two explode consumers (pairs, unigrams) — one tokenize pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zips = (1 to window).map { d =>
+      arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0)))
+          .as("a"),
+        slice(col("toks"), lit(1 + d), greatest(size(col("toks")) - d, lit(0)))
+          .as("b"))
+    }
+    val pr = toks.select(explode(concat(zips: _*)).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("w1"),
+        greatest(col("p.a"), col("p.b")).as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val pc = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val tot = pr.agg(count(lit(1)).as("t_p"))
+      .crossJoin(uni.agg(count(lit(1)).as("t_u")))
+    pc
+      .join(uc.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"),
+        "w1")
+      .join(uc.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c2"),
+        "w2")
+      .crossJoin(broadcast(tot))
+      .filter(col("c_xy") >= minSupport)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy") * lit(1.0) / col("t_p")) /
+          ((col("c1") * lit(1.0) / col("t_u")) *
+            (col("c2") * lit(1.0) / col("t_u")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   /** q102's logic over an arbitrary document frame — exposed so specs

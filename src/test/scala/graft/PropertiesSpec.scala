@@ -447,7 +447,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q128/q129/q130/q131/q132 — round-10 audits invariant under repartitioning") {
+  test("q128-q133 — round-10 additions invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val docs = Tables.documents(spark, sf0001)
@@ -457,12 +457,16 @@ class PropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
     val degRef = rows(graft.queries.Llm.neardupDegree(docs))
     spark.catalog.clearCache()
+    val pmiRef = rows(graft.queries.Analytics.skipgramPmi(docs))
+    spark.catalog.clearCache()
     Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
       assert(rows(graft.queries.Curation.lshFidelity(l)) === fidRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Analytics.zipfSlope(l)) === zipfRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Llm.neardupDegree(l)) === degRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Analytics.skipgramPmi(l)) === pmiRef)
       spark.catalog.clearCache()
     }
     val emb = Tables.embeddings(spark, sf0001)

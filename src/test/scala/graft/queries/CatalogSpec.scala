@@ -2191,6 +2191,33 @@ class CatalogSpec extends SparkSpec {
       s"hot-cell corpus diverged: ${gotH.toSeq}")
   }
 
+  test("q133 — skip-gram window: distance-4 boundary, unordered/self pairs, hand PMI") {
+    import spark.implicits._
+    // one pair in a 2-token doc: pmi = ln((1/1)/((1/2)·(1/2))) = ln 4
+    val one = graft.queries.Analytics.skipgramPmi(
+      Seq((1L, "a b")).toDF("doc_id", "text"), minSupport = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(one.toSeq === Seq(("a", "b", 1L, 1.3863)),
+      s"hand PMI diverged: ${one.toSeq}")
+    // window boundary: (a, e) is distance 4 (in), (a, f) distance 5 (out)
+    val win = graft.queries.Analytics.skipgramPmi(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    spark.catalog.clearCache()
+    assert(win(("a", "e")) && !win(("a", "f")),
+      s"window boundary diverged: $win")
+    // unordered normalization folds (x,a)+(x→a at d=2) into one key;
+    // the distance-1 (a,a) self-pair is a legitimate skip-gram count
+    val self = graft.queries.Analytics.skipgramPmi(
+      Seq((1L, "x a a")).toDF("doc_id", "text"), minSupport = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(self.map(t => (t._1, t._2) -> t._3).toMap ===
+      Map(("a", "x") -> 2L, ("a", "a") -> 1L),
+      s"normalization/self-pair diverged: ${self.toSeq}")
+  }
+
   test("q130 — ANN recall: singleton-cell line corpus, hand recall curve") {
     import spark.implicits._
     // 12 collinear vectors at x = 10·i: every vector seeds (id < 64) and
