@@ -134,18 +134,37 @@ object Bench {
     // ---- timed pass: median of `reps` steady-state runs per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var sentinelMid = -1.0
+    var retried = List.empty[String]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == ordered.size / 2) sentinelMid = sentinelOnce()
       var failed = false
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val (sec, ok) = runOnce(name, fn)
         if (!ok) failed = true
         sec
-      }.sorted
+      }
+      var times = (1 to reps).map(_ => rep()).sorted
+      // repeat-on-outlier: a BIMODAL rep vector (median > 2× the min, and
+      // the median past the floor band so 2× isn't launch jitter) is the
+      // transient-contention signature the regime fields can miss when
+      // the hit lands between sentinel probes (the r10-session-2 window-1
+      // q119 reading: 7.45 s median in-window, 0.56–0.64 s on the same
+      // artifact immediately before and after). Two extra reps give the
+      // median a quorum over the transient; the retry is RECORDED (count
+      // in the JSON, names on stderr) so a reader can see the window
+      // needed self-healing rather than silently trusting it.
+      if (!failed && reps >= 3 && times(times.size / 2) > 0.3 &&
+          times(times.size / 2) > 2 * times.head) {
+        retried ::= name
+        times = (times ++ Seq(rep(), rep())).sorted
+      }
       // -1 keeps failures machine-detectable in the JSON (a failure's wall
       // time would otherwise read as a suspiciously fast success)
       name -> (if (failed) -1.0 else times(times.size / 2))
     }
+    if (retried.nonEmpty)
+      System.err.println("[bench] retried_on_outlier " +
+        retried.sorted.mkString(" "))
     val sentinelEnd = sentinelOnce()
     val loadEnd = loadAvg()
     val sentinelDrift =
@@ -205,7 +224,7 @@ object Bench {
     // NOT repeated (sent_ms carries it: drift = max(mid,end)/base) and the
     // full-precision diagnosis goes to stderr below.
     val regimeJson =
-      s""""regime":"$regime","load":[$loadStart,$loadEnd],"sent_ms":[${ms(sentinelBase)},${ms(sentinelMid)},${ms(sentinelEnd)}]"""
+      s""""regime":"$regime","load":[$loadStart,$loadEnd],"sent_ms":[${ms(sentinelBase)},${ms(sentinelMid)},${ms(sentinelEnd)}],"retried":${retried.size}"""
     System.err.println(s"[bench] regime=$regime drift=$sentinelDrift " +
       s"load=$loadStart->$loadEnd sentinel=$sentinelName " +
       s"base/mid/end=${ms(sentinelBase)}/${ms(sentinelMid)}/${ms(sentinelEnd)}ms")
