@@ -144,6 +144,7 @@ object Bench {
         sec
       }
       var times = (1 to reps).map(_ => rep()).sorted
+      val primaryOk = !failed
       // repeat-on-outlier: a BIMODAL rep vector (median > 2× the min, and
       // the median past the floor band so 2× isn't launch jitter) is the
       // transient-contention signature the regime fields can miss when
@@ -153,14 +154,19 @@ object Bench {
       // median a quorum over the transient; the retry is RECORDED (count
       // in the JSON, names on stderr) so a reader can see the window
       // needed self-healing rather than silently trusting it.
-      if (!failed && reps >= 3 && times(times.size / 2) > 0.3 &&
+      if (primaryOk && reps >= 3 && times(times.size / 2) > 0.3 &&
           times(times.size / 2) > 2 * times.head) {
         retried ::= name
-        times = (times ++ Seq(rep(), rep())).sorted
+        // a failure DURING the self-heal reps must not retroactively turn
+        // a successful 3-rep measurement into a -1: only successful extra
+        // samples join the vector (review finding, r10 s2)
+        val extra = (1 to 2).map(_ => runOnce(name, fn))
+          .collect { case (sec, true) => sec }
+        times = (times ++ extra).sorted
       }
       // -1 keeps failures machine-detectable in the JSON (a failure's wall
       // time would otherwise read as a suspiciously fast success)
-      name -> (if (failed) -1.0 else times(times.size / 2))
+      name -> (if (!primaryOk) -1.0 else times(times.size / 2))
     }
     if (retried.nonEmpty)
       System.err.println("[bench] retried_on_outlier " +

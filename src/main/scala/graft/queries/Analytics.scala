@@ -2053,8 +2053,11 @@ object Analytics {
     val uni = toks.select(explode(col("toks")).as("w"))
     val pc = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val uc = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
-    val tot = pr.agg(count(lit(1)).as("t_p"))
-      .crossJoin(uni.agg(count(lit(1)).as("t_u")))
+    // totals from the ALREADY-REDUCED count tables — re-deriving them from
+    // pr/uni would run the window-4 pair extraction (the query's dominant
+    // stage) a second time for identical sums (review finding, r10 s2)
+    val tot = pc.agg(sum(col("c_xy")).as("t_p"))
+      .crossJoin(uc.agg(sum(col("c_w")).as("t_u")))
     pc
       .join(uc.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"),
         "w1")

@@ -170,7 +170,8 @@ object Curation {
     * q85-contentSplit rule: q128's fidelity audit measures exactly the
     * banding q83 ships, not a drifted copy.
     */
-  private def lshMd5Candidates(docs: DataFrame, nPerms: Int, nBands: Int)
+  private def lshMd5Candidates(docs: DataFrame, nPerms: Int, nBands: Int,
+                               persistShingles: Boolean = true)
       : (DataFrame, DataFrame) = {
     val rowsPerBand = nPerms / nBands
     require(nBands * rowsPerBand == nPerms, "bands must tile the signature")
@@ -182,10 +183,17 @@ object Curation {
     // measured the interpreted shingle BUILD at 3.4 s of the query's
     // 7.4 s — the lambda + per-element array indexing tax, not md5, was
     // the dominant term (<3-token docs yield the same empty array)
-    val shArr = toks.select(col("doc_id"),
+    // persisted only for callers whose plan re-reads it (q83's exact
+    // verification); q128 verifies through the q31 core instead, so the
+    // corpus-sized shingle arrays would sit in cache for a single-use
+    // subtree (review finding, r10 s2)
+    val shArrPlain = toks.select(col("doc_id"),
         array_distinct(NativeExprs.shingles(col("toks"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shArr =
+      if (persistShingles)
+        shArrPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shArrPlain
     // signature with NO shuffle: min over the doc's shingle array per
     // permutation; fixed-width lowercase hex makes lexicographic min ≡
     // numeric min, identically in DuckDB (bytewise string compare).
@@ -254,13 +262,12 @@ object Curation {
   def lshFidelity(docs: DataFrame,
                   thresholds: Seq[Int] = Seq(500, 2500, 5000, 7500),
                   nPerms: Int = 16, nBands: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // truth: ALL co-shingled pairs with exact k/|union| (no threshold —
     // each rung applies its own integer cut below); the digest core is
     // q31's, so fidelity here IS fidelity of the shipped pair plan
     val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
-    val (_, cand) = lshMd5Candidates(docs, nPerms, nBands)
+    val (_, cand) = lshMd5Candidates(docs, nPerms, nBands,
+      persistShingles = false)
     // candidates ⊆ truth (equal band key ⟹ shared argmin shingle), so a
     // left mark-join loses nothing; persist: feeds the ×4 fan-out once
     val tj = wc
@@ -1580,11 +1587,15 @@ object Curation {
     // broadcast-bounded by the codebook premise, so median and Gini run
     // as local integer folds over the array (no unpartitioned window,
     // no rank sort, no theta join, no collect)
+    // count-like sums coalesce to 0 so the all-empty edge matches the
+    // oracle's count(*)/FILTER forms (review finding, r10 s2); n_vectors
+    // and max_members stay NULL there on BOTH engines
     szc
       .agg(sort_array(collect_list(struct(col("sz"), col("c")))).as("a"),
-        sum(col("c")).as("n_cells"),
+        coalesce(sum(col("c")), lit(0L)).as("n_cells"),
         sum(col("sz") * col("c")).as("n_vectors"),
-        sum(when(col("sz") === 0L, col("c")).otherwise(0L)).as("n_empty"),
+        coalesce(sum(when(col("sz") === 0L, col("c")).otherwise(0L)), lit(0L))
+          .as("n_empty"),
         max(col("sz")).as("max_members"))
       .select(col("n_cells"), col("n_vectors"), col("n_empty"),
         col("max_members"),
@@ -1636,15 +1647,23 @@ object Curation {
     |       END AS BIGINT) AS gini_e4
     |FROM tot CROSS JOIN med CROSS JOIN gini""".stripMargin
 
+  /** The ONE integer ten-thousandths quantization definition every
+    * kmeans-family consumer (q77/q80/q81/q130/q132 and their specs)
+    * shares — a drifted test-side replica would audit a frame the
+    * catalog never ships (the q85-contentSplit rule; review finding,
+    * r10 s2).
+    */
+  private[graft] def quantizeVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        e => round(e.cast(DoubleType) * lit(10000.0)).cast(LongType)).as("v"))
+
   /** Integer ten-thousandths quantization of the embeddings table —
     * consumed by every q77/q80 assignment and update pass, so persisted
     * (released by the session's clearCache, the catalog contract).
     */
   private def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          e => round(e.cast(DoubleType) * lit(10000.0)).cast(LongType)).as("v"))
+    quantizeVectors(Tables.embeddings(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The codebook as the 1-row array-of-structs broadcast side (the q61

@@ -162,10 +162,8 @@ class PropertiesSpec extends SparkSpec {
     // DATA, not its physical layout
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
-    def quantized(e: org.apache.spark.sql.DataFrame) = e.select($"vec_id",
-      org.apache.spark.sql.functions.transform($"embedding",
-        x => org.apache.spark.sql.functions.round(x.cast("double") *
-          org.apache.spark.sql.functions.lit(10000.0)).cast("long")).as("v"))
+    def quantized(e: org.apache.spark.sql.DataFrame) =
+      graft.queries.Curation.quantizeVectors(e)
     val base = Tables.embeddings(spark, sf0001)
     val ref = rows(graft.queries.Curation.ivfRoute(quantized(base)))
     Seq(base.repartition(13, $"label"), base.coalesce(1)).foreach { l =>
@@ -469,11 +467,8 @@ class PropertiesSpec extends SparkSpec {
       assert(rows(graft.queries.Analytics.skipgramPmi(l)) === pmiRef)
       spark.catalog.clearCache()
     }
-    val emb = Tables.embeddings(spark, sf0001)
-      .select($"vec_id",
-        org.apache.spark.sql.functions.transform($"embedding", e =>
-          org.apache.spark.sql.functions.round(e.cast("double") * 10000.0)
-            .cast("long")).as("v"))
+    val emb = graft.queries.Curation
+      .quantizeVectors(Tables.embeddings(spark, sf0001))
     val recRef = rows(graft.queries.Curation.ivfRecall(emb))
     spark.catalog.clearCache()
     val balRef = rows(graft.queries.Curation.cellBalance(emb))

@@ -847,10 +847,8 @@ class CatalogSpec extends SparkSpec {
     // The documented production lever is nProbe (recall → 1 as
     // nProbe → K, brute force at equality — asserted below).
     import graft.functions.expressions.NativeExprs
-    val emb = Tables.embeddings(spark, sf0001)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          e => round(e.cast("double") * lit(10000.0)).cast("long")).as("v"))
+    val emb = graft.queries.Curation
+      .quantizeVectors(Tables.embeddings(spark, sf0001))
     val ivf = Catalog.byName("q81_ivf_route").build(spark, sf0001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val qs = emb.filter(col("vec_id") % 100 === 0)
