@@ -248,7 +248,12 @@ object DevScale {
       // skip-gram PMI: the pair stream is window×(q57's bigram band) —
       // 4 narrow zips per doc, disjoint replica vocab grows the pair
       // support 10x; counts map-side combine, the cut is TakeOrdered
-      "q133_skipgram_pmi")
+      "q133_skipgram_pmi",
+      // incremental LSH: batch and corpus both scale 10x but candidates
+      // stay batch×corpus-bounded (replica renaming keeps cross-replica
+      // jaccard 0, so the candidate set scales ~10x with the batch —
+      // the q83 constant-width band economics at the ingest boundary)
+      "q134_lsh_incremental")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

@@ -170,8 +170,16 @@ object Curation {
     * q85-contentSplit rule: q128's fidelity audit measures exactly the
     * banding q83 ships, not a drifted copy.
     */
-  private def lshMd5Candidates(docs: DataFrame, nPerms: Int, nBands: Int,
-                               persistShingles: Boolean = true)
+  /** The shingle-array + banded-key frames under [[lshMd5Candidates]]
+    * (self-join candidates, q83/q128) and [[lshIncremental]] (cross-side
+    * candidates, q134) — one signature definition for every md5-LSH
+    * consumer. The banded frame is persisted (every caller joins it
+    * against itself or a filtered view of itself, and the signature HOF
+    * is the dominant compute); the shingle frame persists only when the
+    * caller's plan re-reads it.
+    */
+  private def lshMd5Banded(docs: DataFrame, nPerms: Int, nBands: Int,
+                           persistShingles: Boolean)
       : (DataFrame, DataFrame) = {
     val rowsPerBand = nPerms / nBands
     require(nBands * rowsPerBand == nPerms, "bands must tile the signature")
@@ -214,6 +222,13 @@ object Curation {
       .select(col("doc_id"), explode(expr(s"array($bandKey)")).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (shArr, banded)
+  }
+
+  private def lshMd5Candidates(docs: DataFrame, nPerms: Int, nBands: Int,
+                               persistShingles: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val (shArr, banded) = lshMd5Banded(docs, nPerms, nBands, persistShingles)
     val cand = banded.select(col("doc_id").as("i"), col("b"), col("key"))
       .hint("shuffle_hash")
       .join(banded.select(col("doc_id").as("j"), col("b"), col("key")),
@@ -343,6 +358,80 @@ object Curation {
       |       END AS BIGINT) AS recall_e4
       |FROM thr t LEFT JOIN agg a ON a.thr_e4 = t.thr_e4 CROSS JOIN nc
       |ORDER BY t.thr_e4""".stripMargin
+
+  /** q134's logic over an arbitrary corpus — exposed so specs can pin the
+    * cross-only property (corpus×corpus and batch×batch pairs NEVER
+    * surface), the identical-doc guarantee (equal signatures ⟹ all-band
+    * candidate), and layout invariance. The split mirrors q56's (every
+    * `everyNth`-th doc_id is the arriving batch).
+    */
+  def lshIncremental(docs: DataFrame, everyNth: Long = 10L,
+                     nPerms: Int = 16, nBands: Int = 4): DataFrame = {
+    // ONE shingle/signature pass over the full frame; the side split is a
+    // filter on the persisted banded table (production ingest keeps the
+    // corpus side at rest — crossNearDupPairsPrepared's contract — so only
+    // the batch's signatures compute per increment; this batch replay
+    // computes both sides once to stay oracle-replayable)
+    val (shArr, banded) =
+      lshMd5Banded(docs, nPerms, nBands, persistShingles = true)
+    val cand = banded.filter(col("doc_id") % everyNth === 0)
+      .select(col("doc_id").as("new_id"), col("b"), col("key"))
+      .hint("shuffle_hash")
+      .join(banded.filter(col("doc_id") % everyNth =!= 0)
+        .select(col("doc_id").as("old_id"), col("b"), col("key")),
+        Seq("b", "key"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verification restricted to candidates (the q83 pattern: the
+    // tiny candidate set drives both joins; the full co-shingle posting
+    // join never forms)
+    val shx = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
+    val leftSh = shx
+      .join(broadcast(cand.select(col("new_id"), col("old_id"))),
+        col("doc_id") === col("new_id"))
+      .select(col("new_id"), col("old_id"), col("s"))
+    val inter = broadcast(leftSh)
+      .join(shx.select(col("doc_id").as("old_id"), col("s")),
+        Seq("old_id", "s"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("k"))
+    val cnt = shArr.select(col("doc_id"),
+      size(col("shs")).cast(LongType).as("n"))
+    cand
+      .join(inter, Seq("new_id", "old_id"), "left")
+      .join(broadcast(cnt.select(col("doc_id").as("new_id"),
+        col("n").as("ni"))), Seq("new_id"))
+      .join(broadcast(cnt.select(col("doc_id").as("old_id"),
+        col("n").as("nj"))), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        col("n_bands").cast(LongType).as("n_bands"),
+        round(coalesce(col("k"), lit(0L)) * 1.0 /
+          (col("ni") + col("nj") - coalesce(col("k"), lit(0L))), 4)
+          .as("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
+  private lazy val lshIncrementalOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+      |         generate_subscripts(string_split(text,' '), 1) AS i FROM documents),
+      |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS s
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |             JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |hx AS (SELECT doc_id, p.p, min(md5(CAST(p.p AS VARCHAR) || ':' || s)) AS mh
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, p // 4 AS b, string_agg(mh, '' ORDER BY p) AS key
+      |  FROM hx GROUP BY 1, 2),
+      |cand AS MATERIALIZED (SELECT a.doc_id AS new_id, b2.doc_id AS old_id, count(*) AS n_bands
+      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key
+      |  WHERE a.doc_id % 10 = 0 AND b2.doc_id % 10 <> 0 GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.new_id, c.old_id, count(*) AS k
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  JOIN cand c ON c.new_id = a.doc_id AND c.old_id = b.doc_id GROUP BY 1, 2)
+      |SELECT c.new_id, c.old_id, CAST(c.n_bands AS BIGINT) AS n_bands,
+      |  round(coalesce(k, 0) * 1.0 / (ca.n + cb.n - coalesce(k, 0)), 4) AS jaccard
+      |FROM cand c LEFT JOIN inter ON inter.new_id = c.new_id AND inter.old_id = c.old_id
+      |JOIN cnt ca ON ca.doc_id = c.new_id JOIN cnt cb ON cb.doc_id = c.old_id
+      |ORDER BY c.new_id, c.old_id""".stripMargin
 
   /** q84's logic over an arbitrary corpus: synchronous majority-label
     * propagation over the exact near-dup graph (the semi-supervised label
@@ -1341,6 +1430,29 @@ object Curation {
         |premise — no window, no rank sort, no driver collect).""".stripMargin,
       cellBalanceOracle) { (s, d) =>
       cellBalance(quantizedEmbeddings(s, d))
+    },
+
+    Q("q134_lsh_incremental",
+      """Q134 — incremental LSH at the ingest boundary, md5-ORACLED (the
+        |q56 cap's hash-checkable twin, closing the q32→q83 precedent for
+        |the INCREMENTAL form): the arriving batch (q56's every-10th-doc
+        |split) probes the corpus's band buckets and only batch×corpus
+        |candidates form — corpus×corpus pairs NEVER materialize, which
+        |is the property that makes per-ingest cost O(batch · bands)
+        |against a corpus signature table computed once. Signatures are
+        |the q83/q128 shared md5 banding (16 perms, 4 × 4 — replayable in
+        |both engines); every candidate is exact-verified (3-shingle
+        |jaccard, NO threshold, exposing the banding's true cross-side
+        |behavior). q56 keeps the production xxhash path — this entry is
+        |its auditable replay, exactly as q83 is q32's. Scale shape: ONE
+        |shingle/signature pass (the side split is a filter on the
+        |persisted banded frame; production keeps the corpus side at
+        |rest and computes only batch signatures per increment); the
+        |candidate join ships 4 constant-width rows per doc; exact
+        |verification touches ONLY the candidate set (broadcast-driven,
+        |the q83 pattern).""".stripMargin,
+      lshIncrementalOracle) { (s, d) =>
+      lshIncremental(Tables.documents(s, d))
     }
   )
 

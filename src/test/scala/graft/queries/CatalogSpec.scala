@@ -2216,6 +2216,28 @@ class CatalogSpec extends SparkSpec {
       s"normalization/self-pair diverged: ${self.toSeq}")
   }
 
+  test("q134 — incremental LSH: cross-side only; identical docs candidate in all bands") {
+    import spark.implicits._
+    // docs 10 (new batch: % 10 == 0) and 11, 12 (corpus) are identical:
+    // equal signatures make BOTH cross pairs all-band candidates at
+    // jaccard 1 — while the equally-identical corpus×corpus pair
+    // (11, 12) must NOT surface (the property that bounds ingest cost)
+    val docs = Seq((10L, "x y z w"), (11L, "x y z w"), (12L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.Curation.lshIncremental(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq((10L, 11L, 4L, 1.0), (10L, 12L, 4L, 1.0)),
+      s"cross-side candidates diverged: ${got.toSeq}")
+    // batch×batch pairs never form either: two identical NEW docs against
+    // a disjoint corpus yield nothing
+    val batchOnly = Seq((10L, "x y z w"), (20L, "x y z w"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val gotB = graft.queries.Curation.lshIncremental(batchOnly).count()
+    spark.catalog.clearCache()
+    assert(gotB === 0L, s"batch-internal pair leaked: $gotB rows")
+  }
+
   test("q130 — ANN recall: singleton-cell line corpus, hand recall curve") {
     import spark.implicits._
     // 12 collinear vectors at x = 10·i: every vector seeds (id < 64) and
