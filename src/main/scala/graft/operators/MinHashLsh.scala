@@ -211,6 +211,18 @@ object MinHashLsh {
      () => { newSigs.unpersist(); () })
   }
 
+  /** The fully-amortized cross form for callers that already HOLD both
+    * signature frames (the streaming ingest monitor reads the corpus side
+    * from its at-rest parquet store and signs only the arriving batch):
+    * no text is scanned here at all — band probe + exact verify over the
+    * given signatures. Same plan as [[crossNearDupPairsPrepared]] minus
+    * the batch signature pass.
+    */
+  def crossNearDupPairsFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+                                threshold: Double, bands: Int = 24,
+                                rowsPerBand: Int = 2): DataFrame =
+    crossPairs(newSigs, corpusSigs, threshold, bands, rowsPerBand)
+
   /** Batch-probes-corpus plan shared by the cross forms: broadcast the
     * batch's band probes against the corpus band stream (corpus never
     * shuffled), exact-verify the candidates with the batch side broadcast.

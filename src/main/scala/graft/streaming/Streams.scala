@@ -332,6 +332,88 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Incremental near-dup screening AT INGEST as a stream — q56/q134's
+    * semantics made continuous (the missing third leg of that story:
+    * batch operator q56, md5-oracled audit q134, and THIS, the running
+    * form). A parquet docs stream (doc_id, text) is screened per
+    * micro-batch against the ACCUMULATED corpus signature store — an
+    * at-rest parquet table of [[graft.operators.MinHashLsh.signatures]]
+    * rows under `outDir/sigs/<batchId>` that this same query appends to
+    * AFTER screening — plus the batch's internal pairs. That ordering +
+    * batchId-keyed OVERWRITE writes + excluding the current batchId's
+    * sig directory when reading the store make every micro-batch
+    * idempotent under replay (the ingestPdfStream exactly-once rule).
+    * Scale economics per ingest: ONE signature pass over the batch text
+    * (the corpus text is NEVER re-scanned — its signatures are at rest,
+    * ~50 longs/doc), a broadcast of the batch's band probes against the
+    * store scan, exact verification on candidates only; corpus×corpus
+    * pairs never form. Pairs land under `outDir/pairs/<batchId>` as
+    * (i, j, jaccard, kind ∈ within|cross, batch_id).
+    */
+  def neardupIngestStream(spark: SparkSession, watchDir: String,
+                          outDir: String, checkpoint: String,
+                          threshold: Double = 0.8,
+                          maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.MinHashLsh
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(watchDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch signature frame feeds the cross probe, the within
+        // self-probe AND the store append — one text pass, three readers
+        val batchSigs = MinHashLsh.signatures(batch, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+          val sigsBase = new org.apache.hadoop.fs.Path(s"$outDir/sigs")
+          // the store = every PRIOR batch's signatures; the current
+          // batchId is excluded so a replayed micro-batch (sig write
+          // survived, checkpoint commit didn't) cannot screen the batch
+          // against itself through the store
+          val prior =
+            if (fs.exists(sigsBase))
+              fs.listStatus(sigsBase).filter(_.isDirectory)
+                .map(_.getPath.toString)
+                .filterNot(_.endsWith(s"/$batchId"))
+            else Array.empty[String]
+          val cross =
+            if (prior.isEmpty)
+              spark.emptyDataFrame
+                .select(lit(0L).as("i"), lit(0L).as("j"),
+                  lit(0.0).as("jaccard")).limit(0)
+            else MinHashLsh.crossNearDupPairsFromSigs(batchSigs,
+              spark.read.parquet(prior.toIndexedSeq: _*), threshold)
+          // within-batch pairs from the SAME signature frame (self-probe,
+          // unordered form kept by the i < j cut; the batch is the small
+          // side on both ends so the broadcast plan is the right one)
+          val within = MinHashLsh
+            .crossNearDupPairsFromSigs(batchSigs, batchSigs, threshold)
+            .filter(col("i") < col("j"))
+          val pairs = within.select(col("i"), col("j"), col("jaccard"),
+              lit("within").as("kind"))
+            .unionByName(cross.select(col("i"), col("j"), col("jaccard"),
+              lit("cross").as("kind")))
+            .withColumn("batch_id", lit(batchId))
+          pairs.write.mode("overwrite").parquet(s"$outDir/pairs/$batchId")
+          // append to the store ONLY after the pair write is durable
+          batchSigs.write.mode("overwrite")
+            .parquet(s"$outDir/sigs/$batchId")
+        } finally { batchSigs.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class TransEvent(user_id: Long, ts: Timestamp,
                               event_type: String, event_id: Long)
   final case class TransState(lastUs: Long, lastType: String)

@@ -718,4 +718,58 @@ class StreamingSpec extends SparkSpec {
     assert(finalTotals === Set(("s1", 6L, 2L), ("s2", 2L, 1L)),
       s"cross-batch OOV accumulation diverged: $finalTotals")
   }
+
+  test("near-dup ingest stream — union of per-batch pairs equals the batch operator on the whole corpus") {
+    // the split-invariance identity that makes the monitor correct by
+    // construction: over ANY partition of the corpus into ordered
+    // micro-batches, (within Bk) ∪ (cross Bk vs earlier) covers every
+    // near-dup pair exactly once — so the union of everything the stream
+    // emits must equal MinHashLsh.nearDupPairs over the union corpus,
+    // regardless of which file lands in which trigger.
+    val watch = Files.createTempDirectory("graft_lshwatch").toString
+    val out = Files.createTempDirectory("graft_lshout").toString
+    // two FLAT files → two micro-batches (maxFilesPerTrigger = 1; the
+    // file source lists plain files, not nested write dirs): a within-
+    // file identical pair (1, 2), a cross-file identical pair set
+    // (1, 11)/(2, 11), and unrelated docs on both sides
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_lshstage").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(watch).resolve(name))
+      ()
+    }
+    stage("f1.parquet",
+      Seq((1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "p q r s t m")))
+    stage("f2.parquet", Seq((11L, "x y z w v u"), (12L, "d e f g h k")))
+    Streams.neardupIngestStream(spark, watch, out, ckpt(), threshold = 0.8)
+    val emitted = spark.read.parquet(s"$out/pairs/*")
+      .select(least($"i", $"j").as("a"), greatest($"i", $"j").as("b"),
+        $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val corpus = spark.read.parquet(watch)
+    val ref = graft.operators.MinHashLsh
+      .nearDupPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .select(least($"i", $"j").as("a"), greatest($"i", $"j").as("b"),
+        $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    // exactly-once: as a multiset, not just a set
+    assert(emitted.sorted === ref.sorted,
+      s"stream pairs diverged from the batch operator: " +
+        s"emitted=${emitted.sorted} ref=${ref.sorted}")
+    assert(emitted.map(p => (p._1, p._2)).distinct.size === emitted.size,
+      s"a pair was emitted more than once: $emitted")
+    // the identical triplet must be present however the files were split
+    assert(emitted.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 11L),
+      (2L, 11L)), s"expected pair set diverged: $emitted")
+    // the signature store holds one directory per micro-batch
+    val sigDirs = new java.io.File(s"$out/sigs").listFiles()
+      .count(_.isDirectory)
+    assert(sigDirs === 2, s"expected 2 per-batch sig dirs, got $sigDirs")
+  }
 }
