@@ -253,7 +253,10 @@ object DevScale {
       // stay batch×corpus-bounded (replica renaming keeps cross-replica
       // jaccard 0, so the candidate set scales ~10x with the batch —
       // the q83 constant-width band economics at the ingest boundary)
-      "q134_lsh_incremental")
+      "q134_lsh_incremental",
+      // weighted sample: one narrow scan projection map-side reducing to
+      // #sources rows — should track the raw scan band
+      "q135_weighted_sample")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

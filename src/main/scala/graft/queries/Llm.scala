@@ -1410,6 +1410,41 @@ object Llm {
         |SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin) { (s, d) =>
       neardupDegree(Tables.documents(s, d))
+    },
+
+    Q("q135_weighted_sample",
+      """Q135 — deterministic quality-WEIGHTED downsampling accounting
+        |(soft filtering): every doc keeps with probability equal to its
+        |q66 exact quality rational w = (200·hits + n·min(200,n)) /
+        |(400·n), decided by a content-hash Bernoulli — keep iff
+        |u · den < num · 2³² with u = the first 8 md5 hex digits of the
+        |text (a uniform 32-bit draw) — so the sample is a pure function
+        |of CONTENT: re-crawls, re-orderings and cluster layouts keep the
+        |identical sample (q85's stability rule applied at the SAMPLING
+        |stage; the soft alternative to q66's hard threshold, which
+        |deletes whole strata — temperature-style weighting keeps a
+        |calibrated low-quality tail for robustness). Output per source:
+        |docs, kept docs, Σ per-doc half-up-e4 weights (the EXPECTED kept
+        |mass — realized-vs-expected is the sampler-calibration audit),
+        |kept share e4. Integer-exact end to end: the keep test never
+        |consults a float (Long-safe to ~5e6 tokens/doc — u·den <
+        |2³²·400·n; the DECIMAL lever applies past it, the q112
+        |convention). Scale shape: one narrow scan projection (tokens,
+        |stopword hits, one md5) reducing map-side to #sources rows —
+        |embarrassingly parallel, no shuffle beyond the rollup.""".stripMargin,
+      """WITH tk AS (SELECT source, string_split(text,' ') AS toks, text FROM documents),
+        |w AS (SELECT source, len(toks) AS n,
+        |        len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS hits,
+        |        CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS u
+        |      FROM tk),
+        |k AS (SELECT source, 200 * hits + n * least(200, n) AS num, 400 * n AS den, u FROM w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE u * den < num * 4294967296) AS BIGINT) AS n_kept,
+        |  CAST(sum((2 * 10000 * num + den) // (2 * den)) AS BIGINT) AS exp_kept_e4,
+        |  CAST((2 * 10000 * count(*) FILTER (WHERE u * den < num * 4294967296) + count(*))
+        |       // (2 * count(*)) AS BIGINT) AS kept_share_e4
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      weightedSample(Tables.documents(s, d))
     }
   )
 
@@ -1597,6 +1632,34 @@ object Llm {
       |SELECT ps.t AS t_tenths, ps.t / 10.0 AS threshold,
       |  CAST(ps.n_pairs AS BIGINT) AS n_pairs, CAST(ds.n_docs AS BIGINT) AS n_docs
       |FROM ps JOIN ds ON ds.t = ps.t ORDER BY t_tenths""".stripMargin
+
+  /** q135's logic over an arbitrary corpus — exposed so specs can pin the
+    * full driver-side replay (md5 draw + rational weight + half-up
+    * expectations), the w = 1 always-keep identity, and layout
+    * invariance.
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("source"),
+        (lit(200L) * TextOps.stopwordHits(col("toks"), qualityStopwords)
+          .cast(LongType) +
+          size(col("toks")).cast(LongType) *
+            least(lit(200L), size(col("toks")).cast(LongType))).as("num"),
+        (lit(400L) * size(col("toks")).cast(LongType)).as("den"),
+        conv(substring(md5(col("text").cast(BinaryType)), 1, 8), 16, 10)
+          .cast(LongType).as("u"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") * col("den") < col("num") * lit(4294967296L), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(expr("(2 * 10000 * num + den) div (2 * den)")).as("exp_kept_e4"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("exp_kept_e4"),
+        expr("(2 * 10000 * n_kept + n_docs) div (2 * n_docs)")
+          .as("kept_share_e4"))
+      .orderBy("source")
+  }
 
   /** q131's logic over an arbitrary corpus — exposed so specs can pin the
     * clique-vs-star separation (the read the entry exists for), the

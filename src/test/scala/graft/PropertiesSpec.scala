@@ -445,7 +445,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("q128-q134 — round-10 additions invariant under repartitioning") {
+  test("q128-q135 — round-10 additions invariant under repartitioning") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
     val docs = Tables.documents(spark, sf0001)
@@ -459,6 +459,8 @@ class PropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
     val incRef = rows(graft.queries.Curation.lshIncremental(docs))
     spark.catalog.clearCache()
+    val wsRef = rows(graft.queries.Llm.weightedSample(docs))
+    spark.catalog.clearCache()
     Seq(docs.repartition(17, $"source"), docs.coalesce(1)).foreach { l =>
       assert(rows(graft.queries.Curation.lshFidelity(l)) === fidRef)
       spark.catalog.clearCache()
@@ -469,6 +471,8 @@ class PropertiesSpec extends SparkSpec {
       assert(rows(graft.queries.Analytics.skipgramPmi(l)) === pmiRef)
       spark.catalog.clearCache()
       assert(rows(graft.queries.Curation.lshIncremental(l)) === incRef)
+      spark.catalog.clearCache()
+      assert(rows(graft.queries.Llm.weightedSample(l)) === wsRef)
       spark.catalog.clearCache()
     }
     val emb = graft.queries.Curation

@@ -2238,6 +2238,41 @@ class CatalogSpec extends SparkSpec {
     assert(gotB === 0L, s"batch-internal pair leaked: $gotB rows")
   }
 
+  test("q135 — weighted sample equals a driver-side md5-draw + rational-weight replay") {
+    import spark.implicits._
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    // w = 1 docs (pure stopwords, n = hits, n >= 200 caps the length
+    // term): ALWAYS kept regardless of the draw; mixed docs replay
+    val sure = (1L to 3L).map(i => (i, ("the " * 200).trim, "S"))
+    val mixed = (10L to 29L).map(i =>
+      (i, s"u$i v$i the of w$i x$i y$i", "M"))
+    val docs = (sure ++ mixed).toDF("doc_id", "text", "source")
+    val got = graft.queries.Llm.weightedSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // full replay in plain Scala: same tokens, same stopword hits, same
+    // md5 draw, same integer keep rule and half-up expectations
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rep = (sure ++ mixed).map { case (_, t, src) =>
+      val toks = t.split(" ", -1)
+      val n = toks.length.toLong
+      val hits = toks.count(stop).toLong
+      val num = 200L * hits + n * math.min(200L, n)
+      val den = 400L * n
+      val u = java.lang.Long.parseLong(md.digest(t.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+      (src, u * den < num * 4294967296L, (2 * 10000 * num + den) / (2 * den))
+    }
+    val exp = rep.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val nd = rows.size.toLong
+      val nk = rows.count(_._2).toLong
+      (src, nd, nk, rows.map(_._3).sum, (2 * 10000 * nk + nd) / (2 * nd))
+    }
+    assert(got.toSeq === exp, s"replay diverged: ${got.toSeq} vs $exp")
+    // the w = 1 stratum is deterministically intact
+    assert(got.find(_._1 == "S").get._3 === 3L, s"w=1 docs dropped: ${got.toSeq}")
+  }
+
   test("q130 — ANN recall: singleton-cell line corpus, hand recall curve") {
     import spark.implicits._
     // 12 collinear vectors at x = 10·i: every vector seeds (id < 64) and
