@@ -211,6 +211,26 @@ object MinHashLsh {
      () => { newSigs.unpersist(); () })
   }
 
+  /** Self-join twin of [[crossNearDupPairsFromSigs]] for a frame's
+    * INTERNAL pairs: the i < j cut applies at CANDIDATE time (before
+    * exact verification), so self-pairs and mirrored orderings never
+    * reach the jaccard kernel — the same candidate economics as
+    * [[nearDupPairsDetached]], over already-held signatures.
+    */
+  def nearDupPairsFromSigs(sigs: DataFrame, threshold: Double,
+                           bands: Int = 24, rowsPerBand: Int = 2)
+      : DataFrame = {
+    val candidates = bandExplode(sigs, "i", bands, rowsPerBand)
+      .hint("shuffle_hash")
+      .join(bandExplode(sigs, "j", bands, rowsPerBand),
+        Seq("band", "band_key"))
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+      .dropDuplicates("i", "j")
+    verifyPairs(candidates, sigs, sigs, threshold,
+      broadcastCandidates = true)
+  }
+
   /** The fully-amortized cross form for callers that already HOLD both
     * signature frames (the streaming ingest monitor reads the corpus side
     * from its at-rest parquet store and signs only the arriving batch):

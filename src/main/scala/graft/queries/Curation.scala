@@ -161,15 +161,6 @@ object Curation {
       .orderBy("status", "b")
   }
 
-  /** The md5-replayable MinHash-LSH candidate core q83 and q128 share:
-    * per-doc distinct 3-shingle arrays plus the banded candidate pair set
-    * (i, j, n_bands). Returned frames are BOTH persisted under the session
-    * clearCache contract (the shingle frame feeds signature + verification
-    * subtrees; the candidate frame feeds verification twice in q83 and the
-    * scalar + detection marks in q128). Keeping ONE definition here is the
-    * q85-contentSplit rule: q128's fidelity audit measures exactly the
-    * banding q83 ships, not a drifted copy.
-    */
   /** The shingle-array + banded-key frames under [[lshMd5Candidates]]
     * (self-join candidates, q83/q128) and [[lshIncremental]] (cross-side
     * candidates, q134) — one signature definition for every md5-LSH
@@ -225,6 +216,13 @@ object Curation {
     (shArr, banded)
   }
 
+  /** The banded SELF-JOIN candidate set over [[lshMd5Banded]] (i < j,
+    * n_bands per pair) — the q83/q128 shared candidate definition
+    * (the q85-contentSplit rule: q128's fidelity audit measures exactly
+    * the banding q83 ships, not a drifted copy). The candidate frame is
+    * persisted (verification consumes it twice in q83; q128 reads it for
+    * the scalar + detection marks).
+    */
   private def lshMd5Candidates(docs: DataFrame, nPerms: Int, nBands: Int,
                                persistShingles: Boolean = true)
       : (DataFrame, DataFrame) = {
@@ -239,6 +237,41 @@ object Curation {
     (shArr, cand)
   }
 
+  /** Exact-jaccard verification of an md5-LSH candidate set against the
+    * shingle-array frame — the ONE verify plan q83 and q134 share
+    * (candidate-drift rule again: a rounding or broadcast change edits
+    * both entries or neither). Both joins are driven by the (tiny)
+    * candidate set broadcast into the shingle stream, so the full
+    * co-shingle posting join never forms; at 100 TB the candidate set
+    * still broadcasts because banding caps it near the true-positive
+    * mass. `left`/`right` name the candidate frame's two id columns.
+    */
+  private def verifyMd5Candidates(shArr: DataFrame, cand: DataFrame,
+                                  left: String, right: String): DataFrame = {
+    val shx = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
+    val leftSh = shx
+      .join(broadcast(cand.select(col(left), col(right))),
+        col("doc_id") === col(left))
+      .select(col(left), col(right), col("s"))
+    val inter = broadcast(leftSh)
+      .join(shx.select(col("doc_id").as(right), col("s")), Seq(right, "s"))
+      .groupBy(left, right).agg(count(lit(1)).as("k"))
+    val cnt = shArr.select(col("doc_id"),
+      size(col("shs")).cast(LongType).as("n"))
+    cand
+      .join(inter, Seq(left, right), "left")
+      .join(broadcast(cnt.select(col("doc_id").as(left), col("n").as("ni"))),
+        Seq(left))
+      .join(broadcast(cnt.select(col("doc_id").as(right), col("n").as("nj"))),
+        Seq(right))
+      .select(col(left), col(right),
+        col("n_bands").cast(LongType).as("n_bands"),
+        round(coalesce(col("k"), lit(0L)) * 1.0 /
+          (col("ni") + col("nj") - coalesce(col("k"), lit(0L))), 4)
+          .as("jaccard"))
+      .orderBy(left, right)
+  }
+
   /** q83's logic over an arbitrary corpus: md5-replayable MinHash-LSH
     * near-dup candidates (16 perms, 4 bands × 4 rows) with the exact
     * 3-shingle jaccard attached to every candidate. Exposed so specs can
@@ -248,25 +281,7 @@ object Curation {
     */
   def lshMd5Pairs(docs: DataFrame, nPerms: Int = 16, nBands: Int = 4): DataFrame = {
     val (shArr, cand) = lshMd5Candidates(docs, nPerms, nBands)
-    // exact verification restricted to candidates: both joins are driven
-    // by the (tiny) candidate set broadcast into the shingle stream — the
-    // full co-shingle posting join never forms
-    val shx = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
-    val leftSh = shx
-      .join(broadcast(cand.select(col("i"), col("j"))), col("doc_id") === col("i"))
-      .select(col("i"), col("j"), col("s"))
-    val inter = broadcast(leftSh)
-      .join(shx.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy("i", "j").agg(count(lit(1)).as("k"))
-    val cnt = shArr.select(col("doc_id"), size(col("shs")).cast(LongType).as("n"))
-    cand
-      .join(inter, Seq("i", "j"), "left")
-      .join(broadcast(cnt.select(col("doc_id").as("i"), col("n").as("ni"))), Seq("i"))
-      .join(broadcast(cnt.select(col("doc_id").as("j"), col("n").as("nj"))), Seq("j"))
-      .select(col("i"), col("j"), col("n_bands").cast(LongType).as("n_bands"),
-        round(coalesce(col("k"), lit(0L)) * 1.0 /
-          (col("ni") + col("nj") - coalesce(col("k"), lit(0L))), 4).as("jaccard"))
-      .orderBy("i", "j")
+    verifyMd5Candidates(shArr, cand, "i", "j")
   }
 
   /** q128's logic over an arbitrary corpus — exposed so specs can pin the
@@ -382,32 +397,7 @@ object Curation {
         Seq("b", "key"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact verification restricted to candidates (the q83 pattern: the
-    // tiny candidate set drives both joins; the full co-shingle posting
-    // join never forms)
-    val shx = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
-    val leftSh = shx
-      .join(broadcast(cand.select(col("new_id"), col("old_id"))),
-        col("doc_id") === col("new_id"))
-      .select(col("new_id"), col("old_id"), col("s"))
-    val inter = broadcast(leftSh)
-      .join(shx.select(col("doc_id").as("old_id"), col("s")),
-        Seq("old_id", "s"))
-      .groupBy("new_id", "old_id").agg(count(lit(1)).as("k"))
-    val cnt = shArr.select(col("doc_id"),
-      size(col("shs")).cast(LongType).as("n"))
-    cand
-      .join(inter, Seq("new_id", "old_id"), "left")
-      .join(broadcast(cnt.select(col("doc_id").as("new_id"),
-        col("n").as("ni"))), Seq("new_id"))
-      .join(broadcast(cnt.select(col("doc_id").as("old_id"),
-        col("n").as("nj"))), Seq("old_id"))
-      .select(col("new_id"), col("old_id"),
-        col("n_bands").cast(LongType).as("n_bands"),
-        round(coalesce(col("k"), lit(0L)) * 1.0 /
-          (col("ni") + col("nj") - coalesce(col("k"), lit(0L))), 4)
-          .as("jaccard"))
-      .orderBy("new_id", "old_id")
+    verifyMd5Candidates(shArr, cand, "new_id", "old_id")
   }
 
   private lazy val lshIncrementalOracle: String =

@@ -28,8 +28,17 @@ object Llm {
     * float. The ONE definition q66's sweep and q103's parity audit
     * share.
     */
+  /** The q66 exact quality rational's numerator/denominator over columns
+    * named `n` / `hits` — the ONE engine-side spelling qualityDecile
+    * (hard deciles), q112's e4 score and q135's sampling weight all
+    * assemble from: an edit here IS an edit to every quality consumer
+    * (review finding, r10 s2).
+    */
+  private[queries] val qualityNumSql = "(200 * hits + n * least(200, n))"
+  private[queries] val qualityDenSql = "(400 * n)"
+
   private[queries] def qualityDecile: org.apache.spark.sql.Column =
-    least(expr("(10 * (200 * hits + n * least(200, n))) div (400 * n)")
+    least(expr(s"(10 * $qualityNumSql) div $qualityDenSql")
       .cast(IntegerType), lit(10))
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
@@ -1542,8 +1551,8 @@ object Llm {
       .select(col("source"), col("n_chars").as("y"), n.as("n"),
         hits.as("hits"))
       .select(col("source"), col("y"),
-        expr("(2 * 10000 * (200 * hits + n * least(200, n)) + 400 * n) div (2 * 400 * n)")
-          .as("x"))
+        expr(s"(2 * 10000 * $qualityNumSql + $qualityDenSql) " +
+          s"div (2 * $qualityDenSql)").as("x"))
     q.groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
@@ -1643,13 +1652,15 @@ object Llm {
     val base = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("source"),
-        (lit(200L) * TextOps.stopwordHits(col("toks"), qualityStopwords)
-          .cast(LongType) +
-          size(col("toks")).cast(LongType) *
-            least(lit(200L), size(col("toks")).cast(LongType))).as("num"),
-        (lit(400L) * size(col("toks")).cast(LongType)).as("den"),
+        size(col("toks")).cast(LongType).as("n"),
+        TextOps.stopwordHits(col("toks"), qualityStopwords)
+          .cast(LongType).as("hits"),
         conv(substring(md5(col("text").cast(BinaryType)), 1, 8), 16, 10)
           .cast(LongType).as("u"))
+      // the shared q66 rational spelling — the weight here IS the decile
+      // gate's rational, not a re-derivation
+      .select(col("source"), expr(qualityNumSql).as("num"),
+        expr(qualityDenSql).as("den"), col("u"))
     base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("u") * col("den") < col("num") * lit(4294967296L), 1L)

@@ -371,9 +371,12 @@ object Streams {
         val batchSigs = MinHashLsh.signatures(batch, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val fs = org.apache.hadoop.fs.FileSystem
-            .get(spark.sparkContext.hadoopConfiguration)
+          // resolve through outDir's OWN filesystem — the default-FS client
+          // would throw (or silently list a different store) whenever
+          // outDir's scheme differs from fs.defaultFS (review finding)
           val sigsBase = new org.apache.hadoop.fs.Path(s"$outDir/sigs")
+          val fs = sigsBase
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           // the store = every PRIOR batch's signatures; the current
           // batchId is excluded so a replayed micro-batch (sig write
           // survived, checkpoint commit didn't) cannot screen the batch
@@ -391,12 +394,11 @@ object Streams {
                   lit(0.0).as("jaccard")).limit(0)
             else MinHashLsh.crossNearDupPairsFromSigs(batchSigs,
               spark.read.parquet(prior.toIndexedSeq: _*), threshold)
-          // within-batch pairs from the SAME signature frame (self-probe,
-          // unordered form kept by the i < j cut; the batch is the small
-          // side on both ends so the broadcast plan is the right one)
+          // within-batch pairs from the SAME signature frame — the self
+          // form cuts i < j at CANDIDATE time, so mirrored orderings and
+          // self-pairs never reach the verify kernel (review finding)
           val within = MinHashLsh
-            .crossNearDupPairsFromSigs(batchSigs, batchSigs, threshold)
-            .filter(col("i") < col("j"))
+            .nearDupPairsFromSigs(batchSigs, threshold)
           val pairs = within.select(col("i"), col("j"), col("jaccard"),
               lit("within").as("kind"))
             .unionByName(cross.select(col("i"), col("j"), col("jaccard"),
