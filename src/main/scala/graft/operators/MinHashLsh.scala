@@ -216,9 +216,17 @@ object MinHashLsh {
     * exact verification), so self-pairs and mirrored orderings never
     * reach the jaccard kernel — the same candidate economics as
     * [[nearDupPairsDetached]], over already-held signatures.
+    *
+    * `broadcastCandidates` defaults to FALSE because on a corpus-sized
+    * signature frame the self-join candidate set is corpus-scale and
+    * broadcasting it risks driver/executor OOM — the same reasoning as
+    * [[nearDupPairsDetached]]. Callers whose input is batch-bounded by
+    * construction (the streaming within-batch monitor) pass true to
+    * skip the two verify shuffles.
     */
   def nearDupPairsFromSigs(sigs: DataFrame, threshold: Double,
-                           bands: Int = 24, rowsPerBand: Int = 2)
+                           bands: Int = 24, rowsPerBand: Int = 2,
+                           broadcastCandidates: Boolean = false)
       : DataFrame = {
     val candidates = bandExplode(sigs, "i", bands, rowsPerBand)
       .hint("shuffle_hash")
@@ -228,7 +236,7 @@ object MinHashLsh {
       .select("i", "j")
       .dropDuplicates("i", "j")
     verifyPairs(candidates, sigs, sigs, threshold,
-      broadcastCandidates = true)
+      broadcastCandidates = broadcastCandidates)
   }
 
   /** The fully-amortized cross form for callers that already HOLD both

@@ -290,34 +290,7 @@ object Llm {
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.4
         |ORDER BY i, j""".stripMargin) { (s, d) =>
-      // norms precomputed once per row (5k sqrts), not once per pair (12.5M);
-      // the dot is the codegen'd DotF32 expression, so the O(n²) inner loop
-      // stays inside whole-stage codegen with zero boxing
-      val B = 512
-      // one scalar max() over a single int column to size the block grid —
-      // a metadata-cheap pass (parquet row-group stats) even at corpus scale
-      val kmaxRow = Tables.embeddings(s, d)
-        .agg(max(expr(s"vec_id div $B").cast(IntegerType))).collect()(0)
-      val kmax = if (kmaxRow.isNullAt(0)) 0 else kmaxRow.getInt(0)
-      val base = Tables.embeddings(s, d)
-        .withColumn("nrm", sqrt(VectorOps.dot(col("embedding"), col("embedding"))))
-        .withColumn("blk", expr(s"vec_id div $B").cast(IntegerType))
-      val a = base
-        .withColumn("q", explode(sequence(col("blk"), lit(kmax))))
-        .select(col("vec_id").as("i"), col("embedding").as("ea"),
-                col("nrm").as("na"), col("blk").as("p"), col("q"))
-      val b = base
-        .withColumn("p", explode(sequence(lit(0), col("blk"))))
-        .select(col("vec_id").as("j"), col("embedding").as("eb"),
-                col("nrm").as("nb"), col("p"), col("blk").as("q"))
-      a.hint("shuffle_hash") // block-pair keys need no sort order
-        .join(b, Seq("p", "q"))
-        .filter(col("i") < col("j"))
-        .withColumn("cs", VectorOps.cosinePrenorm(
-          VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))
-        .filter(col("cs") > 0.4)
-        .select(col("i"), col("j"), round(col("cs"), 4).as("score"))
-        .orderBy("i", "j")
+      embeddingNeardupExact(Tables.embeddings(s, d))
     },
 
     Q("q34_simhash",
@@ -1647,12 +1620,30 @@ object Llm {
     * expectations), the w = 1 always-keep identity, and layout
     * invariance.
     */
+  /** Largest token count for which the keep test's Long arithmetic is
+    * exact: `u * den` with u < 2^32 and den = 400·n stays below 2^63
+    * only while n ≤ 2^63 / (2^32 · 400) ≈ 5.36e6 (the num side shares
+    * the bound since num ≤ 400·n). Past it Spark's non-ANSI mode would
+    * wrap SILENTLY, flipping keep decisions, while the DuckDB oracle
+    * errors — so the engine fails loudly instead (review finding).
+    */
+  private[queries] val weightedSampleMaxTokens: Long =
+    Long.MaxValue / (4294967296L * 400L) // 5 368 709
+
   def weightedSample(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    val nGuarded = when(
+      size(col("toks")).cast(LongType) > lit(weightedSampleMaxTokens),
+      raise_error(concat(
+        lit("weightedSample: document exceeds the Long-safe token bound " +
+          s"($weightedSampleMaxTokens); the 32-bit-draw keep test would " +
+          "overflow and wrap silently. n="),
+        size(col("toks")).cast(StringType))).cast(LongType))
+      .otherwise(size(col("toks")).cast(LongType))
     val base = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("source"),
-        size(col("toks")).cast(LongType).as("n"),
+        nGuarded.as("n"),
         TextOps.stopwordHits(col("toks"), qualityStopwords)
           .cast(LongType).as("hits"),
         conv(substring(md5(col("text").cast(BinaryType)), 1, 8), 16, 10)
@@ -1670,6 +1661,58 @@ object Llm {
         expr("(2 * 10000 * n_kept + n_docs) div (2 * n_docs)")
           .as("kept_share_e4"))
       .orderBy("source")
+  }
+
+  /** q33's blocked exact all-pairs cosine over an arbitrary embeddings
+    * frame — the ONE quadratic entry in the catalog, exposed behind an
+    * explicit ROW-COUNT BUDGET (`maxRows`, the textrank
+    * `localWalkMaxEdges` pattern; VERDICT r10 item 5) so the O(n²/B)
+    * plan cannot be launched on a corpus-sized table by accident: the
+    * budget check rides the SAME metadata-cheap single agg pass that
+    * already sizes the block grid (count + max over one int column —
+    * parquet row-group stats, no extra scan) and throws
+    * IllegalArgumentException past the budget, naming the LSH /
+    * SemDeDup scale paths. At the default 1M-row budget the worst case
+    * is ~n²/2 ≈ 5e11 comparisons — audit scale, a deliberate ceiling.
+    *
+    * Plan (unchanged from the oracled entry): norms precomputed once per
+    * row, the codegen'd DotF32 dot, block = vec_id div B replicated so
+    * every ordered block pair meets on exactly one (p, q) equi key — a
+    * uniform shuffled equi-join, no BroadcastNestedLoopJoin, no skew.
+    */
+  def embeddingNeardupExact(embeddings: DataFrame, threshold: Double = 0.4,
+                            blockSize: Int = 512,
+                            maxRows: Long = 1000000L): DataFrame = {
+    val B = blockSize
+    val head = embeddings
+      .agg(max(expr(s"vec_id div $B").cast(IntegerType)).as("kmax"),
+        count(lit(1)).as("n")).collect()(0)
+    val n = head.getLong(1)
+    require(n <= maxRows,
+      s"embeddingNeardupExact: $n rows exceeds the quadratic-plan budget " +
+        s"($maxRows). This exact all-pairs entry is audit-scale by design " +
+        "— use the LSH path (Dedup.embeddingPairs) or SemDeDup (q64) at " +
+        "corpus scale, or raise maxRows explicitly.")
+    val kmax = if (head.isNullAt(0)) 0 else head.getInt(0)
+    val base = embeddings
+      .withColumn("nrm", sqrt(VectorOps.dot(col("embedding"), col("embedding"))))
+      .withColumn("blk", expr(s"vec_id div $B").cast(IntegerType))
+    val a = base
+      .withColumn("q", explode(sequence(col("blk"), lit(kmax))))
+      .select(col("vec_id").as("i"), col("embedding").as("ea"),
+              col("nrm").as("na"), col("blk").as("p"), col("q"))
+    val b = base
+      .withColumn("p", explode(sequence(lit(0), col("blk"))))
+      .select(col("vec_id").as("j"), col("embedding").as("eb"),
+              col("nrm").as("nb"), col("p"), col("blk").as("q"))
+    a.hint("shuffle_hash") // block-pair keys need no sort order
+      .join(b, Seq("p", "q"))
+      .filter(col("i") < col("j"))
+      .withColumn("cs", VectorOps.cosinePrenorm(
+        VectorOps.dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cs") > threshold)
+      .select(col("i"), col("j"), round(col("cs"), 4).as("score"))
+      .orderBy("i", "j")
   }
 
   /** q131's logic over an arbitrary corpus — exposed so specs can pin the

@@ -1023,6 +1023,14 @@ object Relational {
     * mergeable-sketch marks past it. None (default, and the oracled
     * catalog entry) never routes. CatalogSpec pins both sides of the
     * threshold ≡ their forced forms.
+    *
+    * '''EAGER-ACTION WARNING (ADVICE r10):''' passing Some(t) makes this
+    * otherwise-lazy builder run a Spark `count()` action (and persist
+    * the per-customer aggregate) AT CONSTRUCTION TIME — a full
+    * orders-scale scan is paid even if the returned frame is never
+    * materialized. Construct the frame only when you intend to run it,
+    * or pass `approxMonetary = true` directly when the regime is known
+    * — that route stays fully lazy.
     */
   def rfmSegments(orders: DataFrame,
                   approxMonetary: Boolean = false,

@@ -360,6 +360,31 @@ object Streams {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // the sig/pair store lifecycle is coupled to the checkpoint: a fresh
+    // checkpoint restarts batchIds at 0, and the batchId-keyed overwrite
+    // writes would clobber earlier batches' sigs/<id>/pairs/<id> while
+    // stale HIGHER-numbered sig dirs kept feeding the cross probe —
+    // silently wrong pairs. Fail fast instead: outDir and checkpoint
+    // must be created (and deleted) together (review finding).
+    locally {
+      val cpOffsets = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+      val sigsBase = new org.apache.hadoop.fs.Path(s"$outDir/sigs")
+      val cpFs = cpOffsets
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sigFs = sigsBase
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val checkpointEmpty =
+        !cpFs.exists(cpOffsets) || cpFs.listStatus(cpOffsets).isEmpty
+      val storePopulated =
+        sigFs.exists(sigsBase) &&
+          sigFs.listStatus(sigsBase).exists(_.isDirectory)
+      require(!(checkpointEmpty && storePopulated),
+        s"neardupIngestStream: signature store $outDir/sigs already holds " +
+          s"batch directories but checkpoint $checkpoint is empty — a " +
+          "fresh checkpoint restarts batchIds at 0 and would silently " +
+          "corrupt the store. Delete outDir and checkpoint together, or " +
+          "reuse the original checkpoint.")
+    }
     val stream = spark.readStream
       .schema(docsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -398,7 +423,8 @@ object Streams {
           // form cuts i < j at CANDIDATE time, so mirrored orderings and
           // self-pairs never reach the verify kernel (review finding)
           val within = MinHashLsh
-            .nearDupPairsFromSigs(batchSigs, threshold)
+            .nearDupPairsFromSigs(batchSigs, threshold,
+              broadcastCandidates = true) // batch-bounded by construction
           val pairs = within.select(col("i"), col("j"), col("jaccard"),
               lit("within").as("kind"))
             .unionByName(cross.select(col("i"), col("j"), col("jaccard"),

@@ -62,6 +62,23 @@ class MinHashLshSpec extends SparkSpec {
     } finally { releaseCross(); releaseFull() }
   }
 
+  test("nearDupPairsFromSigs — shuffled default ≡ broadcast form (ADVICE r10)") {
+    // the broadcastCandidates knob changes only the verify-join PLAN
+    // (batch-bounded callers broadcast; the corpus-scale default must
+    // not) — the emitted pair set is identical either way
+    val docs = Tables.documents(spark, sf0001)
+    val sigs = MinHashLsh.signatures(docs, "doc_id", "text").persist()
+    try {
+      val shuffled = MinHashLsh.nearDupPairsFromSigs(sigs, threshold = 0.5)
+      val bcast = MinHashLsh.nearDupPairsFromSigs(sigs, threshold = 0.5,
+        broadcastCandidates = true)
+      assert(shuffled.exceptAll(bcast).isEmpty &&
+        bcast.exceptAll(shuffled).isEmpty,
+        "broadcast and shuffled verify plans must emit identical pairs")
+      assert(bcast.count() > 0, "corpus should contain at least one pair")
+    } finally { sigs.unpersist(); () }
+  }
+
   test("signature determinism across partition layouts") {
     val docs = Tables.documents(spark, sf0001)
     def sigs(parts: Int) = docs.repartition(parts)

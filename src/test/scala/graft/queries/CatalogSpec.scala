@@ -28,6 +28,51 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.all.map(_.name).distinct.size === Catalog.all.size)
   }
 
+  test("q33 — quadratic-plan budget guard fires past maxRows (VERDICT r10 #5)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // under budget: helper ≡ the oracled catalog entry
+    val viaHelper = graft.queries.Llm.embeddingNeardupExact(emb)
+      .collect().map(_.toSeq).toSeq
+    val viaCatalog = Catalog.byName("q33_embedding_neardup")
+      .build(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(viaHelper === viaCatalog)
+    // past budget: refuse loudly BEFORE any quadratic work, naming the
+    // scale paths
+    val n = emb.count()
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.Llm.embeddingNeardupExact(emb, maxRows = n - 1)
+    }
+    assert(ex.getMessage.contains("budget") &&
+      ex.getMessage.contains("SemDeDup"),
+      s"guard message should name the scale paths: ${ex.getMessage}")
+  }
+
+  test("q135 — weightedSample fails loudly past the Long-safe token bound (ADVICE r10)") {
+    import spark.implicits._
+    // a doc one token past the bound would silently wrap the keep test's
+    // Long arithmetic in non-ANSI mode; the guard must raise instead.
+    // Build the token count via repeat (the string is ~2·bound chars —
+    // constructed lazily inside Spark, not on the test heap).
+    val over = graft.queries.Llm.weightedSampleMaxTokens + 1
+    val docs = spark.range(1).select(
+      lit("s1").as("source"),
+      expr(s"repeat('a ', ${over}L)").as("text"))
+    val ex = intercept[Exception] {
+      graft.queries.Llm.weightedSample(docs).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("Long-safe token bound"))),
+      s"expected the overflow guard to fire, got: $ex")
+    // and a doc AT the bound still computes (no false positive)
+    val ok = spark.range(1).select(
+      lit("s1").as("source"),
+      expr(s"repeat('a ', ${graft.queries.Llm.weightedSampleMaxTokens}L)")
+        .as("text"))
+    assert(graft.queries.Llm.weightedSample(ok).count() === 1)
+  }
+
   test("q16b — approx_count_distinct within 5% of exact (HLL cap)") {
     val rows = Catalog.byName("q16b_approx_distinct").build(spark, sf0001)
       .collect()

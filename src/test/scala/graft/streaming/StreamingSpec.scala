@@ -771,5 +771,19 @@ class StreamingSpec extends SparkSpec {
     val sigDirs = new java.io.File(s"$out/sigs").listFiles()
       .count(_.isDirectory)
     assert(sigDirs === 2, s"expected 2 per-batch sig dirs, got $sigDirs")
+
+    // ADVICE r10: restarting against the SAME populated store with a FRESH
+    // checkpoint must fail fast — batchIds restart at 0 and the overwrite
+    // writes would silently corrupt the store (clobber low batches, leave
+    // stale high sig dirs feeding the cross probe)
+    val ex = intercept[IllegalArgumentException] {
+      Streams.neardupIngestStream(spark, watch, out, ckpt(), threshold = 0.8)
+    }
+    assert(ex.getMessage.contains("checkpoint"),
+      s"fail-fast message should explain the lifecycle coupling: $ex")
+    // and the store is untouched by the refused start
+    assert(new java.io.File(s"$out/sigs").listFiles()
+      .count(_.isDirectory) === 2)
+    // reusing the ORIGINAL checkpoint is still fine (no new files → no-op)
   }
 }
