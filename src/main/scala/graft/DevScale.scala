@@ -284,6 +284,32 @@ object DevScale {
       println(f"[scale] $q%-24s 1x=${t1}%7.3f s ($r1%d rows)  ${replicas}%dx=${t10}%7.3f s ($r10%d rows)  ratio=${t10 / t1}%5.2f")
     }
 
+    // q107/q110 ROUTED scale paths (VERDICT r10 #2): the shipped
+    // stitched-lag + GK forms must break the 4–6× per-type-ordered-pass
+    // scaling the exact entries document — expect ~scan-linear ratios
+    {
+      def timeDf(mk: String => DataFrame, dir: String): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk(dir).write.format("noop").mode("overwrite").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          s
+        }.sorted
+        ts(1)
+      }
+      Seq[(String, String => DataFrame)](
+        ("q107 routed(scalable)", d => graft.queries.Analytics
+          .gapDeciles(Tables.events(spark, d), scalable = true)),
+        ("q110 routed(approx)", d => graft.queries.Analytics
+          .valuePercentiles(Tables.events(spark, d), approx = true))
+      ).foreach { case (name, mk) =>
+        val t1 = timeDf(mk, sfDir)
+        val t10 = timeDf(mk, outDir)
+        println(f"[scale] $name%-24s 1x=${t1}%7.3f s  ${replicas}%dx=${t10}%7.3f s  ratio=${t10 / t1}%5.2f")
+      }
+    }
+
     // q50 with the bucket count RETUNED for the denser corpus (the
     // production lever: planes grow with log(corpus) to hold per-bucket
     // occupancy constant; at fixed resolution, 10x corpus x 10x probes

@@ -1031,10 +1031,13 @@ object Analytics {
         |per-type ordered passes (one task per type; DevScale reads 4×
         |wall at 10× rows for exactly this reason — unlike q100's
         |length table, microsecond gaps don't aggregate). The
-        |production levers at real scale: partition the lag by
-        |(type, time-bucket) and stitch bucket boundaries, and read
-        |q72's mergeable sketch for the quantile itself; this entry is
-        |the exact ground truth those are judged against.""".stripMargin,
+        |production levers at real scale are SHIPPED as routing on
+        |gapDeciles (the rfmSegments pattern): scalable=true (or
+        |autoThreshold past a row count) partitions the lag by
+        |(type, time-bucket) with exact boundary stitching — the gap
+        |multiset is byte-identical, spec-pinned — and reads q72's
+        |mergeable GK sketch for the quantile itself. This entry is the
+        |exact ground truth that path is judged against.""".stripMargin,
       q107OracleSql) { (s, d) =>
       gapDeciles(Tables.events(s, d))
     },
@@ -1087,10 +1090,13 @@ object Analytics {
         |is a per-type ordered pass (one task per type; continuous
         |doubles don't aggregate the way q100's lengths do — DevScale
         |6× at 10× rows). That is PRECISELY the contract q72's
-        |Greenwald–Khanna sketch exists to break: q72 is the 100 TB
-        |path, this entry is the exact ground truth it is judged
-        |against (and the audit-scale / sampled-slice read). Nulls are
-        |filtered identically on both engines before ranking.""".stripMargin,
+        |Greenwald–Khanna sketch exists to break, and the routing is
+        |SHIPPED on valuePercentiles (the rfmSegments pattern):
+        |approx=true (or autoThreshold past a row count) reads the
+        |mergeable GK sketch — map-side partials, no rank window. This
+        |entry is the exact ground truth it is judged against (and the
+        |audit-scale / sampled-slice read). Nulls are filtered
+        |identically on both engines before ranking.""".stripMargin,
       q110OracleSql) { (s, d) =>
       valuePercentiles(Tables.events(s, d))
     },
@@ -1833,23 +1839,108 @@ object Analytics {
   /** q107's logic over an arbitrary event frame — exposed so specs can
     * pin the gap extraction (per-type lag by (ts, event_id)) and the
     * rank arithmetic on engineered streams.
+    *
+    * `scalable` is the 100 TB path the entry's doc declares (VERDICT r10
+    * item 2, the rfmSegments routing pattern): the gap LAG is partitioned
+    * by (type, time-bucket) with bucket boundaries stitched through the
+    * bucket-grain aggregate — the gap MULTISET stays byte-exact (spec:
+    * stitched ≡ single-window on engineered streams and the corpus)
+    * while the per-type ordered pass shrinks from #events rows to
+    * #buckets rows; the decile itself then comes from q72's mergeable
+    * Greenwald–Khanna sketch (map-side partials, no rank window; rank
+    * error ≤ n/accuracy — exact-degenerate below `accuracy` gaps). The
+    * exact form (default, the oracled entry) is the ground truth the
+    * scalable form is judged against.
+    *
+    * `autoThreshold` routes between them by event count — Some(t) takes
+    * the scalable path iff #events > t. '''EAGER-ACTION WARNING''' (the
+    * rfmSegments caveat): passing Some(t) runs a Spark `count()` action
+    * at construction time.
     */
-  def gapDeciles(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wl = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
-    val g = events
+  def gapDeciles(events: org.apache.spark.sql.DataFrame,
+                 scalable: Boolean = false,
+                 autoThreshold: Option[Long] = None,
+                 bucketUs: Long = 3600000000L,
+                 accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val useScalable = scalable || autoThreshold.exists(t => events.count() > t)
+    if (useScalable) {
+      stitchedGaps(events, bucketUs)
+        .groupBy("event_type")
+        .agg(expr("percentile_approx(gap, " +
+          "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), " +
+          s"$accuracy)").as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "g")))
+        .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("k"),
+          col("g").cast(LongType).as("gap_us"))
+        .orderBy("event_type", "k")
+    } else {
+      val wl = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      val g = events
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(wl))
+        .filter(col("gap").isNotNull)
+      val wr = Window.partitionBy("event_type").orderBy("gap")
+      g.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("gap"), col("rn"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("k"))
+        .filter(col("rn") === expr("(k * n + 9) div 10"))
+        .select(col("event_type"), col("k").cast(IntegerType).as("k"),
+          col("gap").as("gap_us"))
+        .orderBy("event_type", "k")
+    }
+  }
+
+  /** The (type, time-bucket) stitched gap extraction — EXACT: emits the
+    * identical gap multiset as the single per-type window lag, but the
+    * within-bucket lag distributes across (type, bucket) tasks and only
+    * the BUCKET-GRAIN first/last table (one row per non-empty bucket)
+    * rides a per-type ordered pass. Correctness argument: `us div
+    * bucketUs` is monotone in us, so (bucket asc, (us, event_id) asc
+    * within) is the global (us, event_id) order; each event's
+    * predecessor is either within its bucket (the windowed lag) or the
+    * last event of the previous NON-EMPTY bucket — which is exactly what
+    * lag over the non-empty bucket aggregate yields (empty buckets have
+    * no row to lag over, so they are skipped by construction, not by a
+    * special case). Exposed package-private for the equivalence spec.
+    */
+  private[queries] def stitchedGaps(events: org.apache.spark.sql.DataFrame,
+                                    bucketUs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    // ONE corpus exchange: collect each (type, bucket)'s (us, event_id)
+    // pairs, sort in-task (sort_array on the struct = the (us, event_id)
+    // lexicographic tie rule), and compute the within-bucket gaps as a
+    // higher-order transform over the sorted array — no window sort, no
+    // second exchange for first/last (they're the array ends). Per-task
+    // memory is bounded by bucket occupancy: bucketUs is the lever
+    // (shrink it on hotter streams).
+    val bkts = events
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
         col("event_id"))
-      .withColumn("gap", col("us") - lag(col("us"), 1).over(wl))
-      .filter(col("gap").isNotNull)
-    val wr = Window.partitionBy("event_type").orderBy("gap")
-    g.withColumn("rn", row_number().over(wr))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .select(col("event_type"), col("gap"), col("rn"), col("n"),
-        explode(sequence(lit(1), lit(9))).as("k"))
-      .filter(col("rn") === expr("(k * n + 9) div 10"))
-      .select(col("event_type"), col("k").cast(IntegerType).as("k"),
-        col("gap").as("gap_us"))
-      .orderBy("event_type", "k")
+      .withColumn("bkt", expr(s"us div ${bucketUs}L"))
+      .groupBy("event_type", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"))))
+        .as("arr"))
+      .select(col("event_type"), col("bkt"),
+        // zip_with over offset slices (NOT sequence(1, size-1): Spark's
+        // sequence counts DOWN when stop < start, so a 1-element bucket
+        // would index past the array)
+        expr("zip_with(slice(arr, 2, size(arr) - 1), " +
+          "slice(arr, 1, size(arr) - 1), (a, b) -> a.us - b.us)")
+          .as("gaps"),
+        expr("element_at(arr, 1).us").as("first_us"),
+        expr("element_at(arr, size(arr)).us").as("last_us"))
+    // bucket-grain stitch: each bucket's first event gaps to the previous
+    // NON-EMPTY bucket's last event — lag over the bucket aggregate skips
+    // empty buckets by construction (no row to lag over)
+    val ws = Window.partitionBy("event_type").orderBy("bkt")
+    bkts
+      .withColumn("prev_last_us", lag(col("last_us"), 1).over(ws))
+      .select(col("event_type"),
+        explode(when(col("prev_last_us").isNotNull,
+          concat(array(col("first_us") - col("prev_last_us")), col("gaps")))
+          .otherwise(col("gaps"))).as("gap"))
   }
 
   private lazy val q107OracleSql: String =
@@ -1940,20 +2031,52 @@ object Analytics {
   /** q110's logic over an arbitrary event frame — exposed so specs can
     * pin the exact ranks against q72's sketch contract and the
     * value pass-through.
+    *
+    * `approx` is the 100 TB path the entry's doc declares (VERDICT r10
+    * item 2): the exact per-type ordered pass (one task per type over
+    * continuous, non-aggregating doubles) is replaced by q72's mergeable
+    * Greenwald–Khanna sketch — map-side partials, no rank window, rank
+    * error ≤ n/accuracy (exact-degenerate below `accuracy` rows per
+    * type). The exact form (default, the oracled entry) is the ground
+    * truth the sketch is judged against (the q72 spec's rank-window
+    * contract).
+    *
+    * `autoThreshold` routes by row count — Some(t) takes the sketch iff
+    * #non-null rows > t. '''EAGER-ACTION WARNING''' (the rfmSegments
+    * caveat): passing Some(t) runs a Spark `count()` action at
+    * construction time.
     */
-  def valuePercentiles(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wr = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    events
+  def valuePercentiles(events: org.apache.spark.sql.DataFrame,
+                       approx: Boolean = false,
+                       autoThreshold: Option[Long] = None,
+                       accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val nonNull = events
       .select(col("event_type"), col("value"), col("event_id"))
       .filter(col("value").isNotNull)
-      .withColumn("rn", row_number().over(wr))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .select(col("event_type"), col("value"), col("rn"), col("n"),
-        explode(array(lit(50), lit(90), lit(99))).as("pct"))
-      .filter(col("rn") === expr("(pct * n + 99) div 100"))
-      .select(col("event_type"), col("pct").cast(IntegerType).as("pct"),
-        col("value"))
-      .orderBy("event_type", "pct")
+    val useApprox = approx || autoThreshold.exists(t => nonNull.count() > t)
+    if (useApprox) {
+      nonNull.groupBy("event_type")
+        .agg(expr(
+          s"percentile_approx(value, array(0.50D, 0.90D, 0.99D), $accuracy)")
+          .as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "v")))
+        .select(col("event_type"),
+          element_at(array(lit(50), lit(90), lit(99)), col("pos") + 1)
+            .cast(IntegerType).as("pct"),
+          col("v").as("value"))
+        .orderBy("event_type", "pct")
+    } else {
+      val wr = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      nonNull
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("value"), col("rn"), col("n"),
+          explode(array(lit(50), lit(90), lit(99))).as("pct"))
+        .filter(col("rn") === expr("(pct * n + 99) div 100"))
+        .select(col("event_type"), col("pct").cast(IntegerType).as("pct"),
+          col("value"))
+        .orderBy("event_type", "pct")
+    }
   }
 
   private lazy val q110OracleSql: String =

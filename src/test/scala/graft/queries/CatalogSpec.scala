@@ -1624,6 +1624,85 @@ class CatalogSpec extends SparkSpec {
     assert(pct.toSeq === Seq(50 -> 50.0, 90 -> 90.0, 99 -> 99.0), pct.toSeq)
   }
 
+  test("q107/q110 — routed scale paths: stitched gaps exact, GK within contract, routing pins (VERDICT r10 #2)") {
+    import spark.implicits._
+    // 1) stitched gap extraction is EXACT on an engineered stream built to
+    //    stress the stitch: a tiny bucket (1 min) forces events into many
+    //    buckets with EMPTY buckets between them, same-us ties exercise
+    //    the (us, event_id) struct tie rule, two types interleave
+    def ts(min: Long, ms: Long = 0) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        min * 60000L + ms)
+    val ev = Seq(
+      (1L, ts(0), "x"), (2L, ts(0), "x"),          // tie at us 0 (bucket 0)
+      (3L, ts(1, 500), "x"),                        // bucket 1
+      (4L, ts(7), "x"),                             // buckets 2-6 EMPTY
+      (5L, ts(7, 1), "x"), (6L, ts(30), "x"),       // long empty run
+      (10L, ts(2), "y"), (11L, ts(3), "y"), (12L, ts(200), "y"))
+      .map { case (id, t, ty) => (id, t, 1L, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def gapsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    val plain = ev
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wl))
+      .filter(col("gap").isNotNull).select("event_type", "gap")
+    val stitched = graft.queries.Analytics.stitchedGaps(ev, 60000000L)
+    assert(gapsOf(stitched) === gapsOf(plain),
+      "stitched gap multiset must equal the single-window lag")
+    // and on the real corpus at the production bucket (1 h)
+    val corpus = Tables.events(spark, sf0001)
+    val plainC = corpus
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wl))
+      .filter(col("gap").isNotNull).select("event_type", "gap")
+    assert(gapsOf(graft.queries.Analytics.stitchedGaps(corpus, 3600000000L))
+      === gapsOf(plainC))
+    spark.catalog.clearCache()
+
+    // 2) routing pins (the rfmSegments precedent): both sides of the
+    //    threshold ≡ their forced forms
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val n = corpus.count()
+    assert(rows(graft.queries.Analytics.gapDeciles(corpus,
+      autoThreshold = Some(n))) ===
+      rows(graft.queries.Analytics.gapDeciles(corpus)),
+      "below threshold must route exact")
+    assert(rows(graft.queries.Analytics.gapDeciles(corpus,
+      autoThreshold = Some(n - 1))) ===
+      rows(graft.queries.Analytics.gapDeciles(corpus, scalable = true)),
+      "above threshold must route scalable")
+    assert(rows(graft.queries.Analytics.valuePercentiles(corpus,
+      autoThreshold = Some(n))) ===
+      rows(graft.queries.Analytics.valuePercentiles(corpus)),
+      "below threshold must route exact")
+    assert(rows(graft.queries.Analytics.valuePercentiles(corpus,
+      autoThreshold = Some(0L))) ===
+      rows(graft.queries.Analytics.valuePercentiles(corpus, approx = true)),
+      "above threshold must route approx")
+    spark.catalog.clearCache()
+
+    // 3) the scalable outputs honor the GK rank contract vs exact (the
+    //    q72 spec rule; accuracy 10000 ≫ n here, so eps < 1 — degenerate
+    //    exactness up to GK's own rank rounding)
+    val exactGaps = plainC.collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sorted }
+    graft.queries.Analytics.gapDeciles(corpus, scalable = true).collect()
+      .foreach { r =>
+        val a = exactGaps(r.getString(0)); val m = a.length
+        val v = r.getLong(2)
+        val lt = a.count(_ < v); val le = a.count(_ <= v)
+        val target = math.ceil(r.getInt(1) * m / 10.0)
+        assert(lt + 1 - 1 <= target && target <= le + 1,
+          s"${r.getString(0)} k=${r.getInt(1)}: $v rank [${lt + 1},$le] " +
+            s"misses $target (n=$m)")
+      }
+    spark.catalog.clearCache()
+  }
+
   test("q108/q109 — hour grid zero-fills; lang shares are half-up on exact counts") {
     import spark.implicits._
     def at(hour: Long, i: Long) = new java.sql.Timestamp(hour * 3600000L + i)
