@@ -35,7 +35,8 @@ object DocOps {
     */
   def baseNameOf(url: Column): Column =
     regexp_replace(
-      regexp_replace(regexp_extract(url, "[^/]+$", 0), "\\.pdf$", ""),
+      regexp_replace(regexp_extract(url, "[^/]+$", 0),
+        "\\.(pdf|docx)$", ""), // .docx joins .pdf for the statute path
       "%20", "_")
 
   /** S13 — display title: base name with "_" → " "
@@ -91,8 +92,15 @@ object DocOps {
     * empty-array sentinels from schema.json, never null).
     * `ingestDate` is injected (not current_date()) so runs are reproducible;
     * callers pass the run date.
+    * `category` parameterizes the record for the statute path (the
+    * reference ingests the statutes tree and `*.docx` with
+    * `resource_type=statute`, auto_ingest.yml:27-29); the default is the
+    * reference's own constant (mcp_server.py:35). Tags mirror the
+    * category, matching the reference's tags=[category] shape
+    * (fetch_legal_docs.py:80).
     */
-  def docRecord(url: Column, content: Column, ingestDate: Column): Column = {
+  def docRecord(url: Column, content: Column, ingestDate: Column,
+                category: String = "CassationDecision"): Column = {
     val base = baseNameOf(url)
     val emptyArr = array().cast(ArrayType(StringType))
     struct(
@@ -100,8 +108,8 @@ object DocOps {
       yearOf(content).as("year"),
       url.as("sourceURL"),
       ingestDate.as("dateIngested"),
-      lit("CassationDecision").as("category"),
-      array(lit("CassationDecision")).as("tags"),
+      lit(category).as("category"),
+      array(lit(category)).as("tags"),
       content.as("content"),
       struct(lit("").as("issue"), lit("").as("holding"), lit("").as("ratio"))
         .as("caseFields"),

@@ -52,18 +52,32 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     if (ex.getRequestMethod != "POST") return errorJson("POST only")
     val params = query(ex)
     val volume = params.getOrElse("volume", "volume")
-    // S7 Content-Type gate (fetch_legal_docs.py:52-54)
+    // resource_type routes the statute path (auto_ingest.yml:27-29 posts
+    // statutes/** and *.docx with resource_type=statute): category
+    // "Statute" on the record, and the DOCX codec admitted at the gate
+    val resourceType = params.getOrElse("resource_type", "cassation_decision")
+    if (resourceType != "cassation_decision" && resourceType != "statute")
+      return errorJson(s"unknown resource_type: $resourceType")
+    val category =
+      if (resourceType == "statute") "Statute" else "CassationDecision"
+    // S7 Content-Type gate (fetch_legal_docs.py:52-54); statute uploads
+    // may be PDF (statutes/** scans) or DOCX (auto_ingest.yml's *.docx)
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-    if (!ct.contains("application/pdf"))
+    val isPdf = ct.contains("application/pdf")
+    val isDocx = ct.contains(IngestServer.DocxContentType)
+    if (!isPdf && !(isDocx && resourceType == "statute"))
       return errorJson(s"not a PDF (Content-Type: $ct)")
     val bytes = ex.getRequestBody.readAllBytes()
-    val url = params.getOrElse("pdf_url", s"$volume.pdf")
+    val defaultExt = if (isDocx) "docx" else "pdf"
+    val url = params.getOrElse("pdf_url", s"$volume.$defaultExt")
 
     import spark.implicits._
     val binaries = Seq((url, bytes)).toDF("url", "content")
-    val out = Pipeline.process(binaries, extractor,
+    val out = Pipeline.process(binaries,
+      if (isDocx) DocxExtractor else extractor,
       ingestDate = java.time.LocalDate.now.toString,
-      keepEmptyPages = true) // mcp_server.py:27-28 keeps empties
+      keepEmptyPages = true, // mcp_server.py:27-28 keeps empties
+      category = category)
     // single-row plan; toJSON gives the contract-correct escaping
     out.docs.toJSON.collect().headOption.getOrElse {
       val reason = out.quarantine.select("reason").collect()
@@ -99,6 +113,10 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
 }
 
 object IngestServer {
+  /** The DOCX MIME type admitted at the S7 gate for statute uploads. */
+  val DocxContentType: String =
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+
   /** The served contract, byte-stable (the MetricsExport descriptor
     * discipline): OpenAPI 3.1, one POST /ingest operation taking the PDF
     * bytes as the request body (application/pdf) with `volume` /
@@ -111,15 +129,21 @@ object IngestServer {
     """{"openapi":"3.1.0",
       |"info":{"title":"graft ingest service","version":"0.1.0"},
       |"paths":{"/ingest":{"post":{
-      |"summary":"Ingest one PDF through the S6-S14 operator chain",
+      |"summary":"Ingest one PDF or DOCX through the S6-S14 operator chain",
       |"operationId":"ingest_post",
       |"parameters":[
       |{"name":"volume","in":"query","required":false,
       | "schema":{"type":"string","default":"volume"}},
       |{"name":"pdf_url","in":"query","required":false,
       | "schema":{"type":"string"},
-      | "description":"recorded as the document's sourceURL; defaults to <volume>.pdf"}],
+      | "description":"recorded as the document's sourceURL; defaults to <volume>.<ext>"},
+      |{"name":"resource_type","in":"query","required":false,
+      | "schema":{"type":"string","enum":["cassation_decision","statute"],
+      |  "default":"cassation_decision"},
+      | "description":"statute sets category=Statute and admits DOCX bodies (auto_ingest.yml parity)"}],
       |"requestBody":{"required":true,"content":{"application/pdf":{
+      | "schema":{"type":"string","format":"binary"}},
+      | "application/vnd.openxmlformats-officedocument.wordprocessingml.document":{
       | "schema":{"type":"string","format":"binary"}}}},
       |"responses":{"200":{"description":
       | "the S14 document record on success, or {\"error\": ...} as an HTTP-200 row (S16 error containment)",

@@ -65,7 +65,8 @@ object Pipeline {
     *                       injection keeps runs reproducible).
     */
   def process(binaries: DataFrame, extractor: PageExtractor,
-              ingestDate: String, keepEmptyPages: Boolean = false): Processed = {
+              ingestDate: String, keepEmptyPages: Boolean = false,
+              category: String = "CassationDecision"): Processed = {
     val spark = binaries.sparkSession
     val extractUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) Seq.empty[String]
@@ -99,7 +100,8 @@ object Pipeline {
     // for the caller's compensating action.
     val good = reassembled
       .filter(DocOps.nonEmptyDoc(col("content")))
-      .select(DocOps.docRecord(col("url"), col("content"), lit(ingestDate))
+      .select(DocOps.docRecord(col("url"), col("content"), lit(ingestDate),
+          category)
         .as("doc"))
       .select("doc.*")
     val quarantine = reassembled

@@ -91,6 +91,16 @@ object Multimodal {
       graft.etl.FlatePdfExtractor.extractPages(bytes)
   }
 
+  /** Real DOCX codec (VERDICT r10 #3) — the zero-dependency zip +
+    * word/document.xml extractor behind the same seam, closing the
+    * reference's statute-ingestion path (auto_ingest.yml:27-29). Pages
+    * split on explicit/rendered page breaks; garbage degrades to Nil.
+    */
+  object DocxCodec extends DocumentCodec {
+    def extractPages(bytes: Array[Byte]): Seq[String] =
+      graft.etl.DocxExtractor.extractPages(bytes)
+  }
+
   final case class DocText(path: String, nPages: Int, text: String)
 
   /** Per-partition document text extraction via a [[DocumentCodec]] — same

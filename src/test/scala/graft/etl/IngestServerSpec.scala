@@ -52,6 +52,49 @@ class IngestServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("POST /ingest?resource_type=statute — DOCX round-trip with Statute category (VERDICT r10 #3)") {
+    val server = new IngestServer(spark, FlatePdfExtractor)
+    val port = server.start()
+    try {
+      val docx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/test/resources/fixtures/minimal_statute.docx"))
+      // auto_ingest.yml:24-32 parity: *.docx POSTed with
+      // resource_type=statute; the DOCX codec is selected by Content-Type
+      val resp = post(port,
+        "/ingest?volume=Proc%201-2016&resource_type=statute",
+        docx, IngestServer.DocxContentType)
+      val doc = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(doc.getAs[String]("title") === "Proc 1-2016")
+      assert(doc.getAs[String]("category") === "Statute")
+      assert(doc.getAs[Seq[String]]("tags") === Seq("Statute"))
+      assert(doc.getAs[String]("year") === "2016")
+      val content = doc.getAs[String]("content")
+      assert(content.contains("Federal Statute & Proclamation No. 1/2016"))
+      assert(content.contains("መገቢያ"), "Ethiopic content must survive")
+      assert(content.contains("Article 2: scope <broad>"))
+
+      // DOCX without statute resource_type is refused at the S7 gate
+      val refused = post(port, "/ingest?volume=x", docx,
+        IngestServer.DocxContentType)
+      assert(refused.contains("\"error\""))
+      // unknown resource_type is refused loudly
+      val unknown = post(port, "/ingest?volume=x&resource_type=treaty",
+        "%PDF".getBytes, "application/pdf")
+      assert(unknown.contains("\"error\""))
+      // statute PDFs still work (statutes/** may be PDF) and carry the
+      // statute category
+      val pdfBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/vol01.pdf"))
+      val pdfResp = post(port,
+        "/ingest?volume=Statute%20Vol&resource_type=statute",
+        pdfBytes, "application/pdf")
+      val pdfDoc = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(pdfResp).toDS()).head()
+      assert(pdfDoc.getAs[String]("category") === "Statute")
+    } finally server.stop()
+  }
+
   test("GET /openapi.json serves the machine-readable contract; schema matches the live record") {
     val server = new IngestServer(spark, FormFeedExtractor)
     val port = server.start()

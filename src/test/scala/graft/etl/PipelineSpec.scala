@@ -131,6 +131,65 @@ class PipelineSpec extends SparkSpec {
     assert(FlatePdfExtractor.extractPages(Array[Byte](1, 2, 3)) === Nil)
   }
 
+  test("unsupported filters (DCT/encrypted) degrade to quarantine, never throw (VERDICT r10 #4)") {
+    // Fixture builders mirroring the lzwPdf shape. DCT = a raster-only
+    // stream (needs OCR — declared out of scope); "encrypted" = /Encrypt
+    // in the trailer with stream bytes that are ciphertext to the
+    // declared Flate filter.
+    def pdf(objs: String*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      w("%PDF-1.4\n"); objs.foreach(w); w("%%EOF\n")
+      out.toByteArray
+    }
+    val fakeJpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE0.toByte) ++ "not really scan data".getBytes(StandardCharsets.ISO_8859_1)
+    def streamObj(num: Int, dict: String, data: Array[Byte]): String =
+      s"$num 0 obj\n<< /Length ${data.length} $dict >>\nstream\n" +
+        new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+      val buf = new Array[Byte](4096); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    // 1) raster-only document: every stream is DCTDecode → Nil, no throw
+    val dctOnly = pdf(streamObj(1, "/Filter /DCTDecode", fakeJpeg),
+      "2 0 obj\n<< /Type /Page /Contents 1 0 R >>\nendobj\n")
+    assert(FlatePdfExtractor.extractPages(dctOnly) === Nil)
+    // 2) encrypted document: declared Flate, ciphertext bytes, /Encrypt
+    //    trailer → Nil, no throw
+    val cipher = Array.tabulate[Byte](64)(i => ((i * 37 + 11) % 251).toByte)
+    val encrypted = pdf(streamObj(1, "/Filter /FlateDecode", cipher),
+      "2 0 obj\n<< /Type /Page /Contents 1 0 R >>\nendobj\n",
+      "trailer\n<< /Encrypt 9 0 R /Root 2 0 R >>\n")
+    assert(FlatePdfExtractor.extractPages(encrypted) === Nil)
+    // 3) per-page tolerance (pdfplumber's `if p.extract_text()` rule,
+    //    fetch_legal_docs.py:62-63): a mixed doc keeps its text pages
+    //    while the raster page is skipped — not all-or-nothing
+    val textStream = deflate("BT /F1 12 Tf (salvaged text) Tj ET")
+    val mixed = pdf(
+      streamObj(1, "/Filter /FlateDecode", textStream),
+      streamObj(2, "/Filter /DCTDecode", fakeJpeg),
+      "3 0 obj\n<< /Type /Page /Contents 1 0 R >>\nendobj\n")
+    assert(FlatePdfExtractor.extractPages(mixed) === Seq("salvaged text"))
+    // 4) the S16 channel: through the full pipeline, undecodable docs land
+    //    in quarantine WITH a reason row; the mixed doc survives as a doc
+    val bins = Seq(
+      ("https://x/scanned%20vol.pdf", dctOnly),
+      ("https://x/locked%20vol.pdf", encrypted),
+      ("https://x/mixed%20vol.pdf", mixed)).toDF("url", "content")
+    val out = Pipeline.process(bins, FlatePdfExtractor, "2026-08-15")
+    val q = out.quarantine.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("reason"))).sorted
+    assert(q.toSeq === Seq(
+      ("https://x/locked%20vol.pdf", "empty_or_unparseable"),
+      ("https://x/scanned%20vol.pdf", "empty_or_unparseable")), q.toSeq)
+    val docs = out.docs.collect()
+    assert(docs.length === 1 &&
+      docs(0).getAs[String]("content") === "salvaged text")
+  }
+
   test("E1 with FlatePdfExtractor — full pipeline over a real reference PDF") {
     import org.apache.spark.sql.functions._
     val vol01 = Files.readAllBytes(java.nio.file.Paths.get("/root/reference/vol01.pdf"))

@@ -79,6 +79,40 @@ class MultimodalSpec extends SparkSpec {
     assert(docs.head.text.contains("Selam LZW fixture"))
   }
 
+  test("DOCX text via the REAL codec — golden on the checked-in statute fixture (VERDICT r10 #3)") {
+    // the statute-ingestion twin of the vol01 path: binaryFile ingest of
+    // the checked-in minimal .docx → per-partition decode through the
+    // same DocumentCodec seam
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.docx")
+      .load("src/test/resources/fixtures")
+      .selectExpr("path", "'docx' as kind", "length", "content")
+      .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product)
+    val docs = Multimodal.extractText(media, Multimodal.DocxCodec).collect()
+    assert(docs.length === 1)
+    // golden: entities unescaped, tab and in-paragraph break honored,
+    // Ethiopic numeric references decoded, page split on <w:br type=page>
+    assert(docs.head.nPages === 2, s"expected 2 pages: ${docs.head}")
+    val pages = graft.etl.DocxExtractor.extractPages(
+      Files.readAllBytes(
+        Paths.get("src/test/resources/fixtures/minimal_statute.docx")))
+    assert(pages === Seq(
+      "Federal Statute & Proclamation No. 1/2016\n" +
+        "Article 1:\tመገቢያ\n" +
+        "first part\nsecond line",
+      "Article 2: scope <broad>"), pages)
+    // garbage degrades to Nil (the S16 contract), never throws
+    assert(graft.etl.DocxExtractor.extractPages("not a zip".getBytes) === Nil)
+    assert(graft.etl.DocxExtractor.extractPages(Array[Byte](0x50, 0x4b, 3, 4))
+      === Nil)
+    // a real zip WITHOUT word/document.xml is also Nil, not an error
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    z.write("x".getBytes); z.closeEntry(); z.close()
+    assert(graft.etl.DocxExtractor.extractPages(bos.toByteArray) === Nil)
+  }
+
   test("frame sampling — one row per sampled frame, offsets spaced by everyMs") {
     val media = Multimodal.ingest(spark, mediaDir, "video")
     val frames = Multimodal.sampleFrames(media, Multimodal.FakeCodec, everyMs = 500)
