@@ -25,9 +25,41 @@ import org.apache.spark.sql.SparkSession
   * Response: the S14 document record as a JSON object.
   */
 final class IngestServer(spark: SparkSession, extractor: PageExtractor,
-                         port: Int = 0) {
+                         port: Int = 0,
+                         statusDir: Option[String] = None,
+                         metricsDir: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // the reference's root + /hub static dashboard (main.py:5-11: a
+  // StaticFiles mount over hub/ and a root status line) — served from
+  // embedded bytes, with the DATA half (hub/status.json) rendered live
+  // from the StatusLog rotation and the MetricsExport feed instead of
+  // the reference's committed static JSON
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val path = ex.getRequestURI.getPath
+        if (path == "/" || path.isEmpty)
+          respond(ex, 200,
+            """{"status": "App is live. Visit /hub for dashboard."}""")
+        else respondWith(ex, 404, "application/json",
+          errorJson(s"not found: $path").getBytes(StandardCharsets.UTF_8))
+      } finally ex.close()
+  })
+  server.createContext("/hub", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        ex.getRequestURI.getPath.stripSuffix("/") match {
+          case "/hub" => respondWith(ex, 200, "text/html; charset=utf-8",
+            IngestServer.hubIndexHtml.getBytes(StandardCharsets.UTF_8))
+          case "/hub/status.json" => respond(ex, 200, statusJson())
+          case p => respondWith(ex, 404, "application/json",
+            errorJson(s"not found: $p").getBytes(StandardCharsets.UTF_8))
+        }
+      } catch { case e: Exception =>
+        respond(ex, 200, errorJson(e.getMessage)) // S16 error-as-row
+      } finally ex.close()
+  })
   server.createContext("/ingest", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try respond(ex, 200, handleIngest(ex))
@@ -86,6 +118,27 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     }
   }
 
+  /** The live dashboard payload: last-50 status rows (newest first — the
+    * StatusLog rotation is already bounded) + the latest value per metric
+    * from the MetricsExport feed. Both halves are ≤bounded-row collects by
+    * construction; absent/empty stores render as empty arrays.
+    */
+  private def statusJson(): String = {
+    def rowsOf(df: org.apache.spark.sql.DataFrame): String =
+      df.toJSON.collect().mkString("[", ",", "]")
+    val log = statusDir match {
+      case Some(d) => rowsOf(StatusLog.read(spark, d))
+      case None => "[]"
+    }
+    val metrics = metricsDir match {
+      case Some(d) =>
+        try rowsOf(MetricsExport.latest(spark, d))
+        catch { case _: Exception => "[]" } // feed not yet written
+      case None => "[]"
+    }
+    s"""{"log": $log, "metrics": $metrics}"""
+  }
+
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
       .filter(_.contains("="))
@@ -104,15 +157,64 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     s"""{"error": "$esc"}"""
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val b = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit =
+    respondWith(ex, code, "application/json; charset=utf-8",
+      body.getBytes(StandardCharsets.UTF_8))
+
+  private def respondWith(ex: HttpExchange, code: Int, contentType: String,
+                          b: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, b.length.toLong)
     ex.getResponseBody.write(b)
   }
 }
 
 object IngestServer {
+  /** The /hub static dashboard (reference hub/index.html + app.js shape,
+    * reimplemented): one self-contained page that fetches
+    * /hub/status.json and renders the run log and latest metrics. No
+    * external assets — zero-egress, byte-stable.
+    */
+  val hubIndexHtml: String =
+    """<!doctype html>
+      |<html lang="en"><head><meta charset="utf-8">
+      |<title>graft ingest hub</title>
+      |<style>
+      |body{font-family:sans-serif;margin:2em;max-width:60em}
+      |h1{font-size:1.4em} h2{font-size:1.1em}
+      |table{border-collapse:collapse;width:100%}
+      |td,th{border:1px solid #ccc;padding:.3em .6em;text-align:left}
+      |.ERROR{color:#b00} .WARN{color:#a60} .INFO{color:#060}
+      |</style></head><body>
+      |<h1>graft ingest hub</h1>
+      |<p id="state">loading…</p>
+      |<h2>Latest metrics</h2>
+      |<table id="metrics"><tr><th>metric</th><th>value</th></tr></table>
+      |<h2>Run log (last 50)</h2>
+      |<table id="log"><tr><th>ts</th><th>level</th><th>message</th></tr></table>
+      |<script>
+      |fetch('/hub/status.json').then(r => r.json()).then(d => {
+      |  document.getElementById('state').textContent =
+      |    (d.metrics.length || d.log.length) ? 'live' : 'no runs recorded yet';
+      |  const mt = document.getElementById('metrics');
+      |  d.metrics.forEach(m => {
+      |    const tr = mt.insertRow();
+      |    tr.insertCell().textContent = m.metric;
+      |    tr.insertCell().textContent = m.value;
+      |  });
+      |  const lt = document.getElementById('log');
+      |  d.log.forEach(e => {
+      |    const tr = lt.insertRow();
+      |    tr.className = e.level;
+      |    tr.insertCell().textContent = e.ts;
+      |    tr.insertCell().textContent = e.level;
+      |    tr.insertCell().textContent = e.message;
+      |  });
+      |}).catch(e => {
+      |  document.getElementById('state').textContent = 'error: ' + e;
+      |});
+      |</script></body></html>""".stripMargin
+
   /** The DOCX MIME type admitted at the S7 gate for statute uploads. */
   val DocxContentType: String =
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document"

@@ -95,6 +95,56 @@ class IngestServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GET / and /hub — static status dashboard backed by StatusLog + MetricsExport (VERDICT r10 #7)") {
+    val statusDir = java.nio.file.Files
+      .createTempDirectory("graft_hub_status").toString
+    val metricsDir = java.nio.file.Files
+      .createTempDirectory("graft_hub_metrics").toString + "/feed"
+    // seed the two stores the dashboard reads
+    StatusLog.append(spark, statusDir,
+      Seq(("2026-08-15 10:00:00", "INFO", "ingested Vol 01"),
+          ("2026-08-15 10:05:00", "ERROR", "quarantined locked.pdf"))
+        .toDF("ts", "level", "message")
+        .selectExpr("cast(ts as timestamp) ts", "level", "message"))
+    MetricsExport.appendRun(spark, metricsDir, "run_0001",
+      Map("docs_ingested" -> 41L, "quarantined" -> 2L))
+    val server = new IngestServer(spark, FormFeedExtractor,
+      statusDir = Some(statusDir), metricsDir = Some(metricsDir))
+    val port = server.start()
+    def get(path: String): (Int, String, String) = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+      val r = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      (r.statusCode(), r.body(),
+        r.headers().firstValue("Content-Type").orElse(""))
+    }
+    try {
+      // root status line — the reference's own string (main.py:9-11)
+      val (rc, rb, _) = get("/")
+      assert(rc === 200 &&
+        rb === """{"status": "App is live. Visit /hub for dashboard."}""")
+      // the static page at /hub and /hub/ (StaticFiles html=True parity)
+      val (hc, hb, hct) = get("/hub")
+      assert(hc === 200 && hct.startsWith("text/html"))
+      assert(hb.contains("<html") && hb.contains("/hub/status.json"))
+      assert(get("/hub/")._2 === hb)
+      // the live data feed renders both stores
+      val (sc2, sb, sct) = get("/hub/status.json")
+      assert(sc2 === 200 && sct.startsWith("application/json"))
+      val parsed = spark.read.option("mode", "FAILFAST")
+        .json(Seq(sb).toDS()).head()
+      assert(sb.contains("\"docs_ingested\"") && sb.contains("41"))
+      assert(sb.contains("ingested Vol 01") &&
+        sb.contains("quarantined locked.pdf"))
+      assert(parsed.schema.fieldNames.sorted === Array("log", "metrics"))
+      // unknown paths 404 as error rows, existing contexts still win
+      assert(get("/nope")._1 === 404)
+      assert(get("/hub/nope")._1 === 404)
+      assert(get("/openapi.json")._1 === 200)
+    } finally server.stop()
+  }
+
   test("GET /openapi.json serves the machine-readable contract; schema matches the live record") {
     val server = new IngestServer(spark, FormFeedExtractor)
     val port = server.start()
