@@ -409,6 +409,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q20b still plans a window:\n$p")
   }
 
+  test("q107/q110 routed — event-grain rank windows gone; GK aggregates with map-side partials (r11)") {
+    def explain(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val ev = Tables.events(spark, sf0001)
+    // q110 approx: NO window operator at all — the per-type ordered pass
+    // is gone; the GK sketch aggregates with partial_percentile_approx
+    // (mergeable map-side partials)
+    val pv = explain(graft.queries.Analytics.valuePercentiles(ev, approx = true))
+    assert(!pv.contains("Window"), s"q110 approx still plans a window:\n$pv")
+    assert(pv.contains("partial_percentile_approx"),
+      s"q110 approx lost its map-side partials:\n$pv")
+    // q107 scalable: NO rank window anywhere (the exact form's
+    // row_number selection is replaced by the sketch); the ONLY window
+    // left is the bucket-grain stitch lag — over the (type, bucket)
+    // aggregate, not the event stream (asserted structurally: its
+    // exchange hashes on event_type after the bucket-grain aggregate)
+    val pg = explain(graft.queries.Analytics.gapDeciles(ev, scalable = true))
+    assert(!pg.contains("row_number"),
+      s"q107 scalable still rank-windows:\n$pg")
+    assert(pg.contains("partial_percentile_approx"),
+      s"q107 scalable lost its map-side partials:\n$pg")
+    // the gap extraction is ONE corpus aggregate exchange — sort_array's
+    // in-task sort, not a window sort, carries the within-bucket order
+    assert(pg.contains("sort_array"), s"q107 stitch lost its in-task sort:\n$pg")
+    // the exact defaults keep their declared rank-window shape (contrast
+    // pin — routing must not leak into the oracled entries)
+    assert(plan("q110_value_percentiles").contains("row_number"))
+    assert(plan("q107_gap_deciles").contains("row_number"))
+  }
+
   test("q11 — band join carries (user_id, time-bucket) as the equi key") {
     val p = plan("q11_range_join")
     // both the user id and the 5-min bucket must be join keys — the bucket
