@@ -91,6 +91,15 @@ object DocxExtractor extends PageExtractor {
     pages.toSeq
   }
 
+  /** True iff the bytes start with the ZIP local-file-header magic
+    * (every OPC/.docx container does). Content-based, not name-based —
+    * the [[SniffingExtractor]] routing key.
+    */
+  def looksLikeZip(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 &&
+      bytes(0) == 'P' && bytes(1) == 'K' &&
+      bytes(2) == 0x03 && bytes(3) == 0x04
+
   /** The five XML named entities plus numeric character references —
     * everything WordprocessingML emits in `<w:t>` content.
     */

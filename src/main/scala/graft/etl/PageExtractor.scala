@@ -43,6 +43,28 @@ object RawPdfExtractor extends PageExtractor {
     t.replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
 }
 
+/** Content-sniffing extractor for MIXED corpora (r11): the reference's
+  * auto-ingest sweep posts PDFs and DOCX files in ONE pass
+  * (auto_ingest.yml:24-32), so the batch path routes per ROW by magic
+  * bytes — `%PDF` → the PDF codec, the ZIP local-file-header (every OPC
+  * .docx) → the DOCX codec, anything else → Nil (→ S16 quarantine one
+  * level up). Content-based rather than URL-suffix-based: a mislabeled
+  * extension still extracts, a lying one still quarantines. Runs inside
+  * the same `process` UDF — per-row routing costs one 4-byte prefix
+  * check, no second scan, no separate pipeline per format.
+  */
+final case class SniffingExtractor(
+    pdf: PageExtractor = FlatePdfExtractor) extends PageExtractor {
+  def extractPages(bytes: Array[Byte]): Seq[String] = {
+    if (bytes == null || bytes.length < 4) Nil
+    else if (bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+      bytes(3) == 'F') pdf.extractPages(bytes)
+    else if (DocxExtractor.looksLikeZip(bytes))
+      DocxExtractor.extractPages(bytes)
+    else Nil
+  }
+}
+
 /** Deterministic fake for unit tests: interprets the input bytes as UTF-8
   * and splits pages on form-feed. Lets every S9/S10/S11 dataflow path be
   * exercised without any PDF codec (SURVEY §5.5).

@@ -190,6 +190,35 @@ class PipelineSpec extends SparkSpec {
       docs(0).getAs[String]("content") === "salvaged text")
   }
 
+  test("SniffingExtractor — mixed PDF+DOCX corpus routes per row by magic bytes (r11)") {
+    // the auto_ingest.yml sweep shape: one staged-binary frame holding a
+    // real reference PDF, the checked-in statute DOCX, and garbage — one
+    // process() pass extracts both formats and quarantines the garbage
+    val vol01 = Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/vol01.pdf"))
+    val docx = Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/fixtures/minimal_statute.docx"))
+    val bins = Seq(
+      ("https://x/Cassation%20Vol%2001.pdf", vol01),
+      ("https://x/Proc%201-2016.docx", docx),
+      ("https://x/junk.bin", "not a document".getBytes("UTF-8")))
+      .toDF("url", "content")
+    val out = Pipeline.process(bins, SniffingExtractor(), "2026-08-15")
+    val docs = out.docs.collect().map(r =>
+      r.getAs[String]("title") -> r.getAs[String]("content")).toMap
+    assert(docs.keySet === Set("Cassation Vol 01", "Proc 1-2016"))
+    assert(docs("Cassation Vol 01").exists(c => c >= 'ሀ' && c <= '፿'))
+    assert(docs("Proc 1-2016").contains("Article 2: scope <broad>"))
+    val q = out.quarantine.collect().map(_.getAs[String]("url"))
+    assert(q.toSeq === Seq("https://x/junk.bin"))
+    // content-based, not name-based: a DOCX lying behind a .pdf name
+    // still extracts (the magic bytes win)
+    val lying = Seq(("https://x/mislabeled.pdf", docx)).toDF("url", "content")
+    val out2 = Pipeline.process(lying, SniffingExtractor(), "2026-08-15")
+    assert(out2.docs.head().getAs[String]("content")
+      .contains("Federal Statute"))
+  }
+
   test("E1 with FlatePdfExtractor — full pipeline over a real reference PDF") {
     import org.apache.spark.sql.functions._
     val vol01 = Files.readAllBytes(java.nio.file.Paths.get("/root/reference/vol01.pdf"))
