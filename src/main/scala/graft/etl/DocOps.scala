@@ -44,6 +44,18 @@ object DocOps {
     */
   def titleOf(baseName: Column): Column = regexp_replace(baseName, "_", " ")
 
+  /** The reference's per-file resource routing, verbatim
+    * (auto_ingest.yml:27-29: `[[ $file == vol* ]] && echo
+    * cassation_decision || echo statute`): a filename starting with
+    * `vol` is a cassation decision, EVERYTHING else — statutes-tree PDFs
+    * and `*.docx` alike — is a statute. Name-based like the reference
+    * (case-sensitive glob parity); pair with `docRecord(category = ...)`
+    * for per-row categorization of mixed corpora.
+    */
+  def autoCategory(url: Column): Column =
+    when(regexp_extract(url, "[^/]+$", 0).startsWith("vol"),
+      lit("CassationDecision")).otherwise(lit("Statute"))
+
   // ------------------------------------------------------------------- S12
   /** S12 — year extraction: first `\b(19[5-9]\d|20\d{2})\b` match within the
     * first 1000 chars, else the reference's "" sentinel
@@ -95,12 +107,14 @@ object DocOps {
     * `category` parameterizes the record for the statute path (the
     * reference ingests the statutes tree and `*.docx` with
     * `resource_type=statute`, auto_ingest.yml:27-29); the default is the
-    * reference's own constant (mcp_server.py:35). Tags mirror the
+    * reference's own constant (mcp_server.py:35). It is a COLUMN so mixed
+    * corpora can categorize per row (pair with [[autoCategory]] and the
+    * sniffing extractor — review finding, r11). Tags mirror the
     * category, matching the reference's tags=[category] shape
     * (fetch_legal_docs.py:80).
     */
   def docRecord(url: Column, content: Column, ingestDate: Column,
-                category: String = "CassationDecision"): Column = {
+                category: Column = lit("CassationDecision")): Column = {
     val base = baseNameOf(url)
     val emptyArr = array().cast(ArrayType(StringType))
     struct(
@@ -108,8 +122,8 @@ object DocOps {
       yearOf(content).as("year"),
       url.as("sourceURL"),
       ingestDate.as("dateIngested"),
-      lit(category).as("category"),
-      array(lit(category)).as("tags"),
+      category.as("category"),
+      array(category).as("tags"),
       content.as("content"),
       struct(lit("").as("issue"), lit("").as("holding"), lit("").as("ratio"))
         .as("caseFields"),

@@ -30,14 +30,19 @@ object DocxExtractor extends PageExtractor {
   private val DocumentEntry = "word/document.xml"
 
   /** One token class per structural element we honor; a single
-    * alternation keeps the walk linear and order-faithful.
+    * alternation keeps the walk linear and order-faithful. The br family
+    * covers the ATTRIBUTED non-page variants too (`w:type="textWrapping"`,
+    * `w:clear=...`) and the legacy `<w:cr/>` carriage return — all render
+    * as line breaks; only `w:type="page"` (and Word's rendered-break
+    * marker) starts a new page (review finding, r11).
     */
   private val TokenRe: Regex =
     ("""(?s)<w:t(?:\s[^>]*)?>(.*?)</w:t>""" + // 1: text run
       """|<w:tab\s*/>""" +
       """|<w:br\s+[^>]*w:type="page"[^>]*/?>""" +
       """|<w:lastRenderedPageBreak\s*/>""" +
-      """|<w:br\s*/>""" +
+      """|<w:br(?:\s[^>]*)?/?>""" +
+      """|<w:cr\s*/>""" +
       """|</w:p>""").r
 
   def extractPages(bytes: Array[Byte]): Seq[String] = {
@@ -49,8 +54,18 @@ object DocxExtractor extends PageExtractor {
     } catch { case _: Exception => Nil }
   }
 
-  /** Locate and decompress `word/document.xml`; None when absent or
-    * undecodable.
+  /** Decompression ceiling for `word/document.xml` (review finding, r11):
+    * the DOCX path is network-admitted (the statute ingest gate), and a
+    * small crafted deflate bomb would otherwise inflate unbounded and
+    * escape the Nil-on-garbage containment as an OutOfMemoryError. 64 MB
+    * of body XML is far beyond any real statute; past it the document
+    * degrades to Nil → the S16 quarantine channel, like any other
+    * undecodable input.
+    */
+  private[etl] val MaxDocumentXmlBytes: Int = 64 << 20
+
+  /** Locate and decompress `word/document.xml`; None when absent,
+    * undecodable, or inflating past [[MaxDocumentXmlBytes]].
     */
   private[etl] def documentXml(bytes: Array[Byte]): Option[String] = {
     val zin = new java.util.zip.ZipInputStream(
@@ -62,7 +77,11 @@ object DocxExtractor extends PageExtractor {
           val out = new java.io.ByteArrayOutputStream(8192)
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = zin.read(buf) }
+          while (n > 0) {
+            if (out.size() + n > MaxDocumentXmlBytes) return None
+            out.write(buf, 0, n)
+            n = zin.read(buf)
+          }
           return Some(new String(out.toByteArray, StandardCharsets.UTF_8))
         }
         entry = zin.getNextEntry
@@ -71,24 +90,32 @@ object DocxExtractor extends PageExtractor {
     } finally zin.close()
   }
 
+  /** Page assembly rules (review finding, r11): an EXPLICIT page break
+    * always ends a page, so intentionally blank interior pages survive as
+    * `""` — the keepEmptyPages/mcp-parity contract the ingest server
+    * documents (the PDF path keeps `""` pages the same way). A trailing
+    * break creates no page (Word renders none), and a document whose
+    * pages are ALL blank returns Nil — the no-text/garbage contract that
+    * routes it to quarantine.
+    */
   private[etl] def pagesFromXml(xml: String): Seq[String] = {
     val pages = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    def flushPage(): Unit = {
-      val t = cur.toString
-      if (t.trim.nonEmpty) pages += t.stripLineEnd
-      cur.clear()
-    }
+    def page(): String = { val t = cur.toString.stripLineEnd; cur.clear(); t }
     TokenRe.findAllMatchIn(xml).foreach { m =>
       val tok = m.matched
       if (m.group(1) != null) cur ++= unescape(m.group(1))
       else if (tok.startsWith("<w:tab")) cur += '\t'
       else if (tok.startsWith("<w:lastRenderedPageBreak") ||
-        tok.contains("w:type=\"page\"")) flushPage()
-      else cur += '\n' // </w:p> and plain <w:br/>
+        tok.contains("w:type=\"page\"")) {
+        val p = page()
+        pages += (if (p.trim.isEmpty) "" else p) // blank page survives as ""
+      }
+      else cur += '\n' // </w:p>, <w:br/> variants, <w:cr/>
     }
-    flushPage()
-    pages.toSeq
+    val t = page()
+    if (t.trim.nonEmpty) pages += t
+    if (pages.forall(_.trim.isEmpty)) Nil else pages.toSeq
   }
 
   /** True iff the bytes start with the ZIP local-file-header magic

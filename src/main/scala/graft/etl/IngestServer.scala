@@ -109,7 +109,7 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
       if (isDocx) DocxExtractor else extractor,
       ingestDate = java.time.LocalDate.now.toString,
       keepEmptyPages = true, // mcp_server.py:27-28 keeps empties
-      category = category)
+      category = org.apache.spark.sql.functions.lit(category))
     // single-row plan; toJSON gives the contract-correct escaping
     out.docs.toJSON.collect().headOption.getOrElse {
       val reason = out.quarantine.select("reason").collect()

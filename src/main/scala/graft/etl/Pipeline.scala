@@ -66,7 +66,7 @@ object Pipeline {
     */
   def process(binaries: DataFrame, extractor: PageExtractor,
               ingestDate: String, keepEmptyPages: Boolean = false,
-              category: String = "CassationDecision"): Processed = {
+              category: Column = lit("CassationDecision")): Processed = {
     val spark = binaries.sparkSession
     val extractUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) Seq.empty[String]

@@ -360,30 +360,47 @@ object Streams {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    // the sig/pair store lifecycle is coupled to the checkpoint: a fresh
-    // checkpoint restarts batchIds at 0, and the batchId-keyed overwrite
-    // writes would clobber earlier batches' sigs/<id>/pairs/<id> while
-    // stale HIGHER-numbered sig dirs kept feeding the cross probe —
-    // silently wrong pairs. Fail fast instead: outDir and checkpoint
-    // must be created (and deleted) together (review finding).
+    // the sig/pair store lifecycle is coupled to the checkpoint — BOTH
+    // divergence directions corrupt silently, so both fail fast (review
+    // findings, r10 + r11):
+    //  (a) fresh checkpoint + populated store: batchIds restart at 0 and
+    //      the batchId-keyed overwrites clobber earlier batches while
+    //      stale higher-numbered sig dirs keep feeding the cross probe.
+    //      Detected via the OFFSETS log (written before any processing,
+    //      so a legitimately crashed-mid-batch-0 run — offsets present,
+    //      sigs already written — is still allowed to replay).
+    //  (b) committed checkpoint + missing/emptied store: batches resume
+    //      past the deletion and the cross probe sees no prior sigs, so
+    //      duplicates of every pre-restart document silently stop being
+    //      reported. Detected via the COMMITS log (a commit is written
+    //      only AFTER foreachBatch returns, i.e. after that batch's sig
+    //      write was durable — commits ⇒ sigs must exist).
     locally {
+      val conf = spark.sparkContext.hadoopConfiguration
       val cpOffsets = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+      val cpCommits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
       val sigsBase = new org.apache.hadoop.fs.Path(s"$outDir/sigs")
-      val cpFs = cpOffsets
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sigFs = sigsBase
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val checkpointEmpty =
+      val cpFs = cpOffsets.getFileSystem(conf)
+      val sigFs = sigsBase.getFileSystem(conf)
+      val offsetsEmpty =
         !cpFs.exists(cpOffsets) || cpFs.listStatus(cpOffsets).isEmpty
+      val committed =
+        cpFs.exists(cpCommits) && cpFs.listStatus(cpCommits).nonEmpty
       val storePopulated =
         sigFs.exists(sigsBase) &&
           sigFs.listStatus(sigsBase).exists(_.isDirectory)
-      require(!(checkpointEmpty && storePopulated),
+      require(!(offsetsEmpty && storePopulated),
         s"neardupIngestStream: signature store $outDir/sigs already holds " +
           s"batch directories but checkpoint $checkpoint is empty — a " +
           "fresh checkpoint restarts batchIds at 0 and would silently " +
           "corrupt the store. Delete outDir and checkpoint together, or " +
           "reuse the original checkpoint.")
+      require(!(committed && !storePopulated),
+        s"neardupIngestStream: checkpoint $checkpoint has committed " +
+          s"batches but signature store $outDir/sigs is missing or empty " +
+          "— resuming would silently stop reporting duplicates of every " +
+          "pre-restart document. Delete outDir and checkpoint together, " +
+          "or restore the store.")
     }
     val stream = spark.readStream
       .schema(docsSchema)

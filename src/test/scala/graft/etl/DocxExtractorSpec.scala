@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Decoder-side pins for the DOCX codec (the FlatePdfLzwSpec discipline
+  * applied to the statute path): break-variant handling, blank-page
+  * semantics, entity unescaping, and the network-facing containment
+  * ceilings — all through the same `extractPages` path the pipeline and
+  * the ingest server use.
+  */
+class DocxExtractorSpec extends AnyFunSuite {
+
+  /** Minimal OPC container around a given word/document.xml body. */
+  private def docx(bodyXml: String): Array[Byte] = {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        s"<w:body>$bodyXml</w:body></w:document>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: Array[Byte]): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content); z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>"""
+        .getBytes(StandardCharsets.UTF_8))
+    entry("word/document.xml", xml.getBytes(StandardCharsets.UTF_8))
+    z.close()
+    bos.toByteArray
+  }
+  private def p(runs: String): String = s"<w:p><w:r>$runs</w:r></w:p>"
+
+  test("attributed non-page breaks and <w:cr/> render as line breaks, never fuse runs") {
+    // review finding r11: <w:br w:type="textWrapping"/> matched no token
+    // class and silently fused 'ends here' with 'Article 3'
+    val pages = DocxExtractor.extractPages(docx(p(
+      """<w:t>ends here</w:t><w:br w:type="textWrapping"/><w:t>Article 3</w:t>""" +
+        """<w:br w:clear="all"/><w:t>after clear</w:t>""" +
+        """<w:cr/><w:t>after cr</w:t>""")))
+    assert(pages === Seq("ends here\nArticle 3\nafter clear\nafter cr"),
+      pages)
+  }
+
+  test("blank interior pages survive as \"\" (keepEmptyPages parity); trailing break adds none") {
+    // text <pb> <pb> text: the intentionally blank middle page must be
+    // kept as "" — the mcp keep-empty-pages contract the PDF path honors
+    val pages = DocxExtractor.extractPages(docx(p(
+      """<w:t>first</w:t><w:br w:type="page"/>""" + // ends page 1
+        """<w:br w:type="page"/>""" + // blank page 2
+        """<w:t>third</w:t>""")))
+    assert(pages === Seq("first", "", "third"), pages)
+    // and the page-count surface: 3 pages, blank middle joins as blank
+    assert(pages.mkString("\n") === "first\n\nthird")
+    // a trailing break creates no page (Word renders none)
+    assert(DocxExtractor.extractPages(docx(p(
+      """<w:t>x</w:t><w:br w:type="page"/>"""))) === Seq("x"))
+  }
+
+  test("all-blank documents return Nil (quarantine contract)") {
+    assert(DocxExtractor.extractPages(docx(p("<w:t>  </w:t>"))) === Nil)
+    assert(DocxExtractor.extractPages(
+      docx(p("""<w:br w:type="page"/>"""))) === Nil)
+    assert(DocxExtractor.extractPages(docx("")) === Nil)
+  }
+
+  test("entity unescaping: named, decimal, hex, astral") {
+    val pages = DocxExtractor.extractPages(docx(p(
+      "<w:t>&amp;&lt;&gt;&quot;&apos; &#65; &#x1218; &#x1F600;</w:t>")))
+    assert(pages === Seq("&<>\"' A መ 😀"), pages)
+  }
+
+  test("deflate bomb caps at MaxDocumentXmlBytes and degrades to Nil, not OOM") {
+    // a ~70 MB-of-spaces document.xml compresses to ~70 KB; the read loop
+    // must stop at the ceiling and return Nil (→ S16 quarantine), never
+    // allocate unbounded
+    val huge = "<w:body><w:p><w:r><w:t>" +
+      (" " * (DocxExtractor.MaxDocumentXmlBytes + (1 << 20))) +
+      "</w:t></w:r></w:p></w:body>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(huge.getBytes(StandardCharsets.UTF_8)); z.closeEntry(); z.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < (1 << 21), s"fixture should be small: ${bomb.length}")
+    assert(DocxExtractor.extractPages(bomb) === Nil)
+  }
+}

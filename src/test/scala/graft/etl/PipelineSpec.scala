@@ -199,16 +199,25 @@ class PipelineSpec extends SparkSpec {
     val docx = Files.readAllBytes(java.nio.file.Paths.get(
       "src/test/resources/fixtures/minimal_statute.docx"))
     val bins = Seq(
-      ("https://x/Cassation%20Vol%2001.pdf", vol01),
+      ("https://x/vol01.pdf", vol01),
       ("https://x/Proc%201-2016.docx", docx),
       ("https://x/junk.bin", "not a document".getBytes("UTF-8")))
       .toDF("url", "content")
-    val out = Pipeline.process(bins, SniffingExtractor(), "2026-08-15")
+    // per-row categorization (review finding r11): the auto_ingest name
+    // rule routes vol* to CassationDecision and everything else to
+    // Statute — in the SAME pass as the per-row format sniffing
+    val out = Pipeline.process(bins, SniffingExtractor(), "2026-08-15",
+      category = DocOps.autoCategory(col("url")))
     val docs = out.docs.collect().map(r =>
-      r.getAs[String]("title") -> r.getAs[String]("content")).toMap
-    assert(docs.keySet === Set("Cassation Vol 01", "Proc 1-2016"))
-    assert(docs("Cassation Vol 01").exists(c => c >= 'ሀ' && c <= '፿'))
-    assert(docs("Proc 1-2016").contains("Article 2: scope <broad>"))
+      r.getAs[String]("title") ->
+        (r.getAs[String]("content"), r.getAs[String]("category"),
+          r.getAs[Seq[String]]("tags"))).toMap
+    assert(docs.keySet === Set("vol01", "Proc 1-2016"))
+    assert(docs("vol01")._1.exists(c => c >= 'ሀ' && c <= '፿'))
+    assert(docs("vol01")._2 === "CassationDecision")
+    assert(docs("Proc 1-2016")._1.contains("Article 2: scope <broad>"))
+    assert(docs("Proc 1-2016")._2 === "Statute")
+    assert(docs("Proc 1-2016")._3 === Seq("Statute"))
     val q = out.quarantine.collect().map(_.getAs[String]("url"))
     assert(q.toSeq === Seq("https://x/junk.bin"))
     // content-based, not name-based: a DOCX lying behind a .pdf name

@@ -746,7 +746,9 @@ class StreamingSpec extends SparkSpec {
     stage("f1.parquet",
       Seq((1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "p q r s t m")))
     stage("f2.parquet", Seq((11L, "x y z w v u"), (12L, "d e f g h k")))
-    Streams.neardupIngestStream(spark, watch, out, ckpt(), threshold = 0.8)
+    val originalCkpt = ckpt()
+    Streams.neardupIngestStream(spark, watch, out, originalCkpt,
+      threshold = 0.8)
     val emitted = spark.read.parquet(s"$out/pairs/*")
       .select(least($"i", $"j").as("a"), greatest($"i", $"j").as("b"),
         $"jaccard")
@@ -772,6 +774,13 @@ class StreamingSpec extends SparkSpec {
       .count(_.isDirectory)
     assert(sigDirs === 2, s"expected 2 per-batch sig dirs, got $sigDirs")
 
+    // reusing the ORIGINAL checkpoint against the intact store is a
+    // legitimate resume: no new files → no-op, must NOT be refused
+    Streams.neardupIngestStream(spark, watch, out, originalCkpt,
+      threshold = 0.8)
+    assert(new java.io.File(s"$out/sigs").listFiles()
+      .count(_.isDirectory) === 2, "no-op resume must not touch the store")
+
     // ADVICE r10: restarting against the SAME populated store with a FRESH
     // checkpoint must fail fast — batchIds restart at 0 and the overwrite
     // writes would silently corrupt the store (clobber low batches, leave
@@ -784,6 +793,23 @@ class StreamingSpec extends SparkSpec {
     // and the store is untouched by the refused start
     assert(new java.io.File(s"$out/sigs").listFiles()
       .count(_.isDirectory) === 2)
-    // reusing the ORIGINAL checkpoint is still fine (no new files → no-op)
+
+    // r11 review finding — the CONVERSE direction: a committed checkpoint
+    // whose store was deleted must also refuse (resuming would silently
+    // stop reporting duplicates of every pre-restart document)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    rmTree(java.nio.file.Paths.get(s"$out/sigs"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Streams.neardupIngestStream(spark, watch, out, originalCkpt,
+        threshold = 0.8)
+    }
+    assert(ex2.getMessage.contains("missing or empty"),
+      s"deleted-store resume must refuse: $ex2")
   }
 }
