@@ -283,12 +283,22 @@ object Streams {
     *        import requests.py:84) via the replay-idempotent
     *        Pipeline.compensatingDelete — safe under micro-batch replay
     *        because deletion of an absent file is a no-op.
+    *  @param globFilter source pathGlobFilter; the `*.pdf` default is the
+    *        original PDF-only watch. The auto_ingest sweep pushes `*.docx`
+    *        too — pass a wider glob with `SniffingExtractor` (per-row
+    *        format routing) for the mixed stream (r11).
+    *  @param category per-row category column evaluated over (url,
+    *        content) — `DocOps.autoCategory(col("url"))` for the
+    *        reference's vol*-vs-statute rule.
     */
   def ingestPdfStream(spark: SparkSession, watchDir: String, outDir: String,
                       checkpoint: String,
                       extractor: graft.etl.PageExtractor,
                       ingestDate: String,
-                      deleteQuarantined: Boolean = false): Unit = {
+                      deleteQuarantined: Boolean = false,
+                      globFilter: String = "*.pdf",
+                      category: org.apache.spark.sql.Column =
+                        lit("CassationDecision")): Unit = {
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -301,7 +311,7 @@ object Streams {
     val stream = spark.readStream
       .format("binaryFile")
       .schema(binarySchema)
-      .option("pathGlobFilter", "*.pdf")
+      .option("pathGlobFilter", globFilter)
       .load(watchDir)
       .select(col("path").as("url"), col("content"))
     val q = stream.writeStream
@@ -311,7 +321,8 @@ object Streams {
         // extraction would run ~4x per batch
         batch.persist()
         try {
-          val out = graft.etl.Pipeline.process(batch, extractor, ingestDate)
+          val out = graft.etl.Pipeline.process(batch, extractor, ingestDate,
+            category = category)
           // batchId-keyed overwrite makes the write IDEMPOTENT: a replayed
           // micro-batch (sink write succeeded but checkpoint commit didn't)
           // overwrites its own directory instead of appending duplicates —

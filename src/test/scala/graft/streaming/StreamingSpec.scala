@@ -306,6 +306,29 @@ class StreamingSpec extends SparkSpec {
     assert(docs2.select("title").as[String].collect().sorted === Array("Vol 01", "Vol 02"))
   }
 
+  test("mixed PDF+DOCX ingest stream — sniffing extractor + per-row category (r11)") {
+    // the auto_ingest sweep's streaming twin: one watch dir, a wider glob,
+    // per-row format routing and the vol*-vs-statute category rule
+    val watch = Files.createTempDirectory("graft_mixwatch").toString
+    val out = Files.createTempDirectory("graft_mixout").toString
+    def pdf(text: String): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nstream\n" +
+       s"BT ($text) Tj ET\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(s"$watch/vol07.pdf"),
+      pdf("Decided 1998 alpha"))
+    Files.copy(java.nio.file.Paths.get(
+        "src/test/resources/fixtures/minimal_statute.docx"),
+      java.nio.file.Paths.get(s"$watch/Proc%201-2016.docx"))
+    Streams.ingestPdfStream(spark, watch, out, ckpt(),
+      graft.etl.SniffingExtractor(graft.etl.RawPdfExtractor), "2026-08-15",
+      globFilter = "*.{pdf,docx}",
+      category = graft.etl.DocOps.autoCategory(col("url")))
+    val docs = graft.etl.Pipeline.readDocs(spark, s"$out/documents/*")
+      .select("title", "category").as[(String, String)].collect().sorted
+    assert(docs === Array(("Proc 1-2016", "Statute"),
+      ("vol07", "CassationDecision")), docs.toSeq)
+  }
+
   test("ingest stream with compensating delete — quarantined PDF removed, good kept") {
     val watch = Files.createTempDirectory("graft_pdfwatch2").toString
     val out = Files.createTempDirectory("graft_pdfout2").toString
