@@ -1633,12 +1633,17 @@ class CatalogSpec extends SparkSpec {
     def ts(min: Long, ms: Long = 0) = new java.sql.Timestamp(
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
         min * 60000L + ms)
+    def tsEpoch(min: Long) = new java.sql.Timestamp(min * 60000L)
     val ev = Seq(
       (1L, ts(0), "x"), (2L, ts(0), "x"),          // tie at us 0 (bucket 0)
       (3L, ts(1, 500), "x"),                        // bucket 1
       (4L, ts(7), "x"),                             // buckets 2-6 EMPTY
       (5L, ts(7, 1), "x"), (6L, ts(30), "x"),       // long empty run
-      (10L, ts(2), "y"), (11L, ts(3), "y"), (12L, ts(200), "y"))
+      (10L, ts(2), "y"), (11L, ts(3), "y"), (12L, ts(200), "y"),
+      // pre-1970 negative epoch micros: trunc-div bucketing is still
+      // monotone, so the stitch must stay exact across the 0 boundary
+      (20L, tsEpoch(-90), "z"), (21L, tsEpoch(-30), "z"),
+      (22L, tsEpoch(30), "z"))
       .map { case (id, t, ty) => (id, t, 1L, ty, 0.0) }
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     def gapsOf(df: org.apache.spark.sql.DataFrame) = df
