@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Generative pin for the r11 stitched gap extraction: over RANDOM event
+  * streams — duplicate timestamps, negative epochs, clustered and sparse
+  * arrivals, multiple types — and RANDOM bucket widths, the (type, bucket)
+  * stitched gap multiset must equal the single per-type window lag's,
+  * byte-for-byte. Deterministic seed, driver-side oracle (a plain Scala
+  * sort+lag replay), small frames — the property is about ALGORITHM
+  * equivalence, not scale.
+  */
+class StitchedGapsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genEvents: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.choose(0, 60)
+    evs <- Gen.listOfN(n, for {
+      // micros clustered around 0 with heavy duplication pressure and
+      // negative values; a second regime far away exercises empty buckets
+      base <- Gen.oneOf(0L, 86400000000L, -86400000000L)
+      off <- Gen.choose(-50L, 50L)
+      scale <- Gen.oneOf(1L, 1000000L, 3600000000L)
+      ty <- Gen.oneOf("a", "b", "c")
+    } yield (base + off * scale, ty))
+  } yield evs.zipWithIndex.map { case ((us, ty), i) => (us, i.toLong, ty) }
+
+  private val genBucket: Gen[Long] =
+    Gen.oneOf(1L, 7L, 60000000L, 3600000000L, 86400000000L)
+
+  test("stitched gap multiset == window-lag gap multiset on random streams (ScalaCheck)") {
+    val prop = Prop.forAll(genEvents, genBucket) { (evs, bucketUs) =>
+      // driver-side oracle: per type, sort by (us, event_id), lag
+      val expect = evs.groupBy(_._3).toSeq.flatMap { case (ty, rows) =>
+        rows.sortBy(r => (r._1, r._2)).sliding(2).collect {
+          case Seq(p, c) => (ty, c._1 - p._1)
+        }
+      }.sorted
+      val df = evs.map { case (us, id, ty) =>
+        (id, new java.sql.Timestamp(us / 1000), us % 1000, ty)
+      }.toDF("event_id", "ts_ms", "us_rem", "event_type")
+        // rebuild exact micros via a timestamp column: the helper reads
+        // unix_micros(ts), so construct ts from the micros directly
+        .withColumn("ts", timestamp_micros(
+          expr("unix_micros(cast(ts_ms as timestamp)) + us_rem")))
+        .select("event_id", "ts", "event_type")
+      val got = graft.queries.Analytics.stitchedGaps(df, bucketUs)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      got == expect
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default
+        .withMinSuccessfulTests(40)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("routed gapDeciles on random streams: every decile is a real gap within GK rank error") {
+    val prop = Prop.forAll(genEvents) { evs =>
+      val df = evs.map { case (us, id, ty) =>
+        (id, new java.sql.Timestamp(us / 1000), us % 1000, ty)
+      }.toDF("event_id", "ts_ms", "us_rem", "event_type")
+        .withColumn("ts", timestamp_micros(
+          expr("unix_micros(cast(ts_ms as timestamp)) + us_rem")))
+        .select("event_id", "ts", "event_type")
+      val gapsByType = evs.groupBy(_._3).map { case (ty, rows) =>
+        ty -> rows.sortBy(r => (r._1, r._2)).sliding(2).collect {
+          case Seq(p, c) => c._1 - p._1
+        }.toSeq.sorted
+      }
+      val out = graft.queries.Analytics.gapDeciles(df, scalable = true)
+        .collect()
+      out.forall { r =>
+        val a = gapsByType(r.getString(0))
+        val v = r.getLong(2)
+        // accuracy 10000 >> n: the returned element must exist and its
+        // rank window must contain the k-th decile target within 1
+        val lt = a.count(_ < v); val le = a.count(_ <= v)
+        val target = math.ceil(r.getInt(1) * a.length / 10.0)
+        a.contains(v) && lt + 1 - 1 <= target && target <= le + 1
+      }
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default
+        .withMinSuccessfulTests(25)
+        .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+}
