@@ -71,6 +71,38 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(pages === Seq("&<>\"' A መ 😀"), pages)
   }
 
+  test("unescape inverts XML escaping on random text (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // the writer side of the property: escape exactly what
+    // WordprocessingML escapes in <w:t> content
+    def escape(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&apos;"
+      case c => c.toString
+    }
+    val genText = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf('&', '<', '>', '"', '\'', ' ', '$', '\\')
+        .map(_.toString),
+      1 -> Gen.choose('ሀ', '፿').map(_.toString), // Ethiopic block
+      1 -> Gen.oneOf("😀", "𝕏"))).map(_.mkString) // astral (surrogate pairs)
+    val prop = Prop.forAll(genText) { s =>
+      DocxExtractor.unescape(escape(s)) == s
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+    // and a full extractPages round trip through a real zip container
+    val tricky = "a&b<c>d\"e'f $1 \\x መ"
+    val pages = DocxExtractor.extractPages(docx(p(
+      s"<w:t>${escape(tricky)}</w:t>")))
+    assert(pages === Seq(tricky), pages)
+  }
+
   test("deflate bomb caps at MaxDocumentXmlBytes and degrades to Nil, not OOM") {
     // a ~70 MB-of-spaces document.xml compresses to ~70 KB; the read loop
     // must stop at the ceiling and return Nil (→ S16 quarantine), never
