@@ -90,13 +90,20 @@ object DocxExtractor extends PageExtractor {
     } finally zin.close()
   }
 
-  /** Page assembly rules (review finding, r11): an EXPLICIT page break
-    * always ends a page, so intentionally blank interior pages survive as
-    * `""` — the keepEmptyPages/mcp-parity contract the ingest server
-    * documents (the PDF path keeps `""` pages the same way). A trailing
-    * break creates no page (Word renders none), and a document whose
-    * pages are ALL blank returns Nil — the no-text/garbage contract that
-    * routes it to quarantine.
+  /** Page assembly rules (review findings, r11 ×2): an EXPLICIT page
+    * break always ends a page, so intentionally blank interior pages
+    * survive as `""` — the keepEmptyPages/mcp-parity contract the ingest
+    * server documents (the PDF path keeps `""` pages the same way).
+    * `<w:lastRenderedPageBreak/>` is a RENDER marker, not content: it
+    * ends a page only when the page has non-whitespace text — a
+    * Word-saved manual break carries BOTH markers (`<w:br
+    * w:type="page"/>` then `<w:lastRenderedPageBreak/>` at the next
+    * paragraph's head), and honoring the second would mint a phantom
+    * blank page per manual break; its whitespace-only prefix (the broken
+    * paragraph's ¶ mark) is dropped so the new page starts clean. A
+    * trailing break creates no page (Word renders none), and a document
+    * whose pages are ALL blank returns Nil — the no-text/garbage
+    * contract that routes it to quarantine.
     */
   private[etl] def pagesFromXml(xml: String): Seq[String] = {
     val pages = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -106,8 +113,11 @@ object DocxExtractor extends PageExtractor {
       val tok = m.matched
       if (m.group(1) != null) cur ++= unescape(m.group(1))
       else if (tok.startsWith("<w:tab")) cur += '\t'
-      else if (tok.startsWith("<w:lastRenderedPageBreak") ||
-        tok.contains("w:type=\"page\"")) {
+      else if (tok.startsWith("<w:lastRenderedPageBreak")) {
+        val p = page()
+        if (p.trim.nonEmpty) pages += p // render marker: never a blank page
+      }
+      else if (tok.contains("w:type=\"page\"")) {
         val p = page()
         pages += (if (p.trim.isEmpty) "" else p) // blank page survives as ""
       }

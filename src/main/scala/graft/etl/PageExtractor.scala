@@ -18,6 +18,18 @@ trait PageExtractor extends Serializable {
   def extractPages(bytes: Array[Byte]): Seq[String]
 }
 
+object PageExtractor {
+  /** True iff the bytes start with the `%PDF` header — the ONE spelling
+    * of the PDF magic the sniffing router keys on (review finding, r11:
+    * keep the signature check in one place so a future tolerance change
+    * — e.g. the spec-permitted junk before `%PDF` — edits one site).
+    * The twin of [[DocxExtractor.looksLikeZip]].
+    */
+  def looksLikePdf(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 &&
+      bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+}
+
 /** Best-effort raw-PDF stream decoder for the uncompressed-text case:
   * pulls `(...) Tj` / `[...] TJ` show-text operators out of uncompressed
   * content streams, one page per `/Type /Page` object encountered. Handles
@@ -56,9 +68,7 @@ object RawPdfExtractor extends PageExtractor {
 final case class SniffingExtractor(
     pdf: PageExtractor = FlatePdfExtractor) extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] = {
-    if (bytes == null || bytes.length < 4) Nil
-    else if (bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
-      bytes(3) == 'F') pdf.extractPages(bytes)
+    if (PageExtractor.looksLikePdf(bytes)) pdf.extractPages(bytes)
     else if (DocxExtractor.looksLikeZip(bytes))
       DocxExtractor.extractPages(bytes)
     else Nil

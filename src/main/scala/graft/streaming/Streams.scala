@@ -393,25 +393,39 @@ object Streams {
       val sigsBase = new org.apache.hadoop.fs.Path(s"$outDir/sigs")
       val cpFs = cpOffsets.getFileSystem(conf)
       val sigFs = sigsBase.getFileSystem(conf)
+      def numericNames(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path,
+                       dirsOnly: Boolean): Set[Long] =
+        if (!fs.exists(p)) Set.empty
+        else fs.listStatus(p).toSeq
+          .filter(s => !dirsOnly || s.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.forall(_.isDigit) && n.nonEmpty => n.toLong }
+          .toSet
       val offsetsEmpty =
         !cpFs.exists(cpOffsets) || cpFs.listStatus(cpOffsets).isEmpty
-      val committed =
-        cpFs.exists(cpCommits) && cpFs.listStatus(cpCommits).nonEmpty
-      val storePopulated =
-        sigFs.exists(sigsBase) &&
-          sigFs.listStatus(sigsBase).exists(_.isDirectory)
-      require(!(offsetsEmpty && storePopulated),
+      // commit-log entries are the batchIds whose foreachBatch RETURNED —
+      // i.e. whose sigs/<id> write was durable before the commit
+      val committedIds = numericNames(cpFs, cpCommits, dirsOnly = false)
+      val sigIds = numericNames(sigFs, sigsBase, dirsOnly = true)
+      require(!(offsetsEmpty && sigIds.nonEmpty),
         s"neardupIngestStream: signature store $outDir/sigs already holds " +
           s"batch directories but checkpoint $checkpoint is empty — a " +
           "fresh checkpoint restarts batchIds at 0 and would silently " +
           "corrupt the store. Delete outDir and checkpoint together, or " +
           "reuse the original checkpoint.")
-      require(!(committed && !storePopulated),
+      // coverage, not mere non-emptiness (review finding r11 #2): a
+      // PARTIALLY deleted store (sigs/1 gone, sigs/0 and sigs/2 intact)
+      // would pass an exists() check and silently stop reporting
+      // duplicates of the deleted batch's documents
+      val missing = committedIds -- sigIds
+      require(missing.isEmpty,
         s"neardupIngestStream: checkpoint $checkpoint has committed " +
-          s"batches but signature store $outDir/sigs is missing or empty " +
-          "— resuming would silently stop reporting duplicates of every " +
-          "pre-restart document. Delete outDir and checkpoint together, " +
-          "or restore the store.")
+          s"batches ${missing.toSeq.sorted.mkString(",")} whose signature " +
+          s"directories are missing under $outDir/sigs — " +
+          "resuming would silently stop reporting duplicates of those " +
+          "batches' documents. Delete outDir and checkpoint together, or " +
+          "restore the store.")
     }
     val stream = spark.readStream
       .schema(docsSchema)

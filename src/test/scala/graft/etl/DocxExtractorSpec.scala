@@ -58,6 +58,21 @@ class DocxExtractorSpec extends AnyFunSuite {
       """<w:t>x</w:t><w:br w:type="page"/>"""))) === Seq("x"))
   }
 
+  test("Word's double page-break markers produce ONE boundary, no phantom blank page (r11 review)") {
+    // a Word-saved manual break carries BOTH the explicit break and the
+    // next paragraph's lastRenderedPageBreak render marker
+    val pages = DocxExtractor.extractPages(docx(
+      p("""<w:t>text1</w:t><w:br w:type="page"/>""") +
+        p("""<w:lastRenderedPageBreak/><w:t>text2</w:t>""")))
+    assert(pages === Seq("text1", "text2"), pages)
+    // the render marker alone still splits REAL page content (a
+    // Word-paginated doc with no manual breaks)
+    val rendered = DocxExtractor.extractPages(docx(
+      p("<w:t>page one flows</w:t>") +
+        p("""<w:lastRenderedPageBreak/><w:t>page two flows</w:t>""")))
+    assert(rendered === Seq("page one flows", "page two flows"), rendered)
+  }
+
   test("all-blank documents return Nil (quarantine contract)") {
     assert(DocxExtractor.extractPages(docx(p("<w:t>  </w:t>"))) === Nil)
     assert(DocxExtractor.extractPages(

@@ -76,10 +76,11 @@ class StitchedGapsPropertySpec extends SparkSpec {
         val a = gapsByType(r.getString(0))
         val v = r.getLong(2)
         // accuracy 10000 >> n: the returned element must exist and its
-        // rank window must contain the k-th decile target within 1
+        // rank interval [lt+1, le], widened by one on each side, must
+        // contain the k-th decile target
         val lt = a.count(_ < v); val le = a.count(_ <= v)
         val target = math.ceil(r.getInt(1) * a.length / 10.0)
-        a.contains(v) && lt + 1 - 1 <= target && target <= le + 1
+        a.contains(v) && lt <= target && target <= le + 1
       }
     }
     val res = ScTest.check(

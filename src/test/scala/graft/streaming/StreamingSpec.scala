@@ -817,9 +817,10 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$out/sigs").listFiles()
       .count(_.isDirectory) === 2)
 
-    // r11 review finding — the CONVERSE direction: a committed checkpoint
-    // whose store was deleted must also refuse (resuming would silently
-    // stop reporting duplicates of every pre-restart document)
+    // r11 review findings — the CONVERSE direction: a committed
+    // checkpoint whose store lost sig directories must refuse, and the
+    // check is COVERAGE of the committed batchIds, not mere
+    // non-emptiness (a partial deletion leaves the store "populated")
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(p)
@@ -827,12 +828,19 @@ class StreamingSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
       finally walk.close()
     }
-    rmTree(java.nio.file.Paths.get(s"$out/sigs"))
+    rmTree(java.nio.file.Paths.get(s"$out/sigs/0")) // PARTIAL: sigs/1 stays
     val ex2 = intercept[IllegalArgumentException] {
       Streams.neardupIngestStream(spark, watch, out, originalCkpt,
         threshold = 0.8)
     }
-    assert(ex2.getMessage.contains("missing or empty"),
-      s"deleted-store resume must refuse: $ex2")
+    assert(ex2.getMessage.contains("missing") && ex2.getMessage.contains("0"),
+      s"partially-deleted store resume must refuse, naming the batch: $ex2")
+    rmTree(java.nio.file.Paths.get(s"$out/sigs")) // fully gone
+    val ex3 = intercept[IllegalArgumentException] {
+      Streams.neardupIngestStream(spark, watch, out, originalCkpt,
+        threshold = 0.8)
+    }
+    assert(ex3.getMessage.contains("missing"),
+      s"deleted-store resume must refuse: $ex3")
   }
 }
