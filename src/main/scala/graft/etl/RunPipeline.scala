@@ -3,11 +3,14 @@ package graft.etl
 import org.apache.spark.sql.SparkSession
 
 /** CLI twin of the reference's consolidated batch pipeline
-  * (E1, `python "import requests.py"` — SURVEY §3): staged PDF binaries in,
-  * reference-shaped JSON documents + quarantine report out.
+  * (E1, `python "import requests.py"` — SURVEY §3): staged binaries in,
+  * reference-shaped JSON documents + quarantine report out. Mixed
+  * PDF+DOCX corpora are routed per row by magic bytes (r11,
+  * SniffingExtractor) with the auto_ingest vol*-vs-statute category
+  * rule — the one-sweep shape of the reference's CI ingest.
   *
   * Usage: runMain graft.etl.RunPipeline <binaryDir> <outDir> [processedDir]
-  *   binaryDir    directory of *.pdf blobs (binaryFile source)
+  *   binaryDir    directory of PDF/DOCX blobs (binaryFile source)
   *   outDir       writes documents/ (JSON) and quarantine/ (JSON)
   *   processedDir optional existing documents dir — its base names are
   *                skipped (S5 incremental anti-join)
@@ -38,7 +41,8 @@ object RunPipeline {
       case None => staged
     }
     val ingestDate = java.time.LocalDate.now().toString
-    val out = Pipeline.process(links, FlatePdfExtractor, ingestDate)
+    val out = Pipeline.process(links, SniffingExtractor(), ingestDate,
+      category = DocOps.autoCategory(col("url")))
     Pipeline.writeDocs(out.docs, s"$outDir/documents")
     out.quarantine.write.mode("overwrite").json(s"$outDir/quarantine")
     val nDocs = Pipeline.readDocs(spark, s"$outDir/documents").count()
