@@ -1709,6 +1709,22 @@ class CatalogSpec extends SparkSpec {
             s"misses $target (n=$m)")
       }
     spark.catalog.clearCache()
+    // ... and symmetrically for q110's approx output vs exact values
+    val exactVals = corpus
+      .select(col("event_type"), col("value")).filter(col("value").isNotNull)
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    graft.queries.Analytics.valuePercentiles(corpus, approx = true).collect()
+      .foreach { r =>
+        val a = exactVals(r.getString(0)); val m = a.length
+        val v = r.getDouble(2)
+        val lt = a.count(_ < v); val le = a.count(_ <= v)
+        val target = math.ceil(r.getInt(1) * m / 100.0)
+        assert(lt <= target && target <= le + 1,
+          s"${r.getString(0)} p${r.getInt(1)}: $v rank [${lt + 1},$le] " +
+            s"misses $target (n=$m)")
+      }
+    spark.catalog.clearCache()
   }
 
   test("q108/q109 — hour grid zero-fills; lang shares are half-up on exact counts") {
