@@ -256,7 +256,20 @@ object DevScale {
       "q134_lsh_incremental",
       // weighted sample: one narrow scan projection map-side reducing to
       // #sources rows — should track the raw scan band
-      "q135_weighted_sample")
+      "q135_weighted_sample",
+      // round 11 ledger additions (previously unmeasured): textrank —
+      // disjoint replica vocabularies grow the vocab AND the reduced edge
+      // table 10x; past localWalkMaxEdges the walk routes to the shuffled
+      // bounded-round path (the budget lever under test); measured 1.52x.
+      // LTV profile — 10x customers through one orders exchange; per-
+      // customer ltv is replica-INVARIANT under this corpus's replication
+      // (the q126 mark-table property), so the (seg, ltv) support stays
+      // original while counts scale — measured 1.24x. NOTE the honest
+      // caveat: under REAL customer growth ltv support grows ~linearly
+      // and the per-seg cum window becomes the q107/q110 ordered-pass
+      // class; the q126 GK routing pattern (percentile_approx on p50/p90)
+      // is the documented lever if that regime arrives
+      "q82_textrank", "q119_ltv_profile")
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
