@@ -24,6 +24,14 @@ import scala.util.matching.Regex
   * same as the PDF codecs): non-zip bytes, a zip without
   * `word/document.xml`, or an entry that fails to decompress all degrade
   * to Nil.
+  *
+  * Scope: the document BODY only. Table text extracts naturally (cells
+  * hold ordinary `<w:p>` paragraphs — the walk keys on runs and
+  * paragraph ends, not on container elements), each cell ending as a
+  * line. Headers/footers/footnotes live in SEPARATE zip entries
+  * (header1.xml …) and are deliberately out of scope — they are layout
+  * chrome, the statute content lives in the body (and for training-data
+  * purposes boilerplate chrome is what q95's screen removes anyway).
   */
 object DocxExtractor extends PageExtractor {
 

@@ -80,6 +80,21 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(DocxExtractor.extractPages(docx("")) === Nil)
   }
 
+  test("table cell text extracts (cells hold ordinary paragraphs); header entries are out of scope") {
+    // WordprocessingML tables wrap ordinary <w:p> paragraphs in
+    // <w:tbl>/<w:tr>/<w:tc> containers the walk does not key on — cell
+    // text must surface, one line per cell paragraph
+    val pages = DocxExtractor.extractPages(docx(
+      p("<w:t>before table</w:t>") +
+        "<w:tbl><w:tr>" +
+        "<w:tc>" + p("<w:t>cell A1</w:t>") + "</w:tc>" +
+        "<w:tc>" + p("<w:t>cell B1</w:t>") + "</w:tc>" +
+        "</w:tr></w:tbl>" +
+        p("<w:t>after table</w:t>")))
+    assert(pages === Seq("before table\ncell A1\ncell B1\nafter table"),
+      pages)
+  }
+
   test("entity unescaping: named, decimal, hex, astral") {
     val pages = DocxExtractor.extractPages(docx(p(
       "<w:t>&amp;&lt;&gt;&quot;&apos; &#65; &#x1218; &#x1F600;</w:t>")))
