@@ -108,7 +108,14 @@ object DocxExtractor extends PageExtractor {
     * w:type="page"/>` then `<w:lastRenderedPageBreak/>` at the next
     * paragraph's head), and honoring the second would mint a phantom
     * blank page per manual break; its whitespace-only prefix (the broken
-    * paragraph's ¶ mark) is dropped so the new page starts clean. A
+    * paragraph's ¶ mark) is dropped so the new page starts clean. The
+    * DELIBERATE narrowing this buys (signed off, r11 review): a blank
+    * page that exists only in Word's own pagination (empty paragraphs
+    * straddling a rendered break, no manual break anywhere) merges away
+    * — the two cases are indistinguishable in the token stream, and a
+    * phantom page per manual break is the worse artifact for page-count
+    * and content contracts. Blank pages survive EXACTLY when explicit
+    * (`<w:br w:type="page"/>`). A
     * trailing break creates no page (Word renders none), and a document
     * whose pages are ALL blank returns Nil — the no-text/garbage
     * contract that routes it to quarantine.

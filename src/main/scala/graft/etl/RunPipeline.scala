@@ -34,8 +34,13 @@ object RunPipeline {
       .select(col("path").as("url"), col("content"))
     val links = processedDir match {
       case Some(dir) =>
+        // reconstruct base names from sourceURL with the SAME derivation
+        // the anti-join uses — the old title-based inversion
+        // (title.replace(' ','_')) broke for literal-space filenames
+        // ('Vol 01.pdf' never matched → re-ingested every run) and
+        // collided 'a b.pdf' with 'a_b.pdf' (review finding r11)
         val processed = Pipeline.readDocs(spark, dir)
-          .select(regexp_replace(col("title"), " ", "_").as("base_name"))
+          .select(DocOps.baseNameOf(col("sourceURL")).as("base_name"))
         Pipeline.incremental(staged.select("url"), processed)
           .join(staged, Seq("url"))
       case None => staged

@@ -28,3 +28,22 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf0001: String = SparkSpec.sf0001
 }
+
+/** Shared assertion helpers for spec code (kept out of SparkSpec so
+  * suites can use them without inheriting the session).
+  */
+object SpecHelpers {
+  /** The ONE spelling of the GK rank-window contract with ±1 slack
+    * (review finding r11: the convention was hand-copied in three
+    * suites): value v's rank interval in the sorted data is
+    * [lt+1, le]; the target rank must fall inside it widened by one on
+    * each side. At accuracy ≫ n this degenerates to exactness up to
+    * GK's own rank rounding.
+    */
+  def gkRankHolds[T](sorted: Seq[T], v: T, target: Double)
+                    (implicit ord: Ordering[T]): Boolean = {
+    val lt = sorted.count(ord.lt(_, v))
+    val le = sorted.count(ord.lteq(_, v))
+    lt <= target && target <= le + 1
+  }
+}

@@ -35,17 +35,26 @@ class AqeParitySpec extends SparkSpec {
     r
   }
 
-  test("representative catalog slice is byte-identical under AQE ON and a wider shuffle") {
-    val ref = slice.map(n => n -> rows(n)).toMap
+  test("representative catalog slice is byte-identical under AQE OFF (bench config) and AQE ON (cluster config)") {
     val aqe = "spark.sql.adaptive.enabled"
     val sp = "spark.sql.shuffle.partitions"
     val aqe0 = spark.conf.get(aqe)
     val sp0 = spark.conf.get(sp)
     try {
+      // reference run at the BENCH'S SHIPPED config — AQE off must be set
+      // EXPLICITLY: Spark 4's session default is AQE ON, so inheriting
+      // the suite default would compare ON vs ON and never exercise the
+      // AQE-off physical paths the bench actually ships (review finding
+      // r11 #3)
+      spark.conf.set(aqe, "false")
+      spark.conf.set(sp, "8")
+      val ref = slice.map(n => n -> rows(n)).toMap
+      // cluster config: AQE on, a different (prime) static width
       spark.conf.set(aqe, "true")
-      spark.conf.set(sp, "13") // a prime, ≠ the suite default
+      spark.conf.set(sp, "13")
       slice.foreach { n =>
-        assert(rows(n) === ref(n), s"$n diverged under AQE/shuffle=13")
+        assert(rows(n) === ref(n),
+          s"$n diverged between AQE-off/shuffle=8 and AQE-on/shuffle=13")
       }
     } finally {
       spark.conf.set(aqe, aqe0)

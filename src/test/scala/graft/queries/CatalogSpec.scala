@@ -1699,14 +1699,9 @@ class CatalogSpec extends SparkSpec {
       .foreach { r =>
         val a = exactGaps(r.getString(0)); val m = a.length
         val v = r.getLong(2)
-        val lt = a.count(_ < v); val le = a.count(_ <= v)
         val target = math.ceil(r.getInt(1) * m / 10.0)
-        // GK rank window with ±1 slack (accuracy ≫ n here): the value's
-        // rank interval is [lt+1, le]; the target must fall inside it
-        // widened by one on each side
-        assert(lt <= target && target <= le + 1,
-          s"${r.getString(0)} k=${r.getInt(1)}: $v rank [${lt + 1},$le] " +
-            s"misses $target (n=$m)")
+        assert(graft.SpecHelpers.gkRankHolds(a.toSeq, v, target),
+          s"${r.getString(0)} k=${r.getInt(1)}: $v misses rank $target (n=$m)")
       }
     spark.catalog.clearCache()
     // ... and symmetrically for q110's approx output vs exact values
@@ -1718,11 +1713,9 @@ class CatalogSpec extends SparkSpec {
       .foreach { r =>
         val a = exactVals(r.getString(0)); val m = a.length
         val v = r.getDouble(2)
-        val lt = a.count(_ < v); val le = a.count(_ <= v)
         val target = math.ceil(r.getInt(1) * m / 100.0)
-        assert(lt <= target && target <= le + 1,
-          s"${r.getString(0)} p${r.getInt(1)}: $v rank [${lt + 1},$le] " +
-            s"misses $target (n=$m)")
+        assert(graft.SpecHelpers.gkRankHolds(a.toSeq, v, target),
+          s"${r.getString(0)} p${r.getInt(1)}: $v misses rank $target (n=$m)")
       }
     spark.catalog.clearCache()
   }

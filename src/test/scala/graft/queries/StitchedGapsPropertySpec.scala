@@ -30,23 +30,31 @@ class StitchedGapsPropertySpec extends SparkSpec {
   private val genBucket: Gen[Long] =
     Gen.oneOf(1L, 7L, 60000000L, 3600000000L, 86400000000L)
 
+  /** Rebuild exact micros through a timestamp column — the helper reads
+    * unix_micros(ts). Java's truncating / and % compose exactly for
+    * negative micros too.
+    */
+  private def eventsDf(evs: List[(Long, Long, String)]) =
+    evs.map { case (us, id, ty) =>
+      (id, new java.sql.Timestamp(us / 1000), us % 1000, ty)
+    }.toDF("event_id", "ts_ms", "us_rem", "event_type")
+      .withColumn("ts", timestamp_micros(
+        expr("unix_micros(cast(ts_ms as timestamp)) + us_rem")))
+      .select("event_id", "ts", "event_type")
+
+  /** Driver-side oracle: per type, sort by (us, event_id), adjacent lag. */
+  private def driverGaps(evs: List[(Long, Long, String)]): Map[String, Seq[Long]] =
+    evs.groupBy(_._3).map { case (ty, rows) =>
+      ty -> rows.sortBy(r => (r._1, r._2)).sliding(2).collect {
+        case Seq(p, c) => c._1 - p._1
+      }.toSeq
+    }
+
   test("stitched gap multiset == window-lag gap multiset on random streams (ScalaCheck)") {
     val prop = Prop.forAll(genEvents, genBucket) { (evs, bucketUs) =>
-      // driver-side oracle: per type, sort by (us, event_id), lag
-      val expect = evs.groupBy(_._3).toSeq.flatMap { case (ty, rows) =>
-        rows.sortBy(r => (r._1, r._2)).sliding(2).collect {
-          case Seq(p, c) => (ty, c._1 - p._1)
-        }
-      }.sorted
-      val df = evs.map { case (us, id, ty) =>
-        (id, new java.sql.Timestamp(us / 1000), us % 1000, ty)
-      }.toDF("event_id", "ts_ms", "us_rem", "event_type")
-        // rebuild exact micros via a timestamp column: the helper reads
-        // unix_micros(ts), so construct ts from the micros directly
-        .withColumn("ts", timestamp_micros(
-          expr("unix_micros(cast(ts_ms as timestamp)) + us_rem")))
-        .select("event_id", "ts", "event_type")
-      val got = graft.queries.Analytics.stitchedGaps(df, bucketUs)
+      val expect = driverGaps(evs)
+        .toSeq.flatMap { case (ty, gs) => gs.map(ty -> _) }.sorted
+      val got = graft.queries.Analytics.stitchedGaps(eventsDf(evs), bucketUs)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
       got == expect
     }
@@ -59,28 +67,16 @@ class StitchedGapsPropertySpec extends SparkSpec {
 
   test("routed gapDeciles on random streams: every decile is a real gap within GK rank error") {
     val prop = Prop.forAll(genEvents) { evs =>
-      val df = evs.map { case (us, id, ty) =>
-        (id, new java.sql.Timestamp(us / 1000), us % 1000, ty)
-      }.toDF("event_id", "ts_ms", "us_rem", "event_type")
-        .withColumn("ts", timestamp_micros(
-          expr("unix_micros(cast(ts_ms as timestamp)) + us_rem")))
-        .select("event_id", "ts", "event_type")
-      val gapsByType = evs.groupBy(_._3).map { case (ty, rows) =>
-        ty -> rows.sortBy(r => (r._1, r._2)).sliding(2).collect {
-          case Seq(p, c) => c._1 - p._1
-        }.toSeq.sorted
-      }
-      val out = graft.queries.Analytics.gapDeciles(df, scalable = true)
-        .collect()
+      val gapsByType = driverGaps(evs).map { case (t, g) => t -> g.sorted }
+      val out = graft.queries.Analytics.gapDeciles(eventsDf(evs),
+        scalable = true).collect()
       out.forall { r =>
         val a = gapsByType(r.getString(0))
         val v = r.getLong(2)
-        // accuracy 10000 >> n: the returned element must exist and its
-        // rank interval [lt+1, le], widened by one on each side, must
-        // contain the k-th decile target
-        val lt = a.count(_ < v); val le = a.count(_ <= v)
+        // accuracy 10000 >> n: the returned element must exist and obey
+        // the shared GK rank contract
         val target = math.ceil(r.getInt(1) * a.length / 10.0)
-        a.contains(v) && lt <= target && target <= le + 1
+        a.contains(v) && graft.SpecHelpers.gkRankHolds(a, v, target)
       }
     }
     val res = ScTest.check(
