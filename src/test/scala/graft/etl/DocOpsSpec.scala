@@ -45,6 +45,26 @@ class DocOpsSpec extends SparkSpec {
       .withColumn("title", DocOps.titleOf($"base"))
     val r = df.as[(String, String)].head()
     assert(r === ("Cassation_Vol_26", "Cassation Vol 26"))
+    // r11: .docx strips like .pdf; other extensions pass through
+    val exts = Seq("https://x/Proc%201.docx", "https://x/vol02.pdf",
+      "https://x/notes.txt").toDF("url")
+      .select(DocOps.baseNameOf($"url").as("base")).as[String].collect()
+    assert(exts.toSeq === Seq("Proc_1", "vol02", "notes.txt"))
+  }
+
+  test("autoCategory — the auto_ingest vol*-vs-statute rule, verbatim (r11)") {
+    // auto_ingest.yml:27-29: [[ $file == vol* ]] → cassation_decision,
+    // EVERYTHING else (statutes-tree PDFs, *.docx, and names merely
+    // CONTAINING vol) → statute; case-sensitive glob parity
+    val got = Seq(
+      "https://x/vol01.pdf", "https://x/volume%20two.pdf",
+      "https://x/Vol%2001.pdf", // capital V: the glob does NOT match
+      "https://x/statutes/family_code.pdf", "https://x/Proc%201.docx",
+      "https://x/evolution.pdf") // contains vol, does not START with it
+      .toDF("url")
+      .select(DocOps.autoCategory($"url")).as[String].collect()
+    assert(got.toSeq === Seq("CassationDecision", "CassationDecision",
+      "Statute", "Statute", "Statute", "Statute"))
   }
 
   test("S12 — year regex: first match in first 1000 chars, \"\" sentinel") {

@@ -26,7 +26,11 @@ class AqeParitySpec extends SparkSpec {
     "q68_dup_clusters", // iterative CC under re-planned shuffles
     "q107_gap_deciles",
     "q110_value_percentiles",
-    "q126_rfm_segments") // cum windows + broadcast mark arrays
+    "q126_rfm_segments", // cum windows + broadcast mark arrays
+    "q45_tfidf", // df-attach join shape
+    "q55_curate", // the composed curation pipeline (observe + stages)
+    "q62_pack", // recursive next-fit packing
+    "q135_weighted_sample") // narrow scan reduction
 
   private def rows(name: String): Seq[Seq[Any]] = {
     val r = Catalog.byName(name).build(spark, sf0001)
