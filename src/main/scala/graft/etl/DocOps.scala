@@ -44,13 +44,18 @@ object DocOps {
     */
   def titleOf(baseName: Column): Column = regexp_replace(baseName, "_", " ")
 
-  /** The reference's per-file resource routing, verbatim
+  /** The reference's per-file resource routing, by evident INTENT
     * (auto_ingest.yml:27-29: `[[ $file == vol* ]] && echo
-    * cassation_decision || echo statute`): a filename starting with
+    * cassation_decision || echo statute`): a BASENAME starting with
     * `vol` is a cassation decision, EVERYTHING else — statutes-tree PDFs
-    * and `*.docx` alike — is a statute. Name-based like the reference
-    * (case-sensitive glob parity); pair with `docRecord(category = ...)`
-    * for per-row categorization of mixed corpora.
+    * and `*.docx` alike — is a statute. Deliberate deviation from the
+    * reference's literal behavior (review finding, r12): its `$file`
+    * comes from `find .`, so every path starts with `./` and the `vol*`
+    * glob never matches — run literally, everything posts as statute.
+    * The basename semantics match the workflow's evident intent and the
+    * per-file `vol*.pdf` trigger. Case-sensitive glob parity preserved;
+    * pair with `docRecord(category = ...)` for per-row categorization of
+    * mixed corpora.
     */
   def autoCategory(url: Column): Column =
     when(regexp_extract(url, "[^/]+$", 0).startsWith("vol"),

@@ -43,9 +43,18 @@ object DocxExtractor extends PageExtractor {
     * `w:clear=...`) and the legacy `<w:cr/>` carriage return — all render
     * as line breaks; only `w:type="page"` (and Word's rendered-break
     * marker) starts a new page (review finding, r11).
+    *
+    * The text-run body is `[^<]*`, NOT a lazy dot: WordprocessingML text
+    * content never contains a raw `<` (always entity-escaped), and the
+    * negated class makes failure at an unclosed `<w:t>` O(1) instead of
+    * backtracking to end-of-input — a crafted document.xml of millions of
+    * unclosed tags (well under [[MaxDocumentXmlBytes]]) would otherwise
+    * pin the network-admitted statute ingest path in O(n²) regex work
+    * (CPU-bomb review finding, r12; the deflate ceiling bounds memory
+    * but not CPU).
     */
   private val TokenRe: Regex =
-    ("""(?s)<w:t(?:\s[^>]*)?>(.*?)</w:t>""" + // 1: text run
+    ("""<w:t(?:\s[^>]*)?>([^<]*)</w:t>""" + // 1: text run
       """|<w:tab\s*/>""" +
       """|<w:br\s+[^>]*w:type="page"[^>]*/?>""" +
       """|<w:lastRenderedPageBreak\s*/>""" +
@@ -75,7 +84,14 @@ object DocxExtractor extends PageExtractor {
   /** Locate and decompress `word/document.xml`; None when absent,
     * undecodable, or inflating past [[MaxDocumentXmlBytes]].
     */
-  private[etl] def documentXml(bytes: Array[Byte]): Option[String] = {
+  private[etl] def documentXml(bytes: Array[Byte]): Option[String] =
+    documentXmlOrReason(bytes).toOption
+
+  /** The same walk with the failure CLASS on the Left — the r12
+    * reason-coded-quarantine seam ([[diagnose]] reads it; `documentXml`
+    * flattens it back to Option for the extraction path).
+    */
+  private[etl] def documentXmlOrReason(bytes: Array[Byte]): Either[String, String] = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -86,17 +102,32 @@ object DocxExtractor extends PageExtractor {
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
           while (n > 0) {
-            if (out.size() + n > MaxDocumentXmlBytes) return None
+            if (out.size() + n > MaxDocumentXmlBytes)
+              return Left("docx-oversize-xml")
             out.write(buf, 0, n)
             n = zin.read(buf)
           }
-          return Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+          return Right(new String(out.toByteArray, StandardCharsets.UTF_8))
         }
         entry = zin.getNextEntry
       }
-      None
+      Left("docx-missing-document-xml")
     } finally zin.close()
   }
+
+  /** Why a DOCX yielded no text (VERDICT r11 item 3): a zip without
+    * `word/document.xml` (not an OPC word document, or a renamed
+    * plain archive), a body XML inflating past the deflate-bomb
+    * ceiling, a zip that fails to decompress — else the body was
+    * decodable and simply empty.
+    */
+  override def diagnose(bytes: Array[Byte]): String =
+    try {
+      documentXmlOrReason(bytes) match {
+        case Left(reason) => reason
+        case Right(_) => "empty-text"
+      }
+    } catch { case _: Exception => "docx-unreadable" }
 
   /** Page assembly rules (review findings, r11 ×2): an EXPLICIT page
     * break always ends a page, so intentionally blank interior pages

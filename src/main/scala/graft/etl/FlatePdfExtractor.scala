@@ -48,6 +48,40 @@ object FlatePdfExtractor extends PageExtractor {
     catch { case _: Exception => Nil }
   }
 
+  private val TrailerDictRe: Regex = """(?s)trailer\s*<<(.*?)>>""".r
+  private val EncryptKeyRe: Regex = """/Encrypt\s*(?:\d+\s+\d+\s+R|<<)""".r
+
+  /** Why a document yielded no text (VERDICT r11 item 3 — reason-coded
+    * quarantine). Runs ONLY on already-quarantined rows (the S16 rare
+    * path), so it re-parses structure but never re-decodes streams:
+    *   - `encrypted` — an `/Encrypt` key in a trailer or object dict
+    *     (classic-trailer and xref-stream-dict spellings both land in
+    *     [[ObjRe]]/[[TrailerDictRe]] text),
+    *   - `unsupported-filter:<A+B>` — every declared stream filter
+    *     outside [[SupportedFilters]] (DCTDecode scans, JBIG2/CCITT fax,
+    *     Crypt, JPX), sorted and `+`-joined so a mixed raster doc reads
+    *     deterministically,
+    *   - `not-a-pdf` — no `%PDF` magic,
+    *   - `empty-text` — structurally decodable, just nothing to extract
+    *     (whitespace-only show-text, or no text operators at all).
+    */
+  override def diagnose(bytes: Array[Byte]): String = {
+    try {
+      if (!PageExtractor.looksLikePdf(bytes)) return "not-a-pdf"
+      val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+      val dicts = TrailerDictRe.findAllMatchIn(raw).map(_.group(1)).toSeq ++
+        ObjRe.findAllMatchIn(raw).map(_.group(2)).toSeq
+      if (dicts.exists(d => EncryptKeyRe.findFirstIn(d).isDefined)) "encrypted"
+      else {
+        val unsupported = dicts.flatMap(filterNames)
+          .filterNot(SupportedFilters).distinct.sorted
+        if (unsupported.nonEmpty)
+          unsupported.mkString("unsupported-filter:", "+", "")
+        else "empty-text"
+      }
+    } catch { case _: Exception => "empty-text" }
+  }
+
   /** The EOL between stream data and `endstream` is FRAMING, not data
     * (ISO 32000 §7.3.8.1) — strip exactly one marker, at extraction time
     * only. Decoders must NOT strip EOLs themselves: chained stages see
@@ -319,13 +353,25 @@ object FlatePdfExtractor extends PageExtractor {
     * see scaladoc) yield None so the stream is skipped rather than
     * mis-decoded; a stream with no /Filter passes through raw.
     */
-  private[etl] def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
-    val filters: Seq[String] = FilterListRe.findFirstMatchIn(dict) match {
+  /** The declared filter chain of one stream dict — `/Filter` name or
+    * array form. Shared by [[decodeStream]] and [[diagnose]] (the r12
+    * reason-coded-quarantine thread: one parse, two consumers).
+    */
+  private[etl] def filterNames(dict: String): Seq[String] =
+    FilterListRe.findFirstMatchIn(dict) match {
       case Some(m) if m.group(1) != null =>
         NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
       case Some(m) => Seq(m.group(2))
       case None => Nil
     }
+
+  /** Filters [[decodeStream]] can actually decode (incl. abbreviations). */
+  private val SupportedFilters: Set[String] = Set(
+    "FlateDecode", "Fl", "LZWDecode", "LZW", "ASCIIHexDecode", "AHx",
+    "ASCII85Decode", "A85", "RunLengthDecode", "RL")
+
+  private[etl] def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val filters: Seq[String] = filterNames(dict)
     filters.zip(decodeParms(dict, filters)).foldLeft(Option(data)) {
       case (acc, (f, parm)) =>
         acc.flatMap { d =>

@@ -57,7 +57,12 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
             errorJson(s"not found: $p").getBytes(StandardCharsets.UTF_8))
         }
       } catch { case e: Exception =>
-        respond(ex, 200, errorJson(e.getMessage)) // S16 error-as-row
+        // 500, not the S16 200-with-error-row shape: /ingest's responses
+        // are row-shaped and errors ARE rows there, but a dashboard GET
+        // must let monitors (and the page's own fetch()) distinguish a
+        // healthy empty feed from a broken one by status code (review
+        // finding, r12). Same error-JSON body either way.
+        respond(ex, 500, errorJson(e.getMessage))
       } finally ex.close()
   })
   server.createContext("/ingest", new HttpHandler {
@@ -114,6 +119,17 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     out.docs.toJSON.collect().headOption.getOrElse {
       val reason = out.quarantine.select("reason").collect()
         .headOption.map(_.getString(0)).getOrElse("no output")
+      // surface the coded reason on the dashboard feed (VERDICT r11
+      // item 3): one ERROR row per quarantined upload — rare by
+      // construction, so the per-append rotation write is off the
+      // happy path
+      statusDir.foreach { d =>
+        import spark.implicits._
+        StatusLog.append(spark, d,
+          Seq((new java.sql.Timestamp(System.currentTimeMillis()),
+            "ERROR", s"quarantined $url: $reason"))
+            .toDF("ts", "level", "message"))
+      }
       errorJson(reason)
     }
   }

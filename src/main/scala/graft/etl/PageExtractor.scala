@@ -16,6 +16,16 @@ trait PageExtractor extends Serializable {
     * handled one level up, but decode noise should not be an exception).
     */
   def extractPages(bytes: Array[Byte]): Seq[String]
+
+  /** Reason code for a document that yielded no text (VERDICT r11 item 3
+    * — reason-coded quarantine): a short stable token like `encrypted`,
+    * `unsupported-filter:DCTDecode`, `not-pdf-or-docx`. The pipeline
+    * calls this ONLY for rows already headed to quarantine (the rare
+    * path), so implementations may re-parse structure; like
+    * `extractPages` it must never throw. Default: `empty-text` — the
+    * bytes decoded but carried no extractable text.
+    */
+  def diagnose(bytes: Array[Byte]): String = "empty-text"
 }
 
 object PageExtractor {
@@ -72,6 +82,16 @@ final case class SniffingExtractor(
     else if (DocxExtractor.looksLikeZip(bytes))
       DocxExtractor.extractPages(bytes)
     else Nil
+  }
+
+  /** Routes the diagnosis the same way extraction routed: a format the
+    * sniffer recognizes defers to that codec's reason; anything else is
+    * the router's own verdict, `not-pdf-or-docx`.
+    */
+  override def diagnose(bytes: Array[Byte]): String = {
+    if (PageExtractor.looksLikePdf(bytes)) pdf.diagnose(bytes)
+    else if (DocxExtractor.looksLikeZip(bytes)) DocxExtractor.diagnose(bytes)
+    else "not-pdf-or-docx"
   }
 }
 

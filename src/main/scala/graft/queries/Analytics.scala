@@ -1042,6 +1042,25 @@ object Analytics {
       gapDeciles(Tables.events(s, d))
     },
 
+    Q.cap("q107b_gap_deciles_scalable",
+      """Q107b — the SCALE variant of q107, catalog-visible (VERDICT r11
+        |item 1, the q20b precedent): the routed gapDeciles(scalable=true)
+        |path — (type, time-bucket) partitioned lag with exact boundary
+        |stitching (the gap MULTISET is byte-identical to the single
+        |per-type window, CatalogSpec + StitchedGapsPropertySpec), then
+        |q72's mergeable Greenwald–Khanna sketch for the decile itself
+        |(map-side partials, no rank window; rank error ≤ n/accuracy,
+        |exact-degenerate below `accuracy` gaps — at sf0.01's gap counts
+        |the output equals exact q107 up to GK's own rank rounding).
+        |No oracle by design: percentile_approx merge order is
+        |partitioning-dependent, so the guarantee is the GK rank window,
+        |not byte equality — CatalogSpec bounds it against exact q107;
+        |this entry exists so the shipped routing gets a bench row and a
+        |per-round regression guard. PlanShapeSpec pins no-rank-window +
+        |objHashAggregate partials.""".stripMargin) { (s, d) =>
+      gapDeciles(Tables.events(s, d), scalable = true)
+    },
+
     Q("q108_hour_profile",
       """Q108 — hour-of-day traffic shape per event type (the
         |seasonality read a volume monitor normalizes by before calling
@@ -1099,6 +1118,21 @@ object Analytics {
         |identically on both engines before ranking.""".stripMargin,
       q110OracleSql) { (s, d) =>
       valuePercentiles(Tables.events(s, d))
+    },
+
+    Q.cap("q110b_value_percentiles_approx",
+      """Q110b — the SCALE variant of q110, catalog-visible (VERDICT r11
+        |item 1, the q20b precedent): the routed
+        |valuePercentiles(approx=true) path — q72's mergeable
+        |Greenwald–Khanna sketch replaces the per-type ordered pass
+        |entirely (map-side partials, no rank window; rank error ≤
+        |n/accuracy, exact-degenerate below `accuracy` rows per type).
+        |No oracle by design: the sketch's merge order is
+        |partitioning-dependent, so the guarantee is the GK rank window
+        |vs exact q110 (CatalogSpec), not byte equality; this entry
+        |exists so the shipped routing gets a bench row and a per-round
+        |regression guard. PlanShapeSpec pins the no-Window plan.""".stripMargin) { (s, d) =>
+      valuePercentiles(Tables.events(s, d), approx = true)
     },
 
     Q("q114_stickiness",

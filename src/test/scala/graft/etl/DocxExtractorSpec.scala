@@ -148,4 +148,18 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(bomb.length < (1 << 21), s"fixture should be small: ${bomb.length}")
     assert(DocxExtractor.extractPages(bomb) === Nil)
   }
+
+  test("CPU bomb: a million unclosed <w:t> tags tokenize in linear time") {
+    // the deflate ceiling bounds MEMORY; this pins CPU (review finding,
+    // r12): with a lazy-dot text-run body, every unclosed <w:t> backtracks
+    // to end-of-input — 500k tags over ~3.5 MB is ~10^12 regex steps
+    // (hours). The [^<]* body fails each in O(1); the whole walk plus the
+    // one valid trailing run must finish promptly.
+    val xml = ("<w:t>x" * 500000) + "<w:t>ok</w:t></w:p>"
+    val t0 = System.nanoTime()
+    val pages = DocxExtractor.pagesFromXml(xml)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(pages === Seq("ok"), pages)
+    assert(elapsedMs < 30000, s"tokenization took ${elapsedMs} ms — quadratic?")
+  }
 }

@@ -143,6 +143,36 @@ class IngestServerSpec extends SparkSpec {
       assert(get("/hub/nope")._1 === 404)
       assert(get("/openapi.json")._1 === 200)
     } finally server.stop()
+
+    // a broken feed must be distinguishable from a healthy empty one by
+    // status code (review finding, r12): /hub's catch returns 500 + the
+    // error-JSON body, unlike /ingest's S16 row-shaped 200s. The fixture
+    // is a complete-looking generation whose parquet is garbage — the
+    // read throws at collect, the healthy-empty case (no generations)
+    // stays 200.
+    val badDir = java.nio.file.Files
+      .createTempDirectory("graft_hub_bad").toString
+    val gen = java.nio.file.Paths.get(badDir, "gen_1")
+    java.nio.file.Files.createDirectories(gen)
+    java.nio.file.Files.write(gen.resolve("_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(gen.resolve("part-00000.parquet"),
+      "not parquet".getBytes(StandardCharsets.UTF_8))
+    val broken = new IngestServer(spark, FormFeedExtractor,
+      statusDir = Some(badDir))
+    val bport = broken.start()
+    def bget(path: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$bport$path")).GET().build()
+      val r = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      (r.statusCode(), r.body())
+    }
+    try {
+      val (bc, bb) = bget("/hub/status.json")
+      assert(bc === 500, s"want 500 on a throwing feed, got $bc: $bb")
+      assert(bb.contains("\"error\""))
+      assert(bget("/hub")._1 === 200) // the static page itself still serves
+    } finally broken.stop()
   }
 
   test("GET /openapi.json serves the machine-readable contract; schema matches the live record") {

@@ -174,7 +174,8 @@ class PipelineSpec extends SparkSpec {
       "3 0 obj\n<< /Type /Page /Contents 1 0 R >>\nendobj\n")
     assert(FlatePdfExtractor.extractPages(mixed) === Seq("salvaged text"))
     // 4) the S16 channel: through the full pipeline, undecodable docs land
-    //    in quarantine WITH a reason row; the mixed doc survives as a doc
+    //    in quarantine WITH a DISTINCT coded reason per failure class
+    //    (VERDICT r11 item 3); the mixed doc survives as a doc
     val bins = Seq(
       ("https://x/scanned%20vol.pdf", dctOnly),
       ("https://x/locked%20vol.pdf", encrypted),
@@ -183,8 +184,9 @@ class PipelineSpec extends SparkSpec {
     val q = out.quarantine.collect().map(r =>
       (r.getAs[String]("url"), r.getAs[String]("reason"))).sorted
     assert(q.toSeq === Seq(
-      ("https://x/locked%20vol.pdf", "empty_or_unparseable"),
-      ("https://x/scanned%20vol.pdf", "empty_or_unparseable")), q.toSeq)
+      ("https://x/locked%20vol.pdf", "encrypted"),
+      ("https://x/scanned%20vol.pdf", "unsupported-filter:DCTDecode")),
+      q.toSeq)
     val docs = out.docs.collect()
     assert(docs.length === 1 &&
       docs(0).getAs[String]("content") === "salvaged text")
@@ -218,8 +220,23 @@ class PipelineSpec extends SparkSpec {
     assert(docs("Proc 1-2016")._1.contains("Article 2: scope <broad>"))
     assert(docs("Proc 1-2016")._2 === "Statute")
     assert(docs("Proc 1-2016")._3 === Seq("Statute"))
-    val q = out.quarantine.collect().map(_.getAs[String]("url"))
-    assert(q.toSeq === Seq("https://x/junk.bin"))
+    val q = out.quarantine.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("reason")))
+    assert(q.toSeq === Seq(("https://x/junk.bin", "not-pdf-or-docx")))
+    // a zip that is not an OPC word document gets its own reason class
+    val zipNoDoc = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+      z.write("hi".getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val out3 = Pipeline.process(
+      Seq(("https://x/archive.docx", zipNoDoc)).toDF("url", "content"),
+      SniffingExtractor(), "2026-08-15")
+    assert(out3.quarantine.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[String]("reason"))).toSeq ===
+      Seq(("https://x/archive.docx", "docx-missing-document-xml")))
     // content-based, not name-based: a DOCX lying behind a .pdf name
     // still extracts (the magic bytes win)
     val lying = Seq(("https://x/mislabeled.pdf", docx)).toDF("url", "content")

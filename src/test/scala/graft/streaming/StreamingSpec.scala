@@ -345,7 +345,7 @@ class StreamingSpec extends SparkSpec {
     // the audit row is durable, the staged binary is gone, the good one stays
     val q = spark.read.json(s"$out/quarantine/*")
     assert(q.count() === 1)
-    assert(q.select("reason").as[String].head() === "empty_or_unparseable")
+    assert(q.select("reason").as[String].head() === "not-a-pdf")
     assert(!Files.exists(bad), "quarantined binary should be deleted (S11/S16)")
     assert(Files.exists(good))
     // restart on the same checkpoint with nothing new: no replay, no error
