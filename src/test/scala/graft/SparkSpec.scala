@@ -22,11 +22,13 @@ object SparkSpec {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf0001: String = SparkSpec.sf0001
+  def sf001: String = SparkSpec.sf001
 }
 
 /** Shared assertion helpers for spec code (kept out of SparkSpec so
