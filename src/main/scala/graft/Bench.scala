@@ -135,7 +135,10 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var sentinelMid = -1.0
     var retried = List.empty[String]
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    // names whose rep vector stayed bimodal-high THROUGH the retry —
+    // candidates for the end-of-window re-probe below
+    var unhealed = List.empty[String]
+    val measured = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == ordered.size / 2) sentinelMid = sentinelOnce()
       var failed = false
       def rep(): Double = {
@@ -154,8 +157,9 @@ object Bench {
       // median a quorum over the transient; the retry is RECORDED (count
       // in the JSON, names on stderr) so a reader can see the window
       // needed self-healing rather than silently trusting it.
-      if (primaryOk && reps >= 3 && times(times.size / 2) > 0.3 &&
-          times(times.size / 2) > 2 * times.head) {
+      def bimodal = times(times.size / 2) > 0.3 &&
+        times(times.size / 2) > 2 * times.head
+      if (primaryOk && reps >= 3 && bimodal) {
         retried ::= name
         // a failure DURING the self-heal reps must not retroactively turn
         // a successful 3-rep measurement into a -1: only successful extra
@@ -163,6 +167,7 @@ object Bench {
         val extra = (1 to 2).map(_ => runOnce(name, fn))
           .collect { case (sec, true) => sec }
         times = (times ++ extra).sorted
+        if (bimodal) unhealed ::= name
       }
       // -1 keeps failures machine-detectable in the JSON (a failure's wall
       // time would otherwise read as a suspiciously fast success)
@@ -171,6 +176,34 @@ object Bench {
     if (retried.nonEmpty)
       System.err.println("[bench] retried_on_outlier " +
         retried.sorted.mkString(" "))
+    // ---- end-of-window re-probe (VERDICT r11 item 2): a contention
+    // episode longer than a query's whole rep vector defeats the
+    // immediate retry — the extra reps run INSIDE the same episode (the
+    // r11 driver window read q106 at 5618 ms across 5 consecutive reps,
+    // vs 1072 ms on the same artifact in every adjacent window). For
+    // queries still bimodal-high after the retry, re-time 3 reps here,
+    // minutes later, after the catalog has moved off the hot spot. The
+    // end median REPLACES the in-window reading only when it comes in
+    // under half of it — confirming transient inflation rather than a
+    // real cost (an end probe that is itself contended reads high and
+    // changes nothing). Replaced readings keep the original on the
+    // record ("reprobe_ms" in the JSON + stderr), so the window shows
+    // its self-heal instead of silently trusting either number.
+    var reprobed = List.empty[(String, Double)] // (name, original median)
+    val results = measured.map { case (name, med) =>
+      if (med < 0 || !unhealed.contains(name)) name -> med
+      else {
+        val probe = (1 to 3).map(_ => runOnce(name, SparkEntry.queries(name)))
+          .collect { case (sec, true) => sec }.sorted
+        if (probe.nonEmpty && probe(probe.size / 2) < med / 2) {
+          reprobed ::= (name, med)
+          name -> probe(probe.size / 2)
+        } else name -> med
+      }
+    }
+    if (reprobed.nonEmpty)
+      System.err.println("[bench] reprobed_at_window_end " + reprobed.map {
+        case (n, orig) => f"$n(in-window ${orig}%.3f s)" }.mkString(" "))
     val sentinelEnd = sentinelOnce()
     val loadEnd = loadAvg()
     val sentinelDrift =
@@ -229,8 +262,16 @@ object Bench {
     // and 138 queries_ms entries already spend ~1600 of it — so drift is
     // NOT repeated (sent_ms carries it: drift = max(mid,end)/base) and the
     // full-precision diagnosis goes to stderr below.
+    // reprobe_ms: in-window medians that the end-of-window re-probe
+    // replaced (the adopted values sit in queries_ms) — at most a couple
+    // of entries per window, so the line budget is safe
+    val reprobeJson =
+      if (reprobed.isEmpty) ""
+      else reprobed.map { case (n, orig) =>
+        "\"" + qKey(n) + "\":" + math.rint(orig * 1000).toLong
+      }.mkString(",\"reprobe_ms\":{", ",", "}")
     val regimeJson =
-      s""""regime":"$regime","load":[$loadStart,$loadEnd],"sent_ms":[${ms(sentinelBase)},${ms(sentinelMid)},${ms(sentinelEnd)}],"retried":${retried.size}"""
+      s""""regime":"$regime","load":[$loadStart,$loadEnd],"sent_ms":[${ms(sentinelBase)},${ms(sentinelMid)},${ms(sentinelEnd)}],"retried":${retried.size}$reprobeJson"""
     System.err.println(s"[bench] regime=$regime drift=$sentinelDrift " +
       s"load=$loadStart->$loadEnd sentinel=$sentinelName " +
       s"base/mid/end=${ms(sentinelBase)}/${ms(sentinelMid)}/${ms(sentinelEnd)}ms")

@@ -36,6 +36,7 @@ import scala.util.matching.Regex
 object DocxExtractor extends PageExtractor {
 
   private val DocumentEntry = "word/document.xml"
+  private val FootnotesEntry = "word/footnotes.xml"
 
   /** One token class per structural element we honor; a single
     * alternation keeps the walk linear and order-faithful. The br family
@@ -62,14 +63,48 @@ object DocxExtractor extends PageExtractor {
       """|<w:cr\s*/>""" +
       """|</w:p>""").r
 
-  def extractPages(bytes: Array[Byte]): Seq[String] = {
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    extractPages(bytes, includeFootnotes = false)
+
+  /** Body pages, optionally with the document's footnotes appended
+    * (VERDICT r11 item 7 — statutes cite in footnotes; the body-only
+    * contract stays the DEFAULT). Footnote text lives in a SEPARATE zip
+    * entry (`word/footnotes.xml`) with no pagination of its own, so with
+    * the flag on each content footnote (separator/continuation stubs —
+    * any `w:type`-attributed entry — are skipped) is appended as extra
+    * lines to the LAST page, in footnote order — the closest analogue to
+    * where a renderer places them without inventing phantom pages. A
+    * missing/empty footnotes part is not an error: body-only output.
+    */
+  def extractPages(bytes: Array[Byte], includeFootnotes: Boolean): Seq[String] = {
     try {
       documentXml(bytes) match {
         case None => Nil
-        case Some(xml) => pagesFromXml(xml)
+        case Some(xml) =>
+          val pages = pagesFromXml(xml)
+          val notes = if (includeFootnotes) footnotesText(bytes) else Nil
+          if (notes.isEmpty || pages.isEmpty) pages
+          else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
       }
     } catch { case _: Exception => Nil }
   }
+
+  private val FootnoteRe: Regex =
+    """(?s)<w:footnote\b([^>]*)>(.*?)</w:footnote>""".r
+
+  /** One text block per CONTENT footnote, document order. Separator and
+    * continuation stubs carry a `w:type` attribute and are layout
+    * chrome, not content — skipped.
+    */
+  private[etl] def footnotesText(bytes: Array[Byte]): Seq[String] =
+    entryXml(bytes, FootnotesEntry).toOption match {
+      case None => Nil
+      case Some(xml) =>
+        FootnoteRe.findAllMatchIn(xml)
+          .filterNot(_.group(1).contains("w:type="))
+          .flatMap(m => pagesFromXml(m.group(2)))
+          .toSeq
+    }
 
   /** Decompression ceiling for `word/document.xml` (review finding, r11):
     * the DOCX path is network-admitted (the statute ingest gate), and a
@@ -91,13 +126,26 @@ object DocxExtractor extends PageExtractor {
     * reason-coded-quarantine seam ([[diagnose]] reads it; `documentXml`
     * flattens it back to Option for the extraction path).
     */
-  private[etl] def documentXmlOrReason(bytes: Array[Byte]): Either[String, String] = {
+  private[etl] def documentXmlOrReason(bytes: Array[Byte]): Either[String, String] =
+    entryXml(bytes, DocumentEntry) match {
+      case Left("missing") => Left("docx-missing-document-xml")
+      case Left(other) => Left(other)
+      case right => right
+    }
+
+  /** Locate and decompress ONE named zip entry under the same inflation
+    * ceiling — the shared walk behind the body and footnotes parts.
+    * Left("missing") when absent; Left("docx-oversize-xml") past the
+    * [[MaxDocumentXmlBytes]] bomb ceiling (every text part shares it —
+    * footnotes are network-admitted through the same ingest gate).
+    */
+  private def entryXml(bytes: Array[Byte], name: String): Either[String, String] = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       var entry = zin.getNextEntry
       while (entry != null) {
-        if (entry.getName == DocumentEntry) {
+        if (entry.getName == name) {
           val out = new java.io.ByteArrayOutputStream(8192)
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
@@ -111,7 +159,7 @@ object DocxExtractor extends PageExtractor {
         }
         entry = zin.getNextEntry
       }
-      Left("docx-missing-document-xml")
+      Left("missing")
     } finally zin.close()
   }
 
@@ -199,4 +247,17 @@ object DocxExtractor extends PageExtractor {
         new String(Character.toChars(Integer.parseInt(num.drop(2), 16)))
       case num => new String(Character.toChars(num.drop(1).toInt))
     }))
+}
+
+/** The footnote-including variant as a pluggable extractor (VERDICT r11
+  * item 7) — wire it where a corpus's citations live in footnotes:
+  * `Pipeline.process(..., DocxWithFootnotesExtractor)` or
+  * `SniffingExtractor(docx = DocxWithFootnotesExtractor)`. Body-only
+  * [[DocxExtractor]] stays the default everywhere.
+  */
+case object DocxWithFootnotesExtractor extends PageExtractor {
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    DocxExtractor.extractPages(bytes, includeFootnotes = true)
+  override def diagnose(bytes: Array[Byte]): String =
+    DocxExtractor.diagnose(bytes)
 }

@@ -76,11 +76,11 @@ object RawPdfExtractor extends PageExtractor {
   * check, no second scan, no separate pipeline per format.
   */
 final case class SniffingExtractor(
-    pdf: PageExtractor = FlatePdfExtractor) extends PageExtractor {
+    pdf: PageExtractor = FlatePdfExtractor,
+    docx: PageExtractor = DocxExtractor) extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.extractPages(bytes)
-    else if (DocxExtractor.looksLikeZip(bytes))
-      DocxExtractor.extractPages(bytes)
+    else if (DocxExtractor.looksLikeZip(bytes)) docx.extractPages(bytes)
     else Nil
   }
 
@@ -90,7 +90,7 @@ final case class SniffingExtractor(
     */
   override def diagnose(bytes: Array[Byte]): String = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.diagnose(bytes)
-    else if (DocxExtractor.looksLikeZip(bytes)) DocxExtractor.diagnose(bytes)
+    else if (DocxExtractor.looksLikeZip(bytes)) docx.diagnose(bytes)
     else "not-pdf-or-docx"
   }
 }

@@ -12,7 +12,7 @@ import java.nio.charset.StandardCharsets
 class DocxExtractorSpec extends AnyFunSuite {
 
   /** Minimal OPC container around a given word/document.xml body. */
-  private def docx(bodyXml: String): Array[Byte] = {
+  private def docx(bodyXml: String, footnotesXml: Option[String] = None): Array[Byte] = {
     val xml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
@@ -27,6 +27,12 @@ class DocxExtractorSpec extends AnyFunSuite {
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>"""
         .getBytes(StandardCharsets.UTF_8))
     entry("word/document.xml", xml.getBytes(StandardCharsets.UTF_8))
+    footnotesXml.foreach { fx =>
+      entry("word/footnotes.xml",
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<w:footnotes xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+          fx + "</w:footnotes>").getBytes(StandardCharsets.UTF_8))
+    }
     z.close()
     bos.toByteArray
   }
@@ -147,6 +153,40 @@ class DocxExtractorSpec extends AnyFunSuite {
     val bomb = bos.toByteArray
     assert(bomb.length < (1 << 21), s"fixture should be small: ${bomb.length}")
     assert(DocxExtractor.extractPages(bomb) === Nil)
+  }
+
+  test("footnote opt-in: off by default, appended to the last page when on (VERDICT r11 #7)") {
+    // a statute whose citation lives in a footnote — separator (-1) and
+    // continuation (0) stubs carry w:type and must be skipped; content
+    // footnotes (2, 3) extract in document order
+    val fixture = docx(
+      p("""<w:t>Article 9: tax applies.</w:t>""") +
+        p("""<w:t>Body page 2</w:t>"""), // second paragraph, same page
+      footnotesXml = Some(
+        """<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>SEP</w:t></w:r></w:p></w:footnote>""" +
+          """<w:footnote w:type="continuationSeparator" w:id="0"><w:p><w:r><w:t>CONT</w:t></w:r></w:p></w:footnote>""" +
+          """<w:footnote w:id="2"><w:p><w:r><w:t>See Proc. No. 12/1995, Art. 4.</w:t></w:r></w:p></w:footnote>""" +
+          """<w:footnote w:id="3"><w:p><w:r><w:t>Fed. Neg. Gaz. &amp; annex.</w:t></w:r></w:p></w:footnote>"""))
+    // default contract unchanged: body only, no footnote text anywhere
+    val off = DocxExtractor.extractPages(fixture)
+    assert(off === Seq("Article 9: tax applies.\nBody page 2"), off)
+    // flag on (via the pluggable wire-in): content footnotes appended to
+    // the LAST page in order; separator stubs absent
+    val on = DocxWithFootnotesExtractor.extractPages(fixture)
+    assert(on === Seq("Article 9: tax applies.\nBody page 2\n" +
+      "See Proc. No. 12/1995, Art. 4.\nFed. Neg. Gaz. & annex."), on)
+    assert(!on.mkString.contains("SEP") && !on.mkString.contains("CONT"))
+    // a document with no footnotes part is identical under both contracts
+    val plain = docx(p("""<w:t>no notes</w:t>"""))
+    assert(DocxWithFootnotesExtractor.extractPages(plain) ===
+      DocxExtractor.extractPages(plain))
+    // multi-page body: notes land on the LAST page only
+    val paged = docx(
+      p("""<w:t>p1</w:t><w:br w:type="page"/><w:t>p2</w:t>"""),
+      footnotesXml = Some(
+        """<w:footnote w:id="2"><w:p><w:r><w:t>note</w:t></w:r></w:p></w:footnote>"""))
+    assert(DocxWithFootnotesExtractor.extractPages(paged) ===
+      Seq("p1", "p2\nnote"))
   }
 
   test("CPU bomb: a million unclosed <w:t> tags tokenize in linear time") {

@@ -843,4 +843,76 @@ class StreamingSpec extends SparkSpec {
     assert(ex3.getMessage.contains("missing"),
       s"deleted-store resume must refuse: $ex3")
   }
+
+  test("near-dup ingest stream — kill mid-batch and restart from the same checkpoint: each batch lands in the store exactly once (VERDICT r11 #6)") {
+    // the production failure mode the split-invariance identity doesn't
+    // exercise: the process dies AFTER a batch's pair+sig writes were
+    // durable but BEFORE Structured Streaming logged the commit. A new
+    // query on the SAME checkpoint must replay that batch exactly once
+    // (overwrite semantics + the store's own-batchId exclusion), then
+    // continue into files that arrived during the outage — and the final
+    // emitted pair multiset must still equal the batch operator on the
+    // union corpus.
+    val watch = Files.createTempDirectory("graft_lshwatch3").toString
+    val out = Files.createTempDirectory("graft_lshout3").toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_lshstage3").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(watch).resolve(name))
+      ()
+    }
+    val theCkpt = ckpt()
+    stage("f1.parquet",
+      Seq((1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "p q r s t m")))
+    Streams.neardupIngestStream(spark, watch, out, theCkpt, threshold = 0.8)
+    assert(new java.io.File(s"$out/sigs").listFiles()
+      .count(_.isDirectory) === 1)
+    // simulate the kill: sigs/0 and pairs/0 are on disk (foreachBatch
+    // returned) but the engine died before writing commits/0 — on
+    // restart Structured Streaming replays any offsets-logged batch
+    // with no commit entry
+    val commit0 = java.nio.file.Paths.get(s"$theCkpt/commits/0")
+    assert(java.nio.file.Files.exists(commit0), "fixture expects commits/0")
+    java.nio.file.Files.delete(commit0)
+    // the local checkpoint manager is a ChecksumFs: drop the sidecar too,
+    // or the replayed commit write fails on the stale .0.crc
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$theCkpt/commits/.0.crc"))
+    // a file arrives during the outage
+    stage("f2.parquet", Seq((11L, "x y z w v u"), (12L, "d e f g h k")))
+    // NEW query, SAME checkpoint: replays batch 0, then processes f2 as
+    // batch 1 (the lifecycle guard allows this — offsets/0 exists, so
+    // this is the crashed-mid-batch shape, not a fresh-checkpoint one)
+    Streams.neardupIngestStream(spark, watch, out, theCkpt, threshold = 0.8)
+    // the store saw each batch exactly once: dirs {0, 1}, and batch 0's
+    // replay OVERWROTE (same content) rather than duplicated
+    val sigDirs = new java.io.File(s"$out/sigs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(sigDirs.toSeq === Seq("0", "1"),
+      s"store must hold exactly batches 0 and 1: ${sigDirs.toSeq}")
+    val sig0 = spark.read.parquet(s"$out/sigs/0")
+    assert(sig0.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L), "replayed batch 0 sigs must cover f1 exactly once")
+    // emitted pairs: exactly once each, equal to the batch operator
+    val emitted = spark.read.parquet(s"$out/pairs/*")
+      .select(least($"i", $"j").as("a"), greatest($"i", $"j").as("b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(emitted.distinct.size === emitted.size,
+      s"a pair was emitted more than once across the restart: $emitted")
+    val ref = graft.operators.MinHashLsh
+      .nearDupPairs(spark.read.parquet(watch), "doc_id", "text",
+        threshold = 0.8)
+      .select(least($"i", $"j").as("a"), greatest($"i", $"j").as("b"))
+      .as[(Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(emitted.sorted === ref.sorted,
+      s"post-restart pairs diverged from batch: " +
+        s"emitted=${emitted.sorted} ref=${ref.sorted}")
+    assert(emitted.toSet === Set((1L, 2L), (1L, 11L), (2L, 11L)))
+  }
 }
