@@ -326,45 +326,51 @@ object DevScale {
     // q50 with the bucket count RETUNED for the denser corpus (the
     // production lever: planes grow with log(corpus) to hold per-bucket
     // occupancy constant; at fixed resolution, 10x corpus x 10x probes
-    // necessarily multiplies candidate pairs ~100x)
+    // necessarily multiplies candidate pairs ~100x). nPlanes follows the
+    // replica count: 11 at 10x, +log2(replicas/10) beyond it.
     {
       import graft.operators.Ann
+      val nPlanes = 11 + math.max(0,
+        math.round(math.log(replicas / 10.0) / math.log(2)).toInt)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val e = Tables.embeddings(spark, outDir)
         Ann.lshTopKBatch(e, e.filter(col("vec_id") % 10 === 0), "vec_id",
-            "embedding", k = 5, nPlanes = 11)
+            "embedding", k = 5, nPlanes = nPlanes)
           .write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         s
       }.sorted
-      println(f"[scale] q50 retuned nPlanes=11 10x=${ts(1)}%7.3f s")
+      println(f"[scale] q50 retuned nPlanes=$nPlanes%d ${replicas}%dx=${ts(1)}%7.3f s")
     }
 
     // q69 with the summary capacity RETUNED for the denser vocabulary
-    // (the m lever, same story as q50's planes): the replica corpus has
-    // 310 near-uniform token types, so the catalog's m=48 summary cannot
-    // certify a top-25 — the operator THROWS by design (uniform data has
-    // no heavy hitters). m=512 > vocab certifies with delta=0. In
-    // production m grows with the acceptable N/m error bound, not with
-    // the vocabulary.
+    // (the m lever, same story as q50's planes): the replica renaming
+    // grows the near-uniform token vocabulary ~linearly with `replicas`
+    // (310 types at 10×), so the catalog's m=48 summary cannot certify a
+    // top-25 — the operator THROWS by design (uniform data has no heavy
+    // hitters) — and m must track the replica count (512 certifies at
+    // 10×; a 30× run with m=512 < vocab correctly refuses too, bit us in
+    // r12). In production m grows with the acceptable N/m error bound,
+    // not with the vocabulary.
     {
       import graft.operators.HeavyHitters
       val docs10 = Tables.documents(spark, outDir)
       val threw =
         try { HeavyHitters.exactTopK(docs10, "text", k = 25, m = 48); false }
         catch { case _: IllegalArgumentException => true }
-      println(s"[scale] q69 m=48 on 10x uniform vocab refused (expected): $threw")
+      println(s"[scale] q69 m=48 on ${replicas}x uniform vocab refused (expected): $threw")
+      val m = 512 * ((replicas + 9) / 10) // 512 per 10 replicas of vocab
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        HeavyHitters.exactTopK(docs10, "text", k = 25, m = 512)
+        HeavyHitters.exactTopK(docs10, "text", k = 25, m = m)
           .write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         s
       }.sorted
-      println(f"[scale] q69 retuned m=512    10x=${ts(1)}%7.3f s")
+      println(f"[scale] q69 retuned m=$m%d    ${replicas}%dx=${ts(1)}%7.3f s")
     }
     spark.stop()
   }
