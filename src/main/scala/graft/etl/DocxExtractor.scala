@@ -89,21 +89,43 @@ object DocxExtractor extends PageExtractor {
     } catch { case _: Exception => Nil }
   }
 
-  private val FootnoteRe: Regex =
-    """(?s)<w:footnote\b([^>]*)>(.*?)</w:footnote>""".r
-
   /** One text block per CONTENT footnote, document order. Separator and
     * continuation stubs carry a `w:type` attribute and are layout
-    * chrome, not content — skipped.
+    * chrome, not content — skipped. The element walk is a linear
+    * open/close pairing, not a lazy-dot regex: a crafted close-less
+    * footnotes part would make `(.*?)</w:footnote>` rescan to
+    * end-of-input per opening — the same CPU-bomb class as the `<w:t>`
+    * text-run finding this part's 64 MB inflate ceiling already
+    * guards for memory (r12 review).
     */
   private[etl] def footnotesText(bytes: Array[Byte]): Seq[String] =
     entryXml(bytes, FootnotesEntry).toOption match {
       case None => Nil
       case Some(xml) =>
-        FootnoteRe.findAllMatchIn(xml)
-          .filterNot(_.group(1).contains("w:type="))
-          .flatMap(m => pagesFromXml(m.group(2)))
-          .toSeq
+        val out = Seq.newBuilder[String]
+        val Open = "<w:footnote"
+        val Close = "</w:footnote>"
+        var p = xml.indexOf(Open)
+        while (p >= 0) {
+          val after = p + Open.length
+          // name boundary: exclude the <w:footnotes> root element
+          val isTag = after < xml.length && {
+            val c = xml.charAt(after)
+            c == ' ' || c == '>' || c == '\t' || c == '\r' || c == '\n' || c == '/'
+          }
+          val gt = if (isTag) xml.indexOf('>', after) else -1
+          if (gt < 0) p = xml.indexOf(Open, p + 1)
+          else {
+            val close = xml.indexOf(Close, gt + 1)
+            if (close < 0) p = -1
+            else {
+              if (!xml.substring(after, gt).contains("w:type="))
+                out ++= pagesFromXml(xml.substring(gt + 1, close))
+              p = xml.indexOf(Open, close + Close.length)
+            }
+          }
+        }
+        out.result()
     }
 
   /** Decompression ceiling for `word/document.xml` (review finding, r11):

@@ -30,25 +30,139 @@ import scala.util.matching.Regex
   */
 object FlatePdfExtractor extends PageExtractor {
 
-  private val StreamRe: Regex = """(?s)stream\r?\n(.*?)endstream""".r
-  private val ObjRe: Regex = """(?s)(\d+)\s+0\s+obj\s*(.*?)(?:stream\r?\n|endobj)""".r
+  private val ObjHeaderRe: Regex = """(\d+)\s+0\s+obj""".r
   private val TfRe: Regex = """/(\w+)\s+[\d.]+\s+Tf""".r
   private val TjRe: Regex = """\(((?:[^()\\]++|\\.)*+)\)\s*Tj""".r
-  private val TJRe: Regex = """(?s)\[(.*?)\]\s*TJ""".r
+  private val TJCloseRe: Regex = """\]\s*TJ""".r
   private val HexRe: Regex = """<([0-9A-Fa-f]+)>""".r
   private val LitRe: Regex = """\(((?:[^()\\]++|\\.)*+)\)""".r
-  private val BfCharRe: Regex = """(?s)beginbfchar(.*?)endbfchar""".r
-  private val BfRangeRe: Regex = """(?s)beginbfrange(.*?)endbfrange""".r
   private val HexPairRe: Regex = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
   private val RangeTripleRe: Regex =
     """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+
+  /** Decompression ceiling PER STREAM (r12 — the DOCX MaxDocumentXmlBytes
+    * lesson applied to the network-admitted PDF path): Flate expands up
+    * to ~1000×, LZW up to ~4000× via table-entry replay, RunLength 128×,
+    * so a small crafted upload could otherwise materialize gigabytes.
+    * Past the ceiling a stream decodes to None — the same per-stream
+    * graceful degrade as an unsupported filter.
+    */
+  private[etl] val MaxDecodedStreamBytes: Int = 64 << 20
+
+  /** Every `open(.*?)close` segment body in ONE linear pass — the
+    * lazy-dot regex costs O(openings × tail) on crafted close-less input
+    * (the DOCX `<w:t>` CPU-bomb class, r11/r12 reviews): each failing
+    * attempt rescans to end-of-input. Pairing each `open` with the first
+    * `close` after it and resuming past the pair reproduces the regex's
+    * match set exactly, in O(n).
+    */
+  private[etl] def lazySegments(hay: String, open: String,
+                                close: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = hay.indexOf(open)
+    while (p >= 0) {
+      val c = hay.indexOf(close, p + open.length)
+      if (c < 0) p = -1
+      else {
+        out += hay.substring(p + open.length, c)
+        p = hay.indexOf(open, c + close.length)
+      }
+    }
+    out.toSeq
+  }
+
+  /** (objNum, dictText, streamDataStart | −1) per `N 0 obj` header, in
+    * one linear pass (r12 — replaces the lazy-dot ObjRe/StreamRe pair,
+    * which was O(headers × tail) on terminator-less crafted input AND
+    * copied the whole remaining document per stream object via
+    * `substring(m.start)`). Each header's dict runs to its first
+    * `stream`-EOL marker or `endobj`, clamped at the NEXT header: on
+    * well-formed documents the terminator always comes first, so the
+    * clamp only bounds adversarial input (a terminator-less object is
+    * skipped instead of swallowing its successors). `streamDataStart`
+    * points just past the marker EOL; −1 for dict-only objects.
+    */
+  private def objSlices(raw: String): Seq[(Int, String, Int)] = {
+    val hs = ObjHeaderRe.findAllMatchIn(raw)
+      .map(m => (m.group(1).toInt, m.start, m.end)).toVector
+    if (hs.isEmpty) return Nil
+    // ALL terminator positions up front (one linear sweep each), so the
+    // per-header resolution is a binary search: a per-header indexOf
+    // still scans to the first occurrence even when it lies far past the
+    // clamp — with 300k crafted headers and one real `endobj` at EOF
+    // that re-opened the O(headers × tail) hole the clamp exists to
+    // close (caught by the CodecBombSpec pin).
+    val endobjs = {
+      val b = Vector.newBuilder[Int]
+      var p = raw.indexOf("endobj")
+      while (p >= 0) { b += p; p = raw.indexOf("endobj", p + 6) }
+      b.result()
+    }
+    // `stream` + framing EOL only (bare `stream` tokens — e.g. inside
+    // names or `endstream` — don't terminate a dict; the old regex
+    // required the EOL too). (markerIdx, dataStart) pairs.
+    val markers = {
+      val b = Vector.newBuilder[(Int, Int)]
+      var p = raw.indexOf("stream")
+      while (p >= 0) {
+        val a = p + 6
+        if (a < raw.length && raw.charAt(a) == '\n') b += ((p, a + 1))
+        else if (a + 1 < raw.length && raw.charAt(a) == '\r' &&
+                 raw.charAt(a + 1) == '\n') b += ((p, a + 2))
+        p = raw.indexOf("stream", p + 1)
+      }
+      b.result()
+    }
+    def lowerBound(size: Int, posAt: Int => Int, from: Int): Int = {
+      var lo = 0; var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (posAt(mid) < from) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    hs.indices.flatMap { i =>
+      val (num, _, dictStart) = hs(i)
+      val clamp = if (i + 1 < hs.size) hs(i + 1)._2 else raw.length
+      val endobjIdx = {
+        val j = lowerBound(endobjs.size, endobjs(_), dictStart)
+        if (j < endobjs.size && endobjs(j) < clamp) endobjs(j) else -1
+      }
+      val (markerIdx, dataStart) = {
+        val j = lowerBound(markers.size, markers(_)._1, dictStart)
+        if (j < markers.size && markers(j)._1 < clamp) markers(j) else (-1, -1)
+      }
+      if (markerIdx < 0 && endobjIdx < 0) None
+      else if (markerIdx >= 0 && (endobjIdx < 0 || markerIdx < endobjIdx))
+        Some((num, raw.substring(dictStart, markerIdx), dataStart))
+      else Some((num, raw.substring(dictStart, endobjIdx), -1))
+    }
+  }
+
+  /** `trailer << … >>` dict bodies, linear (replaces the lazy-dot
+    * TrailerDictRe — same CPU-bomb class as [[objSlices]]).
+    */
+  private def trailerDicts(raw: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = raw.indexOf("trailer")
+    while (p >= 0) {
+      var q = p + 7
+      while (q < raw.length && Character.isWhitespace(raw.charAt(q))) q += 1
+      if (q + 1 < raw.length && raw.charAt(q) == '<' && raw.charAt(q + 1) == '<') {
+        val close = raw.indexOf(">>", q + 2)
+        if (close < 0) p = -1
+        else { out += raw.substring(q + 2, close)
+               p = raw.indexOf("trailer", close + 2) }
+      } else p = raw.indexOf("trailer", p + 7)
+    }
+    out.toSeq
+  }
 
   def extractPages(bytes: Array[Byte]): Seq[String] = {
     try extract(bytes)
     catch { case _: Exception => Nil }
   }
 
-  private val TrailerDictRe: Regex = """(?s)trailer\s*<<(.*?)>>""".r
   private val EncryptKeyRe: Regex = """/Encrypt\s*(?:\d+\s+\d+\s+R|<<)""".r
 
   /** Why a document yielded no text (VERDICT r11 item 3 — reason-coded
@@ -56,7 +170,7 @@ object FlatePdfExtractor extends PageExtractor {
     * path), so it re-parses structure but never re-decodes streams:
     *   - `encrypted` — an `/Encrypt` key in a trailer or object dict
     *     (classic-trailer and xref-stream-dict spellings both land in
-    *     [[ObjRe]]/[[TrailerDictRe]] text),
+    *     the [[objSlices]]/[[trailerDicts]] text),
     *   - `unsupported-filter:<A+B>` — every declared stream filter
     *     outside [[SupportedFilters]] (DCTDecode scans, JBIG2/CCITT fax,
     *     Crypt, JPX), sorted and `+`-joined so a mixed raster doc reads
@@ -69,8 +183,7 @@ object FlatePdfExtractor extends PageExtractor {
     try {
       if (!PageExtractor.looksLikePdf(bytes)) return "not-a-pdf"
       val raw = new String(bytes, StandardCharsets.ISO_8859_1)
-      val dicts = TrailerDictRe.findAllMatchIn(raw).map(_.group(1)).toSeq ++
-        ObjRe.findAllMatchIn(raw).map(_.group(2)).toSeq
+      val dicts = trailerDicts(raw) ++ objSlices(raw).map(_._2)
       if (dicts.exists(d => EncryptKeyRe.findFirstIn(d).isDefined)) "encrypted"
       else {
         val unsupported = dicts.flatMap(filterNames)
@@ -108,6 +221,7 @@ object FlatePdfExtractor extends PageExtractor {
         val n = inf.inflate(buf)
         if (n == 0 && !inf.finished()) return Some(out.toByteArray) // stalled
         out.write(buf, 0, n)
+        if (out.size > MaxDecodedStreamBytes) return None // deflate bomb
       }
       inf.end()
       Some(out.toByteArray)
@@ -151,6 +265,7 @@ object FlatePdfExtractor extends PageExtractor {
               else if (prev != null && code == table.length) prev :+ prev(0) // KwKwK
               else return None // corrupt stream
             out.write(entry)
+            if (out.size > MaxDecodedStreamBytes) return None // LZW bomb
             if (prev != null) table += (prev :+ entry(0))
             prev = entry
             if (table.length >= (1 << width) - earlyChange && width < 12) width += 1
@@ -181,6 +296,7 @@ object FlatePdfExtractor extends PageExtractor {
           while (n > 0) { out.write(data(i + 1)); n -= 1 }
           i += 1
         }
+        if (out.size > MaxDecodedStreamBytes) return None // 128× RL bomb
         i += 1
       }
       Some(out.toByteArray)
@@ -315,11 +431,7 @@ object FlatePdfExtractor extends PageExtractor {
     }
   }
 
-  private val FilterListRe = """(?s)/Filter\s*(?:\[([^\]]*)\]|/(\w+))""".r
   private val NameRe = """/(\w+)""".r
-  private val DecodeParmsRe =
-    """(?s)/(?:DecodeParms|DP)\s*(\[[^\]]*\]|<<.*?>>|null)""".r
-  private val ParmElemRe = """(?s)<<.*?>>|null""".r
 
   private def isDecompressor(f: String): Boolean =
     f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW"
@@ -333,11 +445,61 @@ object FlatePdfExtractor extends PageExtractor {
     * then apply ONLY to their own stage: a predictor declared for the
     * final stage must not mangle an earlier stage's intermediate bytes.
     */
+  /** The first `/DecodeParms` (or `/DP`) value in `dict` — `[ … ]` array,
+    * `<< … >>` dict (to the FIRST `>>`, the old lazy-regex semantics) or
+    * `null` — via a linear key scan instead of the lazy-dot DecodeParmsRe
+    * (same CPU-bomb class as [[objSlices]]: a dict stuffed with
+    * close-less `/DP <<` keys made findFirstMatchIn rescan the tail per
+    * key). A key whose value doesn't parse falls through to the next
+    * occurrence, matching the regex's keep-searching behavior.
+    */
+  private def decodeParmsValue(dict: String): Option[String] = {
+    def at(key: String, from: Int): Int = dict.indexOf(key, from)
+    var p = math.min(at("/DecodeParms", 0) & Int.MaxValue,
+                     at("/DP", 0) & Int.MaxValue)
+    while (p < Int.MaxValue) {
+      val keyLen = if (dict.startsWith("/DecodeParms", p)) 12 else 3
+      var q = p + keyLen
+      while (q < dict.length && Character.isWhitespace(dict.charAt(q))) q += 1
+      if (dict.startsWith("[", q)) {
+        val e = dict.indexOf(']', q + 1)
+        if (e >= 0) return Some(dict.substring(q, e + 1))
+      } else if (dict.startsWith("<<", q)) {
+        val e = dict.indexOf(">>", q + 2)
+        if (e >= 0) return Some(dict.substring(q, e + 2))
+      } else if (dict.startsWith("null", q)) return Some("null")
+      val n = p + keyLen
+      p = math.min(at("/DecodeParms", n) & Int.MaxValue,
+                   at("/DP", n) & Int.MaxValue)
+    }
+    None
+  }
+
+  /** `<< … >>` / `null` elements of a parms ARRAY body, linear (replaces
+    * ParmElemRe's lazy dot): earliest-starting element wins, a close-less
+    * `<<` can only be followed by `null` elements.
+    */
+  private def parmElems(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = 0
+    var stop = false
+    while (!stop && p < s.length) {
+      val d = s.indexOf("<<", p)
+      val nl = s.indexOf("null", p)
+      val e = if (d < 0) -1 else s.indexOf(">>", d + 2)
+      if (d >= 0 && e >= 0 && (nl < 0 || d < nl)) {
+        out += s.substring(d, e + 2); p = e + 2
+      } else if (nl >= 0) { out += "null"; p = nl + 4 }
+      else stop = true
+    }
+    out.toSeq
+  }
+
   private[etl] def decodeParms(dict: String, filters: Seq[String]): Seq[String] = {
     val parsed: Seq[String] =
-      DecodeParmsRe.findFirstMatchIn(dict).map(_.group(1)) match {
+      decodeParmsValue(dict) match {
         case Some(s) if s.startsWith("[") =>
-          ParmElemRe.findAllIn(s.substring(1, s.length - 1)).toSeq
+          parmElems(s.substring(1, s.length - 1))
         case Some(s) => Seq(s)
         case None => Nil
       }
@@ -357,13 +519,32 @@ object FlatePdfExtractor extends PageExtractor {
     * array form. Shared by [[decodeStream]] and [[diagnose]] (the r12
     * reason-coded-quarantine thread: one parse, two consumers).
     */
-  private[etl] def filterNames(dict: String): Seq[String] =
-    FilterListRe.findFirstMatchIn(dict) match {
-      case Some(m) if m.group(1) != null =>
-        NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-      case Some(m) => Seq(m.group(2))
-      case None => Nil
+  private[etl] def filterNames(dict: String): Seq[String] = {
+    // linear key scan (r12 — the decodeParmsValue rationale: the old
+    // FilterListRe's `[^\]]*` rescanned the dict tail per close-less
+    // `/Filter [` occurrence); a key whose value doesn't parse falls
+    // through to the next occurrence, matching findFirstMatchIn.
+    def asciiWord(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    var p = dict.indexOf("/Filter")
+    while (p >= 0) {
+      var q = p + 7
+      while (q < dict.length && Character.isWhitespace(dict.charAt(q))) q += 1
+      if (q < dict.length && dict.charAt(q) == '[') {
+        val e = dict.indexOf(']', q + 1)
+        if (e >= 0)
+          return NameRe.findAllMatchIn(dict.substring(q + 1, e))
+            .map(_.group(1)).toSeq
+      } else if (q < dict.length && dict.charAt(q) == '/') {
+        var e = q + 1
+        while (e < dict.length && asciiWord(dict.charAt(e))) e += 1
+        if (e > q + 1) return Seq(dict.substring(q + 1, e))
+      }
+      p = dict.indexOf("/Filter", p + 7)
     }
+    Nil
+  }
 
   /** Filters [[decodeStream]] can actually decode (incl. abbreviations). */
   private val SupportedFilters: Set[String] = Set(
@@ -394,22 +575,21 @@ object FlatePdfExtractor extends PageExtractor {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF")) return Nil
 
-    // object number → (header dict text, decoded stream body if any)
+    // object number → (header dict text, decoded stream body if any);
+    // stream data runs from the marker EOL to the first `endstream`
+    // (missing endstream ⇒ no body, matching the old regex behavior)
     val objs: Map[Int, (String, Option[String])] =
-      ObjRe.findAllMatchIn(raw).map { m =>
-        val num = m.group(1).toInt
-        val dict = m.group(2)
+      objSlices(raw).map { case (num, dict, dataStart) =>
         val body =
-          if (m.matched.endsWith("endobj")) None
+          if (dataStart < 0) None
           else {
-            val from = m.end
-            StreamRe.findFirstMatchIn(raw.substring(m.start)) match {
-              case Some(sm) =>
-                val data = raw.substring(m.start + sm.start(1), m.start + sm.end(1))
-                  .getBytes(StandardCharsets.ISO_8859_1)
-                decodeStream(dict, stripFramingEol(data))
-                  .map(new String(_, StandardCharsets.ISO_8859_1))
-              case None => None
+            val endIdx = raw.indexOf("endstream", dataStart)
+            if (endIdx < 0) None
+            else {
+              val data = raw.substring(dataStart, endIdx)
+                .getBytes(StandardCharsets.ISO_8859_1)
+              decodeStream(dict, stripFramingEol(data))
+                .map(new String(_, StandardCharsets.ISO_8859_1))
             }
           }
         num -> (dict, body)
@@ -418,18 +598,25 @@ object FlatePdfExtractor extends PageExtractor {
     // ToUnicode CMaps: font object number → cid → unicode string
     def parseCMap(s: String): Map[Int, String] = {
       val out = scala.collection.mutable.Map[Int, String]()
-      BfCharRe.findAllMatchIn(s).foreach { m =>
-        HexPairRe.findAllMatchIn(m.group(1)).foreach { p =>
+      lazySegments(s, "beginbfchar", "endbfchar").foreach { seg =>
+        HexPairRe.findAllMatchIn(seg).foreach { p =>
           out(Integer.parseInt(p.group(1), 16)) = hexToUnicode(p.group(2))
         }
       }
-      BfRangeRe.findAllMatchIn(s).foreach { m =>
-        RangeTripleRe.findAllMatchIn(m.group(1)).foreach { t =>
+      lazySegments(s, "beginbfrange", "endbfrange").foreach { seg =>
+        RangeTripleRe.findAllMatchIn(seg).foreach { t =>
           val lo = Integer.parseInt(t.group(1), 16)
           val hi = Integer.parseInt(t.group(2), 16)
           val dst = Integer.parseInt(t.group(3), 16)
-          var c = lo
-          while (c <= hi) { out(c) = new String(Character.toChars(dst + (c - lo))); c += 1 }
+          // CIDs in this extractor are 16-bit (emitHex reads 4 hex
+          // digits) — a wider range is meaningless at best and a
+          // memory/CPU bomb at worst (a crafted <0> <7FFFFFFF> range
+          // would materialize 2^31 map entries). Skip, don't clamp:
+          // a clamp would fabricate mappings the document never uses.
+          if (lo >= 0 && hi <= 0xFFFF) {
+            var c = lo
+            while (c <= hi) { out(c) = new String(Character.toChars(dst + (c - lo))); c += 1 }
+          }
         }
       }
       out.toMap
@@ -470,12 +657,37 @@ object FlatePdfExtractor extends PageExtractor {
     t.replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
       .replaceAll("""\\[rn]""", " ")
 
+  /** `[ … ] TJ` array bodies as (start, body), linear: TJ-close positions
+    * come from a fixed-shape regex scan, then each `[` pairs with the
+    * first close after it (resuming past the pair) — exactly the old
+    * lazy `\[(.*?)\]\s*TJ` match set without its O(opens × tail) blowup
+    * on crafted close-less content (r12, the objSlices rationale; the
+    * decoded stream the content arrives in is attacker-shaped on the
+    * ingest path even under the decode ceiling).
+    */
+  private def tjSegments(content: String): Seq[(Int, String)] = {
+    val closes = TJCloseRe.findAllMatchIn(content)
+      .map(m => (m.start, m.end)).toVector
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    var p = content.indexOf('[')
+    var ci = 0
+    while (p >= 0) {
+      while (ci < closes.size && closes(ci)._1 <= p) ci += 1
+      if (ci >= closes.size) p = -1
+      else {
+        out += ((p, content.substring(p + 1, closes(ci)._1)))
+        p = content.indexOf('[', closes(ci)._2)
+      }
+    }
+    out.toSeq
+  }
+
   private def decodePage(content: String, fonts: Map[String, Map[Int, String]]): String = {
     // walk the stream once, tracking the current font across Tf/Tj/TJ in order
     val events = (
       TfRe.findAllMatchIn(content).map(m => (m.start, "Tf", m.group(1))) ++
       TjRe.findAllMatchIn(content).map(m => (m.start, "Tj", m.group(1))) ++
-      TJRe.findAllMatchIn(content).map(m => (m.start, "TJ", m.group(1)))
+      tjSegments(content).iterator.map { case (s, b) => (s, "TJ", b) }
     ).toSeq.sortBy(_._1)
     var cmap: Map[Int, String] = Map.empty
     val sb = new StringBuilder

@@ -1,0 +1,156 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Adversarial-input pins for the network-admitted codecs (r12 hardening
+  * — the `<w:t>` CPU-bomb class generalized): every lazy-dot regex that
+  * scanned attacker-shaped bytes is now a linear open/close pairing walk,
+  * and every decompressor that can expand super-linearly is ceilinged at
+  * [[FlatePdfExtractor.MaxDecodedStreamBytes]]. Each pin builds a small
+  * crafted document that made the OLD shape quadratic (hours) or
+  * gigabyte-scale, and asserts the walk completes promptly with the
+  * documented graceful degrade — and that adjacent GOOD content still
+  * extracts (per-stream/per-page tolerance, the S9 contract).
+  *
+  * Wall-clock bounds are generous (the DocxExtractorSpec CPU-bomb
+  * convention): a quadratic path overshoots them by orders of magnitude.
+  */
+class CodecBombSpec extends AnyFunSuite {
+
+  private def pdf(objs: String*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n"); objs.foreach(w); w("%%EOF\n")
+    out.toByteArray
+  }
+
+  private def streamObj(num: Int, dict: String, data: Array[Byte]): String =
+    s"$num 0 obj\n<< /Length ${data.length} $dict >>\nstream\n" +
+      new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end(); out.toByteArray
+  }
+
+  private def deflateS(s: String): Array[Byte] =
+    deflate(s.getBytes(StandardCharsets.ISO_8859_1))
+
+  private def timed[A](maxMs: Long, what: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val a = body
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(ms < maxMs, s"$what took $ms ms — quadratic?")
+    a
+  }
+
+  test("object-header CPU bomb: 300k terminator-less `1 0 obj` headers walk in linear time") {
+    // the old ObjRe rescanned to end-of-input per header (O(k·n) ≈ 10^12
+    // regex steps over ~2.4 MB); the linear objSlices walk clamps each
+    // header's terminator search at the next header
+    val raw = "%PDF-1.4\n" + ("1 0 obj " * 300000) +
+      streamObj(2, "/Filter /FlateDecode", deflateS("BT (still works) Tj ET"))
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    val pages = timed(30000, "extract") { FlatePdfExtractor.extractPages(bytes) }
+    assert(pages === Seq("still works"), pages)
+    timed(30000, "diagnose") { FlatePdfExtractor.diagnose(bytes) }
+  }
+
+  test("trailer CPU bomb: 200k close-less `trailer <<` markers diagnose in linear time") {
+    val raw = "%PDF-1.4\n" + ("trailer << /X " * 200000)
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    val reason = timed(30000, "diagnose") { FlatePdfExtractor.diagnose(bytes) }
+    assert(reason === "empty-text", reason)
+  }
+
+  test("deflate bomb: a ~100 KB stream inflating past the 64 MB ceiling degrades per-stream, text pages survive") {
+    val bombPlain = new Array[Byte](128 << 20) // zeros: 128 MB → ~130 KB deflated
+    val doc = pdf(
+      streamObj(1, "/Filter /FlateDecode", deflate(bombPlain)),
+      streamObj(2, "/Filter /FlateDecode", deflateS("BT (salvaged) Tj ET")))
+    val pages = timed(30000, "extract") { FlatePdfExtractor.extractPages(doc) }
+    assert(pages === Seq("salvaged"), pages)
+  }
+
+  test("RunLength bomb: 128x expansion past the ceiling degrades per-stream") {
+    // 1.5 MB of (0xFF, 'x') pairs → each pair emits 130 bytes → ~96 MB
+    val rl = new Array[Byte](3 << 19)
+    var i = 0
+    while (i < rl.length) { rl(i) = 0x81.toByte; rl(i + 1) = 'x'.toByte; i += 2 }
+    val doc = pdf(
+      streamObj(1, "/Filter /RunLengthDecode", rl),
+      streamObj(2, "/Filter /FlateDecode", deflateS("BT (kept) Tj ET")))
+    val pages = timed(30000, "extract") { FlatePdfExtractor.extractPages(doc) }
+    assert(pages === Seq("kept"), pages)
+  }
+
+  test("TJ CPU bomb: 400k close-less `[` openers in a content stream pair in linear time") {
+    // the old lazy TJRe rescanned the tail per `[`; the pairing walk
+    // consults the precomputed close positions once
+    val content = "BT " + ("[x" * 400000) + " (ok) Tj ET"
+    val doc = pdf(streamObj(1, "/Filter /FlateDecode", deflateS(content)))
+    val pages = timed(30000, "extract") { FlatePdfExtractor.extractPages(doc) }
+    assert(pages === Seq("ok"), pages)
+  }
+
+  test("bfrange span bomb: a <00000000><7FFFFFFF> range is skipped, sane CMap entries still map") {
+    // 2^31 map inserts before the cap — an OOM/CPU bomb through the
+    // ToUnicode path; CIDs here are 16-bit so the wide range carries no
+    // legitimate text. The synthetic CMap wiring doubles as the path's
+    // first non-reference fixture: F1 → obj 4 → ToUnicode obj 5.
+    val cmap =
+      "beginbfchar\n<0041> <12AB>\nendbfchar\n" +
+        "beginbfrange\n<00000000> <7FFFFFFF> <0041>\nendbfrange\n"
+    val doc = pdf(
+      streamObj(1, "/Filter /FlateDecode",
+        deflateS("BT /F1 12 Tf [<0041>] TJ ET")),
+      "2 0 obj\n<< /Type /Page /Resources << /Font << /F1 4 0 R >> >> >>\nendobj\n",
+      "4 0 obj\n<< /Type /Font /ToUnicode 5 0 R >>\nendobj\n",
+      streamObj(5, "", cmap.getBytes(StandardCharsets.ISO_8859_1)))
+    val pages = timed(30000, "extract") { FlatePdfExtractor.extractPages(doc) }
+    assert(pages === Seq("ካ"), pages.map(_.map(_.toInt.toHexString)))
+  }
+
+  test("RawPdfExtractor stream CPU bomb: 200k endstream-less `stream` markers walk in linear time") {
+    val raw = "%PDF-1.4\n" + ("stream\n" * 200000) +
+      "stream\nBT (last) Tj ET\nendstream\n"
+    val pages = timed(30000, "raw extract") {
+      RawPdfExtractor.extractPages(raw.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    // every marker pairs with the single endstream lazily — first opener
+    // wins, so one (text-free) giant block plus nothing else; the pin is
+    // the wall-clock, the old regex ran O(k·n) here
+    assert(pages.size <= 1)
+  }
+
+  test("footnotes CPU bomb: 300k close-less `<w:footnote` openers walk in linear time") {
+    val notes = ("<w:footnote " * 300000) +
+      """<w:footnote w:id="2"><w:p><w:r><w:t>real note</w:t></w:r></w:p></w:footnote>"""
+    // minimal OPC container (the DocxExtractorSpec fixture shape)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, b: Array[Byte]): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(b); z.closeEntry()
+    }
+    entry("[Content_Types].xml", "<Types/>".getBytes(StandardCharsets.UTF_8))
+    entry("word/document.xml",
+      ("""<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>body</w:t></w:r></w:p>""" +
+        "</w:body></w:document>").getBytes(StandardCharsets.UTF_8))
+    entry("word/footnotes.xml",
+      ("""<w:footnotes xmlns:w="x">""" + notes + "</w:footnotes>")
+        .getBytes(StandardCharsets.UTF_8))
+    z.close()
+    val pages = timed(30000, "footnotes walk") {
+      DocxWithFootnotesExtractor.extractPages(bos.toByteArray)
+    }
+    // the close-less openers pair lazily: the FIRST opener swallows up to
+    // the single real close (regex parity) — body text must survive and
+    // the walk must stay linear
+    assert(pages.nonEmpty && pages.head.startsWith("body"), pages)
+  }
+}
