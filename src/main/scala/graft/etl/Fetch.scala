@@ -30,6 +30,32 @@ object Fetch {
     override def close(): Unit = ()
   }
 
+  /** Response-body ceiling for network reads (r12 hardening, the codec
+    * MaxDecodedStreamBytes companion): `readAllBytes()` on a socket let
+    * ONE hostile/broken server — or one oversized upload on the ingest
+    * shim — materialize unbounded bytes in executor/driver memory before
+    * any codec ceiling could apply. The read timeout bounds TIME, not
+    * size. Generous vs the corpus (reference volumes are tens of MB).
+    */
+  private[etl] val MaxBodyBytes: Int = 256 << 20
+
+  /** Read at most `max` bytes; Left past the cap (the caller's error
+    * channel carries it — an S16 error row on the fetch path, an error
+    * JSON on the ingest shim).
+    */
+  private[etl] def readBounded(in: java.io.InputStream,
+                               max: Int): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size > max) return Left(s"body exceeds $max bytes")
+      n = in.read(buf)
+    }
+    Right(out.toByteArray)
+  }
+
   /** Factory shipped to executors — must be Serializable; the CLIENT it
     * creates need not be (it never leaves its partition).
     */
@@ -53,7 +79,7 @@ object Fetch {
           else {
             val ct = Option(conn.getContentType).getOrElse("")
             val in = conn.getInputStream
-            try Right((ct, in.readAllBytes())) finally in.close()
+            try readBounded(in, MaxBodyBytes).map((ct, _)) finally in.close()
           }
         } finally conn.disconnect()
       } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }

@@ -104,7 +104,13 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     val isDocx = ct.contains(IngestServer.DocxContentType)
     if (!isPdf && !(isDocx && resourceType == "statute"))
       return errorJson(s"not a PDF (Content-Type: $ct)")
-    val bytes = ex.getRequestBody.readAllBytes()
+    // bounded body read (r12 hardening — Fetch.MaxBodyBytes rationale):
+    // an unbounded readAllBytes let one oversized upload OOM the driver
+    // before the codec ceilings could apply
+    val bytes = Fetch.readBounded(ex.getRequestBody, Fetch.MaxBodyBytes) match {
+      case Left(err) => return errorJson(err)
+      case Right(b) => b
+    }
     val defaultExt = if (isDocx) "docx" else "pdf"
     val url = params.getOrElse("pdf_url", s"$volume.$defaultExt")
 

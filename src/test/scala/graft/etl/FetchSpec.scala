@@ -59,4 +59,15 @@ class FetchSpec extends SparkSpec {
     assert(docs.head.getAs[String]("year") === "1998")
     assert(out.quarantine.count() === 1)
   }
+
+  test("readBounded caps a network body at the ceiling, exact-size bodies pass (r12 hardening)") {
+    def in(n: Int) = new java.io.ByteArrayInputStream(Array.fill[Byte](n)(7))
+    assert(Fetch.readBounded(in(1000), max = 1000).map(_.length) === Right(1000))
+    assert(Fetch.readBounded(in(0), max = 10).map(_.length) === Right(0))
+    val over = Fetch.readBounded(in(1001), max = 1000)
+    assert(over.isLeft && over.swap.toOption.get.contains("exceeds"), over)
+    // the shipped ceiling is generous vs the corpus (reference volumes
+    // are tens of MB) — pin it so a refactor can't silently shrink it
+    assert(Fetch.MaxBodyBytes === (256 << 20))
+  }
 }
