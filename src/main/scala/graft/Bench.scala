@@ -19,6 +19,32 @@ import org.apache.spark.sql.SparkSession
   *    counting — not an honest measurement).
   */
 object Bench {
+
+  /** The repeat-on-outlier trigger: a SORTED rep vector whose median is
+    * both past the floor band (>0.3 s, so 2× isn't launch jitter) and
+    * more than twice its own minimum — the transient-contention
+    * signature (see the timed-pass comment). Pure so BenchSpec can pin
+    * it; `times` must be sorted ascending.
+    */
+  private[graft] def bimodalHigh(times: Seq[Double]): Boolean =
+    times.nonEmpty && times(times.size / 2) > 0.3 &&
+      times(times.size / 2) > 2 * times.head
+
+  /** End-of-window re-probe adoption rule (VERDICT r11 item 2): adopt
+    * the probe median ONLY when it reads under HALF the in-window
+    * median — confirming the in-window reading was transiently inflated
+    * rather than a real cost. A probe that is itself contended (or
+    * empty, every probe rep failed) reads high and changes nothing.
+    * Pure so BenchSpec can pin it.
+    */
+  private[graft] def adoptReprobe(inWindowMedian: Double,
+                                  probe: Seq[Double]): Option[Double] = {
+    val sorted = probe.sorted
+    if (sorted.nonEmpty && sorted(sorted.size / 2) < inWindowMedian / 2)
+      Some(sorted(sorted.size / 2))
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -157,9 +183,7 @@ object Bench {
       // median a quorum over the transient; the retry is RECORDED (count
       // in the JSON, names on stderr) so a reader can see the window
       // needed self-healing rather than silently trusting it.
-      def bimodal = times(times.size / 2) > 0.3 &&
-        times(times.size / 2) > 2 * times.head
-      if (primaryOk && reps >= 3 && bimodal) {
+      if (primaryOk && reps >= 3 && bimodalHigh(times)) {
         retried ::= name
         // a failure DURING the self-heal reps must not retroactively turn
         // a successful 3-rep measurement into a -1: only successful extra
@@ -167,7 +191,7 @@ object Bench {
         val extra = (1 to 2).map(_ => runOnce(name, fn))
           .collect { case (sec, true) => sec }
         times = (times ++ extra).sorted
-        if (bimodal) unhealed ::= name
+        if (bimodalHigh(times)) unhealed ::= name
       }
       // -1 keeps failures machine-detectable in the JSON (a failure's wall
       // time would otherwise read as a suspiciously fast success)
@@ -194,11 +218,11 @@ object Bench {
       if (med < 0 || !unhealed.contains(name)) name -> med
       else {
         val probe = (1 to 3).map(_ => runOnce(name, SparkEntry.queries(name)))
-          .collect { case (sec, true) => sec }.sorted
-        if (probe.nonEmpty && probe(probe.size / 2) < med / 2) {
-          reprobed ::= (name, med)
-          name -> probe(probe.size / 2)
-        } else name -> med
+          .collect { case (sec, true) => sec }
+        adoptReprobe(med, probe) match {
+          case Some(healed) => reprobed ::= (name, med); name -> healed
+          case None => name -> med
+        }
       }
     }
     if (reprobed.nonEmpty)
