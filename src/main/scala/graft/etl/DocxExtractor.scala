@@ -70,63 +70,92 @@ object DocxExtractor extends PageExtractor {
     * (VERDICT r11 item 7 — statutes cite in footnotes; the body-only
     * contract stays the DEFAULT). Footnote text lives in a SEPARATE zip
     * entry (`word/footnotes.xml`) with no pagination of its own, so with
-    * the flag on each content footnote (separator/continuation stubs —
-    * any `w:type`-attributed entry — are skipped) is appended as extra
-    * lines to the LAST page, in footnote order — the closest analogue to
-    * where a renderer places them without inventing phantom pages. A
+    * the flag on each content footnote (separator/continuation chrome
+    * stubs are skipped — see [[footnoteChromeTypes]]) is appended as
+    * extra lines to the LAST page, in footnote order — the closest
+    * analogue to where a renderer places them without inventing phantom
+    * pages. A body whose pages are all blank but whose footnotes carry
+    * text emits the notes as ONE page (review finding, r12 — the
+    * footnote-wired corpus is exactly the one whose content may live
+    * entirely in footnotes; quarantining it would drop real text). A
     * missing/empty footnotes part is not an error: body-only output.
+    * Both entries decompress in ONE archive walk (review finding, r12 —
+    * the extraction hot path shouldn't re-open the zip per part).
     */
   def extractPages(bytes: Array[Byte], includeFootnotes: Boolean): Seq[String] = {
     try {
-      documentXml(bytes) match {
+      val wanted =
+        if (includeFootnotes) Set(DocumentEntry, FootnotesEntry)
+        else Set(DocumentEntry)
+      val parts = entriesXml(bytes, wanted)
+      parts.get(DocumentEntry).flatMap(_.toOption) match {
         case None => Nil
         case Some(xml) =>
           val pages = pagesFromXml(xml)
-          val notes = if (includeFootnotes) footnotesText(bytes) else Nil
-          if (notes.isEmpty || pages.isEmpty) pages
+          val notes =
+            if (includeFootnotes)
+              parts.get(FootnotesEntry).flatMap(_.toOption)
+                .map(footnotesFromXml).getOrElse(Nil)
+            else Nil
+          if (notes.isEmpty) pages
+          else if (pages.isEmpty) Seq(notes.mkString("\n"))
           else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
       }
     } catch { case _: Exception => Nil }
   }
 
-  /** One text block per CONTENT footnote, document order. Separator and
-    * continuation stubs carry a `w:type` attribute and are layout
-    * chrome, not content — skipped. The element walk is a linear
+  /** Footnote types that are LAYOUT CHROME, not content — the rendered
+    * separator rules and continuation notices (ECMA-376 §17.11.11
+    * w:type values). Everything else — no w:type attribute, or the
+    * explicit default `w:type="normal"` that non-Word generators emit —
+    * is a content footnote (review finding, r12: a blanket
+    * any-w:type-skips rule silently dropped citations from
+    * python-docx/LibreOffice-style output).
+    */
+  private val footnoteChromeTypes =
+    Set("separator", "continuationSeparator", "continuationNotice")
+
+  private[etl] def footnotesText(bytes: Array[Byte]): Seq[String] =
+    entryXml(bytes, FootnotesEntry).toOption.map(footnotesFromXml)
+      .getOrElse(Nil)
+
+  /** One text block per CONTENT footnote, document order (chrome types
+    * skipped — [[footnoteChromeTypes]]). The element walk is a linear
     * open/close pairing, not a lazy-dot regex: a crafted close-less
     * footnotes part would make `(.*?)</w:footnote>` rescan to
     * end-of-input per opening — the same CPU-bomb class as the `<w:t>`
     * text-run finding this part's 64 MB inflate ceiling already
     * guards for memory (r12 review).
     */
-  private[etl] def footnotesText(bytes: Array[Byte]): Seq[String] =
-    entryXml(bytes, FootnotesEntry).toOption match {
-      case None => Nil
-      case Some(xml) =>
-        val out = Seq.newBuilder[String]
-        val Open = "<w:footnote"
-        val Close = "</w:footnote>"
-        var p = xml.indexOf(Open)
-        while (p >= 0) {
-          val after = p + Open.length
-          // name boundary: exclude the <w:footnotes> root element
-          val isTag = after < xml.length && {
-            val c = xml.charAt(after)
-            c == ' ' || c == '>' || c == '\t' || c == '\r' || c == '\n' || c == '/'
-          }
-          val gt = if (isTag) xml.indexOf('>', after) else -1
-          if (gt < 0) p = xml.indexOf(Open, p + 1)
-          else {
-            val close = xml.indexOf(Close, gt + 1)
-            if (close < 0) p = -1
-            else {
-              if (!xml.substring(after, gt).contains("w:type="))
-                out ++= pagesFromXml(xml.substring(gt + 1, close))
-              p = xml.indexOf(Open, close + Close.length)
-            }
-          }
+  private[etl] def footnotesFromXml(xml: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val Open = "<w:footnote"
+    val Close = "</w:footnote>"
+    val TypeAttr = """w:type="([^"]*)"""".r
+    var p = xml.indexOf(Open)
+    while (p >= 0) {
+      val after = p + Open.length
+      // name boundary: exclude the <w:footnotes> root element
+      val isTag = after < xml.length && {
+        val c = xml.charAt(after)
+        c == ' ' || c == '>' || c == '\t' || c == '\r' || c == '\n' || c == '/'
+      }
+      val gt = if (isTag) xml.indexOf('>', after) else -1
+      if (gt < 0) p = xml.indexOf(Open, p + 1)
+      else {
+        val close = xml.indexOf(Close, gt + 1)
+        if (close < 0) p = -1
+        else {
+          val chrome = TypeAttr.findFirstMatchIn(xml.substring(after, gt))
+            .exists(m => footnoteChromeTypes(m.group(1)))
+          if (!chrome)
+            out ++= pagesFromXml(xml.substring(gt + 1, close))
+          p = xml.indexOf(Open, close + Close.length)
         }
-        out.result()
+      }
     }
+    out.result()
+  }
 
   /** Decompression ceiling for `word/document.xml` (review finding, r11):
     * the DOCX path is network-admitted (the statute ingest gate), and a
@@ -155,37 +184,57 @@ object DocxExtractor extends PageExtractor {
       case right => right
     }
 
-  /** Locate and decompress ONE named zip entry under the same inflation
-    * ceiling — the shared walk behind the body and footnotes parts.
-    * Left("missing") when absent; Left("docx-oversize-xml") past the
-    * [[MaxDocumentXmlBytes]] bomb ceiling (every text part shares it —
-    * footnotes are network-admitted through the same ingest gate).
+  /** Locate and decompress ONE named zip entry — [[entriesXml]] with a
+    * singleton want-set. Left("missing") when absent.
     */
-  private def entryXml(bytes: Array[Byte], name: String): Either[String, String] = {
+  private def entryXml(bytes: Array[Byte], name: String): Either[String, String] =
+    entriesXml(bytes, Set(name)).getOrElse(name, Left("missing"))
+
+  /** Decompress the NAMED zip entries in ONE archive walk (r12 review —
+    * the per-part walk decompressed the container twice on the
+    * footnote-wired hot path), each under the shared inflation ceiling:
+    * an entry inflating past [[MaxDocumentXmlBytes]] maps to
+    * Left("docx-oversize-xml") (every text part shares the bomb ceiling
+    * — footnotes are network-admitted through the same ingest gate);
+    * absent entries are absent from the map. The walk stops as soon as
+    * every wanted entry is resolved.
+    */
+  private def entriesXml(bytes: Array[Byte],
+                         names: Set[String]): Map[String, Either[String, String]] = {
+    val found = Map.newBuilder[String, Either[String, String]]
+    var remaining = names
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
-      var entry = zin.getNextEntry
+      var entry = if (remaining.nonEmpty) zin.getNextEntry else null
       while (entry != null) {
-        if (entry.getName == name) {
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](8192)
-          var n = zin.read(buf)
-          while (n > 0) {
-            if (out.size() + n > MaxDocumentXmlBytes)
-              return Left("docx-oversize-xml")
-            out.write(buf, 0, n)
-            n = zin.read(buf)
+        val nm = entry.getName
+        if (remaining(nm)) {
+          remaining -= nm
+          found += nm -> {
+            val out = new java.io.ByteArrayOutputStream(8192)
+            val buf = new Array[Byte](8192)
+            var n = zin.read(buf)
+            var oversize = false
+            while (n > 0 && !oversize) {
+              if (out.size() + n > MaxDocumentXmlBytes) oversize = true
+              else { out.write(buf, 0, n); n = zin.read(buf) }
+            }
+            if (oversize) Left("docx-oversize-xml")
+            else Right(new String(out.toByteArray, StandardCharsets.UTF_8))
           }
-          return Right(new String(out.toByteArray, StandardCharsets.UTF_8))
         }
-        entry = zin.getNextEntry
+        entry = if (remaining.nonEmpty) zin.getNextEntry else null
       }
-      Left("missing")
+      found.result()
     } finally zin.close()
   }
 
-  /** Why a DOCX yielded no text (VERDICT r11 item 3): a zip without
+  /** Why a DOCX yielded no text (VERDICT r11 item 3): bytes that are
+    * not a zip archive at all (`not-a-docx` — ZipInputStream returns
+    * null on unrecognized bytes rather than throwing, so without the
+    * magic check a saved HTML error page would misleadingly read
+    * `docx-missing-document-xml`; r12 review), a zip without
     * `word/document.xml` (not an OPC word document, or a renamed
     * plain archive), a body XML inflating past the deflate-bomb
     * ceiling, a zip that fails to decompress — else the body was
@@ -193,7 +242,8 @@ object DocxExtractor extends PageExtractor {
     */
   override def diagnose(bytes: Array[Byte]): String =
     try {
-      documentXmlOrReason(bytes) match {
+      if (!looksLikeZip(bytes)) "not-a-docx"
+      else documentXmlOrReason(bytes) match {
         case Left(reason) => reason
         case Right(_) => "empty-text"
       }

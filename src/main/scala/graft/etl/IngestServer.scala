@@ -128,13 +128,19 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
       // surface the coded reason on the dashboard feed (VERDICT r11
       // item 3): one ERROR row per quarantined upload — rare by
       // construction, so the per-append rotation write is off the
-      // happy path
+      // happy path. BEST-EFFORT (r12 review): a torn/unwritable status
+      // store must not replace the coded reason in the HTTP response —
+      // the reason matters most exactly when the feed is unhealthy.
       statusDir.foreach { d =>
-        import spark.implicits._
-        StatusLog.append(spark, d,
-          Seq((new java.sql.Timestamp(System.currentTimeMillis()),
-            "ERROR", s"quarantined $url: $reason"))
-            .toDF("ts", "level", "message"))
+        try {
+          import spark.implicits._
+          StatusLog.append(spark, d,
+            Seq((new java.sql.Timestamp(System.currentTimeMillis()),
+              "ERROR", s"quarantined $url: $reason"))
+              .toDF("ts", "level", "message"))
+        } catch { case e: Exception =>
+          System.err.println(s"[ingest] status-log append failed: ${e.getMessage}")
+        }
       }
       errorJson(reason)
     }

@@ -104,21 +104,29 @@ object Pipeline {
           category)
         .as("doc"))
       .select("doc.*")
-    // Reason-coded quarantine (VERDICT r11 item 3): join the (small)
-    // quarantined-url set back to the binaries and run the codec's
-    // structural diagnosis on just those rows — the happy path pays
+    // Reason-coded quarantine (VERDICT r11 item 3): BROADCAST the
+    // (small by construction — it's the failure channel) quarantined-url
+    // set against the binaries as a semi-join, so the corpus-sized
+    // binary column is streamed map-side and never shuffled (r12 review:
+    // the previous urls-left join planned a sort-merge that exchanged
+    // every document's raw bytes on every consuming action, including
+    // each streaming micro-batch), and run the codec's structural
+    // diagnosis on just the surviving rows — the happy path pays
     // nothing, and the diagnosis re-parses structure without re-decoding
-    // streams. groupBy(min) keeps the one-row-per-url contract even if
-    // the same url was staged twice (and shuffles only (url, reason)
-    // strings, never binary content).
+    // streams. Every quarantined url exists in `binaries` (the
+    // quarantine set derives from binaries' own url set), so the
+    // semi-join loses nothing vs the old left join. groupBy(min) keeps
+    // the one-row-per-url contract even if the same url was staged
+    // twice; only (url, reason) strings reach that exchange.
     val diagnoseUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) "no-content"
       else try extractor.diagnose(bytes)
       catch { case _: Exception => "empty-text" })
-    val quarantine = reassembled
+    val quarantinedUrls = reassembled
       .filter(!DocOps.nonEmptyDoc(col("content")))
       .select("url")
-      .join(binaries.select("url", "content"), Seq("url"), "left")
+    val quarantine = binaries.select("url", "content")
+      .join(broadcast(quarantinedUrls), Seq("url"), "left_semi")
       .select(col("url"), diagnoseUdf(col("content")).as("reason"))
       .groupBy("url").agg(min(col("reason")).as("reason"))
     Processed(good, quarantine)

@@ -187,6 +187,39 @@ class DocxExtractorSpec extends AnyFunSuite {
         """<w:footnote w:id="2"><w:p><w:r><w:t>note</w:t></w:r></w:p></w:footnote>"""))
     assert(DocxWithFootnotesExtractor.extractPages(paged) ===
       Seq("p1", "p2\nnote"))
+    // the EXPLICIT default w:type="normal" (python-docx/LibreOffice-style
+    // output) is CONTENT, not chrome — only separator/continuation types
+    // skip (r12 review: a blanket any-w:type rule dropped citations)
+    val explicitNormal = docx(
+      p("""<w:t>body</w:t>"""),
+      footnotesXml = Some(
+        """<w:footnote w:type="normal" w:id="2"><w:p><w:r><w:t>See Proc. 12/1995</w:t></w:r></w:p></w:footnote>""" +
+          """<w:footnote w:type="continuationNotice" w:id="3"><w:p><w:r><w:t>CONT2</w:t></w:r></w:p></w:footnote>"""))
+    assert(DocxWithFootnotesExtractor.extractPages(explicitNormal) ===
+      Seq("body\nSee Proc. 12/1995"))
+    // a blank body with real footnotes emits the notes as ONE page
+    // instead of quarantining extractable text (r12 review) — body-only
+    // default still quarantines it
+    val notesOnly = docx(
+      p("""<w:t> </w:t>"""),
+      footnotesXml = Some(
+        """<w:footnote w:id="2"><w:p><w:r><w:t>only the note</w:t></w:r></w:p></w:footnote>"""))
+    assert(DocxWithFootnotesExtractor.extractPages(notesOnly) ===
+      Seq("only the note"))
+    assert(DocxExtractor.extractPages(notesOnly) === Nil)
+  }
+
+  test("diagnose distinguishes not-a-docx bytes from a zip missing the OPC part (r12 review)") {
+    // an HTML error page saved as .docx must not read as a valid archive
+    // lacking word/document.xml
+    assert(DocxExtractor.diagnose("<html>404</html>".getBytes(StandardCharsets.UTF_8))
+      === "not-a-docx")
+    // a REAL zip without the part keeps its own reason class
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    z.write("hi".getBytes(StandardCharsets.UTF_8)); z.closeEntry(); z.close()
+    assert(DocxExtractor.diagnose(bos.toByteArray) === "docx-missing-document-xml")
   }
 
   test("CPU bomb: a million unclosed <w:t> tags tokenize in linear time") {

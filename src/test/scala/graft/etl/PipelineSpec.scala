@@ -223,6 +223,14 @@ class PipelineSpec extends SparkSpec {
     val q = out.quarantine.collect().map(r =>
       (r.getAs[String]("url"), r.getAs[String]("reason")))
     assert(q.toSeq === Seq(("https://x/junk.bin", "not-pdf-or-docx")))
+    // plan shape (r12 review): the diagnosis attaches via a BROADCAST
+    // semi-join of the tiny quarantined-url set, so the corpus-sized
+    // binary content column is streamed map-side, never shuffled — the
+    // old urls-left join exchanged every document's raw bytes per
+    // consuming action, including every streaming micro-batch
+    val qPlan = out.quarantine.queryExecution.executedPlan.toString
+    assert(qPlan.contains("BroadcastHashJoin") && qPlan.contains("LeftSemi"),
+      s"quarantine diagnosis must broadcast-semi-join, got:\n$qPlan")
     // a zip that is not an OPC word document gets its own reason class
     val zipNoDoc = {
       val bos = new java.io.ByteArrayOutputStream()
