@@ -10,9 +10,10 @@ import scala.util.matching.Regex
   *
   * A .docx is a ZIP container (OPC); the body text lives in
   * `word/document.xml` as WordprocessingML. The extractor:
-  *   - walks the archive with `java.util.zip.ZipInputStream` (JDK-only,
-  *     streaming — the entry is decompressed once, never materialized
-  *     beyond its own bytes),
+  *   - resolves the wanted entries through the zip CENTRAL DIRECTORY
+  *     (JDK-only, random access — only wanted entries are ever
+  *     inflated, each under the bomb ceiling; see [[entriesXml]] for
+  *     why a ZipInputStream walk is an inflate-and-discard CPU hole),
   *   - tokenizes the XML with one linear regex pass: `<w:t>` text runs
   *     (entity-unescaped), `<w:tab/>` → TAB, in-paragraph `<w:br/>` →
   *     newline, `</w:p>` paragraph ends → newline,
@@ -115,10 +116,6 @@ object DocxExtractor extends PageExtractor {
   private val footnoteChromeTypes =
     Set("separator", "continuationSeparator", "continuationNotice")
 
-  private[etl] def footnotesText(bytes: Array[Byte]): Seq[String] =
-    entryXml(bytes, FootnotesEntry).toOption.map(footnotesFromXml)
-      .getOrElse(Nil)
-
   /** One text block per CONTENT footnote, document order (chrome types
     * skipped — [[footnoteChromeTypes]]). The element walk is a linear
     * open/close pairing, not a lazy-dot regex: a crafted close-less
@@ -131,7 +128,10 @@ object DocxExtractor extends PageExtractor {
     val out = Seq.newBuilder[String]
     val Open = "<w:footnote"
     val Close = "</w:footnote>"
-    val TypeAttr = """w:type="([^"]*)"""".r
+    // both XML-legal quote styles: single-quoted attributes are exactly
+    // what the non-Word generators this path exists for may emit
+    // (r12 review round 2)
+    val TypeAttr = """w:type=["']([^"']*)["']""".r
     var p = xml.indexOf(Open)
     while (p >= 0) {
       val after = p + Open.length
@@ -190,44 +190,107 @@ object DocxExtractor extends PageExtractor {
   private def entryXml(bytes: Array[Byte], name: String): Either[String, String] =
     entriesXml(bytes, Set(name)).getOrElse(name, Left("missing"))
 
-  /** Decompress the NAMED zip entries in ONE archive walk (r12 review —
-    * the per-part walk decompressed the container twice on the
-    * footnote-wired hot path), each under the shared inflation ceiling:
-    * an entry inflating past [[MaxDocumentXmlBytes]] maps to
-    * Left("docx-oversize-xml") (every text part shares the bomb ceiling
-    * — footnotes are network-admitted through the same ingest gate);
-    * absent entries are absent from the map. The walk stops as soon as
-    * every wanted entry is resolved.
+  /** Decompress the NAMED zip entries via the archive's CENTRAL
+    * DIRECTORY (random access over the byte array), never a streaming
+    * walk: `ZipInputStream.getNextEntry` drains every SKIPPED entry
+    * through the inflater to reach the next header, so a deflate-bomb
+    * entry anywhere before (or between) the wanted parts would cost its
+    * full inflated size in discarded CPU even though its bytes were
+    * never requested (r12 review round 2 — the one-walk refactor made
+    * this reachable from the footnote-wired ingest path; the central
+    * directory removes the whole class). Only wanted entries are ever
+    * inflated, each under [[MaxDocumentXmlBytes]]
+    * (Left("docx-oversize-xml") past it — every text part shares the
+    * bomb ceiling; footnotes are network-admitted through the same
+    * ingest gate); absent entries are absent from the map. Structural
+    * anomalies — no end-of-central-directory record, bad signatures,
+    * zip64 shapes no real .docx writer produces at the sizes the 256 MB
+    * body cap admits — degrade to an empty map → the missing/quarantine
+    * path.
     */
   private def entriesXml(bytes: Array[Byte],
                          names: Set[String]): Map[String, Either[String, String]] = {
-    val found = Map.newBuilder[String, Either[String, String]]
-    var remaining = names
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def sigAt(p: Int, s: Long): Boolean =
+      p >= 0 && p + 4 <= bytes.length && u32(p) == s
     try {
-      var entry = if (remaining.nonEmpty) zin.getNextEntry else null
-      while (entry != null) {
-        val nm = entry.getName
-        if (remaining(nm)) {
-          remaining -= nm
-          found += nm -> {
-            val out = new java.io.ByteArrayOutputStream(8192)
-            val buf = new Array[Byte](8192)
-            var n = zin.read(buf)
-            var oversize = false
-            while (n > 0 && !oversize) {
-              if (out.size() + n > MaxDocumentXmlBytes) oversize = true
-              else { out.write(buf, 0, n); n = zin.read(buf) }
-            }
-            if (oversize) Left("docx-oversize-xml")
-            else Right(new String(out.toByteArray, StandardCharsets.UTF_8))
-          }
+      // end-of-central-directory record: fixed 22 bytes + a comment of
+      // up to 65535 — scan backward for its signature
+      var e = bytes.length - 22
+      val eMin = math.max(0, bytes.length - 22 - 65535)
+      while (e >= eMin && !sigAt(e, 0x06054b50L)) e -= 1
+      if (e < eMin) return Map.empty
+      val cdCount = u16(e + 10)
+      val cdOffset = u32(e + 16)
+      if (cdOffset > Int.MaxValue || cdOffset > bytes.length) return Map.empty
+      val found = scala.collection.mutable.Map[String, Either[String, String]]()
+      var p = cdOffset.toInt
+      var i = 0
+      while (i < cdCount && found.size < names.size && sigAt(p, 0x02014b50L) &&
+             p + 46 <= bytes.length) {
+        val method = u16(p + 10)
+        val compSize = u32(p + 20)
+        val nameLen = u16(p + 28)
+        val extraLen = u16(p + 30)
+        val commentLen = u16(p + 32)
+        val localOff = u32(p + 42)
+        if (p + 46 + nameLen <= bytes.length) {
+          val nm = new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8)
+          if (names(nm) && !found.contains(nm))
+            found(nm) = readEntry(bytes, localOff, method, compSize)
         }
-        entry = if (remaining.nonEmpty) zin.getNextEntry else null
+        p += 46 + nameLen + extraLen + commentLen
+        i += 1
       }
-      found.result()
-    } finally zin.close()
+      found.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** One entry's data via its LOCAL header (r12 — [[entriesXml]]'s
+    * random-access read): the central directory's sizes are
+    * authoritative (a streamed writer leaves the local sizes 0 with a
+    * data descriptor), the local header's own name/extra lengths locate
+    * the data. Stored (0) and deflate (8) cover every real .docx writer.
+    */
+  private def readEntry(bytes: Array[Byte], localOff: Long, method: Int,
+                        compSize: Long): Either[String, String] = {
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    if (localOff > Int.MaxValue || localOff + 30 > bytes.length ||
+        u32(localOff.toInt) != 0x04034b50L)
+      return Left("docx-bad-local-header")
+    val lo = localOff.toInt
+    val dataOff = lo + 30 + u16(lo + 26) + u16(lo + 28)
+    if (compSize > Int.MaxValue || dataOff + compSize > bytes.length)
+      return Left("docx-bad-local-header")
+    val len = compSize.toInt
+    method match {
+      case 0 => // stored
+        if (len > MaxDocumentXmlBytes) Left("docx-oversize-xml")
+        else Right(new String(bytes, dataOff, len, StandardCharsets.UTF_8))
+      case 8 => // deflate, raw (nowrap)
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, dataOff, len)
+          val out = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](8192)
+          var n = inf.inflate(buf)
+          while (n > 0) {
+            if (out.size() + n > MaxDocumentXmlBytes)
+              return Left("docx-oversize-xml")
+            out.write(buf, 0, n)
+            n = inf.inflate(buf)
+          }
+          Right(new String(out.toByteArray, StandardCharsets.UTF_8))
+        } catch { case _: Exception => Left("docx-undecodable-entry") }
+        finally inf.end()
+      case _ => Left("docx-unsupported-compression")
+    }
   }
 
   /** Why a DOCX yielded no text (VERDICT r11 item 3): bytes that are

@@ -63,10 +63,23 @@ object Pipeline {
     *                       the CLI pipeline drops them (fetch_legal_docs.py:63).
     * @param ingestDate     injected run date (reference uses today();
     *                       injection keeps runs reproducible).
+    * @param broadcastQuarantine SCALE LEVER (the coShingledPairs
+    *                       broadcastCounts pattern): the quarantine
+    *                       diagnosis broadcasts the quarantined-url set
+    *                       by default — optimal while failures are the
+    *                       exception. Under SYSTEMIC failure (wrong
+    *                       codec wired, upstream format change: the
+    *                       quarantine set ≈ the whole corpus) the
+    *                       broadcast build would collect corpus-many
+    *                       urls to the driver and abort on the
+    *                       broadcast budget — pass `false` there to
+    *                       fall back to a shuffled join that degrades
+    *                       slowly instead (r12 review).
     */
   def process(binaries: DataFrame, extractor: PageExtractor,
               ingestDate: String, keepEmptyPages: Boolean = false,
-              category: Column = lit("CassationDecision")): Processed = {
+              category: Column = lit("CassationDecision"),
+              broadcastQuarantine: Boolean = true): Processed = {
     val spark = binaries.sparkSession
     val extractUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) Seq.empty[String]
@@ -122,11 +135,21 @@ object Pipeline {
       if (bytes == null) "no-content"
       else try extractor.diagnose(bytes)
       catch { case _: Exception => "empty-text" })
+    // the semi-join key is NULL-NORMALIZED on both sides (r12 review: a
+    // plain equi semi-join drops null-url rows — null never equals null
+    // — and a document would vanish from BOTH channels, violating the
+    // must-surface-in-quarantine invariant above; the NUL sentinel
+    // cannot collide with a real url)
+    val nullKey = (c: Column) => coalesce(c, lit("\u0000"))
     val quarantinedUrls = reassembled
       .filter(!DocOps.nonEmptyDoc(col("content")))
-      .select("url")
-    val quarantine = binaries.select("url", "content")
-      .join(broadcast(quarantinedUrls), Seq("url"), "left_semi")
+      .select(nullKey(col("url")).as("_k"))
+    val urlSide =
+      if (broadcastQuarantine) broadcast(quarantinedUrls)
+      else quarantinedUrls.hint("shuffle_hash")
+    val quarantine = binaries
+      .select(nullKey(col("url")).as("_k"), col("url"), col("content"))
+      .join(urlSide, Seq("_k"), "left_semi")
       .select(col("url"), diagnoseUdf(col("content")).as("reason"))
       .groupBy("url").agg(min(col("reason")).as("reason"))
     Processed(good, quarantine)

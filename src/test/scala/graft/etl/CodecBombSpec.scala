@@ -128,6 +128,47 @@ class CodecBombSpec extends AnyFunSuite {
     assert(pages.size <= 1)
   }
 
+  test("a deflate-bomb entry the extractor never asked for costs nothing (central-directory read)") {
+    // ZipInputStream.getNextEntry drains every SKIPPED entry through the
+    // inflater to find the next header, so a bomb entry BEFORE the
+    // wanted parts used to cost its full inflated size in discarded CPU;
+    // the central-directory read jumps straight to the wanted entries
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, b: Array[Byte]): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(b); z.closeEntry()
+    }
+    entry("media/bomb.bin", new Array[Byte](512 << 20)) // 512 MB of zeros, ~0.5 MB deflated
+    entry("word/document.xml",
+      ("""<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>body</w:t></w:r></w:p>""" +
+        "</w:body></w:document>").getBytes(StandardCharsets.UTF_8))
+    entry("word/footnotes.xml",
+      ("""<w:footnotes xmlns:w="x"><w:footnote w:id="2"><w:p><w:r>""" +
+        "<w:t>note</w:t></w:r></w:p></w:footnote></w:footnotes>")
+        .getBytes(StandardCharsets.UTF_8))
+    z.close()
+    val doc = bos.toByteArray
+    val pages = timed(30000, "docx with unwanted bomb entry") {
+      DocxWithFootnotesExtractor.extractPages(doc)
+    }
+    assert(pages === Seq("body\nnote"), pages)
+    // an OVERSIZE wanted part degrades that part only — and skipping it
+    // costs nothing either (nothing is drained to reach other entries)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val z2 = new java.util.zip.ZipOutputStream(bos2)
+    def entry2(name: String, b: Array[Byte]): Unit = {
+      z2.putNextEntry(new java.util.zip.ZipEntry(name)); z2.write(b); z2.closeEntry()
+    }
+    entry2("word/document.xml", new Array[Byte](128 << 20)) // past the 64 MB ceiling
+    entry2("word/footnotes.xml", "<w:footnotes/>".getBytes(StandardCharsets.UTF_8))
+    z2.close()
+    val quarantined = timed(30000, "oversize body") {
+      DocxWithFootnotesExtractor.extractPages(bos2.toByteArray)
+    }
+    assert(quarantined === Nil)
+    assert(DocxExtractor.diagnose(bos2.toByteArray) === "docx-oversize-xml")
+  }
+
   test("footnotes CPU bomb: 300k close-less `<w:footnote` openers walk in linear time") {
     val notes = ("<w:footnote " * 300000) +
       """<w:footnote w:id="2"><w:p><w:r><w:t>real note</w:t></w:r></w:p></w:footnote>"""

@@ -229,8 +229,31 @@ class PipelineSpec extends SparkSpec {
     // old urls-left join exchanged every document's raw bytes per
     // consuming action, including every streaming micro-batch
     val qPlan = out.quarantine.queryExecution.executedPlan.toString
-    assert(qPlan.contains("BroadcastHashJoin") && qPlan.contains("LeftSemi"),
+    val qSemi = qPlan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(qSemi.nonEmpty && qSemi.forall(_.contains("BroadcastHashJoin")),
       s"quarantine diagnosis must broadcast-semi-join, got:\n$qPlan")
+    // a NULL url must still surface in quarantine (null-normalized semi
+    // key, r12 review round 2: a plain equi semi-join made it vanish
+    // from both channels)
+    val withNull = Pipeline.process(
+      Seq((null: String, "not a document".getBytes("UTF-8")))
+        .toDF("url", "content"),
+      SniffingExtractor(), "2026-08-15")
+    val nq = withNull.quarantine.collect()
+    assert(nq.length === 1 && nq.head.isNullAt(0) &&
+      nq.head.getString(1) === "not-pdf-or-docx", nq.toSeq)
+    // the systemic-failure lever: broadcastQuarantine = false plans a
+    // shuffled semi-join (no driver-side collect of a corpus-sized set)
+    val shuffled = Pipeline.process(bins, SniffingExtractor(), "2026-08-15",
+      broadcastQuarantine = false)
+    // the reassembly subtree legitimately broadcasts (LeftOuter); only
+    // the SEMI join node itself must not
+    val sPlan = shuffled.quarantine.queryExecution.executedPlan.toString
+    val semiLines = sPlan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty && semiLines.forall(!_.contains("Broadcast")),
+      s"fallback semi-join must not broadcast, got:\n$sPlan")
+    assert(shuffled.quarantine.collect().map(_.getString(1)).toSeq ===
+      Seq("not-pdf-or-docx"))
     // a zip that is not an OPC word document gets its own reason class
     val zipNoDoc = {
       val bos = new java.io.ByteArrayOutputStream()
