@@ -89,6 +89,7 @@ object DocxExtractor extends PageExtractor {
         if (includeFootnotes) Set(DocumentEntry, FootnotesEntry)
         else Set(DocumentEntry)
       val parts = entriesXml(bytes, wanted)
+        .getOrElse(Map.empty[String, Either[String, String]])
       parts.get(DocumentEntry).flatMap(_.toOption) match {
         case None => Nil
         case Some(xml) =>
@@ -185,10 +186,22 @@ object DocxExtractor extends PageExtractor {
     }
 
   /** Locate and decompress ONE named zip entry — [[entriesXml]] with a
-    * singleton want-set. Left("missing") when absent.
+    * singleton want-set. Left("missing") when the archive parsed but
+    * the entry is genuinely absent; a structurally unreadable archive
+    * propagates its own reason (r12 review round 3 — a tail-truncated
+    * download must not read as a valid archive lacking the OPC part).
     */
   private def entryXml(bytes: Array[Byte], name: String): Either[String, String] =
-    entriesXml(bytes, Set(name)).getOrElse(name, Left("missing"))
+    entriesXml(bytes, Set(name)) match {
+      case Left(reason) => Left(reason)
+      case Right(m) => m.getOrElse(name, Left("missing"))
+    }
+
+  private def zipU16(bytes: Array[Byte], p: Int): Int =
+    (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+  private def zipU32(bytes: Array[Byte], p: Int): Long =
+    (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+      ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
 
   /** Decompress the NAMED zip entries via the archive's CENTRAL
     * DIRECTORY (random access over the byte array), never a streaming
@@ -203,40 +216,41 @@ object DocxExtractor extends PageExtractor {
     * (Left("docx-oversize-xml") past it — every text part shares the
     * bomb ceiling; footnotes are network-admitted through the same
     * ingest gate); absent entries are absent from the map. Structural
-    * anomalies — no end-of-central-directory record, bad signatures,
-    * zip64 shapes no real .docx writer produces at the sizes the 256 MB
-    * body cap admits — degrade to an empty map → the missing/quarantine
-    * path.
+    * anomalies — no end-of-central-directory record (the
+    * tail-truncated-download shape), bad signatures, zip64 fields no
+    * real .docx writer produces at the sizes the 256 MB body cap
+    * admits — are Left("docx-truncated-or-corrupt"), NOT an empty map:
+    * entries may literally be present in the bytes, so reporting them
+    * "missing" would mislead ops triage (r12 review round 3; partial
+    * RECOVERY via a streaming local-header walk is deliberately not
+    * attempted — it would reintroduce the drain hole).
     */
-  private def entriesXml(bytes: Array[Byte],
-                         names: Set[String]): Map[String, Either[String, String]] = {
-    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-    def u32(p: Int): Long =
-      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+  private def entriesXml(bytes: Array[Byte], names: Set[String])
+      : Either[String, Map[String, Either[String, String]]] = {
     def sigAt(p: Int, s: Long): Boolean =
-      p >= 0 && p + 4 <= bytes.length && u32(p) == s
+      p >= 0 && p + 4 <= bytes.length && zipU32(bytes, p) == s
     try {
       // end-of-central-directory record: fixed 22 bytes + a comment of
       // up to 65535 — scan backward for its signature
       var e = bytes.length - 22
       val eMin = math.max(0, bytes.length - 22 - 65535)
       while (e >= eMin && !sigAt(e, 0x06054b50L)) e -= 1
-      if (e < eMin) return Map.empty
-      val cdCount = u16(e + 10)
-      val cdOffset = u32(e + 16)
-      if (cdOffset > Int.MaxValue || cdOffset > bytes.length) return Map.empty
+      if (e < eMin) return Left("docx-truncated-or-corrupt")
+      val cdCount = zipU16(bytes, e + 10)
+      val cdOffset = zipU32(bytes, e + 16)
+      if (cdOffset > Int.MaxValue || cdOffset > bytes.length)
+        return Left("docx-truncated-or-corrupt")
       val found = scala.collection.mutable.Map[String, Either[String, String]]()
       var p = cdOffset.toInt
       var i = 0
-      while (i < cdCount && found.size < names.size && sigAt(p, 0x02014b50L) &&
-             p + 46 <= bytes.length) {
-        val method = u16(p + 10)
-        val compSize = u32(p + 20)
-        val nameLen = u16(p + 28)
-        val extraLen = u16(p + 30)
-        val commentLen = u16(p + 32)
-        val localOff = u32(p + 42)
+      while (i < cdCount && found.size < names.size &&
+             sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
+        val method = zipU16(bytes, p + 10)
+        val compSize = zipU32(bytes, p + 20)
+        val nameLen = zipU16(bytes, p + 28)
+        val extraLen = zipU16(bytes, p + 30)
+        val commentLen = zipU16(bytes, p + 32)
+        val localOff = zipU32(bytes, p + 42)
         if (p + 46 + nameLen <= bytes.length) {
           val nm = new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8)
           if (names(nm) && !found.contains(nm))
@@ -245,8 +259,8 @@ object DocxExtractor extends PageExtractor {
         p += 46 + nameLen + extraLen + commentLen
         i += 1
       }
-      found.toMap
-    } catch { case _: Exception => Map.empty }
+      Right(found.toMap)
+    } catch { case _: Exception => Left("docx-truncated-or-corrupt") }
   }
 
   /** One entry's data via its LOCAL header (r12 — [[entriesXml]]'s
@@ -257,15 +271,11 @@ object DocxExtractor extends PageExtractor {
     */
   private def readEntry(bytes: Array[Byte], localOff: Long, method: Int,
                         compSize: Long): Either[String, String] = {
-    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-    def u32(p: Int): Long =
-      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     if (localOff > Int.MaxValue || localOff + 30 > bytes.length ||
-        u32(localOff.toInt) != 0x04034b50L)
+        zipU32(bytes, localOff.toInt) != 0x04034b50L)
       return Left("docx-bad-local-header")
     val lo = localOff.toInt
-    val dataOff = lo + 30 + u16(lo + 26) + u16(lo + 28)
+    val dataOff = lo + 30 + zipU16(bytes, lo + 26) + zipU16(bytes, lo + 28)
     if (compSize > Int.MaxValue || dataOff + compSize > bytes.length)
       return Left("docx-bad-local-header")
     val len = compSize.toInt
@@ -279,12 +289,25 @@ object DocxExtractor extends PageExtractor {
           inf.setInput(bytes, dataOff, len)
           val out = new java.io.ByteArrayOutputStream(8192)
           val buf = new Array[Byte](8192)
-          var n = inf.inflate(buf)
-          while (n > 0) {
-            if (out.size() + n > MaxDocumentXmlBytes)
-              return Left("docx-oversize-xml")
-            out.write(buf, 0, n)
-            n = inf.inflate(buf)
+          // a nowrap Inflater may need ONE dummy byte after the real
+          // input to flush its final block (Inflater javadoc)
+          var fedDummy = false
+          var done = false
+          while (!done) {
+            val n = inf.inflate(buf)
+            if (n > 0) {
+              if (out.size() + n > MaxDocumentXmlBytes)
+                return Left("docx-oversize-xml")
+              out.write(buf, 0, n)
+            } else if (inf.finished()) done = true
+            else if (inf.needsInput() && !fedDummy) {
+              inf.setInput(Array[Byte](0)); fedDummy = true
+            } else
+              // truncated/corrupt deflate data: the stream consumed all
+              // input without reaching its end marker — returning the
+              // partial text as success would land a silently-clipped
+              // document in the GOOD channel (r12 review round 3)
+              return Left("docx-undecodable-entry")
           }
           Right(new String(out.toByteArray, StandardCharsets.UTF_8))
         } catch { case _: Exception => Left("docx-undecodable-entry") }

@@ -138,9 +138,15 @@ object Pipeline {
     // the semi-join key is NULL-NORMALIZED on both sides (r12 review: a
     // plain equi semi-join drops null-url rows — null never equals null
     // — and a document would vanish from BOTH channels, violating the
-    // must-surface-in-quarantine invariant above; the NUL sentinel
-    // cannot collide with a real url)
-    val nullKey = (c: Column) => coalesce(c, lit("\u0000"))
+    // must-surface-in-quarantine invariant above). The key is a
+    // (isNull, value) STRUCT, not a string sentinel: no string can
+    // collide with the null encoding (review round 3 -- a sentinel url
+    // would semi-join-match a real document into the wrong channel),
+    // and the usingColumns join keeps Spark's ambiguous-self-join check
+    // happy where an explicit null-safe-equality condition over two
+    // lineage-shared frames would not.
+    val nullKey = (c: Column) =>
+      struct(c.isNull.as("n"), coalesce(c, lit("")).as("u"))
     val quarantinedUrls = reassembled
       .filter(!DocOps.nonEmptyDoc(col("content")))
       .select(nullKey(col("url")).as("_k"))

@@ -138,7 +138,14 @@ class CodecBombSpec extends AnyFunSuite {
     def entry(name: String, b: Array[Byte]): Unit = {
       z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(b); z.closeEntry()
     }
-    entry("media/bomb.bin", new Array[Byte](512 << 20)) // 512 MB of zeros, ~0.5 MB deflated
+    // 512 MB of zeros streamed in 1 MB writes (~0.5 MB deflated) — the
+    // bomb never exists uncompressed on the test heap
+    locally {
+      z.putNextEntry(new java.util.zip.ZipEntry("media/bomb.bin"))
+      val mb = new Array[Byte](1 << 20)
+      (1 to 512).foreach(_ => z.write(mb))
+      z.closeEntry()
+    }
     entry("word/document.xml",
       ("""<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>body</w:t></w:r></w:p>""" +
         "</w:body></w:document>").getBytes(StandardCharsets.UTF_8))
@@ -159,7 +166,12 @@ class CodecBombSpec extends AnyFunSuite {
     def entry2(name: String, b: Array[Byte]): Unit = {
       z2.putNextEntry(new java.util.zip.ZipEntry(name)); z2.write(b); z2.closeEntry()
     }
-    entry2("word/document.xml", new Array[Byte](128 << 20)) // past the 64 MB ceiling
+    locally { // 128 MB body, past the 64 MB ceiling — streamed, same reason
+      z2.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      val mb = new Array[Byte](1 << 20)
+      (1 to 128).foreach(_ => z2.write(mb))
+      z2.closeEntry()
+    }
     entry2("word/footnotes.xml", "<w:footnotes/>".getBytes(StandardCharsets.UTF_8))
     z2.close()
     val quarantined = timed(30000, "oversize body") {
