@@ -83,7 +83,23 @@ object DocxExtractor extends PageExtractor {
     * Both entries decompress in ONE archive walk (review finding, r12 —
     * the extraction hot path shouldn't re-open the zip per part).
     */
-  def extractPages(bytes: Array[Byte], includeFootnotes: Boolean): Seq[String] = {
+  def extractPages(bytes: Array[Byte], includeFootnotes: Boolean): Seq[String] =
+    extractPages(bytes, includeFootnotes, includeHeaders = false)
+
+  /** The full opt-in surface (VERDICT r11 item 7's "and optionally
+    * headers"): headers live in `word/headerN.xml` parts — one per
+    * section/variant (first/even/odd), resolved per page by rels this
+    * extractor deliberately doesn't parse — so with `includeHeaders` on,
+    * the DISTINCT header texts (numeric part order; Word often writes
+    * identical default/even/first variants — duplicates collapse) are
+    * PREPENDED to the FIRST page as lines: the least-phantom placement
+    * without pagination fidelity, mirroring the footnotes-on-last-page
+    * choice. Headers are usually boilerplate chrome (q95's screen
+    * exists to remove exactly this), hence off by default even in the
+    * footnote-wired extractor.
+    */
+  def extractPages(bytes: Array[Byte], includeFootnotes: Boolean,
+                   includeHeaders: Boolean): Seq[String] = {
     try {
       val wanted =
         if (includeFootnotes) Set(DocumentEntry, FootnotesEntry)
@@ -99,10 +115,63 @@ object DocxExtractor extends PageExtractor {
               parts.get(FootnotesEntry).flatMap(_.toOption)
                 .map(footnotesFromXml).getOrElse(Nil)
             else Nil
-          if (notes.isEmpty) pages
-          else if (pages.isEmpty) Seq(notes.mkString("\n"))
-          else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
+          val heads = if (includeHeaders) headersText(bytes) else Nil
+          val withNotes =
+            if (notes.isEmpty) pages
+            else if (pages.isEmpty) Seq(notes.mkString("\n"))
+            else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
+          if (heads.isEmpty) withNotes
+          else if (withNotes.isEmpty) Seq(heads.mkString("\n"))
+          else (heads.mkString("\n") + "\n" + withNotes.head) +: withNotes.tail
       }
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Distinct header texts in `word/headerN.xml` numeric order —
+    * duplicates collapse (Word writes identical variant parts), blank
+    * headers drop. Bounded to the first [[MaxHeaderParts]] parts: a
+    * crafted zip with thousands of header entries shouldn't turn the
+    * opt-in into a decompress-everything request.
+    */
+  private val MaxHeaderParts = 16
+  private val HeaderNameRe: Regex = """word/header(\d+)\.xml""".r
+
+  private[etl] def headersText(bytes: Array[Byte]): Seq[String] =
+    entryNames(bytes).collect { case n @ HeaderNameRe(num) => (num.toInt, n) }
+      .sortBy(_._1)
+      .take(MaxHeaderParts)
+      .flatMap { case (_, n) => entryXml(bytes, n).toOption }
+      .flatMap(xml => {
+        val t = pagesFromXml(xml).mkString("\n").trim
+        if (t.isEmpty) None else Some(t)
+      })
+      .distinct
+
+  /** All entry names from the central directory (no decompression). */
+  private def entryNames(bytes: Array[Byte]): Seq[String] = {
+    def sigAt(p: Int, s: Long): Boolean =
+      p >= 0 && p + 4 <= bytes.length && zipU32(bytes, p) == s
+    try {
+      var e = bytes.length - 22
+      val eMin = math.max(0, bytes.length - 22 - 65535)
+      while (e >= eMin && !sigAt(e, 0x06054b50L)) e -= 1
+      if (e < eMin) return Nil
+      val cdCount = zipU16(bytes, e + 10)
+      val cdOffset = zipU32(bytes, e + 16)
+      if (cdOffset > Int.MaxValue || cdOffset > bytes.length) return Nil
+      val out = Seq.newBuilder[String]
+      var p = cdOffset.toInt
+      var i = 0
+      while (i < cdCount && sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
+        val nameLen = zipU16(bytes, p + 28)
+        val extraLen = zipU16(bytes, p + 30)
+        val commentLen = zipU16(bytes, p + 32)
+        if (p + 46 + nameLen <= bytes.length)
+          out += new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8)
+        p += 46 + nameLen + extraLen + commentLen
+        i += 1
+      }
+      out.result()
     } catch { case _: Exception => Nil }
   }
 
@@ -407,11 +476,25 @@ object DocxExtractor extends PageExtractor {
     }))
 }
 
-/** The footnote-including variant as a pluggable extractor (VERDICT r11
-  * item 7) — wire it where a corpus's citations live in footnotes:
-  * `Pipeline.process(..., DocxWithFootnotesExtractor)` or
-  * `SniffingExtractor(docx = DocxWithFootnotesExtractor)`. Body-only
-  * [[DocxExtractor]] stays the default everywhere.
+/** The opt-in parts as a pluggable extractor (VERDICT r11 item 7) —
+  * wire it where a corpus's content lives outside the body:
+  * `Pipeline.process(..., DocxPartsExtractor(footnotes = true))` or
+  * `SniffingExtractor(docx = DocxPartsExtractor(headers = true))`.
+  * Body-only [[DocxExtractor]] stays the default everywhere; headers
+  * default off even here (usually boilerplate chrome — see the
+  * extractPages scaladoc).
+  */
+final case class DocxPartsExtractor(footnotes: Boolean = false,
+                                    headers: Boolean = false)
+    extends PageExtractor {
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    DocxExtractor.extractPages(bytes, footnotes, headers)
+  override def diagnose(bytes: Array[Byte]): String =
+    DocxExtractor.diagnose(bytes)
+}
+
+/** The footnote-including variant (the common statute wiring — statutes
+  * cite in footnotes).
   */
 case object DocxWithFootnotesExtractor extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] =

@@ -209,6 +209,43 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(DocxExtractor.extractPages(notesOnly) === Nil)
   }
 
+  test("header opt-in: off by default, distinct headers prepend to the FIRST page (r12, the 'optionally headers' clause)") {
+    // Word writes one headerN.xml per variant (default/even/first) —
+    // often identical; duplicates must collapse and blanks drop. Order
+    // is numeric part order.
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    def wdoc(inner: String) =
+      """<w:document xmlns:w="x"><w:body>""" + inner + "</w:body></w:document>"
+    def whdr(inner: String) =
+      """<w:hdr xmlns:w="x">""" + inner + "</w:hdr>"
+    entry("[Content_Types].xml", "<Types/>")
+    entry("word/document.xml",
+      wdoc("""<w:p><w:r><w:t>p1</w:t><w:br w:type="page"/><w:t>p2</w:t></w:r></w:p>"""))
+    entry("word/header2.xml", whdr("<w:p><w:r><w:t>FED. NEG. GAZETTE</w:t></w:r></w:p>"))
+    entry("word/header1.xml", whdr("<w:p><w:r><w:t>FED. NEG. GAZETTE</w:t></w:r></w:p>"))
+    entry("word/header3.xml", whdr("<w:p><w:r><w:t> </w:t></w:r></w:p>")) // blank: drops
+    entry("word/footnotes.xml",
+      """<w:footnotes xmlns:w="x"><w:footnote w:id="2"><w:p><w:r><w:t>cite</w:t></w:r></w:p></w:footnote></w:footnotes>""")
+    z.close()
+    val fixture = bos.toByteArray
+    // defaults: body only (even the footnote extractor skips headers)
+    assert(DocxExtractor.extractPages(fixture) === Seq("p1", "p2"))
+    assert(DocxWithFootnotesExtractor.extractPages(fixture) ===
+      Seq("p1", "p2\ncite"))
+    // headers on: ONE copy prepended to the first page, numeric order
+    assert(DocxPartsExtractor(headers = true).extractPages(fixture) ===
+      Seq("FED. NEG. GAZETTE\np1", "p2"))
+    // both opt-ins compose: headers at the head, footnotes at the tail
+    assert(DocxPartsExtractor(footnotes = true, headers = true)
+      .extractPages(fixture) ===
+      Seq("FED. NEG. GAZETTE\np1", "p2\ncite"))
+  }
+
   test("diagnose distinguishes not-a-docx bytes from a zip missing the OPC part (r12 review)") {
     // an HTML error page saved as .docx must not read as a valid archive
     // lacking word/document.xml
