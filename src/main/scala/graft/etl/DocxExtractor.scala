@@ -26,13 +26,14 @@ import scala.util.matching.Regex
   * `word/document.xml`, or an entry that fails to decompress all degrade
   * to Nil.
   *
-  * Scope: the document BODY only. Table text extracts naturally (cells
-  * hold ordinary `<w:p>` paragraphs — the walk keys on runs and
+  * Scope: the document BODY by default. Table text extracts naturally
+  * (cells hold ordinary `<w:p>` paragraphs — the walk keys on runs and
   * paragraph ends, not on container elements), each cell ending as a
-  * line. Headers/footers/footnotes live in SEPARATE zip entries
-  * (header1.xml …) and are deliberately out of scope — they are layout
-  * chrome, the statute content lives in the body (and for training-data
-  * purposes boilerplate chrome is what q95's screen removes anyway).
+  * line. Footnotes and headers live in SEPARATE zip entries and are
+  * OPT-IN via [[DocxPartsExtractor]] (r12 — statutes cite in
+  * footnotes; headers stay off even there, they are usually the
+  * boilerplate chrome q95's screen removes). Footers remain out of
+  * scope.
   */
 object DocxExtractor extends PageExtractor {
 
@@ -120,9 +121,19 @@ object DocxExtractor extends PageExtractor {
             if (notes.isEmpty) pages
             else if (pages.isEmpty) Seq(notes.mkString("\n"))
             else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
-          if (heads.isEmpty) withNotes
-          else if (withNotes.isEmpty) Seq(heads.mkString("\n"))
-          else (heads.mkString("\n") + "\n" + withNotes.head) +: withNotes.tail
+          // headers alone never MAKE a document (unlike footnotes, which
+          // can carry the content): a no-text body stays Nil → quarantine
+          // even with headers on — emitting a chrome-only page would put
+          // exactly the boilerplate q95 removes into the good channel
+          // (r12 review round 4). An explicitly blank first page takes
+          // the header text without minting a dangling newline.
+          if (heads.isEmpty || withNotes.isEmpty) withNotes
+          else {
+            val first =
+              if (withNotes.head.isEmpty) heads.mkString("\n")
+              else heads.mkString("\n") + "\n" + withNotes.head
+            first +: withNotes.tail
+          }
       }
     } catch { case _: Exception => Nil }
   }
@@ -131,49 +142,36 @@ object DocxExtractor extends PageExtractor {
     * duplicates collapse (Word writes identical variant parts), blank
     * headers drop. Bounded to the first [[MaxHeaderParts]] parts: a
     * crafted zip with thousands of header entries shouldn't turn the
-    * opt-in into a decompress-everything request.
+    * opt-in into a decompress-everything request. Part numbers longer
+    * than 6 digits are ignored (attacker-controlled names must not
+    * overflow toInt and crash the whole extraction to Nil — r12 review
+    * round 4). ONE central-directory parse serves name discovery and
+    * the selected reads.
     */
   private val MaxHeaderParts = 16
-  private val HeaderNameRe: Regex = """word/header(\d+)\.xml""".r
+  private val HeaderNameRe: Regex = """word/header(\d{1,6})\.xml""".r
 
   private[etl] def headersText(bytes: Array[Byte]): Seq[String] =
-    entryNames(bytes).collect { case n @ HeaderNameRe(num) => (num.toInt, n) }
-      .sortBy(_._1)
-      .take(MaxHeaderParts)
-      .flatMap { case (_, n) => entryXml(bytes, n).toOption }
-      .flatMap(xml => {
-        val t = pagesFromXml(xml).mkString("\n").trim
-        if (t.isEmpty) None else Some(t)
-      })
-      .distinct
-
-  /** All entry names from the central directory (no decompression). */
-  private def entryNames(bytes: Array[Byte]): Seq[String] = {
-    def sigAt(p: Int, s: Long): Boolean =
-      p >= 0 && p + 4 <= bytes.length && zipU32(bytes, p) == s
-    try {
-      var e = bytes.length - 22
-      val eMin = math.max(0, bytes.length - 22 - 65535)
-      while (e >= eMin && !sigAt(e, 0x06054b50L)) e -= 1
-      if (e < eMin) return Nil
-      val cdCount = zipU16(bytes, e + 10)
-      val cdOffset = zipU32(bytes, e + 16)
-      if (cdOffset > Int.MaxValue || cdOffset > bytes.length) return Nil
-      val out = Seq.newBuilder[String]
-      var p = cdOffset.toInt
-      var i = 0
-      while (i < cdCount && sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
-        val nameLen = zipU16(bytes, p + 28)
-        val extraLen = zipU16(bytes, p + 30)
-        val commentLen = zipU16(bytes, p + 32)
-        if (p + 46 + nameLen <= bytes.length)
-          out += new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8)
-        p += 46 + nameLen + extraLen + commentLen
-        i += 1
-      }
-      out.result()
-    } catch { case _: Exception => Nil }
-  }
+    cdEntries(bytes).toOption.map { entries =>
+      val seen = scala.collection.mutable.Set[String]()
+      entries
+        .flatMap { e =>
+          e.name match {
+            case HeaderNameRe(num) if seen.add(e.name) => Some((num.toInt, e))
+            case _ => None
+          }
+        }
+        .sortBy(_._1)
+        .take(MaxHeaderParts)
+        .flatMap { case (_, e) =>
+          readEntry(bytes, e.localOff, e.method, e.compSize).toOption
+        }
+        .flatMap { xml =>
+          val t = pagesFromXml(xml).mkString("\n").trim
+          if (t.isEmpty) None else Some(t)
+        }
+        .distinct
+    }.getOrElse(Nil)
 
   /** Footnote types that are LAYOUT CHROME, not content — the rendered
     * separator rules and continuation notices (ECMA-376 §17.11.11
@@ -295,7 +293,29 @@ object DocxExtractor extends PageExtractor {
     * attempted — it would reintroduce the drain hole).
     */
   private def entriesXml(bytes: Array[Byte], names: Set[String])
-      : Either[String, Map[String, Either[String, String]]] = {
+      : Either[String, Map[String, Either[String, String]]] =
+    cdEntries(bytes).map { entries =>
+      val found = scala.collection.mutable.Map[String, Either[String, String]]()
+      entries.foreach { e =>
+        if (names(e.name) && !found.contains(e.name))
+          found(e.name) = readEntry(bytes, e.localOff, e.method, e.compSize)
+      }
+      found.toMap
+    }
+
+  /** One central-directory record — the fields both consumers need. */
+  private final case class CdEntry(name: String, method: Int,
+                                   compSize: Long, localOff: Long)
+
+  /** THE zip central-directory parser (r12 review round 4 — a second
+    * copy of the EOCD scan had appeared for name discovery; any future
+    * fix must land exactly once). Returns every record in directory
+    * order, no decompression; Left("docx-truncated-or-corrupt") on a
+    * missing EOCD or structural anomaly (the tail-truncated-download
+    * shape — see [[entriesXml]]'s scaladoc for why that's not
+    * "missing").
+    */
+  private def cdEntries(bytes: Array[Byte]): Either[String, Seq[CdEntry]] = {
     def sigAt(p: Int, s: Long): Boolean =
       p >= 0 && p + 4 <= bytes.length && zipU32(bytes, p) == s
     try {
@@ -309,26 +329,22 @@ object DocxExtractor extends PageExtractor {
       val cdOffset = zipU32(bytes, e + 16)
       if (cdOffset > Int.MaxValue || cdOffset > bytes.length)
         return Left("docx-truncated-or-corrupt")
-      val found = scala.collection.mutable.Map[String, Either[String, String]]()
+      val out = Seq.newBuilder[CdEntry]
       var p = cdOffset.toInt
       var i = 0
-      while (i < cdCount && found.size < names.size &&
-             sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
-        val method = zipU16(bytes, p + 10)
-        val compSize = zipU32(bytes, p + 20)
+      while (i < cdCount && sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
         val nameLen = zipU16(bytes, p + 28)
         val extraLen = zipU16(bytes, p + 30)
         val commentLen = zipU16(bytes, p + 32)
-        val localOff = zipU32(bytes, p + 42)
-        if (p + 46 + nameLen <= bytes.length) {
-          val nm = new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8)
-          if (names(nm) && !found.contains(nm))
-            found(nm) = readEntry(bytes, localOff, method, compSize)
-        }
+        if (p + 46 + nameLen <= bytes.length)
+          out += CdEntry(
+            new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8),
+            zipU16(bytes, p + 10), zipU32(bytes, p + 20),
+            zipU32(bytes, p + 42))
         p += 46 + nameLen + extraLen + commentLen
         i += 1
       }
-      Right(found.toMap)
+      Right(out.result())
     } catch { case _: Exception => Left("docx-truncated-or-corrupt") }
   }
 

@@ -226,9 +226,19 @@ class DocxExtractorSpec extends AnyFunSuite {
     entry("[Content_Types].xml", "<Types/>")
     entry("word/document.xml",
       wdoc("""<w:p><w:r><w:t>p1</w:t><w:br w:type="page"/><w:t>p2</w:t></w:r></w:p>"""))
-    entry("word/header2.xml", whdr("<w:p><w:r><w:t>FED. NEG. GAZETTE</w:t></w:r></w:p>"))
-    entry("word/header1.xml", whdr("<w:p><w:r><w:t>FED. NEG. GAZETTE</w:t></w:r></w:p>"))
+    // written in REVERSED part order with DISTINCT texts so the numeric
+    // sort is actually pinned (r12 review round 4: identical texts let a
+    // lexicographic or unsorted regression pass via distinct); header10
+    // pins numeric-vs-lexicographic (10 after 2, not between 1 and 2);
+    // header4 duplicates header2's text (collapses); header3 is blank
+    entry("word/header10.xml", whdr("<w:p><w:r><w:t>C-LAST</w:t></w:r></w:p>"))
+    entry("word/header4.xml", whdr("<w:p><w:r><w:t>B-GAZETTE</w:t></w:r></w:p>"))
+    entry("word/header2.xml", whdr("<w:p><w:r><w:t>B-GAZETTE</w:t></w:r></w:p>"))
     entry("word/header3.xml", whdr("<w:p><w:r><w:t> </w:t></w:r></w:p>")) // blank: drops
+    entry("word/header1.xml", whdr("<w:p><w:r><w:t>A-FIRST</w:t></w:r></w:p>"))
+    // an 11-digit part number must be IGNORED, not crash extraction to
+    // Nil via toInt overflow (attacker-controlled entry names)
+    entry("word/header99999999999.xml", whdr("<w:p><w:r><w:t>OVERFLOW</w:t></w:r></w:p>"))
     entry("word/footnotes.xml",
       """<w:footnotes xmlns:w="x"><w:footnote w:id="2"><w:p><w:r><w:t>cite</w:t></w:r></w:p></w:footnote></w:footnotes>""")
     z.close()
@@ -237,13 +247,44 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(DocxExtractor.extractPages(fixture) === Seq("p1", "p2"))
     assert(DocxWithFootnotesExtractor.extractPages(fixture) ===
       Seq("p1", "p2\ncite"))
-    // headers on: ONE copy prepended to the first page, numeric order
+    // headers on: numeric part order (1, 2, 4-dup-collapsed, 10), blanks
+    // and overflow names dropped, ONE copy prepended to the first page
     assert(DocxPartsExtractor(headers = true).extractPages(fixture) ===
-      Seq("FED. NEG. GAZETTE\np1", "p2"))
+      Seq("A-FIRST\nB-GAZETTE\nC-LAST\np1", "p2"))
     // both opt-ins compose: headers at the head, footnotes at the tail
     assert(DocxPartsExtractor(footnotes = true, headers = true)
       .extractPages(fixture) ===
-      Seq("FED. NEG. GAZETTE\np1", "p2\ncite"))
+      Seq("A-FIRST\nB-GAZETTE\nC-LAST\np1", "p2\ncite"))
+    // headers alone never make a document: an all-blank body stays Nil
+    // (quarantine) even with headers on — chrome must not become a page
+    val blankBody = {
+      val b2 = new java.io.ByteArrayOutputStream()
+      val z2 = new java.util.zip.ZipOutputStream(b2)
+      def e2(name: String, body: String): Unit = {
+        z2.putNextEntry(new java.util.zip.ZipEntry(name))
+        z2.write(body.getBytes(StandardCharsets.UTF_8)); z2.closeEntry()
+      }
+      e2("word/document.xml", wdoc("<w:p><w:r><w:t> </w:t></w:r></w:p>"))
+      e2("word/header1.xml", whdr("<w:p><w:r><w:t>DRAFT</w:t></w:r></w:p>"))
+      z2.close(); b2.toByteArray
+    }
+    assert(DocxPartsExtractor(headers = true).extractPages(blankBody) === Nil)
+    // the MaxHeaderParts cap: part 17+ of a 20-header zip never reads
+    val manyHeaders = {
+      val b3 = new java.io.ByteArrayOutputStream()
+      val z3 = new java.util.zip.ZipOutputStream(b3)
+      def e3(name: String, body: String): Unit = {
+        z3.putNextEntry(new java.util.zip.ZipEntry(name))
+        z3.write(body.getBytes(StandardCharsets.UTF_8)); z3.closeEntry()
+      }
+      e3("word/document.xml", wdoc("<w:p><w:r><w:t>b</w:t></w:r></w:p>"))
+      (1 to 20).foreach(i =>
+        e3(s"word/header$i.xml", whdr(s"<w:p><w:r><w:t>H$i</w:t></w:r></w:p>")))
+      z3.close(); b3.toByteArray
+    }
+    val capped = DocxPartsExtractor(headers = true).extractPages(manyHeaders)
+    assert(capped.head.contains("H16") && !capped.head.contains("H17"),
+      capped)
   }
 
   test("diagnose distinguishes not-a-docx bytes from a zip missing the OPC part (r12 review)") {
