@@ -292,7 +292,7 @@ object DocxExtractor extends PageExtractor {
     * RECOVERY via a streaming local-header walk is deliberately not
     * attempted — it would reintroduce the drain hole).
     */
-  private def entriesXml(bytes: Array[Byte], names: Set[String])
+  private[etl] def entriesXml(bytes: Array[Byte], names: Set[String])
       : Either[String, Map[String, Either[String, String]]] =
     cdEntries(bytes).map { entries =>
       val found = scala.collection.mutable.Map[String, Either[String, String]]()

@@ -287,6 +287,52 @@ class DocxExtractorSpec extends AnyFunSuite {
       capped)
   }
 
+  test("central-directory reads match a ZipInputStream walk on random archives (ScalaCheck)") {
+    // the hand-rolled zip parser (entriesXml) vs the JDK streaming walk
+    // as ground truth, on TRUSTED random archives (the parser exists
+    // because the streaming walk is unsafe on ADVERSARIAL ones): same
+    // resolved text for every wanted name, same missing-name behavior,
+    // across entry counts, orders, sizes and non-ASCII names
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val namePool = Seq("word/document.xml", "word/footnotes.xml",
+      "word/header1.xml", "media/img.bin", "[Content_Types].xml",
+      "word/መረጃ.xml", "a/b/c.txt")
+    val genEntry = for {
+      n <- Gen.oneOf(namePool)
+      body <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (n, body)
+    val genArchive = Gen.listOf(genEntry).map(_.distinctBy(_._1))
+    val genWanted = Gen.someOf(namePool).map(_.toSet)
+    val prop = Prop.forAll(genArchive, genWanted) { (entries, wanted) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+      }
+      z.close()
+      val bytes = bos.toByteArray
+      // ground truth: the JDK streaming walk
+      val truth = scala.collection.mutable.Map[String, String]()
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (wanted(e.getName))
+          truth(e.getName) = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+        e = zin.getNextEntry
+      }
+      zin.close()
+      val ours = DocxExtractor.entriesXml(bytes, wanted)
+        .toOption.get.collect { case (k, Right(v)) => (k, v) }
+      ours == truth.toMap
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(12L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("diagnose distinguishes not-a-docx bytes from a zip missing the OPC part (r12 review)") {
     // an HTML error page saved as .docx must not read as a valid archive
     // lacking word/document.xml
