@@ -31,9 +31,9 @@ import scala.util.matching.Regex
   * paragraph ends, not on container elements), each cell ending as a
   * line. Footnotes and headers live in SEPARATE zip entries and are
   * OPT-IN via [[DocxPartsExtractor]] (r12 — statutes cite in
-  * footnotes; headers stay off even there, they are usually the
-  * boilerplate chrome q95's screen removes). Footers remain out of
-  * scope.
+  * footnotes; headers and footers stay off even there, they are usually
+  * the boilerplate chrome q95's screen removes; r13 completes the parts
+  * family with the footer opt-in).
   */
 object DocxExtractor extends PageExtractor {
 
@@ -85,7 +85,13 @@ object DocxExtractor extends PageExtractor {
     * the extraction hot path shouldn't re-open the zip per part).
     */
   def extractPages(bytes: Array[Byte], includeFootnotes: Boolean): Seq[String] =
-    extractPages(bytes, includeFootnotes, includeHeaders = false)
+    extractPages(bytes, includeFootnotes, includeHeaders = false,
+      includeFooters = false)
+
+  def extractPages(bytes: Array[Byte], includeFootnotes: Boolean,
+                   includeHeaders: Boolean): Seq[String] =
+    extractPages(bytes, includeFootnotes, includeHeaders,
+      includeFooters = false)
 
   /** The full opt-in surface (VERDICT r11 item 7's "and optionally
     * headers"): headers live in `word/headerN.xml` parts — one per
@@ -99,79 +105,107 @@ object DocxExtractor extends PageExtractor {
     * exists to remove exactly this), hence off by default even in the
     * footnote-wired extractor.
     */
+  /** The widest signature — body, footnotes, headers, footers. ONE
+    * [[cdEntries]] parse serves every part this call reads: the body
+    * resolve, the footnotes entry, and the header/footer part discovery
+    * all walk the SAME parsed directory (r13 advice — the r12 shape
+    * re-parsed the directory inside `headersText`, contradicting the
+    * one-archive-walk contract the extraction hot path documents).
+    */
   def extractPages(bytes: Array[Byte], includeFootnotes: Boolean,
-                   includeHeaders: Boolean): Seq[String] = {
+                   includeHeaders: Boolean,
+                   includeFooters: Boolean): Seq[String] = {
     try {
-      val wanted =
-        if (includeFootnotes) Set(DocumentEntry, FootnotesEntry)
-        else Set(DocumentEntry)
-      val parts = entriesXml(bytes, wanted)
-        .getOrElse(Map.empty[String, Either[String, String]])
-      parts.get(DocumentEntry).flatMap(_.toOption) match {
-        case None => Nil
-        case Some(xml) =>
-          val pages = pagesFromXml(xml)
-          val notes =
-            if (includeFootnotes)
-              parts.get(FootnotesEntry).flatMap(_.toOption)
-                .map(footnotesFromXml).getOrElse(Nil)
-            else Nil
-          val heads = if (includeHeaders) headersText(bytes) else Nil
-          val withNotes =
-            if (notes.isEmpty) pages
-            else if (pages.isEmpty) Seq(notes.mkString("\n"))
-            else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
-          // headers alone never MAKE a document (unlike footnotes, which
-          // can carry the content): a no-text body stays Nil → quarantine
-          // even with headers on — emitting a chrome-only page would put
-          // exactly the boilerplate q95 removes into the good channel
-          // (r12 review round 4). An explicitly blank first page takes
-          // the header text without minting a dangling newline.
-          if (heads.isEmpty || withNotes.isEmpty) withNotes
-          else {
-            val first =
-              if (withNotes.head.isEmpty) heads.mkString("\n")
-              else heads.mkString("\n") + "\n" + withNotes.head
-            first +: withNotes.tail
+      cdEntries(bytes) match {
+        case Left(_) => Nil
+        case Right(entries) =>
+          // directory order, first occurrence wins — the entriesXml rule
+          def read(name: String): Option[String] =
+            entries.find(_.name == name).flatMap(e =>
+              readEntry(bytes, e.localOff, e.method, e.compSize).toOption)
+          read(DocumentEntry) match {
+            case None => Nil
+            case Some(xml) =>
+              val pages = pagesFromXml(xml)
+              val notes =
+                if (includeFootnotes)
+                  read(FootnotesEntry).map(footnotesFromXml).getOrElse(Nil)
+                else Nil
+              val heads =
+                if (includeHeaders) variantParts(bytes, entries, HeaderNameRe)
+                else Nil
+              val foots =
+                if (includeFooters) variantParts(bytes, entries, FooterNameRe)
+                else Nil
+              val withNotes =
+                if (notes.isEmpty) pages
+                else if (pages.isEmpty) Seq(notes.mkString("\n"))
+                else pages.init :+ (pages.last + "\n" + notes.mkString("\n"))
+              // headers and footers alone never MAKE a document (unlike
+              // footnotes, which can carry the content): a no-text body
+              // stays Nil → quarantine even with the chrome flags on —
+              // emitting a chrome-only page would put exactly the
+              // boilerplate q95 removes into the good channel (r12
+              // review round 4). An explicitly blank first/last page
+              // takes the chrome text without minting a dangling
+              // newline. Footers sit BELOW the footnote block on the
+              // rendered last page, hence appended after the notes.
+              val withFoots =
+                if (foots.isEmpty || withNotes.isEmpty) withNotes
+                else {
+                  val last =
+                    if (withNotes.last.isEmpty) foots.mkString("\n")
+                    else withNotes.last + "\n" + foots.mkString("\n")
+                  withNotes.init :+ last
+                }
+              if (heads.isEmpty || withFoots.isEmpty) withFoots
+              else {
+                val first =
+                  if (withFoots.head.isEmpty) heads.mkString("\n")
+                  else heads.mkString("\n") + "\n" + withFoots.head
+                first +: withFoots.tail
+              }
           }
       }
     } catch { case _: Exception => Nil }
   }
 
-  /** Distinct header texts in `word/headerN.xml` numeric order —
-    * duplicates collapse (Word writes identical variant parts), blank
-    * headers drop. Bounded to the first [[MaxHeaderParts]] parts: a
-    * crafted zip with thousands of header entries shouldn't turn the
-    * opt-in into a decompress-everything request. Part numbers longer
-    * than 6 digits are ignored (attacker-controlled names must not
-    * overflow toInt and crash the whole extraction to Nil — r12 review
-    * round 4). ONE central-directory parse serves name discovery and
-    * the selected reads.
+  /** Distinct variant-part texts (`word/headerN.xml` /
+    * `word/footerN.xml`) in numeric part order — duplicates collapse
+    * (Word writes identical default/even/first variants), blanks drop.
+    * Bounded to the first [[MaxVariantParts]] parts: a crafted zip with
+    * thousands of header/footer entries shouldn't turn the opt-in into a
+    * decompress-everything request. Part numbers longer than 6 digits
+    * are ignored (attacker-controlled names must not overflow toInt and
+    * crash the whole extraction to Nil — r12 review round 4). Operates
+    * on the CALLER's already-parsed directory — `extractPages` performs
+    * exactly one [[cdEntries]] walk per document (r13 advice).
     */
-  private val MaxHeaderParts = 16
+  private val MaxVariantParts = 16
   private val HeaderNameRe: Regex = """word/header(\d{1,6})\.xml""".r
+  private val FooterNameRe: Regex = """word/footer(\d{1,6})\.xml""".r
 
-  private[etl] def headersText(bytes: Array[Byte]): Seq[String] =
-    cdEntries(bytes).toOption.map { entries =>
-      val seen = scala.collection.mutable.Set[String]()
-      entries
-        .flatMap { e =>
-          e.name match {
-            case HeaderNameRe(num) if seen.add(e.name) => Some((num.toInt, e))
-            case _ => None
-          }
+  private def variantParts(bytes: Array[Byte], entries: Seq[CdEntry],
+                           nameRe: Regex): Seq[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    entries
+      .flatMap { e =>
+        e.name match {
+          case nameRe(num) if seen.add(e.name) => Some((num.toInt, e))
+          case _ => None
         }
-        .sortBy(_._1)
-        .take(MaxHeaderParts)
-        .flatMap { case (_, e) =>
-          readEntry(bytes, e.localOff, e.method, e.compSize).toOption
-        }
-        .flatMap { xml =>
-          val t = pagesFromXml(xml).mkString("\n").trim
-          if (t.isEmpty) None else Some(t)
-        }
-        .distinct
-    }.getOrElse(Nil)
+      }
+      .sortBy(_._1)
+      .take(MaxVariantParts)
+      .flatMap { case (_, e) =>
+        readEntry(bytes, e.localOff, e.method, e.compSize).toOption
+      }
+      .flatMap { xml =>
+        val t = pagesFromXml(xml).mkString("\n").trim
+        if (t.isEmpty) None else Some(t)
+      }
+      .distinct
+  }
 
   /** Footnote types that are LAYOUT CHROME, not content — the rendered
     * separator rules and continuation notices (ECMA-376 §17.11.11
@@ -344,7 +378,15 @@ object DocxExtractor extends PageExtractor {
         p += 46 + nameLen + extraLen + commentLen
         i += 1
       }
-      Right(out.result())
+      // the walk must COMPLETE: exiting on a bad signature or bounds with
+      // records still owed (i < cdCount per the intact EOCD) is the
+      // corrupt-directory shape, and returning the partial prefix would
+      // misreport physically-present entries as "missing" — verified
+      // live in r12's ops triage, where a corrupted FIRST record made a
+      // document with word/document.xml present diagnose as
+      // 'docx-missing-document-xml' (r13 advice)
+      if (i < cdCount) Left("docx-truncated-or-corrupt")
+      else Right(out.result())
     } catch { case _: Exception => Left("docx-truncated-or-corrupt") }
   }
 
@@ -492,19 +534,22 @@ object DocxExtractor extends PageExtractor {
     }))
 }
 
-/** The opt-in parts as a pluggable extractor (VERDICT r11 item 7) —
-  * wire it where a corpus's content lives outside the body:
+/** The opt-in parts as a pluggable extractor (VERDICT r11 item 7; r13
+  * completes the family with footers) — wire it where a corpus's content
+  * lives outside the body:
   * `Pipeline.process(..., DocxPartsExtractor(footnotes = true))` or
   * `SniffingExtractor(docx = DocxPartsExtractor(headers = true))`.
   * Body-only [[DocxExtractor]] stays the default everywhere; headers
-  * default off even here (usually boilerplate chrome — see the
-  * extractPages scaladoc).
+  * and footers default off even here (usually boilerplate chrome — see
+  * the extractPages scaladoc). Footers map to the LAST page, below the
+  * footnote block — the mirror of the headers-on-first-page rule.
   */
 final case class DocxPartsExtractor(footnotes: Boolean = false,
-                                    headers: Boolean = false)
+                                    headers: Boolean = false,
+                                    footers: Boolean = false)
     extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] =
-    DocxExtractor.extractPages(bytes, footnotes, headers)
+    DocxExtractor.extractPages(bytes, footnotes, headers, footers)
   override def diagnose(bytes: Array[Byte]): String =
     DocxExtractor.diagnose(bytes)
 }

@@ -83,8 +83,14 @@ object FlatePdfExtractor extends PageExtractor {
     * points just past the marker EOL; −1 for dict-only objects.
     */
   private def objSlices(raw: String): Seq[(Int, String, Int)] = {
+    // toIntOption, not toInt: the object number is attacker-controlled
+    // and unbounded — one crafted `99999999999 0 obj` header must skip,
+    // not throw NumberFormatException and abort the WHOLE document's
+    // extraction to Nil with a misleading 'empty-text' diagnosis (r13
+    // advice; the DOCX HeaderNameRe \d{1,6} fix for the same class)
     val hs = ObjHeaderRe.findAllMatchIn(raw)
-      .map(m => (m.group(1).toInt, m.start, m.end)).toVector
+      .flatMap(m => m.group(1).toIntOption.map(n => (n, m.start, m.end)))
+      .toVector
     if (hs.isEmpty) return Nil
     // ALL terminator positions up front (one linear sweep each), so the
     // per-header resolution is a binary search: a per-header indexOf

@@ -61,6 +61,19 @@ class CodecBombSpec extends AnyFunSuite {
     timed(30000, "diagnose") { FlatePdfExtractor.diagnose(bytes) }
   }
 
+  test("an overflowing object number skips ITS header only — adjacent objects still extract (r13 advice)") {
+    // `99999999999 0 obj` used to throw NumberFormatException out of
+    // objSlices and abort the WHOLE document to Nil (diagnosing a
+    // misleading 'empty-text'); attacker-controlled numbers must skip,
+    // the same class as the DOCX HeaderNameRe \d{1,6} fix
+    val raw = "%PDF-1.4\n" +
+      "99999999999 0 obj\n<< /Type /XObject >>\nendobj\n" +
+      streamObj(2, "/Filter /FlateDecode", deflateS("BT (survives) Tj ET"))
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    val pages = FlatePdfExtractor.extractPages(bytes)
+    assert(pages === Seq("survives"), pages)
+  }
+
   test("trailer CPU bomb: 200k close-less `trailer <<` markers diagnose in linear time") {
     val raw = "%PDF-1.4\n" + ("trailer << /X " * 200000)
     val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)

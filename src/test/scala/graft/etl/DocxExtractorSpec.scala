@@ -287,6 +287,113 @@ class DocxExtractorSpec extends AnyFunSuite {
       capped)
   }
 
+  test("footer opt-in: off by default, distinct footers append BELOW the last page's footnotes (r13, completes the parts family)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    def wdoc(inner: String) =
+      """<w:document xmlns:w="x"><w:body>""" + inner + "</w:body></w:document>"
+    def wftr(inner: String) =
+      """<w:ftr xmlns:w="x">""" + inner + "</w:ftr>"
+    entry("word/document.xml",
+      wdoc("""<w:p><w:r><w:t>p1</w:t><w:br w:type="page"/><w:t>p2</w:t></w:r></w:p>"""))
+    // reversed part order with distinct texts (the header-test discipline:
+    // numeric sort actually pinned); footer10 pins numeric-vs-lexicographic;
+    // footer4 duplicates footer2 (collapses); footer3 is blank (drops)
+    entry("word/footer10.xml", wftr("<w:p><w:r><w:t>Z-PAGENO</w:t></w:r></w:p>"))
+    entry("word/footer4.xml", wftr("<w:p><w:r><w:t>Y-NOTICE</w:t></w:r></w:p>"))
+    entry("word/footer2.xml", wftr("<w:p><w:r><w:t>Y-NOTICE</w:t></w:r></w:p>"))
+    entry("word/footer3.xml", wftr("<w:p><w:r><w:t> </w:t></w:r></w:p>"))
+    entry("word/footer1.xml", wftr("<w:p><w:r><w:t>X-COPYRIGHT</w:t></w:r></w:p>"))
+    entry("word/header1.xml",
+      """<w:hdr xmlns:w="x"><w:p><w:r><w:t>HEAD</w:t></w:r></w:p></w:hdr>""")
+    entry("word/footnotes.xml",
+      """<w:footnotes xmlns:w="x"><w:footnote w:id="2"><w:p><w:r><w:t>cite</w:t></w:r></w:p></w:footnote></w:footnotes>""")
+    z.close()
+    val fixture = bos.toByteArray
+    // defaults: body only — no footer text under ANY existing contract
+    assert(DocxExtractor.extractPages(fixture) === Seq("p1", "p2"))
+    assert(DocxWithFootnotesExtractor.extractPages(fixture) ===
+      Seq("p1", "p2\ncite"))
+    assert(DocxPartsExtractor(headers = true).extractPages(fixture) ===
+      Seq("HEAD\np1", "p2"))
+    // footers on: numeric part order (1, 2, 4-dup-collapsed, 10), blanks
+    // dropped, ONE copy appended to the LAST page — the mirror of the
+    // headers-on-first-page rule
+    assert(DocxPartsExtractor(footers = true).extractPages(fixture) ===
+      Seq("p1", "p2\nX-COPYRIGHT\nY-NOTICE\nZ-PAGENO"))
+    // the full family composes: headers at the head of the first page,
+    // footnotes then footers at the tail of the last (footers sit BELOW
+    // the footnote block on a rendered page)
+    assert(DocxPartsExtractor(footnotes = true, headers = true, footers = true)
+      .extractPages(fixture) ===
+      Seq("HEAD\np1", "p2\ncite\nX-COPYRIGHT\nY-NOTICE\nZ-PAGENO"))
+    // footers alone never make a document: an all-blank body stays Nil
+    // (quarantine) even with footers on — same chrome rule as headers
+    val blankBody = {
+      val b2 = new java.io.ByteArrayOutputStream()
+      val z2 = new java.util.zip.ZipOutputStream(b2)
+      def e2(name: String, body: String): Unit = {
+        z2.putNextEntry(new java.util.zip.ZipEntry(name))
+        z2.write(body.getBytes(StandardCharsets.UTF_8)); z2.closeEntry()
+      }
+      e2("word/document.xml", wdoc("<w:p><w:r><w:t> </w:t></w:r></w:p>"))
+      e2("word/footer1.xml", wftr("<w:p><w:r><w:t>PAGE 1</w:t></w:r></w:p>"))
+      z2.close(); b2.toByteArray
+    }
+    assert(DocxPartsExtractor(footers = true).extractPages(blankBody) === Nil)
+    // an explicitly blank LAST page takes the footer text without a
+    // dangling leading newline (the header blank-first-page mirror):
+    // text <pb> <whitespace> <pb> leaves page 2 as the kept-"" page
+    val blankLast = {
+      val b3 = new java.io.ByteArrayOutputStream()
+      val z3 = new java.util.zip.ZipOutputStream(b3)
+      def e3(name: String, body: String): Unit = {
+        z3.putNextEntry(new java.util.zip.ZipEntry(name))
+        z3.write(body.getBytes(StandardCharsets.UTF_8)); z3.closeEntry()
+      }
+      e3("word/document.xml", wdoc(
+        """<w:p><w:r><w:t>p1</w:t><w:br w:type="page"/><w:t> </w:t><w:br w:type="page"/></w:r></w:p>"""))
+      e3("word/footer1.xml", wftr("<w:p><w:r><w:t>FTR</w:t></w:r></w:p>"))
+      z3.close(); b3.toByteArray
+    }
+    assert(DocxPartsExtractor(footers = true).extractPages(blankLast) ===
+      Seq("p1", "FTR"))
+  }
+
+  test("a corrupted mid-directory record diagnoses truncated-or-corrupt, never missing-document-xml (r13 advice)") {
+    // the r12 shape returned the PARTIAL directory prefix when a record's
+    // signature was bad with the EOCD intact — an archive whose FIRST
+    // central-directory record is corrupted then misreported a
+    // physically-present word/document.xml as missing, exactly the
+    // missing-vs-corrupt triage confusion the entriesXml contract forbids
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    entry("[Content_Types].xml", "<Types/>")
+    entry("word/document.xml",
+      """<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>present</w:t></w:r></w:p></w:body></w:document>""")
+    z.close()
+    val bytes = bos.toByteArray
+    assert(DocxExtractor.extractPages(bytes) === Seq("present"))
+    // corrupt the FIRST central-directory record's signature
+    // (PK\x01\x02) — the local headers and entry data stay intact
+    val cdSig = Array[Byte](0x50, 0x4b, 0x01, 0x02)
+    val firstCd = bytes.indices.find(i =>
+      i + 4 <= bytes.length && (0 until 4).forall(j => bytes(i + j) == cdSig(j))).get
+    val corrupted = bytes.clone()
+    corrupted(firstCd) = 'X'.toByte
+    assert(DocxExtractor.extractPages(corrupted) === Nil)
+    assert(DocxExtractor.diagnose(corrupted) === "docx-truncated-or-corrupt",
+      DocxExtractor.diagnose(corrupted))
+  }
+
   test("central-directory reads match a ZipInputStream walk on random archives (ScalaCheck)") {
     // the hand-rolled zip parser (entriesXml) vs the JDK streaming walk
     // as ground truth, on TRUSTED random archives (the parser exists
