@@ -30,6 +30,46 @@ object Bench {
     times.nonEmpty && times(times.size / 2) > 0.3 &&
       times(times.size / 2) > 2 * times.head
 
+  /** Agree-slow trigger (VERDICT r12 item 1): a contention episode
+    * longer than a query's WHOLE rep vector defeats [[bimodalHigh]] —
+    * every rep sits inside the episode, so they agree with each other
+    * and the retry never fires (the r12 driver window shipped
+    * q25/q26b/q10 at 40–67× their quiet rows this way). The tell is the
+    * warm median reading far ABOVE the same query's cold single-shot
+    * from this window's own warmup pass: steady-state must not cost
+    * more than first-touch (codegen cache + file index warm), so a warm
+    * median past 2× cold is host noise, not plan cost. Floor-banded
+    * like bimodalHigh (>0.3 s — sub-floor medians are launch jitter);
+    * a failed cold reading (≤0) can't vouch either way → no trigger.
+    * Pure so BenchSpec can pin it.
+    */
+  private[graft] def agreeSlow(warmMedian: Double, cold: Double): Boolean =
+    warmMedian > 0.3 && cold > 0 && warmMedian > 2 * cold
+
+  /** End-of-window re-probe candidate set (pure; BenchSpec pins): the
+    * retry-resistant bimodal names PLUS the [[agreeSlow]] ones, the
+    * latter capped at `maxExtra` worst warm/cold ratios so a
+    * whole-window contention storm can't turn the re-probe into a
+    * second full catalog pass (the re-probe exists to heal a FEW
+    * outliers; a window where half the catalog triggers is better
+    * re-run than re-probed, and its regime stamp already says so).
+    * Candidates keep catalog order (the order reps ran in); a wrong
+    * candidate costs 3 probe reps and adopts nothing — the
+    * [[adoptReprobe]] under-half rule is the correctness gate.
+    */
+  private[graft] def reprobeCandidates(measured: Seq[(String, Double)],
+                                       cold: Map[String, Double],
+                                       unhealed: Set[String],
+                                       maxExtra: Int = 16): Seq[String] = {
+    val extra = measured
+      .collect { case (n, med) if med >= 0 && !unhealed(n) &&
+          agreeSlow(med, cold.getOrElse(n, -1.0)) =>
+        (n, med / cold(n)) }
+      .sortBy(-_._2).take(maxExtra).map(_._1).toSet
+    measured.collect { case (n, med)
+      if med >= 0 && (unhealed(n) || extra(n)) => n }
+  }
+
   /** End-of-window re-probe adoption rule (VERDICT r11 item 2): adopt
     * the probe median ONLY when it reads under HALF the in-window
     * median — confirming the in-window reading was transiently inflated
@@ -205,17 +245,26 @@ object Bench {
     // immediate retry — the extra reps run INSIDE the same episode (the
     // r11 driver window read q106 at 5618 ms across 5 consecutive reps,
     // vs 1072 ms on the same artifact in every adjacent window). For
-    // queries still bimodal-high after the retry, re-time 3 reps here,
-    // minutes later, after the catalog has moved off the hot spot. The
-    // end median REPLACES the in-window reading only when it comes in
-    // under half of it — confirming transient inflation rather than a
-    // real cost (an end probe that is itself contended reads high and
-    // changes nothing). Replaced readings keep the original on the
-    // record ("reprobe_ms" in the JSON + stderr), so the window shows
-    // its self-heal instead of silently trusting either number.
+    // queries still bimodal-high after the retry — PLUS the agree-slow
+    // ones the bimodal trigger structurally misses (VERDICT r12 item 1:
+    // all reps inside one episode agree, so q25/q26b/q10 shipped at
+    // 40–67× their quiet rows with zero retries; the warm-median-vs-
+    // cold-single-shot tell in [[agreeSlow]] catches them) — re-time 3
+    // reps here, minutes later, after the catalog has moved off the hot
+    // spot. The end median REPLACES the in-window reading only when it
+    // comes in under half of it — confirming transient inflation rather
+    // than a real cost (an end probe that is itself contended reads
+    // high and changes nothing). Replaced readings keep the original on
+    // the record ("reprobe_ms" in the JSON + stderr), so the window
+    // shows its self-heal instead of silently trusting either number.
+    val reprobeSet =
+      reprobeCandidates(measured, cold.toMap, unhealed.toSet).toSet
+    if (reprobeSet.size > unhealed.size)
+      System.err.println("[bench] agree_slow_candidates " +
+        (reprobeSet -- unhealed).toSeq.sorted.mkString(" "))
     var reprobed = List.empty[(String, Double)] // (name, original median)
     val results = measured.map { case (name, med) =>
-      if (med < 0 || !unhealed.contains(name)) name -> med
+      if (med < 0 || !reprobeSet.contains(name)) name -> med
       else {
         val probe = (1 to 3).map(_ => runOnce(name, SparkEntry.queries(name)))
           .collect { case (sec, true) => sec }

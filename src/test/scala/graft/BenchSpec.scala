@@ -24,6 +24,64 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.bimodalHigh(Nil))
   }
 
+  test("agreeSlow: fires on warm median far above the window's own cold single-shot, floor-banded") {
+    // the r12 driver-window q25 shape: 16.264 s warm median with ALL
+    // reps inside one contention episode (bimodal never fires — the
+    // reps agree), vs a ~0.35 s cold single-shot from the same window
+    assert(Bench.agreeSlow(16.264, 0.35))
+    // steady state: warm at or under cold — never fire
+    assert(!Bench.agreeSlow(0.9, 1.2))
+    // exactly 2x cold is NOT agree-slow (strict >, the bimodal rule)
+    assert(!Bench.agreeSlow(0.8, 0.4))
+    // below the 0.3 s floor band, any ratio is launch jitter
+    assert(!Bench.agreeSlow(0.25, 0.05))
+    // a failed cold reading (-1) can't vouch either way
+    assert(!Bench.agreeSlow(5.0, -1.0))
+  }
+
+  test("reprobeCandidates: unhealed bimodal names plus capped agree-slow extras, catalog order") {
+    val cold = Map("q10" -> 0.31, "q25" -> 0.35, "q26b" -> 0.33,
+      "q31" -> 1.0, "q55" -> 1.5)
+    // the r12 window replayed: q25/q26b/q10 agree-slow (40–67x quiet),
+    // q31 already unhealed-bimodal, q55 steady
+    val measured = Seq("q10" -> 12.445, "q25" -> 16.264, "q26b" -> 15.454,
+      "q31" -> 9.0, "q55" -> 1.4)
+    val got = Bench.reprobeCandidates(measured, cold, unhealed = Set("q31"))
+    assert(got === Seq("q10", "q25", "q26b", "q31"), got)
+    // the cap binds the agree-slow EXTRAS only (worst warm/cold ratios
+    // win), never the unhealed set
+    val capped = Bench.reprobeCandidates(measured, cold,
+      unhealed = Set("q31"), maxExtra = 1)
+    // q25 is 46x cold, q26b 47x, q10 40x -> q26b has the worst ratio
+    assert(capped === Seq("q26b", "q31"), capped)
+    // failures (-1 medians) are never candidates, even if listed unhealed
+    val withFail = Bench.reprobeCandidates(Seq("q01" -> -1.0), Map.empty,
+      unhealed = Set("q01"))
+    assert(withFail === Nil)
+    // a query with no cold reading never triggers agree-slow
+    val noCold = Bench.reprobeCandidates(Seq("q02" -> 5.0), Map.empty,
+      unhealed = Set.empty)
+    assert(noCold === Nil)
+    // quiet window: nothing fires
+    val quiet = Bench.reprobeCandidates(
+      Seq("q10" -> 0.30, "q25" -> 0.24), cold, unhealed = Set.empty)
+    assert(quiet === Nil)
+  }
+
+  test("the r12 agree-slow outliers heal end-to-end through the rule chain") {
+    // the full decision chain the driver window exercises: bimodal misses
+    // (reps agree), agreeSlow selects, adoptReprobe heals on the quiet
+    // end probe — the healed value is the probe median, the original
+    // stays on the record via reprobe_ms
+    val reps = Seq(16.1, 16.264, 16.9).sorted // all inside the episode
+    assert(!Bench.bimodalHigh(reps)) // the r12 gap: retry never fired
+    assert(Bench.agreeSlow(reps(1), 0.35)) // the new trigger does
+    // end probe minutes later, episode over: quiet readings adopt
+    assert(Bench.adoptReprobe(16.264, Seq(0.25, 0.24, 0.26)) === Some(0.25))
+    // an end probe still inside the episode adopts nothing
+    assert(Bench.adoptReprobe(16.264, Seq(15.8, 16.0, 17.1)) === None)
+  }
+
   test("adoptReprobe: adopts only when the end probe reads under HALF the in-window median") {
     // the r11 q106 shape: 5.618 s in-window, ~1.1 s once the episode passed
     assert(Bench.adoptReprobe(5.618, Seq(1.2, 1.0, 1.1)) === Some(1.1))
