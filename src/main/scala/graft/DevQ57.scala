@@ -66,6 +66,33 @@ object DevQ57 {
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
         .orderBy("doc_id")
     }
+    // 2b. (r13) the shipped agg_join with the TOKEN table persisted:
+    // the shipped form scans + tokenizes documents THREE times (cxy
+    // build, probe stream, vocab distinct). Caching (doc_id, toks)
+    // makes tokenization once-per-query; bigram explode re-runs from
+    // the cached arrays. MEMORY_AND_DISK — at 100 TB this spills
+    // rather than OOMs, still beating two extra full tokenize passes.
+    time("agg_join_persist_toks") {
+      val tk = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def bi2 = tk.select(col("doc_id"), explode(arrays_zip(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))).as("w1"),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))).as("w2")))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val v2 = tk.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val cxy = bi2.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .withColumn("c_w", sum(col("c_xy")).over(Window.partitionBy("w1")))
+      bi2
+        .join(cxy.hint("shuffle_hash"), Seq("w1", "w2"))
+        .crossJoin(broadcast(v2))
+        .select(col("doc_id"),
+          log((col("c_xy") + lit(0.5)) / (col("c_w") + lit(0.5) * col("v")))
+            .as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }
     // 2. agg+join form: reduced (w1,w2) table, c_w by window over the
     // REDUCED table, one hash join on (w1,w2) — stream shuffled once, no
     // stream-cardinality sort
