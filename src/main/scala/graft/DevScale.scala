@@ -21,7 +21,11 @@ object DevScale {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", "8")
+      // the documented scale lever: partitions grow with the data (the
+      // fixed-8 artifact was ~1.2–1.3× above linear at 30× — BASELINE
+      // round-9 sweep); the 100× run (VERDICT r12 item 6) sets 64
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.adaptive.enabled", "false")
@@ -271,18 +275,44 @@ object DevScale {
       // is the documented lever if that regime arrives
       "q82_textrank", "q119_ltv_profile")
 
+    // shuffle meter (VERDICT r12 item 6: the 100× ledger row records
+    // wall + PEAK SHUFFLE BYTES — the cliff detector a wall time alone
+    // can't be: a superlinear pair blow-up shows in the largest single
+    // exchange long before it shows in the median wall). Listener-bus
+    // events arrive on one thread, so plain mutable state is safe.
+    object meter extends org.apache.spark.scheduler.SparkListener {
+      private val byStage = scala.collection.mutable.Map[Int, Long]()
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val w = Option(te.taskMetrics)
+          .map(_.shuffleWriteMetrics.bytesWritten).getOrElse(0L)
+        if (w > 0) byStage(te.stageId) = byStage.getOrElse(te.stageId, 0L) + w
+      }
+      def reset(): Unit = synchronized { byStage.clear() }
+      def peak: Long = synchronized {
+        if (byStage.isEmpty) 0L else byStage.values.max }
+      def total: Long = synchronized { byStage.values.sum }
+    }
+    spark.sparkContext.addSparkListener(meter)
+
     def time(dir: String, name: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       var rows = 0L
+      var shuffle = (0L, 0L) // (peak single-stage write, total write)
       val ts = (1 to 3).map { _ =>
+        meter.reset()
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
+        // listener bus is async (and private) — give tail events a beat
+        Thread.sleep(500)
+        shuffle = (meter.peak, meter.total)
         rows = df.count()
         spark.catalog.clearCache()
         s
       }.sorted
+      println(f"[scale]   $name%-24s $dir%-24s shuffle peak=${shuffle._1 / 1048576.0}%9.2f MiB total=${shuffle._2 / 1048576.0}%9.2f MiB")
       (ts(1), rows)
     }
 
