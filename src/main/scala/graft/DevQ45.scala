@@ -41,9 +41,35 @@ object DevQ45 {
         .orderBy("doc_id", "rnk")
     }
 
+    // r13 candidate (the q57 lesson applied): df via groupBy(token)
+    // aggregate (map-side combined, vocabulary-cardinality result) and a
+    // shuffle_hash join with the REDUCED df table as build side — the tf
+    // stream shuffles by token HASH with no per-partition sort. Costs a
+    // second tokenCounts scan (the df branch); the r7 window form chose
+    // the single evaluation + sort instead. Which wins depends on
+    // sort-vs-rescan economics.
+    def aggJoinForm = {
+      def tf = docs.select(col("doc_id"),
+          explode(NativeExprs.tokenCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.token").as("token"),
+                col("tc.tf").cast(LongType).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val sc = tf
+        .join(df.hint("shuffle_hash"), Seq("token"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
+      graft.operators.TopK.perGroup(sc, Seq("doc_id"), "score", "token", 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }
+
     val ref = declared.collect().map(_.toString).sorted
     val got = windowForm.collect().map(_.toString).sorted
     println(s"[q45] parity window vs declared: ${if (got.sameElements(ref)) "OK" else "MISMATCH"}")
+    val got2 = aggJoinForm.collect().map(_.toString).sorted
+    println(s"[q45] parity aggjoin vs declared: ${if (got2.sameElements(ref)) "OK" else "MISMATCH"}")
 
     def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val ts = (1 to 5).map { _ =>
@@ -57,8 +83,10 @@ object DevQ45 {
     }
     time("declared")(declared)
     time("window")(windowForm)
+    time("aggjoin")(aggJoinForm)
     time("declared")(declared)
     time("window")(windowForm)
+    time("aggjoin")(aggJoinForm)
     spark.stop()
   }
 }

@@ -843,8 +843,11 @@ object Analytics {
         |forward-filled across the user's event-less days, never reading
         |the future. value passes through UNTOUCHED (no arithmetic — both
         |engines surface the identical parquet doubles), day is the q90
-        |epoch-day BIGINT. Scale shape: ONE (user, day)-keyed exchange
-        |carries the last-within-day window (per-group state = one row);
+        |epoch-day BIGINT. Scale shape: last-within-day is a max_by hash
+        |AGGREGATE on the totally-ordered (us, event_id) struct — map-side
+        |combinable, so only (user, day)-grain partials cross the ONE
+        |keyed exchange and the event stream is never sorted (r13,
+        |DevQ97; deterministically identical to the row_number window);
         |the grid is each user's first-event day through the corpus
         |horizon — the horizon attaches as a proven-1-row scalar (the
         |q48/q65 cross-join pattern) and the day range explodes from a
@@ -1341,24 +1344,32 @@ object Analytics {
     * and the no-future-leakage property on engineered streams.
     */
   def pitFeatures(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // consumed three ways (last-per-day, user set, day set) — persist so
-    // the event scan runs once (session clearCache contract)
     val e = events
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         col("event_id"), col("value"))
+    // last-within-day via a max_by hash AGGREGATE on struct(us,
+    // event_id) — (us, event_id) is a total order (event_id unique), so
+    // this is deterministically the row_number()-window row, but
+    // map-side COMBINABLE: only (user, day)-grain partials shuffle and
+    // nothing event-grain is ever sorted (r13, DevQ97 — the shipped
+    // window form full-sorted the event stream on its exchange; the
+    // q57 agg-beats-sort lesson at the day grain). The reduced frame
+    // is consumed three ways (grid min, horizon, join probe) — persist
+    // the (user, day)-grain result, calendar-bounded, NOT the event
+    // stream (session clearCache contract releases it).
+    val lastPerDay = e.groupBy("user_id", "day")
+      .agg(max_by(col("value"), struct(col("us"), col("event_id")))
+        .as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wd = Window.partitionBy("user_id", "day")
-      .orderBy(col("us").desc, col("event_id").desc)
-    val lastPerDay = e.withColumn("_rn", row_number().over(wd))
-      .filter(col("_rn") === 1)
-      .select(col("user_id"), col("day"), col("value"))
     // grid = each user's first-event day through the corpus horizon —
     // the horizon is a PROVEN-1-row scalar (the q48/q65 cross-join
     // pattern), so no non-scalar nested loop; rows before a user's
-    // first event never exist, which IS the no-backward-leakage rule
-    val grid = e.groupBy("user_id").agg(min(col("day")).as("mn"))
-      .crossJoin(e.agg(max(col("day")).as("mx")))
+    // first event never exist, which IS the no-backward-leakage rule.
+    // Both bounds derive from the REDUCED table (min/max day over
+    // (user, day) rows ≡ over raw events).
+    val grid = lastPerDay.groupBy("user_id").agg(min(col("day")).as("mn"))
+      .crossJoin(broadcast(lastPerDay.agg(max(col("day")).as("mx"))))
       .select(col("user_id"),
         explode(sequence(col("mn"), col("mx"))).as("day"))
     val fill = Window.partitionBy("user_id").orderBy("day")
