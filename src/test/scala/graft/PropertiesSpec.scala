@@ -488,4 +488,62 @@ class PropertiesSpec extends SparkSpec {
       balRef)
     spark.catalog.clearCache()
   }
+
+  test("q97 — max_by last-within-day ≡ the row_number window on random tied streams (ScalaCheck)") {
+    // the r13 plan swap's determinism claim: max_by over the totally-
+    // ordered (us, event_id) struct picks EXACTLY the row the
+    // row_number() OVER (PARTITION BY user, day ORDER BY us DESC,
+    // event_id DESC) window picked, on streams engineered for ties —
+    // duplicate timestamps (same user, same day, same us, distinct
+    // event_ids), event-less days, multi-day users
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import org.apache.spark.sql.expressions.Window
+    val genEvent = for {
+      user <- Gen.choose(1L, 5L)
+      day <- Gen.choose(0L, 4L)
+      usInDay <- Gen.choose(0L, 3L) // tiny range -> frequent exact ties
+      eid <- Gen.choose(1L, 1000000L)
+      v <- Gen.choose(-100, 100).map(_.toDouble)
+    } yield (user, day * 86400000000L + usInDay, eid, v)
+    // distinct event_ids (the corpus invariant the determinism rests on)
+    val genStream = Gen.listOfN(60, genEvent).map(_.distinctBy(_._3))
+    val prop = Prop.forAll(genStream) { evs =>
+      evs.isEmpty || {
+        val df = evs.toDF("user_id", "us", "event_id", "value")
+          .select(col("user_id"),
+            timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("value"))
+        val viaAgg = graft.queries.Analytics.pitFeatures(df)
+          .collect().map(_.toSeq).toSeq
+        spark.catalog.clearCache()
+        // the pre-r13 window form, inlined as the reference semantics
+        val e = df.select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_id"), col("value"))
+        val wd = Window.partitionBy("user_id", "day")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val lastPerDay = e.withColumn("_rn", row_number().over(wd))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("day"), col("value"))
+        val grid = e.groupBy("user_id").agg(min(col("day")).as("mn"))
+          .crossJoin(e.agg(max(col("day")).as("mx")))
+          .select(col("user_id"),
+            explode(sequence(col("mn"), col("mx"))).as("day"))
+        val fill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val viaWindow = grid.join(lastPerDay, Seq("user_id", "day"), "left")
+          .withColumn("last_val",
+            last(col("value"), ignoreNulls = true).over(fill))
+          .filter(col("last_val").isNotNull)
+          .select(col("user_id"), col("day"), col("last_val"))
+          .orderBy("user_id", "day")
+          .collect().map(_.toSeq).toSeq
+        viaAgg == viaWindow
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(13L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
 }
