@@ -1,0 +1,310 @@
+package graft.etl
+
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** PDF Standard security handler, DECRYPT side, for documents with an
+  * EMPTY user password — the dominant real-world encrypted shape
+  * (owner-locked government/publisher PDFs that any viewer opens
+  * without a prompt; the reference's pdfplumber/pdfminer path opens
+  * exactly this class, so the capability is parity, not gold-plating).
+  * Implements ISO 32000 §7.6:
+  *   - R2 (40-bit RC4), R3 (RC4 ≤128), R4 (/CF crypt filters: /V2 RC4
+  *     or /AESV2 AES-128-CBC), via Algorithm 2 key derivation +
+  *     Algorithm 1 per-object keys;
+  *   - R5/R6 (/AESV3 AES-256-CBC) via the SHA-2 family hash
+  *     (Algorithm 2.B for R6) + UE unwrap.
+  * Password-protected documents (the empty user password fails the /U
+  * check) return None — the caller quarantines with the `encrypted`
+  * reason exactly as before; this module only OPENS what a viewer
+  * would open silently. Everything is JDK crypto (MD5/SHA-2/AES;
+  * RC4 is implemented inline — 20 lines, no provider dependence).
+  *
+  * All parsing is over the extractor's ISO_8859_1 raw text, which is
+  * byte-preserving, so binary /O //U string values survive exactly.
+  */
+private[etl] object PdfDecrypt {
+
+  /** The spec's 32-byte password padding constant (ISO 32000-1
+    * §7.6.3.3 Algorithm 2 step a) — with an empty user password the
+    * padded password IS this constant.
+    */
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** A successfully-opened document's decryption context: `cfm` is the
+    * stream crypt method ("V2" RC4, "AESV2", "AESV3"); `key` is the
+    * FILE key (per-object keys derive from it for V≤4).
+    */
+  final case class Ctx(key: Array[Byte], r: Int, cfm: String)
+
+  // ---- primitives ----------------------------------------------------
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4, implemented directly (tiny, and avoids depending on the
+    * optional ARCFOUR JCE transform).
+    */
+  private[etl] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    for (k <- data.indices) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+                     data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  // ---- dict-value parsing over raw ISO_8859_1 text --------------------
+
+  private def intVal(dict: String, name: String): Option[Int] = {
+    val re = ("/" + name + """\s+(-?\d+)""").r
+    re.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+  }
+
+  /** A PDF string value for /name: hex `<…>` or literal `(…)` with
+    * backslash escapes (binary bytes survive the ISO_8859_1 round
+    * trip). Octal escapes, the single-char escapes, and
+    * escaped-anything fallback per §7.3.4.2.
+    */
+  private[etl] def strVal(dict: String, name: String): Option[Array[Byte]] = {
+    val idx = dict.indexOf("/" + name)
+    if (idx < 0) return None
+    var p = idx + name.length + 1
+    while (p < dict.length && (dict.charAt(p) == ' ' || dict.charAt(p) == '\n' ||
+           dict.charAt(p) == '\r' || dict.charAt(p) == '\t')) p += 1
+    if (p >= dict.length) return None
+    dict.charAt(p) match {
+      case '<' =>
+        val e = dict.indexOf('>', p + 1)
+        if (e < 0) None
+        else {
+          val hex = dict.substring(p + 1, e).filterNot(_.isWhitespace)
+          val even = if (hex.length % 2 == 0) hex else hex + "0"
+          try Some(even.grouped(2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray)
+          catch { case _: NumberFormatException => None }
+        }
+      case '(' =>
+        val out = new java.io.ByteArrayOutputStream()
+        var q = p + 1
+        var depth = 1
+        while (q < dict.length && depth > 0) {
+          dict.charAt(q) match {
+            case '\\' if q + 1 < dict.length =>
+              dict.charAt(q + 1) match {
+                case 'n' => out.write('\n'); q += 2
+                case 'r' => out.write('\r'); q += 2
+                case 't' => out.write('\t'); q += 2
+                case 'b' => out.write('\b'); q += 2
+                case 'f' => out.write('\f'); q += 2
+                case d if d >= '0' && d <= '7' =>
+                  var oct = 0; var n = 0; q += 1
+                  while (n < 3 && q < dict.length &&
+                         dict.charAt(q) >= '0' && dict.charAt(q) <= '7') {
+                    oct = oct * 8 + (dict.charAt(q) - '0'); q += 1; n += 1
+                  }
+                  out.write(oct & 0xff)
+                case c => out.write(c); q += 2 // \( \) \\ and any other
+              }
+            case '(' => depth += 1; out.write('('); q += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) out.write(')')
+              q += 1
+            case c => out.write(c); q += 1
+          }
+        }
+        if (depth != 0) None else Some(out.toByteArray)
+      case _ => None
+    }
+  }
+
+  // ---- opening the document -------------------------------------------
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+
+  /** Algorithm 2: the R≤4 file key for the EMPTY user password. */
+  private def fileKeyR4(o: Array[Byte], p: Int, id0: Array[Byte],
+                        r: Int, keyLen: Int,
+                        encryptMetadata: Boolean): Array[Byte] = {
+    val extra =
+      if (r >= 4 && !encryptMetadata)
+        Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      else Array.emptyByteArray
+    var k = md5(Pad, o.take(32), le(p.toLong & 0xffffffffL, 4), id0, extra)
+    if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
+    k.take(keyLen)
+  }
+
+  /** Algorithms 4/5: does the derived key open the document (i.e. is
+    * the user password really empty)?
+    */
+  private def checkU(key: Array[Byte], u: Array[Byte], id0: Array[Byte],
+                     r: Int): Boolean = {
+    if (u.length < 16) return false
+    if (r == 2) java.util.Arrays.equals(rc4(key, Pad), u.take(32))
+    else {
+      var x = rc4(key, md5(Pad, id0))
+      for (i <- 1 to 19) {
+        val ki = key.map(b => (b ^ i).toByte)
+        x = rc4(ki, x)
+      }
+      java.util.Arrays.equals(x.take(16), u.take(16))
+    }
+  }
+
+  /** Algorithm 2.B (R6) / plain SHA-256 (R5): the password hash. */
+  private[etl] def hash2b(pwd: Array[Byte], salt: Array[Byte],
+                          r: Int): Array[Byte] = {
+    var k = sha(256, pwd, salt)
+    if (r == 5) return k
+    var e = Array.emptyByteArray
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val block = pwd ++ k
+      val k1 = new Array[Byte](block.length * 64)
+      for (i <- 0 until 64)
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+      e = aesCbc(Cipher.ENCRYPT_MODE, k.take(16), k.slice(16, 32), k1)
+      val mod = e.take(16).foldLeft(0)((a, b) => (a + (b & 0xff)) % 3)
+      k = sha(mod match { case 0 => 256; case 1 => 384; case _ => 512 }, e)
+      done = round >= 64 && (e.last & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** R5/R6: validate the empty user password against /U and unwrap the
+    * 256-bit file key from /UE.
+    */
+  private def fileKeyR6(u: Array[Byte], ue: Array[Byte],
+                        r: Int): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val validationSalt = u.slice(32, 40)
+    val keySalt = u.slice(40, 48)
+    val empty = Array.emptyByteArray
+    if (!java.util.Arrays.equals(hash2b(empty, validationSalt, r), u.take(32)))
+      return None
+    val ik = hash2b(empty, keySalt, r)
+    Some(aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), ue.take(32)))
+  }
+
+  /** Open the document: parse the Encrypt dict (plus the trailer text
+    * holding /ID), derive the file key for the EMPTY user password and
+    * verify it. None ⇒ really password-protected (or an unsupported
+    * handler) — the caller keeps the `encrypted` quarantine.
+    */
+  private[etl] def open(encryptDict: String,
+                        trailerText: String): Option[Ctx] = {
+    try {
+      if (!encryptDict.contains("/Standard")) return None
+      val v = intVal(encryptDict, "V").getOrElse(0)
+      val r = intVal(encryptDict, "R").getOrElse(if (v >= 2) 3 else 2)
+      val id0 = {
+        val idx = trailerText.indexOf("/ID")
+        if (idx < 0) Array.emptyByteArray
+        else {
+          // /ID [ <…> <…> ] — reuse the string parser on a shifted
+          // view whose "/ID" is followed by the array's first element
+          val sub = trailerText.substring(idx)
+          val br = sub.indexOf('[')
+          if (br < 0) Array.emptyByteArray
+          else strVal("/X " + sub.substring(br + 1), "X")
+            .getOrElse(Array.emptyByteArray)
+        }
+      }
+      val o = strVal(encryptDict, "O").getOrElse(return None)
+      val u = strVal(encryptDict, "U").getOrElse(return None)
+      if (v >= 5) {
+        val ue = strVal(encryptDict, "UE").getOrElse(return None)
+        return fileKeyR6(u, ue, r).map(Ctx(_, r, "AESV3"))
+      }
+      val keyLen =
+        if (v <= 1) 5
+        else if (v == 4) {
+          // /CF << /StdCF << … /Length n(BYTES) >> >> — the crypt-filter
+          // Length is in bytes (the top-level /Length stays bits)
+          val cf = encryptDict.indexOf("/StdCF")
+          val inner = if (cf >= 0) encryptDict.substring(cf) else encryptDict
+          intVal(inner, "Length").getOrElse(16)
+        }
+        else intVal(encryptDict, "Length").map(_ / 8).getOrElse(5)
+      val cfm =
+        if (v < 4) "V2"
+        else if (encryptDict.contains("/AESV2")) "AESV2"
+        else "V2"
+      val encryptMetadata = !encryptDict.contains("/EncryptMetadata false")
+      val p = intVal(encryptDict, "P").getOrElse(-1)
+      val key = fileKeyR4(o, p, id0, r, keyLen, encryptMetadata)
+      if (checkU(key, u, id0, r)) Some(Ctx(key, r, cfm)) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Algorithm 1: decrypt ONE stream's bytes (generation 0 — the only
+    * form the extractor's object walk admits). AES-CBC data carries its
+    * IV as the first 16 bytes; the PKCS#5-style pad is stripped
+    * leniently (an invalid pad keeps the bytes — downstream filter
+    * decode degrades per-stream as usual, never throws).
+    */
+  private[etl] def decryptStream(ctx: Ctx, objNum: Int,
+                                 data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      ctx.cfm match {
+        case "AESV3" =>
+          if (data.length < 32 || data.length % 16 != 0) None
+          else Some(stripPad(aesCbc(Cipher.DECRYPT_MODE, ctx.key,
+            data.take(16), data.drop(16))))
+        case "AESV2" =>
+          val mk = md5(ctx.key, le(objNum.toLong, 3), le(0L, 2),
+            Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte))
+          val ok = mk.take(math.min(ctx.key.length + 5, 16))
+          if (data.length < 32 || data.length % 16 != 0) None
+          else Some(stripPad(aesCbc(Cipher.DECRYPT_MODE, ok,
+            data.take(16), data.drop(16))))
+        case _ => // V2: RC4
+          val mk = md5(ctx.key, le(objNum.toLong, 3), le(0L, 2))
+          Some(rc4(mk.take(math.min(ctx.key.length + 5, 16)), data))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def stripPad(b: Array[Byte]): Array[Byte] = {
+    if (b.isEmpty) return b
+    val n = b.last & 0xff
+    if (n >= 1 && n <= 16 && n <= b.length &&
+        b.takeRight(n).forall(x => (x & 0xff) == n)) b.dropRight(n)
+    else b
+  }
+}

@@ -1,0 +1,240 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** Pins for the r13 encrypted-PDF support (Standard security handler,
+  * empty user password). Fixtures are built ENCRYPT-SIDE here — the
+  * writer algorithms (ISO 32000 Algorithms 2/3/5, AESV2/AESV3 stream
+  * wrapping) transcribed independently from the spec rather than
+  * calling the decoder's internals — so a transcription error in the
+  * decoder's key schedule fails the round trip instead of cancelling
+  * out. The RC4 primitive itself is pinned against the published
+  * known-answer vector first.
+  */
+class PdfDecryptSpec extends AnyFunSuite {
+
+  // ---- writer-side primitives (spec transcription, test-local) -------
+
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def padPwd(pwd: Array[Byte]): Array[Byte] = (pwd ++ Pad).take(32)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update); d.digest()
+  }
+
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    PdfDecrypt.rc4(key, data)
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Algorithm 3: the /O value from the owner password (empty-user
+    * documents still carry a real O — it feeds user-side key
+    * derivation).
+    */
+  private def oValue(ownerPwd: String, userPwd: String, r: Int,
+                     keyLen: Int): Array[Byte] = {
+    var ok = md5(padPwd(ownerPwd.getBytes(StandardCharsets.ISO_8859_1)))
+    if (r >= 3) for (_ <- 0 until 50) ok = md5(ok.take(keyLen))
+    val key = ok.take(keyLen)
+    var o = rc4(key, padPwd(userPwd.getBytes(StandardCharsets.ISO_8859_1)))
+    if (r >= 3) for (i <- 1 to 19) o = rc4(key.map(b => (b ^ i).toByte), o)
+    o
+  }
+
+  /** Algorithm 2 from the USER password side (the file key). */
+  private def fileKey(userPwd: String, o: Array[Byte], p: Int,
+                      id0: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
+    var k = md5(padPwd(userPwd.getBytes(StandardCharsets.ISO_8859_1)),
+      o.take(32), le(p.toLong & 0xffffffffL, 4), id0)
+    if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
+    k.take(keyLen)
+  }
+
+  /** Algorithm 5: the /U value for R ≥ 3 (16 check bytes + 16 pad). */
+  private def uValue(key: Array[Byte], id0: Array[Byte]): Array[Byte] = {
+    var x = rc4(key, md5(Pad, id0))
+    for (i <- 1 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
+    x.take(16) ++ new Array[Byte](16)
+  }
+
+  private def objKeyRc4(fk: Array[Byte], num: Int): Array[Byte] =
+    md5(fk, le(num.toLong, 3), le(0L, 2))
+      .take(math.min(fk.length + 5, 16))
+
+  private def objKeyAes(fk: Array[Byte], num: Int): Array[Byte] =
+    md5(fk, le(num.toLong, 3), le(0L, 2),
+      Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte))
+      .take(math.min(fk.length + 5, 16))
+
+  private def aesEnc(key: Array[Byte], iv: Array[Byte],
+                     data: Array[Byte]): Array[Byte] = {
+    // PKCS#5 pad then CBC — the spec's stream wrapping; IV leads the data
+    val padLen = 16 - (data.length % 16)
+    val padded = data ++ Array.fill(padLen)(padLen.toByte)
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new IvParameterSpec(iv))
+    iv ++ c.doFinal(padded)
+  }
+
+  private val id0: Array[Byte] = (1 to 16).map(_.toByte).toArray
+  private val P = -3904
+  private val text = "Secret statute text"
+  private def content = s"BT ($text) Tj ET"
+
+  private def pdf(encDict: String, streamBytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w(s"1 0 obj\n$encDict\nendobj\n")
+    w(s"2 0 obj\n<< /Length ${streamBytes.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(streamBytes)
+    w("\nendstream\nendobj\n")
+    w(s"trailer << /Root 3 0 R /Encrypt 1 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("RC4 primitive matches the published known-answer vector") {
+    // key "Key", plaintext "Plaintext" -> BB F3 16 E8 D9 40 AF 0A D3
+    val got = rc4("Key".getBytes(StandardCharsets.US_ASCII),
+      "Plaintext".getBytes(StandardCharsets.US_ASCII))
+    assert(hex(got) === "bbf316e8d940af0ad3")
+  }
+
+  test("R3 RC4-128, empty user password: decrypts and extracts; owner password never needed") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 3, keyLen)
+    val fk = fileKey("", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("R4 AESV2 (AES-128-CBC crypt filter), empty user password: decrypts and extracts") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val iv = (101 to 116).map(_.toByte).toArray
+    val enc = aesEnc(objKeyAes(fk, 2), iv, deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("R6 AESV3 (AES-256), empty user password: decrypts and extracts") {
+    // U layout: hash(32) ++ validationSalt(8) ++ keySalt(8); UE wraps
+    // the random file key under the key-salt hash. The 2.B hash is the
+    // decoder's own (no public vector available offline) — this pins
+    // the V5 LAYOUT and wrapping, the R3/R4 tests pin key-schedule
+    // transcription.
+    val vSalt = (31 to 38).map(_.toByte).toArray
+    val kSalt = (41 to 48).map(_.toByte).toArray
+    val fileKey32 = (201 to 232).map(_.toByte).toArray
+    val empty = Array.emptyByteArray
+    val u = PdfDecrypt.hash2b(empty, vSalt, 6) ++ vSalt ++ kSalt
+    val ik = PdfDecrypt.hash2b(empty, kSalt, 6)
+    val ue = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    val iv = (61 to 76).map(_.toByte).toArray
+    val enc = aesEnc(fileKey32, iv, deflate(content))
+    val doc = pdf(
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
+        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("a REAL user password stays quarantined with the `encrypted` reason") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "user-secret", r = 3, keyLen)
+    val fk = fileKey("user-secret", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Nil)
+    assert(FlatePdfExtractor.diagnose(doc) === "encrypted")
+  }
+
+  test("empty-password documents diagnose past `encrypted` to the real reason") {
+    // decryptable but carrying only an unsupported raster stream — the
+    // reason code must name the filter, not claim password protection
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 3, keyLen)
+    val fk = fileKey("", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), Array.fill(64)(7.toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w(s"1 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+      s"/O <${hex(o)}> /U <${hex(u)}> >>\nendobj\n")
+    w(s"2 0 obj\n<< /Length ${enc.length} /Filter /DCTDecode >>\nstream\n")
+    out.write(enc)
+    w("\nendstream\nendobj\n")
+    w(s"trailer << /Encrypt 1 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
+    val doc = out.toByteArray
+    assert(FlatePdfExtractor.extractPages(doc) === Nil)
+    assert(FlatePdfExtractor.diagnose(doc) === "unsupported-filter:DCTDecode")
+  }
+
+  test("tampered /U fails the open and quarantines") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 3, keyLen)
+    val fk = fileKey("", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    u(0) = (u(0) ^ 0x55).toByte
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Nil)
+    assert(FlatePdfExtractor.diagnose(doc) === "encrypted")
+  }
+
+  test("PDF literal-string parsing: escapes, octal, nesting, binary round trip") {
+    def p(dict: String) = PdfDecrypt.strVal(dict, "X").map(_.toSeq)
+    assert(p("""/X (abc)""") === Some("abc".getBytes.toSeq))
+    assert(p("""/X (a\(b\)c)""") === Some("a(b)c".getBytes.toSeq))
+    assert(p("""/X (a\\b)""") === Some("a\\b".getBytes.toSeq))
+    assert(p("""/X (a\101b)""") === Some("aAb".getBytes.toSeq))
+    assert(p("""/X (a(nested)b)""") === Some("a(nested)b".getBytes.toSeq))
+    assert(p("/X <41 42>") === Some(Seq[Byte](0x41, 0x42)))
+    assert(p("/X <414>") === Some(Seq[Byte](0x41, 0x40))) // odd pads with 0
+    assert(p("/X (unclosed") === None)
+  }
+}
