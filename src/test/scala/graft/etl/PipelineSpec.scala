@@ -192,6 +192,64 @@ class PipelineSpec extends SparkSpec {
       docs(0).getAs[String]("content") === "salvaged text")
   }
 
+  test("empty-user-password encrypted PDF flows the GOOD channel end-to-end (r13)") {
+    // the owner-locked shape every viewer opens silently: through the
+    // full pipeline it must land as a DOCUMENT, not in quarantine —
+    // the PdfDecryptSpec covers the handler; this pins the S9→S16 wiring.
+    // Writer side inline (R3 RC4-128, the PdfDecryptSpec transcription).
+    val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update); d.digest()
+    }
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+      PdfDecrypt.rc4(key, data)
+    def le(v: Long, n: Int) =
+      Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val id0 = (1 to 16).map(_.toByte).toArray
+    val kl = 16
+    var ok = md5(("owner-x".getBytes(StandardCharsets.ISO_8859_1) ++ pad).take(32))
+    for (_ <- 0 until 50) ok = md5(ok.take(kl))
+    var o = rc4(ok.take(kl), pad) // empty user password → padded = pad
+    for (i <- 1 to 19) o = rc4(ok.take(kl).map(b => (b ^ i).toByte), o)
+    var fk = md5(pad, o, le(-3904L & 0xffffffffL, 4), id0)
+    for (_ <- 0 until 50) fk = md5(fk.take(kl))
+    fk = fk.take(kl)
+    var u = rc4(fk, md5(pad, id0))
+    for (i <- 1 to 19) u = rc4(fk.map(b => (b ^ i).toByte), u)
+    val uv = u.take(16) ++ new Array[Byte](16)
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput("BT (Art 5: tax applies) Tj ET"
+        .getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+      val buf = new Array[Byte](4096); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val objKey = md5(fk, le(2L, 3), le(0L, 2)).take(16)
+    val enc = rc4(objKey, defl)
+    val out2 = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out2.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w(s"1 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904 " +
+      s"/O <${hex(o)}> /U <${hex(uv)}> >>\nendobj\n")
+    w(s"2 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n")
+    out2.write(enc)
+    w("\nendstream\nendobj\n")
+    w(s"trailer << /Encrypt 1 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
+    val lockedOpenable = out2.toByteArray
+    val bins = Seq(("https://x/owner%20locked.pdf", lockedOpenable))
+      .toDF("url", "content")
+    val res = Pipeline.process(bins, FlatePdfExtractor, "2026-08-16")
+    assert(res.quarantine.count() === 0)
+    val docs = res.docs.collect()
+    assert(docs.length === 1 &&
+      docs(0).getAs[String]("content") === "Art 5: tax applies", docs.toSeq)
+  }
+
   test("SniffingExtractor — mixed PDF+DOCX corpus routes per row by magic bytes (r11)") {
     // the auto_ingest.yml sweep shape: one staged-binary frame holding a
     // real reference PDF, the checked-in statute DOCX, and garbage — one
