@@ -282,11 +282,16 @@ object DevScale {
     // events arrive on one thread, so plain mutable state is safe.
     object meter extends org.apache.spark.scheduler.SparkListener {
       private val byStage = scala.collection.mutable.Map[Int, Long]()
+      // the listener-bus thread and the driver thread (reset/peak/total)
+      // both touch the map — EVERY access synchronizes (r13 review: a
+      // one-sided lock is no lock)
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val w = Option(te.taskMetrics)
           .map(_.shuffleWriteMetrics.bytesWritten).getOrElse(0L)
-        if (w > 0) byStage(te.stageId) = byStage.getOrElse(te.stageId, 0L) + w
+        if (w > 0) synchronized {
+          byStage(te.stageId) = byStage.getOrElse(te.stageId, 0L) + w
+        }
       }
       def reset(): Unit = synchronized { byStage.clear() }
       def peak: Long = synchronized {

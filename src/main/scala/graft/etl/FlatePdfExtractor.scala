@@ -178,6 +178,8 @@ object FlatePdfExtractor extends PageExtractor {
 
   private val EncryptKeyRe: Regex = """/Encrypt\s*(?:\d+\s+\d+\s+R|<<)""".r
   private val EncryptRefRe: Regex = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+  // direct form only: the lookahead rejects the indirect `/Length N 0 R`
+  private val LengthRe: Regex = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
 
   /** The decryption context for an encrypted document the EMPTY user
     * password opens (r13 — the owner-locked shape every viewer opens
@@ -191,14 +193,22 @@ object FlatePdfExtractor extends PageExtractor {
     */
   private def openEncryption(raw: String,
       slices: Seq[(Int, String, Int)]): Option[PdfDecrypt.Ctx] = {
+    // cheap gate first: virtually all corpus PDFs are unencrypted and
+    // must not pay the trailer walk + per-dict regex probe (r13 review)
+    if (!raw.contains("/Encrypt")) return None
     val trailers = trailerDicts(raw)
     val carriers = (trailers ++ slices.map(_._2))
       .filter(d => EncryptRefRe.findFirstIn(d).isDefined)
-    carriers.headOption.flatMap { carrier =>
+    // LAST occurrences win throughout: an incrementally-updated PDF
+    // appends its live trailer and rewritten objects at the end, and
+    // extract's objs map is last-wins — key derivation must read the
+    // same revision (r13 review)
+    carriers.lastOption.flatMap { carrier =>
       EncryptRefRe.findFirstMatchIn(carrier).flatMap(_.group(1).toIntOption)
         .flatMap { num =>
-          slices.find(_._1 == num).flatMap { case (_, encDict, _) =>
-            PdfDecrypt.open(encDict, (carrier +: trailers).mkString(" "))
+          slices.filter(_._1 == num).lastOption.flatMap {
+            case (_, encDict, _) =>
+              PdfDecrypt.open(encDict, (carrier +: trailers).mkString(" "))
           }
         }
     }
@@ -425,7 +435,11 @@ object FlatePdfExtractor extends PageExtractor {
     */
   private[etl] def unpredict(dict: String, data: Array[Byte]): Array[Byte] = {
     def intOf(re: Regex, dflt: Int) =
-      re.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+      // toIntOption: attacker-controlled digits must skip, not abort the
+      // whole document via NumberFormatException (r13 review — the
+      // objSlices class)
+      re.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+        .getOrElse(dflt)
     val pred = intOf(PredRe, 1)
     if (pred <= 1) return data
     val cols = intOf(ColsRe, 1)
@@ -610,7 +624,7 @@ object FlatePdfExtractor extends PageExtractor {
             case "FlateDecode" | "Fl" => inflate(d).map(unpredict(parm, _))
             case "LZWDecode" | "LZW" =>
               val early = EarlyRe.findFirstMatchIn(parm)
-                .map(_.group(1).toInt).getOrElse(1)
+                .flatMap(_.group(1).toIntOption).getOrElse(1)
               lzwDecode(d, early).map(unpredict(parm, _))
             case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
             case "ASCII85Decode" | "A85" => ascii85Decode(d)
@@ -648,12 +662,27 @@ object FlatePdfExtractor extends PageExtractor {
             val endIdx = raw.indexOf("endstream", dataStart)
             if (endIdx < 0) None
             else {
-              val data = raw.substring(dataStart, endIdx)
-                .getBytes(StandardCharsets.ISO_8859_1)
+              // the DIRECT /Length is authoritative when plausible
+              // (r13 review): stripFramingEol's \r\n branch eats a real
+              // trailing 0x0D payload byte when the writer framed with a
+              // bare \n — harmless for self-terminating codecs, but an
+              // AES ciphertext ending in 0x0D then fails the %16 check
+              // and silently drops the page. Indirect `/Length N 0 R`
+              // and implausible values (gap past framing) fall back to
+              // the endstream scan.
+              val declared = LengthRe.findFirstMatchIn(dict)
+                .flatMap(_.group(1).toIntOption)
+                .filter(l => l >= 0 && dataStart.toLong + l <= endIdx &&
+                  endIdx - (dataStart + l) <= 4)
+              val data = declared match {
+                case Some(l) => raw.substring(dataStart, dataStart + l)
+                  .getBytes(StandardCharsets.ISO_8859_1)
+                case None => stripFramingEol(raw.substring(dataStart, endIdx)
+                  .getBytes(StandardCharsets.ISO_8859_1))
+              }
               val plain = ctx match {
-                case Some(c) =>
-                  PdfDecrypt.decryptStream(c, num, stripFramingEol(data))
-                case None => Some(stripFramingEol(data))
+                case Some(c) => PdfDecrypt.decryptStream(c, num, data)
+                case None => Some(data)
               }
               plain.flatMap(decodeStream(dict, _))
                 .map(new String(_, StandardCharsets.ISO_8859_1))
@@ -691,7 +720,8 @@ object FlatePdfExtractor extends PageExtractor {
     val toUnicodeRe = """/ToUnicode\s+(\d+)\s+0\s+R""".r
     val fontCmaps: Map[Int, Map[Int, String]] = objs.flatMap { case (num, (dict, _)) =>
       toUnicodeRe.findFirstMatchIn(dict).flatMap { m =>
-        objs.get(m.group(1).toInt).flatMap(_._2).map(s => num -> parseCMap(s))
+        m.group(1).toIntOption.flatMap(objs.get).flatMap(_._2)
+          .map(s => num -> parseCMap(s))
       }
     }
     // font resource name (F1, F2, …) → cmap, scraped from /Font <<…>> dicts
@@ -700,7 +730,7 @@ object FlatePdfExtractor extends PageExtractor {
       val fontIdx = dict.indexOf("/Font")
       if (fontIdx < 0) Nil
       else fontNameRe.findAllMatchIn(dict.substring(fontIdx)).flatMap { m =>
-        fontCmaps.get(m.group(2).toInt).map(m.group(1) -> _)
+        m.group(2).toIntOption.flatMap(fontCmaps.get).map(m.group(1) -> _)
       }.toList
     }.toMap
 

@@ -86,20 +86,69 @@ private[etl] object PdfDecrypt {
 
   // ---- dict-value parsing over raw ISO_8859_1 text --------------------
 
+  /** Position just after the KEY `/name`, or −1. Token-aware (r13
+    * review): a raw indexOf would match the `/U` PREFIX of `/UE` (dict
+    * key order is writer-arbitrary) and `/`-sequences inside the
+    * BINARY /O//U literal-string values — either way deriving from the
+    * wrong bytes and quarantining an openable document. The scanner
+    * walks the dict's token structure instead: literal strings skip
+    * balanced (escape-aware), hex strings skip to `>`, and a name only
+    * matches WHOLE (ended by a delimiter).
+    */
+  private def keyPos(dict: String, name: String): Int = {
+    val n = dict.length
+    def nameChar(c: Char): Boolean =
+      !(c.isWhitespace || "/()<>[]{}%".indexOf(c) >= 0)
+    var p = 0
+    while (p < n) {
+      dict.charAt(p) match {
+        case '(' =>
+          var depth = 1; p += 1
+          while (p < n && depth > 0) {
+            dict.charAt(p) match {
+              case '\\' => p += 2
+              case '(' => depth += 1; p += 1
+              case ')' => depth -= 1; p += 1
+              case _ => p += 1
+            }
+          }
+        case '<' =>
+          if (p + 1 < n && dict.charAt(p + 1) == '<') p += 2
+          else { val e = dict.indexOf('>', p + 1); p = if (e < 0) n else e + 1 }
+        case '/' =>
+          var q = p + 1
+          while (q < n && nameChar(dict.charAt(q))) q += 1
+          if (q - (p + 1) == name.length &&
+              dict.regionMatches(p + 1, name, 0, name.length)) return q
+          p = q
+        case _ => p += 1
+      }
+    }
+    -1
+  }
+
   private def intVal(dict: String, name: String): Option[Int] = {
-    val re = ("/" + name + """\s+(-?\d+)""").r
-    re.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+    var p = keyPos(dict, name)
+    if (p < 0) return None
+    while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+    val s = p
+    var e = p
+    if (e < dict.length && dict.charAt(e) == '-') e += 1
+    while (e < dict.length && dict.charAt(e).isDigit) e += 1
+    if (e == s || (e == s + 1 && dict.charAt(s) == '-')) None
+    else dict.substring(s, e).toIntOption
   }
 
   /** A PDF string value for /name: hex `<…>` or literal `(…)` with
     * backslash escapes (binary bytes survive the ISO_8859_1 round
-    * trip). Octal escapes, the single-char escapes, and
-    * escaped-anything fallback per §7.3.4.2.
+    * trip). Octal escapes, the single-char escapes, backslash-EOL line
+    * continuations (NO bytes — §7.3.4.2, r13 review: a binary /O
+    * containing 0x5C 0x0A parsed one byte long), and escaped-anything
+    * fallback.
     */
   private[etl] def strVal(dict: String, name: String): Option[Array[Byte]] = {
-    val idx = dict.indexOf("/" + name)
-    if (idx < 0) return None
-    var p = idx + name.length + 1
+    var p = keyPos(dict, name)
+    if (p < 0) return None
     while (p < dict.length && (dict.charAt(p) == ' ' || dict.charAt(p) == '\n' ||
            dict.charAt(p) == '\r' || dict.charAt(p) == '\t')) p += 1
     if (p >= dict.length) return None
@@ -127,6 +176,10 @@ private[etl] object PdfDecrypt {
                 case 't' => out.write('\t'); q += 2
                 case 'b' => out.write('\b'); q += 2
                 case 'f' => out.write('\f'); q += 2
+                case '\n' => q += 2 // line continuation: no bytes
+                case '\r' =>
+                  q += (if (q + 2 < dict.length && dict.charAt(q + 2) == '\n') 3
+                        else 2) // CR or CRLF continuation: no bytes
                 case d if d >= '0' && d <= '7' =>
                   var oct = 0; var n = 0; q += 1
                   while (n < 3 && q < dict.length &&
@@ -229,16 +282,17 @@ private[etl] object PdfDecrypt {
   private[etl] def open(encryptDict: String,
                         trailerText: String): Option[Ctx] = {
     try {
-      if (!encryptDict.contains("/Standard")) return None
+      if (keyPos(encryptDict, "Filter") < 0 ||
+          keyPos(encryptDict, "Standard") < 0) return None
       val v = intVal(encryptDict, "V").getOrElse(0)
       val r = intVal(encryptDict, "R").getOrElse(if (v >= 2) 3 else 2)
       val id0 = {
-        val idx = trailerText.indexOf("/ID")
-        if (idx < 0) Array.emptyByteArray
+        val idp = keyPos(trailerText, "ID")
+        if (idp < 0) Array.emptyByteArray
         else {
           // /ID [ <…> <…> ] — reuse the string parser on a shifted
-          // view whose "/ID" is followed by the array's first element
-          val sub = trailerText.substring(idx)
+          // view whose "/X" is followed by the array's first element
+          val sub = trailerText.substring(idp)
           val br = sub.indexOf('[')
           if (br < 0) Array.emptyByteArray
           else strVal("/X " + sub.substring(br + 1), "X")
@@ -251,21 +305,29 @@ private[etl] object PdfDecrypt {
         val ue = strVal(encryptDict, "UE").getOrElse(return None)
         return fileKeyR6(u, ue, r).map(Ctx(_, r, "AESV3"))
       }
-      val keyLen =
+      // clamped to the spec's 40..128-bit range: an attacker-controlled
+      // /Length 0 would otherwise make the RC4 key empty (mod-zero) and
+      // a huge one allocates nothing useful
+      def clamp(n: Int): Int = math.max(5, math.min(16, n))
+      val keyLen = clamp(
         if (v <= 1) 5
         else if (v == 4) {
           // /CF << /StdCF << … /Length n(BYTES) >> >> — the crypt-filter
           // Length is in bytes (the top-level /Length stays bits)
-          val cf = encryptDict.indexOf("/StdCF")
+          val cf = keyPos(encryptDict, "StdCF")
           val inner = if (cf >= 0) encryptDict.substring(cf) else encryptDict
           intVal(inner, "Length").getOrElse(16)
         }
-        else intVal(encryptDict, "Length").map(_ / 8).getOrElse(5)
+        else intVal(encryptDict, "Length").map(_ / 8).getOrElse(5))
       val cfm =
         if (v < 4) "V2"
-        else if (encryptDict.contains("/AESV2")) "AESV2"
+        else if (keyPos(encryptDict, "AESV2") >= 0) "AESV2"
         else "V2"
-      val encryptMetadata = !encryptDict.contains("/EncryptMetadata false")
+      val encryptMetadata = {
+        val mp = keyPos(encryptDict, "EncryptMetadata")
+        mp < 0 || !encryptDict.regionMatches(
+          encryptDict.indexWhere(!_.isWhitespace, mp), "false", 0, 5)
+      }
       val p = intVal(encryptDict, "P").getOrElse(-1)
       val key = fileKeyR4(o, p, id0, r, keyLen, encryptMetadata)
       if (checkU(key, u, id0, r)) Some(Ctx(key, r, cfm)) else None

@@ -46,7 +46,11 @@ class ClusterBoundarySpec extends SparkSpec {
       case other => other.toString
     }
     df.select(cols.map(col): _*).collect()
-      .map(_.toSeq.map(v).mkString("")).sorted.toSeq
+      // "\u0001"-separated (spelled as an escape so the separator is
+      // VISIBLE — r13 review misread the literal byte as an empty
+      // separator, which would let ("a","bc") == ("ab","c") mask a
+      // real divergence)
+      .map(_.toSeq.map(v).mkString("\u0001")).sorted.toSeq
   }
 
   test("every oracled catalog entry is row-identical between the bench config and real local-cluster[2,2,2048] executors at sf0.01") {

@@ -74,6 +74,21 @@ class CodecBombSpec extends AnyFunSuite {
     assert(pages === Seq("survives"), pages)
   }
 
+  test("overflowing /ToUnicode ref and /Predicator numbers skip, never abort the document (r13 review)") {
+    // the objSlices toIntOption fix generalized: extract()'s remaining
+    // attacker-number parses (ToUnicode/font refs, DecodeParms ints,
+    // EarlyChange) must also skip on overflow instead of throwing
+    // NumberFormatException out to the Nil catch-all
+    val raw = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Font << /F1 3 0 R >> /ToUnicode 99999999999 0 R >>\nendobj\n" +
+      streamObj(2, "/Filter /FlateDecode /DecodeParms << /Predictor 99999999999 >>",
+        deflateS("ignored — implausible parms")) +
+      streamObj(4, "/Filter /FlateDecode", deflateS("BT (still here) Tj ET"))
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    val pages = FlatePdfExtractor.extractPages(bytes)
+    assert(pages.contains("still here"), pages)
+  }
+
   test("trailer CPU bomb: 200k close-less `trailer <<` markers diagnose in linear time") {
     val raw = "%PDF-1.4\n" + ("trailer << /X " * 200000)
     val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)

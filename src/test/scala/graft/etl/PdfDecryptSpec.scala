@@ -226,6 +226,89 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(FlatePdfExtractor.diagnose(doc) === "encrypted")
   }
 
+  test("dict key lookup is token-aware: /UE before /U, decoys inside string values (r13 review)") {
+    // R6 dict with /UE FIRST — a raw indexOf("/U") would land on the
+    // /UE prefix and fail the open on a valid document
+    val vSalt = (31 to 38).map(_.toByte).toArray
+    val kSalt = (41 to 48).map(_.toByte).toArray
+    val fileKey32 = (201 to 232).map(_.toByte).toArray
+    val empty = Array.emptyByteArray
+    val u = PdfDecrypt.hash2b(empty, vSalt, 6) ++ vSalt ++ kSalt
+    val ik = PdfDecrypt.hash2b(empty, kSalt, 6)
+    val ue = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    val iv = (61 to 76).map(_.toByte).toArray
+    val enc = aesEnc(fileKey32, iv, deflate(content))
+    val doc = pdf(
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        s"/UE <${hex(ue)}> " + // BEFORE /U — key order is writer-arbitrary
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
+        s"/U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+    // a LITERAL-string decoy containing "/U <41>" bytes must not shadow
+    // the real key — the scanner skips string values
+    assert(PdfDecrypt.strVal("""<< /O (decoy /U <41> bytes) /U <42> >>""",
+      "U").map(_.toSeq) === Some(Seq[Byte](0x42)))
+  }
+
+  test("incremental update: the LAST revision of the Encrypt object wins (r13 review)") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 3, keyLen)
+    val fk = fileKey("", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val goodDict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+      s"/O <${hex(o)}> /U <${hex(u)}> >>"
+    val badDict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+      s"/O <${hex(o)}> /U <${hex(new Array[Byte](32))}> >>"
+    def doc(first: String, second: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      w("%PDF-1.6\n")
+      w(s"1 0 obj\n$first\nendobj\n")
+      w(s"2 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(enc)
+      w("\nendstream\nendobj\n")
+      w(s"trailer << /Encrypt 1 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n")
+      // the appended revision rewrites object 1 — the LIVE copy
+      w(s"1 0 obj\n$second\nendobj\n")
+      w(s"trailer << /Encrypt 1 0 R /ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
+      out.toByteArray
+    }
+    // stale-bad then live-good: opens (last wins)
+    assert(FlatePdfExtractor.extractPages(doc(badDict, goodDict)) === Seq(text))
+    // stale-good then live-bad: quarantines (proves last-wins, not try-all)
+    assert(FlatePdfExtractor.extractPages(doc(goodDict, badDict)) === Nil)
+  }
+
+  test("AES ciphertext ending in 0x0D survives bare-\\n framing via the declared /Length (r13 review)") {
+    // stripFramingEol's \r\n branch would eat the real trailing 0x0D
+    // byte, making the data 15 mod 16 and silently dropping the page;
+    // the declared /Length is authoritative. IV searched so the
+    // ciphertext provably ends in 0x0D (deterministic scan).
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val key2 = objKeyAes(fk, 2)
+    val enc = (0 until 4096).iterator.map { t =>
+      val iv = le(t.toLong, 8) ++ le(t.toLong, 8)
+      aesEnc(key2, iv, deflate(content))
+    }.find(e => e.last == 0x0D.toByte)
+      .getOrElse(fail("no IV in 4096 yields a 0x0D-final ciphertext"))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        s"/StmF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    // pdf() frames with "\n" + "endstream" — the [0x0D, framing-\n] shape
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
   test("PDF literal-string parsing: escapes, octal, nesting, binary round trip") {
     def p(dict: String) = PdfDecrypt.strVal(dict, "X").map(_.toSeq)
     assert(p("""/X (abc)""") === Some("abc".getBytes.toSeq))
@@ -236,5 +319,11 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(p("/X <41 42>") === Some(Seq[Byte](0x41, 0x42)))
     assert(p("/X <414>") === Some(Seq[Byte](0x41, 0x40))) // odd pads with 0
     assert(p("/X (unclosed") === None)
+    // backslash-EOL is a LINE CONTINUATION contributing no bytes
+    // (§7.3.4.2, r13 review — a binary /O containing 0x5C 0x0A parsed
+    // one byte long and broke key derivation)
+    assert(p("/X (ab\\\ncd)") === Some("abcd".getBytes.toSeq))
+    assert(p("/X (ab\\\rcd)") === Some("abcd".getBytes.toSeq))
+    assert(p("/X (ab\\\r\ncd)") === Some("abcd".getBytes.toSeq))
   }
 }
