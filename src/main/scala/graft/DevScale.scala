@@ -278,8 +278,7 @@ object DevScale {
     // shuffle meter (VERDICT r12 item 6: the 100× ledger row records
     // wall + PEAK SHUFFLE BYTES — the cliff detector a wall time alone
     // can't be: a superlinear pair blow-up shows in the largest single
-    // exchange long before it shows in the median wall). Listener-bus
-    // events arrive on one thread, so plain mutable state is safe.
+    // exchange long before it shows in the median wall).
     object meter extends org.apache.spark.scheduler.SparkListener {
       private val byStage = scala.collection.mutable.Map[Int, Long]()
       // the listener-bus thread and the driver thread (reset/peak/total)

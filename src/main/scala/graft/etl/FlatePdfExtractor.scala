@@ -178,8 +178,11 @@ object FlatePdfExtractor extends PageExtractor {
 
   private val EncryptKeyRe: Regex = """/Encrypt\s*(?:\d+\s+\d+\s+R|<<)""".r
   private val EncryptRefRe: Regex = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
-  // direct form only: the lookahead rejects the indirect `/Length N 0 R`
-  private val LengthRe: Regex = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  // direct form only: the lookahead rejects the indirect `/Length N 0 R`;
+  // the quantifier is POSSESSIVE — a backtrackable \d+ would shrink the
+  // capture to a digit-prefix of N ('/Length 20 0 R' matching '2') and
+  // smuggle the indirect form past the lookahead (r13 review round 2)
+  private val LengthRe: Regex = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
 
   /** The decryption context for an encrypted document the EMPTY user
     * password opens (r13 — the owner-locked shape every viewer opens
@@ -196,21 +199,26 @@ object FlatePdfExtractor extends PageExtractor {
     // cheap gate first: virtually all corpus PDFs are unencrypted and
     // must not pay the trailer walk + per-dict regex probe (r13 review)
     if (!raw.contains("/Encrypt")) return None
-    val trailers = trailerDicts(raw)
-    val carriers = (trailers ++ slices.map(_._2))
-      .filter(d => EncryptRefRe.findFirstIn(d).isDefined)
-    // LAST occurrences win throughout: an incrementally-updated PDF
-    // appends its live trailer and rewritten objects at the end, and
-    // extract's objs map is last-wins — key derivation must read the
-    // same revision (r13 review)
-    carriers.lastOption.flatMap { carrier =>
-      EncryptRefRe.findFirstMatchIn(carrier).flatMap(_.group(1).toIntOption)
-        .flatMap { num =>
-          slices.filter(_._1 == num).lastOption.flatMap {
-            case (_, encDict, _) =>
-              PdfDecrypt.open(encDict, (carrier +: trailers).mkString(" "))
-          }
-        }
+    // LAST occurrences win throughout IN RAW BYTE ORDER: an
+    // incrementally-updated PDF appends its live trailer and rewritten
+    // objects at the end, and extract's objs map is last-wins — key
+    // derivation must read the same revision. The last /Encrypt REF in
+    // the raw text is the live one regardless of whether it sits in a
+    // classic trailer or an xref-stream dict (r13 review round 2: a
+    // carrier list built as trailers-then-slices let a stale rev-1
+    // xref dict beat a newer appended classic trailer).
+    val num = EncryptRefRe.findAllMatchIn(raw).toSeq.lastOption
+      .flatMap(_.group(1).toIntOption)
+    num.flatMap { n =>
+      slices.filter(_._1 == n).lastOption.flatMap { case (_, encDict, _) =>
+        // /ID's FIRST element — the one key derivation uses — is
+        // revision-INVARIANT by spec (§14.4: only the second element
+        // changes on update), so any carrier's /ID serves; trailers
+        // lead the search text, xref-ish dicts follow.
+        val idText = (trailerDicts(raw) ++
+          slices.map(_._2).filter(_.contains("/ID"))).mkString(" ")
+        PdfDecrypt.open(encDict, idText)
+      }
     }
   }
 
@@ -693,25 +701,43 @@ object FlatePdfExtractor extends PageExtractor {
 
     // ToUnicode CMaps: font object number → cid → unicode string
     def parseCMap(s: String): Map[Int, String] = {
+      // hexInt: attacker-controlled hex must SKIP its entry on overflow,
+      // never throw out of extract() to the whole-document Nil (r13
+      // review round 2 — the toIntOption class; Integer.parseInt on a
+      // <FFFFFFFF> CID aborted every page of the document)
+      def hexInt(h: String): Option[Int] =
+        if (h.isEmpty || h.length > 8) None
+        else java.lang.Long.parseLong(h, 16) match {
+          case v if v <= Int.MaxValue => Some(v.toInt)
+          case _ => None
+        }
       val out = scala.collection.mutable.Map[Int, String]()
       lazySegments(s, "beginbfchar", "endbfchar").foreach { seg =>
         HexPairRe.findAllMatchIn(seg).foreach { p =>
-          out(Integer.parseInt(p.group(1), 16)) = hexToUnicode(p.group(2))
+          hexInt(p.group(1)).foreach(cid => out(cid) = hexToUnicode(p.group(2)))
         }
       }
       lazySegments(s, "beginbfrange", "endbfrange").foreach { seg =>
         RangeTripleRe.findAllMatchIn(seg).foreach { t =>
-          val lo = Integer.parseInt(t.group(1), 16)
-          val hi = Integer.parseInt(t.group(2), 16)
-          val dst = Integer.parseInt(t.group(3), 16)
-          // CIDs in this extractor are 16-bit (emitHex reads 4 hex
-          // digits) — a wider range is meaningless at best and a
-          // memory/CPU bomb at worst (a crafted <0> <7FFFFFFF> range
-          // would materialize 2^31 map entries). Skip, don't clamp:
-          // a clamp would fabricate mappings the document never uses.
-          if (lo >= 0 && hi <= 0xFFFF) {
-            var c = lo
-            while (c <= hi) { out(c) = new String(Character.toChars(dst + (c - lo))); c += 1 }
+          (hexInt(t.group(1)), hexInt(t.group(2)), hexInt(t.group(3))) match {
+            case (Some(lo), Some(hi), Some(dst)) =>
+              // CIDs in this extractor are 16-bit (emitHex reads 4 hex
+              // digits) — a wider range is meaningless at best and a
+              // memory/CPU bomb at worst (a crafted <0> <7FFFFFFF> range
+              // would materialize 2^31 map entries). Skip, don't clamp:
+              // a clamp would fabricate mappings the document never uses.
+              // Per-entry code-point validity guards toChars (a dst near
+              // Int.MaxValue is not a throwable offense for other rows).
+              if (lo >= 0 && hi <= 0xFFFF) {
+                var c = lo
+                while (c <= hi) {
+                  val cp = dst + (c - lo)
+                  if (Character.isValidCodePoint(cp))
+                    out(c) = new String(Character.toChars(cp))
+                  c += 1
+                }
+              }
+            case _ => // overflowed member: skip this range only
           }
         }
       }

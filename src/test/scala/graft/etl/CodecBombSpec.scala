@@ -89,6 +89,45 @@ class CodecBombSpec extends AnyFunSuite {
     assert(pages.contains("still here"), pages)
   }
 
+  test("CMap hex bombs skip their entry only: <FFFFFFFF> CIDs and invalid-codepoint ranges (r13 review round 2)") {
+    // Integer.parseInt on an 8-digit CID threw NumberFormatException out
+    // of extract() to the Nil catch-all — one crafted mapping lost the
+    // whole document; now the bad ENTRY skips and the good rows map
+    val cmap = "begincmap beginbfchar " +
+      "<FFFFFFFF> <0041> " + // overflows Int: skip
+      "<0042> <1218> " + // good: CID 0x42 -> U+1218 (Ethiopic me)
+      "endbfchar beginbfrange " +
+      "<0000> <0001> <7FFFFFF0> " + // dst past valid code points: rows skip
+      "<0050> <0051> <0041> " + // good range
+      "endbfrange endcmap"
+    val raw = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Font << /F1 2 0 R >> >>\nendobj\n" +
+      "2 0 obj\n<< /ToUnicode 3 0 R >>\nendobj\n" +
+      streamObj(3, "/Filter /FlateDecode", deflateS(cmap)) +
+      streamObj(4, "/Filter /FlateDecode",
+        deflateS("BT /F1 12 Tf [ <00420050> ] TJ ET"))
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    val pages = FlatePdfExtractor.extractPages(bytes)
+    assert(pages === Seq("መA"), pages)
+  }
+
+  test("an indirect multi-digit /Length cannot backtrack into a direct length (r13 review round 2)") {
+    // '/Length 20 0 R' with a backtrackable \d+ matched the prefix '2'
+    // and truncated the stream to 2 bytes when the plausibility window
+    // allowed it; the possessive quantifier rejects the whole form and
+    // the endstream scan takes over
+    val body = deflateS("BT (full stream intact) Tj ET")
+    // N = (L-2)*10 + 1: the backtracked digit-prefix (L-2) sits inside
+    // the plausibility window and TRUNCATES the stream by 2 bytes
+    val n = (body.length - 2) * 10 + 1
+    val raw = "%PDF-1.4\n" +
+      s"2 0 obj\n<< /Length $n 0 R /Filter /FlateDecode >>\nstream\n" +
+      new String(body, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n" +
+      s"3 0 obj\n<< /Length ${body.length} >>\nendobj\n"
+    val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
+    assert(FlatePdfExtractor.extractPages(bytes) === Seq("full stream intact"))
+  }
+
   test("trailer CPU bomb: 200k close-less `trailer <<` markers diagnose in linear time") {
     val raw = "%PDF-1.4\n" + ("trailer << /X " * 200000)
     val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
