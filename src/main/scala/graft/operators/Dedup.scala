@@ -96,15 +96,21 @@ object Dedup {
     inter.join(side("i", "ni"), Seq("i")).join(side("j", "nj"), Seq("j"))
   }
 
-  /** Exact dedup by content hash, keeping the smallest id — the
-    * determinism-safe dropDuplicates (q28 semantics). Shuffles (hash, id)
-    * pairs only.
+  /** Exact dedup by content hash, keeping the smallest id's ROW — the
+    * determinism-safe dropDuplicates (q28 semantics). min_by over the
+    * unique id (total order — no tie to break) is deterministically the
+    * row_number()-window row, but map-side COMBINABLE (r13, the q97
+    * max_by lesson): co-located duplicates reduce to one candidate row
+    * per mapper before the hash exchange, and nothing is ever SORTED —
+    * the previous window form sorted the full corpus (text included) on
+    * its exchange just to keep rank 1.
     */
   def exactKeepMin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast(BinaryType))).orderBy(idCol)
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val cols = docs.columns
+    docs
+      .groupBy(md5(col(textCol).cast(BinaryType)).as("_h"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_r"))
+      .select(cols.map(c => col(s"_r.$c")).toIndexedSeq: _*)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming over the

@@ -135,16 +135,21 @@ object Llm {
 
     Q("q28_dedup_exact",
       """Q28 — exact dedup by content hash keeping the smallest doc_id.
-        |row_number over the hash partition is the determinism-safe form of
-        |dropDuplicates; at 100 TB the shuffle carries (hash, doc_id) only.""".stripMargin,
+        |min-per-hash-group is the determinism-safe form of dropDuplicates
+        |(ids unique — deterministically the row_number-window row), as a
+        |map-side-combinable AGGREGATE: at 100 TB only (hash, min-id)
+        |partials shuffle and nothing is sorted (r13; the window form
+        |sorted the pair stream on its exchange).""".stripMargin,
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(md5(col("text").cast(BinaryType))).orderBy("doc_id")
+      // min per hash group — deterministically the rn=1 window row (ids
+      // unique), but a map-side-combinable aggregate: only (hash, min id)
+      // partials shuffle and nothing sorts (r13, the q97 max_by lesson)
       Tables.documents(s, d)
-        .select(col("doc_id"), row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
+        .groupBy(md5(col("text").cast(BinaryType)).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
         .orderBy("doc_id")
     },

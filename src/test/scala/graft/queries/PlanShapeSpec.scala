@@ -52,11 +52,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q28 — dedup window partitions by the hash, no global sort before rn") {
+  test("q28 — dedup is a map-side-combinable min aggregate, no window sort (r13)") {
     val p = plan("q28_dedup_exact")
-    assert(p.contains("row_number"), p)
-    // the md5 key is projected to _w0 and the exchange hashes on it
-    assert(p.contains("hashpartitioning(_w0"), p)
+    // the r13 swap: NO window machinery — a partial/final HashAggregate
+    // pair over the md5 key, so only (hash, min-id) partials shuffle and
+    // nothing event-grain is sorted (the final orderBy is the declared
+    // output sort, not the dedup)
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    // the exchange hashes on the md5 grouping key (Catalyst rewrites the
+    // _h alias to _groupingexpression)
+    assert(p.contains("hashpartitioning(_groupingexpression") ||
+      p.contains("hashpartitioning(_h"), p)
   }
 
   test("catalog-wide audit — nested loops and global windows only where declared") {
