@@ -309,8 +309,11 @@ object DevScale {
         val df = fn(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
-        // listener bus is async (and private) — give tail events a beat
-        Thread.sleep(500)
+        // listener bus is async — drain it DETERMINISTICALLY before the
+        // read (r14 advice: a fixed 500 ms sleep silently under-reported
+        // tail TaskEnd events on a loaded host, corrupting the 100×
+        // ledger's peak-exchange cliff detector)
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000L)
         shuffle = (meter.peak, meter.total)
         rows = df.count()
         spark.catalog.clearCache()

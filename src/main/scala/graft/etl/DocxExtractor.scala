@@ -303,6 +303,8 @@ object DocxExtractor extends PageExtractor {
   private def zipU32(bytes: Array[Byte], p: Int): Long =
     (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
       ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+  private def zipU64(bytes: Array[Byte], p: Int): Long =
+    zipU32(bytes, p) | (zipU32(bytes, p + 4) << 32)
 
   /** Decompress the NAMED zip entries via the archive's CENTRAL
     * DIRECTORY (random access over the byte array), never a streaming
@@ -359,13 +361,32 @@ object DocxExtractor extends PageExtractor {
       val eMin = math.max(0, bytes.length - 22 - 65535)
       while (e >= eMin && !sigAt(e, 0x06054b50L)) e -= 1
       if (e < eMin) return Left("docx-truncated-or-corrupt")
-      val cdCount = zipU16(bytes, e + 10)
-      val cdOffset = zipU32(bytes, e + 16)
-      if (cdOffset > Int.MaxValue || cdOffset > bytes.length)
+      var cdCount: Long = zipU16(bytes, e + 10)
+      var cdOffset: Long = zipU32(bytes, e + 16)
+      // zip64: the 16-bit count and/or 32-bit offset at their sentinel
+      // (0xFFFF / 0xFFFFFFFF) mean the REAL values live in the zip64
+      // EOCD record, reached via the 20-byte locator directly preceding
+      // the EOCD (APPNOTE 4.3.15). Before r14 the walk-must-complete
+      // rule read the sentinel as "65535 records owed", exited at the
+      // real count with i < cdCount, and quarantined a valid zip64
+      // archive as corrupt (r14 advice).
+      if (cdCount == 0xFFFFL || cdOffset == 0xFFFFFFFFL) {
+        val loc = e - 20
+        if (!sigAt(loc, 0x07064b50L)) return Left("docx-truncated-or-corrupt")
+        val z64 = zipU64(bytes, loc + 8)
+        if (z64 < 0 || z64 > Int.MaxValue - 56 ||
+            !sigAt(z64.toInt, 0x06064b50L) || z64 + 56 > bytes.length)
+          return Left("docx-truncated-or-corrupt")
+        if (cdCount == 0xFFFFL) cdCount = zipU64(bytes, z64.toInt + 32)
+        if (cdOffset == 0xFFFFFFFFL) cdOffset = zipU64(bytes, z64.toInt + 48)
+        if (cdCount < 0 || cdCount > Int.MaxValue)
+          return Left("docx-truncated-or-corrupt")
+      }
+      if (cdOffset < 0 || cdOffset > Int.MaxValue || cdOffset > bytes.length)
         return Left("docx-truncated-or-corrupt")
       val out = Seq.newBuilder[CdEntry]
       var p = cdOffset.toInt
-      var i = 0
+      var i = 0L
       while (i < cdCount && sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
         val nameLen = zipU16(bytes, p + 28)
         val extraLen = zipU16(bytes, p + 30)

@@ -127,6 +127,22 @@ private[etl] object PdfDecrypt {
     -1
   }
 
+  /** The NAME value following the key `/name` (e.g. `/StmF /StdCF` →
+    * "StdCF"), or None when the key is absent or its value is not a
+    * name token.
+    */
+  private def nameVal(dict: String, name: String): Option[String] = {
+    var p = keyPos(dict, name)
+    if (p < 0) return None
+    while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+    if (p >= dict.length || dict.charAt(p) != '/') return None
+    var q = p + 1
+    while (q < dict.length &&
+           !(dict.charAt(q).isWhitespace ||
+             "/()<>[]{}%".indexOf(dict.charAt(q)) >= 0)) q += 1
+    if (q == p + 1) None else Some(dict.substring(p + 1, q))
+  }
+
   private def intVal(dict: String, name: String): Option[Int] = {
     var p = keyPos(dict, name)
     if (p < 0) return None
@@ -301,9 +317,33 @@ private[etl] object PdfDecrypt {
       }
       val o = strVal(encryptDict, "O").getOrElse(return None)
       val u = strVal(encryptDict, "U").getOrElse(return None)
+      // /StmF names the crypt filter applied to STREAMS (the only
+      // content class the extractor decrypts). Spec default when absent
+      // is /Identity (ISO 32000-1 §7.6.5, Table 20) — pdfminer does the
+      // same — so a strings-only/metadata-only encrypted document keeps
+      // its plaintext streams (r14 ADVICE: applying the V2/AESV2
+      // transform here garbled streams that were never encrypted).
+      val stmF: Option[String] =
+        if (v >= 4) Some(nameVal(encryptDict, "StmF").getOrElse("Identity"))
+        else None
+      // resolve the named filter's /CFM inside /CF (first occurrence
+      // after the filter's name token — writer dicts are tiny)
+      def resolvedCfm(filterName: String): Option[String] = {
+        if (filterName == "Identity") return Some("Identity")
+        val cfp = keyPos(encryptDict, "CF")
+        val scope = if (cfp >= 0) encryptDict.substring(cfp) else encryptDict
+        val fp = keyPos(scope, filterName)
+        if (fp < 0) None
+        else nameVal(scope.substring(fp), "CFM") match {
+          case Some("None") => Some("Identity")
+          case other => other
+        }
+      }
       if (v >= 5) {
         val ue = strVal(encryptDict, "UE").getOrElse(return None)
-        return fileKeyR6(u, ue, r).map(Ctx(_, r, "AESV3"))
+        val cfm5 = stmF.flatMap(resolvedCfm).getOrElse("AESV3")
+        if (cfm5 != "Identity" && cfm5 != "AESV3") return None
+        return fileKeyR6(u, ue, r).map(Ctx(_, r, cfm5))
       }
       // clamped to the spec's 40..128-bit range: an attacker-controlled
       // /Length 0 would otherwise make the RC4 key empty (mod-zero) and
@@ -312,17 +352,21 @@ private[etl] object PdfDecrypt {
       val keyLen = clamp(
         if (v <= 1) 5
         else if (v == 4) {
-          // /CF << /StdCF << … /Length n(BYTES) >> >> — the crypt-filter
-          // Length is in bytes (the top-level /Length stays bits)
-          val cf = keyPos(encryptDict, "StdCF")
+          // /CF << /<StmF-name> << … /Length n(BYTES) >> >> — the
+          // crypt-filter Length is in bytes (top-level /Length stays bits)
+          val cf = stmF.filter(_ != "Identity")
+            .map(keyPos(encryptDict, _)).getOrElse(-1)
           val inner = if (cf >= 0) encryptDict.substring(cf) else encryptDict
           intVal(inner, "Length").getOrElse(16)
         }
         else intVal(encryptDict, "Length").map(_ / 8).getOrElse(5))
       val cfm =
         if (v < 4) "V2"
-        else if (keyPos(encryptDict, "AESV2") >= 0) "AESV2"
-        else "V2"
+        else stmF.flatMap(resolvedCfm) match {
+          case Some(m @ ("Identity" | "AESV2" | "V2")) => m
+          case Some(_) => return None // unknown CFM: quarantine, don't garble
+          case None => return None    // /StmF names a filter /CF lacks
+        }
       val encryptMetadata = {
         val mp = keyPos(encryptDict, "EncryptMetadata")
         mp < 0 || !encryptDict.regionMatches(
@@ -344,6 +388,8 @@ private[etl] object PdfDecrypt {
                                  data: Array[Byte]): Option[Array[Byte]] = {
     try {
       ctx.cfm match {
+        case "Identity" => // /StmF /Identity (or /CFM /None): streams
+          Some(data)       // were never encrypted — pass through
         case "AESV3" =>
           if (data.length < 32 || data.length % 16 != 0) None
           else Some(stripPad(aesCbc(Cipher.DECRYPT_MODE, ctx.key,

@@ -394,6 +394,50 @@ class DocxExtractorSpec extends AnyFunSuite {
       DocxExtractor.diagnose(corrupted))
   }
 
+  test("zip64 EOCD sentinels (count 0xFFFF, offset 0xFFFFFFFF) resolve via the zip64 record, not corrupt (r14 advice)") {
+    // r13's walk-must-complete rule read the 16-bit sentinel as "65535
+    // records owed" and quarantined a valid zip64 archive. Build a
+    // normal archive, then rewrite its tail into the zip64 shape:
+    // [cd][zip64 EOCD][zip64 locator][EOCD with sentinel fields].
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    entry("[Content_Types].xml", "<Types/>")
+    entry("word/document.xml",
+      """<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>zip64 ok</w:t></w:r></w:p></w:body></w:document>""")
+    z.close()
+    val bytes = bos.toByteArray
+    def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int) = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+      ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    val e = (bytes.length - 22 to 0 by -1)
+      .find(p => u32(p) == 0x06054b50L).get
+    val count = u16(e + 10); val cdSize = u32(e + 12); val cdOff = u32(e + 16)
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    out.write(bytes, 0, e) // everything through the central directory
+    val z64Pos = e
+    le(0x06064b50L, 4); le(44, 8)           // zip64 EOCD sig + record size
+    le(45, 2); le(45, 2); le(0, 4); le(0, 4) // versions, disk numbers
+    le(count.toLong, 8); le(count.toLong, 8) // entries (disk, total)
+    le(cdSize, 8); le(cdOff, 8)
+    le(0x07064b50L, 4); le(0, 4); le(z64Pos.toLong, 8); le(1, 4) // locator
+    le(0x06054b50L, 4); le(0, 2); le(0, 2)   // EOCD sig, disks
+    le(0xFFFFL, 2); le(0xFFFFL, 2)           // sentinel counts
+    le(0xFFFFFFFFL, 4); le(0xFFFFFFFFL, 4)   // sentinel cd size + offset
+    le(0, 2)                                 // comment length
+    val zip64 = out.toByteArray
+    assert(DocxExtractor.extractPages(zip64) === Seq("zip64 ok"))
+    // and a sentinel WITHOUT the zip64 structures stays corrupt
+    val noLocator = bytes.clone()
+    noLocator(e + 10) = 0xff.toByte; noLocator(e + 11) = 0xff.toByte
+    assert(DocxExtractor.diagnose(noLocator) === "docx-truncated-or-corrupt")
+  }
+
   test("central-directory reads match a ZipInputStream walk on random archives (ScalaCheck)") {
     // the hand-rolled zip parser (entriesXml) vs the JDK streaming walk
     // as ground truth, on TRUSTED random archives (the parser exists

@@ -149,6 +149,54 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
   }
 
+  test("R4 /StmF /Identity (strings-only encryption): streams stay plaintext and extract") {
+    // r14 ADVICE: a V4 document whose stream filter is Identity has
+    // PLAINTEXT streams even though /Encrypt is present and checkU
+    // passes — applying the V2/AESV2 transform garbled them.
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val doc = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        s"/StmF /Identity /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>",
+      deflate(content)) // NOT encrypted
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("R4 /CFM /None on the stream filter: pass-through; absent /StmF defaults to Identity") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val none = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /NoCF << /CFM /None >> >> " +
+        s"/StmF /NoCF /O <${hex(o)}> /U <${hex(u)}> >>",
+      deflate(content))
+    assert(FlatePdfExtractor.extractPages(none) === Seq(text))
+    // ISO 32000-1 Table 20: /StmF default value is /Identity
+    val absent = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        s"/StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>",
+      deflate(content))
+    assert(FlatePdfExtractor.extractPages(absent) === Seq(text))
+  }
+
+  test("R4 unknown /CFM quarantines (open returns None) instead of garbling") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val enc =
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /StdCF << /CFM /FutureV9 >> >> " +
+        s"/StmF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>"
+    assert(PdfDecrypt.open(enc, s"/ID [ <${hex(id0)}> <${hex(id0)}> ]").isEmpty)
+  }
+
   test("R6 AESV3 (AES-256), empty user password: decrypts and extracts") {
     // U layout: hash(32) ++ validationSalt(8) ++ keySalt(8); UE wraps
     // the random file key under the key-salt hash. The 2.B hash is the
