@@ -263,6 +263,26 @@ object FlatePdfExtractor extends PageExtractor {
     } catch { case _: Exception => "empty-text" }
   }
 
+  /** The raster-loss visibility count (VERDICT r13 item 4): how many
+    * stream objects extraction SKIPPED per unsupported filter name —
+    * DCTDecode/JBIG2Decode/CCITTFaxDecode scans (the no-OCR exclusion),
+    * Crypt, JPX. Unlike [[diagnose]] (quarantine-only) this runs on
+    * GOOD-channel documents too, because a half-scanned volume yields
+    * its text pages and passes the S11 gate — the loss is silent without
+    * this count. Same structure-only re-parse cost as diagnose (object
+    * headers + dict slices, zero stream decoding); a stream declaring
+    * several unsupported filters counts once per name.
+    */
+  override def skippedStreams(bytes: Array[Byte]): Map[String, Int] = {
+    try {
+      if (!PageExtractor.looksLikePdf(bytes)) return Map.empty
+      val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+      objSlices(raw).filter(_._3 >= 0).map(_._2)
+        .flatMap(d => filterNames(d).filterNot(SupportedFilters).distinct)
+        .groupBy(identity).view.mapValues(_.size).toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** The EOL between stream data and `endstream` is FRAMING, not data
     * (ISO 32000 §7.3.8.1) — strip exactly one marker, at extraction time
     * only. Decoders must NOT strip EOLs themselves: chained stages see

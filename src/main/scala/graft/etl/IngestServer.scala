@@ -30,6 +30,16 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
                          metricsDir: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  // Raster-loss visibility counters (VERDICT r13 item 4), cumulative
+  // over the server lifetime: the hub metric is a RUNNING total, so a
+  // corpus owner sees the aggregate text loss the no-OCR exclusion is
+  // costing across uploads — not just the last document's count.
+  private val rasterSkippedTotal =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rasterSkippedByFilter =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
   // the reference's root + /hub static dashboard (main.py:5-11: a
   // StaticFiles mount over hub/ and a root status line) — served from
   // embedded bytes, with the DATA half (hub/status.json) rendered live
@@ -113,11 +123,51 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     }
     val defaultExt = if (isDocx) "docx" else "pdf"
     val url = params.getOrElse("pdf_url", s"$volume.$defaultExt")
+    val codec: PageExtractor = if (isDocx) DocxExtractor else extractor
+
+    // Raster-loss visibility (VERDICT r13 item 4): count the streams the
+    // codec will SKIP for unsupported filters — on every upload, because
+    // a half-scanned volume extracts its text pages and never reaches
+    // quarantine, so the loss is otherwise invisible. Cumulative totals
+    // land on the metrics feed (→ /hub/status.json) plus a WARN status
+    // row naming the document; both BEST-EFFORT (the r12 review rule:
+    // an unhealthy observability store must not fail the ingest).
+    val skipped = codec.skippedStreams(bytes)
+    if (skipped.nonEmpty) {
+      val total = rasterSkippedTotal.addAndGet(skipped.values.sum.toLong)
+      val perFilter = skipped.map { case (f, n) =>
+        s"pages_skipped_raster:$f" -> rasterSkippedByFilter
+          .computeIfAbsent(f,
+            _ => new java.util.concurrent.atomic.AtomicLong(0L))
+          .addAndGet(n.toLong)
+      }
+      metricsDir.foreach { d =>
+        // zero-padded epoch-ms run_id: MetricsExport.latest picks
+        // max_by(run_id) lexicographically, so the newest total wins
+        try MetricsExport.appendRun(spark, d,
+          runId = f"${System.currentTimeMillis()}%013d",
+          metrics = perFilter.toMap + ("pages_skipped_raster" -> total))
+        catch { case e: Exception =>
+          System.err.println(s"[ingest] metrics append failed: ${e.getMessage}")
+        }
+      }
+      statusDir.foreach { d =>
+        try {
+          import spark.implicits._
+          StatusLog.append(spark, d,
+            Seq((new java.sql.Timestamp(System.currentTimeMillis()),
+              "WARN", s"$url: ${skipped.values.sum} stream(s) skipped " +
+                skipped.keys.toSeq.sorted.mkString("(", "+", ") — raster/unsupported, no OCR")))
+              .toDF("ts", "level", "message"))
+        } catch { case e: Exception =>
+          System.err.println(s"[ingest] status-log append failed: ${e.getMessage}")
+        }
+      }
+    }
 
     import spark.implicits._
     val binaries = Seq((url, bytes)).toDF("url", "content")
-    val out = Pipeline.process(binaries,
-      if (isDocx) DocxExtractor else extractor,
+    val out = Pipeline.process(binaries, codec,
       ingestDate = java.time.LocalDate.now.toString,
       keepEmptyPages = true, // mcp_server.py:27-28 keeps empties
       category = org.apache.spark.sql.functions.lit(category))

@@ -55,6 +55,25 @@ object Pipeline {
   /** Result channels of the per-document stage (S16 quarantine pattern). */
   final case class Processed(docs: DataFrame, quarantine: DataFrame)
 
+  /** Raster-loss visibility (VERDICT r13 item 4): per-(url, filter)
+    * counts of stream objects the codec skipped for unsupported filters
+    * — the text a no-OCR corpus silently loses to scanned pages. Runs on
+    * ALL binaries (good-channel documents included: a half-scanned
+    * volume extracts its text pages and never reaches quarantine, which
+    * is exactly why the loss needs its own channel). Lazy frame, same
+    * narrow-scan shape as the S9 projection — callers aggregate it into
+    * the metrics feed ([[MetricsExport]]) / hub status; at 100 TB only
+    * (url, filter, count) rows ever leave the scan.
+    */
+  def rasterLoss(binaries: DataFrame, extractor: PageExtractor): DataFrame = {
+    val skipUdf = udf((bytes: Array[Byte]) =>
+      if (bytes == null) Map.empty[String, Int]
+      else try extractor.skippedStreams(bytes)
+      catch { case _: Exception => Map.empty[String, Int] })
+    binaries.select(col("url"),
+      explode(skipUdf(col("content"))).as(Seq("filter", "n_streams")))
+  }
+
   /** S9–S14 over staged binaries: (url, content: BINARY) → document records
     * + quarantine channel. `extractor` runs inside a deserializing map — the
     * page *dataflow* (explode → order-preserving reassembly) is plain Spark.

@@ -48,12 +48,12 @@ class BenchSpec extends AnyFunSuite {
       "q31" -> 9.0, "q55" -> 1.4)
     val got = Bench.reprobeCandidates(measured, cold, unhealed = Set("q31"))
     assert(got === Seq("q10", "q25", "q26b", "q31"), got)
-    // the cap binds the agree-slow EXTRAS only (worst warm/cold ratios
-    // win), never the unhealed set
-    val capped = Bench.reprobeCandidates(measured, cold,
+    // past the threshold the episode is catalog-wide and EVERY triggered
+    // query re-probes — r13 truncated to the worst ratios here, shipping
+    // the rest unhealed (VERDICT r13 #5)
+    val escalated = Bench.reprobeCandidates(measured, cold,
       unhealed = Set("q31"), maxExtra = 1)
-    // q25 is 46x cold, q26b 47x, q10 40x -> q26b has the worst ratio
-    assert(capped === Seq("q26b", "q31"), capped)
+    assert(escalated === Seq("q10", "q25", "q26b", "q31"), escalated)
     // failures (-1 medians) are never candidates, even if listed unhealed
     val withFail = Bench.reprobeCandidates(Seq("q01" -> -1.0), Map.empty,
       unhealed = Set("q01"))
@@ -66,6 +66,23 @@ class BenchSpec extends AnyFunSuite {
     val quiet = Bench.reprobeCandidates(
       Seq("q10" -> 0.30, "q25" -> 0.24), cold, unhealed = Set.empty)
     assert(quiet === Nil)
+  }
+
+  test("a >16-query agree-slow storm re-probes every triggered query — no unhealed outlier ships (VERDICT r13 #5)") {
+    // synthetic catalog-wide episode: 20 queries all warm≈10x their cold
+    // single-shot. The r13 cap kept the 16 worst ratios and shipped the
+    // other 4 at their inflated readings; the escalation rule returns
+    // all 20 so the under-half adoption gate sees every one.
+    val names = (1 to 20).map(i => f"q$i%03d_storm")
+    val cold = names.map(_ -> 0.4).toMap
+    val measured = names.zipWithIndex.map { case (n, i) =>
+      n -> (3.0 + i * 0.1) } // all > 0.3 floor and > 2x cold
+    val got = Bench.reprobeCandidates(measured, cold, unhealed = Set.empty)
+    assert(got === names, got)
+    // at or below the threshold, the few-outliers behavior is unchanged
+    val few = measured.take(3)
+    assert(Bench.reprobeCandidates(few, cold, unhealed = Set.empty) ===
+      names.take(3))
   }
 
   test("the r12 agree-slow outliers heal end-to-end through the rule chain") {

@@ -128,6 +128,29 @@ class CodecBombSpec extends AnyFunSuite {
     assert(FlatePdfExtractor.extractPages(bytes) === Seq("full stream intact"))
   }
 
+  test("/Crypt stream filter: skipped per-stream, diagnosed unsupported-filter:Crypt (VERDICT r13 #6)") {
+    // the last declared-out PDF shape: a stream whose filter chain names
+    // /Crypt (per-stream crypt-filter selection, ISO 32000 §7.4.10).
+    // decodeStream must skip it (never mis-decode), text in OTHER
+    // streams must survive, and an all-Crypt document must reason-code
+    // as unsupported-filter:Crypt — not fall through to empty-text.
+    val good = streamObj(2, "/Filter /FlateDecode",
+      deflateS("BT (visible text) Tj ET"))
+    val crypt = streamObj(3,
+      "/Filter [ /Crypt ] /DecodeParms [ << /Name /Identity >> ]",
+      "opaque-bytes-the-decoder-must-not-touch".getBytes(StandardCharsets.ISO_8859_1))
+    assert(FlatePdfExtractor.extractPages(pdf(good, crypt)) ===
+      Seq("visible text"))
+    val onlyCrypt = pdf(crypt)
+    assert(FlatePdfExtractor.extractPages(onlyCrypt) === Nil)
+    assert(FlatePdfExtractor.diagnose(onlyCrypt) === "unsupported-filter:Crypt",
+      FlatePdfExtractor.diagnose(onlyCrypt))
+    // mixed-raster determinism: Crypt sorts into the +-joined list
+    val dct = streamObj(4, "/Filter /DCTDecode", Array[Byte](1, 2, 3))
+    assert(FlatePdfExtractor.diagnose(pdf(crypt, dct)) ===
+      "unsupported-filter:Crypt+DCTDecode")
+  }
+
   test("trailer CPU bomb: 200k close-less `trailer <<` markers diagnose in linear time") {
     val raw = "%PDF-1.4\n" + ("trailer << /X " * 200000)
     val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)

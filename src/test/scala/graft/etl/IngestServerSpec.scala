@@ -175,6 +175,59 @@ class IngestServerSpec extends SparkSpec {
     } finally broken.stop()
   }
 
+  test("raster-skip counts of a GOOD-channel upload reach the hub feed (VERDICT r13 #4)") {
+    // a half-scanned volume ingests fine (text pages only) — the loss
+    // must still show: cumulative pages_skipped_raster on the metrics
+    // feed (→ /hub/status.json) plus a WARN status row naming the doc.
+    val statusDir = java.nio.file.Files
+      .createTempDirectory("graft_raster_status").toString
+    val metricsDir = java.nio.file.Files
+      .createTempDirectory("graft_raster_metrics").toString + "/feed"
+    def streamObj(num: Int, dict: String, data: Array[Byte]): String =
+      s"$num 0 obj\n<< /Length ${data.length} $dict >>\nstream\n" +
+        new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput("BT (typed page) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+      d.finish()
+      val buf = new Array[Byte](4096); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val halfScanned = ("%PDF-1.4\n" +
+      streamObj(1, "/Filter /FlateDecode", defl) +
+      streamObj(2, "/Filter /DCTDecode", Array[Byte](0xFF.toByte, 0xD8.toByte)) +
+      streamObj(3, "/Filter /DCTDecode", Array[Byte](0xFF.toByte, 0xD8.toByte)) +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val server = new IngestServer(spark, FlatePdfExtractor,
+      statusDir = Some(statusDir), metricsDir = Some(metricsDir))
+    val port = server.start()
+    try {
+      val resp = post(port, "/ingest?volume=Half%20Scanned", halfScanned,
+        "application/pdf")
+      assert(!resp.contains("\"error\""), resp) // good channel
+      assert(resp.contains("typed page"), resp)
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/hub/status.json")).GET().build()
+      val sb = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        .body()
+      assert(sb.contains("\"pages_skipped_raster\"") &&
+        sb.contains("\"pages_skipped_raster:DCTDecode\""), sb)
+      assert(sb.contains("2 stream(s) skipped (DCTDecode)"), sb)
+      // a second lossy upload accumulates — the hub metric is a TOTAL
+      post(port, "/ingest?volume=Half%20Scanned%202", halfScanned,
+        "application/pdf")
+      val sb2 = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        .body()
+      val total = MetricsExport.latest(spark, metricsDir)
+        .filter(org.apache.spark.sql.functions.col("metric") ===
+          "pages_skipped_raster")
+        .head().getAs[Long]("value")
+      assert(total === 4L, sb2)
+    } finally server.stop()
+  }
+
   test("GET /openapi.json serves the machine-readable contract; schema matches the live record") {
     val server = new IngestServer(spark, FormFeedExtractor)
     val port = server.start()

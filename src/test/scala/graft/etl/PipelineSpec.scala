@@ -192,6 +192,55 @@ class PipelineSpec extends SparkSpec {
       docs(0).getAs[String]("content") === "salvaged text")
   }
 
+  test("raster-loss visibility: mixed text/raster docs report skipped streams while flowing the GOOD channel (VERDICT r13 #4)") {
+    // the S9 hole this metric closes: a half-scanned volume extracts its
+    // text pages, passes the S11 gate, and never reaches quarantine — so
+    // without this count the OCR-exclusion loss is invisible to ops.
+    def pdf(objs: String*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      w("%PDF-1.4\n"); objs.foreach(w); w("%%EOF\n")
+      out.toByteArray
+    }
+    def streamObj(num: Int, dict: String, data: Array[Byte]): String =
+      s"$num 0 obj\n<< /Length ${data.length} $dict >>\nstream\n" +
+        new String(data, StandardCharsets.ISO_8859_1) + "\nendstream\nendobj\n"
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+      val buf = new Array[Byte](4096); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val scan = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      "scan".getBytes(StandardCharsets.ISO_8859_1)
+    val halfScanned = pdf(
+      streamObj(1, "/Filter /FlateDecode", deflate("BT (typed half) Tj ET")),
+      streamObj(2, "/Filter /DCTDecode", scan),
+      streamObj(3, "/Filter /DCTDecode", scan))
+    val allText = pdf(
+      streamObj(1, "/Filter /FlateDecode", deflate("BT (all typed) Tj ET")))
+    // codec-level counts: per unsupported filter, good docs included
+    assert(FlatePdfExtractor.skippedStreams(halfScanned) ===
+      Map("DCTDecode" -> 2))
+    assert(FlatePdfExtractor.skippedStreams(allText) === Map.empty)
+    assert(FlatePdfExtractor.skippedStreams("junk".getBytes) === Map.empty)
+    // pipeline channel: (url, filter, n_streams) rows for lossy docs only
+    val bins = Seq(
+      ("https://x/half%20scanned.pdf", halfScanned),
+      ("https://x/typed.pdf", allText)).toDF("url", "content")
+    val loss = Pipeline.rasterLoss(bins, FlatePdfExtractor).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("filter"),
+        r.getAs[Int]("n_streams"))).toSeq
+    assert(loss === Seq(("https://x/half%20scanned.pdf", "DCTDecode", 2)),
+      loss)
+    // and BOTH docs still flow the good channel — the loss channel is
+    // additive, never a new failure mode
+    val out = Pipeline.process(bins, FlatePdfExtractor, "2026-08-16")
+    assert(out.quarantine.count() === 0)
+    assert(out.docs.collect().map(_.getAs[String]("content")).sorted.toSeq ===
+      Seq("all typed", "typed half"))
+  }
+
   test("empty-user-password encrypted PDF flows the GOOD channel end-to-end (r13)") {
     // the owner-locked shape every viewer opens silently: through the
     // full pipeline it must land as a DOCUMENT, not in quarantine —

@@ -67,6 +67,43 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("hashpartitioning(_h"), p)
   }
 
+  test("de-sorted family — q28/q97/exactKeepMin: no Sort or Window over scan-grain data (VERDICT r13 #7)") {
+    // the r13 plan swaps replaced corpus-wide window sorts with
+    // map-side-combinable min/min_by/max_by aggregates. This pin makes
+    // the shape a contract: in each plan, EVERY Sort and Window node
+    // must sit above a reducing Aggregate — a refactor that
+    // reintroduces a row_number()/sort over the raw event or document
+    // stream puts a Sort/Window directly over the scan and fails here.
+    // (q97's forward-fill window over the (user, day) calendar grid and
+    // q28's declared output orderBy both ride above their aggregates,
+    // so they pass structurally, not by allowlist.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, Window => LWindow}
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val opt = df.queryExecution.optimizedPlan
+      def reduced(p: LogicalPlan): Boolean =
+        p.collectFirst { case a: Aggregate => a }.nonEmpty
+      val rawSorts = opt.collect {
+        case s: Sort if !reduced(s.child) => s }
+      val rawWindows = opt.collect {
+        case w: LWindow if !reduced(w.child) => w }
+      assert(rawSorts.isEmpty,
+        s"$name sorts scan-grain data:\n${rawSorts.map(_.simpleString(60))}")
+      assert(rawWindows.isEmpty,
+        s"$name windows scan-grain data:\n${rawWindows.map(_.simpleString(60))}")
+    }
+    audit("q28_dedup_exact", Catalog.byName("q28_dedup_exact").build(spark, sf0001))
+    audit("q97_pit_features", Catalog.byName("q97_pit_features").build(spark, sf0001))
+    val dedup = graft.operators.Dedup.exactKeepMin(
+      Tables.documents(spark, sf0001), "doc_id", "text")
+    audit("Dedup.exactKeepMin", dedup)
+    // and the aggregates stay map-side combinable (partial pass present)
+    val p28 = plan("q28_dedup_exact")
+    assert(p28.contains("partial_min"), p28)
+    val pk = dedup.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pk.contains("min_by") && !pk.contains("Window"), pk)
+  }
+
   test("catalog-wide audit — nested loops and global windows only where declared") {
     // q22b is the single declared GENUINE cross join (guarded, 5×5×5
     // bounded). Any OTHER nested-loop/cartesian physical node must be a
