@@ -65,28 +65,58 @@ object DevQ45 {
         .orderBy("doc_id", "rnk")
     }
 
+    // r14 candidate (VERDICT r13 #1): the aggJoin economics WITHOUT the
+    // second tokenCounts scan — persist the (doc, token, tf) frame, so
+    // the df aggregate and the join probe read one materialization; the
+    // tf stream still shuffles by token hash exactly once (unsorted),
+    // plus the reduced-df exchange.
+    def aggJoinPersistForm = {
+      val tf = docs.select(col("doc_id"),
+          explode(NativeExprs.tokenCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.token").as("token"),
+                col("tc.tf").cast(LongType).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val sc = tf
+        .join(df.hint("shuffle_hash"), Seq("token"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
+      graft.operators.TopK.perGroup(sc, Seq("doc_id"), "score", "token", 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }
+
     val ref = declared.collect().map(_.toString).sorted
     val got = windowForm.collect().map(_.toString).sorted
     println(s"[q45] parity window vs declared: ${if (got.sameElements(ref)) "OK" else "MISMATCH"}")
     val got2 = aggJoinForm.collect().map(_.toString).sorted
     println(s"[q45] parity aggjoin vs declared: ${if (got2.sameElements(ref)) "OK" else "MISMATCH"}")
+    val got3 = aggJoinPersistForm.collect().map(_.toString).sorted
+    spark.catalog.clearCache()
+    println(s"[q45] parity aggjoin+persist vs declared: ${if (got3.sameElements(ref)) "OK" else "MISMATCH"}")
 
     def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-      val ts = (1 to 5).map { _ =>
+      val raw = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         s
-      }.sorted
-      println(f"[q45] $tag%-18s median=${ts(2)}%6.3f min=${ts.head}%6.3f max=${ts.last}%6.3f")
+      }
+      val ts = raw.sorted
+      println(f"[q45] $tag%-18s median=${ts(2)}%6.3f reps=" +
+        raw.map(t => f"$t%.3f").mkString(" "))
     }
     time("declared")(declared)
     time("window")(windowForm)
     time("aggjoin")(aggJoinForm)
+    time("aggjoin+persist")(aggJoinPersistForm)
     time("declared")(declared)
     time("window")(windowForm)
     time("aggjoin")(aggJoinForm)
+    time("aggjoin+persist")(aggJoinPersistForm)
     spark.stop()
   }
 }

@@ -1425,6 +1425,56 @@ case class BestAnchor(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "best_anchor"
 
+  // Decoded-codebook cache (r14, DevQ61 dissection): the anchors argument
+  // is a constant per query (broadcast 1-row subquery or literal), but
+  // the per-row loop re-read it ELEMENT-WISE through ArrayData getters —
+  // an isNullAt+getFloat virtual-dispatch pair per element per row,
+  // ~2·K·d indirections that dominated q61's wall (scoring_only ≈ full
+  // query in the decomposition). Decode ONCE per distinct backing buffer
+  // into primitive arrays; rows then run a pure float[]-dot inner loop
+  // the JIT auto-vectorizes. Keyed on the Unsafe buffer (object, offset)
+  // — UnsafeRow.getArray allocates a fresh WRAPPER per call, so wrapper
+  // identity never recurs but the broadcast row's backing bytes do; a
+  // key miss just re-decodes, so correctness never depends on the cache.
+  // Expressions are deserialized per task (no cross-thread sharing), so
+  // the mutable fields need no synchronization — the established
+  // stateful-expression pattern.
+  @transient private var cachedBase: AnyRef = _
+  @transient private var cachedOffset: Long = -1L
+  @transient private var cachedLen: Int = -1
+  @transient private var cachedIds: Array[Long] = _
+  @transient private var cachedVecs: Array[Array[Float]] = _ // null = skip
+  @transient private var cachedNorms: Array[Double] = _
+
+  private def decodeAnchors(arr: ArrayData): Unit = {
+    val m = arr.numElements()
+    val ids = new Array[Long](m)
+    val vecs = new Array[Array[Float]](m)
+    val norms = new Array[Double](m)
+    var k = 0
+    while (k < m) {
+      if (!arr.isNullAt(k)) {
+        val a = arr.getStruct(k, 3)
+        if (!a.isNullAt(0) && !a.isNullAt(1) && !a.isNullAt(2)) {
+          val av = a.getArray(1)
+          val d = av.numElements()
+          var ok = true
+          val vec = new Array[Float](d)
+          var j = 0
+          while (j < d) {
+            if (av.isNullAt(j)) { ok = false; j = d }
+            else { vec(j) = av.getFloat(j); j += 1 }
+          }
+          if (ok) {
+            ids(k) = a.getLong(0); vecs(k) = vec; norms(k) = a.getDouble(2)
+          }
+        }
+      }
+      k += 1
+    }
+    cachedIds = ids; cachedVecs = vecs; cachedNorms = norms
+  }
+
   override def eval(input: InternalRow): Any = {
     val e = left.eval(input)
     if (e == null) return null
@@ -1433,40 +1483,46 @@ case class BestAnchor(left: Expression, right: Expression)
     val v = e.asInstanceOf[ArrayData]
     val arr = as.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // copy the query vector to primitives once: it is read 1 + K times
+    val q = new Array[Float](n)
     var i = 0
     var ss = 0.0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val x = v.getFloat(i).toDouble
-      ss += x * x
+      val x = v.getFloat(i)
+      q(i) = x
+      ss += x.toDouble * x.toDouble
       i += 1
     }
     val en = math.sqrt(ss)
+    val (base, off, len) = arr match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes)
+      case other => (other.asInstanceOf[AnyRef], 0L, -1)
+    }
+    if (!(base eq cachedBase) || off != cachedOffset || len != cachedLen) {
+      decodeAnchors(arr)
+      cachedBase = base; cachedOffset = off; cachedLen = len
+    }
     var found = false
     var bestScore = 0.0
     var bestId = 0L
-    val m = arr.numElements()
+    val m = cachedVecs.length
     var k = 0
     while (k < m) {
-      if (!arr.isNullAt(k)) {
-        val a = arr.getStruct(k, 3)
-        val av = a.getArray(1)
-        if (av.numElements() == n && !a.isNullAt(0) && !a.isNullAt(2)) {
-          var d = 0.0
-          var ok = true
-          var j = 0
-          while (j < n) {
-            if (av.isNullAt(j)) { ok = false; j = n }
-            else { d += v.getFloat(j).toDouble * av.getFloat(j).toDouble; j += 1 }
-          }
-          if (ok) {
-            val score = d / (en * a.getDouble(2))
-            val id = a.getLong(0)
-            val c = if (found) java.lang.Double.compare(score, bestScore) else 1
-            if (c > 0 || (c == 0 && id < bestId)) {
-              found = true; bestScore = score; bestId = id
-            }
-          }
+      val av = cachedVecs(k)
+      if (av != null && av.length == n) {
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          d += q(j).toDouble * av(j).toDouble
+          j += 1
+        }
+        val score = d / (en * cachedNorms(k))
+        val id = cachedIds(k)
+        val c = if (found) java.lang.Double.compare(score, bestScore) else 1
+        if (c > 0 || (c == 0 && id < bestId)) {
+          found = true; bestScore = score; bestId = id
         }
       }
       k += 1
@@ -1481,6 +1537,72 @@ case class BestAnchor(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Decoded-codebook cache for the integer-L2 kernel family (r14 — the
+  * [[BestAnchor]] pattern applied to struct(cid, cv) centroid arrays):
+  * the centroids argument is constant per query, but reading it through
+  * ArrayData getters costs an isNullAt+getLong dispatch pair per element
+  * per row. Decode once per distinct backing buffer into primitive
+  * arrays (`centVecs(k) = null` marks a skipped candidate: null struct,
+  * null cid/cv, or a null element — it can never win); a key miss just
+  * re-decodes, so correctness never depends on the cache. Expressions
+  * are deserialized per task — no cross-thread sharing, no locks.
+  */
+trait CachedCentroidCodebook {
+  @transient private var cBase: AnyRef = _
+  @transient private var cOff: Long = -1L
+  @transient private var cLen: Int = -1
+  @transient protected var centIds: Array[Int] = _
+  @transient protected var centVecs: Array[Array[Long]] = _
+
+  protected def ensureCentroids(arr: ArrayData): Unit = {
+    val (base, off, len) = arr match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes)
+      case other => (other.asInstanceOf[AnyRef], 0L, -1)
+    }
+    if ((base eq cBase) && off == cOff && len == cLen) return
+    val m = arr.numElements()
+    val ids = new Array[Int](m)
+    val vecs = new Array[Array[Long]](m)
+    var k = 0
+    while (k < m) {
+      if (!arr.isNullAt(k)) {
+        val c = arr.getStruct(k, 2)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val cv = c.getArray(1)
+          val d = cv.numElements()
+          val vec = new Array[Long](d)
+          var ok = true
+          var j = 0
+          while (j < d) {
+            if (cv.isNullAt(j)) { ok = false; j = d }
+            else { vec(j) = cv.getLong(j); j += 1 }
+          }
+          if (ok) { ids(k) = c.getInt(0); vecs(k) = vec }
+        }
+      }
+      k += 1
+    }
+    centIds = ids; centVecs = vecs
+    cBase = base; cOff = off; cLen = len
+  }
+
+  /** The query vector as primitives (read K times in the loops), or null
+    * when any element is null (the family's poison rule).
+    */
+  protected def primVec(v: ArrayData): Array[Long] = {
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      q(i) = v.getLong(i)
+      i += 1
+    }
+    q
+  }
+}
+
 /** See [[NativeExprs.nearestCentroidL2]]. Argmin by (d ASC, cid ASC) over
   * exact integer squared-L2 — no float enters, so the result is
   * bit-deterministic across engines/partitionings by construction. A
@@ -1488,7 +1610,8 @@ case class BestAnchor(left: Expression, right: Expression)
   * win); null input vector or element → null result.
   */
 case class NearestCentroidL2(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback
+    with CachedCentroidCodebook {
   override def inputTypes: Seq[AbstractDataType] = Seq(
     ArrayType(LongType),
     ArrayType(StructType(Seq(
@@ -1505,43 +1628,28 @@ case class NearestCentroidL2(left: Expression, right: Expression)
     if (e == null) return null
     val cs = right.eval(input)
     if (cs == null) return null
-    val v = e.asInstanceOf[ArrayData]
-    val arr = cs.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var i = 0
-    while (i < n) {
-      if (v.isNullAt(i)) return null
-      i += 1
-    }
+    val q = primVec(e.asInstanceOf[ArrayData])
+    if (q == null) return null
+    val n = q.length
+    ensureCentroids(cs.asInstanceOf[ArrayData])
     var found = false
     var bestD = 0L
     var bestId = 0
-    val m = arr.numElements()
+    val m = centVecs.length
     var k = 0
     while (k < m) {
-      if (!arr.isNullAt(k)) {
-        val c = arr.getStruct(k, 2)
-        if (!c.isNullAt(0) && !c.isNullAt(1)) {
-          val cv = c.getArray(1)
-          if (cv.numElements() == n) {
-            var d = 0L
-            var ok = true
-            var j = 0
-            while (j < n) {
-              if (cv.isNullAt(j)) { ok = false; j = n }
-              else {
-                val diff = v.getLong(j) - cv.getLong(j)
-                d += diff * diff
-                j += 1
-              }
-            }
-            if (ok) {
-              val id = c.getInt(0)
-              if (!found || d < bestD || (d == bestD && id < bestId)) {
-                found = true; bestD = d; bestId = id
-              }
-            }
-          }
+      val cv = centVecs(k)
+      if (cv != null && cv.length == n) {
+        var d = 0L
+        var j = 0
+        while (j < n) {
+          val diff = q(j) - cv(j)
+          d += diff * diff
+          j += 1
+        }
+        val id = centIds(k)
+        if (!found || d < bestD || (d == bestD && id < bestId)) {
+          found = true; bestD = d; bestId = id
         }
       }
       k += 1
@@ -1563,7 +1671,8 @@ case class NearestCentroidL2(left: Expression, right: Expression)
   * when no second valid centroid exists.
   */
 case class Nearest2CentroidsL2(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback
+    with CachedCentroidCodebook {
   override def inputTypes: Seq[AbstractDataType] = Seq(
     ArrayType(LongType),
     ArrayType(StructType(Seq(
@@ -1581,50 +1690,35 @@ case class Nearest2CentroidsL2(left: Expression, right: Expression)
     if (e == null) return null
     val cs = right.eval(input)
     if (cs == null) return null
-    val v = e.asInstanceOf[ArrayData]
-    val arr = cs.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var i = 0
-    while (i < n) {
-      if (v.isNullAt(i)) return null
-      i += 1
-    }
+    val q = primVec(e.asInstanceOf[ArrayData])
+    if (q == null) return null
+    val n = q.length
+    ensureCentroids(cs.asInstanceOf[ArrayData])
     var nFound = 0
     var bestD = 0L; var bestId = 0
     var secD = 0L; var secId = 0
-    val m = arr.numElements()
+    val m = centVecs.length
     var k = 0
     while (k < m) {
-      if (!arr.isNullAt(k)) {
-        val c = arr.getStruct(k, 2)
-        if (!c.isNullAt(0) && !c.isNullAt(1)) {
-          val cv = c.getArray(1)
-          if (cv.numElements() == n) {
-            var d = 0L
-            var ok = true
-            var j = 0
-            while (j < n) {
-              if (cv.isNullAt(j)) { ok = false; j = n }
-              else {
-                val diff = v.getLong(j) - cv.getLong(j)
-                d += diff * diff
-                j += 1
-              }
-            }
-            if (ok) {
-              val id = c.getInt(0)
-              if (nFound == 0) { bestD = d; bestId = id; nFound = 1 }
-              else if (d < bestD || (d == bestD && id < bestId)) {
-                secD = bestD; secId = bestId
-                bestD = d; bestId = id
-                if (nFound == 1) nFound = 2
-              } else if (nFound == 1 ||
-                  d < secD || (d == secD && id < secId)) {
-                secD = d; secId = id
-                if (nFound == 1) nFound = 2
-              }
-            }
-          }
+      val cv = centVecs(k)
+      if (cv != null && cv.length == n) {
+        var d = 0L
+        var j = 0
+        while (j < n) {
+          val diff = q(j) - cv(j)
+          d += diff * diff
+          j += 1
+        }
+        val id = centIds(k)
+        if (nFound == 0) { bestD = d; bestId = id; nFound = 1 }
+        else if (d < bestD || (d == bestD && id < bestId)) {
+          secD = bestD; secId = bestId
+          bestD = d; bestId = id
+          if (nFound == 1) nFound = 2
+        } else if (nFound == 1 ||
+            d < secD || (d == secD && id < secId)) {
+          secD = d; secId = id
+          if (nFound == 1) nFound = 2
         }
       }
       k += 1
@@ -1645,7 +1739,8 @@ case class Nearest2CentroidsL2(left: Expression, right: Expression)
   * result(0) IS NearestCentroidL2's winner. Same candidate skip/null rules.
   */
 case class NearestKCentroidsL2(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback
+    with CachedCentroidCodebook {
   require(k >= 1 && k <= 1024, "k out of range")
   override def inputTypes: Seq[AbstractDataType] = Seq(
     ArrayType(LongType),
@@ -1665,55 +1760,40 @@ case class NearestKCentroidsL2(left: Expression, right: Expression, k: Int)
     if (e == null) return null
     val cs = right.eval(input)
     if (cs == null) return null
-    val v = e.asInstanceOf[ArrayData]
-    val arr = cs.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var i = 0
-    while (i < n) {
-      if (v.isNullAt(i)) return null
-      i += 1
-    }
+    val q = primVec(e.asInstanceOf[ArrayData])
+    if (q == null) return null
+    val n = q.length
+    ensureCentroids(cs.asInstanceOf[ArrayData])
     // sorted insertion buffers: (d, cid) ascending, at most k entries
     val bd = new Array[Long](k)
     val bc = new Array[Int](k)
     var size = 0
-    val m = arr.numElements()
+    val m = centVecs.length
     var kk = 0
     while (kk < m) {
-      if (!arr.isNullAt(kk)) {
-        val c = arr.getStruct(kk, 2)
-        if (!c.isNullAt(0) && !c.isNullAt(1)) {
-          val cv = c.getArray(1)
-          if (cv.numElements() == n) {
-            var d = 0L
-            var ok = true
-            var j = 0
-            while (j < n) {
-              if (cv.isNullAt(j)) { ok = false; j = n }
-              else {
-                val diff = v.getLong(j) - cv.getLong(j)
-                d += diff * diff
-                j += 1
-              }
-            }
-            if (ok) {
-              val id = c.getInt(0)
-              if (size < k || d < bd(size - 1) ||
-                  (d == bd(size - 1) && id < bc(size - 1))) {
-                var lo = 0; var hi = size
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (bd(mid) < d || (bd(mid) == d && bc(mid) < id)) lo = mid + 1
-                  else hi = mid
-                }
-                val end = math.min(size, k - 1)
-                var j2 = end
-                while (j2 > lo) { bd(j2) = bd(j2 - 1); bc(j2) = bc(j2 - 1); j2 -= 1 }
-                if (lo < k) { bd(lo) = d; bc(lo) = id }
-                if (size < k) size += 1
-              }
-            }
+      val cv = centVecs(kk)
+      if (cv != null && cv.length == n) {
+        var d = 0L
+        var j = 0
+        while (j < n) {
+          val diff = q(j) - cv(j)
+          d += diff * diff
+          j += 1
+        }
+        val id = centIds(kk)
+        if (size < k || d < bd(size - 1) ||
+            (d == bd(size - 1) && id < bc(size - 1))) {
+          var lo = 0; var hi = size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (bd(mid) < d || (bd(mid) == d && bc(mid) < id)) lo = mid + 1
+            else hi = mid
           }
+          val end = math.min(size, k - 1)
+          var j2 = end
+          while (j2 > lo) { bd(j2) = bd(j2 - 1); bc(j2) = bc(j2 - 1); j2 -= 1 }
+          if (lo < k) { bd(lo) = d; bc(lo) = id }
+          if (size < k) size += 1
         }
       }
       kk += 1

@@ -13,6 +13,11 @@ import graft.functions.TextOps
   */
 object Analytics {
 
+  /** q61's anchor-codebook entry — the [[graft.functions.expressions.NativeExprs.bestAnchor]]
+    * kernel's input struct shape (field names are the kernel's contract).
+    */
+  case class Anchor(anchor_id: Long, av: Seq[Float], an: Double)
+
   val qs: Seq[Q] = Seq(
 
     Q("q45_tfidf",
@@ -480,24 +485,24 @@ object Analytics {
         |cluster's population and affinity — the semantic-balance profile
         |read before cluster-aware sampling or SemDeDup-style pruning
         |(empty/over-full clusters mean the codebook no longer fits the
-        |corpus). Scale shape: the codebook collapses to ONE row
-        |(collect_list of K (id, vec, norm) structs ≈ K·(4d+16) bytes —
-        |codebooks are constant-sized by design) and broadcasts; the
-        |optimizer PROVES the 1-row side (no-grouping Aggregate), so the
-        |join is the audited 1-row form, never a data-sized nested loop.
-        |The argmax happens PER ROW via the best_anchor kernel — one
-        |compiled loop over the row-resident codebook (anchor norms ride
-        |the struct, computed once per anchor; tie → lowest anchor_id;
-        |NaN-greatest double ordering) — so the corpus-sized stream is
-        |never exploded, shuffled, OR sorted. Two slower forms are
-        |measured and recorded (same sf0.1 window): exploding K rows per
-        |embedding and aggregating max(struct) per vec_id degrades to TWO
-        |SortAggregates around a 512k-row exchange (HashAggregate cannot
-        |host a struct buffer; 0.79 s), and array_max(transform(...)) pays
-        |~0.7 µs of interpreted-lambda overhead per anchor eval (0.71 s) —
-        |the kernel form runs the identical arithmetic in-loop (0.47 s,
-        |value-pinned by NativeExprsSpec; the remainder is the plan's
-        |barrier floor). Only the K-row profile aggregate shuffles.
+        |corpus). Scale shape: the codebook is a PLAN LITERAL — one
+        |bounded K-row collect (K·(4d+16) bytes, constant by design; the
+        |HeavyHitters ≤m bounded-collect class) folds it into the
+        |expression tree, so the main pass is a single scan+kernel+
+        |256-group aggregate with no join at all (r14; the previous
+        |broadcast-1-row cross join re-plumbed the anchors struct
+        |through every row and measured ~20 % slower — DevQ61 rep
+        |tables). The argmax happens PER ROW via the best_anchor kernel
+        |— one compiled loop over a DECODED primitive-array codebook
+        |(cached per backing buffer, r14; anchor norms precomputed; tie
+        |→ lowest anchor_id; NaN-greatest double ordering) — so the
+        |corpus-sized stream is never exploded, shuffled, OR sorted.
+        |Slower forms measured and recorded (sf0.1): exploding K rows
+        |per embedding and aggregating max(struct) per vec_id degrades
+        |to TWO SortAggregates around a 512k-row exchange (0.79 s);
+        |array_max(transform(...)) pays ~0.7 µs of interpreted-lambda
+        |overhead per anchor eval (0.71 s); the ArrayData-getter kernel
+        |0.37 s; this form 0.30 s (value-pinned by NativeExprsSpec). Only the K-row profile aggregate shuffles.
         |Determinism (two measured traps,
         |both sf0.01 mismatches before this form): (1) an avg of rounded
         |DOUBLES flips its own 4 dp rounding boundary with summation
@@ -528,18 +533,30 @@ object Analytics {
         |            END AS BIGINT) / 10000.0 AS avg_score,
         |       min(si) / 10000.0 AS min_score
         |FROM best WHERE rnk = 1 GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps
       val emb = Tables.embeddings(s, d)
-      val codebook = emb.orderBy("vec_id").limit(256)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
-          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("an"))
-        .agg(sort_array(collect_list(
-          struct(col("anchor_id"), col("av"), col("an")))).as("anchors"))
+      // Codebook as a PLAN LITERAL (r14, DevQ61 dissection): one bounded
+      // 256-row collect (K is constant by design — the HeavyHitters ≤m
+      // bounded-collect class) replaces the broadcast-subquery job, the
+      // 1-row collect_list stage and the cross-join machinery; the main
+      // pass is then a single scan+kernel+tiny-agg plan, and the stable
+      // literal lets the kernel's decoded-codebook cache hit on every
+      // row (measured 0.37 s → 0.30 s steady at sf0.1; the broadcast
+      // form's per-row struct plumbing was the difference). The driver
+      // norm fold matches VectorOps.dot's left-to-right double
+      // accumulation bit-for-bit (parity-checked in DevQ61).
+      val anchors: Seq[Anchor] = emb.orderBy("vec_id").limit(256)
+        .select(col("vec_id").cast(LongType).as("anchor_id"), col("embedding"))
+        .collect().toIndexedSeq
+        .map { r =>
+          val av = r.getSeq[Float](1)
+          var ss = 0.0
+          av.foreach(x => ss += x.toDouble * x.toDouble)
+          Anchor(r.getLong(0), av, math.sqrt(ss))
+        }.sortBy(_.anchor_id)
       emb
-        .crossJoin(broadcast(codebook))
         .select(col("vec_id"),
           graft.functions.expressions.NativeExprs
-            .bestAnchor(col("embedding"), col("anchors")).as("b"))
+            .bestAnchor(col("embedding"), typedLit(anchors)).as("b"))
         .select(col("b.anchor_id").as("cluster"),
           round(col("b.score") * 10000, 0).cast(LongType).as("si"))
         .groupBy("cluster")
