@@ -47,31 +47,23 @@ object Bench {
     warmMedian > 0.3 && cold > 0 && warmMedian > 2 * cold
 
   /** End-of-window re-probe candidate set (pure; BenchSpec pins): the
-    * retry-resistant bimodal names PLUS the [[agreeSlow]] ones.
-    * `maxExtra` is an ESCALATION threshold, not a truncation (VERDICT
-    * r13 item 5 — r13 capped at the 16 worst warm/cold ratios, so an
-    * episode slow enough to inflate >16 queries would still SHIP the
-    * rest as outliers): at or under the threshold the re-probe heals a
-    * few outliers as before; past it the episode was catalog-wide and
-    * every triggered query re-probes — the re-probe becomes a re-run of
-    * the window's affected half, which is exactly what that regime
-    * calls for. Cost stays bounded by the catalog (3 probe reps per
-    * candidate) and correctness by the [[adoptReprobe]] under-half
-    * rule: a candidate whose probe reads like its in-window median
-    * adopts nothing. Candidates keep catalog order (the order reps ran
-    * in).
+    * retry-resistant bimodal names PLUS every [[agreeSlow]] one —
+    * UNCAPPED (VERDICT r13 item 5: r13 kept only the 16 worst warm/cold
+    * ratios, so an episode slow enough to inflate >16 queries still
+    * SHIPPED the rest as outliers; a catalog-wide storm is better
+    * re-run than truncated, and re-probing all triggered queries IS
+    * that re-run for the affected half). Cost stays bounded by the
+    * catalog (3 probe reps per candidate) and correctness by the
+    * [[adoptReprobe]] under-half rule: a candidate whose probe reads
+    * like its in-window median adopts nothing. Candidates keep catalog
+    * order (the order reps ran in).
     */
   private[graft] def reprobeCandidates(measured: Seq[(String, Double)],
                                        cold: Map[String, Double],
-                                       unhealed: Set[String],
-                                       maxExtra: Int = 16): Seq[String] = {
-    val slow = measured
+                                       unhealed: Set[String]): Seq[String] = {
+    val extra = measured
       .collect { case (n, med) if med >= 0 && !unhealed(n) &&
-          agreeSlow(med, cold.getOrElse(n, -1.0)) =>
-        (n, med / cold(n)) }
-    val extra =
-      (if (slow.size > maxExtra) slow // catalog-wide: heal ALL of them
-       else slow.sortBy(-_._2).take(maxExtra)).map(_._1).toSet
+          agreeSlow(med, cold.getOrElse(n, -1.0)) => n }.toSet
     measured.collect { case (n, med)
       if med >= 0 && (unhealed(n) || extra(n)) => n }
   }

@@ -370,24 +370,39 @@ object DocxExtractor extends PageExtractor {
       // rule read the sentinel as "65535 records owed", exited at the
       // real count with i < cdCount, and quarantined a valid zip64
       // archive as corrupt (r14 advice).
+      // openEnded: the walk-must-complete rule suspends — the count is
+      // unknowable (a legal non-zip64 archive may hold EXACTLY 65535
+      // entries, r14 review), so walk while central-directory signatures
+      // continue and require the terminator to be a known tail record.
+      var openEnded = false
       if (cdCount == 0xFFFFL || cdOffset == 0xFFFFFFFFL) {
         val loc = e - 20
-        if (!sigAt(loc, 0x07064b50L)) return Left("docx-truncated-or-corrupt")
-        val z64 = zipU64(bytes, loc + 8)
-        if (z64 < 0 || z64 > Int.MaxValue - 56 ||
-            !sigAt(z64.toInt, 0x06064b50L) || z64 + 56 > bytes.length)
+        if (sigAt(loc, 0x07064b50L)) {
+          val z64 = zipU64(bytes, loc + 8)
+          if (z64 < 0 || z64 > Int.MaxValue - 56 ||
+              !sigAt(z64.toInt, 0x06064b50L) || z64 + 56 > bytes.length)
+            return Left("docx-truncated-or-corrupt")
+          if (cdCount == 0xFFFFL) cdCount = zipU64(bytes, z64.toInt + 32)
+          if (cdOffset == 0xFFFFFFFFL) cdOffset = zipU64(bytes, z64.toInt + 48)
+          if (cdCount < 0 || cdCount > Int.MaxValue)
+            return Left("docx-truncated-or-corrupt")
+        } else if (cdCount == 0xFFFFL && cdOffset != 0xFFFFFFFFL) {
+          // a real 65535-entry archive: no zip64 structures exist, the
+          // 16-bit field simply saturates at its legal maximum
+          openEnded = true
+        } else {
+          // an offset sentinel with no locator can never be real (the
+          // 256 MB body cap admits no 4 GiB directory offset)
           return Left("docx-truncated-or-corrupt")
-        if (cdCount == 0xFFFFL) cdCount = zipU64(bytes, z64.toInt + 32)
-        if (cdOffset == 0xFFFFFFFFL) cdOffset = zipU64(bytes, z64.toInt + 48)
-        if (cdCount < 0 || cdCount > Int.MaxValue)
-          return Left("docx-truncated-or-corrupt")
+        }
       }
       if (cdOffset < 0 || cdOffset > Int.MaxValue || cdOffset > bytes.length)
         return Left("docx-truncated-or-corrupt")
       val out = Seq.newBuilder[CdEntry]
       var p = cdOffset.toInt
       var i = 0L
-      while (i < cdCount && sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
+      val walkLimit = if (openEnded) Long.MaxValue else cdCount
+      while (i < walkLimit && sigAt(p, 0x02014b50L) && p + 46 <= bytes.length) {
         val nameLen = zipU16(bytes, p + 28)
         val extraLen = zipU16(bytes, p + 30)
         val commentLen = zipU16(bytes, p + 32)
@@ -406,7 +421,14 @@ object DocxExtractor extends PageExtractor {
       // live in r12's ops triage, where a corrupted FIRST record made a
       // document with word/document.xml present diagnose as
       // 'docx-missing-document-xml' (r13 advice)
-      if (i < cdCount) Left("docx-truncated-or-corrupt")
+      if (openEnded) {
+        // the open-ended walk completes iff it terminated ON the EOCD —
+        // i.e. every byte between the directory start and the EOCD was a
+        // well-formed record; anything else is the corrupt shape
+        if (p == e) Right(out.result())
+        else Left("docx-truncated-or-corrupt")
+      }
+      else if (i < cdCount) Left("docx-truncated-or-corrupt")
       else Right(out.result())
     } catch { case _: Exception => Left("docx-truncated-or-corrupt") }
   }

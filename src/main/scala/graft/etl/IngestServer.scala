@@ -131,8 +131,12 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     // quarantine, so the loss is otherwise invisible. Cumulative totals
     // land on the metrics feed (→ /hub/status.json) plus a WARN status
     // row naming the document; both BEST-EFFORT (the r12 review rule:
-    // an unhealthy observability store must not fail the ingest).
-    val skipped = codec.skippedStreams(bytes)
+    // an unhealthy observability store must not fail the ingest). The
+    // count is a structure re-parse, so it only runs when a sink exists
+    // to read it (r14 review — sink-less servers keep zero-cost ingest).
+    val skipped =
+      if (metricsDir.isEmpty && statusDir.isEmpty) Map.empty[String, Int]
+      else codec.skippedStreams(bytes)
     if (skipped.nonEmpty) {
       val total = rasterSkippedTotal.addAndGet(skipped.values.sum.toLong)
       val perFilter = skipped.map { case (f, n) =>

@@ -341,8 +341,14 @@ private[etl] object PdfDecrypt {
       }
       if (v >= 5) {
         val ue = strVal(encryptDict, "UE").getOrElse(return None)
-        val cfm5 = stmF.flatMap(resolvedCfm).getOrElse("AESV3")
-        if (cfm5 != "Identity" && cfm5 != "AESV3") return None
+        // same rule as the V4 arm (r14 review): an /StmF naming a filter
+        // /CF lacks, or a CFM outside {Identity, AESV3}, quarantines —
+        // decrypting under an ASSUMED transform garbles rather than
+        // reason-codes
+        val cfm5 = stmF.flatMap(resolvedCfm) match {
+          case Some(m @ ("Identity" | "AESV3")) => m
+          case _ => return None
+        }
         return fileKeyR6(u, ue, r).map(Ctx(_, r, cfm5))
       }
       // clamped to the spec's 40..128-bit range: an attacker-controlled

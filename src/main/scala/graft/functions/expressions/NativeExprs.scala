@@ -1430,21 +1430,50 @@ case class BestAnchor(left: Expression, right: Expression)
   // the per-row loop re-read it ELEMENT-WISE through ArrayData getters —
   // an isNullAt+getFloat virtual-dispatch pair per element per row,
   // ~2·K·d indirections that dominated q61's wall (scoring_only ≈ full
-  // query in the decomposition). Decode ONCE per distinct backing buffer
-  // into primitive arrays; rows then run a pure float[]-dot inner loop
-  // the JIT auto-vectorizes. Keyed on the Unsafe buffer (object, offset)
-  // — UnsafeRow.getArray allocates a fresh WRAPPER per call, so wrapper
-  // identity never recurs but the broadcast row's backing bytes do; a
-  // key miss just re-decodes, so correctness never depends on the cache.
+  // query in the decomposition). Decode ONCE into primitive arrays; rows
+  // then run a pure float[]-dot inner loop the JIT auto-vectorizes.
+  // HIT RULE (r14 review): these functions are on the extension's public
+  // SQL surface, so "constant per query" cannot be assumed — a per-row
+  // codebook column after a shuffle is deserialized into a REUSED buffer
+  // whose (base, offset, length) recur with different contents. An
+  // Unsafe-backed argument therefore hits only after a BYTE-EQUALITY
+  // check against a kept copy of the backing region (one vectorized
+  // memcmp per row — ~10× cheaper than the getter decode it replaces,
+  // and a genuinely-varying codebook just decodes per row, never reads
+  // stale data). Non-Unsafe arguments (a Literal's GenericArrayData —
+  // the same immutable object every eval) hit on reference identity.
   // Expressions are deserialized per task (no cross-thread sharing), so
   // the mutable fields need no synchronization — the established
   // stateful-expression pattern.
-  @transient private var cachedBase: AnyRef = _
-  @transient private var cachedOffset: Long = -1L
-  @transient private var cachedLen: Int = -1
+  @transient private var cachedRef: AnyRef = _         // identity path
+  @transient private var cachedBytes: Array[Byte] = _  // byte-verify path
   @transient private var cachedIds: Array[Long] = _
   @transient private var cachedVecs: Array[Array[Float]] = _ // null = skip
   @transient private var cachedNorms: Array[Double] = _
+
+  /** True when the cached decode matches `arr`'s CONTENTS (refreshing the
+    * verification copy on miss is the caller's job via decode).
+    */
+  private def cacheHit(arr: ArrayData): Boolean = arr match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      cachedBytes != null && cachedBytes.length == u.getSizeInBytes &&
+        org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+          u.getBaseObject, u.getBaseOffset,
+          cachedBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          cachedBytes.length.toLong)
+    case other => other.asInstanceOf[AnyRef] eq cachedRef
+  }
+
+  private def rememberKey(arr: ArrayData): Unit = arr match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val copy = new Array[Byte](u.getSizeInBytes)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        u.getBaseObject, u.getBaseOffset,
+        copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        copy.length.toLong)
+      cachedBytes = copy; cachedRef = null
+    case other => cachedRef = other.asInstanceOf[AnyRef]; cachedBytes = null
+  }
 
   private def decodeAnchors(arr: ArrayData): Unit = {
     val m = arr.numElements()
@@ -1495,14 +1524,9 @@ case class BestAnchor(left: Expression, right: Expression)
       i += 1
     }
     val en = math.sqrt(ss)
-    val (base, off, len) = arr match {
-      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-        (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes)
-      case other => (other.asInstanceOf[AnyRef], 0L, -1)
-    }
-    if (!(base eq cachedBase) || off != cachedOffset || len != cachedLen) {
+    if (!cacheHit(arr)) {
       decodeAnchors(arr)
-      cachedBase = base; cachedOffset = off; cachedLen = len
+      rememberKey(arr)
     }
     var found = false
     var bestScore = 0.0
@@ -1541,26 +1565,43 @@ case class BestAnchor(left: Expression, right: Expression)
   * [[BestAnchor]] pattern applied to struct(cid, cv) centroid arrays):
   * the centroids argument is constant per query, but reading it through
   * ArrayData getters costs an isNullAt+getLong dispatch pair per element
-  * per row. Decode once per distinct backing buffer into primitive
-  * arrays (`centVecs(k) = null` marks a skipped candidate: null struct,
-  * null cid/cv, or a null element — it can never win); a key miss just
-  * re-decodes, so correctness never depends on the cache. Expressions
-  * are deserialized per task — no cross-thread sharing, no locks.
+  * per row. Decode once into primitive arrays (`centVecs(k) = null`
+  * marks a skipped candidate: null struct, null cid/cv, or a null
+  * element — it can never win). Hit rule as [[BestAnchor]] (r14 review —
+  * public SQL surface, so constancy is VERIFIED, not assumed):
+  * Unsafe-backed arguments hit only after a byte-equality memcmp against
+  * a kept copy of the backing region; non-Unsafe (literal) arguments hit
+  * on reference identity. A miss just re-decodes — correctness never
+  * depends on the cache. Expressions are deserialized per task — no
+  * cross-thread sharing, no locks.
   */
 trait CachedCentroidCodebook {
-  @transient private var cBase: AnyRef = _
-  @transient private var cOff: Long = -1L
-  @transient private var cLen: Int = -1
+  @transient private var cRef: AnyRef = _
+  @transient private var cBytes: Array[Byte] = _
   @transient protected var centIds: Array[Int] = _
   @transient protected var centVecs: Array[Array[Long]] = _
 
   protected def ensureCentroids(arr: ArrayData): Unit = {
-    val (base, off, len) = arr match {
+    val hit = arr match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-        (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes)
-      case other => (other.asInstanceOf[AnyRef], 0L, -1)
+        cBytes != null && cBytes.length == u.getSizeInBytes &&
+          org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+            u.getBaseObject, u.getBaseOffset,
+            cBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            cBytes.length.toLong)
+      case other => other.asInstanceOf[AnyRef] eq cRef
     }
-    if ((base eq cBase) && off == cOff && len == cLen) return
+    if (hit) return
+    arr match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        val copy = new Array[Byte](u.getSizeInBytes)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          u.getBaseObject, u.getBaseOffset,
+          copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          copy.length.toLong)
+        cBytes = copy; cRef = null
+      case other => cRef = other.asInstanceOf[AnyRef]; cBytes = null
+    }
     val m = arr.numElements()
     val ids = new Array[Int](m)
     val vecs = new Array[Array[Long]](m)
@@ -1584,7 +1625,6 @@ trait CachedCentroidCodebook {
       k += 1
     }
     centIds = ids; centVecs = vecs
-    cBase = base; cOff = off; cLen = len
   }
 
   /** The query vector as primitives (read K times in the loops), or null

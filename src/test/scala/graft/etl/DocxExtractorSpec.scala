@@ -432,10 +432,17 @@ class DocxExtractorSpec extends AnyFunSuite {
     le(0, 2)                                 // comment length
     val zip64 = out.toByteArray
     assert(DocxExtractor.extractPages(zip64) === Seq("zip64 ok"))
-    // and a sentinel WITHOUT the zip64 structures stays corrupt
+    // a COUNT sentinel without zip64 structures is ambiguous (a legal
+    // non-zip64 archive may hold exactly 65535 entries — r14 review), so
+    // the walk-must-complete rule suspends: walk to the EOCD and accept
     val noLocator = bytes.clone()
     noLocator(e + 10) = 0xff.toByte; noLocator(e + 11) = 0xff.toByte
-    assert(DocxExtractor.diagnose(noLocator) === "docx-truncated-or-corrupt")
+    assert(DocxExtractor.extractPages(noLocator) === Seq("zip64 ok"))
+    // an OFFSET sentinel without a locator can never be real (no 4 GiB
+    // directory offset fits the 256 MB body cap) — stays corrupt
+    val badOffset = bytes.clone()
+    (0 until 4).foreach(i => badOffset(e + 16 + i) = 0xff.toByte)
+    assert(DocxExtractor.diagnose(badOffset) === "docx-truncated-or-corrupt")
   }
 
   test("central-directory reads match a ZipInputStream walk on random archives (ScalaCheck)") {

@@ -80,8 +80,28 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, Window => LWindow}
     def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val opt = df.queryExecution.optimizedPlan
-      def reduced(p: LogicalPlan): Boolean =
-        p.collectFirst { case a: Aggregate => a }.nonEmpty
+      // EVERY path from the node to a leaf must pass through an
+      // Aggregate (r14 review: a collectFirst-anywhere check let a sort
+      // over Join(rawScan, smallAggregatedSide) pass because the small
+      // side carried the aggregate — exactly the regression shape the
+      // pin exists to block)
+      def reducedPhys(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            reducedPhys(a.inputPlan)
+          case leaf if leaf.children.isEmpty => false
+          case other => other.children.forall(reducedPhys)
+        }
+      def reduced(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate => true
+        // a persisted reduced frame appears as an InMemoryRelation LEAF —
+        // the aggregate lives inside its cached physical plan
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          reducedPhys(i.cachedPlan)
+        case leaf if leaf.children.isEmpty => false
+        case other => other.children.forall(reduced)
+      }
       val rawSorts = opt.collect {
         case s: Sort if !reduced(s.child) => s }
       val rawWindows = opt.collect {
