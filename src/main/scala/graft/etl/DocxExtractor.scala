@@ -422,10 +422,13 @@ object DocxExtractor extends PageExtractor {
       // document with word/document.xml present diagnose as
       // 'docx-missing-document-xml' (r13 advice)
       if (openEnded) {
-        // the open-ended walk completes iff it terminated ON the EOCD —
-        // i.e. every byte between the directory start and the EOCD was a
-        // well-formed record; anything else is the corrupt shape
-        if (p == e) Right(out.result())
+        // the saturated-count ambiguity justifies acceptance ONLY when
+        // the archive really holds 65535 entries (the one legal non-zip64
+        // shape with this field value) AND the walk terminated on the
+        // EOCD; a 2-entry archive with FF FF count is a corrupted EOCD,
+        // not a legal saturation (r14 review round 2 — accepting it
+        // reopens the present-entries-reported-missing triage confusion)
+        if (i == 0xFFFFL && p == e) Right(out.result())
         else Left("docx-truncated-or-corrupt")
       }
       else if (i < cdCount) Left("docx-truncated-or-corrupt")

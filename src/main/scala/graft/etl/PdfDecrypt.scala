@@ -341,13 +341,18 @@ private[etl] object PdfDecrypt {
       }
       if (v >= 5) {
         val ue = strVal(encryptDict, "UE").getOrElse(return None)
-        // same rule as the V4 arm (r14 review): an /StmF naming a filter
-        // /CF lacks, or a CFM outside {Identity, AESV3}, quarantines —
-        // decrypting under an ASSUMED transform garbles rather than
-        // reason-codes
+        // a RESOLVED foreign CFM quarantines (decrypting under a wrong
+        // transform garbles rather than reason-codes); an UNRESOLVABLE
+        // one (/CF stored as an indirect object the text scan can't
+        // follow, or omitted by a sloppy writer) falls back to AESV3 —
+        // the only legal V5 stream transform, and fileKeyR6 has already
+        // validated the key against /U (r14 review round 2: V4 differs
+        // legitimately — it has TWO real transforms, so an unresolvable
+        // filter genuinely can't be guessed there)
         val cfm5 = stmF.flatMap(resolvedCfm) match {
           case Some(m @ ("Identity" | "AESV3")) => m
-          case _ => return None
+          case Some(_) => return None
+          case None => "AESV3"
         }
         return fileKeyR6(u, ue, r).map(Ctx(_, r, cfm5))
       }

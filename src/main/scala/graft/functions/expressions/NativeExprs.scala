@@ -1445,35 +1445,10 @@ case class BestAnchor(left: Expression, right: Expression)
   // Expressions are deserialized per task (no cross-thread sharing), so
   // the mutable fields need no synchronization — the established
   // stateful-expression pattern.
-  @transient private var cachedRef: AnyRef = _         // identity path
-  @transient private var cachedBytes: Array[Byte] = _  // byte-verify path
+  @transient private lazy val cacheKey = new CodebookCacheKey
   @transient private var cachedIds: Array[Long] = _
   @transient private var cachedVecs: Array[Array[Float]] = _ // null = skip
   @transient private var cachedNorms: Array[Double] = _
-
-  /** True when the cached decode matches `arr`'s CONTENTS (refreshing the
-    * verification copy on miss is the caller's job via decode).
-    */
-  private def cacheHit(arr: ArrayData): Boolean = arr match {
-    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-      cachedBytes != null && cachedBytes.length == u.getSizeInBytes &&
-        org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
-          u.getBaseObject, u.getBaseOffset,
-          cachedBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          cachedBytes.length.toLong)
-    case other => other.asInstanceOf[AnyRef] eq cachedRef
-  }
-
-  private def rememberKey(arr: ArrayData): Unit = arr match {
-    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-      val copy = new Array[Byte](u.getSizeInBytes)
-      org.apache.spark.unsafe.Platform.copyMemory(
-        u.getBaseObject, u.getBaseOffset,
-        copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        copy.length.toLong)
-      cachedBytes = copy; cachedRef = null
-    case other => cachedRef = other.asInstanceOf[AnyRef]; cachedBytes = null
-  }
 
   private def decodeAnchors(arr: ArrayData): Unit = {
     val m = arr.numElements()
@@ -1524,10 +1499,10 @@ case class BestAnchor(left: Expression, right: Expression)
       i += 1
     }
     val en = math.sqrt(ss)
-    if (!cacheHit(arr)) {
+    if (!cacheKey.hit(arr)) {
       decodeAnchors(arr)
-      rememberKey(arr)
-    }
+      cacheKey.remember(arr) // AFTER the decode: a throwing decode must
+    }                        // not register the new key over stale arrays
     var found = false
     var bestScore = 0.0
     var bestId = 0L
@@ -1561,47 +1536,63 @@ case class BestAnchor(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Content-verified cache key for a per-query-constant codebook argument
+  * (r14 review — THE shared helper; BestAnchor and the integer-L2 family
+  * had diverged on remember-ordering). The functions are on the
+  * extension's public SQL surface, so constancy is VERIFIED per row, not
+  * assumed: an Unsafe-backed argument hits only after a byte-equality
+  * memcmp against a kept copy of the backing region (a per-row varying
+  * codebook deserialized into a reused buffer recurs with identical
+  * (base, offset, length) but different contents); a non-Unsafe argument
+  * (a Literal's immutable GenericArrayData — the same object every eval)
+  * hits on reference identity. Callers MUST decode first and call
+  * [[remember]] after — a throwing decode then leaves the OLD key over
+  * the old arrays instead of registering the new key over stale ones.
+  * Expressions are deserialized per task — no cross-thread sharing.
+  */
+private[graft] final class CodebookCacheKey {
+  private var ref: AnyRef = _
+  private var bytes: Array[Byte] = _
+
+  def hit(arr: ArrayData): Boolean = arr match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      bytes != null && bytes.length == u.getSizeInBytes &&
+        org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+          u.getBaseObject, u.getBaseOffset,
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length.toLong)
+    case other => other.asInstanceOf[AnyRef] eq ref
+  }
+
+  def remember(arr: ArrayData): Unit = arr match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val copy = new Array[Byte](u.getSizeInBytes)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        u.getBaseObject, u.getBaseOffset,
+        copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        copy.length.toLong)
+      bytes = copy; ref = null
+    case other => ref = other.asInstanceOf[AnyRef]; bytes = null
+  }
+}
+
 /** Decoded-codebook cache for the integer-L2 kernel family (r14 — the
   * [[BestAnchor]] pattern applied to struct(cid, cv) centroid arrays):
   * the centroids argument is constant per query, but reading it through
   * ArrayData getters costs an isNullAt+getLong dispatch pair per element
   * per row. Decode once into primitive arrays (`centVecs(k) = null`
   * marks a skipped candidate: null struct, null cid/cv, or a null
-  * element — it can never win). Hit rule as [[BestAnchor]] (r14 review —
-  * public SQL surface, so constancy is VERIFIED, not assumed):
-  * Unsafe-backed arguments hit only after a byte-equality memcmp against
-  * a kept copy of the backing region; non-Unsafe (literal) arguments hit
-  * on reference identity. A miss just re-decodes — correctness never
-  * depends on the cache. Expressions are deserialized per task — no
-  * cross-thread sharing, no locks.
+  * element — it can never win). Hit/miss semantics live in
+  * [[CodebookCacheKey]]; a miss just re-decodes — correctness never
+  * depends on the cache.
   */
 trait CachedCentroidCodebook {
-  @transient private var cRef: AnyRef = _
-  @transient private var cBytes: Array[Byte] = _
+  @transient private lazy val key = new CodebookCacheKey
   @transient protected var centIds: Array[Int] = _
   @transient protected var centVecs: Array[Array[Long]] = _
 
   protected def ensureCentroids(arr: ArrayData): Unit = {
-    val hit = arr match {
-      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-        cBytes != null && cBytes.length == u.getSizeInBytes &&
-          org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
-            u.getBaseObject, u.getBaseOffset,
-            cBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            cBytes.length.toLong)
-      case other => other.asInstanceOf[AnyRef] eq cRef
-    }
-    if (hit) return
-    arr match {
-      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-        val copy = new Array[Byte](u.getSizeInBytes)
-        org.apache.spark.unsafe.Platform.copyMemory(
-          u.getBaseObject, u.getBaseOffset,
-          copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          copy.length.toLong)
-        cBytes = copy; cRef = null
-      case other => cRef = other.asInstanceOf[AnyRef]; cBytes = null
-    }
+    if (key.hit(arr)) return
     val m = arr.numElements()
     val ids = new Array[Int](m)
     val vecs = new Array[Array[Long]](m)
@@ -1625,6 +1616,7 @@ trait CachedCentroidCodebook {
       k += 1
     }
     centIds = ids; centVecs = vecs
+    key.remember(arr) // after the decode — CodebookCacheKey's contract
   }
 
   /** The query vector as primitives (read K times in the loops), or null

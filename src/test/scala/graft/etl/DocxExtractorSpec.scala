@@ -432,17 +432,50 @@ class DocxExtractorSpec extends AnyFunSuite {
     le(0, 2)                                 // comment length
     val zip64 = out.toByteArray
     assert(DocxExtractor.extractPages(zip64) === Seq("zip64 ok"))
-    // a COUNT sentinel without zip64 structures is ambiguous (a legal
-    // non-zip64 archive may hold exactly 65535 entries — r14 review), so
-    // the walk-must-complete rule suspends: walk to the EOCD and accept
+    // a COUNT sentinel without zip64 structures on an archive that does
+    // NOT hold 65535 entries is a corrupted EOCD, not a legal
+    // saturation (r14 review round 2)
     val noLocator = bytes.clone()
     noLocator(e + 10) = 0xff.toByte; noLocator(e + 11) = 0xff.toByte
-    assert(DocxExtractor.extractPages(noLocator) === Seq("zip64 ok"))
+    assert(DocxExtractor.diagnose(noLocator) === "docx-truncated-or-corrupt")
     // an OFFSET sentinel without a locator can never be real (no 4 GiB
     // directory offset fits the 256 MB body cap) — stays corrupt
     val badOffset = bytes.clone()
     (0 until 4).foreach(i => badOffset(e + 16 + i) = 0xff.toByte)
     assert(DocxExtractor.diagnose(badOffset) === "docx-truncated-or-corrupt")
+  }
+
+  test("a REAL 65535-entry non-zip64 archive (count field legally saturated) still extracts (r14 review)") {
+    // java.util.zip writes the true count 65535 == 0xFFFF with no zip64
+    // structures — the one legal archive shape whose EOCD count equals
+    // the sentinel; the open-ended walk must accept exactly this case
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.setLevel(java.util.zip.Deflater.NO_COMPRESSION)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(
+      """<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>all 65535</w:t></w:r></w:p></w:body></w:document>"""
+        .getBytes(StandardCharsets.UTF_8))
+    z.closeEntry()
+    (1 until 65535).foreach { i =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"f/$i"))
+      z.closeEntry()
+    }
+    z.close()
+    val raw = bos.toByteArray
+    def u32(b: Array[Byte], p: Int) = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    val e = (raw.length - 22 to 0 by -1).find(p => u32(raw, p) == 0x06054b50L).get
+    // java.util.zip goes zip64 at >= 0xFFFF entries — strip the zip64
+    // EOCD + locator (the EOCD's own fields are real values for a small
+    // archive) to get the legal saturated NON-zip64 shape under test
+    val saturated =
+      if (e >= 20 && u32(raw, e - 20) == 0x07064b50L) {
+        var z64 = e - 20 - 56
+        while (z64 >= 0 && u32(raw, z64) != 0x06064b50L) z64 -= 1
+        raw.take(z64) ++ raw.drop(e)
+      } else raw
+    assert(DocxExtractor.extractPages(saturated) === Seq("all 65535"))
   }
 
   test("central-directory reads match a ZipInputStream walk on random archives (ScalaCheck)") {

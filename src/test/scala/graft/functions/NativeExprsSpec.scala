@@ -89,6 +89,54 @@ class NativeExprsSpec extends SparkSpec {
     assert(df(2).isNullAt(1))
   }
 
+  test("bestAnchor/nearestCentroidL2 — a PER-ROW-VARYING codebook column never reads a stale cache (r14 review)") {
+    // The decoded-codebook cache's failure scenario: rows with
+    // DIFFERENT codebooks flowing through one expression instance
+    // (these are public SQL functions — nothing guarantees a constant
+    // argument). After a shuffle, consecutive rows deserialize into
+    // reused buffers with recurring (base, offset, length) — the r14
+    // byte-verify rule must re-decode rather than score row 2 against
+    // row 1's codebook. Same-length codebooks per row make the collision
+    // shape maximal; repartition forces the rows through an exchange.
+    val rows = (0 until 64).map { i =>
+      // row i's codebook holds ONE anchor, pointing along dimension i%2,
+      // with id 100+i: the correct winner differs per row
+      (i.toLong, Seq(1f, 2f),
+        Seq((100L + i, Seq(Array(1f, 0f), Array(0f, 1f))(i % 2).toSeq, 1.0)))
+    }
+    val got = rows.toDF("id", "e", "cb")
+      .repartition(2)
+      .select(col("id"), NativeExprs.bestAnchor(
+        col("e"),
+        expr("transform(cb, a -> struct(a._1 as anchor_id, a._2 as av, a._3 as an))"))
+        .as("b"))
+      .select(col("id"), col("b.anchor_id").as("aid"), col("b.score").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = math.sqrt(5.0)
+    (0 until 64).foreach { i =>
+      val (aid, s) = got(i.toLong)
+      assert(aid === 100L + i, s"row $i scored against a stale codebook")
+      assert(math.abs(s - (if (i % 2 == 0) 1.0 / n else 2.0 / n)) < 1e-12)
+    }
+    // and the integer-L2 family: per-row centroid sets, distinct winners
+    val gotC = (0 until 64).map { i =>
+      (i.toLong, Seq(3L, 7L),
+        Seq((100 + i, Seq(Array(3L, 0L), Array(0L, 7L))(i % 2).toSeq)))
+    }.toDF("id", "v", "cents")
+      .repartition(2)
+      .select(col("id"), NativeExprs.nearestCentroidL2(
+        col("v"),
+        expr("transform(cents, c -> struct(c._1 as cid, c._2 as cv))"))
+        .as("r"))
+      .select(col("id"), col("r.cid").as("cid"), col("r.d").as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    (0 until 64).foreach { i =>
+      val (cid, d) = gotC(i.toLong)
+      assert(cid === 100 + i, s"row $i matched a stale centroid set")
+      assert(d === (if (i % 2 == 0) 49L else 9L)) // the unchosen dim's gap
+    }
+  }
+
   test("nearestCentroidL2 == HOF zip_with argmin on quantized embeddings") {
     // the q77 kernel: identical exact-integer squared-L2, identical
     // (d ASC, cid ASC) argmin — compare against the interpreted
