@@ -96,12 +96,50 @@ object DevQ97 {
     val got3 = aggFormPersist.collect().map(_.toString).sorted
     spark.catalog.clearCache()
     println(s"[q97] parity aggpersist vs declared: ${if (got3.sameElements(ref)) "OK" else "MISMATCH"}")
+
+    // r14 candidate — PARTITION REUSE over the reduced table: repartition
+    // lastPerDay by user_id ONLY before the persist. HashPartitioning(u)
+    // satisfies every downstream clustering by the subset rule — the grid
+    // min aggregate, the (user, day) equi join (both sides user-keyed →
+    // co-partitioned), and the forward-fill window (local sort only) —
+    // so the grid/join/window tail runs with ZERO further exchanges. The
+    // big exchange stays the map-side-combined (user, day) partial — the
+    // scale-right term is untouched; only small-table barriers collapse.
+    def partitionReuseForm = {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_id"), col("value"))
+      val lastPerDay = e.groupBy("user_id", "day")
+        .agg(max_by(col("value"), struct(col("us"), col("event_id")))
+          .as("value"))
+        .repartition(col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grid = lastPerDay.groupBy("user_id").agg(min(col("day")).as("mn"))
+        .crossJoin(broadcast(lastPerDay.agg(max(col("day")).as("mx"))))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+      val fill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(lastPerDay.hint("shuffle_hash"), Seq("user_id", "day"), "left")
+        .withColumn("last_val",
+          last(col("value"), ignoreNulls = true).over(fill))
+        .filter(col("last_val").isNotNull)
+        .select(col("user_id"), col("day"), col("last_val"))
+        .orderBy("user_id", "day")
+    }
+    val got4 = partitionReuseForm.collect().map(_.toString).sorted
+    spark.catalog.clearCache()
+    println(s"[q97] parity partition-reuse vs declared: ${if (got4.sameElements(ref)) "OK" else "MISMATCH"}")
+
     time("declared")(declared)
     time("aggform")(aggForm)
     time("aggpersist")(aggFormPersist)
+    time("part-reuse")(partitionReuseForm)
     time("declared")(declared)
     time("aggform")(aggForm)
     time("aggpersist")(aggFormPersist)
+    time("part-reuse")(partitionReuseForm)
     spark.stop()
   }
 }
