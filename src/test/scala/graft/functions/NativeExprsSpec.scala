@@ -104,11 +104,18 @@ class NativeExprsSpec extends SparkSpec {
       (i.toLong, Seq(1f, 2f),
         Seq((100L + i, Seq(Array(1f, 0f), Array(0f, 1f))(i % 2).toSeq, 1.0)))
     }
+    // materialize the anchors struct array BEFORE the repartition: after
+    // the shuffle the column arrives as UnsafeArrayData backed by the
+    // reused row-deserialization buffer — the exact collision shape the
+    // byte-verify rule exists for (a transform() inside the same select
+    // would hand the kernel a fresh GenericArrayData per row and never
+    // exercise the Unsafe path)
     val got = rows.toDF("id", "e", "cb")
+      .select(col("id"), col("e"),
+        expr("transform(cb, a -> struct(a._1 as anchor_id, a._2 as av, a._3 as an))")
+          .as("anchors"))
       .repartition(2)
-      .select(col("id"), NativeExprs.bestAnchor(
-        col("e"),
-        expr("transform(cb, a -> struct(a._1 as anchor_id, a._2 as av, a._3 as an))"))
+      .select(col("id"), NativeExprs.bestAnchor(col("e"), col("anchors"))
         .as("b"))
       .select(col("id"), col("b.anchor_id").as("aid"), col("b.score").as("s"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -123,10 +130,11 @@ class NativeExprsSpec extends SparkSpec {
       (i.toLong, Seq(3L, 7L),
         Seq((100 + i, Seq(Array(3L, 0L), Array(0L, 7L))(i % 2).toSeq)))
     }.toDF("id", "v", "cents")
+      .select(col("id"), col("v"),
+        expr("transform(cents, c -> struct(c._1 as cid, c._2 as cv))")
+          .as("centroids"))
       .repartition(2)
-      .select(col("id"), NativeExprs.nearestCentroidL2(
-        col("v"),
-        expr("transform(cents, c -> struct(c._1 as cid, c._2 as cv))"))
+      .select(col("id"), NativeExprs.nearestCentroidL2(col("v"), col("centroids"))
         .as("r"))
       .select(col("id"), col("r.cid").as("cid"), col("r.d").as("d"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
