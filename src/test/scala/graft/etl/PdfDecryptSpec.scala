@@ -104,6 +104,19 @@ class PdfDecryptSpec extends AnyFunSuite {
   private val text = "Secret statute text"
   private def content = s"BT ($text) Tj ET"
 
+  private def pdfWithId(encDict: String, streamBytes: Array[Byte],
+                        id: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w(s"1 0 obj\n$encDict\nendobj\n")
+    w(s"2 0 obj\n<< /Length ${streamBytes.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(streamBytes)
+    w("\nendstream\nendobj\n")
+    w(s"trailer << /Root 3 0 R /Encrypt 1 0 R /ID [ <${hex(id)}> <${hex(id)}> ] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def pdf(encDict: String, streamBytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -147,6 +160,79 @@ class PdfDecryptSpec extends AnyFunSuite {
         "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
         s"/StmF /StdCF /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>", enc)
     assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("random R2/R3/R4 documents round-trip encrypt→extract; non-empty user passwords stay quarantined (ScalaCheck)") {
+    // the fixed fixtures pin known-answer shapes; this sweeps the
+    // parameter space — revision, key length, crypt filter, /P,
+    // EncryptMetadata, document ID, owner password — through the
+    // spec-transcribed WRITER and asserts the decoder opens every
+    // empty-user-password document and none of the passworded ones.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val genCase = for {
+      r <- Gen.oneOf(2, 3, 4)
+      aes <- Gen.oneOf(true, false) // r4 only: /AESV2 vs /V2
+      // AESV2 is AES-128 BY DEFINITION (its crypt-filter /Length is 16);
+      // RC4 revisions sweep the legal 40..128-bit range
+      keyLen <- if (r == 2) Gen.const(5)
+                else if (r == 4 && aes) Gen.const(16)
+                else Gen.choose(5, 16)
+      encMeta <- Gen.oneOf(true, false) // r4 only: the +FFFFFFFF key salt
+      p <- Gen.choose(-65536, -4)
+      owner <- Gen.alphaNumStr.map(_.take(12))
+      userPwd <- Gen.oneOf("", "", "", "secret", "ፍርድ") // mostly empty
+      idBytes <- Gen.listOfN(16, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+      // single-space word joins: the page assembler normalizes whitespace
+      // RUNS (measured), so multi-space text would fail on extractor
+      // semantics, not decryption
+      txt <- Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+        .map(_.mkString(" "))
+    } yield (r, keyLen, aes, encMeta, p, owner, userPwd, idBytes, txt)
+    val prop = Prop.forAll(genCase) {
+      case (r, keyLen, aes, encMeta, p, owner, userPwd, idB, txt) =>
+        val o = oValue(owner, userPwd, r, keyLen)
+        val fk = {
+          // writer-side Algorithm 2 incl. the r4 EncryptMetadata salt
+          val extra =
+            if (r >= 4 && !encMeta)
+              Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+            else Array.emptyByteArray
+          var k = md5(padPwd(userPwd.getBytes(StandardCharsets.ISO_8859_1)),
+            o.take(32), le(p.toLong & 0xffffffffL, 4), idB, extra)
+          if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
+          k.take(keyLen)
+        }
+        val u =
+          if (r == 2) rc4(fk, Pad) // Algorithm 4
+          else uValue(fk, idB)
+        val content = s"BT ($txt) Tj ET"
+        val enc =
+          if (r == 4 && aes) {
+            val iv = idB // any 16 bytes serve as the IV
+            aesEnc(objKeyAes(fk, 2), iv, deflate(content))
+          } else rc4(objKeyRc4(fk, 2), deflate(content))
+        val dict =
+          if (r == 2)
+            s"<< /Filter /Standard /V 1 /R 2 /P $p /O <${hex(o)}> /U <${hex(u)}> >>"
+          else if (r == 3)
+            s"<< /Filter /Standard /V 2 /R 3 /Length ${keyLen * 8} /P $p " +
+              s"/O <${hex(o)}> /U <${hex(u)}> >>"
+          else {
+            val cfm = if (aes) "AESV2" else "V2"
+            val em = if (encMeta) "" else "/EncryptMetadata false "
+            s"<< /Filter /Standard /V 4 /R 4 /P $p $em" +
+              s"/CF << /StdCF << /CFM /$cfm /Length $keyLen >> >> " +
+              s"/StmF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>"
+          }
+        val doc = pdfWithId(dict, enc, idB)
+        val pages = FlatePdfExtractor.extractPages(doc)
+        if (userPwd.isEmpty) pages == Seq(txt)
+        else pages == Nil && FlatePdfExtractor.diagnose(doc) == "encrypted"
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(14L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
   }
 
   test("R4 /StmF /Identity (strings-only encryption): streams stay plaintext and extract") {
