@@ -330,6 +330,13 @@ object Streams {
           out.docs.write.mode("overwrite").json(s"$outDir/documents/$batchId")
           out.quarantine.write.mode("overwrite")
             .json(s"$outDir/quarantine/$batchId")
+          // raster-loss channel (r14, the batch pipeline's VERDICT r13 #4
+          // twin): GOOD-channel documents with skipped raster streams
+          // never reach quarantine, so the loss gets its own
+          // batchId-keyed idempotent sink — structure-only re-parse over
+          // the already-persisted batch, rows only for lossy documents
+          graft.etl.Pipeline.rasterLoss(batch, extractor)
+            .write.mode("overwrite").json(s"$outDir/raster_loss/$batchId")
           // compensating action AFTER the quarantine record is durable —
           // the audit row survives even if the delete pass is replayed
           if (deleteQuarantined)

@@ -306,6 +306,34 @@ class StreamingSpec extends SparkSpec {
     assert(docs2.select("title").as[String].collect().sorted === Array("Vol 01", "Vol 02"))
   }
 
+  test("ingest stream surfaces raster loss — half-scanned doc flows good channel, loss sink records it (r14)") {
+    val watch = Files.createTempDirectory("graft_rasterwatch").toString
+    val out = Files.createTempDirectory("graft_rasterout").toString
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](4096); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val text = deflate("BT (typed page) Tj ET")
+    val halfScanned = ("%PDF-1.4\n" +
+      s"1 0 obj\n<< /Length ${text.length} /Filter /FlateDecode >>\nstream\n" +
+      new String(text, "ISO-8859-1") + "\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Length 2 /Filter /DCTDecode >>\nstream\nÿØ\nendstream\nendobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(s"$watch/half.pdf"), halfScanned)
+    Streams.ingestPdfStream(spark, watch, out, ckpt(),
+      graft.etl.FlatePdfExtractor, "2026-08-16")
+    // the document made the GOOD channel...
+    val docs = graft.etl.Pipeline.readDocs(spark, s"$out/documents/*")
+    assert(docs.count() === 1)
+    assert(docs.select("content").as[String].head() === "typed page")
+    // ...and the loss sink recorded the skipped raster stream
+    val loss = spark.read.json(s"$out/raster_loss/*")
+      .select("filter", "n_streams").as[(String, Long)].collect().toSeq
+    assert(loss === Seq(("DCTDecode", 1L)), loss)
+  }
+
   test("mixed PDF+DOCX ingest stream — sniffing extractor + per-row category (r11)") {
     // the auto_ingest sweep's streaming twin: one watch dir, a wider glob,
     // per-row format routing and the vol*-vs-statute category rule
