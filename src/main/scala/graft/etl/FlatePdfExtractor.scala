@@ -172,9 +172,27 @@ object FlatePdfExtractor extends PageExtractor {
   }
 
   def extractPages(bytes: Array[Byte]): Seq[String] = {
-    try extract(bytes)
+    try extract(bytes, "")
     catch { case _: Exception => Nil }
   }
+
+  /** Password-supplied extraction (r15, VERDICT #1) — the pdfminer
+    * `password=` parity surface. The password is offered to the
+    * Standard security handler as user-then-owner ([[PdfDecrypt.open]]);
+    * unencrypted documents ignore it entirely.
+    */
+  private[etl] def extractPages(bytes: Array[Byte],
+                                password: String): Seq[String] = {
+    try extract(bytes, password)
+    catch { case _: Exception => Nil }
+  }
+
+  /** This codec with a caller-supplied document password. Empty string
+    * returns `this` — the password-free singleton path stays allocation-
+    * and behavior-identical.
+    */
+  override def withPassword(password: String): PageExtractor =
+    if (password.isEmpty) this else PasswordedPdfExtractor(password)
 
   private val EncryptKeyRe: Regex = """/Encrypt\s*(?:\d+\s+\d+\s+R|<<)""".r
   private val EncryptRefRe: Regex = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
@@ -194,8 +212,8 @@ object FlatePdfExtractor extends PageExtractor {
     * carries the /Encrypt ref (classic trailer or xref-stream dict), so
     * that dict leads the search text.
     */
-  private def openEncryption(raw: String,
-      slices: Seq[(Int, String, Int)]): Option[PdfDecrypt.Ctx] = {
+  private def openEncryption(raw: String, slices: Seq[(Int, String, Int)],
+      password: String): Option[PdfDecrypt.Ctx] = {
     // cheap gate first: virtually all corpus PDFs are unencrypted and
     // must not pay the trailer walk + per-dict regex probe (r13 review)
     if (!raw.contains("/Encrypt")) return None
@@ -217,7 +235,7 @@ object FlatePdfExtractor extends PageExtractor {
         // lead the search text, xref-ish dicts follow.
         val idText = (trailerDicts(raw) ++
           slices.map(_._2).filter(_.contains("/ID"))).mkString(" ")
-        PdfDecrypt.open(encDict, idText)
+        PdfDecrypt.open(encDict, idText, password)
       }
     }
   }
@@ -236,7 +254,14 @@ object FlatePdfExtractor extends PageExtractor {
     *   - `empty-text` — structurally decodable, just nothing to extract
     *     (whitespace-only show-text, or no text operators at all).
     */
-  override def diagnose(bytes: Array[Byte]): String = {
+  override def diagnose(bytes: Array[Byte]): String = diagnose(bytes, "")
+
+  /** Password-aware diagnosis (r15): the same reason codes, with the
+    * caller's password offered to the handler — a RIGHT password moves
+    * the reason past `encrypted` to whatever actually blocked the text;
+    * a wrong one keeps `encrypted`.
+    */
+  private[etl] def diagnose(bytes: Array[Byte], password: String): String = {
     try {
       if (!PageExtractor.looksLikePdf(bytes)) return "not-a-pdf"
       val raw = new String(bytes, StandardCharsets.ISO_8859_1)
@@ -247,7 +272,7 @@ object FlatePdfExtractor extends PageExtractor {
       // extract, so a quarantined one fell through for another reason
       // and gets that reason's code)
       if (dicts.exists(d => EncryptKeyRe.findFirstIn(d).isDefined) &&
-          openEncryption(raw, slices).isEmpty) "encrypted"
+          openEncryption(raw, slices, password).isEmpty) "encrypted"
       else {
         // only STREAM-BEARING dicts contribute filter names: a
         // dict-only /Filter is a different vocabulary — the Encrypt
@@ -663,17 +688,17 @@ object FlatePdfExtractor extends PageExtractor {
     }
   }
 
-  private def extract(bytes: Array[Byte]): Seq[String] = {
+  private def extract(bytes: Array[Byte], password: String): Seq[String] = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF")) return Nil
 
     val slices = objSlices(raw)
     // encrypted documents: streams decrypt BEFORE filter decoding (the
     // spec's layering — encryption wraps the filtered bytes). None here
-    // for unencrypted docs; a password-protected doc never reaches
-    // extract with ctx (openEncryption fails) — its streams decode to
-    // garbage → Nil → the `encrypted` quarantine reason.
-    val ctx = openEncryption(raw, slices)
+    // for unencrypted docs; a doc the (possibly empty) password doesn't
+    // open never reaches extract with ctx (openEncryption fails) — its
+    // streams decode to garbage → Nil → the `encrypted` quarantine.
+    val ctx = openEncryption(raw, slices, password)
 
     // object number → (header dict text, decoded stream body if any);
     // stream data runs from the marker EOL to the first `endstream`
@@ -860,4 +885,24 @@ object FlatePdfExtractor extends PageExtractor {
     }
     sb.toString.replaceAll("\\s+", " ").trim
   }
+}
+
+/** [[FlatePdfExtractor]] carrying a caller-supplied document password
+  * (r15, VERDICT #1 — the reference toolchain's pdfminer takes exactly
+  * this via `password=`). Same codec, same reason codes; the password
+  * is offered to the Standard security handler user-side then
+  * owner-side on every encrypted document, and ignored by unencrypted
+  * ones. Stateless and Serializable — safe inside executor tasks like
+  * every PageExtractor.
+  */
+final case class PasswordedPdfExtractor(password: String)
+    extends PageExtractor {
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    FlatePdfExtractor.extractPages(bytes, password)
+  override def diagnose(bytes: Array[Byte]): String =
+    FlatePdfExtractor.diagnose(bytes, password)
+  override def skippedStreams(bytes: Array[Byte]): Map[String, Int] =
+    FlatePdfExtractor.skippedStreams(bytes)
+  override def withPassword(p: String): PageExtractor =
+    if (p == password) this else FlatePdfExtractor.withPassword(p)
 }

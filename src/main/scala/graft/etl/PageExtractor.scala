@@ -39,6 +39,15 @@ trait PageExtractor extends Serializable {
     * silently.
     */
   def skippedStreams(bytes: Array[Byte]): Map[String, Int] = Map.empty
+
+  /** This codec opening documents with the given password (r15 — the
+    * reference stack's pdfminer `password=` parity; threaded per
+    * REQUEST through the ingest route). Default: `this` — codecs whose
+    * format has no password concept ignore it, and their quarantine
+    * behavior is unchanged. Implementations must stay Serializable and
+    * must treat the empty string as "no password" (returning `this`).
+    */
+  def withPassword(password: String): PageExtractor = this
 }
 
 object PageExtractor {
@@ -134,6 +143,14 @@ final case class SniffingExtractor(
     else if (DocxExtractor.looksLikeZip(bytes)) docx.skippedStreams(bytes)
     else Map.empty
   }
+
+  /** Delegates the password to both routed codecs (each decides whether
+    * its format has a password concept — today only the PDF side does).
+    */
+  override def withPassword(password: String): PageExtractor =
+    if (password.isEmpty) this
+    else copy(pdf = pdf.withPassword(password),
+              docx = docx.withPassword(password))
 }
 
 /** Deterministic fake for unit tests: interprets the input bytes as UTF-8

@@ -1,25 +1,35 @@
 package graft.etl
 
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import javax.crypto.Cipher
 import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
 
-/** PDF Standard security handler, DECRYPT side, for documents with an
-  * EMPTY user password — the dominant real-world encrypted shape
-  * (owner-locked government/publisher PDFs that any viewer opens
-  * without a prompt; the reference's pdfplumber/pdfminer path opens
-  * exactly this class, so the capability is parity, not gold-plating).
-  * Implements ISO 32000 §7.6:
+/** PDF Standard security handler, DECRYPT side. Covers the dominant
+  * real-world encrypted shape — an EMPTY user password (owner-locked
+  * government/publisher PDFs that any viewer opens without a prompt) —
+  * and, since r15, a CALLER-SUPPLIED password tried as the user
+  * password first and the owner password second, which is exactly the
+  * `password=` parameter the reference's pdfplumber/pdfminer stack
+  * exposes (pdfminer PDFStandardSecurityHandler.authenticate tries
+  * both sides with the one given string). Implements ISO 32000 §7.6:
   *   - R2 (40-bit RC4), R3 (RC4 ≤128), R4 (/CF crypt filters: /V2 RC4
   *     or /AESV2 AES-128-CBC), via Algorithm 2 key derivation +
-  *     Algorithm 1 per-object keys;
+  *     Algorithm 1 per-object keys, plus the Algorithm 7 owner-side
+  *     open (owner key → un-RC4 /O → padded user password);
   *   - R5/R6 (/AESV3 AES-256-CBC) via the SHA-2 family hash
-  *     (Algorithm 2.B for R6) + UE unwrap.
-  * Password-protected documents (the empty user password fails the /U
-  * check) return None — the caller quarantines with the `encrypted`
-  * reason exactly as before; this module only OPENS what a viewer
-  * would open silently. Everything is JDK crypto (MD5/SHA-2/AES;
-  * RC4 is implemented inline — 20 lines, no provider dependence).
+  *     (Algorithm 2.B for R6) + UE unwrap on the user side and the
+  *     /O-validation-salt hash + OE unwrap on the owner side.
+  * Documents the given (or empty) password does not open return None —
+  * the caller quarantines with the `encrypted` reason exactly as
+  * before. Everything is JDK crypto (MD5/SHA-2/AES; RC4 is implemented
+  * inline — 20 lines, no provider dependence).
+  *
+  * Password encoding: R2–R4 take the password's ISO_8859_1 bytes
+  * (PDFDocEncoding's Latin block — the only part a password dialog
+  * produces); R5/R6 take UTF-8 truncated to 127 bytes per §7.6.4.3.3.
+  * The SASLprep normalization step is omitted (pure-ASCII and
+  * already-NFC passwords — the practical population — are unaffected).
   *
   * All parsing is over the extractor's ISO_8859_1 raw text, which is
   * byte-preserving, so binary /O //U string values survive exactly.
@@ -143,6 +153,44 @@ private[etl] object PdfDecrypt {
     if (q == p + 1) None else Some(dict.substring(p + 1, q))
   }
 
+  /** The balanced `<< … >>` dict substring starting at the first `<<`
+    * at/after `from` — token-aware like [[keyPos]] (literal strings skip
+    * escape-aware, hex strings to `>`), so binary string values never
+    * unbalance the count. The tail when unbalanced or absent. Bounds
+    * /CF sub-dict searches: an unbounded `substring(cfp)` reaches keys
+    * PAST the /CF dict, e.g. a top-level /Length in BITS read as the
+    * crypt filter's byte count (r14 ADVICE, medium).
+    */
+  private def dictSpan(dict: String, from: Int): String = {
+    val n = dict.length
+    val start = dict.indexOf("<<", from)
+    if (start < 0) return dict.substring(from)
+    var p = start
+    var depth = 0
+    while (p < n) {
+      dict.charAt(p) match {
+        case '(' =>
+          var d = 1; p += 1
+          while (p < n && d > 0) {
+            dict.charAt(p) match {
+              case '\\' => p += 2
+              case '(' => d += 1; p += 1
+              case ')' => d -= 1; p += 1
+              case _ => p += 1
+            }
+          }
+        case '<' =>
+          if (p + 1 < n && dict.charAt(p + 1) == '<') { depth += 1; p += 2 }
+          else { val e = dict.indexOf('>', p + 1); p = if (e < 0) n else e + 1 }
+        case '>' if p + 1 < n && dict.charAt(p + 1) == '>' =>
+          depth -= 1; p += 2
+          if (depth == 0) return dict.substring(start, p)
+        case _ => p += 1
+      }
+    }
+    dict.substring(start)
+  }
+
   private def intVal(dict: String, name: String): Option[Int] = {
     var p = keyPos(dict, name)
     if (p < 0) return None
@@ -223,17 +271,41 @@ private[etl] object PdfDecrypt {
   private def le(v: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
 
-  /** Algorithm 2: the R≤4 file key for the EMPTY user password. */
-  private def fileKeyR4(o: Array[Byte], p: Int, id0: Array[Byte],
-                        r: Int, keyLen: Int,
+  /** §7.6.3.3 Algorithm 2 step a: pad/truncate a password to 32 bytes. */
+  private def padPwd(pwd: Array[Byte]): Array[Byte] = (pwd ++ Pad).take(32)
+
+  /** Algorithm 2: the R≤4 file key from an already-PADDED user
+    * password (the Pad constant itself for the empty password; the
+    * Algorithm 7 owner path recovers the padded form directly from /O).
+    */
+  private def fileKeyR4(padded: Array[Byte], o: Array[Byte], p: Int,
+                        id0: Array[Byte], r: Int, keyLen: Int,
                         encryptMetadata: Boolean): Array[Byte] = {
     val extra =
       if (r >= 4 && !encryptMetadata)
         Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
       else Array.emptyByteArray
-    var k = md5(Pad, o.take(32), le(p.toLong & 0xffffffffL, 4), id0, extra)
+    var k = md5(padded, o.take(32), le(p.toLong & 0xffffffffL, 4), id0, extra)
     if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
     k.take(keyLen)
+  }
+
+  /** Algorithm 7 (decrypt side of Algorithm 3): the owner password's
+    * RC4 key un-wraps /O back to the PADDED user password — R2 one
+    * application, R3/R4 the 19-round key^i ladder in reverse (i = 19
+    * down to 0; key^0 undoes the writer's initial plain-key pass).
+    */
+  private def ownerToUserPadded(ownerPwd: Array[Byte], o: Array[Byte],
+                                r: Int, keyLen: Int): Array[Byte] = {
+    var k = md5(padPwd(ownerPwd))
+    if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
+    val key = k.take(keyLen)
+    if (r == 2) rc4(key, o.take(32))
+    else {
+      var x = o.take(32)
+      for (i <- 19 to 0 by -1) x = rc4(key.map(b => (b ^ i).toByte), x)
+      x
+    }
   }
 
   /** Algorithms 4/5: does the derived key open the document (i.e. is
@@ -253,17 +325,21 @@ private[etl] object PdfDecrypt {
     }
   }
 
-  /** Algorithm 2.B (R6) / plain SHA-256 (R5): the password hash. */
-  private[etl] def hash2b(pwd: Array[Byte], salt: Array[Byte],
-                          r: Int): Array[Byte] = {
-    var k = sha(256, pwd, salt)
+  /** Algorithm 2.B (R6) / plain SHA-256 (R5): the password hash.
+    * `udata` is empty on the user side; the OWNER side appends the
+    * 48-byte /U value to every hashed block (§7.6.4.3.3/4).
+    */
+  private[etl] def hash2b(pwd: Array[Byte], salt: Array[Byte], r: Int,
+                          udata: Array[Byte] = Array.emptyByteArray)
+      : Array[Byte] = {
+    var k = sha(256, pwd, salt, udata)
     if (r == 5) return k
     var e = Array.emptyByteArray
     var round = 0
     var done = false
     while (!done) {
       round += 1
-      val block = pwd ++ k
+      val block = pwd ++ k ++ udata
       val k1 = new Array[Byte](block.length * 64)
       for (i <- 0 until 64)
         System.arraycopy(block, 0, k1, i * block.length, block.length)
@@ -275,28 +351,50 @@ private[etl] object PdfDecrypt {
     k.take(32)
   }
 
-  /** R5/R6: validate the empty user password against /U and unwrap the
+  /** R5/R6 user side: validate the password against /U and unwrap the
     * 256-bit file key from /UE.
     */
-  private def fileKeyR6(u: Array[Byte], ue: Array[Byte],
-                        r: Int): Option[Array[Byte]] = {
+  private def fileKeyR6(u: Array[Byte], ue: Array[Byte], r: Int,
+                        pwd: Array[Byte]): Option[Array[Byte]] = {
     if (u.length < 48 || ue.length < 32) return None
     val validationSalt = u.slice(32, 40)
     val keySalt = u.slice(40, 48)
-    val empty = Array.emptyByteArray
-    if (!java.util.Arrays.equals(hash2b(empty, validationSalt, r), u.take(32)))
+    if (!java.util.Arrays.equals(hash2b(pwd, validationSalt, r), u.take(32)))
       return None
-    val ik = hash2b(empty, keySalt, r)
+    val ik = hash2b(pwd, keySalt, r)
     Some(aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), ue.take(32)))
   }
 
-  /** Open the document: parse the Encrypt dict (plus the trailer text
-    * holding /ID), derive the file key for the EMPTY user password and
-    * verify it. None ⇒ really password-protected (or an unsupported
-    * handler) — the caller keeps the `encrypted` quarantine.
+  /** R5/R6 owner side: /O carries hash(32) ++ validationSalt(8) ++
+    * keySalt(8) like /U, but every hash block also absorbs the 48-byte
+    * /U value; /OE wraps the same 256-bit file key.
     */
+  private def ownerKeyR6(o: Array[Byte], oe: Array[Byte], u: Array[Byte],
+                         r: Int, pwd: Array[Byte]): Option[Array[Byte]] = {
+    if (o.length < 48 || oe.length < 32 || u.length < 48) return None
+    val u48 = u.take(48)
+    if (!java.util.Arrays.equals(hash2b(pwd, o.slice(32, 40), r, u48),
+        o.take(32))) return None
+    val ik = hash2b(pwd, o.slice(40, 48), r, u48)
+    Some(aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), oe.take(32)))
+  }
+
+  /** Empty-password open — the silent-viewer shape (r13 behavior). */
   private[etl] def open(encryptDict: String,
-                        trailerText: String): Option[Ctx] = {
+                        trailerText: String): Option[Ctx] =
+    open(encryptDict, trailerText, "")
+
+  /** Open the document: parse the Encrypt dict (plus the trailer text
+    * holding /ID), then try the given password — empty for the silent
+    * shape — as the USER password and, failing that, as the OWNER
+    * password (pdfminer's authenticate order; trying owner with the
+    * empty string also opens the legal empty-owner-password corner a
+    * viewer opens). None ⇒ the password doesn't open the document (or
+    * the handler is unsupported) — the caller keeps the `encrypted`
+    * quarantine.
+    */
+  private[etl] def open(encryptDict: String, trailerText: String,
+                        password: String): Option[Ctx] = {
     try {
       if (keyPos(encryptDict, "Filter") < 0 ||
           keyPos(encryptDict, "Standard") < 0) return None
@@ -326,15 +424,23 @@ private[etl] object PdfDecrypt {
       val stmF: Option[String] =
         if (v >= 4) Some(nameVal(encryptDict, "StmF").getOrElse("Identity"))
         else None
-      // resolve the named filter's /CFM inside /CF (first occurrence
-      // after the filter's name token — writer dicts are tiny)
+      // the /CF sub-dict, BOUNDED by its balanced `>>` (r14 ADVICE,
+      // medium: an open-ended substring(cfp) let the crypt-filter
+      // Length lookup escape into top-level keys that happen to follow
+      // /CF — and when /StmF preceded /CF, the filter-name search
+      // matched the /StmF VALUE token and read the top-level /Length
+      // (bits) as a byte count, quarantining a valid 40-bit document)
+      val cfScope: Option[String] = {
+        val cfp = keyPos(encryptDict, "CF")
+        if (cfp >= 0) Some(dictSpan(encryptDict, cfp)) else None
+      }
+      // resolve the named filter's /CFM inside the bounded /CF dict
       def resolvedCfm(filterName: String): Option[String] = {
         if (filterName == "Identity") return Some("Identity")
-        val cfp = keyPos(encryptDict, "CF")
-        val scope = if (cfp >= 0) encryptDict.substring(cfp) else encryptDict
+        val scope = cfScope.getOrElse(encryptDict)
         val fp = keyPos(scope, filterName)
         if (fp < 0) None
-        else nameVal(scope.substring(fp), "CFM") match {
+        else nameVal(dictSpan(scope, fp), "CFM") match {
           case Some("None") => Some("Identity")
           case other => other
         }
@@ -354,7 +460,13 @@ private[etl] object PdfDecrypt {
           case Some(_) => return None
           case None => "AESV3"
         }
-        return fileKeyR6(u, ue, r).map(Ctx(_, r, cfm5))
+        // §7.6.4.3.3: UTF-8, truncated to 127 bytes (SASLprep omitted —
+        // see the object scaladoc)
+        val pwd6 = password.getBytes(StandardCharsets.UTF_8).take(127)
+        return fileKeyR6(u, ue, r, pwd6)
+          .orElse(strVal(encryptDict, "OE")
+            .flatMap(oe => ownerKeyR6(o, oe, u, r, pwd6)))
+          .map(Ctx(_, r, cfm5))
       }
       // clamped to the spec's 40..128-bit range: an attacker-controlled
       // /Length 0 would otherwise make the RC4 key empty (mod-zero) and
@@ -363,12 +475,20 @@ private[etl] object PdfDecrypt {
       val keyLen = clamp(
         if (v <= 1) 5
         else if (v == 4) {
-          // /CF << /<StmF-name> << … /Length n(BYTES) >> >> — the
-          // crypt-filter Length is in bytes (top-level /Length stays bits)
+          // /CF << /<StmF-name> << … /Length n >> >> — searched INSIDE
+          // the bounded /CF dict, then INSIDE the filter's own sub-dict
+          // (r14 ADVICE: the unbounded search matched the /StmF value
+          // token and read the top-level bits /Length as bytes). Real
+          // writers disagree on the crypt-filter Length unit (the spec
+          // says bits, Acrobat writes bytes): ≥40 can only be bits.
+          val scope = cfScope.getOrElse(encryptDict)
           val cf = stmF.filter(_ != "Identity")
-            .map(keyPos(encryptDict, _)).getOrElse(-1)
-          val inner = if (cf >= 0) encryptDict.substring(cf) else encryptDict
-          intVal(inner, "Length").getOrElse(16)
+            .map(keyPos(scope, _)).getOrElse(-1)
+          val inner =
+            if (cf >= 0) intVal(dictSpan(scope, cf), "Length") else None
+          inner.map(n => if (n >= 40) n / 8 else n)
+            .orElse(intVal(encryptDict, "Length").map(_ / 8))
+            .getOrElse(16)
         }
         else intVal(encryptDict, "Length").map(_ / 8).getOrElse(5))
       val cfm =
@@ -384,8 +504,21 @@ private[etl] object PdfDecrypt {
           encryptDict.indexWhere(!_.isWhitespace, mp), "false", 0, 5)
       }
       val p = intVal(encryptDict, "P").getOrElse(-1)
-      val key = fileKeyR4(o, p, id0, r, keyLen, encryptMetadata)
-      if (checkU(key, u, id0, r)) Some(Ctx(key, r, cfm)) else None
+      // R2–R4 passwords are Latin-1 bytes (see the object scaladoc)
+      val pwd4 = password.getBytes(StandardCharsets.ISO_8859_1)
+      // user side first, then Algorithm 7's owner side — both validated
+      // through the same /U check (the owner path recovers the padded
+      // user password, so a wrong owner guess fails checkU, never opens)
+      val userKey = fileKeyR4(padPwd(pwd4), o, p, id0, r, keyLen,
+        encryptMetadata)
+      if (checkU(userKey, u, id0, r)) Some(Ctx(userKey, r, cfm))
+      else {
+        val recovered = ownerToUserPadded(pwd4, o, r, keyLen)
+        val ownerKey = fileKeyR4(recovered, o, p, id0, r, keyLen,
+          encryptMetadata)
+        if (checkU(ownerKey, u, id0, r)) Some(Ctx(ownerKey, r, cfm))
+        else None
+      }
     } catch { case _: Exception => None }
   }
 

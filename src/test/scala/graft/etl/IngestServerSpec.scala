@@ -95,6 +95,100 @@ class IngestServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("POST /ingest?password=… opens a user-passworded PDF; wrong/absent password is error-as-row (r15, VERDICT #1)") {
+    // minimal R3 RC4-128 writer (the PdfDecryptSpec spec transcription,
+    // compacted): a document whose USER password is `stat-pass-42`
+    val pad = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+      0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+      0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+      .map(_.toByte)
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update); d.digest()
+    }
+    def padPwd(s: String): Array[Byte] =
+      (s.getBytes(StandardCharsets.ISO_8859_1) ++ pad).take(32)
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val id0 = (1 to 16).map(_.toByte).toArray
+    val p = -3904
+    val o = {
+      var ok = md5(padPwd("owner-x"))
+      for (_ <- 0 until 50) ok = md5(ok.take(16))
+      val key = ok.take(16)
+      var v = PdfDecrypt.rc4(key, padPwd("stat-pass-42"))
+      for (i <- 1 to 19)
+        v = PdfDecrypt.rc4(key.map(b => (b ^ i).toByte), v)
+      v
+    }
+    val fk = {
+      var k = md5(padPwd("stat-pass-42"), o, le(p.toLong & 0xffffffffL, 4), id0)
+      for (_ <- 0 until 50) k = md5(k.take(16))
+      k.take(16)
+    }
+    val u = {
+      var x = PdfDecrypt.rc4(fk, md5(pad, id0))
+      for (i <- 1 to 19) x = PdfDecrypt.rc4(fk.map(b => (b ^ i).toByte), x)
+      x.take(16) ++ new Array[Byte](16)
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput("BT (Decided 2004 ruling text) Tj ET"
+        .getBytes(StandardCharsets.ISO_8859_1))
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val enc = PdfDecrypt.rc4(
+      md5(fk, le(2L, 3), le(0L, 2)).take(16), deflated)
+    val doc = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit =
+        out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      w("%PDF-1.6\n")
+      w(s"1 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>\nendobj\n")
+      w(s"2 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(enc)
+      w("\nendstream\nendobj\n")
+      w(s"trailer << /Root 3 0 R /Encrypt 1 0 R " +
+        s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
+      out.toByteArray
+    }
+    val server = new IngestServer(spark, FlatePdfExtractor)
+    val port = server.start()
+    try {
+      // right password (URL-encoded like any query param) → S14 record
+      val resp = post(port,
+        "/ingest?volume=Locked%20Vol&password=stat-pass-42",
+        doc, "application/pdf")
+      val rec = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(rec.getAs[String]("content") === "Decided 2004 ruling text")
+      assert(rec.getAs[String]("year") === "2004")
+      // absent password → the empty-password open fails → coded reason
+      val absent = post(port, "/ingest?volume=x", doc, "application/pdf")
+      assert(absent.contains("\"error\"") && absent.contains("encrypted"))
+      // wrong password → same quarantine row (no partial open)
+      val wrong = post(port, "/ingest?volume=x&password=nope", doc,
+        "application/pdf")
+      assert(wrong.contains("\"error\"") && wrong.contains("encrypted"))
+      // the password scopes to its request: a later password-free upload
+      // of an UNENCRYPTED document is untouched by the previous request
+      val plain = post(port, "/ingest?volume=p",
+        ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+          "2 0 obj\n<< /Length 30 >>\nstream\n" +
+          "BT (Decided 1999 open) Tj ET\nendstream\nendobj\n" +
+          "trailer << >>\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1),
+        "application/pdf")
+      assert(plain.contains("Decided 1999 open"))
+    } finally server.stop()
+  }
+
   test("GET / and /hub — static status dashboard backed by StatusLog + MetricsExport (VERDICT r10 #7)") {
     val statusDir = java.nio.file.Files
       .createTempDirectory("graft_hub_status").toString

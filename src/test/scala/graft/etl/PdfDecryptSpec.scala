@@ -179,7 +179,11 @@ class PdfDecryptSpec extends AnyFunSuite {
                 else Gen.choose(5, 16)
       encMeta <- Gen.oneOf(true, false) // r4 only: the +FFFFFFFF key salt
       p <- Gen.choose(-65536, -4)
-      owner <- Gen.alphaNumStr.map(_.take(12))
+      // owner NON-empty: with an empty owner password the r15 owner-side
+      // open (Algorithm 7 — pdfminer parity) legitimately opens a
+      // user-passworded document without any password, which would
+      // invalidate the quarantine branch below
+      owner <- Gen.alphaNumStr.map(s => "o" + s.take(11))
       userPwd <- Gen.oneOf("", "", "", "secret", "ፍርድ") // mostly empty
       idBytes <- Gen.listOfN(16, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
       // single-space word joins: the page assembler normalizes whitespace
@@ -226,13 +230,149 @@ class PdfDecryptSpec extends AnyFunSuite {
           }
         val doc = pdfWithId(dict, enc, idB)
         val pages = FlatePdfExtractor.extractPages(doc)
-        if (userPwd.isEmpty) pages == Seq(txt)
-        else pages == Nil && FlatePdfExtractor.diagnose(doc) == "encrypted"
+        // r15: the caller-supplied password opens from BOTH sides
+        // (user directly, owner via Algorithm 7) and a wrong guess
+        // stays quarantined — swept across the same parameter space
+        val ownerOpens = FlatePdfExtractor.withPassword(owner)
+          .extractPages(doc) == Seq(txt)
+        val wrongStays = {
+          val w = FlatePdfExtractor.withPassword(owner + "x")
+          w.extractPages(doc) == Nil && w.diagnose(doc) == "encrypted"
+        }
+        if (userPwd.isEmpty)
+          pages == Seq(txt) && ownerOpens && wrongStays
+        else
+          pages == Nil && FlatePdfExtractor.diagnose(doc) == "encrypted" &&
+            FlatePdfExtractor.withPassword(userPwd)
+              .extractPages(doc) == Seq(txt) &&
+            ownerOpens && wrongStays
     }
     val res = ScTest.check(ScTest.Parameters.default
       .withMinSuccessfulTests(60)
       .withInitialSeed(org.scalacheck.rng.Seed(14L)), prop)
     assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("40-bit V4 RC4 with /StmF BEFORE /CF: crypt-filter Length resolves inside /CF (r14 ADVICE medium)") {
+    // dict key order is writer-arbitrary: with /StmF first, the old
+    // unbounded filter-name search matched the '/StmF /StdCF' VALUE
+    // token and read the top-level /Length 40 (bits) as a byte count →
+    // keyLen 16 instead of 5 → checkU failed → a valid empty-password
+    // document silently quarantined
+    val keyLen = 5
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /StmF /StdCF /Length 40 /P $P " +
+        "/CF << /StdCF << /CFM /V2 /Length 5 >> >> " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("crypt-filter /Length written in BITS (spec letter) still resolves: >=40 divides by 8") {
+    // the spec says the crypt-filter Length is in bits; Acrobat writes
+    // bytes — both shapes must open (128 bits ≡ 16 bytes here)
+    val keyLen = 16
+    val o = oValue("owner-secret", "", r = 4, keyLen)
+    val fk = fileKey("", o, P, id0, r = 4, keyLen)
+    val u = uValue(fk, id0)
+    val iv = (101 to 116).map(_.toByte).toArray
+    val enc = aesEnc(objKeyAes(fk, 2), iv, deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 4 /R 4 /P $P " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 128 >> >> " +
+        s"/StmF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
+  }
+
+  test("caller-supplied USER password opens R3 (r15, VERDICT #1); wrong password keeps `encrypted`") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "user-secret", r = 3, keyLen)
+    val fk = fileKey("user-secret", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    val right = FlatePdfExtractor.withPassword("user-secret")
+    val wrong = FlatePdfExtractor.withPassword("not-the-password")
+    assert(right.extractPages(doc) === Seq(text))
+    assert(wrong.extractPages(doc) === Nil)
+    assert(wrong.diagnose(doc) === "encrypted")
+    // the password-free singleton still quarantines it
+    assert(FlatePdfExtractor.extractPages(doc) === Nil)
+  }
+
+  test("caller-supplied OWNER password opens R3 via Algorithm 7 (/O un-wrap)") {
+    val keyLen = 16
+    val o = oValue("owner-secret", "user-secret", r = 3, keyLen)
+    val fk = fileKey("user-secret", o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.withPassword("owner-secret")
+      .extractPages(doc) === Seq(text))
+  }
+
+  test("R2 owner path: single RC4 un-wrap (no key^i ladder)") {
+    val keyLen = 5
+    val o = oValue("ow2", "u2", r = 2, keyLen)
+    val fk = fileKey("u2", o, P, id0, r = 2, keyLen)
+    val u = rc4(fk, Pad) // Algorithm 4
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 1 /R 2 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    assert(FlatePdfExtractor.withPassword("u2").extractPages(doc) === Seq(text))
+    assert(FlatePdfExtractor.withPassword("ow2").extractPages(doc) === Seq(text))
+    assert(FlatePdfExtractor.extractPages(doc) === Nil)
+  }
+
+  test("R6 user and owner passwords open AESV3; wrong password quarantines (r15)") {
+    val vSalt = (31 to 38).map(_.toByte).toArray
+    val kSalt = (41 to 48).map(_.toByte).toArray
+    val ovSalt = (51 to 58).map(_.toByte).toArray
+    val okSalt = (61 to 68).map(_.toByte).toArray
+    val fileKey32 = (201 to 232).map(_.toByte).toArray
+    val upwd = "ፍርድ-ቤት".getBytes(StandardCharsets.UTF_8) // UTF-8 per §7.6.4.3.3
+    val opwd = "owner-secret-6".getBytes(StandardCharsets.UTF_8)
+    val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
+    val ue = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(PdfDecrypt.hash2b(upwd, kSalt, 6), "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    // owner side absorbs the 48-byte /U into every hash block
+    val o = PdfDecrypt.hash2b(opwd, ovSalt, 6, u) ++ ovSalt ++ okSalt
+    val oe = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(PdfDecrypt.hash2b(opwd, okSalt, 6, u), "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    val iv = (61 to 76).map(_.toByte).toArray
+    val enc = aesEnc(fileKey32, iv, deflate(content))
+    val doc = pdf(
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(o)}> /OE <${hex(oe)}> " +
+        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    assert(FlatePdfExtractor.withPassword("ፍርድ-ቤት")
+      .extractPages(doc) === Seq(text))
+    assert(FlatePdfExtractor.withPassword("owner-secret-6")
+      .extractPages(doc) === Seq(text))
+    val wrong = FlatePdfExtractor.withPassword("wrong")
+    assert(wrong.extractPages(doc) === Nil)
+    assert(wrong.diagnose(doc) === "encrypted")
+    assert(FlatePdfExtractor.extractPages(doc) === Nil)
+    assert(FlatePdfExtractor.diagnose(doc) === "encrypted")
   }
 
   test("R4 /StmF /Identity (strings-only encryption): streams stay plaintext and extract") {
