@@ -125,4 +125,28 @@ class DedupSpec extends SparkSpec {
            persisted.exceptAll(detached).isEmpty)
     sh.unpersist()
   }
+
+  test("broadcastCounts=false fallback — identical pair set through the shuffle attach (VERDICT r14 #3)") {
+    // the documented >100M-doc scale lever (count table outgrows the
+    // broadcast budget) was never executed by a spec: a refactor could
+    // silently break the non-broadcast path. Row identity across both
+    // settings, on both the persisted and detached forms.
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf0001)
+    val cols = Seq("i", "j", "k", "ni", "nj")
+    val (bt, sh1) = Dedup.coShingledPairs(docs, "doc_id", "text")
+    val broadcastForm = bt.select(cols.head, cols.tail: _*)
+    val (st, sh2) = Dedup.coShingledPairs(docs, "doc_id", "text",
+      broadcastCounts = false)
+    val shuffleForm = st.select(cols.head, cols.tail: _*)
+    assert(shuffleForm.exceptAll(broadcastForm).isEmpty &&
+           broadcastForm.exceptAll(shuffleForm).isEmpty)
+    sh1.unpersist(); sh2.unpersist()
+    val detachedShuffle = Dedup.coShingledPairsDetached(docs, "doc_id",
+      "text", broadcastCounts = false).select(cols.head, cols.tail: _*)
+    val detachedBroadcast = Dedup.coShingledPairsDetached(docs, "doc_id",
+      "text").select(cols.head, cols.tail: _*)
+    assert(detachedShuffle.exceptAll(detachedBroadcast).isEmpty &&
+           detachedBroadcast.exceptAll(detachedShuffle).isEmpty)
+  }
 }

@@ -283,6 +283,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj.size >= 2, s"count attach lost its broadcasts:\n$executed")
   }
 
+  test("pair core broadcastCounts=false — count attach shuffle-hash-joins, nothing broadcasts (VERDICT r14 #3)") {
+    // the >100M-doc fallback lever: when the doc-count table outgrows
+    // the broadcast budget the attach must degrade to a shuffle hash
+    // join on the pair stream, not silently re-plan as a broadcast (or
+    // worse, a sort-merge that sorts the pair set). AQE OFF — the same
+    // compiled-plan audit regime as the q31 pin above.
+    spark.catalog.clearCache()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try graft.operators.Dedup.coShingledPairsDetached(
+        Tables.documents(spark, sf0001), "doc_id", "text",
+        broadcastCounts = false).queryExecution.executedPlan
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.catalog.clearCache()
+      }
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val shj = executed.collect { case j: ShuffledHashJoinExec => j }
+    // posting self-join + two count attaches
+    assert(shj.size >= 3,
+      s"non-broadcast pair core lost its shuffle hash joins:\n$executed")
+    assert(executed.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"broadcastCounts=false still broadcasts:\n$executed")
+    assert(executed.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"count attach degraded to a sort-merge join:\n$executed")
+  }
+
   test("q81 — IVF route: broadcast codebook, cid hash join, bounded top-k (no window)") {
     val p = plan("q81_ivf_route")
     assert(p.contains("BroadcastExchange"), s"q81 codebook no longer broadcast:\n$p")
