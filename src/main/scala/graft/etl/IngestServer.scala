@@ -40,6 +40,16 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
   private val rasterSkippedByFilter =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.atomic.AtomicLong]()
+  // run_id sequence + publication lock (r14 ADVICE): a bare epoch-ms
+  // run_id collides when two uploads land in the same millisecond
+  // (duplicate run_id rows make MetricsExport.latest ambiguous), and
+  // addAndGet/appendRun are not atomic TOGETHER — an interleaving could
+  // publish a LOWER cumulative total under a HIGHER run_id, making the
+  // hub total appear to regress. The sequence disambiguates ids; the
+  // lock makes counter-read + append one atomic publication so run_id
+  // order always carries monotone totals.
+  private val metricsRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val metricsPublishLock = new Object
   // the reference's root + /hub static dashboard (main.py:5-11: a
   // StaticFiles mount over hub/ and a root status line) — served from
   // embedded bytes, with the DATA half (hub/status.json) rendered live
@@ -145,21 +155,28 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
       if (metricsDir.isEmpty && statusDir.isEmpty) Map.empty[String, Int]
       else codec.skippedStreams(bytes)
     if (skipped.nonEmpty) {
-      val total = rasterSkippedTotal.addAndGet(skipped.values.sum.toLong)
-      val perFilter = skipped.map { case (f, n) =>
-        s"pages_skipped_raster:$f" -> rasterSkippedByFilter
-          .computeIfAbsent(f,
-            _ => new java.util.concurrent.atomic.AtomicLong(0L))
-          .addAndGet(n.toLong)
-      }
-      metricsDir.foreach { d =>
-        // zero-padded epoch-ms run_id: MetricsExport.latest picks
-        // max_by(run_id) lexicographically, so the newest total wins
-        try MetricsExport.appendRun(spark, d,
-          runId = f"${System.currentTimeMillis()}%013d",
-          metrics = perFilter.toMap + ("pages_skipped_raster" -> total))
-        catch { case e: Exception =>
-          System.err.println(s"[ingest] metrics append failed: ${e.getMessage}")
+      // one atomic publication (r14 ADVICE): counter bump + feed append
+      // under the lock, so a later run_id can never carry an earlier
+      // (lower) cumulative total
+      metricsPublishLock.synchronized {
+        val total = rasterSkippedTotal.addAndGet(skipped.values.sum.toLong)
+        val perFilter = skipped.map { case (f, n) =>
+          s"pages_skipped_raster:$f" -> rasterSkippedByFilter
+            .computeIfAbsent(f,
+              _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(n.toLong)
+        }
+        metricsDir.foreach { d =>
+          // zero-padded epoch-ms + process-local sequence: MetricsExport
+          // .latest picks max_by(run_id) lexicographically — the newest
+          // total wins, and same-millisecond uploads never collide
+          try MetricsExport.appendRun(spark, d,
+            runId = f"${System.currentTimeMillis()}%013d-${
+              metricsRunSeq.incrementAndGet()}%06d",
+            metrics = perFilter.toMap + ("pages_skipped_raster" -> total))
+          catch { case e: Exception =>
+            System.err.println(s"[ingest] metrics append failed: ${e.getMessage}")
+          }
         }
       }
       statusDir.foreach { d =>

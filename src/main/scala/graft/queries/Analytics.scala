@@ -513,7 +513,13 @@ object Analytics {
         |IDENTICAL doubles (Spark rounds the shortest decimal repr, DuckDB
         |rounds the binary value) — so the half-up rounding happens in
         |INTEGER space ((2s+n) div 2n, sign-symmetric) and the only float
-        |op left is a division by 10⁴, bit-identical everywhere.""".stripMargin,
+        |op left is a division by 10⁴, bit-identical everywhere.
+        |EAGER BUILD (deliberate, r14 ADVICE): folding the codebook into
+        |a literal means the builder runs its bounded 256-row collect —
+        |one small Spark job — at DataFrame-CONSTRUCTION time, unlike
+        |every other catalog entry; explain-only tooling that builds
+        |this query pays that job, and an unreadable embeddings table
+        |fails at build instead of first action.""".stripMargin,
       """WITH anc AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
         |             FROM embeddings ORDER BY vec_id LIMIT 256),
         |sc AS (SELECT e.vec_id, a.anchor_id,

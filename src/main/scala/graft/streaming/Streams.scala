@@ -334,9 +334,16 @@ object Streams {
           // twin): GOOD-channel documents with skipped raster streams
           // never reach quarantine, so the loss gets its own
           // batchId-keyed idempotent sink — structure-only re-parse over
-          // the already-persisted batch, rows only for lossy documents
-          graft.etl.Pipeline.rasterLoss(batch, extractor)
-            .write.mode("overwrite").json(s"$outDir/raster_loss/$batchId")
+          // the already-persisted batch, rows only for lossy documents.
+          // Loss-FREE batches write NOTHING (r14 ADVICE: an empty JSON
+          // dataset is only schema-less empty part files, which fail a
+          // consumer's spark.read.json with 'Unable to infer schema' —
+          // the reader contract is "absent batchId dir ⇒ no loss").
+          // Replay-safe: the emptiness check is deterministic over the
+          // replayed batch, so a batchId never flips written↔absent.
+          val loss = graft.etl.Pipeline.rasterLoss(batch, extractor)
+          if (!loss.isEmpty)
+            loss.write.mode("overwrite").json(s"$outDir/raster_loss/$batchId")
           // compensating action AFTER the quarantine record is durable —
           // the audit row survives even if the delete pass is replayed
           if (deleteQuarantined)

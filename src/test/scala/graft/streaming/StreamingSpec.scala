@@ -334,6 +334,65 @@ class StreamingSpec extends SparkSpec {
     assert(loss === Seq(("DCTDecode", 1L)), loss)
   }
 
+  test("raster-loss sink replays idempotently; loss-free batches leave NO dir (VERDICT r14 #4 + ADVICE)") {
+    val watch = Files.createTempDirectory("graft_replaywatch").toString
+    val out = Files.createTempDirectory("graft_replayout").toString
+    val checkpoint = ckpt()
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](4096); val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val text = deflate("BT (typed page) Tj ET")
+    val halfScanned = ("%PDF-1.4\n" +
+      s"1 0 obj\n<< /Length ${text.length} /Filter /FlateDecode >>\nstream\n" +
+      new String(text, "ISO-8859-1") + "\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Length 2 /Filter /DCTDecode >>\nstream\nÿØ\nendstream\nendobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(s"$watch/half.pdf"), halfScanned)
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FlatePdfExtractor, "2026-08-16")
+    assert(spark.read.json(s"$out/raster_loss/*").count() === 1)
+    // simulate the exactly-once crash window: the offset is durable but
+    // the COMMIT never landed (sink writes finished, checkpoint commit
+    // didn't) — on restart the engine must REPLAY batch 0 into the same
+    // sink directories, and the batchId-keyed overwrite must keep every
+    // channel single-copy
+    val commit0 = java.nio.file.Paths.get(checkpoint, "commits", "0")
+    assert(Files.exists(commit0), s"expected a commit marker at $commit0")
+    Files.delete(commit0)
+    // the local FS checkpoint manager writes a .crc sidecar per commit;
+    // it must go with the commit or the replay's rename fails on it
+    Files.deleteIfExists(
+      java.nio.file.Paths.get(checkpoint, "commits", ".0.crc"))
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FlatePdfExtractor, "2026-08-16")
+    val loss = spark.read.json(s"$out/raster_loss/*")
+      .select("filter", "n_streams").as[(String, Long)].collect().toSeq
+    assert(loss === Seq(("DCTDecode", 1L)),
+      s"replayed batch duplicated/altered loss rows: $loss")
+    assert(graft.etl.Pipeline.readDocs(spark, s"$out/documents/*")
+      .count() === 1, "replayed batch duplicated the document")
+
+    // loss-FREE ingest: no raster_loss batch dir at all — 'no loss' is
+    // the ABSENT dir, never schema-less empty part files that break a
+    // consumer's spark.read.json (r14 ADVICE)
+    val watch2 = Files.createTempDirectory("graft_losslesswatch").toString
+    val out2 = Files.createTempDirectory("graft_losslessout").toString
+    val clean = ("%PDF-1.4\n" +
+      s"1 0 obj\n<< /Length ${text.length} /Filter /FlateDecode >>\nstream\n" +
+      new String(text, "ISO-8859-1") + "\nendstream\nendobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(s"$watch2/clean.pdf"), clean)
+    Streams.ingestPdfStream(spark, watch2, out2, ckpt(),
+      graft.etl.FlatePdfExtractor, "2026-08-16")
+    assert(graft.etl.Pipeline.readDocs(spark, s"$out2/documents/*")
+      .count() === 1)
+    assert(!Files.exists(java.nio.file.Paths.get(out2, "raster_loss")),
+      "loss-free run must not create the raster_loss dir")
+  }
+
   test("mixed PDF+DOCX ingest stream — sniffing extractor + per-row category (r11)") {
     // the auto_ingest sweep's streaming twin: one watch dir, a wider glob,
     // per-row format routing and the vol*-vs-statute category rule
