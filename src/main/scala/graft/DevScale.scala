@@ -209,6 +209,11 @@ object DevScale {
       // (label, norm²) count table; replica perturbation widens the
       // distinct-norm support ~10x, still aggregate-sized)
       "q113_time_split", "q114_stickiness", "q115_conversion_lag",
+      // r15 (VERDICT r14 #2, the event/sessionize family at 100×): the
+      // routed gap-deciles twin measures alongside the exact form so the
+      // ledger shows the ordered-pass cost AND its catalog alternative
+      // at the same replica count
+      "q107b_gap_deciles_scalable",
       "q116_label_confusion", "q117_dup_quality_bias", "q118_norm_audit",
       // r9 session 5 batch 3: df histogram (ONE shingle exchange to df
       // — the q31 band's first half without the self-join; replica
@@ -334,8 +339,18 @@ object DevScale {
       (ts(1), rows)
     }
 
-    println(s"[scale] generating ${replicas}x corpus at $outDir")
-    replicate()
+    // replica generation is DETERMINISTIC (same bytes every run), so an
+    // existing corpus can be reused across same-replica sessions;
+    // SPARK_GRAFT_SCALE_REUSE=1 skips the ~4-min 100× regeneration when
+    // the target dir already holds the events table (r15 iteration aid —
+    // the caller owns the replica-count match)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
+        new java.io.File(s"$outDir/events.parquet").exists()) {
+      println(s"[scale] reusing existing ${replicas}x corpus at $outDir")
+    } else {
+      println(s"[scale] generating ${replicas}x corpus at $outDir")
+      replicate()
+    }
     // optional third arg+ = run only the named queries (iteration aid)
     val selected =
       if (args.length > 2) heavy.filter(args.drop(2).toSet) else heavy
