@@ -344,8 +344,11 @@ object DevScale {
     // SPARK_GRAFT_SCALE_REUSE=1 skips the ~4-min 100× regeneration when
     // the target dir already holds the events table (r15 iteration aid —
     // the caller owns the replica-count match)
-    if (sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
-        new java.io.File(s"$outDir/events.parquet").exists()) {
+    // value-checked (review r15: contains() made REUSE=0 reuse too) and
+    // keyed on the LAST table replicate() writes — customer — so a
+    // generation killed mid-run never passes the gate with a torn corpus
+    if (sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+        new java.io.File(s"$outDir/customer.parquet").exists()) {
       println(s"[scale] reusing existing ${replicas}x corpus at $outDir")
     } else {
       println(s"[scale] generating ${replicas}x corpus at $outDir")

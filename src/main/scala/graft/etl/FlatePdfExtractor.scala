@@ -904,5 +904,10 @@ final case class PasswordedPdfExtractor(password: String)
   override def skippedStreams(bytes: Array[Byte]): Map[String, Int] =
     FlatePdfExtractor.skippedStreams(bytes)
   override def withPassword(p: String): PageExtractor =
-    if (p == password) this else FlatePdfExtractor.withPassword(p)
+    // empty = "no password offered" = NO-OP (the trait contract —
+    // review r15: mapping "" to the password-free singleton silently
+    // stripped a baked-in corpus password on every request without
+    // ?password=, and disagreed with SniffingExtractor's handling)
+    if (p.isEmpty || p == password) this
+    else FlatePdfExtractor.withPassword(p)
 }

@@ -48,6 +48,13 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
   // hub total appear to regress. The sequence disambiguates ids; the
   // lock makes counter-read + append one atomic publication so run_id
   // order always carries monotone totals.
+  // KNOWN LIMIT (review r15, considered and kept): the ms PREFIX means
+  // a wall-clock step-back can still order a newer total below an older
+  // one until the clock catches up. Leading with the sequence would fix
+  // that but break ordering across server RESTARTS (the seq resets per
+  // process) and against pre-r15 ids already in a shared metrics dir —
+  // the clock is the only cross-restart key available, so the rarer NTP
+  // regression is the accepted failure mode.
   private val metricsRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val metricsPublishLock = new Object
   // the reference's root + /hub static dashboard (main.py:5-11: a

@@ -339,11 +339,23 @@ object Streams {
           // dataset is only schema-less empty part files, which fail a
           // consumer's spark.read.json with 'Unable to infer schema' —
           // the reader contract is "absent batchId dir ⇒ no loss").
-          // Replay-safe: the emptiness check is deterministic over the
-          // replayed batch, so a batchId never flips written↔absent.
-          val loss = graft.etl.Pipeline.rasterLoss(batch, extractor)
-          if (!loss.isEmpty)
-            loss.write.mode("overwrite").json(s"$outDir/raster_loss/$batchId")
+          // The empty branch DELETES a leftover batchId dir (review
+          // r15): a replayed batch whose loss flips to empty — codec or
+          // password changed across the restart — must heal the prior
+          // attempt's stale rows exactly like the overwrite used to.
+          // persist: isEmpty + write would otherwise run the
+          // structure-only re-parse UDF twice per lossy batch.
+          val loss = graft.etl.Pipeline.rasterLoss(batch, extractor).persist()
+          try {
+            if (loss.isEmpty) {
+              val dir = new org.apache.hadoop.fs.Path(
+                s"$outDir/raster_loss/$batchId")
+              val fs = dir.getFileSystem(
+                batch.sparkSession.sparkContext.hadoopConfiguration)
+              if (fs.exists(dir)) fs.delete(dir, true)
+            } else loss.write.mode("overwrite")
+              .json(s"$outDir/raster_loss/$batchId")
+          } finally loss.unpersist()
           // compensating action AFTER the quarantine record is durable —
           // the audit row survives even if the delete pass is replayed
           if (deleteQuarantined)

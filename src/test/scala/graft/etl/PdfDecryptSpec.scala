@@ -318,6 +318,21 @@ class PdfDecryptSpec extends AnyFunSuite {
       .extractPages(doc) === Seq(text))
   }
 
+  test("withPassword(\"\") is a NO-OP on a passworded extractor (review r15)") {
+    // the ingest route calls extractor.withPassword(param or "") on
+    // EVERY request: mapping "" to the password-free singleton would
+    // silently strip a baked-in corpus password from a server
+    // constructed with one
+    val baked = FlatePdfExtractor.withPassword("corpus-pwd")
+    assert(baked.withPassword("") eq baked)
+    assert(baked.withPassword("corpus-pwd") eq baked)
+    // and the singleton stays the singleton
+    assert(FlatePdfExtractor.withPassword("") eq FlatePdfExtractor)
+    // the sniffing router keeps its baked PDF password on "" too
+    val sniff = SniffingExtractor(pdf = baked)
+    assert(sniff.withPassword("") eq sniff)
+  }
+
   test("R2 owner path: single RC4 un-wrap (no key^i ladder)") {
     val keyLen = 5
     val o = oValue("ow2", "u2", r = 2, keyLen)

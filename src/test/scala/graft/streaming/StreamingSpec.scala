@@ -375,6 +375,19 @@ class StreamingSpec extends SparkSpec {
     assert(graft.etl.Pipeline.readDocs(spark, s"$out/documents/*")
       .count() === 1, "replayed batch duplicated the document")
 
+    // replay whose loss FLIPS to empty must HEAL the stale dir (review
+    // r15): the codec changed across the restart — here to one with a
+    // total decode set, the password-now-supplied analogue — so the
+    // replayed batch 0 has zero loss and the prior attempt's rows must
+    // be deleted, not left to contradict the replayed documents
+    Files.delete(commit0)
+    Files.deleteIfExists(
+      java.nio.file.Paths.get(checkpoint, "commits", ".0.crc"))
+    Streams.ingestPdfStream(spark, watch, out, checkpoint,
+      graft.etl.FormFeedExtractor, "2026-08-16")
+    assert(!Files.exists(java.nio.file.Paths.get(out, "raster_loss", "0")),
+      "empty-loss replay must delete the stale raster_loss batch dir")
+
     // loss-FREE ingest: no raster_loss batch dir at all — 'no loss' is
     // the ABSENT dir, never schema-less empty part files that break a
     // consumer's spark.read.json (r14 ADVICE)
