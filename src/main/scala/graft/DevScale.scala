@@ -39,7 +39,15 @@ object DevScale {
     // run over the exact-pair family to observe the Σ(co-shingle) curvature
     // past the routine sweep — VERDICT r8 #7)
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    // completion marker, written AFTER every table lands and encoding
+    // the replica count (review r15 round 2: any per-table existence
+    // check — even on the last-written table — passes while that
+    // table's overwrite is in flight, or when a REGENERATION over a
+    // previously complete corpus dies early and the old table
+    // survives; it also couldn't catch a replica-count mismatch)
+    val corpusMarker = new java.io.File(s"$outDir/_graft_corpus_complete")
     def replicate(): Unit = {
+      corpusMarker.delete() // regeneration in progress: gate closed
       val docs = Tables.documents(spark, sfDir)
       val reps = spark.range(replicas).select(col("id").as("r"))
       val docs10 = docs.crossJoin(reps).select(
@@ -103,6 +111,8 @@ object DevScale {
           col("c_mktsegment"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+      val w = new java.io.PrintWriter(corpusMarker)
+      try w.print(replicas.toString) finally w.close()
     }
 
     // q57: replica vocabularies are disjoint, so V, the bigram stream and
@@ -345,10 +355,15 @@ object DevScale {
     // the target dir already holds the events table (r15 iteration aid —
     // the caller owns the replica-count match)
     // value-checked (review r15: contains() made REUSE=0 reuse too) and
-    // keyed on the LAST table replicate() writes — customer — so a
-    // generation killed mid-run never passes the gate with a torn corpus
+    // keyed on the completion marker — written after the last table
+    // lands, deleted before regeneration starts, and matched against
+    // THIS run's replica count — so neither a torn generation nor a
+    // different-replica corpus ever passes the gate
     if (sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-        new java.io.File(s"$outDir/customer.parquet").exists()) {
+        corpusMarker.exists() && {
+          val src = scala.io.Source.fromFile(corpusMarker)
+          try src.mkString.trim == replicas.toString finally src.close()
+        }) {
       println(s"[scale] reusing existing ${replicas}x corpus at $outDir")
     } else {
       println(s"[scale] generating ${replicas}x corpus at $outDir")
@@ -370,7 +385,7 @@ object DevScale {
     // grows with the corpus) — truth scoring then scales linearly with
     // the corpus. Same lever shown for q81's route batch. Enabled by
     // SPARK_GRAFT_SCALE_ANN=1 (runs on the replica corpus only).
-    if (sys.env.contains("SPARK_GRAFT_SCALE_ANN")) {
+    if (sys.env.get("SPARK_GRAFT_SCALE_ANN").contains("1")) {
       import graft.queries.Curation
       def timeDf(label: String, mk: => DataFrame): Unit = {
         val ts = (1 to 3).map { _ =>

@@ -352,7 +352,21 @@ object Streams {
                 s"$outDir/raster_loss/$batchId")
               val fs = dir.getFileSystem(
                 batch.sparkSession.sparkContext.hadoopConfiguration)
-              if (fs.exists(dir)) fs.delete(dir, true)
+              if (fs.exists(dir)) {
+                // a silent false return would commit the batch with the
+                // stale rows still on disk and no replay left to retry
+                // the heal — fail loudly like the write branch would
+                // (review r15 round 2)
+                if (!fs.delete(dir, true))
+                  throw new java.io.IOException(
+                    s"failed to heal stale raster-loss dir $dir")
+                // keep ONE representation of "no loss": if that was the
+                // last batchId dir, drop the now-empty parent too — the
+                // reader contract is dir-absence, and foreachBatch is
+                // serial so the list+delete is race-free
+                val parent = dir.getParent
+                if (fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+              }
             } else loss.write.mode("overwrite")
               .json(s"$outDir/raster_loss/$batchId")
           } finally loss.unpersist()

@@ -387,6 +387,10 @@ class StreamingSpec extends SparkSpec {
       graft.etl.FormFeedExtractor, "2026-08-16")
     assert(!Files.exists(java.nio.file.Paths.get(out, "raster_loss", "0")),
       "empty-loss replay must delete the stale raster_loss batch dir")
+    // and the now-empty parent goes too — "no loss" has ONE
+    // representation (absent dir), matching the loss-free case below
+    assert(!Files.exists(java.nio.file.Paths.get(out, "raster_loss")),
+      "healing the last batchId dir must drop the empty parent")
 
     // loss-FREE ingest: no raster_loss batch dir at all — 'no loss' is
     // the ABSENT dir, never schema-less empty part files that break a
