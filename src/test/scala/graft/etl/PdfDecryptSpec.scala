@@ -390,6 +390,47 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(FlatePdfExtractor.diagnose(doc) === "encrypted")
   }
 
+  test("R5 (deprecated single-SHA-256 revision): empty, user and owner passwords all open") {
+    // R5 is Adobe's pre-ISO AESV3 draft — hash2b degenerates to ONE
+    // SHA-256 over pwd++salt(++U48 owner-side) with no 2.B loop; the
+    // branch was previously untested (r15 insurance)
+    val vSalt = (71 to 78).map(_.toByte).toArray
+    val kSalt = (81 to 88).map(_.toByte).toArray
+    val ovSalt = (91 to 98).map(_.toByte).toArray
+    val okSalt = (101 to 108).map(_.toByte).toArray
+    val fileKey32 = (151 to 182).map(_.toByte).toArray
+    def wrap(ik: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    def doc(upwd: Array[Byte], opwd: Array[Byte]): Array[Byte] = {
+      val u = PdfDecrypt.hash2b(upwd, vSalt, 5) ++ vSalt ++ kSalt
+      val ue = wrap(PdfDecrypt.hash2b(upwd, kSalt, 5))
+      val o = PdfDecrypt.hash2b(opwd, ovSalt, 5, u) ++ ovSalt ++ okSalt
+      val oe = wrap(PdfDecrypt.hash2b(opwd, okSalt, 5, u))
+      val iv = (61 to 76).map(_.toByte).toArray
+      val enc = aesEnc(fileKey32, iv, deflate(content))
+      pdf("<< /Filter /Standard /V 5 /R 5 /Length 256 /P -3904 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(o)}> /OE <${hex(oe)}> " +
+        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    }
+    val open5 = doc(Array.emptyByteArray,
+      "ow5".getBytes(StandardCharsets.UTF_8))
+    assert(FlatePdfExtractor.extractPages(open5) === Seq(text))
+    val locked5 = doc("u5".getBytes(StandardCharsets.UTF_8),
+      "ow5".getBytes(StandardCharsets.UTF_8))
+    assert(FlatePdfExtractor.extractPages(locked5) === Nil)
+    assert(FlatePdfExtractor.withPassword("u5")
+      .extractPages(locked5) === Seq(text))
+    assert(FlatePdfExtractor.withPassword("ow5")
+      .extractPages(locked5) === Seq(text))
+    assert(FlatePdfExtractor.withPassword("nope")
+      .diagnose(locked5) === "encrypted")
+  }
+
   test("R4 /StmF /Identity (strings-only encryption): streams stay plaintext and extract") {
     // r14 ADVICE: a V4 document whose stream filter is Identity has
     // PLAINTEXT streams even though /Encrypt is present and checkU

@@ -64,6 +64,30 @@ class MultimodalSpec extends SparkSpec {
     assert(jr.head.nPages === 0 && jr.head.text.isEmpty)
   }
 
+  test("passworded PDF text via PasswordedPdfCodec — executor-side decrypt+decode (r15)") {
+    // AESV3/R6 fixture with a real user password, decoded through the
+    // SAME mapPartitions plumbing as every other codec — the password
+    // rides inside the Serializable codec, so executors decrypt without
+    // any driver-side coordination. Crypto key schedules are pinned in
+    // PdfDecryptSpec; this pins the Spark-side seam.
+    val doc = graft.etl.EncryptedPdfFixture.r6UserLocked(
+      "ፍትሕ-2016", "locked page")
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow("locked.pdf", "pdf",
+      doc.length.toLong, doc)).toDS().repartition(3)
+    val got = Multimodal.extractText(media,
+      Multimodal.PasswordedPdfCodec("ፍትሕ-2016")).collect()
+    assert(got.head.nPages === 1 && got.head.text === "locked page")
+    // wrong password degrades to Nil through the same seam, never throws
+    val wrong = Multimodal.extractText(media,
+      Multimodal.PasswordedPdfCodec("not-it")).collect()
+    assert(wrong.head.nPages === 0 && wrong.head.text.isEmpty)
+    // and the password-free codec quarantine-shapes it too
+    val none = Multimodal.extractText(media, Multimodal.FlatePdfCodec)
+      .collect()
+    assert(none.head.nPages === 0)
+  }
+
   test("PDF text via the REAL codec — LZW-compressed fixture (non-Flate path)") {
     // round-7 codec increment: the same binaryFile→DocumentCodec path as
     // vol01, but the content stream is LZWDecode (fixture built by the
