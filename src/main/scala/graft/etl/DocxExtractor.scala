@@ -501,7 +501,8 @@ object DocxExtractor extends PageExtractor {
     */
   override def diagnose(bytes: Array[Byte]): String =
     try {
-      if (!looksLikeZip(bytes)) "not-a-docx"
+      if (looksLikeEncryptedOoxml(bytes)) "encrypted" // CFB-wrapped (r15)
+      else if (!looksLikeZip(bytes)) "not-a-docx"
       else documentXmlOrReason(bytes) match {
         case Left(reason) => reason
         case Right(_) => "empty-text"
@@ -561,6 +562,46 @@ object DocxExtractor extends PageExtractor {
     bytes != null && bytes.length >= 4 &&
       bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 0x03 && bytes(3) == 0x04
+
+  private val CfbMagic: Array[Byte] =
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+  // CFB directory entry names are stored UTF-16LE; this is the stream
+  // every ECMA-376 encrypted package carries
+  private val EncryptionInfoUtf16: Array[Byte] =
+    "EncryptionInfo".flatMap(c => Seq(c.toByte, 0.toByte)).toArray
+
+  /** Password-protected OOXML (r15): an encrypted `.docx` is NOT a zip
+    * — Word wraps the AES-encrypted package in an OLE/CFB compound
+    * file whose directory carries an `EncryptionInfo` stream. CFB
+    * magic + that UTF-16LE directory-entry name distinguishes it from
+    * a LEGACY binary `.doc` (same magic, `WordDocument` stream, no
+    * EncryptionInfo), so the quarantine reason can say `encrypted`
+    * instead of the misleading `not-pdf-or-docx`. Detection only —
+    * OOXML decryption stays out of scope, which is parity: the
+    * reference's python-docx/pdfplumber stack cannot open these
+    * either. Diagnose-path-only cost (the rare quarantined-row path):
+    * one linear byte scan for a 28-byte needle.
+    */
+  def looksLikeEncryptedOoxml(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < CfbMagic.length) return false
+    var i = 0
+    while (i < CfbMagic.length) {
+      if (bytes(i) != CfbMagic(i)) return false
+      i += 1
+    }
+    // bounded naive search — needle is 28 bytes, haystack is the
+    // already-bounded upload body
+    val n = EncryptionInfoUtf16
+    var p = 0
+    val last = bytes.length - n.length
+    while (p <= last) {
+      var j = 0
+      while (j < n.length && bytes(p + j) == n(j)) j += 1
+      if (j == n.length) return true
+      p += 1
+    }
+    false
+  }
 
   /** The five XML named entities plus numeric character references —
     * everything WordprocessingML emits in `<w:t>` content.

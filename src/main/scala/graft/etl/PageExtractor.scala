@@ -135,6 +135,10 @@ final case class SniffingExtractor(
   override def diagnose(bytes: Array[Byte]): String = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.diagnose(bytes)
     else if (DocxExtractor.looksLikeZip(bytes)) docx.diagnose(bytes)
+    // CFB-wrapped encrypted OOXML sniffs as neither: name the real
+    // blocker instead of `not-pdf-or-docx` (r15; same vocabulary as
+    // the PDF handler's password quarantine)
+    else if (DocxExtractor.looksLikeEncryptedOoxml(bytes)) "encrypted"
     else "not-pdf-or-docx"
   }
 

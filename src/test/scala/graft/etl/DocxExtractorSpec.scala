@@ -550,4 +550,36 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(pages === Seq("ok"), pages)
     assert(elapsedMs < 30000, s"tokenization took ${elapsedMs} ms — quadratic?")
   }
+
+  test("password-protected OOXML (CFB + EncryptionInfo) diagnoses `encrypted`; legacy .doc does not (r15)") {
+    // Word wraps an encrypted .docx in an OLE/CFB compound file whose
+    // directory carries an EncryptionInfo stream (UTF-16LE name).
+    // Synthetic CFB shells: magic + header padding + a directory
+    // region holding the distinguishing stream name.
+    val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte)
+    def cfb(streamName: String): Array[Byte] = {
+      val name = streamName.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
+      magic ++ new Array[Byte](512 - magic.length) ++ name ++
+        new Array[Byte](128)
+    }
+    val encrypted = cfb("EncryptionInfo")
+    val legacyDoc = cfb("WordDocument")
+    assert(DocxExtractor.looksLikeEncryptedOoxml(encrypted))
+    assert(!DocxExtractor.looksLikeEncryptedOoxml(legacyDoc))
+    assert(DocxExtractor.diagnose(encrypted) === "encrypted")
+    assert(DocxExtractor.diagnose(legacyDoc) === "not-a-docx")
+    // neither is a zip, so extraction degrades to Nil either way
+    assert(DocxExtractor.extractPages(encrypted) === Nil)
+    // the sniffing router names the real blocker too (it routes CFB to
+    // neither codec)
+    val sniff = SniffingExtractor()
+    assert(sniff.diagnose(encrypted) === "encrypted")
+    assert(sniff.diagnose(legacyDoc) === "not-pdf-or-docx")
+    assert(sniff.extractPages(encrypted) === Nil)
+    // a zip that happens to CONTAIN the needle bytes is still a docx
+    // question, not an encryption one: magic gate first
+    assert(!DocxExtractor.looksLikeEncryptedOoxml(
+      "PKEncryptionInfo".getBytes("ISO-8859-1")))
+  }
 }
