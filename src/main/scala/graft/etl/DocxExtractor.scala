@@ -499,6 +499,15 @@ object DocxExtractor extends PageExtractor {
     * ceiling, a zip that fails to decompress — else the body was
     * decodable and simply empty.
     */
+  /** This codec with a caller-supplied document password (r15):
+    * CFB-wrapped encrypted packages decrypt via [[OoxmlDecrypt]]
+    * (ECMA-376 agile + standard schemes) and feed the decrypted OPC
+    * zip back through the normal extraction; everything else is
+    * untouched. Empty string = no-op, per the trait contract.
+    */
+  override def withPassword(password: String): PageExtractor =
+    if (password.isEmpty) this else PasswordedDocxExtractor(password)
+
   override def diagnose(bytes: Array[Byte]): String =
     try {
       if (looksLikeEncryptedOoxml(bytes)) "encrypted" // CFB-wrapped (r15)
@@ -649,4 +658,31 @@ case object DocxWithFootnotesExtractor extends PageExtractor {
     DocxExtractor.extractPages(bytes, includeFootnotes = true)
   override def diagnose(bytes: Array[Byte]): String =
     DocxExtractor.diagnose(bytes)
+}
+
+/** [[DocxExtractor]] carrying a caller-supplied document password
+  * (r15) — the DOCX face of `PageExtractor.withPassword`, the twin of
+  * [[PasswordedPdfExtractor]]. An encrypted OOXML container (CFB +
+  * EncryptionInfo) decrypts through [[OoxmlDecrypt]] and the recovered
+  * OPC zip flows through the normal extraction/diagnosis; a wrong
+  * password (or an unsupported scheme) keeps the `encrypted`
+  * quarantine; plain zips ignore the password entirely. Stateless and
+  * Serializable like every PageExtractor.
+  */
+final case class PasswordedDocxExtractor(password: String)
+    extends PageExtractor {
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
+      OoxmlDecrypt.decryptPackage(bytes, password)
+        .map(DocxExtractor.extractPages).getOrElse(Nil)
+    else DocxExtractor.extractPages(bytes)
+  override def diagnose(bytes: Array[Byte]): String =
+    if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
+      // a RIGHT password moves the reason past `encrypted` to whatever
+      // actually blocked the text inside the decrypted package
+      OoxmlDecrypt.decryptPackage(bytes, password)
+        .map(DocxExtractor.diagnose).getOrElse("encrypted")
+    else DocxExtractor.diagnose(bytes)
+  override def withPassword(p: String): PageExtractor =
+    if (p.isEmpty || p == password) this else DocxExtractor.withPassword(p)
 }

@@ -358,7 +358,7 @@ object IngestServer {
       | "description":"statute sets category=Statute and admits DOCX bodies (auto_ingest.yml parity)"},
       |{"name":"password","in":"query","required":false,
       | "schema":{"type":"string"},
-      | "description":"document password for encrypted PDFs, tried as user then owner (pdfminer password= parity); absent means the silent empty-password open"}],
+      | "description":"document password: encrypted PDFs try it as user then owner (pdfminer password= parity); encrypted OOXML (agile/standard) decrypts the package; absent means the silent empty-password open"}],
       |"requestBody":{"required":true,"content":{"application/pdf":{
       | "schema":{"type":"string","format":"binary"}},
       | "application/vnd.openxmlformats-officedocument.wordprocessingml.document":{

@@ -125,6 +125,11 @@ final case class SniffingExtractor(
   def extractPages(bytes: Array[Byte]): Seq[String] = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.extractPages(bytes)
     else if (DocxExtractor.looksLikeZip(bytes)) docx.extractPages(bytes)
+    // CFB-wrapped encrypted OOXML routes to the DOCX codec (r15): the
+    // password-free codec degrades to Nil → the `encrypted` quarantine,
+    // a passworded one decrypts and extracts
+    else if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
+      docx.extractPages(bytes)
     else Nil
   }
 
@@ -135,10 +140,11 @@ final case class SniffingExtractor(
   override def diagnose(bytes: Array[Byte]): String = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.diagnose(bytes)
     else if (DocxExtractor.looksLikeZip(bytes)) docx.diagnose(bytes)
-    // CFB-wrapped encrypted OOXML sniffs as neither: name the real
-    // blocker instead of `not-pdf-or-docx` (r15; same vocabulary as
-    // the PDF handler's password quarantine)
-    else if (DocxExtractor.looksLikeEncryptedOoxml(bytes)) "encrypted"
+    // CFB-wrapped encrypted OOXML routes to the DOCX codec's reason
+    // (r15): `encrypted` without the right password — the PDF handler's
+    // vocabulary — or the post-decrypt reason with it
+    else if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
+      docx.diagnose(bytes)
     else "not-pdf-or-docx"
   }
 

@@ -189,6 +189,37 @@ class IngestServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("POST /ingest statute route + password — encrypted OOXML decrypts end-to-end (r15)") {
+    // agile-encrypted statute DOCX through the REST shim: the password
+    // query param reaches the DOCX codec via the same withPassword seam
+    // the PDF route uses, Ethiopic password URL-encoding included
+    val doc = OoxmlFixtures.agileDoc("የሕግ-ቁልፍ",
+      OoxmlFixtures.docx("Proclamation 7/2016 ድንጋጌ"))
+    val server = new IngestServer(spark, FlatePdfExtractor)
+    val port = server.start()
+    try {
+      val pwd = java.net.URLEncoder.encode("የሕግ-ቁልፍ", "UTF-8")
+      val resp = post(port,
+        s"/ingest?volume=Proc%207-2016&resource_type=statute&password=$pwd",
+        doc, IngestServer.DocxContentType)
+      val rec = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(rec.getAs[String]("category") === "Statute")
+      assert(rec.getAs[String]("content")
+        .contains("Proclamation 7/2016 ድንጋጌ"))
+      assert(rec.getAs[String]("year") === "2016")
+      // no/wrong password → the coded `encrypted` reason as error-row
+      val absent = post(port,
+        "/ingest?volume=x&resource_type=statute", doc,
+        IngestServer.DocxContentType)
+      assert(absent.contains("\"error\"") && absent.contains("encrypted"))
+      val wrong = post(port,
+        "/ingest?volume=x&resource_type=statute&password=nope", doc,
+        IngestServer.DocxContentType)
+      assert(wrong.contains("\"error\"") && wrong.contains("encrypted"))
+    } finally server.stop()
+  }
+
   test("GET / and /hub — static status dashboard backed by StatusLog + MetricsExport (VERDICT r10 #7)") {
     val statusDir = java.nio.file.Files
       .createTempDirectory("graft_hub_status").toString

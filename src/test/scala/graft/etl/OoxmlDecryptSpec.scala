@@ -1,0 +1,342 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** Encrypted-OOXML support (r15): fixtures are built ENCRYPT-SIDE here
+  * — the ECMA-376 agile and MS-OFFCRYPTO standard writer algorithms
+  * plus a minimal MS-CFB compound-file writer, transcribed
+  * independently from the specs — so a transcription error in the
+  * decoder's key schedule fails the round trip instead of cancelling
+  * out (the PdfDecryptSpec discipline). The CFB writer deliberately
+  * places EncryptionInfo in the MINI stream (it is < 4096 bytes, the
+  * cutoff rule real Word files obey) so the reader's miniFAT path is
+  * exercised, while EncryptedPackage rides regular FAT sectors.
+  */
+/** Writer-side fixtures shared test-wide (IngestServerSpec drives the
+  * REST route end-to-end with the same independently-transcribed
+  * encryptors).
+  */
+private[etl] object OoxmlFixtures {
+
+  // ---- tiny OPC zip (the plaintext package) ---------------------------
+
+  def docx(paragraphs: String*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    val body = paragraphs
+      .map(p => s"<w:p><w:r><w:t>$p</w:t></w:r></w:p>").mkString
+    z.write(
+      s"""<?xml version="1.0"?><w:document><w:body>$body</w:body></w:document>"""
+        .getBytes(StandardCharsets.UTF_8))
+    z.closeEntry()
+    // high-entropy filler entry the extractor never reads: keeps the
+    // OPC zip ≥ 4096 bytes so EncryptedPackage lands in REGULAR FAT
+    // sectors (a conformant CFB writer routes sub-cutoff streams
+    // through the ministream — real Word packages are ≥ 4 KiB, and the
+    // ministream path is exercised by EncryptionInfo)
+    z.putNextEntry(new java.util.zip.ZipEntry("docProps/pad.bin"))
+    var s = 0x2545F491L
+    val pad = Array.fill(5000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33).toByte
+    }
+    z.write(pad)
+    z.closeEntry(); z.close()
+    out.toByteArray
+  }
+
+  // ---- minimal CFB writer (v3, 512-byte sectors) -----------------------
+
+  val Free = 0xFFFFFFFF
+  val Eoc = 0xFFFFFFFE
+
+  def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+  def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+    (v >>> 16).toByte, (v >>> 24).toByte)
+  def le64(v: Long) = le32(v.toInt) ++ le32((v >>> 32).toInt)
+
+  def dirEntry(name: String, objType: Int, start: Int,
+                       size: Long): Array[Byte] = {
+    val e = new Array[Byte](128)
+    val n = name.getBytes(StandardCharsets.UTF_16LE)
+    System.arraycopy(n, 0, e, 0, n.length)
+    System.arraycopy(le16(n.length + 2), 0, e, 64, 2)
+    e(66) = objType.toByte
+    e(67) = 1 // color: black — the reader scans linearly, tree unused
+    // left/right/child siblings: NOSTREAM
+    for (off <- Seq(68, 72, 76))
+      System.arraycopy(le32(Free), 0, e, off, 4)
+    System.arraycopy(le32(start), 0, e, 116, 4)
+    System.arraycopy(le64(size), 0, e, 120, 8)
+    e
+  }
+
+  /** Wrap (EncryptionInfo, EncryptedPackage) into a compound file:
+    * sector 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = ministream
+    * (EncryptionInfo in 64-byte mini sectors), then the package chain.
+    */
+  def cfb(info: Array[Byte], pkg: Array[Byte]): Array[Byte] = {
+    require(info.length < 4096, "fixture keeps EncryptionInfo in the ministream")
+    val miniSectors = (info.length + 63) / 64
+    val miniBytes = miniSectors * 64
+    val miniStreamSectors = (miniBytes + 511) / 512
+    val pkgSectors = (pkg.length + 511) / 512
+    val firstMini = 3
+    val firstPkg = firstMini + miniStreamSectors
+    val totalSectors = firstPkg + pkgSectors
+    require(totalSectors <= 128, "fixture fits one FAT sector")
+
+    val fat = new Array[Int](128)
+    java.util.Arrays.fill(fat, Free)
+    fat(0) = 0xFFFFFFFD // FATSECT
+    fat(1) = Eoc // directory
+    fat(2) = Eoc // miniFAT
+    for (i <- 0 until miniStreamSectors)
+      fat(firstMini + i) =
+        if (i == miniStreamSectors - 1) Eoc else firstMini + i + 1
+    for (i <- 0 until pkgSectors)
+      fat(firstPkg + i) = if (i == pkgSectors - 1) Eoc else firstPkg + i + 1
+
+    val miniFat = new Array[Int](128)
+    java.util.Arrays.fill(miniFat, Free)
+    for (i <- 0 until miniSectors)
+      miniFat(i) = if (i == miniSectors - 1) Eoc else i + 1
+
+    val header = new java.io.ByteArrayOutputStream()
+    header.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte))
+    header.write(new Array[Byte](16)) // clsid
+    header.write(le16(0x3E)); header.write(le16(3)) // minor, major v3
+    header.write(le16(0xFFFE)) // byte order
+    header.write(le16(9)); header.write(le16(6)) // sector/mini shifts
+    header.write(new Array[Byte](6)) // reserved
+    header.write(le32(0)) // dir sector count (v4 only)
+    header.write(le32(1)) // FAT sector count
+    header.write(le32(1)) // first directory sector
+    header.write(le32(0)) // transaction
+    header.write(le32(4096)) // mini stream cutoff
+    header.write(le32(2)); header.write(le32(1)) // miniFAT start/count
+    header.write(le32(Eoc)); header.write(le32(0)) // DIFAT start/count
+    header.write(le32(0)) // DIFAT[0] = FAT sector 0
+    for (_ <- 1 until 109) header.write(le32(Free))
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header.toByteArray)
+    fat.foreach(v => out.write(le32(v))) // sector 0
+    // sector 1: directory — root's chain holds the ministream
+    out.write(dirEntry("Root Entry", 5, firstMini, miniBytes.toLong))
+    out.write(dirEntry("EncryptionInfo", 2, 0, info.length.toLong))
+    out.write(dirEntry("EncryptedPackage", 2, firstPkg, pkg.length.toLong))
+    out.write(new Array[Byte](128)) // unused entry
+    miniFat.foreach(v => out.write(le32(v))) // sector 2
+    out.write(java.util.Arrays.copyOf(info, miniStreamSectors * 512))
+    out.write(java.util.Arrays.copyOf(pkg, pkgSectors * 512))
+    out.toByteArray
+  }
+
+  // ---- writer-side crypto (independent transcription) ------------------
+
+  def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
+    parts.foreach(d.update); d.digest()
+  }
+
+  def spin(alg: String, salt: Array[Byte], pwd: String,
+                   n: Int): Array[Byte] = {
+    var h = sha(alg, salt, pwd.getBytes(StandardCharsets.UTF_16LE))
+    for (i <- 0 until n) h = sha(alg, le32(i), h)
+    h
+  }
+
+  def fit36(b: Array[Byte], n: Int): Array[Byte] =
+    if (b.length >= n) java.util.Arrays.copyOf(b, n)
+    else b ++ Array.fill(n - b.length)(0x36.toByte)
+
+  def aesEnc(key: Array[Byte], iv: Option[Array[Byte]],
+                     data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance(
+      if (iv.isDefined) "AES/CBC/NoPadding" else "AES/ECB/NoPadding")
+    iv match {
+      case Some(v) => c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(key, "AES"), new IvParameterSpec(v))
+      case None => c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+    }
+    c.doFinal(data)
+  }
+
+  def pad16(b: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOf(b, ((b.length + 15) / 16) * 16)
+
+  def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+
+  /** ECMA-376 agile encryption of `plain` under `password`. */
+  def agileDoc(password: String, plain: Array[Byte],
+                       spinCount: Int = 1000): Array[Byte] = {
+    val salt = (1 to 16).map(_.toByte).toArray
+    val kdSalt = (21 to 36).map(_.toByte).toArray
+    val pkgKey = (101 to 132).map(_.toByte).toArray // 32 = AES-256
+    val bk1 = Array(0xfe, 0xa7, 0xd2, 0x76, 0x3b, 0x4b, 0x9e, 0x79).map(_.toByte)
+    val bk2 = Array(0xd7, 0xaa, 0x0f, 0x6d, 0x30, 0x61, 0x34, 0x4e).map(_.toByte)
+    val bk3 = Array(0x14, 0x6e, 0x0b, 0xe7, 0xab, 0xac, 0xd0, 0xd6).map(_.toByte)
+    val h = spin("SHA-512", salt, password, spinCount)
+    def key(bk: Array[Byte]) = fit36(sha("SHA-512", h, bk), 32)
+    val iv = fit36(salt, 16)
+    val verifierInput = (51 to 66).map(_.toByte).toArray
+    val encInput = aesEnc(key(bk1), Some(iv), verifierInput)
+    val encValue = aesEnc(key(bk2), Some(iv), pad16(sha("SHA-512", verifierInput)))
+    val encKeyValue = aesEnc(key(bk3), Some(iv), pkgKey)
+    val segs = plain.grouped(4096).zipWithIndex.map { case (seg, i) =>
+      val segIv = fit36(sha("SHA-512", kdSalt, le32(i)), 16)
+      aesEnc(pkgKey, Some(segIv), pad16(seg))
+    }
+    val pkg = le64(plain.length.toLong) ++ segs.reduce(_ ++ _)
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<encryption xmlns="http://schemas.microsoft.com/office/2006/encryption" xmlns:p="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
+         |<keyData saltSize="16" blockSize="16" keyBits="256" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" saltValue="${b64(kdSalt)}"/>
+         |<keyEncryptors><keyEncryptor uri="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
+         |<p:encryptedKey spinCount="$spinCount" saltSize="16" blockSize="16" keyBits="256" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" saltValue="${b64(salt)}" encryptedVerifierHashInput="${b64(encInput)}" encryptedVerifierHashValue="${b64(encValue)}" encryptedKeyValue="${b64(encKeyValue)}"/>
+         |</keyEncryptor></keyEncryptors></encryption>""".stripMargin
+    val info = le16(4) ++ le16(4) ++ le32(0x40) ++
+      xml.getBytes(StandardCharsets.UTF_8)
+    cfb(info, pkg)
+  }
+
+  /** MS-OFFCRYPTO standard (Word 2007) encryption: SHA-1 50 000-spin
+    * KDF + CryptDeriveKey expansion, AES-128-ECB.
+    */
+  def standardDoc(password: String, plain: Array[Byte]): Array[Byte] = {
+    val salt = (61 to 76).map(_.toByte).toArray
+    val hFinal = sha("SHA-1", spin("SHA-1", salt, password, 50000), le32(0))
+    def expand(pad: Byte): Array[Byte] = {
+      val buf = Array.fill(64)(pad)
+      for (i <- hFinal.indices) buf(i) = (buf(i) ^ hFinal(i)).toByte
+      sha("SHA-1", buf)
+    }
+    val key = java.util.Arrays.copyOf(expand(0x36) ++ expand(0x5C.toByte), 16)
+    val verifier = (81 to 96).map(_.toByte).toArray
+    val encVerifier = aesEnc(key, None, verifier)
+    val encVerifierHash = aesEnc(key, None,
+      java.util.Arrays.copyOf(sha("SHA-1", verifier), 32))
+    val csp = ("Microsoft Enhanced RSA and AES Cryptographic Provider ")
+      .getBytes(StandardCharsets.UTF_16LE)
+    val header = le32(0x24) ++ le32(0) ++ le32(0x660E) ++ le32(0x8004) ++
+      le32(128) ++ le32(0x18) ++ le32(0) ++ le32(0) ++ csp
+    val info = le16(4) ++ le16(2) ++ le32(0x24) ++ le32(header.length) ++
+      header ++
+      (le32(16) ++ salt ++ encVerifier ++ le32(20) ++ encVerifierHash)
+    val pkg = le64(plain.length.toLong) ++ aesEnc(key, None, pad16(plain))
+    cfb(info, pkg)
+  }
+}
+
+class OoxmlDecryptSpec extends AnyFunSuite {
+  import OoxmlFixtures._
+
+  // ---- tests ------------------------------------------------------------
+
+  private val text = "የፌዴራል ጠቅላይ ፍርድ ቤት ውሳኔ 2015"
+
+  test("agile (4.4, SHA-512/AES-256): right password extracts, wrong stays encrypted") {
+    val doc = agileDoc("መክፈቻ-ቁልፍ", docx(text))
+    assert(DocxExtractor.looksLikeEncryptedOoxml(doc))
+    assert(DocxExtractor.extractPages(doc) === Nil)
+    assert(DocxExtractor.diagnose(doc) === "encrypted")
+    val right = DocxExtractor.withPassword("መክፈቻ-ቁልፍ")
+    assert(right.extractPages(doc) === Seq(text))
+    val wrong = DocxExtractor.withPassword("not-it")
+    assert(wrong.extractPages(doc) === Nil)
+    assert(wrong.diagnose(doc) === "encrypted")
+  }
+
+  test("agile: multi-segment package (> 4096 bytes) round-trips across segment IVs") {
+    // enough paragraphs that the zip exceeds one 4096-byte segment —
+    // each segment gets its own hashed IV, so an indexing slip garbles
+    // everything past the first segment
+    val paras = (1 to 400).map(i => s"paragraph $i with some words")
+    val doc = agileDoc("seg-pwd", docx(paras: _*))
+    val pages = DocxExtractor.withPassword("seg-pwd").extractPages(doc)
+    assert(pages.size === 1)
+    assert(pages.head.contains("paragraph 1 with some words"))
+    assert(pages.head.contains("paragraph 400 with some words"))
+  }
+
+  test("standard (4.2, SHA-1/AES-128-ECB): right password extracts, wrong stays encrypted") {
+    val doc = standardDoc("w2007-pass", docx(text))
+    assert(DocxExtractor.withPassword("w2007-pass")
+      .extractPages(doc) === Seq(text))
+    assert(DocxExtractor.withPassword("nope").extractPages(doc) === Nil)
+    assert(DocxExtractor.withPassword("nope").diagnose(doc) === "encrypted")
+    assert(DocxExtractor.extractPages(doc) === Nil)
+  }
+
+  test("sniffing router: CFB routes to the DOCX codec — passworded decrypts, bare quarantines") {
+    val doc = agileDoc("route-pwd", docx(text))
+    val bare = SniffingExtractor()
+    assert(bare.extractPages(doc) === Nil)
+    assert(bare.diagnose(doc) === "encrypted")
+    val keyed = SniffingExtractor().withPassword("route-pwd")
+    assert(keyed.extractPages(doc) === Seq(text))
+    // the same keyed router still refuses a DIFFERENT password's doc
+    assert(keyed.extractPages(agileDoc("other", docx(text))) === Nil)
+  }
+
+  test("right password, empty body: diagnosis moves past `encrypted` to the real reason") {
+    val doc = agileDoc("empty-pwd", docx()) // zero paragraphs
+    val keyed = DocxExtractor.withPassword("empty-pwd")
+    assert(keyed.extractPages(doc) === Nil)
+    assert(keyed.diagnose(doc) === "empty-text")
+  }
+
+  test("withPassword semantics match the PDF side: empty is a no-op, plain zips ignore the password") {
+    val keyed = DocxExtractor.withPassword("k")
+    assert(keyed.withPassword("") eq keyed)
+    assert(DocxExtractor.withPassword("") eq DocxExtractor)
+    val plain = docx(text)
+    assert(keyed.extractPages(plain) === Seq(text))
+  }
+
+  test("hardening: truncated CFB, cyclic FAT chains and absent streams all return None, never throw") {
+    val good = agileDoc("p", docx(text))
+    // truncations at every boundary class
+    for (n <- Seq(4, 8, 100, 512, 700, 1200))
+      assert(OoxmlDecrypt.decryptPackage(
+        java.util.Arrays.copyOf(good, n), "p").isEmpty)
+    // cyclic FAT: point the package chain's first sector at itself
+    val cyclic = good.clone()
+    // FAT lives in sector 0 (file offset 512); find the package start
+    // sector from the directory (entry 2, start field at 116)
+    val dirOff = 2 * 512 // sector 1
+    val pkgStart = (cyclic(dirOff + 256 + 116) & 0xff) |
+      ((cyclic(dirOff + 256 + 117) & 0xff) << 8)
+    val fatOff = 512 + pkgStart * 4
+    cyclic(fatOff) = pkgStart.toByte
+    cyclic(fatOff + 1) = (pkgStart >>> 8).toByte
+    cyclic(fatOff + 2) = 0; cyclic(fatOff + 3) = 0
+    assert(OoxmlDecrypt.decryptPackage(cyclic, "p").isEmpty)
+    // a CFB with neither stream
+    val empty = cfb("<x/>".getBytes(StandardCharsets.UTF_8),
+      new Array[Byte](16))
+    assert(OoxmlDecrypt.decryptPackage(
+      empty.patch(512 + 512 + 128, new Array[Byte](256), 256).toArray,
+      "p").isEmpty)
+  }
+
+  test("unsupported schemes quarantine: extensible (4.3) and RC4 CryptoAPI algIds") {
+    val good = agileDoc("p", docx(text))
+    // rewrite the EncryptionInfo version to 4.3 (extensible) in place:
+    // the info stream's first mini sector starts at sector 3
+    val ext = good.clone()
+    val infoOff = (3 + 1) * 512
+    ext(infoOff) = 4; ext(infoOff + 1) = 0 // major 4
+    ext(infoOff + 2) = 3; ext(infoOff + 3) = 0 // minor 3
+    assert(OoxmlDecrypt.decryptPackage(ext, "p").isEmpty)
+    assert(DocxExtractor.withPassword("p").diagnose(ext) === "encrypted")
+  }
+}
