@@ -572,45 +572,22 @@ object DocxExtractor extends PageExtractor {
       bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 0x03 && bytes(3) == 0x04
 
-  private val CfbMagic: Array[Byte] =
-    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
-  // CFB directory entry names are stored UTF-16LE; this is the stream
-  // every ECMA-376 encrypted package carries
-  private val EncryptionInfoUtf16: Array[Byte] =
-    "EncryptionInfo".flatMap(c => Seq(c.toByte, 0.toByte)).toArray
-
   /** Password-protected OOXML (r15): an encrypted `.docx` is NOT a zip
     * — Word wraps the AES-encrypted package in an OLE/CFB compound
-    * file whose directory carries an `EncryptionInfo` stream. CFB
-    * magic + that UTF-16LE directory-entry name distinguishes it from
-    * a LEGACY binary `.doc` (same magic, `WordDocument` stream, no
-    * EncryptionInfo), so the quarantine reason can say `encrypted`
-    * instead of the misleading `not-pdf-or-docx`. Detection only —
-    * OOXML decryption stays out of scope, which is parity: the
-    * reference's python-docx/pdfplumber stack cannot open these
-    * either. Diagnose-path-only cost (the rare quarantined-row path):
-    * one linear byte scan for a 28-byte needle.
+    * file whose DIRECTORY carries an `EncryptionInfo` stream. The
+    * detection parses the CFB structure and confirms that directory
+    * entry (review r15 round 3: a whole-file byte scan for the
+    * UTF-16LE name false-positived on a legacy binary `.doc` whose
+    * BODY TEXT merely contained the word, and duplicated the CFB
+    * magic check the r11 one-place rule forbids — both the magic and
+    * the walk live in [[OoxmlDecrypt]] now). Legacy `.doc` files
+    * (same magic, `WordDocument` stream, no EncryptionInfo entry)
+    * stay `not-a-docx`. Cost on the extract hot path is one 8-byte
+    * magic check for non-CFB rows; CFB rows pay a bounded directory
+    * walk, no decompression.
     */
-  def looksLikeEncryptedOoxml(bytes: Array[Byte]): Boolean = {
-    if (bytes == null || bytes.length < CfbMagic.length) return false
-    var i = 0
-    while (i < CfbMagic.length) {
-      if (bytes(i) != CfbMagic(i)) return false
-      i += 1
-    }
-    // bounded naive search — needle is 28 bytes, haystack is the
-    // already-bounded upload body
-    val n = EncryptionInfoUtf16
-    var p = 0
-    val last = bytes.length - n.length
-    while (p <= last) {
-      var j = 0
-      while (j < n.length && bytes(p + j) == n(j)) j += 1
-      if (j == n.length) return true
-      p += 1
-    }
-    false
-  }
+  def looksLikeEncryptedOoxml(bytes: Array[Byte]): Boolean =
+    OoxmlDecrypt.hasEncryptionInfo(bytes)
 
   /** The five XML named entities plus numeric character references —
     * everything WordprocessingML emits in `<w:t>` content.
@@ -648,6 +625,13 @@ final case class DocxPartsExtractor(footnotes: Boolean = false,
     DocxExtractor.extractPages(bytes, footnotes, headers, footers)
   override def diagnose(bytes: Array[Byte]): String =
     DocxExtractor.diagnose(bytes)
+  // the passworded wrapper decrypts and re-routes through THIS codec,
+  // so the opt-in parts survive the password path (review r15 round 3:
+  // the trait's no-op default silently dropped the password here while
+  // diagnose still read `encrypted`)
+  override def withPassword(password: String): PageExtractor =
+    if (password.isEmpty) this
+    else PasswordedDocxExtractor(password, this)
 }
 
 /** The footnote-including variant (the common statute wiring — statutes
@@ -658,6 +642,9 @@ case object DocxWithFootnotesExtractor extends PageExtractor {
     DocxExtractor.extractPages(bytes, includeFootnotes = true)
   override def diagnose(bytes: Array[Byte]): String =
     DocxExtractor.diagnose(bytes)
+  override def withPassword(password: String): PageExtractor =
+    if (password.isEmpty) this
+    else PasswordedDocxExtractor(password, this)
 }
 
 /** [[DocxExtractor]] carrying a caller-supplied document password
@@ -669,20 +656,36 @@ case object DocxWithFootnotesExtractor extends PageExtractor {
   * quarantine; plain zips ignore the password entirely. Stateless and
   * Serializable like every PageExtractor.
   */
-final case class PasswordedDocxExtractor(password: String)
-    extends PageExtractor {
+final case class PasswordedDocxExtractor(password: String,
+    inner: PageExtractor = DocxExtractor) extends PageExtractor {
+  // last-(document, outcome) memo (review r15 round 3): the ingest
+  // route calls extractPages and then, on an empty result, diagnose —
+  // without this the spin-count KDF ran TWICE per quarantined upload.
+  // One entry suffices (the two calls arrive back-to-back on the same
+  // bytes); identity-compared, transient (rebuilt empty per executor).
+  @transient private lazy val lastDecrypt =
+    new java.util.concurrent.atomic.AtomicReference[
+      (Array[Byte], Option[Array[Byte]])]()
+  private def decrypt(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val cached = lastDecrypt.get()
+    if (cached != null && (cached._1 eq bytes)) cached._2
+    else {
+      val r = OoxmlDecrypt.decryptPackage(bytes, password)
+      lastDecrypt.set((bytes, r))
+      r
+    }
+  }
   def extractPages(bytes: Array[Byte]): Seq[String] =
     if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
-      OoxmlDecrypt.decryptPackage(bytes, password)
-        .map(DocxExtractor.extractPages).getOrElse(Nil)
-    else DocxExtractor.extractPages(bytes)
+      decrypt(bytes).map(inner.extractPages).getOrElse(Nil)
+    else inner.extractPages(bytes)
   override def diagnose(bytes: Array[Byte]): String =
     if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
       // a RIGHT password moves the reason past `encrypted` to whatever
       // actually blocked the text inside the decrypted package
-      OoxmlDecrypt.decryptPackage(bytes, password)
-        .map(DocxExtractor.diagnose).getOrElse("encrypted")
-    else DocxExtractor.diagnose(bytes)
+      decrypt(bytes).map(inner.diagnose).getOrElse("encrypted")
+    else inner.diagnose(bytes)
   override def withPassword(p: String): PageExtractor =
-    if (p.isEmpty || p == password) this else DocxExtractor.withPassword(p)
+    if (p.isEmpty || p == password) this
+    else PasswordedDocxExtractor(p, inner)
 }

@@ -20,8 +20,12 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *   - **Standard encryption** (versions 3.2/4.2 — Word 2007): binary
   *     header, SHA-1 50 000-iteration KDF + the CryptDeriveKey 0x36/0x5C
   *     expansion, AES-ECB verifier and package.
-  * Declared out: the deprecated "extensible" providers (x.3) and RC4
-  * CryptoAPI (legacy binary `.doc`) — both quarantine as `encrypted`.
+  * Declared out: the deprecated "extensible" providers (x.3) and the
+  * RC4/non-AES AlgIDs inside a standard-family header — those carry an
+  * `EncryptionInfo` stream, so they quarantine as `encrypted`. Legacy
+  * binary `.doc` encryption (RC4 CryptoAPI inside the Table stream)
+  * has NO EncryptionInfo entry and is not detected here at all — it
+  * stays `not-a-docx`, like every other binary `.doc`.
   *
   * This capability is BEYOND the reference (python-docx cannot open
   * encrypted documents at all); it exists because the engine's
@@ -39,6 +43,19 @@ private[etl] object OoxmlDecrypt {
 
   private val EndOfChain = 0xFFFFFFFEL
   private val MaxStreamBytes: Int = Fetch.MaxBodyBytes // decrypt ≤ upload bound
+  // EncryptionInfo is 1-2 KB in real files (the XML/binary descriptor);
+  // 1 MiB is generous headroom for certificate keyEncryptors while
+  // keeping the hot-path existence probe allocation-bounded
+  private val MaxInfoBytes: Int = 1 << 20
+
+  /** Structural probe for the detector ([[DocxExtractor
+    * .looksLikeEncryptedOoxml]]): CFB magic + a readable
+    * `EncryptionInfo` DIRECTORY entry — never a content byte-scan,
+    * which false-positived on documents whose text mentions the name
+    * (review r15 round 3). Non-CFB bytes exit on the 8-byte magic.
+    */
+  private[etl] def hasEncryptionInfo(bytes: Array[Byte]): Boolean =
+    readCfbStream(bytes, "EncryptionInfo", cap = MaxInfoBytes).isDefined
 
   private def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
@@ -53,10 +70,12 @@ private[etl] object OoxmlDecrypt {
     * exactly as the spec's cutoff demands. Every chain walk is capped at
     * the sector population (a crafted cyclic FAT must not spin).
     */
-  private[etl] def readCfbStream(bytes: Array[Byte],
-                                 name: String): Option[Array[Byte]] = {
+  private[etl] def readCfbStream(bytes: Array[Byte], name: String,
+                                 cap: Int = Int.MaxValue)
+      : Option[Array[Byte]] = {
     try {
       if (!isCfb(bytes) || bytes.length < 512) return None
+      val sizeCap = math.min(cap.toLong, MaxStreamBytes.toLong)
       val sectorShift = le16(bytes, 30)
       if (sectorShift < 7 || sectorShift > 20) return None
       val sectorSize = 1 << sectorShift
@@ -150,7 +169,7 @@ private[etl] object OoxmlDecrypt {
       val root = entries.find(_.objType == 5).getOrElse(return None)
       val e = entries.find(en => en.objType == 2 && en.name == name)
         .getOrElse(return None)
-      if (e.size > MaxStreamBytes) return None
+      if (e.size > sizeCap) return None
       if (e.size >= miniCutoff) readChain(e.start, e.size)
       else {
         // mini stream: the root entry's chain holds the backing bytes;
@@ -305,7 +324,11 @@ private[etl] object OoxmlDecrypt {
     val alg = attr(pk, "hashAlgorithm").getOrElse(return None)
     val salt = attr(pk, "saltValue").flatMap(b64).getOrElse(return None)
     val spin = attr(pk, "spinCount").flatMap(_.toIntOption).getOrElse(return None)
-    if (spin < 0 || spin > 10000000) return None // attacker-shaped CPU bound
+    // attacker-shaped CPU bound (review r15 round 3: 10M was ~100× the
+    // 100 000 every real Word writer emits — one crafted upload burned
+    // seconds of single-threaded KDF); 2M keeps a 20× paranoid-writer
+    // margin while bounding the burn well under a second
+    if (spin < 0 || spin > 2000000) return None
     val keyBytes = attr(pk, "keyBits").flatMap(_.toIntOption)
       .getOrElse(return None) / 8
     val block = attr(pk, "blockSize").flatMap(_.toIntOption).getOrElse(16)
@@ -422,7 +445,8 @@ private[etl] object OoxmlDecrypt {
                                   password: String): Option[Array[Byte]] = {
     try {
       if (!isCfb(bytes)) return None
-      val info = readCfbStream(bytes, "EncryptionInfo").getOrElse(return None)
+      val info = readCfbStream(bytes, "EncryptionInfo", cap = MaxInfoBytes)
+        .getOrElse(return None)
       val pkg = readCfbStream(bytes, "EncryptedPackage").getOrElse(return None)
       if (info.length < 8) return None
       val major = le16(info, 0)

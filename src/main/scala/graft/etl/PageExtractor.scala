@@ -154,8 +154,9 @@ final case class SniffingExtractor(
     else Map.empty
   }
 
-  /** Delegates the password to both routed codecs (each decides whether
-    * its format has a password concept — today only the PDF side does).
+  /** Delegates the password to both routed codecs — the PDF side's
+    * Standard security handler and the DOCX side's encrypted-OOXML
+    * package (r15) each honor it.
     */
   override def withPassword(password: String): PageExtractor =
     if (password.isEmpty) this

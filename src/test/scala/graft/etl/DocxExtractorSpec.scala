@@ -551,35 +551,43 @@ class DocxExtractorSpec extends AnyFunSuite {
     assert(elapsedMs < 30000, s"tokenization took ${elapsedMs} ms — quadratic?")
   }
 
-  test("password-protected OOXML (CFB + EncryptionInfo) diagnoses `encrypted`; legacy .doc does not (r15)") {
-    // Word wraps an encrypted .docx in an OLE/CFB compound file whose
-    // directory carries an EncryptionInfo stream (UTF-16LE name).
-    // Synthetic CFB shells: magic + header padding + a directory
-    // region holding the distinguishing stream name.
-    val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
-      .map(_.toByte)
-    def cfb(streamName: String): Array[Byte] = {
-      val name = streamName.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
-      magic ++ new Array[Byte](512 - magic.length) ++ name ++
-        new Array[Byte](128)
-    }
-    val encrypted = cfb("EncryptionInfo")
-    val legacyDoc = cfb("WordDocument")
+  test("password-protected OOXML (CFB directory EncryptionInfo) diagnoses `encrypted`; legacy .doc does not (r15)") {
+    // detection is a CFB DIRECTORY-entry check, never a content scan
+    // (review r15 round 3: a byte scan false-positived on documents
+    // whose body text merely mentions 'EncryptionInfo')
+    val encrypted = OoxmlFixtures.agileDoc("pw",
+      OoxmlFixtures.docx("some text"))
+    // a legacy-.doc-shaped container: same CFB magic, WordDocument
+    // stream, NO EncryptionInfo entry — and its stream CONTENT carries
+    // the UTF-16LE 'EncryptionInfo' needle, the exact false-positive
+    val needleBody = ("padding " * 50 + "EncryptionInfo tail")
+      .getBytes("UTF-16LE")
+    val legacyDoc = OoxmlFixtures.cfb(
+      "body about EncryptionInfo settings".getBytes("UTF-16LE"),
+      java.util.Arrays.copyOf(needleBody, 4500),
+      infoName = "WordDocument", pkgName = "1Table")
     assert(DocxExtractor.looksLikeEncryptedOoxml(encrypted))
     assert(!DocxExtractor.looksLikeEncryptedOoxml(legacyDoc))
     assert(DocxExtractor.diagnose(encrypted) === "encrypted")
     assert(DocxExtractor.diagnose(legacyDoc) === "not-a-docx")
-    // neither is a zip, so extraction degrades to Nil either way
+    // not a zip, so extraction degrades to Nil without the password
     assert(DocxExtractor.extractPages(encrypted) === Nil)
-    // the sniffing router names the real blocker too (it routes CFB to
-    // neither codec)
+    // the sniffing router ROUTES CFB bytes to the DOCX codec, whose
+    // diagnosis names the real blocker; non-OOXML CFB keeps the
+    // router's own verdict
     val sniff = SniffingExtractor()
     assert(sniff.diagnose(encrypted) === "encrypted")
     assert(sniff.diagnose(legacyDoc) === "not-pdf-or-docx")
     assert(sniff.extractPages(encrypted) === Nil)
-    // a zip that happens to CONTAIN the needle bytes is still a docx
-    // question, not an encryption one: magic gate first
+    // zip-magic bytes containing the name are a docx question, not an
+    // encryption one
     assert(!DocxExtractor.looksLikeEncryptedOoxml(
-      "PKEncryptionInfo".getBytes("ISO-8859-1")))
+      "PKEncryptionInfo".getBytes("ISO-8859-1")))
+    // the opt-in parts codecs honor the password seam too (review r15
+    // round 3: the trait's no-op default silently dropped it)
+    assert(DocxPartsExtractor(footnotes = true).withPassword("pw")
+      .extractPages(encrypted) === Seq("some text"))
+    assert(DocxWithFootnotesExtractor.withPassword("pw")
+      .extractPages(encrypted) === Seq("some text"))
   }
 }

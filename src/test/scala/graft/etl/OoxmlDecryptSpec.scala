@@ -80,7 +80,9 @@ private[etl] object OoxmlFixtures {
     * sector 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = ministream
     * (EncryptionInfo in 64-byte mini sectors), then the package chain.
     */
-  def cfb(info: Array[Byte], pkg: Array[Byte]): Array[Byte] = {
+  def cfb(info: Array[Byte], pkg: Array[Byte],
+          infoName: String = "EncryptionInfo",
+          pkgName: String = "EncryptedPackage"): Array[Byte] = {
     require(info.length < 4096, "fixture keeps EncryptionInfo in the ministream")
     val miniSectors = (info.length + 63) / 64
     val miniBytes = miniSectors * 64
@@ -130,8 +132,8 @@ private[etl] object OoxmlFixtures {
     fat.foreach(v => out.write(le32(v))) // sector 0
     // sector 1: directory — root's chain holds the ministream
     out.write(dirEntry("Root Entry", 5, firstMini, miniBytes.toLong))
-    out.write(dirEntry("EncryptionInfo", 2, 0, info.length.toLong))
-    out.write(dirEntry("EncryptedPackage", 2, firstPkg, pkg.length.toLong))
+    out.write(dirEntry(infoName, 2, 0, info.length.toLong))
+    out.write(dirEntry(pkgName, 2, firstPkg, pkg.length.toLong))
     out.write(new Array[Byte](128)) // unused entry
     miniFat.foreach(v => out.write(le32(v))) // sector 2
     out.write(java.util.Arrays.copyOf(info, miniStreamSectors * 512))
