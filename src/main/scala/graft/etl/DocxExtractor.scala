@@ -658,20 +658,27 @@ case object DocxWithFootnotesExtractor extends PageExtractor {
   */
 final case class PasswordedDocxExtractor(password: String,
     inner: PageExtractor = DocxExtractor) extends PageExtractor {
-  // last-(document, outcome) memo (review r15 round 3): the ingest
-  // route calls extractPages and then, on an empty result, diagnose —
-  // without this the spin-count KDF ran TWICE per quarantined upload.
-  // One entry suffices (the two calls arrive back-to-back on the same
-  // bytes); identity-compared, transient (rebuilt empty per executor).
+  // last-(document, outcome) memo (review r15 rounds 3+4): the ingest
+  // route runs extractPages and then, on an empty result, diagnose —
+  // in SEPARATE UDF invocations whose byte arrays are fresh copies
+  // deserialized per call, so an identity-keyed memo never hit there
+  // (round 4) and the spin-count KDF ran twice per quarantined upload.
+  // Keyed on (length, MD5) instead — milliseconds against a KDF worth
+  // seconds — and storing only the OUTCOME, never the input bytes.
+  // One entry suffices (the two calls arrive back-to-back); transient
+  // (rebuilt empty per executor/deserialization).
   @transient private lazy val lastDecrypt =
     new java.util.concurrent.atomic.AtomicReference[
-      (Array[Byte], Option[Array[Byte]])]()
+      ((Long, String), Option[Array[Byte]])]()
   private def decrypt(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val key = (bytes.length.toLong,
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(bytes)))
     val cached = lastDecrypt.get()
-    if (cached != null && (cached._1 eq bytes)) cached._2
+    if (cached != null && cached._1 == key) cached._2
     else {
       val r = OoxmlDecrypt.decryptPackage(bytes, password)
-      lastDecrypt.set((bytes, r))
+      lastDecrypt.set((key, r))
       r
     }
   }

@@ -49,13 +49,20 @@ private[etl] object OoxmlDecrypt {
   private val MaxInfoBytes: Int = 1 << 20
 
   /** Structural probe for the detector ([[DocxExtractor
-    * .looksLikeEncryptedOoxml]]): CFB magic + a readable
-    * `EncryptionInfo` DIRECTORY entry — never a content byte-scan,
-    * which false-positived on documents whose text mentions the name
-    * (review r15 round 3). Non-CFB bytes exit on the 8-byte magic.
+    * .looksLikeEncryptedOoxml]]): CFB magic + an `EncryptionInfo`
+    * DIRECTORY entry — never a content byte-scan, which false-positived
+    * on documents whose text mentions the name (review r15 round 3).
+    * ENTRY EXISTENCE only (review round 4): the probe must not read —
+    * or even size-check — the stream, (a) so the boolean costs one
+    * directory walk, never a ministream copy a crafted root chain
+    * could inflate to the upload bound, and (b) so a TAIL-truncated or
+    * size-corrupted encrypted upload still earns the actionable
+    * `encrypted` reason instead of regressing to `not-a-docx` (the
+    * decrypt path re-validates everything it actually reads).
+    * Non-CFB bytes exit on the 8-byte magic.
     */
   private[etl] def hasEncryptionInfo(bytes: Array[Byte]): Boolean =
-    readCfbStream(bytes, "EncryptionInfo", cap = MaxInfoBytes).isDefined
+    readCfbStream(bytes, "EncryptionInfo", probeOnly = true).isDefined
 
   private def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
@@ -71,7 +78,8 @@ private[etl] object OoxmlDecrypt {
     * the sector population (a crafted cyclic FAT must not spin).
     */
   private[etl] def readCfbStream(bytes: Array[Byte], name: String,
-                                 cap: Int = Int.MaxValue)
+                                 cap: Int = Int.MaxValue,
+                                 probeOnly: Boolean = false)
       : Option[Array[Byte]] = {
     try {
       if (!isCfb(bytes) || bytes.length < 512) return None
@@ -169,6 +177,9 @@ private[etl] object OoxmlDecrypt {
       val root = entries.find(_.objType == 5).getOrElse(return None)
       val e = entries.find(en => en.objType == 2 && en.name == name)
         .getOrElse(return None)
+      // probe mode answers on entry EXISTENCE — no size gate, no
+      // content read (the detector contract above)
+      if (probeOnly) return Some(Array.emptyByteArray)
       if (e.size > sizeCap) return None
       if (e.size >= miniCutoff) readChain(e.start, e.size)
       else {
@@ -324,10 +335,14 @@ private[etl] object OoxmlDecrypt {
     val alg = attr(pk, "hashAlgorithm").getOrElse(return None)
     val salt = attr(pk, "saltValue").flatMap(b64).getOrElse(return None)
     val spin = attr(pk, "spinCount").flatMap(_.toIntOption).getOrElse(return None)
-    // attacker-shaped CPU bound (review r15 round 3: 10M was ~100× the
-    // 100 000 every real Word writer emits — one crafted upload burned
-    // seconds of single-threaded KDF); 2M keeps a 20× paranoid-writer
-    // margin while bounding the burn well under a second
+    // attacker-shaped CPU bound (review r15 round 3, CONSIDERED AND
+    // KEPT in round 4): 10M — MS-OFFCRYPTO's own "should be less
+    // than" ceiling — let one crafted upload burn ~10 s of
+    // single-threaded KDF. 2M keeps a 20× margin over the 100 000
+    // every real Word writer emits and bounds the burn to the ~1-2 s
+    // class. The documented tradeoff: a spec-legal document written
+    // with spinCount in (2M, 10M] quarantines `encrypted` even with
+    // the right password — that population is, in practice, crafted.
     if (spin < 0 || spin > 2000000) return None
     val keyBytes = attr(pk, "keyBits").flatMap(_.toIntOption)
       .getOrElse(return None) / 8

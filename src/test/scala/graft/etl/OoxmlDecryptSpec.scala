@@ -226,7 +226,7 @@ private[etl] object OoxmlFixtures {
     val encVerifier = aesEnc(key, None, verifier)
     val encVerifierHash = aesEnc(key, None,
       java.util.Arrays.copyOf(sha("SHA-1", verifier), 32))
-    val csp = ("Microsoft Enhanced RSA and AES Cryptographic Provider ")
+    val csp = ("Microsoft Enhanced RSA and AES Cryptographic Provider\u0000")
       .getBytes(StandardCharsets.UTF_16LE)
     val header = le32(0x24) ++ le32(0) ++ le32(0x660E) ++ le32(0x8004) ++
       le32(128) ++ le32(0x18) ++ le32(0) ++ le32(0) ++ csp
@@ -328,6 +328,15 @@ class OoxmlDecryptSpec extends AnyFunSuite {
     assert(OoxmlDecrypt.decryptPackage(
       empty.patch(512 + 512 + 128, new Array[Byte](256), 256).toArray,
       "p").isEmpty)
+    // a TAIL-truncated encrypted upload (directory intact, streams cut)
+    // still DETECTS as encrypted — the probe is entry-existence only
+    // (review r15 round 4: requiring a readable stream regressed the
+    // reason to not-a-docx) — while decryption correctly refuses
+    val tailCut = java.util.Arrays.copyOf(good, 2048)
+    assert(DocxExtractor.looksLikeEncryptedOoxml(tailCut))
+    assert(OoxmlDecrypt.decryptPackage(tailCut, "p").isEmpty)
+    assert(DocxExtractor.diagnose(tailCut) === "encrypted")
+    assert(DocxExtractor.withPassword("p").diagnose(tailCut) === "encrypted")
   }
 
   test("unsupported schemes quarantine: extensible (4.3) and RC4 CryptoAPI algIds") {
