@@ -179,31 +179,40 @@ private[etl] object OoxmlFixtures {
 
   /** ECMA-376 agile encryption of `plain` under `password`. */
   def agileDoc(password: String, plain: Array[Byte],
-                       spinCount: Int = 1000): Array[Byte] = {
+               spinCount: Int = 1000, hashAlg: String = "SHA512",
+               keyBits: Int = 256): Array[Byte] = {
+    val jdk = hashAlg match {
+      case "SHA1" => "SHA-1"; case "SHA256" => "SHA-256"
+      case "SHA384" => "SHA-384"; case _ => "SHA-512"
+    }
+    val keyBytes = keyBits / 8
     val salt = (1 to 16).map(_.toByte).toArray
     val kdSalt = (21 to 36).map(_.toByte).toArray
-    val pkgKey = (101 to 132).map(_.toByte).toArray // 32 = AES-256
+    val pkgKey = (101 to 132).map(_.toByte).toArray.take(keyBytes)
     val bk1 = Array(0xfe, 0xa7, 0xd2, 0x76, 0x3b, 0x4b, 0x9e, 0x79).map(_.toByte)
     val bk2 = Array(0xd7, 0xaa, 0x0f, 0x6d, 0x30, 0x61, 0x34, 0x4e).map(_.toByte)
     val bk3 = Array(0x14, 0x6e, 0x0b, 0xe7, 0xab, 0xac, 0xd0, 0xd6).map(_.toByte)
-    val h = spin("SHA-512", salt, password, spinCount)
-    def key(bk: Array[Byte]) = fit36(sha("SHA-512", h, bk), 32)
+    val h = spin(jdk, salt, password, spinCount)
+    def key(bk: Array[Byte]) = fit36(sha(jdk, h, bk), keyBytes)
     val iv = fit36(salt, 16)
     val verifierInput = (51 to 66).map(_.toByte).toArray
     val encInput = aesEnc(key(bk1), Some(iv), verifierInput)
-    val encValue = aesEnc(key(bk2), Some(iv), pad16(sha("SHA-512", verifierInput)))
-    val encKeyValue = aesEnc(key(bk3), Some(iv), pkgKey)
+    val encValue = aesEnc(key(bk2), Some(iv), pad16(sha(jdk, verifierInput)))
+    // the wrapped key pads to a whole AES block (AES-192's 24-byte
+    // key is not block-aligned); the decoder fits the decrypted value
+    // back to keyBits/8
+    val encKeyValue = aesEnc(key(bk3), Some(iv), pad16(pkgKey))
     val segs = plain.grouped(4096).zipWithIndex.map { case (seg, i) =>
-      val segIv = fit36(sha("SHA-512", kdSalt, le32(i)), 16)
+      val segIv = fit36(sha(jdk, kdSalt, le32(i)), 16)
       aesEnc(pkgKey, Some(segIv), pad16(seg))
     }
     val pkg = le64(plain.length.toLong) ++ segs.reduce(_ ++ _)
     val xml =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<encryption xmlns="http://schemas.microsoft.com/office/2006/encryption" xmlns:p="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
-         |<keyData saltSize="16" blockSize="16" keyBits="256" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" saltValue="${b64(kdSalt)}"/>
+         |<keyData saltSize="16" blockSize="16" keyBits="$keyBits" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="$hashAlg" saltValue="${b64(kdSalt)}"/>
          |<keyEncryptors><keyEncryptor uri="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
-         |<p:encryptedKey spinCount="$spinCount" saltSize="16" blockSize="16" keyBits="256" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" saltValue="${b64(salt)}" encryptedVerifierHashInput="${b64(encInput)}" encryptedVerifierHashValue="${b64(encValue)}" encryptedKeyValue="${b64(encKeyValue)}"/>
+         |<p:encryptedKey spinCount="$spinCount" saltSize="16" blockSize="16" keyBits="$keyBits" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="$hashAlg" saltValue="${b64(salt)}" encryptedVerifierHashInput="${b64(encInput)}" encryptedVerifierHashValue="${b64(encValue)}" encryptedKeyValue="${b64(encKeyValue)}"/>
          |</keyEncryptor></keyEncryptors></encryption>""".stripMargin
     val info = le16(4) ++ le16(4) ++ le32(0x40) ++
       xml.getBytes(StandardCharsets.UTF_8)
@@ -213,7 +222,11 @@ private[etl] object OoxmlFixtures {
   /** MS-OFFCRYPTO standard (Word 2007) encryption: SHA-1 50 000-spin
     * KDF + CryptDeriveKey expansion, AES-128-ECB.
     */
-  def standardDoc(password: String, plain: Array[Byte]): Array[Byte] = {
+  def standardDoc(password: String, plain: Array[Byte],
+                  keyBits: Int = 128): Array[Byte] = {
+    val algId = keyBits match {
+      case 192 => 0x660F; case 256 => 0x6610; case _ => 0x660E
+    }
     val salt = (61 to 76).map(_.toByte).toArray
     val hFinal = sha("SHA-1", spin("SHA-1", salt, password, 50000), le32(0))
     def expand(pad: Byte): Array[Byte] = {
@@ -221,15 +234,16 @@ private[etl] object OoxmlFixtures {
       for (i <- hFinal.indices) buf(i) = (buf(i) ^ hFinal(i)).toByte
       sha("SHA-1", buf)
     }
-    val key = java.util.Arrays.copyOf(expand(0x36) ++ expand(0x5C.toByte), 16)
+    val key = java.util.Arrays.copyOf(
+      expand(0x36) ++ expand(0x5C.toByte), keyBits / 8)
     val verifier = (81 to 96).map(_.toByte).toArray
     val encVerifier = aesEnc(key, None, verifier)
     val encVerifierHash = aesEnc(key, None,
       java.util.Arrays.copyOf(sha("SHA-1", verifier), 32))
     val csp = ("Microsoft Enhanced RSA and AES Cryptographic Provider\u0000")
       .getBytes(StandardCharsets.UTF_16LE)
-    val header = le32(0x24) ++ le32(0) ++ le32(0x660E) ++ le32(0x8004) ++
-      le32(128) ++ le32(0x18) ++ le32(0) ++ le32(0) ++ csp
+    val header = le32(0x24) ++ le32(0) ++ le32(algId) ++ le32(0x8004) ++
+      le32(keyBits) ++ le32(0x18) ++ le32(0) ++ le32(0) ++ csp
     val info = le16(4) ++ le16(2) ++ le32(0x24) ++ le32(header.length) ++
       header ++
       (le32(16) ++ salt ++ encVerifier ++ le32(20) ++ encVerifierHash)
@@ -349,5 +363,32 @@ class OoxmlDecryptSpec extends AnyFunSuite {
     ext(infoOff + 2) = 3; ext(infoOff + 3) = 0 // minor 3
     assert(OoxmlDecrypt.decryptPackage(ext, "p").isEmpty)
     assert(DocxExtractor.withPassword("p").diagnose(ext) === "encrypted")
+  }
+
+  test("agile hash x key matrix — SHA1/256/384/512 x AES-128/192/256 all round-trip (the Office 2010+ writer population)") {
+    // Office 2010 wrote agile with SHA-1; 2013+ with SHA-512; keyBits
+    // follow the writer's policy — the decoder must take every legal
+    // combination through the same attribute-driven path
+    for (h <- Seq("SHA1", "SHA256", "SHA384", "SHA512");
+         kb <- Seq(128, 192, 256)) {
+      val txt = s"matrix $h $kb"
+      val doc = agileDoc("mx-pwd", docx(txt), hashAlg = h, keyBits = kb)
+      assert(DocxExtractor.withPassword("mx-pwd").extractPages(doc)
+        === Seq(txt), s"$h/$kb failed to open")
+      assert(DocxExtractor.withPassword("wrong").extractPages(doc)
+        === Nil, s"$h/$kb opened with a wrong password")
+    }
+  }
+
+  test("standard AES-192/256 AlgIDs (0x660F/0x6610) round-trip through the CryptDeriveKey expansion") {
+    // keyBytes > 20 exercises the X1++X2 concatenation (SHA-1 yields
+    // 20 bytes, so AES-192/256 keys must span both expansion halves)
+    for (kb <- Seq(192, 256)) {
+      val txt = s"std $kb"
+      val doc = standardDoc("std-pwd", docx(txt), keyBits = kb)
+      assert(DocxExtractor.withPassword("std-pwd").extractPages(doc)
+        === Seq(txt), s"std/$kb failed to open")
+      assert(DocxExtractor.withPassword("no").extractPages(doc) === Nil)
+    }
   }
 }
