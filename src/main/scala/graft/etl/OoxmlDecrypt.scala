@@ -19,9 +19,12 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *     per-4096-byte-segment package IVs hashed from the keyData salt;
   *   - **Standard encryption** (versions 3.2/4.2 — Word 2007): binary
   *     header, SHA-1 50 000-iteration KDF + the CryptDeriveKey 0x36/0x5C
-  *     expansion, AES-ECB verifier and package.
-  * Declared out: the deprecated "extensible" providers (x.3) and the
-  * RC4/non-AES AlgIDs inside a standard-family header — those carry an
+  *     expansion, AES-ECB verifier and package;
+  *   - **RC4 CryptoAPI** (r16 — AlgID 0x6801 inside a standard-family
+  *     header, the Word-2003-compat-mode population): SHA-1 block-keyed
+  *     derivation, 512-byte re-keyed package, 40-bit zero-pad rule.
+  * Declared out: the deprecated "extensible" providers (x.3) and any
+  * other AlgID inside a standard-family header — those carry an
   * `EncryptionInfo` stream, so they quarantine as `encrypted`. Legacy
   * binary `.doc` encryption (RC4 CryptoAPI inside the Table stream)
   * has NO EncryptionInfo entry and is not detected here at all — it
@@ -92,7 +95,13 @@ private[etl] object OoxmlDecrypt {
       val miniSize = 1 << miniShift
       val miniCutoff = le32(bytes, 56)
       val nSectors = math.max(0, (bytes.length - sectorSize) / sectorSize)
-      def sectorOff(n: Long): Int = ((n + 1) * sectorSize).toInt
+      // Long arithmetic throughout (r15 ADVICE): FAT/DIFAT/directory
+      // entries carry 32-bit sector numbers up to 0xFFFFFFF9, so
+      // (n+1)*sectorSize overflows Int and can wrap into a small
+      // positive IN-BOUNDS offset — the off<0/off+size>length guards
+      // would pass and the reader would consume wrong bytes. Offsets
+      // are computed and bounds-checked in Long, narrowed only after.
+      def sectorOff(n: Long): Long = (n + 1) * sectorSize
 
       // FAT sector list: 109 DIFAT slots in the header, then the DIFAT
       // sector chain (last 4 bytes of each DIFAT sector point onward)
@@ -110,23 +119,26 @@ private[etl] object OoxmlDecrypt {
         while (difat < 0xFFFFFFFAL && hops <= nSectors) {
           val off = sectorOff(difat)
           if (off < 0 || off + sectorSize > bytes.length) return None
+          val o = off.toInt
           var j = 0
           while (j < perSector) {
-            val v = le32(bytes, off + j * 4)
+            val v = le32(bytes, o + j * 4)
             if (v < 0xFFFFFFFAL) b += v
             j += 1
           }
-          difat = le32(bytes, off + perSector * 4)
+          difat = le32(bytes, o + perSector * 4)
           hops += 1
         }
         b.result()
       }
       val entriesPerFat = sectorSize / 4
       def fatEntry(sector: Long): Long = {
-        val idx = (sector / entriesPerFat).toInt
-        if (idx < 0 || idx >= fatSectors.length) return EndOfChain
-        val off = sectorOff(fatSectors(idx)) + (sector % entriesPerFat).toInt * 4
-        if (off < 0 || off + 4 > bytes.length) EndOfChain else le32(bytes, off)
+        if (sector < 0) return EndOfChain
+        val idx = sector / entriesPerFat
+        if (idx >= fatSectors.length) return EndOfChain
+        val off = sectorOff(fatSectors(idx.toInt)) + (sector % entriesPerFat) * 4
+        if (off < 0 || off + 4 > bytes.length) EndOfChain
+        else le32(bytes, off.toInt)
       }
       /** Concatenate a regular-sector chain, clipped to `size` bytes. A
         * REVISITED sector fails the read outright — a crafted cyclic
@@ -142,7 +154,8 @@ private[etl] object OoxmlDecrypt {
           if (!seen.add(s)) return None // cyclic chain
           val off = sectorOff(s)
           if (off < 0 || off + sectorSize > bytes.length) return None
-          out.write(bytes, off, math.min(sectorSize.toLong, size - out.size).toInt)
+          out.write(bytes, off.toInt,
+            math.min(sectorSize.toLong, size - out.size).toInt)
           s = fatEntry(s)
         }
         if (out.size < size) None else Some(out.toByteArray)
@@ -158,7 +171,7 @@ private[etl] object OoxmlDecrypt {
           if (hops > nSectors) return None
           val off = sectorOff(s)
           if (off < 0 || off + sectorSize > bytes.length) return None
-          out.write(bytes, off, sectorSize)
+          out.write(bytes, off.toInt, sectorSize)
           s = fatEntry(s)
           hops += 1
         }
@@ -189,18 +202,18 @@ private[etl] object OoxmlDecrypt {
         val miniFat = readChain(le32(bytes, 60),
           le32(bytes, 64) * sectorSize).getOrElse(return None)
         def miniFatEntry(s: Long): Long = {
-          val off = s.toInt * 4
+          val off = s * 4 // Long: a 32-bit mini-sector number must not wrap
           if (off < 0 || off + 4 > miniFat.length) EndOfChain
-          else le32(miniFat, off)
+          else le32(miniFat, off.toInt)
         }
         val out = new java.io.ByteArrayOutputStream(e.size.toInt)
         val seen = new java.util.HashSet[Long]()
         var s = e.start
         while (s < 0xFFFFFFFAL && out.size < e.size) {
           if (!seen.add(s)) return None // cyclic mini chain
-          val off = s.toInt * miniSize
+          val off = s * miniSize // Long, same wrap hazard as sectorOff
           if (off < 0 || off + miniSize > mini.length) return None
-          out.write(mini, off,
+          out.write(mini, off.toInt,
             math.min(miniSize.toLong, e.size - out.size).toInt)
           s = miniFatEntry(s)
         }
@@ -405,11 +418,20 @@ private[etl] object OoxmlDecrypt {
     if (headerSize < 32 || 12 + headerSize + 40 > info.length) return None
     val hdr = 12
     val algId = le32(info, hdr + 8)
-    val keyBits = le32(info, hdr + 16).toInt
+    val keyBits0 = le32(info, hdr + 16).toInt
+    // AES standard family (0x660E/0x660F/0x6610) or RC4 CryptoAPI
+    // (0x6801 — r16, the one previously-declared-out scheme whose
+    // machinery was already in-tree via PdfDecrypt's RC4); the
+    // extensible providers and every other AlgID stay out
+    val isRc4 = algId == 0x6801
+    if (!isRc4 && algId != 0x660E && algId != 0x660F && algId != 0x6610)
+      return None
+    // CryptoAPI keySize 0 means 40-bit (MS-OFFCRYPTO 2.3.5.1)
+    val keyBits = if (isRc4 && keyBits0 == 0) 40 else keyBits0
     val keyBytes = keyBits / 8
-    // AES only (0x660E/0x660F/0x6610); RC4 CryptoAPI is declared out
-    if (algId != 0x660E && algId != 0x660F && algId != 0x6610) return None
-    if (keyBytes < 16 || keyBytes > 32) return None
+    if (isRc4) {
+      if (keyBits < 40 || keyBits > 128 || keyBits % 8 != 0) return None
+    } else if (keyBytes < 16 || keyBytes > 32) return None
     var p = 12 + headerSize
     val saltSize = le32(info, p).toInt
     if (saltSize != 16) return None
@@ -417,8 +439,15 @@ private[etl] object OoxmlDecrypt {
     val encVerifier = java.util.Arrays.copyOfRange(info, p + 20, p + 36)
     val verifierHashSize = le32(info, p + 36).toInt
     if (verifierHashSize <= 0 || verifierHashSize > 64) return None
-    if (p + 40 + 32 > info.length) return None
-    val encVerifierHash = java.util.Arrays.copyOfRange(info, p + 40, p + 72)
+    // the stored hash field: SHA-1 padded to a whole AES block for the
+    // AES family, the raw 20 SHA-1 bytes for the RC4 stream cipher
+    val hashFieldLen = if (isRc4) 20 else 32
+    if (p + 40 + hashFieldLen > info.length) return None
+    val encVerifierHash =
+      java.util.Arrays.copyOfRange(info, p + 40, p + 40 + hashFieldLen)
+
+    if (isRc4) return decryptStandardRc4(salt, encVerifier, encVerifierHash,
+      pkg, pwd16, keyBits)
 
     // SHA-1 spin (50 000), the trailing block-0 hash, then the
     // CryptDeriveKey 0x36/0x5C expansion
@@ -449,6 +478,58 @@ private[etl] object OoxmlDecrypt {
     else Some(java.util.Arrays.copyOf(plain, size.toInt))
   }
 
+  /** RC4 CryptoAPI key derivation + decrypt (MS-OFFCRYPTO 2.3.5.2) —
+    * the Word-2003-compat population inside a standard-family header
+    * (AlgID 0x6801). No spin count, no CryptDeriveKey expansion:
+    * H0 = SHA-1(salt ++ UTF-16LE(password)); the block-b key is
+    * SHA-1(H0 ++ LE32(b)) truncated to keyBits/8 — except 40-bit keys,
+    * which the spec mandates be the first 5 hash bytes plus 11 zero
+    * bytes (a 128-bit RC4 key). The verifier pair decrypts as ONE
+    * continuous block-0 keystream (the fields are adjacent; re-keying
+    * per field would reuse the stream). The package body re-keys every
+    * 512 bytes with the block counter, the binary-format convention —
+    * no real Word writer emits RC4 OOXML packages, so the encrypt-side
+    * spec transcription in OoxmlDecryptSpec is the ground truth here.
+    */
+  private def decryptStandardRc4(salt: Array[Byte], encVerifier: Array[Byte],
+                                 encVerifierHash: Array[Byte],
+                                 pkg: Array[Byte], pwd16: Array[Byte],
+                                 keyBits: Int): Option[Array[Byte]] = {
+    val h0 = hash("SHA1", salt, pwd16)
+    def blockKey(b: Int): Array[Byte] = {
+      val hb = hash("SHA1", h0, le32b(b))
+      if (keyBits == 40) // 5 hash bytes zero-padded to a 128-bit key
+        java.util.Arrays.copyOf(java.util.Arrays.copyOf(hb, 5), 16)
+      else java.util.Arrays.copyOf(hb, keyBits / 8)
+    }
+    val both = PdfDecrypt.rc4(blockKey(0), encVerifier ++ encVerifierHash)
+    val verifier = java.util.Arrays.copyOfRange(both, 0, 16)
+    val vHash = java.util.Arrays.copyOfRange(both, 16, both.length)
+    if (!java.util.Arrays.equals(hash("SHA1", verifier), vHash))
+      return None // wrong password
+
+    if (pkg.length < 8) return None
+    val size = le64(pkg, 0)
+    if (size < 0 || size > pkg.length.toLong - 8 || size > MaxStreamBytes)
+      return None
+    val out = new Array[Byte](size.toInt)
+    var off = 8
+    var block = 0
+    var written = 0
+    while (written < size) {
+      val n = math.min(512, pkg.length - off)
+      if (n <= 0) return None
+      val plain = PdfDecrypt.rc4(blockKey(block),
+        java.util.Arrays.copyOfRange(pkg, off, off + n))
+      val take = math.min(n.toLong, size - written).toInt
+      System.arraycopy(plain, 0, out, written, take)
+      written += take
+      off += n
+      block += 1
+    }
+    Some(out)
+  }
+
   // ---- entry point ------------------------------------------------------
 
   /** Decrypt a password-protected OOXML container to its OPC zip bytes.
@@ -466,12 +547,20 @@ private[etl] object OoxmlDecrypt {
       if (info.length < 8) return None
       val major = le16(info, 0)
       val minor = le16(info, 2)
-      val pwd16 = password.getBytes(StandardCharsets.UTF_16LE)
-      (major, minor) match {
-        case (4, 4) => decryptAgile(info, pkg, pwd16)
-        case (2 | 3 | 4, 2) => decryptStandard(info, pkg, pwd16)
-        case _ => None // extensible (x.3) and anything newer: declared out
-      }
+      // try the password as typed, then NFC-normalized (r16, VERDICT
+      // #2): Word hashes the keyboard's UTF-16, which is NFC on every
+      // real input method — a caller pasting the NFD form of the same
+      // Amharic password must still open the document. The raw form
+      // stays FIRST so a document hashed from un-normalized bytes (our
+      // own r15 behavior) keeps opening with the exact string.
+      PdfDecrypt.pwdForms(password).iterator.map { form =>
+        val pwd16 = form.getBytes(StandardCharsets.UTF_16LE)
+        (major, minor) match {
+          case (4, 4) => decryptAgile(info, pkg, pwd16)
+          case (2 | 3 | 4, 2) => decryptStandard(info, pkg, pwd16)
+          case _ => None // extensible (x.3) and anything newer: declared out
+        }
+      }.collectFirst { case Some(zip) => zip }
     } catch { case _: Exception => None }
   }
 }

@@ -25,11 +25,17 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * before. Everything is JDK crypto (MD5/SHA-2/AES; RC4 is implemented
   * inline — 20 lines, no provider dependence).
   *
-  * Password encoding: R2–R4 take the password's ISO_8859_1 bytes
-  * (PDFDocEncoding's Latin block — the only part a password dialog
-  * produces); R5/R6 take UTF-8 truncated to 127 bytes per §7.6.4.3.3.
-  * The SASLprep normalization step is omitted (pure-ASCII and
-  * already-NFC passwords — the practical population — are unaffected).
+  * Password encoding: R2–R4 try the password's ISO_8859_1 bytes
+  * (PDFDocEncoding's Latin block) first and, for passwords carrying
+  * non-Latin-1 characters — which getBytes would silently flatten to
+  * '?' — the UTF-8 bytes as a fallback guess, the way real-world
+  * openers do (r15 ADVICE); R5/R6 take UTF-8 truncated to 127 bytes
+  * per §7.6.4.3.3. Each encoding is tried for the password AS TYPED
+  * and NFC-normalized (r16): writers hash the keyboard's NFC form, so
+  * a caller pasting the NFD spelling of the same Amharic password must
+  * still open the document. Full SASLprep (NFKC + mappings) remains
+  * omitted; NFC covers the composed/decomposed split that actually
+  * bites this corpus.
   *
   * All parsing is over the extractor's ISO_8859_1 raw text, which is
   * byte-preserving, so binary /O //U string values survive exactly.
@@ -379,6 +385,20 @@ private[etl] object PdfDecrypt {
     Some(aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), oe.take(32)))
   }
 
+  /** The candidate string forms of a caller-supplied password: as
+    * typed first (a document hashed from un-normalized bytes keeps
+    * opening with the exact string), then NFC-normalized when that
+    * differs. ASCII passwords collapse to one form at zero cost.
+    * Shared with [[OoxmlDecrypt]] — the two decryptors must agree on
+    * normalization or the REST `?password=` surface behaves
+    * format-dependently.
+    */
+  private[etl] def pwdForms(password: String): Seq[String] = {
+    val nfc = java.text.Normalizer.normalize(password,
+      java.text.Normalizer.Form.NFC)
+    if (nfc == password) Seq(password) else Seq(password, nfc)
+  }
+
   /** Empty-password open — the silent-viewer shape (r13 behavior). */
   private[etl] def open(encryptDict: String,
                         trailerText: String): Option[Ctx] =
@@ -460,13 +480,14 @@ private[etl] object PdfDecrypt {
           case Some(_) => return None
           case None => "AESV3"
         }
-        // §7.6.4.3.3: UTF-8, truncated to 127 bytes (SASLprep omitted —
-        // see the object scaladoc)
-        val pwd6 = password.getBytes(StandardCharsets.UTF_8).take(127)
-        return fileKeyR6(u, ue, r, pwd6)
-          .orElse(strVal(encryptDict, "OE")
-            .flatMap(oe => ownerKeyR6(o, oe, u, r, pwd6)))
-          .map(Ctx(_, r, cfm5))
+        // §7.6.4.3.3: UTF-8, truncated to 127 bytes, per candidate
+        // form — as typed then NFC (see pwdForms; SASLprep omitted)
+        val oeOpt = strVal(encryptDict, "OE")
+        return pwdForms(password).iterator.map { form =>
+          val pwd6 = form.getBytes(StandardCharsets.UTF_8).take(127)
+          fileKeyR6(u, ue, r, pwd6)
+            .orElse(oeOpt.flatMap(oe => ownerKeyR6(o, oe, u, r, pwd6)))
+        }.collectFirst { case Some(k) => k }.map(Ctx(_, r, cfm5))
       }
       // clamped to the spec's 40..128-bit range: an attacker-controlled
       // /Length 0 would otherwise make the RC4 key empty (mod-zero) and
@@ -504,21 +525,39 @@ private[etl] object PdfDecrypt {
           encryptDict.indexWhere(!_.isWhitespace, mp), "false", 0, 5)
       }
       val p = intVal(encryptDict, "P").getOrElse(-1)
-      // R2–R4 passwords are Latin-1 bytes (see the object scaladoc)
-      val pwd4 = password.getBytes(StandardCharsets.ISO_8859_1)
-      // user side first, then Algorithm 7's owner side — both validated
-      // through the same /U check (the owner path recovers the padded
-      // user password, so a wrong owner guess fails checkU, never opens)
-      val userKey = fileKeyR4(padPwd(pwd4), o, p, id0, r, keyLen,
-        encryptMetadata)
-      if (checkU(userKey, u, id0, r)) Some(Ctx(userKey, r, cfm))
-      else {
-        val recovered = ownerToUserPadded(pwd4, o, r, keyLen)
-        val ownerKey = fileKeyR4(recovered, o, p, id0, r, keyLen,
+      // R2–R4 byte candidates (see the object scaladoc): Latin-1 per
+      // string form, plus the UTF-8 bytes when the form carries
+      // non-Latin-1 characters — getBytes(ISO_8859_1) silently flattens
+      // those to '?', so without the fallback a non-Latin-1 password
+      // could NEVER open an R≤4 document that hashed its UTF-8 bytes
+      // (r15 ADVICE). At most 4 candidates; ASCII passwords stay at 1.
+      // the fallback triggers on any NON-ASCII char (review r16): a
+      // Latin-1-representable accented password ("café") also has a
+      // distinct UTF-8 spelling some writers hash — gating on
+      // non-LATIN-1 only would cover Ethiopic but skip exactly the
+      // accented-Latin population
+      val pwdCands: Seq[Array[Byte]] = pwdForms(password).flatMap { form =>
+        val latin1 = form.getBytes(StandardCharsets.ISO_8859_1)
+        if (form.exists(_ > '\u007f'))
+          Seq(latin1, form.getBytes(StandardCharsets.UTF_8))
+        else Seq(latin1)
+      }.map(_.toSeq).distinct.map(_.toArray)
+      // per candidate: user side first, then Algorithm 7's owner side —
+      // both validated through the same /U check (the owner path
+      // recovers the padded user password, so a wrong owner guess fails
+      // checkU, never opens)
+      pwdCands.iterator.map { pwd4 =>
+        val userKey = fileKeyR4(padPwd(pwd4), o, p, id0, r, keyLen,
           encryptMetadata)
-        if (checkU(ownerKey, u, id0, r)) Some(Ctx(ownerKey, r, cfm))
-        else None
-      }
+        if (checkU(userKey, u, id0, r)) Some(Ctx(userKey, r, cfm))
+        else {
+          val recovered = ownerToUserPadded(pwd4, o, r, keyLen)
+          val ownerKey = fileKeyR4(recovered, o, p, id0, r, keyLen,
+            encryptMetadata)
+          if (checkU(ownerKey, u, id0, r)) Some(Ctx(ownerKey, r, cfm))
+          else None
+        }
+      }.collectFirst { case Some(c) => c }
     } catch { case _: Exception => None }
   }
 

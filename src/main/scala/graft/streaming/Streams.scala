@@ -291,6 +291,14 @@ object Streams {
     *        content) — `DocOps.autoCategory(col("url"))` for the
     *        reference's vol*-vs-statute rule.
     */
+  /** @param maxFilesPerTrigger source micro-batch size cap. None keeps
+    *        the source default (AvailableNow drains everything in one
+    *        batch); the r16 streaming-scale rig sets it so a 100× file
+    *        count runs as 100× batches of the SAME size — the shape a
+    *        production watch directory (bounded arrivals per trigger)
+    *        actually produces, and the one that makes per-batch state
+    *        boundedness measurable.
+    */
   def ingestPdfStream(spark: SparkSession, watchDir: String, outDir: String,
                       checkpoint: String,
                       extractor: graft.etl.PageExtractor,
@@ -298,7 +306,8 @@ object Streams {
                       deleteQuarantined: Boolean = false,
                       globFilter: String = "*.pdf",
                       category: org.apache.spark.sql.Column =
-                        lit("CassationDecision")): Unit = {
+                        lit("CassationDecision"),
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -308,11 +317,13 @@ object Streams {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
-    val stream = spark.readStream
+    val reader = spark.readStream
       .format("binaryFile")
       .schema(binarySchema)
       .option("pathGlobFilter", globFilter)
-      .load(watchDir)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.load(watchDir)
       .select(col("path").as("url"), col("content"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -13,13 +13,14 @@ class IngestServerSpec extends SparkSpec {
   import spark.implicits._
 
   private def post(port: Int, path: String, body: Array[Byte],
-                   contentType: String): String = {
-    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+                   contentType: String,
+                   headers: Map[String, String] = Map.empty): String = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .header("Content-Type", contentType)
       .POST(HttpRequest.BodyPublishers.ofByteArray(body))
-      .build()
+    headers.foreach { case (k, v) => b.header(k, v) }
     HttpClient.newHttpClient()
-      .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      .send(b.build(), HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
       .body()
   }
 
@@ -217,6 +218,82 @@ class IngestServerSpec extends SparkSpec {
         "/ingest?volume=x&resource_type=statute&password=nope", doc,
         IngestServer.DocxContentType)
       assert(wrong.contains("\"error\"") && wrong.contains("encrypted"))
+    } finally server.stop()
+  }
+
+  /** Raw-socket POST so the test can put NON-ASCII bytes on the wire in
+    * a header value, the way curl does — java.net.http flattens header
+    * chars above 0x7F to '?' before sending (measured), so it cannot
+    * exercise the server's raw-UTF-8 header contract.
+    */
+  private def postRaw(port: Int, path: String, body: Array[Byte],
+                      contentType: String,
+                      rawHeaders: Map[String, Array[Byte]]): String = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      w(s"POST $path HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n")
+      w(s"Content-Type: $contentType\r\nContent-Length: ${body.length}\r\n")
+      rawHeaders.foreach { case (k, v) =>
+        w(s"$k: "); out.write(v); w("\r\n")
+      }
+      w("Connection: close\r\n\r\n")
+      out.write(body); out.flush()
+      val resp = new String(sock.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      resp.substring(resp.indexOf("\r\n\r\n") + 4)
+    } finally sock.close()
+  }
+
+  test("X-Document-Password header is the preferred password channel (r15 ADVICE: keep secrets out of query strings)") {
+    val pwd = "የሕግ-ቁልፍ-16"
+    val doc = OoxmlFixtures.agileDoc(pwd,
+      OoxmlFixtures.docx("Proclamation 9/2016 ድንጋጌ"))
+    val server = new IngestServer(spark, FlatePdfExtractor)
+    val port = server.start()
+    try {
+      // curl-style: the header carries the password's raw UTF-8 bytes
+      val resp = postRaw(port,
+        "/ingest?volume=Proc%209-2016&resource_type=statute", doc,
+        IngestServer.DocxContentType,
+        rawHeaders = Map("X-Document-Password" ->
+          pwd.getBytes(StandardCharsets.UTF_8)))
+      val rec = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(rec.getAs[String]("content").contains("Proclamation 9/2016"))
+      // plain-ASCII header value passes through identically
+      val pdfPwdDoc = OoxmlFixtures.agileDoc("ascii-pass",
+        OoxmlFixtures.docx("Proclamation 10/2016"))
+      val asciiResp = post(port,
+        "/ingest?volume=Proc%2010-2016&resource_type=statute", pdfPwdDoc,
+        IngestServer.DocxContentType,
+        headers = Map("X-Document-Password" -> "ascii-pass"))
+      assert(asciiResp.contains("Proclamation 10/2016"))
+      // the header WINS over the query param (the documented contract:
+      // the parity query channel is ignored when the header is present)
+      val both = postRaw(port,
+        "/ingest?volume=x&resource_type=statute&password=wrong-one", doc,
+        IngestServer.DocxContentType,
+        rawHeaders = Map("X-Document-Password" ->
+          pwd.getBytes(StandardCharsets.UTF_8)))
+      assert(both.contains("ድንጋጌ"))
+      // wrong header password → the same coded quarantine row
+      val bad = post(port, "/ingest?volume=x&resource_type=statute", doc,
+        IngestServer.DocxContentType,
+        headers = Map("X-Document-Password" -> "nope"))
+      assert(bad.contains("\"error\"") && bad.contains("encrypted"))
+      // a present-but-EMPTY header still wins over the query param
+      // (review r16): the client explicitly requests the empty-password
+      // open, overriding a stale ?password= in a templated URL — for
+      // this encrypted doc that is the quarantine, NOT an open with the
+      // query value (which is the right password here and would open)
+      val emptyHdr = postRaw(port,
+        s"/ingest?volume=x&resource_type=statute&password=${
+          java.net.URLEncoder.encode(pwd, "UTF-8")}", doc,
+        IngestServer.DocxContentType,
+        rawHeaders = Map("X-Document-Password" -> Array.emptyByteArray))
+      assert(emptyHdr.contains("\"error\"") && emptyHdr.contains("encrypted"))
     } finally server.stop()
   }
 

@@ -250,6 +250,45 @@ private[etl] object OoxmlFixtures {
     val pkg = le64(plain.length.toLong) ++ aesEnc(key, None, pad16(plain))
     cfb(info, pkg)
   }
+
+  /** MS-OFFCRYPTO RC4 CryptoAPI encryption (r16): standard-family
+    * binary header with AlgID 0x6801. Key schedule transcribed from
+    * 2.3.5.2 — H0 = SHA-1(salt ++ UTF-16LE(password)), block-b key =
+    * SHA-1(H0 ++ LE32(b)) truncated to keyBits/8 (40-bit: 5 bytes
+    * zero-padded to 16); verifier + hash encrypted as ONE continuous
+    * block-0 keystream; package body re-keyed every 512 bytes. The RC4
+    * primitive is PdfDecrypt's, which PdfDecryptSpec pins against the
+    * published known-answer vector first. `keySizeZero` writes the
+    * header's KeySize field as 0 — the spec's alias for 40-bit.
+    */
+  def rc4CryptoApiDoc(password: String, plain: Array[Byte],
+                      keyBits: Int = 128,
+                      keySizeZero: Boolean = false): Array[Byte] = {
+    val salt = (131 to 146).map(_.toByte).toArray
+    val h0 = sha("SHA-1", salt, password.getBytes(StandardCharsets.UTF_16LE))
+    def blockKey(b: Int): Array[Byte] = {
+      val hb = sha("SHA-1", h0, le32(b))
+      if (keyBits == 40)
+        java.util.Arrays.copyOf(java.util.Arrays.copyOf(hb, 5), 16)
+      else java.util.Arrays.copyOf(hb, keyBits / 8)
+    }
+    val verifier = (141 to 156).map(_.toByte).toArray
+    val vHash = sha("SHA-1", verifier) // 20 raw bytes: stream cipher
+    val encBoth = PdfDecrypt.rc4(blockKey(0), verifier ++ vHash)
+    val csp = ("Microsoft Base Cryptographic Provider v1.0 ")
+      .getBytes(StandardCharsets.UTF_16LE)
+    // Flags = fCryptoAPI only (no fAES); ProviderType = PROV_RSA_FULL
+    val header = le32(0x04) ++ le32(0) ++ le32(0x6801) ++ le32(0x8004) ++
+      le32(if (keySizeZero) 0 else keyBits) ++ le32(0x01) ++
+      le32(0) ++ le32(0) ++ csp
+    val info = le16(3) ++ le16(2) ++ le32(0x04) ++ le32(header.length) ++
+      header ++
+      (le32(16) ++ salt ++ encBoth.take(16) ++ le32(20) ++ encBoth.drop(16))
+    val enc = plain.grouped(512).zipWithIndex.map { case (blk, i) =>
+      PdfDecrypt.rc4(blockKey(i), blk)
+    }.reduce(_ ++ _)
+    cfb(info, le64(plain.length.toLong) ++ enc)
+  }
 }
 
 class OoxmlDecryptSpec extends AnyFunSuite {
@@ -390,5 +429,177 @@ class OoxmlDecryptSpec extends AnyFunSuite {
         === Seq(txt), s"std/$kb failed to open")
       assert(DocxExtractor.withPassword("no").extractPages(doc) === Nil)
     }
+  }
+
+  test("RC4 CryptoAPI (AlgID 0x6801, r16 VERDICT #3): 128/56-bit round-trip; wrong password keeps `encrypted`") {
+    for (kb <- Seq(128, 56)) {
+      val txt = s"rc4 $kb-bit $text"
+      val doc = rc4CryptoApiDoc("w2003-pass", docx(txt), keyBits = kb)
+      assert(DocxExtractor.looksLikeEncryptedOoxml(doc))
+      assert(DocxExtractor.extractPages(doc) === Nil) // bare: no password
+      assert(DocxExtractor.diagnose(doc) === "encrypted")
+      assert(DocxExtractor.withPassword("w2003-pass").extractPages(doc)
+        === Seq(txt), s"rc4/$kb failed to open")
+      val wrong = DocxExtractor.withPassword("not-it")
+      assert(wrong.extractPages(doc) === Nil)
+      assert(wrong.diagnose(doc) === "encrypted")
+    }
+  }
+
+  test("RC4 CryptoAPI 40-bit: 5 hash bytes zero-padded to a 128-bit key; header KeySize 0 is the 40-bit alias") {
+    for (zero <- Seq(false, true)) {
+      val doc = rc4CryptoApiDoc("forty", docx(text), keyBits = 40,
+        keySizeZero = zero)
+      assert(DocxExtractor.withPassword("forty").extractPages(doc)
+        === Seq(text), s"40-bit (keySizeZero=$zero) failed to open")
+      assert(DocxExtractor.withPassword("no").extractPages(doc) === Nil)
+    }
+  }
+
+  test("RC4 CryptoAPI multi-block package (> 512 bytes) re-keys every block") {
+    // a block-counter slip keys block 1+ wrongly and garbles the zip's
+    // central directory, so the round trip pins the 512-byte re-key
+    val paras = (1 to 300).map(i => s"rc4 paragraph $i")
+    val doc = rc4CryptoApiDoc("blocks", docx(paras: _*))
+    val pages = DocxExtractor.withPassword("blocks").extractPages(doc)
+    assert(pages.size === 1)
+    assert(pages.head.contains("rc4 paragraph 1"))
+    assert(pages.head.contains("rc4 paragraph 300"))
+  }
+
+  test("NFC password normalization (r16 VERDICT #2): NFD-typed input opens an NFC-hashed document, both schemes") {
+    // Ethiopic has NO canonical decompositions (NFD == NFC for pure
+    // Amharic), so the composed/decomposed split enters through the
+    // Latin accent: é (U+00E9) vs e + COMBINING ACUTE (U+0301)
+    val nfc = "ፍርድ-ቤት-é"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    assert(nfc != nfd)
+    // Word hashes the keyboard's NFC form — "encrypted with NFD input"
+    // therefore stores NFC-derived values (the writer here receives
+    // the already-normalized string, representing Word's behavior)
+    for (doc <- Seq(agileDoc(nfc, docx(text), spinCount = 200),
+                    standardDoc(nfc, docx(text)),
+                    rc4CryptoApiDoc(nfc, docx(text)))) {
+      assert(DocxExtractor.withPassword(nfc).extractPages(doc) === Seq(text))
+      assert(DocxExtractor.withPassword(nfd).extractPages(doc) === Seq(text))
+      assert(DocxExtractor.withPassword("ፍርድ-ቤት-e").extractPages(doc) === Nil)
+    }
+    // back-compat: a document hashed from the RAW NFD bytes (a
+    // writer that does not normalize — the r15 shape) keeps opening
+    // with the exact NFD string, because the as-typed form is tried
+    // FIRST; the NFC spelling cannot recover it (documented limit)
+    val rawNfd = agileDoc(nfd, docx(text), spinCount = 200)
+    assert(DocxExtractor.withPassword(nfd).extractPages(rawNfd) === Seq(text))
+    assert(DocxExtractor.withPassword(nfc).extractPages(rawNfd) === Nil)
+  }
+
+  test("agile password round-trip property over a non-ASCII alphabet (ScalaCheck, r16)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // Amharic + accented-Latin + combining marks + ASCII — swept
+    // through the writer (NFC, as Word hashes) and opened with both
+    // the NFC and NFD spellings
+    val alphabet = Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++
+      "ፍርድቤትመንግስትአዋጅ" ++ "éàüñç" :+ '́' :+ ' ')
+    val genPwd = Gen.nonEmptyListOf(alphabet).map(_.mkString.take(24))
+    val plain = docx(text)
+    val prop = Prop.forAll(genPwd) { raw =>
+      val nfc = java.text.Normalizer.normalize(raw,
+        java.text.Normalizer.Form.NFC)
+      val nfd = java.text.Normalizer.normalize(raw,
+        java.text.Normalizer.Form.NFD)
+      val doc = agileDoc(nfc, plain, spinCount = 50)
+      val keyedNfc = DocxExtractor.withPassword(nfc)
+      val keyedNfd = DocxExtractor.withPassword(nfd)
+      val wrong = DocxExtractor.withPassword(nfc + "x")
+      keyedNfc.extractPages(doc) == Seq(text) &&
+        keyedNfd.extractPages(doc) == Seq(text) &&
+        wrong.extractPages(doc) == Nil && wrong.diagnose(doc) == "encrypted"
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(25)
+      .withInitialSeed(org.scalacheck.rng.Seed(16L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("sector numbers near 2^31 cannot wrap into in-bounds offsets (r15 ADVICE: Long sector arithmetic)") {
+    // start sector 0x00800000: (n+1)*512 = 2^32 + 512 — Int arithmetic
+    // wraps that to 512 (the FAT sector, IN bounds), so the pre-fix
+    // reader would silently consume FAT bytes as ciphertext; Long
+    // arithmetic fails the bounds check and quarantines
+    val good = agileDoc("p", docx(text), spinCount = 100)
+    val evil = good.clone()
+    val pkgEntryStart = 2 * 512 + 2 * 128 + 116 // dir sector, entry 2
+    evil(pkgEntryStart) = 0; evil(pkgEntryStart + 1) = 0
+    evil(pkgEntryStart + 2) = 0x80.toByte; evil(pkgEntryStart + 3) = 0
+    assert(OoxmlDecrypt.decryptPackage(evil, "p").isEmpty)
+    assert(DocxExtractor.withPassword("p").diagnose(evil) === "encrypted")
+    // same hazard through a FAT entry: splice 0x00800000 into the
+    // package chain so the SECOND sector's offset wraps
+    val evil2 = good.clone()
+    val pkgStart = (evil2(2 * 512 + 2 * 128 + 116) & 0xff) |
+      ((evil2(2 * 512 + 2 * 128 + 117) & 0xff) << 8)
+    val fatOff = 512 + pkgStart * 4
+    evil2(fatOff) = 0; evil2(fatOff + 1) = 0
+    evil2(fatOff + 2) = 0x80.toByte; evil2(fatOff + 3) = 0
+    assert(OoxmlDecrypt.decryptPackage(evil2, "p").isEmpty)
+  }
+
+  test("structural fuzzer (r16 VERDICT #7): random CFB mutations decrypt correctly or quarantine — never throw") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val pwd = "fuzz-pwd"
+    val plainPages = Seq(text)
+    val corpus = Vector(
+      agileDoc(pwd, docx(text), spinCount = 100),
+      standardDoc(pwd, docx(text)),
+      rc4CryptoApiDoc(pwd, docx(text)))
+    // interesting 32-bit values: chain terminators, out-of-range
+    // sectors, and Int-overflow bait (the r15 ADVICE class)
+    val values = Gen.oneOf(0, 1, 2, 7, 0x80, 0xFFFF, 0x00800000,
+      0x40000000, 0x7FFFFFF0, 0xFFFFFFF9, 0xFFFFFFFE, 0xFFFFFFFF)
+    def spliceLe32(doc: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val m = doc.clone()
+      if (off + 4 <= m.length) System.arraycopy(le32(v), 0, m, off, 4)
+      m
+    }
+    val genMutant: Gen[(String, Array[Byte])] = for {
+      doc <- Gen.oneOf(corpus)
+      mutant <- Gen.oneOf(
+        // header field splice (shifts, cutoff, dir/miniFAT/DIFAT starts)
+        for (off <- Gen.oneOf(30, 32, 44, 48, 56, 60, 64, 68, 76, 80);
+             v <- values) yield (s"header@$off", spliceLe32(doc, off, v)),
+        // FAT entry splice (sector 0)
+        for (i <- Gen.choose(0, 127); v <- values)
+          yield (s"fat[$i]", spliceLe32(doc, 512 + i * 4, v)),
+        // miniFAT entry splice (sector 2)
+        for (i <- Gen.choose(0, 127); v <- values)
+          yield (s"minifat[$i]", spliceLe32(doc, 3 * 512 + i * 4, v)),
+        // directory-entry field flips (4 entries × name-len/type/start/size)
+        for (e <- Gen.choose(0, 3); f <- Gen.oneOf(64, 66, 116, 120, 124);
+             v <- values)
+          yield (s"dir[$e]+$f", spliceLe32(doc, 2 * 512 + e * 128 + f, v)),
+        // truncation at any boundary
+        for (n <- Gen.choose(0, doc.length - 1))
+          yield (s"trunc@$n", java.util.Arrays.copyOf(doc, n)),
+        // single-byte pokes anywhere (stream content included)
+        for (off <- Gen.choose(0, doc.length - 1); b <- Gen.choose(0, 255))
+          yield (s"poke@$off", { val m = doc.clone(); m(off) = b.toByte; m }))
+    } yield mutant
+    val keyed = DocxExtractor.withPassword(pwd)
+    val prop = Prop.forAll(genMutant) { case (label, mutant) =>
+      try {
+        val pages = keyed.extractPages(mutant)
+        val ok = pages == plainPages ||
+          (pages == Nil && keyed.diagnose(mutant).nonEmpty)
+        if (!ok) println(s"fuzzer: unexpected outcome for $label: $pages")
+        ok
+      } catch { case e: Throwable =>
+        println(s"fuzzer: THREW for $label: $e"); false
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(150)
+      .withInitialSeed(org.scalacheck.rng.Seed(1616L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
   }
 }

@@ -49,16 +49,26 @@ class PdfDecryptSpec extends AnyFunSuite {
     d.end(); out.toByteArray
   }
 
+  /** Writer-side R2–R4 password bytes, as realistic writers produce
+    * them: Latin-1 when every character fits (PDFDocEncoding's Latin
+    * block), else UTF-8 — the population the decoder's r16 fallback
+    * guess targets (getBytes(ISO_8859_1) would silently flatten
+    * non-Latin-1 characters to '?').
+    */
+  private def pwdBytes(s: String): Array[Byte] =
+    if (s.forall(_ <= 'ÿ')) s.getBytes(StandardCharsets.ISO_8859_1)
+    else s.getBytes(StandardCharsets.UTF_8)
+
   /** Algorithm 3: the /O value from the owner password (empty-user
     * documents still carry a real O — it feeds user-side key
     * derivation).
     */
   private def oValue(ownerPwd: String, userPwd: String, r: Int,
                      keyLen: Int): Array[Byte] = {
-    var ok = md5(padPwd(ownerPwd.getBytes(StandardCharsets.ISO_8859_1)))
+    var ok = md5(padPwd(pwdBytes(ownerPwd)))
     if (r >= 3) for (_ <- 0 until 50) ok = md5(ok.take(keyLen))
     val key = ok.take(keyLen)
-    var o = rc4(key, padPwd(userPwd.getBytes(StandardCharsets.ISO_8859_1)))
+    var o = rc4(key, padPwd(pwdBytes(userPwd)))
     if (r >= 3) for (i <- 1 to 19) o = rc4(key.map(b => (b ^ i).toByte), o)
     o
   }
@@ -66,7 +76,7 @@ class PdfDecryptSpec extends AnyFunSuite {
   /** Algorithm 2 from the USER password side (the file key). */
   private def fileKey(userPwd: String, o: Array[Byte], p: Int,
                       id0: Array[Byte], r: Int, keyLen: Int): Array[Byte] = {
-    var k = md5(padPwd(userPwd.getBytes(StandardCharsets.ISO_8859_1)),
+    var k = md5(padPwd(pwdBytes(userPwd)),
       o.take(32), le(p.toLong & 0xffffffffL, 4), id0)
     if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
     k.take(keyLen)
@@ -182,9 +192,16 @@ class PdfDecryptSpec extends AnyFunSuite {
       // owner NON-empty: with an empty owner password the r15 owner-side
       // open (Algorithm 7 — pdfminer parity) legitimately opens a
       // user-passworded document without any password, which would
-      // invalidate the quarantine branch below
-      owner <- Gen.alphaNumStr.map(s => "o" + s.take(11))
-      userPwd <- Gen.oneOf("", "", "", "secret", "ፍርድ") // mostly empty
+      // invalidate the quarantine branch below. The r16 sweep adds
+      // non-ASCII owners (writer hashes UTF-8 — the fallback-guess path)
+      owner <- Gen.frequency(
+        (3, Gen.alphaNumStr.map(s => "o" + s.take(11))),
+        (1, Gen.oneOf("ባለቤት", "propriétaire", "ባለ-é")))
+      // mostly empty; the non-ASCII entries sweep the UTF-8 fallback
+      // (Amharic — no Latin-1 encoding exists) and the NFC/NFD split
+      // (café composed vs decomposed)
+      userPwd <- Gen.oneOf("", "", "", "secret", "ፍርድ", "የፍርድ ቤት",
+        "café", "café")
       idBytes <- Gen.listOfN(16, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
       // single-space word joins: the page assembler normalizes whitespace
       // RUNS (measured), so multi-space text would fail on extractor
@@ -201,7 +218,7 @@ class PdfDecryptSpec extends AnyFunSuite {
             if (r >= 4 && !encMeta)
               Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
             else Array.emptyByteArray
-          var k = md5(padPwd(userPwd.getBytes(StandardCharsets.ISO_8859_1)),
+          var k = md5(padPwd(pwdBytes(userPwd)),
             o.take(32), le(p.toLong & 0xffffffffL, 4), idB, extra)
           if (r >= 3) for (_ <- 0 until 50) k = md5(k.take(keyLen))
           k.take(keyLen)
@@ -239,13 +256,24 @@ class PdfDecryptSpec extends AnyFunSuite {
           val w = FlatePdfExtractor.withPassword(owner + "x")
           w.extractPages(doc) == Nil && w.diagnose(doc) == "encrypted"
         }
+        // r16: when the password's NFD spelling differs AND the writer
+        // hashed the NFC form (userPwd as given — "café" is composed),
+        // the decomposed spelling must also open via the NFC candidate
+        val nfdOpens = {
+          val nfd = java.text.Normalizer.normalize(userPwd,
+            java.text.Normalizer.Form.NFD)
+          nfd == userPwd ||
+            java.text.Normalizer.normalize(userPwd,
+              java.text.Normalizer.Form.NFC) != userPwd ||
+            FlatePdfExtractor.withPassword(nfd).extractPages(doc) == Seq(txt)
+        }
         if (userPwd.isEmpty)
           pages == Seq(txt) && ownerOpens && wrongStays
         else
           pages == Nil && FlatePdfExtractor.diagnose(doc) == "encrypted" &&
             FlatePdfExtractor.withPassword(userPwd)
               .extractPages(doc) == Seq(txt) &&
-            ownerOpens && wrongStays
+            ownerOpens && wrongStays && nfdOpens
     }
     val res = ScTest.check(ScTest.Parameters.default
       .withMinSuccessfulTests(60)
@@ -655,5 +683,93 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(p("/X (ab\\\ncd)") === Some("abcd".getBytes.toSeq))
     assert(p("/X (ab\\\rcd)") === Some("abcd".getBytes.toSeq))
     assert(p("/X (ab\\\r\ncd)") === Some("abcd".getBytes.toSeq))
+  }
+
+  test("R6 NFC normalization (r16 VERDICT #2): NFD-typed password opens an NFC-hashed document") {
+    // Ethiopic has NO canonical decompositions (NFD == NFC for pure
+    // Amharic), so the composed/decomposed split enters through the
+    // accented Latin char: é (U+00E9) vs e + COMBINING ACUTE (U+0301)
+    val nfc = "ፍርድ-ቤት-é"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    assert(nfc != nfd)
+    val vSalt = (31 to 38).map(_.toByte).toArray
+    val kSalt = (41 to 48).map(_.toByte).toArray
+    val ovSalt = (51 to 58).map(_.toByte).toArray
+    val okSalt = (61 to 68).map(_.toByte).toArray
+    val fileKey32 = (201 to 232).map(_.toByte).toArray
+    def wrap(ik: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    def doc6(upwd: Array[Byte], opwd: Array[Byte]): Array[Byte] = {
+      val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
+      val ue = wrap(PdfDecrypt.hash2b(upwd, kSalt, 6))
+      val o = PdfDecrypt.hash2b(opwd, ovSalt, 6, u) ++ ovSalt ++ okSalt
+      val oe = wrap(PdfDecrypt.hash2b(opwd, okSalt, 6, u))
+      val iv = (61 to 76).map(_.toByte).toArray
+      val enc = aesEnc(fileKey32, iv, deflate(content))
+      pdf("<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(o)}> /OE <${hex(oe)}> " +
+        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    }
+    // the writer (Acrobat/Word behavior) hashes the NFC UTF-8 bytes:
+    // "encrypted with NFD input" therefore stores NFC-derived values —
+    // both spellings must open, user AND owner side
+    val utf8Nfc = nfc.getBytes(StandardCharsets.UTF_8)
+    val ownerNfc = ("ባለ-" + nfc).getBytes(StandardCharsets.UTF_8)
+    val worded = doc6(utf8Nfc, ownerNfc)
+    assert(FlatePdfExtractor.withPassword(nfc).extractPages(worded) === Seq(text))
+    assert(FlatePdfExtractor.withPassword(nfd).extractPages(worded) === Seq(text))
+    assert(FlatePdfExtractor.withPassword(
+      java.text.Normalizer.normalize("ባለ-" + nfc,
+        java.text.Normalizer.Form.NFD)).extractPages(worded) === Seq(text))
+    assert(FlatePdfExtractor.withPassword("ፍርድ-ቤት-e")
+      .extractPages(worded) === Nil)
+    // back-compat: a document hashed from the RAW NFD bytes (a
+    // non-normalizing writer — the r15 shape) keeps opening with the
+    // exact NFD string, because the as-typed form is tried FIRST; the
+    // NFC spelling cannot recover it (documented limit)
+    val rawNfd = doc6(nfd.getBytes(StandardCharsets.UTF_8),
+      "ow-x".getBytes(StandardCharsets.UTF_8))
+    assert(FlatePdfExtractor.withPassword(nfd).extractPages(rawNfd) === Seq(text))
+    assert(FlatePdfExtractor.withPassword(nfc).extractPages(rawNfd) === Nil)
+    assert(FlatePdfExtractor.withPassword(nfc).diagnose(rawNfd) === "encrypted")
+  }
+
+  test("R3 non-Latin-1 password: UTF-8 fallback opens what Latin-1 flattening never could (r15 ADVICE)") {
+    val pwd = "የፍርድ-ቤት" // no Latin-1 encoding exists for Ethiopic
+    val keyLen = 16
+    // pwdBytes (the writer) hashes the UTF-8 bytes — the realistic
+    // non-Latin-1 R≤4 writer population
+    val o = oValue("owner-x", pwd, r = 3, keyLen)
+    val fk = fileKey(pwd, o, P, id0, r = 3, keyLen)
+    val u = uValue(fk, id0)
+    val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+    val doc = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", enc)
+    // getBytes(ISO_8859_1) flattens every Ethiopic char to '?' — only
+    // the UTF-8 fallback candidate can open this document
+    assert(FlatePdfExtractor.withPassword(pwd).extractPages(doc) === Seq(text))
+    // and the '?'-flattened guess alone must NOT open it (proves the
+    // fallback did the work, not a padding accident)
+    assert(FlatePdfExtractor.withPassword("???????").extractPages(doc) === Nil)
+    // back-compat: a writer that itself flattened to '?' (the
+    // getBytes shape) still opens with the Amharic string, because the
+    // Latin-1 candidate is tried FIRST
+    val flattened = new String(pwd.getBytes(StandardCharsets.ISO_8859_1),
+      StandardCharsets.ISO_8859_1)
+    val o2 = oValue("owner-x", flattened, r = 3, keyLen)
+    val fk2 = fileKey(flattened, o2, P, id0, r = 3, keyLen)
+    val u2 = uValue(fk2, id0)
+    val enc2 = rc4(objKeyRc4(fk2, 2), deflate(content))
+    val doc2 = pdf(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o2)}> /U <${hex(u2)}> >>", enc2)
+    assert(FlatePdfExtractor.withPassword(pwd).extractPages(doc2) === Seq(text))
   }
 }
