@@ -44,7 +44,15 @@ def main():
     for name in sorted(oracle):
         ts = timed(con, oracle[name], reps)
         med = statistics.median(ts)
-        if med > 0 and abs(med - BAR) <= BAR * BAR_BAND and reps < STABLE_REPS:
+        # re-time when the median hovers in the band — OR when it sits
+        # ABOVE the band but the fastest rep is below the band top: a
+        # contended first pass can carry a genuinely-below-bar row past
+        # the band entirely (measured in r16: q74 read 150 ms adjacent
+        # to a bench window, 74 ms quiet), and the min is the rep least
+        # contaminated by contention
+        hover = abs(med - BAR) <= BAR * BAR_BAND
+        carried = med > BAR * (1 + BAR_BAND) and min(ts) < BAR * (1 + BAR_BAND)
+        if med > 0 and (hover or carried) and reps < STABLE_REPS:
             ts = timed(con, oracle[name], STABLE_REPS)
             med = statistics.median(ts)
             restated.append(name)
