@@ -11,7 +11,11 @@ r15) flap in and out on denominator noise alone. Any query whose first-
 pass median lands within +-30% of the 100 ms bar (70-130 ms) is re-timed
 with a 5-run median, and that median is the published number. The wider
 sample doesn't remove the volatility; it shrinks the flap window enough
-that classification reflects the query, not the session.
+that classification reflects the query, not the session. A row whose
+median sits ABOVE the band but whose fastest rep is below the band top
+is re-timed too (the "carried" case, measured in r16: a below-bar row
+read 150 ms adjacent to a bench window because every first-pass rep
+was contended, 74 ms quiet — the min is the rep least contaminated).
 """
 import sys, os, json, time, statistics
 import duckdb
@@ -53,14 +57,19 @@ def main():
         hover = abs(med - BAR) <= BAR * BAR_BAND
         carried = med > BAR * (1 + BAR_BAND) and min(ts) < BAR * (1 + BAR_BAND)
         if med > 0 and (hover or carried) and reps < STABLE_REPS:
-            ts = timed(con, oracle[name], STABLE_REPS)
-            med = statistics.median(ts)
-            restated.append(name)
+            ts2 = timed(con, oracle[name], STABLE_REPS)
+            med2 = statistics.median(ts2)
+            # a flaky re-time rep (transient duckdb error) must not
+            # overwrite an already-successful first pass with the -1
+            # failure sentinel (review r16)
+            if med2 > 0:
+                med = med2
+                restated.append(name)
         times[name] = round(med, 4)
     times["_total"] = round(sum(v for v in times.values() if v > 0), 4)
     if restated:
-        print(f"[baseline] bar-adjacent 5-run medians: {', '.join(restated)}",
-              file=sys.stderr)
+        print("[baseline] bar-adjacent/carried 5-run medians: "
+              + ", ".join(restated), file=sys.stderr)
     print(json.dumps(times))
 
 if __name__ == "__main__":

@@ -87,11 +87,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER (r16, VERDICT r15 #4): lets one ledger window
-    // run under local-cluster[N,C,M] — real executor processes, so
-    // closure/broadcast serialization and result-fetch cost are priced
-    // rather than elided by in-JVM local mode. NOT the gate config;
-    // such windows are marked as cluster-mode in BASELINE.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // run under local-cluster executors (see SparkBoot). NOT the gate
+    // config; such windows are marked as cluster-mode in BASELINE.
+    val master = SparkBoot.master(cpus)
     val builder = SparkSession.builder()
       .master(master)
       // UTC like every other entry point: the NTZ→session-tz cast in
@@ -133,16 +131,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    // local-cluster executors are separate JVMs launched by the worker:
-    // they need this JVM's classpath (same host) — the ClusterBoundarySpec
-    // recipe (r13); SPARK_SCALA_VERSION=2.13 must be in the process env
-    val withCluster =
-      if (!master.startsWith("local-cluster")) builder
-      else builder
-        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.extraJavaOptions",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS", ""))
-    val spark = withCluster.getOrCreate()
+    val spark = SparkBoot.clusterize(builder, master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // the JSON line keys on the qNN name prefixes (see below) — guard

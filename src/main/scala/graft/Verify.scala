@@ -10,9 +10,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER lets ClusterBoundarySpec re-drive this exact
     // dump under local-cluster[N,C,M] — real executor PROCESSES, real
-    // closure/broadcast serialization — instead of the in-JVM local mode
-    // every other entry point uses (VERDICT r12 item 4).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // closure/broadcast serialization (VERDICT r12 item 4; shared with
+    // Bench via SparkBoot since r16).
+    val master = SparkBoot.master(cpus)
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,18 +24,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // local-cluster executors are SEPARATE JVMs launched by the worker:
-    // they need the application classes (this JVM's classpath — same
-    // host, shared filesystem) and the same JDK-17 --add-opens flags the
-    // driver gets from build.sbt (the worker's launcher injects Spark's
-    // defaults, but being explicit keeps the smoke independent of that).
-    val withCluster =
-      if (!master.startsWith("local-cluster")) builder
-      else builder
-        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.extraJavaOptions",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS", ""))
-    val spark = withCluster.getOrCreate()
+    val spark = SparkBoot.clusterize(builder, master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
