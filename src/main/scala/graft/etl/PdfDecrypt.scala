@@ -33,9 +33,11 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * per §7.6.4.3.3. Each encoding is tried for the password AS TYPED
   * and NFC-normalized (r16): writers hash the keyboard's NFC form, so
   * a caller pasting the NFD spelling of the same Amharic password must
-  * still open the document. Full SASLprep (NFKC + mappings) remains
-  * omitted; NFC covers the composed/decomposed split that actually
-  * bites this corpus.
+  * still open the document. R5/R6 additionally try the SASLprep form
+  * (RFC 4013 subset — B.1/C.1.2 mappings + NFKC; see [[saslprep]])
+  * because ISO 32000-2 mandates SASLprep for AESV3 and Acrobat keys
+  * its documents from it; the prohibited-output/bidi CHECKS stay
+  * omitted — they reject inputs rather than transform them.
   *
   * All parsing is over the extractor's ISO_8859_1 raw text, which is
   * byte-preserving, so binary /O //U string values survive exactly.
@@ -399,6 +401,36 @@ private[etl] object PdfDecrypt {
     if (nfc == password) Seq(password) else Seq(password, nfc)
   }
 
+  /** SASLprep (RFC 4013) subset for the R5/R6 path (r16): ISO 32000-2
+    * mandates SASLprep for AESV3 passwords, so Acrobat hashes e.g.
+    * "ﬁle" (U+FB01 ligature) as "file" and strips zero-width chars —
+    * a document it encrypts can ONLY open through this form. Covered:
+    * the commonly-produced mappings (B.1 map-to-nothing: soft hyphen,
+    * ZW(N)J/ZWSP, variation selectors, BOM; C.1.2 non-ASCII spaces →
+    * space) followed by NFKC. Omitted: the prohibited-output and bidi
+    * CHECKS — they reject passwords rather than transform them, and a
+    * decryptor gains nothing by refusing to try.
+    */
+  private[etl] def saslprep(password: String): String = {
+    // C.1.2 non-ASCII space characters -> SPACE
+    def toSpace(c: Char): Boolean =
+      c == '\u00A0' || c == '\u1680' ||
+        (c >= '\u2000' && c <= '\u200A') ||
+        c == '\u202F' || c == '\u205F' || c == '\u3000'
+    // B.1 commonly-mapped-to-nothing: soft hyphen, CGJ, Mongolian soft
+    // hyphen + free variation selectors, ZWSP/ZWNJ/ZWJ, word joiner,
+    // variation selectors, BOM/ZWNBSP
+    def toNothing(c: Char): Boolean =
+      c == '\u00AD' || c == '\u034F' || c == '\u1806' ||
+        (c >= '\u180B' && c <= '\u180D') ||
+        (c >= '\u200B' && c <= '\u200D') || c == '\u2060' ||
+        (c >= '\uFE00' && c <= '\uFE0F') || c == '\uFEFF'
+    val mapped = password.map(c => if (toSpace(c)) ' ' else c)
+      .filterNot(toNothing)
+    java.text.Normalizer.normalize(mapped,
+      java.text.Normalizer.Form.NFKC)
+  }
+
   /** Empty-password open — the silent-viewer shape (r13 behavior). */
   private[etl] def open(encryptDict: String,
                         trailerText: String): Option[Ctx] =
@@ -481,13 +513,16 @@ private[etl] object PdfDecrypt {
           case None => "AESV3"
         }
         // §7.6.4.3.3: UTF-8, truncated to 127 bytes, per candidate
-        // form — as typed then NFC (see pwdForms; SASLprep omitted)
+        // form — as typed, NFC, then the SASLprep form ISO 32000-2
+        // mandates for AESV3 (Acrobat-written documents are keyed from
+        // it; see saslprep). As-typed stays first for raw-bytes parity.
         val oeOpt = strVal(encryptDict, "OE")
-        return pwdForms(password).iterator.map { form =>
-          val pwd6 = form.getBytes(StandardCharsets.UTF_8).take(127)
-          fileKeyR6(u, ue, r, pwd6)
-            .orElse(oeOpt.flatMap(oe => ownerKeyR6(o, oe, u, r, pwd6)))
-        }.collectFirst { case Some(k) => k }.map(Ctx(_, r, cfm5))
+        return (pwdForms(password) :+ saslprep(password))
+          .distinct.iterator.map { form =>
+            val pwd6 = form.getBytes(StandardCharsets.UTF_8).take(127)
+            fileKeyR6(u, ue, r, pwd6)
+              .orElse(oeOpt.flatMap(oe => ownerKeyR6(o, oe, u, r, pwd6)))
+          }.collectFirst { case Some(k) => k }.map(Ctx(_, r, cfm5))
       }
       // clamped to the spec's 40..128-bit range: an attacker-controlled
       // /Length 0 would otherwise make the RC4 key empty (mod-zero) and

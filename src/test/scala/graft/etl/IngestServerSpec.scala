@@ -246,6 +246,29 @@ class IngestServerSpec extends SparkSpec {
     } finally sock.close()
   }
 
+  test("RC4 CryptoAPI statute DOCX decrypts end-to-end through the REST route (r16)") {
+    // the r16 scheme through the same seam the agile/standard paths
+    // use — proves the AlgID dispatch needs no route-level special case
+    val doc = OoxmlFixtures.rc4CryptoApiDoc("w2003-key",
+      OoxmlFixtures.docx("Proclamation 11/2003 compat-mode ድንጋጌ"))
+    val server = new IngestServer(spark, FlatePdfExtractor)
+    val port = server.start()
+    try {
+      val resp = post(port,
+        "/ingest?volume=Proc%2011-2003&resource_type=statute", doc,
+        IngestServer.DocxContentType,
+        headers = Map("X-Document-Password" -> "w2003-key"))
+      val rec = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(rec.getAs[String]("content")
+        .contains("Proclamation 11/2003 compat-mode ድንጋጌ"))
+      assert(rec.getAs[String]("year") === "2003")
+      val bare = post(port, "/ingest?volume=x&resource_type=statute", doc,
+        IngestServer.DocxContentType)
+      assert(bare.contains("\"error\"") && bare.contains("encrypted"))
+    } finally server.stop()
+  }
+
   test("X-Document-Password header is the preferred password channel (r15 ADVICE: keep secrets out of query strings)") {
     val pwd = "የሕግ-ቁልፍ-16"
     val doc = OoxmlFixtures.agileDoc(pwd,

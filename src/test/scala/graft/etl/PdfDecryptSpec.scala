@@ -740,6 +740,42 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(FlatePdfExtractor.withPassword(nfc).diagnose(rawNfd) === "encrypted")
   }
 
+  test("R6 SASLprep form (ISO 32000-2): ligature/fullwidth/ZWSP passwords open Acrobat-keyed documents (r16)") {
+    // Acrobat applies SASLprep before hashing an AESV3 password:
+    // "ﬁle" (U+FB01) NFKC-folds to "file", a zero-width space drops,
+    // a no-break space becomes SPACE. A document IT wrote can only
+    // open through that form — NFC alone keeps the ligature.
+    val typed = "\ufb01le\u200b-\u1348\u122d\u12f5\u00a0\u1264\u1275" // ligature+ZWSP+NBSP
+    val prepped = PdfDecrypt.saslprep(typed)
+    assert(prepped === "file-\u1348\u122d\u12f5 \u1264\u1275")
+    assert(java.text.Normalizer.normalize(typed,
+      java.text.Normalizer.Form.NFC) !== prepped)
+    val vSalt = (31 to 38).map(_.toByte).toArray
+    val kSalt = (41 to 48).map(_.toByte).toArray
+    val fileKey32 = (201 to 232).map(_.toByte).toArray
+    val upwd = prepped.getBytes(StandardCharsets.UTF_8) // Acrobat's bytes
+    val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
+    val ue = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(PdfDecrypt.hash2b(upwd, kSalt, 6), "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    val iv = (61 to 76).map(_.toByte).toArray
+    val enc = aesEnc(fileKey32, iv, deflate(content))
+    val doc = pdf(
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
+        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    // the user types the raw form; the SASLprep candidate opens it
+    assert(FlatePdfExtractor.withPassword(typed).extractPages(doc) === Seq(text))
+    // and typing the prepped form directly works too (as-typed first)
+    assert(FlatePdfExtractor.withPassword(prepped).extractPages(doc) === Seq(text))
+    assert(FlatePdfExtractor.withPassword(prepped + "x").extractPages(doc) === Nil)
+  }
+
   test("R3 non-Latin-1 password: UTF-8 fallback opens what Latin-1 flattening never could (r15 ADVICE)") {
     val pwd = "የፍርድ-ቤት" // no Latin-1 encoding exists for Ethiopic
     val keyLen = 16
