@@ -776,6 +776,94 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(FlatePdfExtractor.withPassword(prepped + "x").extractPages(doc) === Nil)
   }
 
+  test("structural fuzzer: random PDF mutations extract correctly or quarantine — never throw (r16, the OOXML fuzzer's twin)") {
+    // encrypted PDFs are network-admitted attacker input exactly like
+    // the CFB containers: the same decrypt-correctly-or-quarantine
+    // contract must survive arbitrary structural damage. Corpus: one
+    // fixture per cipher family (R3/RC4, R4/AESV2, R6/AESV3), all
+    // opened through a caller password so every mutant exercises the
+    // full candidate loop, the object walk and the Encrypt-dict parse.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val keyLen = 16
+    def r3doc: Array[Byte] = {
+      val o = oValue("fz-own", "fz-user", r = 3, keyLen)
+      val fk = fileKey("fz-user", o, P, id0, r = 3, keyLen)
+      val enc = rc4(objKeyRc4(fk, 2), deflate(content))
+      pdf(s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(uValue(fk, id0))}> >>", enc)
+    }
+    def r4doc: Array[Byte] = {
+      val o = oValue("fz-own", "fz-user", r = 4, keyLen)
+      val fk = fileKey("fz-user", o, P, id0, r = 4, keyLen)
+      val iv = (101 to 116).map(_.toByte).toArray
+      val enc = aesEnc(objKeyAes(fk, 2), iv, deflate(content))
+      pdf(s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $P " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        s"/StmF /StdCF /O <${hex(o)}> /U <${hex(uValue(fk, id0))}> >>", enc)
+    }
+    def r6doc: Array[Byte] = {
+      val vSalt = (31 to 38).map(_.toByte).toArray
+      val kSalt = (41 to 48).map(_.toByte).toArray
+      val fileKey32 = (201 to 232).map(_.toByte).toArray
+      val upwd = "fz-user".getBytes(StandardCharsets.UTF_8)
+      val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
+      val ue = {
+        val c = Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(Cipher.ENCRYPT_MODE,
+          new SecretKeySpec(PdfDecrypt.hash2b(upwd, kSalt, 6), "AES"),
+          new IvParameterSpec(new Array[Byte](16)))
+        c.doFinal(fileKey32)
+      }
+      val iv = (61 to 76).map(_.toByte).toArray
+      val enc = aesEnc(fileKey32, iv, deflate(content))
+      pdf("<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
+        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    }
+    val corpus = Vector(r3doc, r4doc, r6doc)
+    val keyed = FlatePdfExtractor.withPassword("fz-user")
+    val genMutant: Gen[(String, Array[Byte])] = for {
+      doc <- Gen.oneOf(corpus)
+      mutant <- Gen.oneOf(
+        // truncation anywhere (header, mid-dict, mid-stream, trailer)
+        for (n <- Gen.choose(0, doc.length - 1))
+          yield (s"trunc@$n", java.util.Arrays.copyOf(doc, n)),
+        // byte pokes anywhere — Encrypt-dict tokens, hex strings,
+        // stream bytes and framing all get hit across 200 cases
+        for (off <- Gen.choose(0, doc.length - 1); b <- Gen.choose(0, 255))
+          yield (s"poke@$off", { val m = doc.clone(); m(off) = b.toByte; m }),
+        // token splices: overwrite a run with delimiter/keyword bytes
+        // that attack the token-aware scanners specifically
+        for {
+          off <- Gen.choose(0, doc.length - 9)
+          tok <- Gen.oneOf("<< /U (x", ")>>]<<((", "\\\\)\\\\(\\\\\\\\nn",
+            "stream\n x", "/Length 0", "%PDF-1.6\n", "endobj\nn")
+        } yield (s"splice@$off", {
+          val m = doc.clone()
+          val tb = tok.getBytes(StandardCharsets.ISO_8859_1)
+          System.arraycopy(tb, 0, m, off, math.min(tb.length, m.length - off))
+          m
+        }))
+    } yield mutant
+    val want = Seq(text)
+    val prop = Prop.forAll(genMutant) { case (label, mutant) =>
+      try {
+        val pages = keyed.extractPages(mutant)
+        val ok = pages == want ||
+          (pages.isEmpty && keyed.diagnose(mutant).nonEmpty)
+        if (!ok) println(s"pdf-fuzzer: unexpected outcome for $label: $pages")
+        ok
+      } catch { case e: Throwable =>
+        println(s"pdf-fuzzer: THREW for $label: $e"); false
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(166L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("R3 non-Latin-1 password: UTF-8 fallback opens what Latin-1 flattening never could (r15 ADVICE)") {
     val pwd = "የፍርድ-ቤት" // no Latin-1 encoding exists for Ethiopic
     val keyLen = 16
