@@ -139,6 +139,44 @@ class PdfDecryptSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** Writer-side V5 (R5/R6 AESV3) fixture — the one shape seven tests
+    * used to transcribe independently (review r16: collapse the copies;
+    * the layout itself stays spec-transcribed here, not decoder-derived).
+    * /U = hash2b(upwd, vSalt) ++ vSalt ++ kSalt; /UE wraps the random
+    * file key under the key-salt hash; the OWNER pair absorbs the
+    * 48-byte /U into every hash block; no owner password ⇒ zeroed
+    * /O //OE (the decoder must not open through them).
+    */
+  private def aesV3Doc(upwd: Array[Byte],
+                       opwd: Option[Array[Byte]] = None,
+                       r: Int = 6): Array[Byte] = {
+    val vSalt = (31 to 38).map(_.toByte).toArray
+    val kSalt = (41 to 48).map(_.toByte).toArray
+    val ovSalt = (51 to 58).map(_.toByte).toArray
+    val okSalt = (61 to 68).map(_.toByte).toArray
+    val fileKey32 = (201 to 232).map(_.toByte).toArray
+    def wrap(ik: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(fileKey32)
+    }
+    val u = PdfDecrypt.hash2b(upwd, vSalt, r) ++ vSalt ++ kSalt
+    val ue = wrap(PdfDecrypt.hash2b(upwd, kSalt, r))
+    val (o, oe) = opwd match {
+      case Some(op) =>
+        (PdfDecrypt.hash2b(op, ovSalt, r, u) ++ ovSalt ++ okSalt,
+          wrap(PdfDecrypt.hash2b(op, okSalt, r, u)))
+      case None => (new Array[Byte](48), new Array[Byte](32))
+    }
+    val iv = (61 to 76).map(_.toByte).toArray
+    val enc = aesEnc(fileKey32, iv, deflate(content))
+    pdf(s"<< /Filter /Standard /V 5 /R $r /Length 256 /P -3904 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+      s"/O <${hex(o)}> /OE <${hex(oe)}> " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+  }
+
   test("RC4 primitive matches the published known-answer vector") {
     // key "Key", plaintext "Plaintext" -> BB F3 16 E8 D9 40 AF 0A D3
     val got = rc4("Key".getBytes(StandardCharsets.US_ASCII),
@@ -376,37 +414,9 @@ class PdfDecryptSpec extends AnyFunSuite {
   }
 
   test("R6 user and owner passwords open AESV3; wrong password quarantines (r15)") {
-    val vSalt = (31 to 38).map(_.toByte).toArray
-    val kSalt = (41 to 48).map(_.toByte).toArray
-    val ovSalt = (51 to 58).map(_.toByte).toArray
-    val okSalt = (61 to 68).map(_.toByte).toArray
-    val fileKey32 = (201 to 232).map(_.toByte).toArray
-    val upwd = "ፍርድ-ቤት".getBytes(StandardCharsets.UTF_8) // UTF-8 per §7.6.4.3.3
-    val opwd = "owner-secret-6".getBytes(StandardCharsets.UTF_8)
-    val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
-    val ue = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE,
-        new SecretKeySpec(PdfDecrypt.hash2b(upwd, kSalt, 6), "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      c.doFinal(fileKey32)
-    }
-    // owner side absorbs the 48-byte /U into every hash block
-    val o = PdfDecrypt.hash2b(opwd, ovSalt, 6, u) ++ ovSalt ++ okSalt
-    val oe = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE,
-        new SecretKeySpec(PdfDecrypt.hash2b(opwd, okSalt, 6, u), "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      c.doFinal(fileKey32)
-    }
-    val iv = (61 to 76).map(_.toByte).toArray
-    val enc = aesEnc(fileKey32, iv, deflate(content))
-    val doc = pdf(
-      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
-        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
-        s"/O <${hex(o)}> /OE <${hex(oe)}> " +
-        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    // UTF-8 per §7.6.4.3.3; the owner pair absorbs /U into every block
+    val doc = aesV3Doc("ፍርድ-ቤት".getBytes(StandardCharsets.UTF_8),
+      Some("owner-secret-6".getBytes(StandardCharsets.UTF_8)))
     assert(FlatePdfExtractor.withPassword("ፍርድ-ቤት")
       .extractPages(doc) === Seq(text))
     assert(FlatePdfExtractor.withPassword("owner-secret-6")
@@ -422,29 +432,8 @@ class PdfDecryptSpec extends AnyFunSuite {
     // R5 is Adobe's pre-ISO AESV3 draft — hash2b degenerates to ONE
     // SHA-256 over pwd++salt(++U48 owner-side) with no 2.B loop; the
     // branch was previously untested (r15 insurance)
-    val vSalt = (71 to 78).map(_.toByte).toArray
-    val kSalt = (81 to 88).map(_.toByte).toArray
-    val ovSalt = (91 to 98).map(_.toByte).toArray
-    val okSalt = (101 to 108).map(_.toByte).toArray
-    val fileKey32 = (151 to 182).map(_.toByte).toArray
-    def wrap(ik: Array[Byte]): Array[Byte] = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      c.doFinal(fileKey32)
-    }
-    def doc(upwd: Array[Byte], opwd: Array[Byte]): Array[Byte] = {
-      val u = PdfDecrypt.hash2b(upwd, vSalt, 5) ++ vSalt ++ kSalt
-      val ue = wrap(PdfDecrypt.hash2b(upwd, kSalt, 5))
-      val o = PdfDecrypt.hash2b(opwd, ovSalt, 5, u) ++ ovSalt ++ okSalt
-      val oe = wrap(PdfDecrypt.hash2b(opwd, okSalt, 5, u))
-      val iv = (61 to 76).map(_.toByte).toArray
-      val enc = aesEnc(fileKey32, iv, deflate(content))
-      pdf("<< /Filter /Standard /V 5 /R 5 /Length 256 /P -3904 " +
-        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
-        s"/O <${hex(o)}> /OE <${hex(oe)}> " +
-        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
-    }
+    def doc(upwd: Array[Byte], opwd: Array[Byte]): Array[Byte] =
+      aesV3Doc(upwd, Some(opwd), r = 5)
     val open5 = doc(Array.emptyByteArray,
       "ow5".getBytes(StandardCharsets.UTF_8))
     assert(FlatePdfExtractor.extractPages(open5) === Seq(text))
@@ -509,29 +498,11 @@ class PdfDecryptSpec extends AnyFunSuite {
 
   test("R6 AESV3 (AES-256), empty user password: decrypts and extracts") {
     // U layout: hash(32) ++ validationSalt(8) ++ keySalt(8); UE wraps
-    // the random file key under the key-salt hash. The 2.B hash is the
-    // decoder's own (no public vector available offline) — this pins
-    // the V5 LAYOUT and wrapping, the R3/R4 tests pin key-schedule
-    // transcription.
-    val vSalt = (31 to 38).map(_.toByte).toArray
-    val kSalt = (41 to 48).map(_.toByte).toArray
-    val fileKey32 = (201 to 232).map(_.toByte).toArray
-    val empty = Array.emptyByteArray
-    val u = PdfDecrypt.hash2b(empty, vSalt, 6) ++ vSalt ++ kSalt
-    val ik = PdfDecrypt.hash2b(empty, kSalt, 6)
-    val ue = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      c.doFinal(fileKey32)
-    }
-    val iv = (61 to 76).map(_.toByte).toArray
-    val enc = aesEnc(fileKey32, iv, deflate(content))
-    val doc = pdf(
-      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
-        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
-        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
-        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    // the random file key under the key-salt hash (aesV3Doc). The 2.B
+    // hash is the decoder's own (no public vector available offline) —
+    // this pins the V5 LAYOUT and wrapping, the R3/R4 tests pin
+    // key-schedule transcription.
+    val doc = aesV3Doc(Array.emptyByteArray)
     assert(FlatePdfExtractor.extractPages(doc) === Seq(text))
   }
 
@@ -693,29 +664,8 @@ class PdfDecryptSpec extends AnyFunSuite {
     val nfd = java.text.Normalizer.normalize(nfc,
       java.text.Normalizer.Form.NFD)
     assert(nfc != nfd)
-    val vSalt = (31 to 38).map(_.toByte).toArray
-    val kSalt = (41 to 48).map(_.toByte).toArray
-    val ovSalt = (51 to 58).map(_.toByte).toArray
-    val okSalt = (61 to 68).map(_.toByte).toArray
-    val fileKey32 = (201 to 232).map(_.toByte).toArray
-    def wrap(ik: Array[Byte]): Array[Byte] = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(ik, "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      c.doFinal(fileKey32)
-    }
-    def doc6(upwd: Array[Byte], opwd: Array[Byte]): Array[Byte] = {
-      val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
-      val ue = wrap(PdfDecrypt.hash2b(upwd, kSalt, 6))
-      val o = PdfDecrypt.hash2b(opwd, ovSalt, 6, u) ++ ovSalt ++ okSalt
-      val oe = wrap(PdfDecrypt.hash2b(opwd, okSalt, 6, u))
-      val iv = (61 to 76).map(_.toByte).toArray
-      val enc = aesEnc(fileKey32, iv, deflate(content))
-      pdf("<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
-        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
-        s"/O <${hex(o)}> /OE <${hex(oe)}> " +
-        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
-    }
+    def doc6(upwd: Array[Byte], opwd: Array[Byte]): Array[Byte] =
+      aesV3Doc(upwd, Some(opwd))
     // the writer (Acrobat/Word behavior) hashes the NFC UTF-8 bytes:
     // "encrypted with NFD input" therefore stores NFC-derived values —
     // both spellings must open, user AND owner side
@@ -750,25 +700,8 @@ class PdfDecryptSpec extends AnyFunSuite {
     assert(prepped === "file-\u1348\u122d\u12f5 \u1264\u1275")
     assert(java.text.Normalizer.normalize(typed,
       java.text.Normalizer.Form.NFC) !== prepped)
-    val vSalt = (31 to 38).map(_.toByte).toArray
-    val kSalt = (41 to 48).map(_.toByte).toArray
-    val fileKey32 = (201 to 232).map(_.toByte).toArray
-    val upwd = prepped.getBytes(StandardCharsets.UTF_8) // Acrobat's bytes
-    val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
-    val ue = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE,
-        new SecretKeySpec(PdfDecrypt.hash2b(upwd, kSalt, 6), "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      c.doFinal(fileKey32)
-    }
-    val iv = (61 to 76).map(_.toByte).toArray
-    val enc = aesEnc(fileKey32, iv, deflate(content))
-    val doc = pdf(
-      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
-        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
-        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
-        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
+    // Acrobat's bytes: the PREPARED form keys the document
+    val doc = aesV3Doc(prepped.getBytes(StandardCharsets.UTF_8))
     // the user types the raw form; the SASLprep candidate opens it
     assert(FlatePdfExtractor.withPassword(typed).extractPages(doc) === Seq(text))
     // and typing the prepped form directly works too (as-typed first)
@@ -801,26 +734,8 @@ class PdfDecryptSpec extends AnyFunSuite {
         "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
         s"/StmF /StdCF /O <${hex(o)}> /U <${hex(uValue(fk, id0))}> >>", enc)
     }
-    def r6doc: Array[Byte] = {
-      val vSalt = (31 to 38).map(_.toByte).toArray
-      val kSalt = (41 to 48).map(_.toByte).toArray
-      val fileKey32 = (201 to 232).map(_.toByte).toArray
-      val upwd = "fz-user".getBytes(StandardCharsets.UTF_8)
-      val u = PdfDecrypt.hash2b(upwd, vSalt, 6) ++ vSalt ++ kSalt
-      val ue = {
-        val c = Cipher.getInstance("AES/CBC/NoPadding")
-        c.init(Cipher.ENCRYPT_MODE,
-          new SecretKeySpec(PdfDecrypt.hash2b(upwd, kSalt, 6), "AES"),
-          new IvParameterSpec(new Array[Byte](16)))
-        c.doFinal(fileKey32)
-      }
-      val iv = (61 to 76).map(_.toByte).toArray
-      val enc = aesEnc(fileKey32, iv, deflate(content))
-      pdf("<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904 " +
-        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
-        s"/O <${hex(new Array[Byte](48))}> /OE <${hex(new Array[Byte](32))}> " +
-        s"/U <${hex(u)}> /UE <${hex(ue)}> >>", enc)
-    }
+    def r6doc: Array[Byte] =
+      aesV3Doc("fz-user".getBytes(StandardCharsets.UTF_8))
     val corpus = Vector(r3doc, r4doc, r6doc)
     val keyed = FlatePdfExtractor.withPassword("fz-user")
     val genMutant: Gen[(String, Array[Byte])] = for {
