@@ -28,7 +28,12 @@ object DevScale {
               sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "64k")
-      .config("spark.sql.adaptive.enabled", "false")
+      // default off like the bench (sub-GB sweeps); SPARK_GRAFT_SCALE_AQE=1
+      // turns it on for runs that demonstrate the cluster-config behavior
+      // (r16: the q21/q126 broadcast-boundary re-check at 100×)
+      .config("spark.sql.adaptive.enabled",
+        if (sys.env.get("SPARK_GRAFT_SCALE_AQE").contains("1")) "true"
+        else "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
