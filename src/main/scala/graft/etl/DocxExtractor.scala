@@ -122,7 +122,7 @@ object DocxExtractor extends PageExtractor {
           // directory order, first occurrence wins — the entriesXml rule
           def read(name: String): Option[String] =
             entries.find(_.name == name).flatMap(e =>
-              readEntry(bytes, e.localOff, e.method, e.compSize).toOption)
+              readEntry(bytes, e.localOff, e.method, e.compSize, e.crc).toOption)
           read(DocumentEntry) match {
             case None => Nil
             case Some(xml) =>
@@ -198,7 +198,7 @@ object DocxExtractor extends PageExtractor {
       .sortBy(_._1)
       .take(MaxVariantParts)
       .flatMap { case (_, e) =>
-        readEntry(bytes, e.localOff, e.method, e.compSize).toOption
+        readEntry(bytes, e.localOff, e.method, e.compSize, e.crc).toOption
       }
       .flatMap { xml =>
         val t = pagesFromXml(xml).mkString("\n").trim
@@ -334,14 +334,15 @@ object DocxExtractor extends PageExtractor {
       val found = scala.collection.mutable.Map[String, Either[String, String]]()
       entries.foreach { e =>
         if (names(e.name) && !found.contains(e.name))
-          found(e.name) = readEntry(bytes, e.localOff, e.method, e.compSize)
+          found(e.name) =
+            readEntry(bytes, e.localOff, e.method, e.compSize, e.crc)
       }
       found.toMap
     }
 
   /** One central-directory record — the fields both consumers need. */
   private final case class CdEntry(name: String, method: Int,
-                                   compSize: Long, localOff: Long)
+                                   compSize: Long, localOff: Long, crc: Long)
 
   /** THE zip central-directory parser (r12 review round 4 — a second
     * copy of the EOCD scan had appeared for name discovery; any future
@@ -410,7 +411,7 @@ object DocxExtractor extends PageExtractor {
           out += CdEntry(
             new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8),
             zipU16(bytes, p + 10), zipU32(bytes, p + 20),
-            zipU32(bytes, p + 42))
+            zipU32(bytes, p + 42), zipU32(bytes, p + 16))
         p += 46 + nameLen + extraLen + commentLen
         i += 1
       }
@@ -441,9 +442,18 @@ object DocxExtractor extends PageExtractor {
     * authoritative (a streamed writer leaves the local sizes 0 with a
     * data descriptor), the local header's own name/extra lengths locate
     * the data. Stored (0) and deflate (8) cover every real .docx writer.
+    *
+    * The decoded bytes are verified against the central directory's
+    * CRC-32 (r16, found by the seed-sweep fuzzer): raw deflate carries
+    * NO integrity check of its own, so a single damaged byte that lands
+    * in a deflate LITERAL — an RC4-decrypted package with one flipped
+    * ciphertext byte, storage rot on a staged binary — inflates
+    * "successfully" into silently corrupted text; stored entries have
+    * no check at all. A mismatch quarantines as `docx-crc-mismatch`
+    * instead of landing one wrong character in the GOOD channel.
     */
   private def readEntry(bytes: Array[Byte], localOff: Long, method: Int,
-                        compSize: Long): Either[String, String] = {
+                        compSize: Long, crc: Long): Either[String, String] = {
     if (localOff > Int.MaxValue || localOff + 30 > bytes.length ||
         zipU32(bytes, localOff.toInt) != 0x04034b50L)
       return Left("docx-bad-local-header")
@@ -452,10 +462,17 @@ object DocxExtractor extends PageExtractor {
     if (compSize > Int.MaxValue || dataOff + compSize > bytes.length)
       return Left("docx-bad-local-header")
     val len = compSize.toInt
+    def checked(data: Array[Byte]): Either[String, String] = {
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      if (c.getValue != crc) Left("docx-crc-mismatch")
+      else Right(new String(data, StandardCharsets.UTF_8))
+    }
     method match {
       case 0 => // stored
         if (len > MaxDocumentXmlBytes) Left("docx-oversize-xml")
-        else Right(new String(bytes, dataOff, len, StandardCharsets.UTF_8))
+        else checked(java.util.Arrays.copyOfRange(bytes, dataOff,
+          dataOff + len))
       case 8 => // deflate, raw (nowrap)
         val inf = new java.util.zip.Inflater(true)
         try {
@@ -482,7 +499,7 @@ object DocxExtractor extends PageExtractor {
               // document in the GOOD channel (r12 review round 3)
               return Left("docx-undecodable-entry")
           }
-          Right(new String(out.toByteArray, StandardCharsets.UTF_8))
+          checked(out.toByteArray)
         } catch { case _: Exception => Left("docx-undecodable-entry") }
         finally inf.end()
       case _ => Left("docx-unsupported-compression")
@@ -496,8 +513,11 @@ object DocxExtractor extends PageExtractor {
     * `docx-missing-document-xml`; r12 review), a zip without
     * `word/document.xml` (not an OPC word document, or a renamed
     * plain archive), a body XML inflating past the deflate-bomb
-    * ceiling, a zip that fails to decompress — else the body was
-    * decodable and simply empty.
+    * ceiling, a zip that fails to decompress, a decoded entry whose
+    * bytes fail the central directory's CRC-32
+    * (`docx-crc-mismatch` — r16: damaged-but-inflatable deflate
+    * literals and flipped stored bytes must not read as clean text) —
+    * else the body was decodable and simply empty.
     */
   /** This codec with a caller-supplied document password (r15):
     * CFB-wrapped encrypted packages decrypt via [[OoxmlDecrypt]]

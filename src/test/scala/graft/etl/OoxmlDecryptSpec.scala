@@ -545,6 +545,34 @@ class OoxmlDecryptSpec extends AnyFunSuite {
     assert(OoxmlDecrypt.decryptPackage(evil2, "p").isEmpty)
   }
 
+  test("RC4 ciphertext bit-flip cannot land corrupted text in the GOOD channel (r16 seed-sweep find)") {
+    // RC4 is a stream cipher: one flipped ciphertext byte flips exactly
+    // one plaintext byte, and raw deflate has no integrity check — so a
+    // flip landing in a deflate LITERAL inflated "successfully" into
+    // text with one damaged character (seed-5 fuzzing found U+120D →
+    // U+FFFD+0x19 extracted as a GOOD document). The zip-entry CRC-32
+    // verification now quarantines every such mutant. Scan
+    // deterministically for flips that reach the CRC check and pin the
+    // outcome; every OTHER flip must keep the original text or Nil.
+    val doc = rc4CryptoApiDoc("bits", docx(text))
+    val keyed = DocxExtractor.withPassword("bits")
+    assert(keyed.extractPages(doc) === Seq(text))
+    var crcCaught = 0
+    var wrongText = 0
+    // the EncryptedPackage rides regular sectors after the ministream;
+    // scan a stride through the whole file so pkg ciphertext is covered
+    (0 until doc.length by 7).foreach { off =>
+      val m = doc.clone(); m(off) = (m(off) ^ 0x01).toByte
+      val pages = keyed.extractPages(m)
+      if (pages != Seq(text) && pages != Nil) wrongText += 1
+      if (pages == Nil && keyed.diagnose(m) == "docx-crc-mismatch")
+        crcCaught += 1
+    }
+    assert(wrongText === 0, s"$wrongText flips extracted corrupted text")
+    assert(crcCaught > 0,
+      "no flip reached the CRC check — the pin lost its subject")
+  }
+
   test("structural fuzzer (r16 VERDICT #7): random CFB mutations decrypt correctly or quarantine — never throw") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     val pwd = "fuzz-pwd"
