@@ -36,7 +36,10 @@ object DocOps {
   def baseNameOf(url: Column): Column =
     regexp_replace(
       regexp_replace(regexp_extract(url, "[^/]+$", 0),
-        "\\.(pdf|docx)$", ""), // .docx joins .pdf for the statute path
+        // .docx joins .pdf for the statute path; .doc (r17, ordered
+        // after docx so the alternation strips the longer suffix whole)
+        // for the legacy Word-97–2003 population
+        "\\.(pdf|docx|doc)$", ""),
       "%20", "_")
 
   /** S13 — display title: base name with "_" → " "

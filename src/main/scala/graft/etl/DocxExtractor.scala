@@ -601,8 +601,12 @@ object DocxExtractor extends PageExtractor {
     * BODY TEXT merely contained the word, and duplicated the CFB
     * magic check the r11 one-place rule forbids — both the magic and
     * the walk live in [[OoxmlDecrypt]] now). Legacy `.doc` files
-    * (same magic, `WordDocument` stream, no EncryptionInfo entry)
-    * stay `not-a-docx`. Cost on the extract hot path is one 8-byte
+    * (same magic, `WordDocument` stream, no EncryptionInfo entry) are
+    * NOT this codec's: they carry no EncryptionInfo, so this probe
+    * misses them — standalone they read `not-a-docx`, and the sniffing
+    * router routes them to [[DocExtractor]] (r17) by their
+    * `WordDocument` entry instead. Cost on the extract hot path is one
+    * 8-byte
     * magic check for non-CFB rows; CFB rows pay a bounded directory
     * walk, no decompression.
     */

@@ -129,7 +129,10 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
     val isPdf = ct.contains("application/pdf")
     val isDocx = ct.contains(IngestServer.DocxContentType)
-    if (!isPdf && !(isDocx && resourceType == "statute"))
+    // legacy binary .doc (r17) rides the same statute admission as DOCX
+    // — the old-cassation-volume population is Word 97–2003
+    val isDoc = !isDocx && ct.contains(IngestServer.DocContentType)
+    if (!isPdf && !((isDocx || isDoc) && resourceType == "statute"))
       return errorJson(s"not a PDF (Content-Type: $ct)")
     // bounded body read (r12 hardening — Fetch.MaxBodyBytes rationale):
     // an unbounded readAllBytes let one oversized upload OOM the driver
@@ -138,7 +141,7 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
       case Left(err) => return errorJson(err)
       case Right(b) => b
     }
-    val defaultExt = if (isDocx) "docx" else "pdf"
+    val defaultExt = if (isDocx) "docx" else if (isDoc) "doc" else "pdf"
     val url = params.getOrElse("pdf_url", s"$volume.$defaultExt")
     // per-REQUEST document password (r15, VERDICT #1): the pdfminer
     // `password=` parity surface — offered user-then-owner to the PDF
@@ -171,7 +174,9 @@ final class IngestServer(spark: SparkSession, extractor: PageExtractor,
         }
         .getOrElse(params.getOrElse("password", ""))
     val codec: PageExtractor =
-      (if (isDocx) DocxExtractor else extractor).withPassword(password)
+      (if (isDocx) DocxExtractor
+       else if (isDoc) DocExtractor
+       else extractor).withPassword(password)
 
     // Raster-loss visibility (VERDICT r13 item 4): count the streams the
     // codec will SKIP for unsupported filters — on every upload, because
@@ -356,6 +361,11 @@ object IngestServer {
   val DocxContentType: String =
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 
+  /** Legacy binary `.doc` MIME type (r17) — same statute-only admission
+    * as DOCX; routes to [[DocExtractor]].
+    */
+  val DocContentType: String = "application/msword"
+
   /** The served contract, byte-stable (the MetricsExport descriptor
     * discipline): OpenAPI 3.1, one POST /ingest operation taking the PDF
     * bytes as the request body (application/pdf) with `volume` /
@@ -368,7 +378,7 @@ object IngestServer {
     """{"openapi":"3.1.0",
       |"info":{"title":"graft ingest service","version":"0.1.0"},
       |"paths":{"/ingest":{"post":{
-      |"summary":"Ingest one PDF or DOCX through the S6-S14 operator chain",
+      |"summary":"Ingest one PDF, DOCX or legacy .doc through the S6-S14 operator chain",
       |"operationId":"ingest_post",
       |"parameters":[
       |{"name":"volume","in":"query","required":false,
@@ -379,16 +389,18 @@ object IngestServer {
       |{"name":"resource_type","in":"query","required":false,
       | "schema":{"type":"string","enum":["cassation_decision","statute"],
       |  "default":"cassation_decision"},
-      | "description":"statute sets category=Statute and admits DOCX bodies (auto_ingest.yml parity)"},
+      | "description":"statute sets category=Statute and admits DOCX and legacy .doc bodies (auto_ingest.yml parity)"},
       |{"name":"X-Document-Password","in":"header","required":false,
       | "schema":{"type":"string"},
-      | "description":"document password, PREFERRED channel (headers stay out of access logs and proxy traces): encrypted PDFs try it as user then owner (pdfminer password= parity); encrypted OOXML (agile/standard/RC4-CryptoAPI) decrypts the package; absent means the silent empty-password open. Non-ASCII values are read as the password's raw UTF-8 bytes"},
+      | "description":"document password, PREFERRED channel (headers stay out of access logs and proxy traces): encrypted PDFs try it as user then owner (pdfminer password= parity); encrypted OOXML (agile/standard/RC4-CryptoAPI) decrypts the package; encrypted legacy .doc (RC4/RC4-CryptoAPI) decrypts the streams; absent means the silent empty-password open. Non-ASCII values are read as the password's raw UTF-8 bytes"},
       |{"name":"password","in":"query","required":false,
       | "schema":{"type":"string"},
       | "description":"document password as a query parameter — reference-parity fallback only; prefer the X-Document-Password header, since query strings are routinely captured by access logs. Ignored when the header is present"}],
       |"requestBody":{"required":true,"content":{"application/pdf":{
       | "schema":{"type":"string","format":"binary"}},
       | "application/vnd.openxmlformats-officedocument.wordprocessingml.document":{
+      | "schema":{"type":"string","format":"binary"}},
+      | "application/msword":{
       | "schema":{"type":"string","format":"binary"}}}},
       |"responses":{"200":{"description":
       | "the S14 document record on success, or {\"error\": ...} as an HTTP-200 row (S16 error containment)",

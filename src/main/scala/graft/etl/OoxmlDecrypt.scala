@@ -26,9 +26,10 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * Declared out: the deprecated "extensible" providers (x.3) and any
   * other AlgID inside a standard-family header — those carry an
   * `EncryptionInfo` stream, so they quarantine as `encrypted`. Legacy
-  * binary `.doc` encryption (RC4 CryptoAPI inside the Table stream)
-  * has NO EncryptionInfo entry and is not detected here at all — it
-  * stays `not-a-docx`, like every other binary `.doc`.
+  * binary `.doc` encryption (RC4 inside the Table stream) has NO
+  * EncryptionInfo entry and is not detected here at all — as of r17 it
+  * routes to [[DocExtractor]]/[[DocDecrypt]], which share this module's
+  * CFB reader and CryptoAPI key schedule.
   *
   * This capability is BEYOND the reference (python-docx cannot open
   * encrypted documents at all); it exists because the engine's
@@ -478,35 +479,65 @@ private[etl] object OoxmlDecrypt {
     else Some(java.util.Arrays.copyOf(plain, size.toInt))
   }
 
-  /** RC4 CryptoAPI key derivation + decrypt (MS-OFFCRYPTO 2.3.5.2) —
-    * the Word-2003-compat population inside a standard-family header
-    * (AlgID 0x6801). No spin count, no CryptDeriveKey expansion:
-    * H0 = SHA-1(salt ++ UTF-16LE(password)); the block-b key is
+  /** Block-b RC4 key for the CryptoAPI KDF (MS-OFFCRYPTO 2.3.5.2):
     * SHA-1(H0 ++ LE32(b)) truncated to keyBits/8 — except 40-bit keys,
     * which the spec mandates be the first 5 hash bytes plus 11 zero
-    * bytes (a 128-bit RC4 key). The verifier pair decrypts as ONE
-    * continuous block-0 keystream (the fields are adjacent; re-keying
-    * per field would reuse the stream). The package body re-keys every
-    * 512 bytes with the block counter, the binary-format convention —
-    * no real Word writer emits RC4 OOXML packages, so the encrypt-side
-    * spec transcription in OoxmlDecryptSpec is the ground truth here.
+    * bytes (a 128-bit RC4 key). Shared with the legacy binary `.doc`
+    * decryptor ([[DocDecrypt]], r17) — Word 2002/2003's optional `.doc`
+    * encryption uses this exact schedule with H0 from the Table-stream
+    * header's salt.
+    */
+  private[etl] def rc4CryptoApiKey(h0: Array[Byte], keyBits: Int,
+                                   block: Int): Array[Byte] = {
+    val hb = hash("SHA1", h0, le32b(block))
+    if (keyBits == 40) // 5 hash bytes zero-padded to a 128-bit key
+      java.util.Arrays.copyOf(java.util.Arrays.copyOf(hb, 5), 16)
+    else java.util.Arrays.copyOf(hb, keyBits / 8)
+  }
+
+  /** Verify `pwd16` against an RC4 CryptoAPI verifier pair; Some(H0) on
+    * a match (H0 = SHA-1(salt ++ password), the block-key seed), None on
+    * a wrong password. The pair decrypts as ONE continuous block-0
+    * keystream — the fields are adjacent; re-keying per field would
+    * reuse the stream. Shared by the OOXML standard-header path and the
+    * binary `.doc` path ([[DocDecrypt]]), whose verifier structures are
+    * byte-identical (MS-OFFCRYPTO 2.3.5.1 / 2.3.6.3).
+    */
+  private[etl] def rc4CryptoApiVerify(salt: Array[Byte],
+                                      encVerifier: Array[Byte],
+                                      encVerifierHash: Array[Byte],
+                                      pwd16: Array[Byte],
+                                      keyBits: Int): Option[Array[Byte]] = {
+    val h0 = hash("SHA1", salt, pwd16)
+    val both = PdfDecrypt.rc4(rc4CryptoApiKey(h0, keyBits, 0),
+      encVerifier ++ encVerifierHash)
+    val verifier = java.util.Arrays.copyOfRange(both, 0, 16)
+    val vHash = java.util.Arrays.copyOfRange(both, 16, both.length)
+    if (java.util.Arrays.equals(hash("SHA1", verifier), vHash)) Some(h0)
+    else None
+  }
+
+  /** RC4 CryptoAPI key derivation + decrypt (MS-OFFCRYPTO 2.3.5.2) —
+    * the Word-2003-compat population inside a standard-family header
+    * (AlgID 0x6801). No spin count, no CryptDeriveKey expansion; see
+    * [[rc4CryptoApiKey]]/[[rc4CryptoApiVerify]] for the schedule. The
+    * package body re-keys every 512 bytes with the block counter
+    * STARTING AT 1 (r17, from r16 advice): block 0 is the verifier
+    * pair's, and since a zip's first ~30 plaintext bytes are
+    * predictable, numbering the first package block 0 would let
+    * ciphertext XOR leak the verifier keystream. No real Word writer
+    * emits RC4 OOXML packages — this container is self-defined, and the
+    * encrypt-side spec transcription in OoxmlDecryptSpec is the ground
+    * truth (the binary `.doc` format avoids the reuse differently: its
+    * block-0 keystream positions 0..36 fall in the plaintext-patched
+    * header region, so they never meet ciphertext).
     */
   private def decryptStandardRc4(salt: Array[Byte], encVerifier: Array[Byte],
                                  encVerifierHash: Array[Byte],
                                  pkg: Array[Byte], pwd16: Array[Byte],
                                  keyBits: Int): Option[Array[Byte]] = {
-    val h0 = hash("SHA1", salt, pwd16)
-    def blockKey(b: Int): Array[Byte] = {
-      val hb = hash("SHA1", h0, le32b(b))
-      if (keyBits == 40) // 5 hash bytes zero-padded to a 128-bit key
-        java.util.Arrays.copyOf(java.util.Arrays.copyOf(hb, 5), 16)
-      else java.util.Arrays.copyOf(hb, keyBits / 8)
-    }
-    val both = PdfDecrypt.rc4(blockKey(0), encVerifier ++ encVerifierHash)
-    val verifier = java.util.Arrays.copyOfRange(both, 0, 16)
-    val vHash = java.util.Arrays.copyOfRange(both, 16, both.length)
-    if (!java.util.Arrays.equals(hash("SHA1", verifier), vHash))
-      return None // wrong password
+    val h0 = rc4CryptoApiVerify(salt, encVerifier, encVerifierHash, pwd16,
+      keyBits).getOrElse(return None) // wrong password
 
     if (pkg.length < 8) return None
     val size = le64(pkg, 0)
@@ -514,12 +545,12 @@ private[etl] object OoxmlDecrypt {
       return None
     val out = new Array[Byte](size.toInt)
     var off = 8
-    var block = 0
+    var block = 1 // 0 is the verifier's — see scaladoc
     var written = 0
     while (written < size) {
       val n = math.min(512, pkg.length - off)
       if (n <= 0) return None
-      val plain = PdfDecrypt.rc4(blockKey(block),
+      val plain = PdfDecrypt.rc4(rc4CryptoApiKey(h0, keyBits, block),
         java.util.Arrays.copyOfRange(pkg, off, off + n))
       val take = math.min(n.toLong, size - written).toInt
       System.arraycopy(plain, 0, out, written, take)
@@ -552,14 +583,21 @@ private[etl] object OoxmlDecrypt {
       // real input method — a caller pasting the NFD form of the same
       // Amharic password must still open the document. The raw form
       // stays FIRST so a document hashed from un-normalized bytes (our
-      // own r15 behavior) keeps opening with the exact string.
+      // own r15 behavior) keeps opening with the exact string. Each
+      // form attempts INDEPENDENTLY (r17, from r16 advice): an
+      // exception inside one candidate's attempt must not abort the
+      // remaining forms — exceptions here are structure-driven today,
+      // but a per-form failure silently coupling the candidates is the
+      // kind of divergence that only shows up when it matters.
       PdfDecrypt.pwdForms(password).iterator.map { form =>
-        val pwd16 = form.getBytes(StandardCharsets.UTF_16LE)
-        (major, minor) match {
-          case (4, 4) => decryptAgile(info, pkg, pwd16)
-          case (2 | 3 | 4, 2) => decryptStandard(info, pkg, pwd16)
-          case _ => None // extensible (x.3) and anything newer: declared out
-        }
+        try {
+          val pwd16 = form.getBytes(StandardCharsets.UTF_16LE)
+          (major, minor) match {
+            case (4, 4) => decryptAgile(info, pkg, pwd16)
+            case (2 | 3 | 4, 2) => decryptStandard(info, pkg, pwd16)
+            case _ => None // extensible (x.3) and anything newer: declared out
+          }
+        } catch { case _: Exception => None }
       }.collectFirst { case Some(zip) => zip }
     } catch { case _: Exception => None }
   }

@@ -121,7 +121,8 @@ object RawPdfExtractor extends PageExtractor {
   */
 final case class SniffingExtractor(
     pdf: PageExtractor = FlatePdfExtractor,
-    docx: PageExtractor = DocxExtractor) extends PageExtractor {
+    docx: PageExtractor = DocxExtractor,
+    doc: PageExtractor = DocExtractor) extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.extractPages(bytes)
     else if (DocxExtractor.looksLikeZip(bytes)) docx.extractPages(bytes)
@@ -130,12 +131,17 @@ final case class SniffingExtractor(
     // a passworded one decrypts and extracts
     else if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
       docx.extractPages(bytes)
+    // legacy binary .doc (r17): CFB with a WordDocument entry — the
+    // Word-97–2003 population that used to fall through to quarantine
+    else if (DocExtractor.looksLikeDoc(bytes)) doc.extractPages(bytes)
     else Nil
   }
 
   /** Routes the diagnosis the same way extraction routed: a format the
     * sniffer recognizes defers to that codec's reason; anything else is
-    * the router's own verdict, `not-pdf-or-docx`.
+    * the router's own verdict, `not-pdf-or-docx` (the reason token
+    * predates the r17 `.doc` codec and stays spelled as published —
+    * `.doc` bytes now earn their own codec's reasons instead of it).
     */
   override def diagnose(bytes: Array[Byte]): String = {
     if (PageExtractor.looksLikePdf(bytes)) pdf.diagnose(bytes)
@@ -145,6 +151,7 @@ final case class SniffingExtractor(
     // vocabulary — or the post-decrypt reason with it
     else if (DocxExtractor.looksLikeEncryptedOoxml(bytes))
       docx.diagnose(bytes)
+    else if (DocExtractor.looksLikeDoc(bytes)) doc.diagnose(bytes)
     else "not-pdf-or-docx"
   }
 
@@ -154,14 +161,16 @@ final case class SniffingExtractor(
     else Map.empty
   }
 
-  /** Delegates the password to both routed codecs — the PDF side's
-    * Standard security handler and the DOCX side's encrypted-OOXML
-    * package (r15) each honor it.
+  /** Delegates the password to every routed codec — the PDF side's
+    * Standard security handler (r15), the DOCX side's encrypted-OOXML
+    * package (r15/r16) and the `.doc` side's binary RC4 schemes (r17)
+    * each honor it.
     */
   override def withPassword(password: String): PageExtractor =
     if (password.isEmpty) this
     else copy(pdf = pdf.withPassword(password),
-              docx = docx.withPassword(password))
+              docx = docx.withPassword(password),
+              doc = doc.withPassword(password))
 }
 
 /** Deterministic fake for unit tests: interprets the input bytes as UTF-8

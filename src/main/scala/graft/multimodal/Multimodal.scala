@@ -114,6 +114,25 @@ object Multimodal {
       graft.etl.DocxExtractor.extractPages(bytes)
   }
 
+  /** Legacy binary `.doc` codec (r17) — the Word-97–2003 FIB +
+    * piece-table extractor behind the same seam, closing the
+    * old-cassation-volume population that used to decode to Nil.
+    */
+  object DocCodec extends DocumentCodec {
+    def extractPages(bytes: Array[Byte]): Seq[String] =
+      graft.etl.DocExtractor.extractPages(bytes)
+  }
+
+  /** `.doc` codec carrying a caller-supplied document password (r17) —
+    * binary RC4 v1.1 / RC4 CryptoAPI documents decrypt through the same
+    * [[extractText]] plumbing; wrong passwords degrade to Nil.
+    */
+  final case class PasswordedDocCodec(password: String) extends DocumentCodec {
+    private val inner = graft.etl.DocExtractor.withPassword(password)
+    def extractPages(bytes: Array[Byte]): Seq[String] =
+      inner.extractPages(bytes)
+  }
+
   final case class DocText(path: String, nPages: Int, text: String)
 
   /** Per-partition document text extraction via a [[DocumentCodec]] — same

@@ -573,11 +573,13 @@ class DocxExtractorSpec extends AnyFunSuite {
     // not a zip, so extraction degrades to Nil without the password
     assert(DocxExtractor.extractPages(encrypted) === Nil)
     // the sniffing router ROUTES CFB bytes to the DOCX codec, whose
-    // diagnosis names the real blocker; non-OOXML CFB keeps the
-    // router's own verdict
+    // diagnosis names the real blocker; a WordDocument-bearing CFB now
+    // routes to the r17 DOC codec instead of falling through — this
+    // fixture's "legacy doc" carries junk where the FIB belongs, so it
+    // earns the structural reason rather than the router's fallback
     val sniff = SniffingExtractor()
     assert(sniff.diagnose(encrypted) === "encrypted")
-    assert(sniff.diagnose(legacyDoc) === "not-pdf-or-docx")
+    assert(sniff.diagnose(legacyDoc) === "doc-truncated-or-corrupt")
     assert(sniff.extractPages(encrypted) === Nil)
     // zip-magic bytes containing the name are a docx question, not an
     // encryption one

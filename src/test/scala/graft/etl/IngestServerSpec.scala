@@ -480,4 +480,52 @@ class IngestServerSpec extends SparkSpec {
         s"contract fields $declared drifted from the live schema $live")
     } finally server.stop()
   }
+
+  test("POST /ingest statute route — legacy binary .doc round-trip, plain and RC4-encrypted (r17)") {
+    val server = new IngestServer(spark, FlatePdfExtractor)
+    val port = server.start()
+    try {
+      // plain Word-97 binary through the application/msword gate
+      val am = "አዋጅ ቁጥር 25/1988\r"
+      val plain = DocFixtures.doc(Seq(
+        ("Proclamation issued 1996\r", true), (am, false)))
+      val resp = post(port,
+        "/ingest?volume=Proc%2025-1988&resource_type=statute",
+        plain, IngestServer.DocContentType)
+      val doc = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(resp).toDS()).head()
+      assert(doc.getAs[String]("title") === "Proc 25-1988")
+      assert(doc.getAs[String]("category") === "Statute")
+      assert(doc.getAs[String]("year") === "1996")
+      assert(doc.getAs[String]("content")
+        === "Proclamation issued 1996\n" + am.stripSuffix("\r"))
+      // the sourceURL default carries the .doc extension
+      assert(doc.getAs[String]("sourceURL") === "Proc 25-1988.doc")
+
+      // .doc without statute resource_type is refused at the S7 gate,
+      // exactly like DOCX
+      val refused = post(port, "/ingest?volume=x", plain,
+        IngestServer.DocContentType)
+      assert(refused.contains("\"error\""))
+
+      // RC4-v1.1-encrypted .doc + the header password channel opens
+      // end-to-end; wrong password is the error-as-row `encrypted`.
+      // (raw socket: java.net.http refuses non-ASCII header values —
+      // the r16 header-channel gotcha; the contract is raw UTF-8 bytes)
+      val sealed0 = DocFixtures.rc4Doc("መክፈቻ", Seq(("sealed text\r", true)))
+      val opened = postRaw(port,
+        "/ingest?volume=Locked&resource_type=statute",
+        sealed0, IngestServer.DocContentType,
+        rawHeaders = Map("X-Document-Password" ->
+          "መክፈቻ".getBytes(StandardCharsets.UTF_8)))
+      val openedDoc = spark.read.schema(graft.Tables.legalDocSchema)
+        .json(Seq(opened).toDS()).head()
+      assert(openedDoc.getAs[String]("content") === "sealed text")
+      val wrong = post(port,
+        "/ingest?volume=Locked&resource_type=statute",
+        sealed0, IngestServer.DocContentType,
+        headers = Map("X-Document-Password" -> "not-it"))
+      assert(wrong.contains("\"error\"") && wrong.contains("encrypted"))
+    } finally server.stop()
+  }
 }

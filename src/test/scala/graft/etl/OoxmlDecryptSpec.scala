@@ -256,10 +256,12 @@ private[etl] object OoxmlFixtures {
     * 2.3.5.2 — H0 = SHA-1(salt ++ UTF-16LE(password)), block-b key =
     * SHA-1(H0 ++ LE32(b)) truncated to keyBits/8 (40-bit: 5 bytes
     * zero-padded to 16); verifier + hash encrypted as ONE continuous
-    * block-0 keystream; package body re-keyed every 512 bytes. The RC4
-    * primitive is PdfDecrypt's, which PdfDecryptSpec pins against the
-    * published known-answer vector first. `keySizeZero` writes the
-    * header's KeySize field as 0 — the spec's alias for 40-bit.
+    * block-0 keystream; package body re-keyed every 512 bytes with the
+    * counter starting at 1 (r17 — block 0 is the verifier's; numbering
+    * the predictable zip prefix 0 would leak the verifier keystream).
+    * The RC4 primitive is PdfDecrypt's, which PdfDecryptSpec pins
+    * against the published known-answer vector first. `keySizeZero`
+    * writes the header's KeySize field as 0 — the spec's 40-bit alias.
     */
   def rc4CryptoApiDoc(password: String, plain: Array[Byte],
                       keyBits: Int = 128,
@@ -285,7 +287,7 @@ private[etl] object OoxmlFixtures {
       header ++
       (le32(16) ++ salt ++ encBoth.take(16) ++ le32(20) ++ encBoth.drop(16))
     val enc = plain.grouped(512).zipWithIndex.map { case (blk, i) =>
-      PdfDecrypt.rc4(blockKey(i), blk)
+      PdfDecrypt.rc4(blockKey(i + 1), blk) // package blocks start at 1
     }.reduce(_ ++ _)
     cfb(info, le64(plain.length.toLong) ++ enc)
   }
@@ -614,20 +616,26 @@ class OoxmlDecryptSpec extends AnyFunSuite {
           yield (s"poke@$off", { val m = doc.clone(); m(off) = b.toByte; m }))
     } yield mutant
     val keyed = DocxExtractor.withPassword(pwd)
-    val prop = Prop.forAll(genMutant) { case (label, mutant) =>
+    // forAllNoShrink + mutant dump (r17, VERDICT r16 #3): shrinking an
+    // Array[Byte] counterexample runs tens of minutes and loses the
+    // structural label; the dumped file replays the exact bytes instead
+    val prop = Prop.forAllNoShrink(genMutant) { case (label, mutant) =>
       try {
         val pages = keyed.extractPages(mutant)
         val ok = pages == plainPages ||
           (pages == Nil && keyed.diagnose(mutant).nonEmpty)
-        if (!ok) println(s"fuzzer: unexpected outcome for $label: $pages")
+        if (!ok) println(s"fuzzer: unexpected outcome for $label: $pages " +
+          s"(mutant: ${FuzzHarness.dumpMutant("cfb", label, mutant)})")
         ok
       } catch { case e: Throwable =>
-        println(s"fuzzer: THREW for $label: $e"); false
+        println(s"fuzzer: THREW for $label: $e " +
+          s"(mutant: ${FuzzHarness.dumpMutant("cfb", label, mutant)})")
+        false
       }
     }
-    val res = ScTest.check(ScTest.Parameters.default
-      .withMinSuccessfulTests(150)
-      .withInitialSeed(org.scalacheck.rng.Seed(1616L)), prop)
-    assert(res.passed, s"property failed: ${res.status}")
+    // 3 rotating seeds × 50 cases = the r16 single-seed budget, but the
+    // seed-5 lesson institutionalized: each day's run explores fresh
+    // mutation space; the pinned base stays as the regression anchor
+    FuzzHarness.checkRotating(1616L, 50, prop)
   }
 }

@@ -762,21 +762,26 @@ class PdfDecryptSpec extends AnyFunSuite {
         }))
     } yield mutant
     val want = Seq(text)
-    val prop = Prop.forAll(genMutant) { case (label, mutant) =>
+    // forAllNoShrink + mutant dump + rotating seeds (r17, VERDICT r16
+    // #3) — see FuzzHarness; 3 × 67 ≈ the r16 single-seed 200-case
+    // budget. The r16 alternate-seed sweep (seeds 21–25) already ran
+    // this corpus clean — zlib's adler32 covers the bit-flip class the
+    // DOCX side lacked — so rotation here is insurance, not debt.
+    val prop = Prop.forAllNoShrink(genMutant) { case (label, mutant) =>
       try {
         val pages = keyed.extractPages(mutant)
         val ok = pages == want ||
           (pages.isEmpty && keyed.diagnose(mutant).nonEmpty)
-        if (!ok) println(s"pdf-fuzzer: unexpected outcome for $label: $pages")
+        if (!ok) println(s"pdf-fuzzer: unexpected outcome for $label: $pages " +
+          s"(mutant: ${FuzzHarness.dumpMutant("pdf", label, mutant)})")
         ok
       } catch { case e: Throwable =>
-        println(s"pdf-fuzzer: THREW for $label: $e"); false
+        println(s"pdf-fuzzer: THREW for $label: $e " +
+          s"(mutant: ${FuzzHarness.dumpMutant("pdf", label, mutant)})")
+        false
       }
     }
-    val res = ScTest.check(ScTest.Parameters.default
-      .withMinSuccessfulTests(200)
-      .withInitialSeed(org.scalacheck.rng.Seed(166L)), prop)
-    assert(res.passed, s"property failed: ${res.status}")
+    FuzzHarness.checkRotating(166L, 67, prop)
   }
 
   test("R3 non-Latin-1 password: UTF-8 fallback opens what Latin-1 flattening never could (r15 ADVICE)") {

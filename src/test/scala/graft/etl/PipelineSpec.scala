@@ -394,4 +394,32 @@ class PipelineSpec extends SparkSpec {
     assert(doc.getAs[String]("content").exists(c => c >= 'ሀ' && c <= '፿'))
     assert(out.quarantine.count() === 0)
   }
+
+  test("legacy binary .doc flows the pipeline per-row next to PDF/DOCX; encrypted .doc quarantines with reason (r17)") {
+    // the old-cassation-volume population (Word 97–2003): a .doc row in
+    // the same staged frame as the other formats extracts through the
+    // sniffing router, and an ENCRYPTED .doc lands in quarantine with
+    // the actionable `encrypted` reason — no password channel on the
+    // batch path, mirroring the encrypted-OOXML row's behavior
+    val am = "የሰበር ውሳኔ ቅጽ 3 1995\r"
+    val legacy = DocFixtures.doc(Seq(("Cassation decision, decided 1995\r", true), (am, false)))
+    val sealed0 = DocFixtures.rc4Doc("በር", Seq(("hidden\r", true)))
+    val bins = Seq(
+      ("https://x/vol03.doc", legacy),
+      ("https://x/locked.doc", sealed0)).toDF("url", "content")
+    val out = Pipeline.process(bins, SniffingExtractor(), "2026-08-16")
+    val doc = out.docs.head()
+    assert(doc.getAs[String]("title") === "vol03")
+    assert(doc.getAs[String]("content")
+      === "Cassation decision, decided 1995\n" + am.stripSuffix("\r"))
+    assert(doc.getAs[String]("year") === "1995")
+    val q = out.quarantine.collect()
+    assert(q.length === 1 && q.head.getAs[String]("url").contains("locked"))
+    assert(q.head.getAs[String]("reason") === "encrypted")
+    // a passworded sniffing router opens the same staged row
+    val keyed = Pipeline.process(
+      Seq(("https://x/locked.doc", sealed0)).toDF("url", "content"),
+      SniffingExtractor().withPassword("በር"), "2026-08-16")
+    assert(keyed.docs.head().getAs[String]("content") === "hidden")
+  }
 }

@@ -165,4 +165,28 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.length === 3)
     assert(resized.forall(r => r.length == r.content.length))
   }
+
+  test("legacy .doc text via DocCodec — Word-97 binary through the same DocumentCodec seam (r17)") {
+    import spark.implicits._
+    val am = "የፌዴራል ጠቅላይ ፍርድ ቤት\r"
+    val plain = graft.etl.DocFixtures.doc(Seq(
+      ("First page text\r\f", true), (am, false)))
+    val sealed0 = graft.etl.DocFixtures.rc4Doc("ቁልፍ", Seq(("locked body\r", true)))
+    val media = Seq(
+      Multimodal.MediaRow("mem://vol03.doc", "doc", plain.length.toLong, plain),
+      Multimodal.MediaRow("mem://locked.doc", "doc", sealed0.length.toLong, sealed0))
+      .toDS()
+    val docs = Multimodal.extractText(media, Multimodal.DocCodec)
+      .collect().map(d => d.path -> d).toMap
+    assert(docs("mem://vol03.doc").nPages === 2) // the \f page split
+    assert(docs("mem://vol03.doc").text
+      === "First page text\n" + am.stripSuffix("\r"))
+    assert(docs("mem://locked.doc").nPages === 0) // encrypted: degrades to Nil
+    // the passworded codec opens it through the same plumbing
+    val keyed = Multimodal.extractText(media,
+      Multimodal.PasswordedDocCodec("ቁልፍ")).collect()
+      .map(d => d.path -> d).toMap
+    assert(keyed("mem://locked.doc").text === "locked body")
+    assert(keyed("mem://vol03.doc").nPages === 2) // plain rows unaffected
+  }
 }
