@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Ratio-edge re-time protocol (r17, VERDICT r16 #2) — stop the 2x-bar
+flap the same way r16's bar-adjacent protocol stopped the 100 ms
+denominator flap.
+
+The weak-set rule is "warm ratio > 2x with DuckDB median >= 100 ms", and
+both sides drift: adjacent DuckDB runs minutes apart read q73 at 314 vs
+200 ms, and Spark walls move inside their ledgered bands. Rows whose
+first-pass ratio lands within the EDGE BAND (1.8x-2.2x) therefore enter
+and leave the weak set on session noise with zero information content
+(q89/q41/q19b/q19 in r16). Under this protocol such rows are re-timed
+5-run ON BOTH SIDES and classified on those medians:
+
+  phase 1:  ratio_edge.py duck.json med.json --verify-out OUT --sf SF
+            -> re-times the DuckDB side 5-run in-process (same adjacency
+               discipline as dev/baseline.py), writes duck5 medians, and
+               prints the SPARK_GRAFT_BENCH_ONLY command for the Spark
+               side (graft.Bench with SPARK_GRAFT_BENCH_REPS=5).
+  phase 2:  ratio_edge.py duck.json med.json --duck5 duck5.json
+            --spark5 bench_only.json
+            -> emits the final classification: confirmed_weak (5-run
+               ratio > 2x) or out (<= 2x). Rows OUTSIDE the edge band
+               keep their first-pass classification untouched.
+
+The band is +-10% of 2.0x; the bar rule (duck >= 100 ms) still gates
+membership, using the 5-run duck median once available.
+"""
+import sys, os, json, time, statistics, argparse
+
+EDGE_LO, EDGE_HI = 1.8, 2.2
+BAR = 0.100
+REPS = 5
+
+def duck_retime(names, verify_out, sf_dir):
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(verify_out, "oracle_sql.json")))
+    out = {}
+    for name in names:
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            con.execute(oracle[name]).fetchall()
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(ts), 4)
+    return out
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("duck"); ap.add_argument("med")
+    ap.add_argument("--verify-out"); ap.add_argument("--sf")
+    ap.add_argument("--duck5"); ap.add_argument("--spark5")
+    a = ap.parse_args()
+    duck = json.load(open(a.duck)); med = json.load(open(a.med))
+    edge = sorted(q for q in med if q in duck and duck[q] >= BAR * 0.7
+                  and duck[q] > 0
+                  and EDGE_LO <= med[q] / duck[q] <= EDGE_HI)
+    if not edge:
+        print(json.dumps({"edge": [], "note": "no rows in the 1.8-2.2x band"}))
+        return
+    if a.spark5:
+        duck5 = json.load(open(a.duck5)) if a.duck5 else {q: duck[q] for q in edge}
+        spark5 = json.load(open(a.spark5))
+        # Bench's JSON line keys per-query MILLISECONDS under
+        # "queries_ms" on the qNN short prefix; normalize to the same
+        # (full-name, seconds) space as duck/med
+        if "queries_ms" in spark5:
+            by_prefix = {q.split("_")[0]: ms / 1000.0
+                         for q, ms in spark5["queries_ms"].items()}
+            spark5 = {q: by_prefix[q.split("_")[0]]
+                      for q in edge if q.split("_")[0] in by_prefix}
+        elif "queries" in spark5:
+            spark5 = spark5["queries"]
+        verdicts = {}
+        for q in edge:
+            d, s = duck5.get(q, duck[q]), spark5.get(q, med[q])
+            r = s / d if d > 0 else float("inf")
+            verdicts[q] = {
+                "first_pass": round(med[q] / duck[q], 2),
+                "duck5": d, "spark5": s, "ratio5": round(r, 2),
+                "class": ("below_bar" if d < BAR else
+                          "confirmed_weak" if r > 2.0 else "out")}
+        print(json.dumps({"edge": edge, "verdicts": verdicts}, indent=1))
+    elif a.verify_out and a.sf:
+        duck5 = duck_retime(edge, a.verify_out, a.sf)
+        print(json.dumps({"edge": edge, "duck5": duck5}, indent=1))
+        print("# spark side:\n"
+              f"SPARK_GRAFT_BENCH_ONLY={','.join(edge)} "
+              "SPARK_GRAFT_BENCH_REPS=5 SPARK_GRAFT_CPUS=32 "
+              "SPARK_GRAFT_SF_DIR=<sf> java ... graft.Bench",
+              file=sys.stderr)
+    else:
+        print(json.dumps({"edge": edge}))
+
+if __name__ == "__main__":
+    main()

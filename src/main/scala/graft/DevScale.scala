@@ -425,22 +425,74 @@ object DevScale {
         Curation.ivfRoute(quantized(outDir), everyNth = 100L * replicas))
     }
 
+    // q21/q126 post-flip plan pin (r17, VERDICT r16 #5): between 10×
+    // and 100× the corpus crosses the 10 MB auto-broadcast threshold and
+    // q21's customer⋈orders join correctly flips broadcast→shuffle
+    // (proven size-driven in r16 by the byte-identical AQE-on rerun).
+    // This pins that the post-flip plans keep their load-bearing
+    // shapes: q21's top-10 must stay TakeOrderedAndProject — a global
+    // Sort materialization above the threshold would be the quiet
+    // O(n log n) regression the flip could smuggle in — and q126's
+    // three 1-row mark arrays must STILL broadcast (they are explicit
+    // broadcast() hints over proven-1-row aggregates; replica count
+    // cannot grow them). Static plans only, so the pin is free; skipped
+    // under AQE (the adaptive wrapper hides the final shape until
+    // execution — the r16 AQE rerun covers that side). Runs by default
+    // and under an explicit `planpin` selection token.
+    if ((args.length <= 2 || args.drop(2).contains("planpin")) &&
+        !sys.env.get("SPARK_GRAFT_SCALE_AQE").contains("1")) {
+      import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def executed(name: String) =
+        SparkEntry.queries(name)(spark, outDir).queryExecution.executedPlan
+      val q21 = executed("q21_topk")
+      val topk = q21.collect { case t: TakeOrderedAndProjectExec => t }
+      val globalSorts = q21.collect { case s: SortExec if s.global => s }
+      require(topk.nonEmpty && globalSorts.isEmpty,
+        s"q21 plan lost TakeOrderedAndProject at ${replicas}x " +
+          s"(topk=${topk.size}, globalSorts=${globalSorts.size}):\n$q21")
+      // above the threshold the join itself must have flipped — a
+      // broadcast of a >10 MB orders/customer side would mean the size
+      // estimate broke, the OTHER way the flip can go wrong
+      if (replicas >= 100) {
+        val bhj = q21.collect { case b: BroadcastHashJoinExec => b }
+        require(bhj.isEmpty,
+          s"q21 still broadcasts a ${replicas}x join side:\n$q21")
+      }
+      val q126 = executed("q126_rfm_segments")
+      val marks = q126.collect { case b: BroadcastExchangeExec => b }
+      require(marks.size >= 3,
+        s"q126 mark tables stopped broadcasting at ${replicas}x " +
+          s"(${marks.size} < 3):\n$q126")
+      println(s"[scale] plan pin @${replicas}x: q21 TakeOrderedAndProject " +
+        s"kept (no global sort${if (replicas >= 100) ", join flipped off broadcast" else ""}); " +
+        s"q126 mark broadcasts=${marks.size} (>=3)")
+    }
+
     // q107/q110 ROUTED scale paths (VERDICT r10 #2): the shipped
     // stitched-lag + GK forms must break the 4–6× per-type-ordered-pass
     // scaling the exact entries document — expect ~scan-linear ratios.
     // r14: this block and the q50/q69 retunes below are SKIPPED when an
     // explicit query selection was passed (the blocks ran unconditionally
-    // and cost minutes on targeted iteration runs).
-    if (args.length <= 2) {
-      def timeDf(mk: String => DataFrame, dir: String): Double = {
+    // and cost minutes on targeted iteration runs); r17 adds the
+    // `gk_routed` selection token so the 100× GK rows (VERDICT r16 #7)
+    // can run without the full heavy sweep, and meters the exchanges so
+    // the ledger row carries wall + peak shuffle like the main table.
+    if (args.length <= 2 || args.drop(2).contains("gk_routed")) {
+      def timeDf(mk: String => DataFrame, dir: String): (Double, Long) = {
+        var peak = 0L
         val ts = (1 to 3).map { _ =>
+          meter.reset()
           val t0 = System.nanoTime()
           mk(dir).write.format("noop").mode("overwrite").save()
           val s = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000L)
+          peak = meter.peak
           spark.catalog.clearCache()
           s
         }.sorted
-        ts(1)
+        (ts(1), peak)
       }
       Seq[(String, String => DataFrame)](
         ("q107 routed(scalable)", d => graft.queries.Analytics
@@ -448,9 +500,10 @@ object DevScale {
         ("q110 routed(approx)", d => graft.queries.Analytics
           .valuePercentiles(Tables.events(spark, d), approx = true))
       ).foreach { case (name, mk) =>
-        val t1 = timeDf(mk, sfDir)
-        val t10 = timeDf(mk, outDir)
-        println(f"[scale] $name%-24s 1x=${t1}%7.3f s  ${replicas}%dx=${t10}%7.3f s  ratio=${t10 / t1}%5.2f")
+        val (t1, p1) = timeDf(mk, sfDir)
+        val (t10, p10) = timeDf(mk, outDir)
+        println(f"[scale] $name%-24s 1x=${t1}%7.3f s (peak=${p1 / 1048576.0}%.2f MiB)  " +
+          f"${replicas}%dx=${t10}%7.3f s (peak=${p10 / 1048576.0}%.2f MiB)  ratio=${t10 / t1}%5.2f")
       }
     }
 

@@ -47,6 +47,23 @@ object DevStreamScale {
     val base = sys.env.getOrElse("SPARK_GRAFT_INGEST_BASE", "1000").toInt
     val root = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR",
       "/tmp/graft_stream_scale")
+    // retention mode (r17, VERDICT r16 #4): pull the levers BASELINE
+    // names instead of citing them — cleanSource=delete empties the
+    // watch dir behind the stream (the production disk bound; the rig
+    // re-stages per run anyway), fileSource.log.deletion+cleanupDelay=0
+    // with the default compactInterval=10 deletes per-batch source-log
+    // files once compacted away. What retention CANNOT bound — measured
+    // and reported, not hidden — is the newest .compact file itself:
+    // FileStreamSourceLog keeps every seen entry (the exactly-once
+    // ledger), so its size stays linear in total files at ~100 B/file.
+    val retention = sys.env.get("SPARK_GRAFT_STREAM_RETENTION").contains("1")
+    if (retention) {
+      spark.conf.set("spark.sql.streaming.fileSource.log.deletion", "true")
+      spark.conf.set("spark.sql.streaming.fileSource.log.cleanupDelay", "0")
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    }
+    val sourceOptions =
+      if (retention) Map("cleanSource" -> "delete") else Map.empty[String, String]
 
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles().foreach(rm)
@@ -84,7 +101,7 @@ object DevStreamScale {
       val t0 = System.nanoTime()
       streaming.Streams.ingestPdfStream(spark, watch, out, ckpt,
         etl.SniffingExtractor(), "2026-08-16", globFilter = "*.bin",
-        maxFilesPerTrigger = Some(base))
+        maxFilesPerTrigger = Some(base), sourceOptions = sourceOptions)
       val sec = (System.nanoTime() - t0) / 1e9
       // correctness: same contract as DevIngestScale (ids % 4 ∈ {0,1,2}
       // extract; % 4 == 3 quarantines; % 8 == 3 additionally lands a
@@ -97,6 +114,14 @@ object DevStreamScale {
         s"stream counts off at $label: docs=$docs quar=$quar (n=$n)")
       val batches = Option(new java.io.File(s"$out/documents").list())
         .map(_.length).getOrElse(0)
+      // the rig EXISTS to measure per-batch boundedness, so the
+      // micro-batch shape itself must be load-bearing (r16 advice): if
+      // maxFilesPerTrigger were ever silently ignored (option rename,
+      // source change), the Nx run would collapse to one batch and the
+      // flat-per-batch claim would pass unexercised
+      require(batches == n / base,
+        s"batch shape lost at $label: $batches batches for n=$n " +
+          s"(expected ${n / base} of $base files — maxFilesPerTrigger ignored?)")
       val srcLog = new java.io.File(s"$ckpt/sources/0")
       val perBatchSrc = Option(srcLog.listFiles()).getOrElse(Array.empty)
         .filter(f => !f.getName.contains(".compact") &&
@@ -104,11 +129,19 @@ object DevStreamScale {
         .map(_.length())
       val compact = Option(srcLog.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".compact")).map(_.length())
+      // retention observables: how many per-batch source-log files
+      // SURVIVE (log.deletion should hold this near compactInterval +
+      // minBatchesToRetain, vs = batches without it), and how many
+      // input files remain in the watch dir (cleanSource=delete → 0)
+      val watchLeft = Option(new java.io.File(watch).list())
+        .map(_.length).getOrElse(0)
       println(f"[stream-scale] $label%-6s batches=$batches%4d " +
         f"lossDirs=$lossDirs%4d ckpt=${dirSize(new java.io.File(ckpt)) / 1024.0}%9.1f KiB " +
         f"(files=${countFiles(new java.io.File(ckpt))}%d, " +
-        f"srcLog per-batch max=${if (perBatchSrc.isEmpty) 0L else perBatchSrc.max}%d B, " +
+        f"srcLog files=${perBatchSrc.length}%d " +
+        f"per-batch max=${if (perBatchSrc.isEmpty) 0L else perBatchSrc.max}%d B, " +
         f"compact max=${if (compact.isEmpty) 0L else compact.max}%d B) " +
+        f"watchLeft=$watchLeft%d " +
         f"lossSink=${dirSize(new java.io.File(s"$out/raster_loss")) / 1024.0}%7.1f KiB")
       sec
     }

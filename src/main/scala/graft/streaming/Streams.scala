@@ -307,7 +307,8 @@ object Streams {
                       globFilter: String = "*.pdf",
                       category: org.apache.spark.sql.Column =
                         lit("CassationDecision"),
-                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      sourceOptions: Map[String, String] = Map.empty): Unit = {
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -323,6 +324,14 @@ object Streams {
       .option("pathGlobFilter", globFilter)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
+    // extra file-source options (r17 — the retention levers DEPLOY.md
+    // names): `cleanSource=delete|archive` bounds the WATCH DIRECTORY
+    // by removing processed inputs (the real production disk-pressure
+    // bound), `spark.sql.streaming.fileSource.log.*` session confs
+    // bound the per-batch log-file population. Pass-through rather than
+    // defaults: batch-parity tests and the REST path don't want inputs
+    // vanishing under them.
+    sourceOptions.foreach { case (k, v) => reader.option(k, v) }
     val stream = reader.load(watchDir)
       .select(col("path").as("url"), col("content"))
     val q = stream.writeStream
