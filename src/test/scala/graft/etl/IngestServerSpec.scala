@@ -528,4 +528,54 @@ class IngestServerSpec extends SparkSpec {
       assert(wrong.contains("\"error\"") && wrong.contains("encrypted"))
     } finally server.stop()
   }
+
+  test("docx-crc-mismatch surfaces on /hub/status.json — the r16 integrity-gate reason completes the observability contract (r17, VERDICT r16 #6)") {
+    // a silently-corrupted upload (one flipped byte in a STORED
+    // document.xml — no integrity check of its own, only the central
+    // directory's CRC-32 catches it) must not just quarantine with the
+    // coded reason in the HTTP response: the reason must reach the
+    // dashboard feed like every other quarantine class, so an operator
+    // watching /hub sees storage rot as itself, not as a generic error
+    val statusDir = java.nio.file.Files
+      .createTempDirectory("graft_crc_status").toString
+    val metricsDir = java.nio.file.Files
+      .createTempDirectory("graft_crc_metrics").toString + "/feed"
+    val xml =
+      ("""<?xml version="1.0"?><w:document><w:body>""" +
+        """<w:p><w:r><w:t>stored body text</w:t></w:r></w:p>""" +
+        "</w:body></w:document>").getBytes(StandardCharsets.UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val e = new java.util.zip.ZipEntry("word/document.xml")
+    e.setMethod(java.util.zip.ZipEntry.STORED)
+    e.setSize(xml.length.toLong)
+    val c = new java.util.zip.CRC32(); c.update(xml)
+    e.setCrc(c.getValue)
+    z.putNextEntry(e); z.write(xml); z.closeEntry(); z.close()
+    val good = bos.toByteArray
+    val bad = good.clone()
+    val dataOff = good.indexOfSlice("body text".getBytes(StandardCharsets.UTF_8))
+    assert(dataOff > 0)
+    bad(dataOff) = 'x'.toByte
+    val server = new IngestServer(spark, FlatePdfExtractor,
+      statusDir = Some(statusDir), metricsDir = Some(metricsDir))
+    val port = server.start()
+    try {
+      // the undamaged twin extracts — pinning that the quarantine below
+      // is the CRC gate, not a malformed fixture
+      val ok = post(port, "/ingest?volume=Fine&resource_type=statute",
+        good, IngestServer.DocxContentType)
+      assert(ok.contains("stored body text"), ok)
+      val resp = post(port, "/ingest?volume=Rotted&resource_type=statute",
+        bad, IngestServer.DocxContentType)
+      assert(resp.contains("\"error\"") && resp.contains("docx-crc-mismatch"),
+        resp)
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/hub/status.json")).GET().build()
+      val sb = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        .body()
+      assert(sb.contains("docx-crc-mismatch") && sb.contains("Rotted"), sb)
+    } finally server.stop()
+  }
 }
