@@ -68,12 +68,15 @@ def main():
         # "queries_ms" on the qNN short prefix; normalize to the same
         # (full-name, seconds) space as duck/med
         if "queries_ms" in spark5:
+            # drop Bench's -1 failed-measurement sentinel: a failed
+            # re-time keeps the first-pass median (the baseline.py rule)
+            # instead of classifying the row "out" on ratio = -0.001/d
             by_prefix = {q.split("_")[0]: ms / 1000.0
-                         for q, ms in spark5["queries_ms"].items()}
+                         for q, ms in spark5["queries_ms"].items() if ms >= 0}
             spark5 = {q: by_prefix[q.split("_")[0]]
                       for q in edge if q.split("_")[0] in by_prefix}
         elif "queries" in spark5:
-            spark5 = spark5["queries"]
+            spark5 = {q: v for q, v in spark5["queries"].items() if v >= 0}
         verdicts = {}
         for q in edge:
             d, s = duck5.get(q, duck[q]), spark5.get(q, med[q])

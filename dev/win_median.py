@@ -5,18 +5,17 @@ med.json (full oracle names, seconds) the table/ratio tooling consumes.
 Usage: win_median.py verify_out win1.json [win2.json ...] > med.json
 
 Bench's JSON line keys per-query MILLISECONDS under "queries_ms" on the
-qNN short prefix; oracle_sql.json (plus Bench's no-oracle entries) maps
-prefixes back to full names. A -1 value is Bench's failed-measurement
-sentinel and is dropped from that window's sample rather than folded in.
+qNN short prefix; oracle_sql.json maps prefixes back to full names.
+No-oracle entries (q32 etc., absent from oracle_sql.json) stay keyed on
+their bare prefix — the same spelling the BASELINE per-query table has
+always used for them. A -1 value is Bench's failed-measurement sentinel
+and is dropped from that window's sample rather than folded in.
 """
 import sys, os, json, statistics
 
 verify_out = sys.argv[1]
 wins = [json.load(open(p)) for p in sys.argv[2:]]
 names = set(json.load(open(os.path.join(verify_out, "oracle_sql.json"))))
-# windows may carry non-oracled entries too — keep every name seen
-for w in wins:
-    names |= set(w.get("queries", {}))
 by_prefix = {}
 for w in wins:
     qs = w.get("queries_ms") or w.get("queries") or {}

@@ -484,18 +484,20 @@ object DevScale {
     // the ledger row carries wall + peak shuffle like the main table.
     if (args.length <= 2 || args.drop(2).contains("gk_routed")) {
       def timeDf(mk: String => DataFrame, dir: String): (Double, Long) = {
-        var peak = 0L
-        val ts = (1 to 3).map { _ =>
+        // the ledger row must be ONE rep's (wall, peak) pair — pairing
+        // the median wall with the last rep's peak could report a
+        // wall/peak combination that never co-occurred (r17 review)
+        val reps = (1 to 3).map { _ =>
           meter.reset()
           val t0 = System.nanoTime()
           mk(dir).write.format("noop").mode("overwrite").save()
           val s = (System.nanoTime() - t0) / 1e9
           org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000L)
-          peak = meter.peak
+          val p = meter.peak
           spark.catalog.clearCache()
-          s
-        }.sorted
-        (ts(1), peak)
+          (s, p)
+        }.sortBy(_._1)
+        reps(1)
       }
       Seq[(String, String => DataFrame)](
         ("q107 routed(scalable)", d => graft.queries.Analytics

@@ -92,9 +92,11 @@ object DocExtractor extends PageExtractor {
 
   // ---- FIB ---------------------------------------------------------------
 
-  private def le16(b: Array[Byte], p: Int): Int =
+  // shared with DocDecrypt below — one byte-order decoder per file
+  // (the r11 one-place rule; r17 review collapsed DocDecrypt's copies)
+  private[etl] def le16(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
+  private[etl] def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
 
@@ -182,8 +184,12 @@ object DocExtractor extends PageExtractor {
       return Left("doc-truncated-or-corrupt")
     var p = fcClx.toInt
     val end = (fcClx + lcbClx).toInt
-    // leading Prcs (property modifiers): clxt=1, i16 size, grpprl bytes
-    while (p < end && table(p) == 0x01) {
+    // leading Prcs (property modifiers): clxt=1, i16 size, grpprl bytes.
+    // The size read itself stays inside the declared Clx region (p+3
+    // <= end) — a 0x01 in the last two bytes must fall through to the
+    // Pcdt check's structural reason, not read past the region (r17
+    // review)
+    while (p + 3 <= end && table(p) == 0x01) {
       val cb = le16(table, p + 1)
       if (cb > end - p - 3) return Left("doc-truncated-or-corrupt")
       p += 3 + cb
@@ -215,14 +221,19 @@ object DocExtractor extends PageExtractor {
   }
 
   /** Decode one CP range [from, until) through the pieces; None on any
-    * out-of-bounds read (corrupt fc) — partial text must not pass as a
-    * clean document.
+    * out-of-bounds read (corrupt fc) OR on a coverage gap — partial
+    * text must not pass as a clean document. Pieces are contiguous by
+    * construction (piece i's cpEnd IS plc entry i+1), but the table's
+    * CP domain need not start at 0 or reach ccpText in corrupt input
+    * (r17 review: a PlcPcd starting at CP 100 silently dropped the
+    * document head), so the decoded char count must equal the request.
     */
   private def decodeRange(wd: Array[Byte], pieces: Seq[Piece],
                           from: Long, until: Long): Option[String] = {
     if (until <= from) return Some("")
     val sb = new java.lang.StringBuilder(
       math.min(until - from, 1L << 20).toInt)
+    var covered = 0L
     pieces.foreach { pc =>
       val lo = math.max(pc.cpStart, from)
       val hi = math.min(pc.cpEnd, until)
@@ -238,9 +249,10 @@ object DocExtractor extends PageExtractor {
           if (off < 0 || off + count * 2L > wd.length) return None
           sb.append(new String(wd, off.toInt, count * 2, StandardCharsets.UTF_16LE))
         }
+        covered += count
       }
     }
-    Some(sb.toString)
+    if (covered != until - from) None else Some(sb.toString)
   }
 
   // ---- text → pages ----------------------------------------------------
@@ -342,7 +354,7 @@ object DocExtractor extends PageExtractor {
       }
     }
 
-  private def streamsOf(bytes: Array[Byte])
+  private[etl] def streamsOf(bytes: Array[Byte])
       : Either[String, (Array[Byte], Array[Byte], Fib)] = {
     val wd = OoxmlDecrypt.readCfbStream(bytes, "WordDocument")
       .getOrElse(return Left("doc-truncated-or-corrupt"))
@@ -359,12 +371,17 @@ object DocExtractor extends PageExtractor {
 
   def extractPages(bytes: Array[Byte], includeFootnotes: Boolean): Seq[String] =
     try {
-      if (!looksLikeDoc(bytes)) Nil
-      else streamsOf(bytes) match {
+      // no looksLikeDoc pre-probe: streamsOf's WordDocument read IS the
+      // detection (absent stream → Left → Nil), and the probe would be
+      // a second full directory walk per document (r17 review)
+      streamsOf(bytes) match {
         case Left(_) => Nil
-        case Right((_, _, base)) if base.fEncrypted || base.fObfuscated =>
+        case Right((_, _, base)) if base.fEncrypted =>
           Nil // password/obfuscation: quarantine (PasswordedDocExtractor opens)
         case Right((wd, table, _)) =>
+          // fObfuscated is NOT consulted here: MS-DOC says the bit MUST
+          // be ignored when fEncrypted is 0 (r17 review — a plain doc
+          // with a stray bit 15 opens in Word and must extract here)
           extractFromStreams(wd, table, includeFootnotes)
             .getOrElse(Nil)
       }
@@ -375,7 +392,8 @@ object DocExtractor extends PageExtractor {
       if (!looksLikeDoc(bytes)) "not-a-doc"
       else streamsOf(bytes) match {
         case Left(reason) => reason
-        case Right((_, _, base)) if base.fObfuscated => "doc-xor-obfuscated"
+        case Right((_, _, base)) if base.fEncrypted && base.fObfuscated =>
+          "doc-xor-obfuscated"
         case Right((_, _, base)) if base.fEncrypted => "encrypted"
         case Right((wd, table, _)) =>
           extractFromStreams(wd, table, includeFootnotes = false) match {
@@ -417,43 +435,57 @@ case object DocWithFootnotesExtractor extends PageExtractor {
   */
 final case class PasswordedDocExtractor(password: String,
     includeFootnotes: Boolean = false) extends PageExtractor {
-  private def opened(bytes: Array[Byte]): Option[(Array[Byte], Array[Byte])] =
-    DocDecrypt.decryptStreams(bytes, password)
 
+  /** One container read serves detection, routing and decryption: the
+    * pre-r17-review shape walked the CFB directory ~4× per encrypted
+    * document (probe, route read, then decryptStreams re-reading both
+    * streams); now [[DocExtractor.streamsOf]] reads (wd, table, fib)
+    * once and the decryptor consumes them as arrays.
+    */
   def extractPages(bytes: Array[Byte]): Seq[String] =
     try {
-      if (!DocExtractor.looksLikeDoc(bytes)) Nil
-      else OoxmlDecrypt.readCfbStream(bytes, "WordDocument")
-        .flatMap(wd => DocExtractor.fibBase(wd).toOption) match {
-        case Some(base) if base.fEncrypted && !base.fObfuscated =>
-          opened(bytes) match {
-            case Some((wd, table)) =>
-              DocExtractor.extractFromStreams(wd, table, includeFootnotes)
+      DocExtractor.streamsOf(bytes) match {
+        case Left(_) => Nil
+        case Right((wd, table, base)) if base.fEncrypted && base.fObfuscated =>
+          Nil // XOR obfuscation: declared out even with a password
+        case Right((wd, table, base)) if base.fEncrypted =>
+          DocDecrypt.decryptStreams(wd, table, base, password) match {
+            case Some((dwd, dtable)) =>
+              DocExtractor.extractFromStreams(dwd, dtable, includeFootnotes)
                 .getOrElse(Nil)
             case None => Nil // wrong password / unsupported scheme
           }
-        case _ => DocExtractor.extractPages(bytes, includeFootnotes)
+        case Right((wd, table, _)) => // plain: password ignored
+          DocExtractor.extractFromStreams(wd, table, includeFootnotes)
+            .getOrElse(Nil)
       }
     } catch { case _: Exception => Nil }
 
   override def diagnose(bytes: Array[Byte]): String =
     try {
       if (!DocExtractor.looksLikeDoc(bytes)) "not-a-doc"
-      else OoxmlDecrypt.readCfbStream(bytes, "WordDocument")
-        .flatMap(wd => DocExtractor.fibBase(wd).toOption) match {
-        case Some(base) if base.fEncrypted && !base.fObfuscated =>
-          opened(bytes) match {
-            case Some((wd, table)) =>
+      else DocExtractor.streamsOf(bytes) match {
+        case Left(reason) => reason
+        case Right((_, _, base)) if base.fEncrypted && base.fObfuscated =>
+          "doc-xor-obfuscated"
+        case Right((wd, table, base)) if base.fEncrypted =>
+          DocDecrypt.decryptStreams(wd, table, base, password) match {
+            case Some((dwd, dtable)) =>
               // right password: the reason moves past `encrypted` to
               // whatever actually blocked the text (the DOCX-twin rule)
-              DocExtractor.extractFromStreams(wd, table, includeFootnotes)
+              DocExtractor.extractFromStreams(dwd, dtable, includeFootnotes)
                 match {
                   case Left(reason) => reason
                   case Right(_) => "empty-text"
                 }
             case None => "encrypted"
           }
-        case _ => DocExtractor.diagnose(bytes)
+        case Right((wd, table, _)) =>
+          DocExtractor.extractFromStreams(wd, table,
+            includeFootnotes = false) match {
+            case Left(reason) => reason
+            case Right(_) => "empty-text"
+          }
       }
     } catch { case _: Exception => "doc-unreadable" }
 
@@ -489,11 +521,8 @@ final case class PasswordedDocExtractor(password: String,
   */
 private[etl] object DocDecrypt {
 
-  private def le16(b: Array[Byte], p: Int): Int =
-    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-  private def le32(b: Array[Byte], p: Int): Long =
-    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  import DocExtractor.{le16, le32} // one decoder per file (r11 rule)
+
   private def le32b(v: Int): Array[Byte] =
     Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
       (v >>> 24).toByte)
@@ -542,20 +571,16 @@ private[etl] object DocDecrypt {
   private def rc4V1Key(keyBase: Array[Byte], block: Int): Array[Byte] =
     md5(keyBase, le32b(block))
 
-  /** Decrypt a password-protected `.doc`'s (WordDocument, table)
-    * streams. None ⇔ wrong password, an unsupported scheme, or bytes
-    * that are not an encrypted `.doc` at all.
+  /** Decrypt a password-protected `.doc`'s already-read (WordDocument,
+    * table) streams — the caller owns the single CFB read (r17 review).
+    * None ⇔ wrong password, an unsupported scheme, or a FIB that is not
+    * RC4-encrypted at all.
     */
-  private[etl] def decryptStreams(bytes: Array[Byte], password: String)
+  private[etl] def decryptStreams(wd: Array[Byte], table: Array[Byte],
+                                  base: DocExtractor.Fib, password: String)
       : Option[(Array[Byte], Array[Byte])] = {
     try {
-      val wd = OoxmlDecrypt.readCfbStream(bytes, "WordDocument")
-        .getOrElse(return None)
-      val base = DocExtractor.fibBase(wd).toOption.getOrElse(return None)
       if (!base.fEncrypted || base.fObfuscated) return None
-      val table = OoxmlDecrypt
-        .readCfbStream(bytes, DocExtractor.tableStreamName(base))
-        .getOrElse(return None)
       if (base.lKey < 4 || base.lKey > table.length) return None
       val lKey = base.lKey.toInt
       val vMajor = le16(table, 0)

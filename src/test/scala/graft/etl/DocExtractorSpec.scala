@@ -298,6 +298,30 @@ class DocExtractorSpec extends AnyFunSuite {
     assert(keyed.diagnose(d) === "doc-xor-obfuscated")
   }
 
+  test("a stray fObfuscated bit WITHOUT fEncrypted is ignored — the spec's MUST, and Word opens such files (r17 review)") {
+    // MS-DOC: fObfuscation "MUST be ignored" when fEncrypted is 0; a
+    // plain document with a stray bit 15 extracts normally, with or
+    // without a password in hand
+    val d = doc(Seq(("plain enough\r", true)), extraFlags = 0x8000)
+    assert(DocExtractor.extractPages(d) === Seq("plain enough"))
+    assert(DocExtractor.withPassword("pw").extractPages(d)
+      === Seq("plain enough"))
+    assert(DocExtractor.diagnose(d) !== "doc-xor-obfuscated")
+  }
+
+  test("a piece table that stops short of ccpText quarantines — partial text must not pass as a clean document (r17 review)") {
+    // grow the FIB's ccpText past the PlcPcd's last CP: the decode
+    // covers fewer chars than requested and the coverage check refuses
+    // to emit the truncated text as a good document
+    val d = doc(Seq(("body text here\r", false)))
+    val bad = d.clone()
+    val wdOff = indexOfWd(bad)
+    System.arraycopy(OoxmlFixtures.le32("body text here\r".length + 5),
+      0, bad, wdOff + 76, 4)
+    assert(DocExtractor.extractPages(bad) === Nil)
+    assert(DocExtractor.diagnose(bad) === "doc-truncated-or-corrupt")
+  }
+
   test("RC4 v1.1 (Word 97/2000 default): right password extracts, wrong stays encrypted") {
     val d = rc4Doc("የይለፍ-ቃል", Seq(("secret body\r", true), (am + "\r", false)))
     assert(DocExtractor.extractPages(d) === Nil) // bare: no password
