@@ -13,14 +13,21 @@ and leave the weak set on session noise with zero information content
 
   phase 1:  ratio_edge.py duck.json med.json --verify-out OUT --sf SF
             -> re-times the DuckDB side 5-run in-process (same adjacency
-               discipline as dev/baseline.py), writes duck5 medians, and
-               prints the SPARK_GRAFT_BENCH_ONLY command for the Spark
-               side (graft.Bench with SPARK_GRAFT_BENCH_REPS=5).
+               discipline as dev/baseline.py) and writes duck5 medians.
   phase 2:  ratio_edge.py duck.json med.json --duck5 duck5.json
-            --spark5 bench_only.json
-            -> emits the final classification: confirmed_weak (5-run
-               ratio > 2x) or out (<= 2x). Rows OUTSIDE the edge band
-               keep their first-pass classification untouched.
+            -> emits the final classification: confirmed_weak (ratio on
+               the stabilized medians > 2x) or out (<= 2x). Rows OUTSIDE
+               the edge band keep their first-pass classification.
+
+The SPARK side of the stabilized ratio is med.json itself — the
+cross-window per-query median, which for a 3-quiet-window session is
+already a 9-rep quiet median (win_median.py). A focused
+SPARK_GRAFT_BENCH_ONLY re-window is NOT used by default: measured
+r17, a 5-query window inflates the same rows' walls systematically
+(+40-95%; q61 247 ms stable across three full windows vs 365/484 in
+two focused runs back-to-back) — the small window's shape, not the
+query, dominates. Pass --spark5 bench_only.json only when no quiet
+cross-window median exists; its -1 sentinels are dropped.
 
 The band is +-10% of 2.0x; the bar rule (duck >= 100 ms) still gates
 membership, using the 5-run duck median once available.
@@ -61,22 +68,26 @@ def main():
     if not edge:
         print(json.dumps({"edge": [], "note": "no rows in the 1.8-2.2x band"}))
         return
-    if a.spark5:
-        duck5 = json.load(open(a.duck5)) if a.duck5 else {q: duck[q] for q in edge}
-        spark5 = json.load(open(a.spark5))
-        # Bench's JSON line keys per-query MILLISECONDS under
-        # "queries_ms" on the qNN short prefix; normalize to the same
-        # (full-name, seconds) space as duck/med
-        if "queries_ms" in spark5:
-            # drop Bench's -1 failed-measurement sentinel: a failed
-            # re-time keeps the first-pass median (the baseline.py rule)
-            # instead of classifying the row "out" on ratio = -0.001/d
-            by_prefix = {q.split("_")[0]: ms / 1000.0
-                         for q, ms in spark5["queries_ms"].items() if ms >= 0}
-            spark5 = {q: by_prefix[q.split("_")[0]]
-                      for q in edge if q.split("_")[0] in by_prefix}
-        elif "queries" in spark5:
-            spark5 = {q: v for q, v in spark5["queries"].items() if v >= 0}
+    if a.duck5:
+        duck5 = json.load(open(a.duck5))
+        if "duck5" in duck5: duck5 = duck5["duck5"]  # phase-1 output file
+        # spark side: the cross-window median by default (see docstring);
+        # a --spark5 focused window only as the no-windows fallback
+        spark5 = {q: med[q] for q in edge}
+        if a.spark5:
+            raw = json.load(open(a.spark5))
+            # Bench's JSON line keys per-query MILLISECONDS under
+            # "queries_ms" on the qNN short prefix; normalize to the
+            # (full-name, seconds) space of duck/med, dropping Bench's
+            # -1 failed-measurement sentinel (a failed re-time keeps
+            # the first-pass median — the baseline.py rule)
+            if "queries_ms" in raw:
+                by_prefix = {q.split("_")[0]: ms / 1000.0
+                             for q, ms in raw["queries_ms"].items() if ms >= 0}
+                spark5 = {q: by_prefix.get(q.split("_")[0], med[q])
+                          for q in edge}
+            elif "queries" in raw:
+                spark5 = {q: v for q, v in raw["queries"].items() if v >= 0}
         verdicts = {}
         for q in edge:
             d, s = duck5.get(q, duck[q]), spark5.get(q, med[q])
@@ -90,11 +101,6 @@ def main():
     elif a.verify_out and a.sf:
         duck5 = duck_retime(edge, a.verify_out, a.sf)
         print(json.dumps({"edge": edge, "duck5": duck5}, indent=1))
-        print("# spark side:\n"
-              f"SPARK_GRAFT_BENCH_ONLY={','.join(edge)} "
-              "SPARK_GRAFT_BENCH_REPS=5 SPARK_GRAFT_CPUS=32 "
-              "SPARK_GRAFT_SF_DIR=<sf> java ... graft.Bench",
-              file=sys.stderr)
     else:
         print(json.dumps({"edge": edge}))
 
