@@ -50,7 +50,13 @@ def duck_retime(names, verify_out, sf_dir):
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            con.execute(oracle[name]).fetchall()
+            try:
+                con.execute(oracle.get(name, "SELECT err")).fetchall()
+            except Exception:
+                # the baseline.py sentinel rule: a flaky rep must not
+                # abort the phase and discard every completed median
+                ts = [-1.0]
+                break
             ts.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(ts), 4)
     return out
@@ -61,6 +67,10 @@ def main():
     ap.add_argument("--verify-out"); ap.add_argument("--sf")
     ap.add_argument("--duck5"); ap.add_argument("--spark5")
     a = ap.parse_args()
+    if a.spark5 and not a.duck5:
+        # fail loudly: silently printing the bare edge list here would
+        # let an operator believe the classification ran (r17 review)
+        ap.error("--spark5 requires --duck5 (run phase 1 first)")
     duck = json.load(open(a.duck)); med = json.load(open(a.med))
     edge = sorted(q for q in med if q in duck and duck[q] >= BAR * 0.7
                   and duck[q] > 0
@@ -91,6 +101,8 @@ def main():
         verdicts = {}
         for q in edge:
             d, s = duck5.get(q, duck[q]), spark5.get(q, med[q])
+            if d < 0:
+                d = duck[q]  # failed 5-run re-time keeps the first pass
             r = s / d if d > 0 else float("inf")
             verdicts[q] = {
                 "first_pass": round(med[q] / duck[q], 2),

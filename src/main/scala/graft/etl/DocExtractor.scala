@@ -388,6 +388,16 @@ object DocExtractor extends PageExtractor {
     } catch { case _: Exception => Nil }
 
   override def diagnose(bytes: Array[Byte]): String =
+    diagnose(bytes, includeFootnotes = false)
+
+  /** Diagnosis must decode the SAME ranges extraction decoded: since
+    * the r17 coverage check, a footnote range the piece table doesn't
+    * cover quarantines, and a footnotes=false diagnosis of that
+    * document would succeed body-only and report a wrong `empty-text`
+    * (r17 review round 2).
+    */
+  private[etl] def diagnose(bytes: Array[Byte],
+                            includeFootnotes: Boolean): String =
     try {
       if (!looksLikeDoc(bytes)) "not-a-doc"
       else streamsOf(bytes) match {
@@ -396,7 +406,7 @@ object DocExtractor extends PageExtractor {
           "doc-xor-obfuscated"
         case Right((_, _, base)) if base.fEncrypted => "encrypted"
         case Right((wd, table, _)) =>
-          extractFromStreams(wd, table, includeFootnotes = false) match {
+          extractFromStreams(wd, table, includeFootnotes) match {
             case Left(reason) => reason
             case Right(_) => "empty-text"
           }
@@ -415,7 +425,7 @@ case object DocWithFootnotesExtractor extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] =
     DocExtractor.extractPages(bytes, includeFootnotes = true)
   override def diagnose(bytes: Array[Byte]): String =
-    DocExtractor.diagnose(bytes)
+    DocExtractor.diagnose(bytes, includeFootnotes = true)
   override def withPassword(password: String): PageExtractor =
     if (password.isEmpty) this
     else PasswordedDocExtractor(password, includeFootnotes = true)
@@ -481,8 +491,9 @@ final case class PasswordedDocExtractor(password: String,
             case None => "encrypted"
           }
         case Right((wd, table, _)) =>
-          DocExtractor.extractFromStreams(wd, table,
-            includeFootnotes = false) match {
+          // same includeFootnotes as extraction — see
+          // DocExtractor.diagnose (r17 review round 2)
+          DocExtractor.extractFromStreams(wd, table, includeFootnotes) match {
             case Left(reason) => reason
             case Right(_) => "empty-text"
           }

@@ -309,6 +309,23 @@ class DocExtractorSpec extends AnyFunSuite {
     assert(DocExtractor.diagnose(d) !== "doc-xor-obfuscated")
   }
 
+  test("footnote-range coverage failure diagnoses as truncated, not empty-text — diagnosis decodes what extraction decoded (r17 review round 2)") {
+    // patch ccpFtn so the footnote CP range extends past the piece
+    // table: the footnote-including extractor must quarantine WITH the
+    // structural reason, while the body-only base codec still extracts
+    val d = doc(Seq(("body stands alone\r", false)))
+    val bad = d.clone()
+    val wdOff = indexOfWd(bad)
+    System.arraycopy(OoxmlFixtures.le32(5), 0, bad, wdOff + 80, 4) // ccpFtn
+    assert(DocExtractor.extractPages(bad) === Seq("body stands alone"))
+    assert(DocWithFootnotesExtractor.extractPages(bad) === Nil)
+    assert(DocWithFootnotesExtractor.diagnose(bad)
+      === "doc-truncated-or-corrupt")
+    val keyed = PasswordedDocExtractor("pw", includeFootnotes = true)
+    assert(keyed.extractPages(bad) === Nil)
+    assert(keyed.diagnose(bad) === "doc-truncated-or-corrupt")
+  }
+
   test("a piece table that stops short of ccpText quarantines — partial text must not pass as a clean document (r17 review)") {
     // grow the FIB's ccpText past the PlcPcd's last CP: the decode
     // covers fewer chars than requested and the coverage check refuses
