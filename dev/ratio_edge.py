@@ -45,13 +45,20 @@ def duck_retime(names, verify_out, sf_dir):
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(verify_out, "oracle_sql.json")))
+    missing = [n for n in names if n not in oracle]
+    if missing:
+        # a stale catalog is a CONFIGURATION error, not a flaky rep —
+        # fail loudly instead of minting sentinels that silently keep
+        # the first-pass numbers forever
+        sys.exit(f"ratio_edge.py: no oracle SQL for {missing} — "
+                 "regenerate verify_out (run graft.Verify) first")
     out = {}
     for name in names:
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             try:
-                con.execute(oracle.get(name, "SELECT err")).fetchall()
+                con.execute(oracle[name]).fetchall()
             except Exception:
                 # the baseline.py sentinel rule: a flaky rep must not
                 # abort the phase and discard every completed median
@@ -71,6 +78,8 @@ def main():
         # fail loudly: silently printing the bare edge list here would
         # let an operator believe the classification ran (r17 review)
         ap.error("--spark5 requires --duck5 (run phase 1 first)")
+    if bool(a.verify_out) != bool(a.sf):
+        ap.error("--verify-out and --sf must be given together (phase 1)")
     duck = json.load(open(a.duck)); med = json.load(open(a.med))
     edge = sorted(q for q in med if q in duck and duck[q] >= BAR * 0.7
                   and duck[q] > 0
@@ -101,7 +110,8 @@ def main():
         verdicts = {}
         for q in edge:
             d, s = duck5.get(q, duck[q]), spark5.get(q, med[q])
-            if d < 0:
+            retime_failed = d < 0
+            if retime_failed:
                 d = duck[q]  # failed 5-run re-time keeps the first pass
             r = s / d if d > 0 else float("inf")
             verdicts[q] = {
@@ -109,6 +119,11 @@ def main():
                 "duck5": d, "spark5": s, "ratio5": round(r, 2),
                 "class": ("below_bar" if d < BAR else
                           "confirmed_weak" if r > 2.0 else "out")}
+            if retime_failed:
+                # visible in the ledgered artifact: this row's verdict
+                # rests on first-pass numbers, the stabilized rule
+                # never actually ran for it
+                verdicts[q]["retime_failed"] = True
         print(json.dumps({"edge": edge, "verdicts": verdicts}, indent=1))
     elif a.verify_out and a.sf:
         duck5 = duck_retime(edge, a.verify_out, a.sf)

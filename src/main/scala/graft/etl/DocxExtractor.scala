@@ -114,28 +114,54 @@ object DocxExtractor extends PageExtractor {
     */
   def extractPages(bytes: Array[Byte], includeFootnotes: Boolean,
                    includeHeaders: Boolean,
-                   includeFooters: Boolean): Seq[String] = {
+                   includeFooters: Boolean): Seq[String] =
+    extractPagesOrPartReason(bytes, includeFootnotes, includeHeaders,
+      includeFooters).getOrElse(Nil)
+
+  /** Left ⇔ an INCLUDED part (footnotes / a header / a footer) failed
+    * integrity or decoding — the whole document quarantines with that
+    * part's reason rather than silently dropping the part into the
+    * good channel (r17 review round 3: a CRC-failing footnotes.xml
+    * previously extracted body-only, exactly the silent-partial class
+    * the r16 CRC gate closed for the body; statutes CITE in footnotes,
+    * so a citation-less statute in the good channel is corruption, not
+    * degradation). Body failures stay Right(Nil) — [[diagnose]] names
+    * them through [[documentXmlOrReason]] as before.
+    */
+  private[etl] def extractPagesOrPartReason(bytes: Array[Byte],
+      includeFootnotes: Boolean, includeHeaders: Boolean,
+      includeFooters: Boolean): Either[String, Seq[String]] = {
     try {
       cdEntries(bytes) match {
-        case Left(_) => Nil
+        case Left(_) => Right(Nil)
         case Right(entries) =>
           // directory order, first occurrence wins — the entriesXml rule
-          def read(name: String): Option[String] =
-            entries.find(_.name == name).flatMap(e =>
-              readEntry(bytes, e.localOff, e.method, e.compSize, e.crc).toOption)
+          def read(name: String): Option[Either[String, String]] =
+            entries.find(_.name == name).map(e =>
+              readEntry(bytes, e.localOff, e.method, e.compSize, e.crc))
           read(DocumentEntry) match {
-            case None => Nil
-            case Some(xml) =>
+            case None | Some(Left(_)) => Right(Nil) // diagnose names it
+            case Some(Right(xml)) =>
               val pages = pagesFromXml(xml)
               val notes =
-                if (includeFootnotes)
-                  read(FootnotesEntry).map(footnotesFromXml).getOrElse(Nil)
-                else Nil
+                if (includeFootnotes) read(FootnotesEntry) match {
+                  case Some(Left(reason)) => return Left(reason)
+                  case Some(Right(x)) => footnotesFromXml(x)
+                  case None => Nil
+                } else Nil
               val heads =
-                if (includeHeaders) variantParts(bytes, entries, HeaderNameRe)
+                if (includeHeaders)
+                  variantParts(bytes, entries, HeaderNameRe) match {
+                    case Left(reason) => return Left(reason)
+                    case Right(h) => h
+                  }
                 else Nil
               val foots =
-                if (includeFooters) variantParts(bytes, entries, FooterNameRe)
+                if (includeFooters)
+                  variantParts(bytes, entries, FooterNameRe) match {
+                    case Left(reason) => return Left(reason)
+                    case Right(f) => f
+                  }
                 else Nil
               val withNotes =
                 if (notes.isEmpty) pages
@@ -158,16 +184,17 @@ object DocxExtractor extends PageExtractor {
                     else withNotes.last + "\n" + foots.mkString("\n")
                   withNotes.init :+ last
                 }
-              if (heads.isEmpty || withFoots.isEmpty) withFoots
-              else {
-                val first =
-                  if (withFoots.head.isEmpty) heads.mkString("\n")
-                  else heads.mkString("\n") + "\n" + withFoots.head
-                first +: withFoots.tail
-              }
+              Right(
+                if (heads.isEmpty || withFoots.isEmpty) withFoots
+                else {
+                  val first =
+                    if (withFoots.head.isEmpty) heads.mkString("\n")
+                    else heads.mkString("\n") + "\n" + withFoots.head
+                  first +: withFoots.tail
+                })
           }
       }
-    } catch { case _: Exception => Nil }
+    } catch { case _: Exception => Right(Nil) }
   }
 
   /** Distinct variant-part texts (`word/headerN.xml` /
@@ -186,9 +213,9 @@ object DocxExtractor extends PageExtractor {
   private val FooterNameRe: Regex = """word/footer(\d{1,6})\.xml""".r
 
   private def variantParts(bytes: Array[Byte], entries: Seq[CdEntry],
-                           nameRe: Regex): Seq[String] = {
+                           nameRe: Regex): Either[String, Seq[String]] = {
     val seen = scala.collection.mutable.Set[String]()
-    entries
+    val selected = entries
       .flatMap { e =>
         e.name match {
           case nameRe(num) if seen.add(e.name) => Some((num.toInt, e))
@@ -197,14 +224,19 @@ object DocxExtractor extends PageExtractor {
       }
       .sortBy(_._1)
       .take(MaxVariantParts)
-      .flatMap { case (_, e) =>
-        readEntry(bytes, e.localOff, e.method, e.compSize, e.crc).toOption
+    val texts = Seq.newBuilder[String]
+    selected.foreach { case (_, e) =>
+      // an included part that fails integrity/decoding fails the
+      // document (r17 review round 3) — .toOption here silently dropped
+      // a CRC-mismatched header/footer
+      readEntry(bytes, e.localOff, e.method, e.compSize, e.crc) match {
+        case Left(reason) => return Left(reason)
+        case Right(xml) =>
+          val t = pagesFromXml(xml).mkString("\n").trim
+          if (t.nonEmpty) texts += t
       }
-      .flatMap { xml =>
-        val t = pagesFromXml(xml).mkString("\n").trim
-        if (t.isEmpty) None else Some(t)
-      }
-      .distinct
+    }
+    Right(texts.result().distinct)
   }
 
   /** Footnote types that are LAYOUT CHROME, not content — the rendered
@@ -529,12 +561,29 @@ object DocxExtractor extends PageExtractor {
     if (password.isEmpty) this else PasswordedDocxExtractor(password)
 
   override def diagnose(bytes: Array[Byte]): String =
+    diagnose(bytes, includeFootnotes = false, includeHeaders = false,
+      includeFooters = false)
+
+  /** Diagnosis must consider the SAME included parts extraction
+    * decoded (r17 review round 3 — the .doc invariant): with the
+    * footnote/header/footer opt-ins, a part-integrity failure names
+    * itself instead of reading `empty-text`. The base codec (all
+    * opt-ins off) keeps its historical behavior exactly.
+    */
+  private[etl] def diagnose(bytes: Array[Byte], includeFootnotes: Boolean,
+                            includeHeaders: Boolean,
+                            includeFooters: Boolean): String =
     try {
       if (looksLikeEncryptedOoxml(bytes)) "encrypted" // CFB-wrapped (r15)
       else if (!looksLikeZip(bytes)) "not-a-docx"
       else documentXmlOrReason(bytes) match {
         case Left(reason) => reason
-        case Right(_) => "empty-text"
+        case Right(_) =>
+          extractPagesOrPartReason(bytes, includeFootnotes, includeHeaders,
+            includeFooters) match {
+            case Left(reason) => reason
+            case Right(_) => "empty-text"
+          }
       }
     } catch { case _: Exception => "docx-unreadable" }
 
@@ -648,7 +697,7 @@ final case class DocxPartsExtractor(footnotes: Boolean = false,
   def extractPages(bytes: Array[Byte]): Seq[String] =
     DocxExtractor.extractPages(bytes, footnotes, headers, footers)
   override def diagnose(bytes: Array[Byte]): String =
-    DocxExtractor.diagnose(bytes)
+    DocxExtractor.diagnose(bytes, footnotes, headers, footers)
   // the passworded wrapper decrypts and re-routes through THIS codec,
   // so the opt-in parts survive the password path (review r15 round 3:
   // the trait's no-op default silently dropped the password here while
@@ -665,7 +714,8 @@ case object DocxWithFootnotesExtractor extends PageExtractor {
   def extractPages(bytes: Array[Byte]): Seq[String] =
     DocxExtractor.extractPages(bytes, includeFootnotes = true)
   override def diagnose(bytes: Array[Byte]): String =
-    DocxExtractor.diagnose(bytes)
+    DocxExtractor.diagnose(bytes, includeFootnotes = true,
+      includeHeaders = false, includeFooters = false)
   override def withPassword(password: String): PageExtractor =
     if (password.isEmpty) this
     else PasswordedDocxExtractor(password, this)

@@ -641,4 +641,45 @@ class DocxExtractorSpec extends AnyFunSuite {
     val m = doc.clone(); m(off) = (m(off) ^ 0x01).toByte
     assert(DocxExtractor.extractPages(m) === Nil)
   }
+
+  test("a CRC-failing INCLUDED part fails the document — footnote-wired extraction must not silently drop citations (r17 review round 3)") {
+    // good deflated body + a STORED footnotes.xml whose data is flipped
+    // against its central-directory CRC: with footnotes ON the document
+    // quarantines with the integrity reason (statutes cite in
+    // footnotes — body-only output would be corruption in the good
+    // channel); with footnotes OFF the part is not decoded at all and
+    // the body extracts as before
+    val bodyXml = ("""<?xml version="1.0"?><w:document><w:body>""" +
+      """<w:p><w:r><w:t>body article</w:t></w:r></w:p>""" +
+      "</w:body></w:document>").getBytes(StandardCharsets.UTF_8)
+    val fnXml = ("""<?xml version="1.0"?>""" +
+      """<w:footnotes xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      """<w:footnote w:id="1"><w:p><w:r><w:t>citation text</w:t></w:r></w:p></w:footnote>""" +
+      "</w:footnotes>").getBytes(StandardCharsets.UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(bodyXml); z.closeEntry()
+    val e = new java.util.zip.ZipEntry("word/footnotes.xml")
+    e.setMethod(java.util.zip.ZipEntry.STORED)
+    e.setSize(fnXml.length.toLong)
+    val c = new java.util.zip.CRC32(); c.update(fnXml)
+    e.setCrc(c.getValue)
+    z.putNextEntry(e); z.write(fnXml); z.closeEntry(); z.close()
+    val good = bos.toByteArray
+    assert(DocxWithFootnotesExtractor.extractPages(good)
+      === Seq("body article\ncitation text"))
+    val bad = good.clone()
+    val off = good.indexOfSlice("citation text".getBytes(StandardCharsets.UTF_8))
+    assert(off > 0)
+    bad(off) = 'x'.toByte
+    assert(DocxWithFootnotesExtractor.extractPages(bad) === Nil)
+    assert(DocxWithFootnotesExtractor.diagnose(bad) === "docx-crc-mismatch")
+    assert(DocxPartsExtractor(footnotes = true).extractPages(bad) === Nil)
+    assert(DocxPartsExtractor(footnotes = true).diagnose(bad)
+      === "docx-crc-mismatch")
+    // footnotes OFF: the damaged part is never decoded, body extracts
+    assert(DocxExtractor.extractPages(bad) === Seq("body article"))
+    assert(DocxPartsExtractor().extractPages(bad) === Seq("body article"))
+  }
 }
