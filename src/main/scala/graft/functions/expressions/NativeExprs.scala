@@ -96,6 +96,17 @@ object NativeExprs {
   def md5PrefixLong(c: Column, hexDigits: Int): Column =
     col(Md5PrefixLong(ex(c), hexDigits))
 
+  /** A complex-typed literal column (`functions.lit` only covers atomic
+    * types): embeds e.g. a driver-computed codebook directly in a
+    * projection, so small reference data rides the plan instead of a
+    * broadcast exchange (r17, the q77 literal-codebook path). Codegen
+    * passes complex literals by REFERENCE, so the generated source is
+    * identical across values of the same type — the codegen cache still
+    * hits.
+    */
+  def complexLit(value: Any, dt: DataType): Column =
+    col(org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt))
+
   /** md5 hex digest of every element of ARRAY<STRING> in one pass —
     * value-identical to transform(arr, x => md5(cast(x as binary))).
     */

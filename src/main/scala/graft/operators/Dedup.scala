@@ -148,13 +148,33 @@ object Dedup {
 
   /** Connected components of the undirected near-dup pair graph, so cluster
     * collapse is TRANSITIVE: a chain A~B~C (A≁C) is one cluster with
-    * representative min(A,B,C). Iterative min-label propagation with
-    * pointer jumping — each round every node adopts the smallest label among
-    * itself and its neighbors, then jumps to its label's label, so
-    * convergence is O(log diameter) rounds, not O(diameter). Per round: one
-    * equi-join shuffle on the edge key + one on the label key; labels only
-    * ever DECREASE, so a fixpoint is detected by an unchanged decimal label
-    * sum (one scalar agg per round, no extra join).
+    * representative min(A,B,C).
+    *
+    * TWO physically different paths, one semantics (the q82/q88
+    * fused-local-walk economics, applied here in round 17):
+    *  - Below `maxDriverEdges` (and with BIGINT ids — the catalog's case),
+    *    the PAIR SET — already reduced far below corpus grain by the
+    *    caller's similarity threshold — collects ONCE and labels come from
+    *    a driver-side union-find (min-union + path compression, so the
+    *    root IS the component min). ONE bounded count + ONE bounded
+    *    collect replace the iterative loop's per-round eager checkpoints
+    *    and convergence collects (DevJobs r17: the loop was 6–9 jobs and
+    *    ~0.3–0.5 s of driver barrier gap per consuming query at sf0.1).
+    *    The result is a LocalRelation, which downstream joins broadcast —
+    *    strictly fewer exchanges for every consumer.
+    *  - Past the budget (boilerplate-farm corpora where even the
+    *    thresholded pair set is huge): the distributed iterative
+    *    min-label propagation with pointer jumping below, unchanged —
+    *    each round every node adopts the smallest label among itself and
+    *    its neighbors, then jumps to its label's label, so convergence is
+    *    O(log diameter) rounds, not O(diameter). Per round: one equi-join
+    *    shuffle on the edge key + one on the label key; labels only ever
+    *    DECREASE, so a fixpoint is detected by an unchanged decimal label
+    *    sum (one scalar agg per round, no extra join).
+    * Both paths return (u, lbl) with lbl = component min; DedupSpec and
+    * PropertiesSpec pin path equality on engineered and random graphs.
+    * The budget gate costs one count over the (persisted) pair frame —
+    * the same count-the-reduced-table gate textrank/BPE already pay.
     *
     * Returns (u, lbl) for every node appearing in `pairs`, lbl = component
     * min id. The result is localCheckpoint-backed (materialized in executor
@@ -185,8 +205,51 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
   def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          maxDriverEdges: Long = 4000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
+    val longIds = pairs.schema(iCol).dataType == LongType &&
+      pairs.schema(jCol).dataType == LongType
+    if (longIds && maxDriverEdges > 0) {
+      val p = pairs.select(col(iCol).as("i"), col(jCol).as("j"))
+        .persist(MEMORY_AND_DISK)
+      spark.sparkContext.setJobDescription("cc: edge count (budget gate)")
+      val nEdges = p.count()
+      if (nEdges <= maxDriverEdges) {
+        spark.sparkContext.setJobDescription("cc: edge collect")
+        val rows = p.collect()
+        spark.sparkContext.setJobDescription(null)
+        p.unpersist()
+        // min-union + iterative path compression: root == component min
+        // (the PropertiesSpec reference semantics)
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p0 = parent.getOrDefault(x, x)
+          while (p0 != x) { // path halving
+            val gp = parent.getOrDefault(p0, p0)
+            parent.put(x, gp)
+            x = gp
+            p0 = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        rows.foreach { r =>
+          val (ri, rj) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ri != rj) parent.put(math.max(ri, rj), math.min(ri, rj))
+        }
+        val nodes = new java.util.TreeSet[java.lang.Long]()
+        rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+        import spark.implicits._
+        val out = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            nodes.iterator()).asScala
+          .map(u => (u.longValue(), find(u))).toSeq.toDF("u", "lbl")
+        return out
+      }
+      spark.sparkContext.setJobDescription(null)
+      p.unpersist()
+    }
     val reliable =
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame =

@@ -434,8 +434,69 @@ object Curation {
     * specs can pin clamping, tie-breaks, and seedless-family behavior on
     * engineered graphs.
     */
-  def labelPropagation(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(docs: DataFrame, rounds: Int = 3,
+                       maxDriverEdges: Long = 2000000L,
+                       forceShuffled: Boolean = false): DataFrame = {
     val (pairs, _) = jaccardPairs(docs)
+    val spark = docs.sparkSession
+    val code = expr("CASE lang WHEN 'de' THEN 1L WHEN 'en' THEN 2L " +
+      "WHEN 'es' THEN 3L WHEN 'fr' THEN 4L ELSE 5L END")
+    // ---- fused driver walk (r17 — the q82/q88/CC economics): the
+    // synchronous-rounds recurrence is inherently sequential over the
+    // PAIR-set-sized graph, so below the edge budget the edges and the
+    // node-bounded seed labels collect once and all `rounds` majority
+    // votes run as a driver loop — 4 bounded jobs replace the shuffled
+    // form's per-round broadcast + dst-keyed count + argmax + two eager
+    // checkpoints (DevJobs r17: 17 jobs → 5, wall ~1.5 s → ~0.9 s at
+    // sf0.1). Vote semantics are IDENTICAL: majority = (count DESC,
+    // code ASC) over neighbors' current non-null labels, seeds clamped,
+    // seedless families stay unlabeled (surface as 0); CatalogSpec pins
+    // driver ≡ shuffled bit-for-bit.
+    val pp = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.sparkContext.setJobDescription("labelprop: edge count (budget gate)")
+    val nEdges = pp.count()
+    if (!forceShuffled && nEdges <= maxDriverEdges) {
+      spark.sparkContext.setJobDescription("labelprop: edge collect")
+      val es = pp.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pp.unpersist()
+      val und0 = es ++ es.map { case (i, j) => (j, i) } // (src, dst)
+      val nodes = und0.map(_._1).distinct.sorted
+      import spark.implicits._
+      val nodesDf = nodes.toSeq.toDF("doc_id")
+      spark.sparkContext.setJobDescription("labelprop: seed collect")
+      val seedArr = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(broadcast(nodesDf), Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), code.as("scode"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      spark.sparkContext.setJobDescription(null)
+      // adjacency by destination: dst -> its in-neighbors (src list)
+      val inNbrs = und0.groupBy(_._2).map { case (dst, arr) =>
+        dst -> arr.map(_._1)
+      }
+      var lab: Map[Long, Option[Long]] =
+        nodes.map(u => u -> seedArr.get(u)).toMap
+      (1 to rounds).foreach { _ =>
+        val next = nodes.map { u =>
+          seedArr.get(u) match {
+            case s @ Some(_) => u -> (s: Option[Long]) // clamped
+            case None =>
+              val votes = inNbrs.getOrElse(u, Array.empty[Long])
+                .flatMap(src => lab(src))
+                .groupBy(identity).map { case (c, xs) => (c, xs.length.toLong) }
+              u -> (if (votes.isEmpty) None
+                    else Some(votes.minBy { case (c, n) => (-n, c) }._1))
+          }
+        }.toMap
+        lab = next
+      }
+      return nodes.toSeq
+        .map(u => (u, lab(u).getOrElse(0L)))
+        .toDF("doc_id", "label")
+        .orderBy("doc_id")
+    }
+    spark.sparkContext.setJobDescription(null)
+    pp.unpersist()
+    // ---- shuffled form (past the budget — the web-scale path), unchanged:
     // flat lineage: edges/nodes/seeds are consumed by every round, and each
     // round BROADCASTS the label frame — without the checkpoints round k
     // would re-run rounds 1..k-1 inside its broadcast (the q82 lesson)
@@ -444,8 +505,6 @@ object Curation {
       .localCheckpoint(true)
     val nodes = und.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val code = expr("CASE lang WHEN 'de' THEN 1L WHEN 'en' THEN 2L " +
-      "WHEN 'es' THEN 3L WHEN 'fr' THEN 4L ELSE 5L END")
     val seeds = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       .join(nodes, Seq("doc_id"), "leftsemi")
       .select(col("doc_id"), code.as("scode"))
@@ -734,7 +793,7 @@ object Curation {
         |entry exists to contrast.""".stripMargin,
       kmeansOracle) { (s, d) =>
       val emb = quantizedEmbeddings(s, d)
-      assignToCodebook(emb, refineCodebook(emb))
+      assignToCent(emb, refineCodebookArr(emb))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
         .select(col("cid").as("cluster_id"), col("n_members"), col("inertia"))
@@ -758,9 +817,9 @@ object Curation {
         |narrow pass plus one K-cardinality rollup.""".stripMargin,
       kmeansMarginOracle) { (s, d) =>
       val emb = quantizedEmbeddings(s, d)
-      val packed = packCodebook(refineCodebook(emb))
-      emb.crossJoin(broadcast(packed))
-        .select(NativeExprs.nearest2CentroidsL2(col("v"), col("cents")).as("r"))
+      emb
+        .select(NativeExprs.nearest2CentroidsL2(col("v"),
+          centsLit(refineCodebookArr(emb))).as("r"))
         .select(col("r.cid").as("cid"), (col("r.d2") - col("r.d")).as("m"))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"),
@@ -1583,12 +1642,14 @@ object Curation {
     */
   def ivfRoute(emb: DataFrame, everyNth: Long = 100L, nProbe: Int = 8,
                k: Int = 5): DataFrame = {
-    val cent = refineCodebook(emb)
-    val asg = assignToCodebook(emb, cent)
+    // driver-trained codebook (r17): ONE literal feeds both the
+    // assignment pass and the routing pass — both are map-only (no
+    // crossJoin, no broadcast builds)
+    val arr = refineCodebookArr(emb)
+    val asg = assignToCent(emb, arr)
     val routed = emb.filter(col("vec_id") % everyNth === 0)
-      .crossJoin(broadcast(packCodebook(cent)))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(NativeExprs.nearestKCentroidsL2(col("v"), col("cents"), nProbe))
+        explode(NativeExprs.nearestKCentroidsL2(col("v"), centsLit(arr), nProbe))
           .as("rc"))
       .select(col("qid"), col("qv"), col("rc.cid").as("cid"))
     // the HINTED side becomes the hash-join BUILD side: build on the query
@@ -1617,14 +1678,14 @@ object Curation {
   def ivfRecall(emb: DataFrame, everyNth: Long = 20L,
                 probes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 5): DataFrame = {
     val maxProbe = probes.max
-    val cent = refineCodebook(emb)
-    val asg = assignToCodebook(emb, cent)
+    val arr = refineCodebookArr(emb)
+    val asg = assignToCent(emb, arr)
     val queries = emb.filter(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val routed = queries.crossJoin(broadcast(packCodebook(cent)))
+    val routed = queries
       .select(col("qid"), col("qv"),
         posexplode(NativeExprs
-          .nearestKCentroidsL2(col("qv"), col("cents"), maxProbe))
+          .nearestKCentroidsL2(col("qv"), centsLit(arr), maxProbe))
           .as(Seq("pos", "rc")))
       .select(col("qid"), col("qv"), (col("pos") + 1).as("cell_rank"),
         col("rc.cid").as("cid"))
@@ -1678,10 +1739,11 @@ object Curation {
     * zero convention, and the all-empty guard.
     */
   def cellBalance(emb: DataFrame): DataFrame = {
-    val cent = refineCodebook(emb)
-    val asg = assignToCodebook(emb, cent)
+    val spark = emb.sparkSession
+    val arr = refineCodebookArr(emb)
+    val asg = assignToCent(emb, arr)
     // every trained cell surfaces (empty cells at 0 — they ARE the read)
-    val cs = cent.select(col("cid"))
+    val cs = centDf(spark, arr).select(col("cid"))
       .join(asg.groupBy("cid").agg(count(lit(1)).as("n")), Seq("cid"), "left")
       .select(coalesce(col("n"), lit(0L)).as("sz"))
     val szc = cs.groupBy("sz").agg(count(lit(1)).as("c"))
@@ -1768,55 +1830,106 @@ object Curation {
     quantizeVectors(Tables.embeddings(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** The codebook as the 1-row array-of-structs broadcast side (the q61
-    * pattern, optimizer-proven scalar).
+  /** The driver-trained codebook as a COMPLEX-TYPED LITERAL column (r17):
+    * the same sorted array<struct(cid, cv)> packCodebook aggregated —
+    * cid is unique, so sort_array's (cid, cv) order ≡ cid order — but
+    * embedded directly in the consuming projection, so the assignment
+    * pass is a pure map (no crossJoin, no broadcast exchange, no
+    * broadcast-build job per Lloyd iteration). K·dim longs ≈ 32 KB of
+    * plan payload — codebook-sized at any corpus scale; codegen passes
+    * complex literals by reference, so the generated source (and the
+    * codegen cache entry) is identical across iterations.
     */
-  private def packCodebook(cent: DataFrame): DataFrame =
-    cent.agg(sort_array(collect_list(struct(col("cid"), col("v").as("cv"))))
-      .as("cents"))
+  private def centsLit(cent: Array[(Int, Array[Long])]): Column = {
+    import org.apache.spark.sql.Row
+    val dt = ArrayType(StructType(Seq(
+      StructField("cid", IntegerType), StructField("cv", ArrayType(LongType)))))
+    val v = cent.sortBy(_._1).toSeq.map { case (cid, arr) => Row(cid, arr.toSeq) }
+    NativeExprs.complexLit(v, dt)
+  }
 
   /** One narrow assignment pass: exact integer squared-L2 argmin in ONE
     * compiled per-row loop (NearestCentroidL2 — (d ASC, cid ASC) = the
     * oracle's ORDER BY d, cid); no K-way row expansion, no per-vec argmin
     * aggregation. v rides THROUGH the projection (consumers that don't
     * need it get it pruned) — joining emb back per iteration would
-    * re-shuffle the full vector set every round.
+    * re-shuffle the full vector set every round. r17: the codebook rides
+    * as a literal (see [[centsLit]]), so this is map-only.
     */
-  private def assignToCodebook(emb: DataFrame, cent: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(packCodebook(cent)))
-      .select(col("vec_id"), col("v"),
-        NativeExprs.nearestCentroidL2(col("v"), col("cents")).as("r"))
+  private def assignToCent(emb: DataFrame,
+                           cent: Array[(Int, Array[Long])]): DataFrame =
+    emb.select(col("vec_id"), col("v"),
+        NativeExprs.nearestCentroidL2(col("v"), centsLit(cent)).as("r"))
       .select(col("vec_id"), col("v"),
         col("r.cid").as("cid"), col("r.d").as("d"))
 
   /** The q77 Lloyd refinement (K=64, 4 iterations, integer-exact — see the
-    * q77 doc). Shared by q77 (inertia rollup) and q80 (margin rollup).
+    * q77 doc). Shared by q77 (inertia rollup), q80 (margin rollup) and the
+    * q81/q130/q132 IVF family.
+    *
+    * r17 REWRITE (the q82/q88/CC driver-walk economics): the centroid
+    * table is K-row state the iteration is inherently sequential over, so
+    * it lives on the DRIVER — each iteration is ONE collected aggregate
+    * of (cid, dim) → (Σ component, n) partial sums (≤ K·dim rows, bounded
+    * by the codebook and the embedding dimension at ANY corpus size —
+    * exactly the rows the old form shipped into a join) followed by a
+    * driver-side sign-aware half-up integer division, the identical
+    * arithmetic the old in-plan expression computed ((2s+n) div 2n on the
+    * positive branch; all operands positive longs, so Scala / ≡ div).
+    * Replaces, PER ITERATION: one eager K-row localCheckpoint job, one
+    * centroid join, and one broadcast-build job of the packed codebook
+    * (now a LocalRelation — no job) with one collect (DevJobs r17: q77
+    * 16 jobs → 6, ~1.49 s → ~0.9 s at sf0.1). Empty clusters keep their
+    * previous centroid (absent (cid, dim) groups — the old coalesce).
+    * CatalogSpec's kmeans-family oracles re-prove bit-identity end to end.
     */
-  private def refineCodebook(emb: DataFrame, K: Int = 64,
-                             iters: Int = 4): DataFrame = {
-    var cent: DataFrame = emb.filter(col("vec_id") < K)
+  private[queries] def refineCodebookArr(emb: DataFrame, K: Int = 64,
+                                         iters: Int = 4): Array[(Int, Array[Long])] = {
+    val spark = emb.sparkSession
+    spark.sparkContext.setJobDescription("kmeans: seed collect")
+    var cent: Array[(Int, Array[Long])] = emb.filter(col("vec_id") < K)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v"))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
-      val upd = assignToCodebook(emb, cent)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    (1 to iters).foreach { it =>
+      spark.sparkContext.setJobDescription(s"kmeans: update collect (iter $it)")
+      val upd = assignToCent(emb, cent)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "u")))
         .groupBy("cid", "i")
         .agg(sum(col("u")).as("sc"), count(lit(1)).as("n"))
-        .select(col("cid"), col("i"),
-          when(col("sc") >= 0,
-            expr("(2 * sc + n) div (2 * n)"))
-            .otherwise(-expr("(2 * (-sc) + n) div (2 * n)")).as("c"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          x => x.getField("c")).as("v"))
-      // empty clusters keep their previous centroid; K-row eager
-      // checkpoint flattens the lineage so the plan stays O(1) in rounds
-      cent = cent.as("p").join(upd.as("u"), Seq("cid"), "left")
-        .select(col("cid"),
-          coalesce(col("u.v"), col("p.v")).as("v"))
-        .localCheckpoint(true)
+        .collect() // ≤ K·dim rows — codebook-sized at any corpus scale
+      val byCid = upd.groupBy(_.getInt(0))
+      cent = cent.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case None => (cid, prev) // empty cluster keeps its centroid
+          case Some(rows) =>
+            val v = new Array[Long](prev.length)
+            var filled = 0
+            rows.foreach { r =>
+              val i = r.getInt(1); val sc = r.getLong(2); val n = r.getLong(3)
+              v(i) = if (sc >= 0) (2 * sc + n) / (2 * n)
+                     else -((2 * -sc + n) / (2 * n))
+              filled += 1
+            }
+            require(filled == prev.length,
+              s"kmeans update for cid=$cid covered $filled of ${prev.length} dims")
+            (cid, v)
+        }
+      }
     }
+    spark.sparkContext.setJobDescription(null)
     cent
+  }
+
+  /** K-row DataFrame view of the driver-trained codebook — what
+    * cellBalance's every-cell-surfaces join consumes (a LocalRelation:
+    * downstream joins broadcast it for free).
+    */
+  private def centDf(spark: SparkSession,
+                     cent: Array[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cent.map { case (cid, v) => (cid, v.toSeq) }.toSeq.toDF("cid", "v")
   }
 
   /** The shared q77/q80 oracle prefix: quantization, the K=64 seed, and
@@ -2349,7 +2462,10 @@ object Curation {
     * estimator against a driver-side signature replay and the identical-
     * document edge (est = jaccard = 10000, err 0).
     */
-  def minhashEstimate(docs: DataFrame, nPerms: Int = 16): DataFrame = {
+  def minhashEstimate(docs: DataFrame, nPerms: Int = 16,
+                      maxDriverPairs: Long = 1000000L,
+                      forceShuffled: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
     val (wc, _) = graft.operators.Dedup.coShingledPairs(docs, "doc_id", "text")
     val pairs = wc
       .filter(col("k") * 1.0 / (col("ni") + col("nj") - col("k")) >= 0.5)
@@ -2357,6 +2473,48 @@ object Curation {
         expr("(2 * 10000 * k + (ni + nj - k)) div (2 * (ni + nj - k))")
           .as("jac_e4"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- fused driver agreement (r17 — the CC/labelprop economics): the
+    // thresholded pair set is candidate-bounded, so below the budget the
+    // pairs AND the participants' 16-element signatures collect once and
+    // the per-pair agreement count runs as a driver loop — the identical
+    // string-equality zip the zip_with form computes. Replaces the ids
+    // union+distinct exchange, the signature persist, BOTH broadcast
+    // builds and the final assembly's range-sampled sort with two bounded
+    // collects (DevJobs r17: 6 jobs → 4). Past the budget: the shuffled
+    // broadcast-join form below, unchanged.
+    spark.sparkContext.setJobDescription("minhashest: pair count (budget gate)")
+    val nPairs = pairs.count()
+    if (!forceShuffled && nPairs <= maxDriverPairs) {
+      spark.sparkContext.setJobDescription("minhashest: pair collect")
+      val pr = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      pairs.unpersist()
+      import spark.implicits._
+      val idsDf = (pr.map(_._1) ++ pr.map(_._2)).distinct.sorted.toSeq
+        .toDF("doc_id")
+      spark.sparkContext.setJobDescription("minhashest: signature collect")
+      val sig = docs.join(broadcast(idsDf), Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(NativeExprs.shingles(col("toks"), 3)).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id"),
+          NativeExprs.lshMinSig(col("shs"), nPerms).as("sig"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      spark.sparkContext.setJobDescription(null)
+      // every pair participant shares a shingle by construction, so its
+      // signature exists; est = (2·10⁴·m + nPerms) div (2·nPerms) — all
+      // operands positive longs, Scala / ≡ div
+      return pr.toSeq.map { case (i, j, jac) =>
+        val m = sig(i).iterator.zip(sig(j).iterator)
+          .count { case (a, b) => a == b }.toLong
+        val est = (2L * 10000L * m + nPerms) / (2L * nPerms)
+        (i, j, est, jac, math.abs(est - jac))
+      }.toDF("i", "j", "est_e4", "jac_e4", "err_e4")
+        .orderBy("i", "j")
+    }
+    spark.sparkContext.setJobDescription(null)
     val ids = pairs.select(col("i").as("doc_id"))
       .union(pairs.select(col("j").as("doc_id"))).distinct()
     // signatures ONLY for pair participants (≪ corpus at a 0.5 cut),

@@ -47,11 +47,17 @@ class PropertiesSpec extends SparkSpec {
         // representative = component minimum, by min-union above
         u -> find(u)
       }.toMap
-      val comp = graft.operators.Dedup.connectedComponents(
-        edges.toDF("i", "j"), "i", "j")
-      val got = comp.as[(Long, Long)].collect().toMap
-      comp.unpersist()
-      assert(got === want, s"trial $trial: components diverge from union-find")
+      // both physical paths (r17): driver union-find (default budget) and
+      // the forced distributed pointer-jumping loop must match the
+      // reference
+      Seq(4000000L, 0L).foreach { budget =>
+        val comp = graft.operators.Dedup.connectedComponents(
+          edges.toDF("i", "j"), "i", "j", maxDriverEdges = budget)
+        val got = comp.as[(Long, Long)].collect().toMap
+        comp.unpersist()
+        assert(got === want,
+          s"trial $trial budget=$budget: components diverge from union-find")
+      }
     }
   }
 

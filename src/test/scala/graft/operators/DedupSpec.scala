@@ -21,18 +21,23 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents — chains, cliques, and deep paths get min labels") {
     // two nontrivial components (a 3-chain and a triangle) plus a 41-node
     // path — the deep path converges only because of pointer jumping
-    // (plain propagation moves labels one hop per round)
+    // (plain propagation moves labels one hop per round). Run BOTH paths:
+    // the default driver union-find and the forced distributed loop
+    // (maxDriverEdges = 0) — r17 requires them label-identical.
     val chain = Seq((1L, 2L), (2L, 3L))
     val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
     val path = (100L until 140L).map(i => (i, i + 1))
     val pairs = (chain ++ clique ++ path).toDF("i", "j")
-    val comp = Dedup.connectedComponents(pairs, "i", "j")
-    val got = comp.as[(Long, Long)].collect().toMap
-    comp.unpersist()
-    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
-    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
-    assert((100L to 140L).forall(got(_) == 100L))
-    assert(got.size === 3 + 3 + 41)
+    Seq(4000000L, 0L).foreach { budget =>
+      val comp = Dedup.connectedComponents(pairs, "i", "j",
+        maxDriverEdges = budget)
+      val got = comp.as[(Long, Long)].collect().toMap
+      comp.unpersist()
+      assert(Seq(1L, 2L, 3L).forall(got(_) == 1L), s"budget=$budget")
+      assert(Seq(20L, 21L, 22L).forall(got(_) == 20L), s"budget=$budget")
+      assert((100L to 140L).forall(got(_) == 100L), s"budget=$budget")
+      assert(got.size === 3 + 3 + 41, s"budget=$budget")
+    }
   }
 
   test("connectedComponents — RELIABLE checkpoint path when a checkpoint dir is set") {
@@ -47,7 +52,10 @@ class DedupSpec extends SparkSpec {
     try {
       val pairs = (Seq((1L, 2L), (2L, 3L)) ++ (100L until 120L).map(i => (i, i + 1)))
         .toDF("i", "j")
-      val got = Dedup.connectedComponents(pairs, "i", "j")
+      // force the distributed loop (the driver union-find never touches
+      // the checkpoint machinery this test exists to exercise)
+      val got = Dedup.connectedComponents(pairs, "i", "j",
+          maxDriverEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
       assert((100L to 120L).forall(got(_) == 100L))

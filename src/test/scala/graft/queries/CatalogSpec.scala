@@ -1023,6 +1023,13 @@ class CatalogSpec extends SparkSpec {
     val got = graft.queries.Curation.labelPropagation(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     spark.catalog.clearCache()
+    // r17: the default fused driver walk must equal the shuffled
+    // per-round form bit-for-bit (the q82 two-paths rule)
+    val gotShuffled = graft.queries.Curation
+      .labelPropagation(docs, forceShuffled = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    assert(got === gotShuffled, "driver walk diverges from shuffled walk")
     assert(got === Map(
       1L -> 1L,  // tie {en=2, de=1} → min code (de)
       3L -> 2L,  // clamped seed keeps en despite its de neighbor
@@ -1256,6 +1263,15 @@ class CatalogSpec extends SparkSpec {
         r.getLong(4))).toSet
     spark.catalog.clearCache()
     assert(got === want, "estimator replay diverged")
+    // r17: the fused driver agreement (default) must equal the shuffled
+    // broadcast-join form bit-for-bit (the q82/q88 two-paths rule)
+    val gotShuffled = graft.queries.Curation
+      .minhashEstimate(Tables.documents(spark, sf0001), forceShuffled = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    spark.catalog.clearCache()
+    assert(gotShuffled === want, "shuffled estimator path diverged")
   }
 
   test("q90 — anomaly z-scores equal an exact-integer-moment driver replay") {

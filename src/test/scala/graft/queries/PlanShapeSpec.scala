@@ -311,15 +311,18 @@ class PlanShapeSpec extends SparkSpec {
       s"count attach degraded to a sort-merge join:\n$executed")
   }
 
-  test("q81 — IVF route: broadcast codebook, cid hash join, bounded top-k (no window)") {
+  test("q81 — IVF route: literal codebook, cid hash join, bounded top-k (no window)") {
     val p = plan("q81_ivf_route")
-    assert(p.contains("BroadcastExchange"), s"q81 codebook no longer broadcast:\n$p")
+    // r17: the driver-trained codebook rides the routing/assignment
+    // projections as a complex literal — NO broadcast exchange (and no
+    // broadcast-build job) exists anywhere in the plan
+    assert(!p.contains("BroadcastExchange"),
+      s"q81 re-grew a broadcast (the codebook is a literal now):\n$p")
     assert(p.contains("ShuffledHashJoin"), s"q81 inverted-file join lost shuffle_hash:\n$p")
     assert(!p.contains("Window"), s"q81 grew a window sort (TopKAgg is the declared cut):\n$p")
-    // (BroadcastNestedLoopJoin on the optimizer-proven 1-row packed
-    // codebook is the audited q61/q77 pattern — the catalog-wide
-    // structural audit governs it; no blanket assert here)
     assert(!p.contains("CartesianProduct"), s"q81 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q81 re-grew the packed-codebook join (literal expected):\n$p")
     // the routing + scoring kernels are in the plan (compiled, not HOFs)
     assert(p.contains("nearest_k_centroids_l2"), p)
     assert(p.contains("l2sq_long"), p)
