@@ -132,7 +132,7 @@ object Analytics {
       stage(s1, "signup", 1)
         .union(stage(c1, "click", 2))
         .union(stage(p1, "purchase", 3))
-        .orderBy("depth")
+        .transform(Relational.smallSort(_, "depth"))
     },
 
     Q("q47_profile",
@@ -290,7 +290,7 @@ object Analytics {
           round(percentile(col("toks"), lit(0.9)), 4).as("p90_toks"),
           round(stddev_samp(col("toks")), 4).as("sd_toks"),
           round(corr(col("toks"), col("n_chars")), 4).as("corr_toks_chars"))
-        .orderBy("lang")
+        .transform(Relational.smallSort(_, "lang"))
     },
 
     Q("q57_bigram_lm",
@@ -417,7 +417,7 @@ object Analytics {
               + lit(0.5) * col("q") * log(col("q") / col("m")))
             + lit(0.5) * log(lit(2.0)) * (lit(1.0) - sum(col("q"))),
             4).as("jsd"))
-        .orderBy("source")
+        .transform(Relational.smallSort(_, "source"))
     },
 
     Q("q60_label_outliers",
@@ -474,7 +474,7 @@ object Analytics {
           Seq("label"), "neg", "vec_id", 5)
         .select(col("label"), col("rnk"), col("vec_id"),
           (lit(0.0) - col("neg")).as("score"))
-        .orderBy("label", "rnk")
+        .transform(Relational.smallSort(_, "label", "rnk"))
     },
 
     Q("q61_cluster_profile",
@@ -573,7 +573,7 @@ object Analytics {
             .otherwise(-expr("(2 * -ssum + n) div (2 * n)")) / 10000.0)
             .as("avg_score"),
           (col("smin") / 10000.0).as("min_score"))
-        .orderBy("cluster")
+        .transform(Relational.smallSort(_, "cluster"))
     },
 
     Q("q64_semdedup",
@@ -704,7 +704,7 @@ object Analytics {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_types"), col("n_hapax"),
           round(col("n_types") * 1.0 / col("n_tokens"), 4).as("ttr"))
-        .orderBy("source")
+        .transform(Relational.smallSort(_, "source"))
     },
 
     Q("q71_retention",
@@ -760,7 +760,7 @@ object Analytics {
         .select(col("cohort_week"), col("week_offset"), col("n_users"),
           col("cohort_size"),
           round(col("n_users") * 1.0 / col("cohort_size"), 4).as("retention"))
-        .orderBy("cohort_week", "week_offset")
+        .transform(Relational.smallSort(_, "cohort_week", "week_offset"))
     },
 
     Q.cap("q72_approx_quantiles",
@@ -783,7 +783,7 @@ object Analytics {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
           percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
           percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
-        .orderBy("event_type")
+        .transform(Relational.smallSort(_, "event_type"))
     },
 
     Q("q87_event_transitions",
@@ -855,7 +855,7 @@ object Analytics {
         .filter(abs(col("z")) >= 1.5)
         .select(col("event_type"), col("day"), col("n"),
           round(col("z"), 4).as("z"))
-        .orderBy("event_type", "day")
+        .transform(Relational.smallSort(_, "event_type", "day"))
     },
 
     Q("q97_pit_features",
@@ -1485,7 +1485,7 @@ object Analytics {
         expr("(2 * 10000 * n_ab + ns) div (2 * ns)").as("support_e4"),
         expr("(2 * 10000 * ns * n_ab + na_a * na_b) div (2 * na_a * na_b)")
           .as("lift_e4"))
-      .orderBy("type_a", "type_b")
+      .transform(Relational.smallSort(_, "type_a", "type_b"))
   }
 
   /** Pair expansion over a sorted distinct-type array column named
@@ -1545,7 +1545,7 @@ object Analytics {
         expr("(2 * 10000 * n_test + (n_train + n_test)) div (2 * (n_train + n_test))")
           .as("test_share_e4"),
         coalesce(col("n_straddlers"), lit(0L)).as("n_straddlers"))
-      .orderBy("event_type")
+      .transform(Relational.smallSort(_, "event_type"))
   }
 
   private lazy val q113OracleSql: String =
@@ -1598,7 +1598,7 @@ object Analytics {
         col("wk") === expr("day div 7"))
       .select(col("event_type"), col("day"), col("dau"), col("wau"),
         expr("(2 * 10000 * dau + wau) div (2 * wau)").as("stickiness_e4"))
-      .orderBy("event_type", "day")
+      .transform(Relational.smallSort(_, "event_type", "day"))
   }
 
   private lazy val q114OracleSql: String =
@@ -1634,7 +1634,7 @@ object Analytics {
       .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
       .select(expr("(p - v) div 86400000000").as("lag_days"))
       .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
-      .orderBy("lag_days")
+      .transform(Relational.smallSort(_, "lag_days"))
 
   private lazy val q115OracleSql: String =
     """WITH u AS (SELECT user_id,
@@ -1678,7 +1678,7 @@ object Analytics {
     med.join(mad, Seq("source")).join(outl, Seq("source"))
       .select(col("source"), col("n_docs"), col("med").as("med_len"),
         col("mad"), col("n_outliers"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   private lazy val q122OracleSql: String =
@@ -1727,7 +1727,7 @@ object Analytics {
     mx.join(med, Seq("event_type"))
       .select(col("event_type"), col("n_hours"), col("med"), col("mx"),
         expr("(2 * 10000 * mx + med) div (2 * med)").as("burst_e4"))
-      .orderBy("event_type")
+      .transform(Relational.smallSort(_, "event_type"))
   }
 
   private lazy val q124OracleSql: String =
@@ -1762,7 +1762,7 @@ object Analytics {
         col("na").as("n_ante"))), Seq("ante"))
       .select(col("ante"), col("cons"), col("n_ante"), col("n_both"),
         expr("(2 * 10000 * n_both + n_ante) div (2 * n_ante)").as("conf_e4"))
-      .orderBy("ante", "cons")
+      .transform(Relational.smallSort(_, "ante", "cons"))
   }
 
   private lazy val q111OracleSql: String =
@@ -1839,7 +1839,7 @@ object Analytics {
       .select(col("source"), col("n_s").as("n_docs"),
         expr("(2 * 10000 * ks_num + n_s * (n - n_s)) div (2 * n_s * (n - n_s))")
           .as("ks_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   private lazy val q99OracleSql: String =
@@ -1901,7 +1901,7 @@ object Analytics {
           .as("n_clipped"),
         sum(when(col("len") > col("p90"), (col("len") - col("p90")) * col("c"))
           .otherwise(0L)).as("chars_saved"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q107's logic over an arbitrary event frame — exposed so specs can
@@ -1940,7 +1940,7 @@ object Analytics {
         .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "g")))
         .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("k"),
           col("g").cast(LongType).as("gap_us"))
-        .orderBy("event_type", "k")
+        .transform(Relational.smallSort(_, "event_type", "k"))
     } else {
       val wl = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
       val g = events
@@ -1956,7 +1956,7 @@ object Analytics {
         .filter(col("rn") === expr("(k * n + 9) div 10"))
         .select(col("event_type"), col("k").cast(IntegerType).as("k"),
           col("gap").as("gap_us"))
-        .orderBy("event_type", "k")
+        .transform(Relational.smallSort(_, "event_type", "k"))
     }
   }
 
@@ -2059,7 +2059,7 @@ object Analytics {
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .select(col("event_type"), col("hour").cast(IntegerType).as("hour"),
         col("n"), expr("(2 * 10000 * n + tot) div (2 * tot)").as("share_e4"))
-      .orderBy("event_type", "hour")
+      .transform(Relational.smallSort(_, "event_type", "hour"))
   }
 
   private lazy val q108OracleSql: String =
@@ -2085,7 +2085,7 @@ object Analytics {
       .select(col("source"), col("lang"), col("n").as("n_docs"),
         col("nt").as("n_tokens"),
         expr("(2 * 10000 * n + s) div (2 * s)").as("share_e4"))
-      .orderBy("source", "lang")
+      .transform(Relational.smallSort(_, "source", "lang"))
   }
 
   private lazy val q109OracleSql: String =
@@ -2132,7 +2132,7 @@ object Analytics {
           element_at(array(lit(50), lit(90), lit(99)), col("pos") + 1)
             .cast(IntegerType).as("pct"),
           col("v").as("value"))
-        .orderBy("event_type", "pct")
+        .transform(Relational.smallSort(_, "event_type", "pct"))
     } else {
       val wr = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
       nonNull
@@ -2143,7 +2143,7 @@ object Analytics {
         .filter(col("rn") === expr("(pct * n + 99) div 100"))
         .select(col("event_type"), col("pct").cast(IntegerType).as("pct"),
           col("value"))
-        .orderBy("event_type", "pct")
+        .transform(Relational.smallSort(_, "event_type", "pct"))
     }
   }
 
@@ -2180,7 +2180,7 @@ object Analytics {
           .otherwise(round(
             (log(col("n_tokens")) - col("clnc") / col("n_tokens"))
               / log(col("n_types")), 4)).as("norm_entropy"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q129's logic over an arbitrary document frame — exposed so specs can
@@ -2218,7 +2218,7 @@ object Analytics {
             / ((col("n") * col("sxx") - col("sx") * col("sx"))
               * (col("n") * col("syy") - col("sy") * col("sy"))), 4))
           .as("r2"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q133's logic over an arbitrary document frame — exposed so specs can
@@ -2280,7 +2280,7 @@ object Analytics {
       .select(col("source"), col("n").as("n_docs"),
         expr("(2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) div (2 * n * sx)")
           .as("gini_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   private lazy val q102OracleSql: String =
@@ -2307,7 +2307,7 @@ object Analytics {
       .groupBy("source", "k")
       .agg(min(col("len")).as("value"))
       .select(col("source"), col("k").cast(IntegerType).as("k"), col("value"))
-      .orderBy("source", "k")
+      .transform(Relational.smallSort(_, "source", "k"))
   }
 
   private lazy val q104OracleSql: String =
@@ -2339,7 +2339,7 @@ object Analytics {
       .select(col("event_type"), col("n").as("n_users"),
         expr("(2 * 10000 * (2 * sw - (n + 1) * sx) + n * sx) div (2 * n * sx)")
           .as("gini_e4"))
-      .orderBy("event_type")
+      .transform(Relational.smallSort(_, "event_type"))
   }
 
   private lazy val q105OracleSql: String =
@@ -2383,6 +2383,6 @@ object Analytics {
     c.withColumn("s", sum(col("n")).over(Window.partitionBy("src_type")))
       .select(col("src_type"), col("dst_type"), col("n"),
         expr("(2 * 10000 * n + s) div (2 * s)").as("p_e4"))
-      .orderBy("src_type", "dst_type")
+      .transform(Relational.smallSort(_, "src_type", "dst_type"))
   }
 }

@@ -100,7 +100,7 @@ object Curation {
         sum(when(col("keep"), col("n")).otherwise(0L)).as("docs_covered"))
       .select(col("rep_source").as("source"), col("clusters_total"),
         col("clusters_kept"), col("docs_covered"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q76's logic over an arbitrary corpus: canonical representative per
@@ -158,7 +158,7 @@ object Curation {
       .select(col("status"), col("b"), col("n_docs"),
         expr("(2 * 10000 * n_docs + n_status) div (2 * n_status)")
           .as("share_e4"))
-      .orderBy("status", "b")
+      .transform(Relational.smallSort(_, "status", "b"))
   }
 
   /** The shingle-array + banded-key frames under [[lshMd5Candidates]]
@@ -333,7 +333,7 @@ object Curation {
         expr("case when n_truth = 0 then 10000 else " +
           "(2 * 10000 * n_detected + n_truth) div (2 * n_truth) end")
           .as("recall_e4"))
-      .orderBy("thr_e4")
+      .transform(Relational.smallSort(_, "thr_e4"))
   }
 
   private lazy val lshFidelityOracle: String =
@@ -673,7 +673,7 @@ object Curation {
       graft.operators.TopK.perGroup(tot, Seq.empty, "score_e4", "doc_id", 10)
         .select(col("rnk"), col("doc_id"),
           col("score_e4").cast(LongType).as("score_e4"))
-        .orderBy("rnk")
+        .transform(Relational.smallSort(_, "rnk"))
     },
 
     Q("q75_quarantine_clusters",
@@ -797,7 +797,7 @@ object Curation {
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
         .select(col("cid").as("cluster_id"), col("n_members"), col("inertia"))
-        .orderBy("cluster_id")
+        .transform(Relational.smallSort(_, "cluster_id"))
     },
 
     Q("q80_codebook_margin",
@@ -827,7 +827,7 @@ object Curation {
           expr("(2 * sum(m) + count(1)) div (2 * count(1))").as("avg_margin"))
         .select(col("cid").as("cluster_id"), col("n_members"),
           col("min_margin"), col("avg_margin"))
-        .orderBy("cluster_id")
+        .transform(Relational.smallSort(_, "cluster_id"))
     },
 
     Q("q78_novelty_deciles",
@@ -878,7 +878,7 @@ object Curation {
           expr("cast((10 * u) div n as int)").as("decile"))
         .groupBy("source", "decile")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("source", "decile")
+        .transform(Relational.smallSort(_, "source", "decile"))
     },
 
     Q("q79_dup_aware_sample",
@@ -1085,7 +1085,7 @@ object Curation {
             .partitionBy("source")), 4))
         .select(col("source"), col("split"), col("nd").cast(LongType).as("n_docs"),
           col("n_tokens"), col("frac"))
-        .orderBy("source", "split")
+        .transform(Relational.smallSort(_, "source", "split"))
     },
 
     Q("q86_split_leakage",
@@ -1601,7 +1601,7 @@ object Curation {
         Seq.empty, "rs", "t", 20)
       .select(col("t").as("token"), col("rnk"),
         col("rs").cast(LongType).as("rank"))
-      .orderBy("rnk")
+      .transform(Relational.smallSort(_, "rnk"))
   }
 
   private lazy val textrankOracle: String = {
@@ -1730,7 +1730,7 @@ object Curation {
         expr(s"case when n_queries = 0 then 10000 else " +
           s"(2 * 10000 * n_hits + $k * n_queries) div " +
           s"(2 * $k * n_queries) end").as("recall_e4"))
-      .orderBy("n_probe")
+      .transform(Relational.smallSort(_, "n_probe"))
   }
 
   /** q132's logic over an arbitrary quantized (vec_id, v ARRAY<LONG>)
@@ -2079,7 +2079,7 @@ object Curation {
         sum(when(col("fr_e4") >= 5000, 1L).otherwise(0L)).as("n_high"))
       .select(col("source"), col("n_test"), col("mean_leak_e4"),
         col("n_high"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** String-keyed replay of the digest-keyed engine join (q44's
@@ -2257,7 +2257,7 @@ object Curation {
         col("tok_ws").cast(LongType).as("tok_ws"),
         col("tok_bpe").cast(LongType).as("tok_bpe"),
         expr("(2 * 10000 * tok_bpe + tok_ws) div (2 * tok_ws)").as("ratio_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q93's logic over an arbitrary corpus — exposed so specs can pin the
@@ -2282,7 +2282,7 @@ object Curation {
       .select(col("source"), col("n_tok").cast(LongType).as("n_tok"),
         col("n_oov").cast(LongType).as("n_oov"),
         expr("(2 * 10000 * n_oov + n_tok) div (2 * n_tok)").as("oov_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q94's logic over an arbitrary corpus — exposed so specs can pin the
@@ -2319,7 +2319,7 @@ object Curation {
       .select(col("source"), col("n_chunks").cast(LongType).as("n_chunks"),
         col("n_dup").cast(LongType).as("n_dup"),
         expr("(2 * 10000 * n_dup + n_chunks) div (2 * n_chunks)").as("dup_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q95's logic over an arbitrary corpus — exposed so specs can pin the
@@ -2338,7 +2338,7 @@ object Curation {
         col("n_boiler").cast(LongType).as("n_boiler"),
         expr("(2 * 10000 * n_boiler + n_types) div (2 * n_types)")
           .as("boiler_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q96's logic over an arbitrary corpus — exposed so specs can pin the
@@ -2378,7 +2378,7 @@ object Curation {
       .groupBy("source", "reason")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).cast(LongType).as("n_tok"))
-      .orderBy("source", "reason")
+      .transform(Relational.smallSort(_, "source", "reason"))
   }
 
   private lazy val dedupYieldOracle: String =
@@ -2600,7 +2600,7 @@ object Curation {
     j.union(removed)
       .groupBy("source", "status")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("source", "status")
+      .transform(Relational.smallSort(_, "source", "status"))
   }
 
   private lazy val snapshotDiffOracle: String =
@@ -2705,7 +2705,7 @@ object Curation {
       .select(col("label"), col("n_vecs"),
         round(col("num") / (sqrt(col("n1").cast(DoubleType)) *
           sqrt(col("n2").cast(DoubleType))), 4).as("cos_drift"))
-      .orderBy("label")
+      .transform(Relational.smallSort(_, "label"))
   }
 
   /** q116's logic over an arbitrary (vec_id, embedding, label) frame —
@@ -2729,7 +2729,7 @@ object Curation {
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         round(col("num") / (sqrt(col("n1").cast(DoubleType)) *
           sqrt(col("n2").cast(DoubleType))), 4).as("cos_ab"))
-      .orderBy("label_a", "label_b")
+      .transform(Relational.smallSort(_, "label_a", "label_b"))
   }
 
   /** q103's logic over an arbitrary corpus — exposed so specs can pin
@@ -2767,7 +2767,7 @@ object Curation {
     sh.join(broadcast(tr), Seq("b"))
       .select(col("split"), col("b"), col("n_docs"), col("share_e4"),
         abs(col("share_e4") - col("tr_share")).as("dev_e4"))
-      .orderBy("split", "b")
+      .transform(Relational.smallSort(_, "split", "b"))
   }
 
   private lazy val splitParityOracle: String =
@@ -2825,7 +2825,7 @@ object Curation {
     nl.join(med, Seq("label"))
       .select(col("label"), col("n_vecs"), col("min_n2"), col("p50_n2"),
         col("max_n2"))
-      .orderBy("label")
+      .transform(Relational.smallSort(_, "label"))
   }
 
   /** q123's logic over an arbitrary (vec_id, embedding, label) frame —
@@ -2847,7 +2847,7 @@ object Curation {
         round((col("n") * col("sq") - col("sv") * col("sv"))
           .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType), 4)
           .as("var4"))
-      .orderBy("i")
+      .transform(Relational.smallSort(_, "i"))
 
   private lazy val dimVarianceOracle: String =
     """WITH q AS (SELECT i, CAST(round(x * 1e4) AS BIGINT) AS v

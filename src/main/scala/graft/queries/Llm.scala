@@ -231,7 +231,7 @@ object Llm {
                .cast(LongType).as("n_consistent"),
              min(col("n_chars")).cast(LongType).as("min_chars"),
              max(col("n_chars")).cast(LongType).as("max_chars"))
-        .orderBy("lang")
+        .transform(Relational.smallSort(_, "lang"))
     },
 
     Q("q31_jaccard_pairs",
@@ -654,7 +654,7 @@ object Llm {
               col("n_chars").cast(DoubleType).as("sc")),
           Seq("source"), "sc", "doc_id", 10)
         .select(col("source"), col("rnk"), col("doc_id"), col("sc"))
-        .orderBy("source", "rnk")
+        .transform(Relational.smallSort(_, "source", "rnk"))
     },
 
     Q("q54_dup_spans",
@@ -831,7 +831,7 @@ object Llm {
             shingled.filter(col("doc_id") >= 5),
             shingled.filter(col("doc_id") < 5),
             "doc_id")
-          .orderBy("bench_id")
+          .transform(Relational.smallSort(_, "bench_id"))
     },
 
     Q("q62_pack",
@@ -975,7 +975,7 @@ object Llm {
           round(col("s100") * 1.0 / col("z"), 4).as("weight"),
           round(lit(1000000.0) * (col("s100") * 1.0 / col("z")) / col("n_tokens"), 4)
             .as("epochs"))
-        .orderBy("source")
+        .transform(Relational.smallSort(_, "source"))
     },
 
     Q("q66_quality_sweep",
@@ -1039,7 +1039,7 @@ object Llm {
           coalesce(col("kt"), lit(0L)).as("n_tokens"),
           round(coalesce(col("kd"), lit(0L)) * 1.0 / col("total_docs"), 4)
             .as("frac_docs"))
-        .orderBy("t_tenths")
+        .transform(Relational.smallSort(_, "t_tenths"))
     },
 
     Q("q67_source_overlap",
@@ -1117,7 +1117,7 @@ object Llm {
         .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs"),
           (expr("(2 * sj + n_pairs) div (2 * n_pairs)") / 10000.0).as("avg_j"),
           (col("mx") / 10000.0).as("max_j"))
-        .orderBy("src_a", "src_b")
+        .transform(Relational.smallSort(_, "src_a", "src_b"))
     },
 
     Q("q68_dup_clusters",
@@ -1279,7 +1279,7 @@ object Llm {
         .select(col("span_len"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("n_positions"), lit(0L)).as("n_positions"))
-        .orderBy("span_len")
+        .transform(Relational.smallSort(_, "span_len"))
     },
 
     Q("q106_neardup_sweep",
@@ -1485,7 +1485,7 @@ object Llm {
       .select(col("lang"), col("pred"), col("n_docs"),
         expr("(2 * 10000 * n_docs + n_lang) div (2 * n_lang)")
           .as("share_e4"))
-      .orderBy("lang", "pred")
+      .transform(Relational.smallSort(_, "lang", "pred"))
   }
 
   /** q120's logic over an arbitrary corpus — exposed so specs can pin
@@ -1502,7 +1502,7 @@ object Llm {
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("df")).as("n_postings"),
         sum(expr("df * (df - 1) div 2")).as("n_pair_candidates"))
-      .orderBy("msb")
+      .transform(Relational.smallSort(_, "msb"))
   }
 
   private lazy val q120OracleSql: String =
@@ -1544,7 +1544,7 @@ object Llm {
             .cast(DoubleType)) *
            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
             .cast(DoubleType))), 4).as("corr"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   private lazy val q112OracleSql: String =
@@ -1595,7 +1595,7 @@ object Llm {
       .select(col("t").as("t_tenths"), (col("t") / 10.0).as("threshold"),
         coalesce(col("np"), lit(0L)).as("n_pairs"),
         coalesce(col("ndc"), lit(0L)).as("n_docs"))
-      .orderBy("t_tenths")
+      .transform(Relational.smallSort(_, "t_tenths"))
   }
 
   private lazy val q106OracleSql: String =
@@ -1665,7 +1665,7 @@ object Llm {
       .select(col("source"), col("n_docs"), col("n_kept"), col("exp_kept_e4"),
         expr("(2 * 10000 * n_kept + n_docs) div (2 * n_docs)")
           .as("kept_share_e4"))
-      .orderBy("source")
+      .transform(Relational.smallSort(_, "source"))
   }
 
   /** q33's blocked exact all-pairs cosine over an arbitrary embeddings

@@ -248,7 +248,7 @@ object Relational {
               col("l_partkey") === col("p_partkey") &&
               col("l_extendedprice") > col("p_retailprice"))
         .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
-        .orderBy("p_brand")
+        .transform(smallSort(_, "p_brand"))
     },
 
     Q("q11_range_join",
@@ -462,7 +462,7 @@ object Relational {
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"),
              approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type")
+        .transform(smallSort(_, "event_type"))
     },
 
     Q("q16c_ordered_concat",
